@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.oracle.Sql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (same column names — the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Models.orders(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // staging layer (P1 projections, F1/F2/F8/F11/F12 scalar fns)
+    "stg_customers" -> (Models.stgCustomers _),
+    "stg_orders" -> (Models.stgOrders _),
+    "stg_order_items" -> (Models.stgOrderItems _),
+    "stg_products" -> (Models.stgProducts _),
+    "stg_locations" -> (Models.stgLocations _),
+    "stg_supplies" -> (Models.stgSupplies _),
+    // core marts (J1-J5, A1-A3, W1, F6/F7)
+    "order_items" -> (Models.orderItems _),
+    "orders" -> (Models.orders _),
+    "customers" -> (Models.customers _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "stg_customers" -> Sql.stgCustomersQ,
+    "stg_orders" -> Sql.stgOrdersQ,
+    "stg_order_items" -> Sql.stgOrderItemsQ,
+    "stg_products" -> Sql.stgProductsQ,
+    "stg_locations" -> Sql.stgLocationsQ,
+    "stg_supplies" -> Sql.stgSuppliesQ,
+    "order_items" -> Sql.orderItemsQ,
+    "orders" -> Sql.ordersQ,
+    "customers" -> Sql.customersQ,
+  )
 }
