@@ -12,19 +12,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Models.orders(spark, "/root/testdata/sf0.001")
 
+  /** Wrap a model for the driver: decimals → double at the output
+    * boundary only (see [[Out.presentDoubles]]; VERDICT r1 #1). */
+  private def out(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => Out.presentDoubles(fn(s, d))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // staging layer (P1 projections, F1/F2/F8/F11/F12 scalar fns)
-    "stg_customers" -> (Models.stgCustomers _),
-    "stg_orders" -> (Models.stgOrders _),
-    "stg_order_items" -> (Models.stgOrderItems _),
-    "stg_products" -> (Models.stgProducts _),
-    "stg_locations" -> (Models.stgLocations _),
-    "stg_supplies" -> (Models.stgSupplies _),
+    "stg_customers" -> out(Models.stgCustomers),
+    "stg_orders" -> out(Models.stgOrders),
+    "stg_order_items" -> out(Models.stgOrderItems),
+    "stg_products" -> out(Models.stgProducts),
+    "stg_locations" -> out(Models.stgLocations),
+    "stg_supplies" -> out(Models.stgSupplies),
     // core marts (J1-J5, A1-A3, W1, F6/F7)
-    "order_items" -> (Models.orderItems _),
-    "orders" -> (Models.orders _),
-    "customers" -> (Models.customers _),
+    "order_items" -> out(Models.orderItems),
+    "orders" -> out(Models.orders),
+    "customers" -> out(Models.customers),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

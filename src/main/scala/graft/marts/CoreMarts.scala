@@ -27,12 +27,17 @@ object CoreMarts {
       .groupBy(col("supply_id").as("supplier_id"))
       .agg(dec18(sum(col("supply_cost"))).as("supply_cost"))
 
+    // No forced broadcast on products/supply-costs: both scale with SF
+    // (part ~billions of rows at 100 TB) — let AQE pick broadcast vs
+    // shuffle from runtime sizes (VERDICT r1 #2). Forced broadcast is
+    // reserved for genuinely bounded dims (nation=25/region=5 in
+    // Staging.stgLocations).
     stgOrderItems
       .join(stgOrders.select("order_id", "ordered_at"), Seq("order_id"), "left")
-      .join(broadcast(stgProducts.select("product_id", "product_name",
-        "product_type", "product_price", "is_promo_item", "is_economy_item")),
+      .join(stgProducts.select("product_id", "product_name",
+        "product_type", "product_price", "is_promo_item", "is_economy_item"),
         Seq("product_id"), "left")
-      .join(broadcast(supplyCosts), Seq("supplier_id"), "left")
+      .join(supplyCosts, Seq("supplier_id"), "left")
       .select(
         col("order_item_id"), col("order_id"), col("product_id"),
         col("supplier_id"), col("ordered_at"),
@@ -56,7 +61,9 @@ object CoreMarts {
       .groupBy("order_id")
       .agg(
         count(col("order_item_id")).as("count_order_items"),
-        dec184(sum(col("discounted_price"))).as("order_items_subtotal"),
+        // sum(product_price), not discounted_price — reference
+        // `orders.sql:21` (ADVICE r1).
+        dec18(sum(col("product_price"))).as("order_items_subtotal"),
         dec18(sum(col("supply_cost"))).as("order_cost"),
         count(when(col("is_promo_item"), lit(1))).as("count_promo_items"),
         count(when(col("is_returned"), lit(1))).as("count_returned_items"))
@@ -71,7 +78,7 @@ object CoreMarts {
         col("order_total"), col("subtotal"), col("tax_paid"),
         col("order_status"), col("order_priority"),
         coalesce(col("count_order_items"), lit(0L)).as("count_order_items"),
-        dec184(coalesce(col("order_items_subtotal"), lit(0))).as("order_items_subtotal"),
+        dec18(coalesce(col("order_items_subtotal"), lit(0))).as("order_items_subtotal"),
         dec18(coalesce(col("order_cost"), lit(0))).as("order_cost"),
         coalesce(col("count_promo_items"), lit(0L)).as("count_promo_items"),
         coalesce(col("count_returned_items"), lit(0L)).as("count_returned_items"),
@@ -107,8 +114,11 @@ object CoreMarts {
         dec18(coalesce(col("lifetime_tax_paid"), lit(0))).as("lifetime_tax_paid"),
         dec18(coalesce(col("lifetime_spend"), lit(0))).as("lifetime_spend"),
         dec18(coalesce(col("lifetime_cost"), lit(0))).as("lifetime_cost"),
+        // zero-order customers are 'new', matching the reference's
+        // `case when is_repeat_buyer then returning else new end`
+        // (`customers.sql:47-50`; accepted_values {new, returning},
+        // `customers.yml:31-33`) — ADVICE r1.
         when(coalesce(col("count_lifetime_orders"), lit(0L)) > 1, lit("returning"))
-          .when(col("count_lifetime_orders") === 1, lit("new"))
-          .otherwise(lit("none")).as("customer_type"))
+          .otherwise(lit("new")).as("customer_type"))
   }
 }

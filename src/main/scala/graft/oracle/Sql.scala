@@ -105,7 +105,7 @@ object Sql {
     """select o.order_id, o.customer_id, o.ordered_at,
       |  o.order_total, o.subtotal, o.tax_paid, o.order_status, o.order_priority,
       |  coalesce(s.count_order_items, 0) as count_order_items,
-      |  cast(coalesce(s.order_items_subtotal, 0) as decimal(18,4)) as order_items_subtotal,
+      |  cast(coalesce(s.order_items_subtotal, 0) as decimal(18,2)) as order_items_subtotal,
       |  cast(coalesce(s.order_cost, 0) as decimal(18,2)) as order_cost,
       |  coalesce(s.count_promo_items, 0) as count_promo_items,
       |  coalesce(s.count_returned_items, 0) as count_returned_items,
@@ -117,7 +117,7 @@ object Sql {
       |left join (
       |  select order_id,
       |    count(order_item_id) as count_order_items,
-      |    cast(sum(discounted_price) as decimal(18,4)) as order_items_subtotal,
+      |    cast(sum(product_price) as decimal(18,2)) as order_items_subtotal,
       |    cast(sum(supply_cost) as decimal(18,2)) as order_cost,
       |    count(case when is_promo_item then 1 end) as count_promo_items,
       |    count(case when is_returned then 1 end) as count_returned_items
@@ -134,8 +134,7 @@ object Sql {
       |  cast(coalesce(s.lifetime_spend, 0) as decimal(18,2)) as lifetime_spend,
       |  cast(coalesce(s.lifetime_cost, 0) as decimal(18,2)) as lifetime_cost,
       |  case when coalesce(s.count_lifetime_orders, 0) > 1 then 'returning'
-      |       when s.count_lifetime_orders = 1 then 'new'
-      |       else 'none' end as customer_type
+      |       else 'new' end as customer_type
       |from stg_customers c
       |left join (
       |  select customer_id,
@@ -158,13 +157,26 @@ object Sql {
 
   // ---- per-query oracle statements ----
 
-  val stgCustomersQ = s"$stagingCtes select * from stg_customers"
-  val stgOrdersQ = s"$stagingCtes select * from stg_orders"
-  val stgOrderItemsQ = s"$stagingCtes select * from stg_order_items"
-  val stgProductsQ = s"$stagingCtes select * from stg_products"
+  /** Output-boundary decimal→double (mirrors graft.Out.presentDoubles):
+    * decimal arithmetic stays exact inside the CTEs; only the final
+    * select presents the named money columns as float64 so both engines
+    * hash identical doubles (VERDICT r1 #1). DuckDB `* REPLACE` keeps
+    * column order/names. */
+  def asDouble(table: String, cols: String*): String =
+    s"select * replace (${cols.map(c => s"cast($c as double) as $c").mkString(", ")}) from $table"
+
+  val stgCustomersQ = s"$stagingCtes ${asDouble("stg_customers", "account_balance")}"
+  val stgOrdersQ = s"$stagingCtes ${asDouble("stg_orders", "order_total", "subtotal", "tax_paid")}"
+  val stgOrderItemsQ = s"$stagingCtes ${asDouble("stg_order_items", "quantity", "extended_price", "discounted_price")}"
+  val stgProductsQ = s"$stagingCtes ${asDouble("stg_products", "product_price")}"
   val stgLocationsQ = s"$stagingCtes select * from stg_locations"
-  val stgSuppliesQ = s"$stagingCtes select * from stg_supplies"
-  val orderItemsQ = s"$coreCtes select * from order_items"
-  val ordersQ = s"$coreCtes select * from orders_mart"
-  val customersQ = s"$coreCtes select * from customers_mart"
+  val stgSuppliesQ = s"$stagingCtes ${asDouble("stg_supplies", "supply_cost")}"
+  val orderItemsQ = s"$coreCtes ${asDouble("order_items",
+    "product_price", "quantity", "extended_price", "discounted_price",
+    "supply_cost", "gross_margin")}"
+  val ordersQ = s"$coreCtes ${asDouble("orders_mart",
+    "order_total", "subtotal", "tax_paid", "order_items_subtotal", "order_cost")}"
+  val customersQ = s"$coreCtes ${asDouble("customers_mart",
+    "account_balance", "lifetime_spend_pretax", "lifetime_tax_paid",
+    "lifetime_spend", "lifetime_cost")}"
 }

@@ -46,7 +46,7 @@ class CoreMartsSpec extends SparkSpec {
 
   test("customers: customer_type accepted values") {
     val bad = Models.customers(spark, sf)
-      .filter(!col("customer_type").isin("new", "returning", "none")).count()
+      .filter(!col("customer_type").isin("new", "returning")).count()
     assert(bad === 0)
   }
 

@@ -16,7 +16,10 @@ import numpy as np
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     import datetime, decimal
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes BEFORE sorting: Decimal->float, dates->ISO str
+    # STRICT (replicates the driver's gate): stringify values as-is.
+    # Decimal is NOT coerced to float — Decimal('2547.40') must stay
+    # "2547.40" so a Spark-decimal vs oracle-float64 mismatch FAILS here
+    # exactly like it fails the driver's hash (ADVICE r1; VERDICT r1 #1).
     for c in df.columns:
         s = df[c]
         if str(s.dtype).startswith('datetime64'):
@@ -26,7 +29,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             nn = s.dropna()
             v = nn.iloc[0] if len(nn) else None
             if isinstance(v, decimal.Decimal):
-                df[c] = s.astype(float)
+                df[c] = s.apply(lambda x: str(x) if x is not None else None)
             elif isinstance(v, datetime.datetime):
                 df[c] = s.apply(lambda x: x.strftime('%Y-%m-%d %H:%M:%S.%f') if x is not None else None)
             elif isinstance(v, datetime.date):
@@ -70,6 +73,13 @@ def main():
         for c in g.columns:
             gv, ev = g[c], e[c]
             try:
+                # dtype parity is part of the gate: a Decimal-vs-float64
+                # column pair hashes differently in the driver even when
+                # values are numerically identical.
+                if gv.dtype.kind != ev.dtype.kind:
+                    print(f"FAIL {name}: col {c} dtype mismatch spark={gv.dtype} oracle={ev.dtype}")
+                    ok = False
+                    continue
                 if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                     gf = gv.astype(float); ef = ev.astype(float)
                     both_nan = gf.isna() & ef.isna()
