@@ -2,12 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.staging.Staging
-import graft.marts.CoreMarts
+import graft.marts.{AnalyticsMarts, CoreMarts, SegmentationMart, TimeMarts}
 
 /** Model DAG wiring: each reference model as a (spark, sfDir) => DataFrame.
-  * dbt's ref()/source() DAG (SURVEY.md §3.1) is plain function composition
-  * here — everything stays lazy, so Catalyst sees one plan per output and
-  * pushes filters/pruning across model boundaries like dbt view inlining.
+  * dbt's ref()/source() DAG (SURVEY.md §3.1) is plain function composition.
+  * Staging models stay lazy (dbt `view`): Catalyst inlines them and pushes
+  * filters/pruning across the boundary. The shared core marts are dbt
+  * `table`s: [[Mat.table]] write-then-read parquet barriers, so the
+  * orders/order_items subtree is computed once per session, not once per
+  * downstream consumer (reference `dbt_project.yml:33-36`).
   */
 object Models {
   def stgCustomers(s: SparkSession, d: String): DataFrame =
@@ -23,11 +26,47 @@ object Models {
   def stgSupplies(s: SparkSession, d: String): DataFrame =
     Staging.stgSupplies(Tables.supplier(s, d))
 
+  // ---- core marts (materialized: each feeds 2+ downstream marts) ----
+
   def orderItems(s: SparkSession, d: String): DataFrame =
-    CoreMarts.orderItems(stgOrderItems(s, d), stgOrders(s, d),
-      stgProducts(s, d), stgSupplies(s, d))
+    Mat.table(s, d, "order_items")(
+      CoreMarts.orderItems(stgOrderItems(s, d), stgOrders(s, d),
+        stgProducts(s, d), stgSupplies(s, d)))
   def orders(s: SparkSession, d: String): DataFrame =
-    CoreMarts.orders(stgOrders(s, d), orderItems(s, d))
+    Mat.table(s, d, "orders")(
+      CoreMarts.orders(stgOrders(s, d), orderItems(s, d)))
   def customers(s: SparkSession, d: String): DataFrame =
-    CoreMarts.customers(stgCustomers(s, d), orders(s, d))
+    Mat.table(s, d, "customers")(
+      CoreMarts.customers(stgCustomers(s, d), orders(s, d)))
+
+  // ---- analytics marts (terminal consumers) ----
+
+  def products(s: SparkSession, d: String): DataFrame =
+    AnalyticsMarts.products(stgProducts(s, d), orderItems(s, d), orders(s, d))
+  def locations(s: SparkSession, d: String): DataFrame =
+    AnalyticsMarts.locations(stgLocations(s, d), orders(s, d), customers(s, d))
+  def supplies(s: SparkSession, d: String): DataFrame =
+    AnalyticsMarts.supplies(stgSupplies(s, d), orderItems(s, d))
+  def supplierRollup(s: SparkSession, d: String): DataFrame =
+    AnalyticsMarts.supplierRollup(stgSupplies(s, d), orderItems(s, d))
+
+  def timeSpine(s: SparkSession, d: String): DataFrame =
+    TimeMarts.timeSpine(s)
+  def dailySummary(s: SparkSession, d: String): DataFrame =
+    TimeMarts.dailySummary(orders(s, d))
+  def weeklySummary(s: SparkSession, d: String): DataFrame =
+    TimeMarts.weeklySummary(orders(s, d))
+  def monthlySummary(s: SparkSession, d: String): DataFrame =
+    TimeMarts.monthlySummary(orders(s, d))
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    TimeMarts.cohortRetention(orders(s, d))
+  def seasonalTrends(s: SparkSession, d: String): DataFrame =
+    TimeMarts.seasonalTrends(orders(s, d))
+  def growthMetrics(s: SparkSession, d: String): DataFrame =
+    TimeMarts.growthMetrics(orders(s, d))
+  def timeAnalytics(s: SparkSession, d: String): DataFrame =
+    TimeMarts.timeAnalytics(s, orders(s, d))
+
+  def customerSegmentation(s: SparkSession, d: String): DataFrame =
+    SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d))
 }

@@ -30,6 +30,22 @@ object SparkEntry {
     "order_items" -> out(Models.orderItems),
     "orders" -> out(Models.orders),
     "customers" -> out(Models.customers),
+    // analytics marts (A12-A18, W2-W4, J8-J16)
+    "products" -> out(Models.products),
+    "locations" -> out(Models.locations),
+    "supplies" -> out(Models.supplies),
+    "supplier_rollup" -> out(Models.supplierRollup),
+    // time marts (S7, A6-A11, W5, J17, P5, F2-F5)
+    "time_spine" -> out(Models.timeSpine),
+    "daily_summary" -> out(Models.dailySummary),
+    "weekly_summary" -> out(Models.weeklySummary),
+    "monthly_summary" -> out(Models.monthlySummary),
+    "cohort_retention" -> out(Models.cohortRetention),
+    "seasonal_trends" -> out(Models.seasonalTrends),
+    "growth_metrics" -> out(Models.growthMetrics),
+    "time_analytics" -> out(Models.timeAnalytics),
+    // segmentation (A4-A5, J6-J7, P4, P6, F3)
+    "customer_segmentation" -> out(Models.customerSegmentation),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +60,18 @@ object SparkEntry {
     "order_items" -> Sql.orderItemsQ,
     "orders" -> Sql.ordersQ,
     "customers" -> Sql.customersQ,
+    "products" -> Sql.productsQ,
+    "locations" -> Sql.locationsQ,
+    "supplies" -> Sql.suppliesQ,
+    "supplier_rollup" -> Sql.supplierRollupQ,
+    "time_spine" -> Sql.timeSpineQ,
+    "daily_summary" -> Sql.dailySummaryQ,
+    "weekly_summary" -> Sql.weeklySummaryQ,
+    "monthly_summary" -> Sql.monthlySummaryQ,
+    "cohort_retention" -> Sql.cohortRetentionQ,
+    "seasonal_trends" -> Sql.seasonalTrendsQ,
+    "growth_metrics" -> Sql.growthMetricsQ,
+    "time_analytics" -> Sql.timeAnalyticsQ,
+    "customer_segmentation" -> Sql.customerSegmentationQ,
   )
 }

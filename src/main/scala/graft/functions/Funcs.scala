@@ -21,9 +21,11 @@ object Funcs {
   /** Fixed evaluation clock replacing `current_date` (reference
     * `models/marts/customer_segmentation.sql:32`, `time_analytics.sql:175`)
     * — SURVEY §7.4.4: deterministic runs need an injected run date.
-    * Data spans 1995-01-01 .. 2001-11-04, so "today" is pinned just after.
+    * Testdata orders span 1995-01-01 .. 2001-08-01; "today" is pinned two
+    * weeks after the last order so RFM recency buckets (30/60/90/180d,
+    * `customer_segmentation.sql:36-42`) are all populated.
     */
-  val RunDate = "2001-12-31"
+  val RunDate = "2001-08-15"
   def runDate: Column = to_date(lit(RunDate))
 
   /** `cents_to_dollars` macro (reference `macros/cents_to_dollars.sql:7-9`):
@@ -34,6 +36,17 @@ object Funcs {
 
   /** Money canonicalization: every currency column is decimal(18,2). */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal(18,2) / (18,4) casts for aggregate results. */
+  def dec18(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec184(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** sum(x)/count guarded average as a single IEEE double division of
+    * exact decimal/long inputs — replaces engine-native `avg`, whose
+    * decimal handling differs between Spark (decimal out, HALF_UP) and
+    * DuckDB (double out). Oracle SQL mirrors the same sum/count form. */
+  def avgOf(sumC: Column, cnt: Column): Column =
+    when(cnt > 0, sumC.cast("double") / cnt.cast("double"))
 
   /** Scale-4 money for discount-derived values: decimal(18,2) × decimal
     * rate is exact at scale 4, so no rounding step exists where Spark
@@ -71,9 +84,16 @@ object Funcs {
     * then apply this scalar — identical double math on both engines
     * (reference `models/marts/locations.sql:101-118` uses `stddev`).
     */
-  def stddevFromSums(sumX: Column, sumX2: Column, n: Column): Column =
-    when(n > 1,
-      sqrt((sumX2.cast("double") - sumX.cast("double") * sumX.cast("double") / n.cast("double"))
-        / (n.cast("double") - lit(1.0))))
+  def stddevFromSums(sumX: Column, sumX2: Column, n: Column): Column = {
+    // Σx² at scale 4 can exceed 2^53 in unscaled units; direct
+    // decimal→double then differs between engines in the last ulp
+    // (int128→double→÷10^scale double-rounds). decimal→string→double is
+    // exact-then-correctly-rounded on BOTH engines (Double.parseDouble /
+    // strtod), so the converted values are bit-identical.
+    val sx = sumX.cast("string").cast("double")
+    val sx2 = sumX2.cast("string").cast("double")
+    val nd = n.cast("double")
+    when(n > 1, sqrt((sx2 - sx * sx / nd) / (nd - lit(1.0))))
       .otherwise(lit(null).cast("double"))
+  }
 }

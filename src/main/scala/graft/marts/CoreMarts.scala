@@ -75,6 +75,12 @@ object CoreMarts {
       .join(itemSummary, Seq("order_id"), "left")
       .select(
         col("order_id"), col("customer_id"), col("ordered_at"),
+        // reference orders carry the store (`stg_orders` store_id →
+        // location_id); TPC-H orders have none, so assign a
+        // deterministic location in [0,25) keyed by order_id —
+        // matching stg_locations' nation keys. Computed, not joined:
+        // free at any scale.
+        (col("order_id") % 25).cast("int").as("location_id"),
         col("order_total"), col("subtotal"), col("tax_paid"),
         col("order_status"), col("order_priority"),
         coalesce(col("count_order_items"), lit(0L)).as("count_order_items"),

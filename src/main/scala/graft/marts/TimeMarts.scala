@@ -1,0 +1,184 @@
+package graft.marts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+import graft.functions.Funcs._
+
+/** Time marts (SURVEY §2 S7, A6-A11, W5, J17, P5, F2-F5; reference
+  * `models/marts/{metricflow_time_spine,time_analytics}.sql`).
+  *
+  * The reference's time_analytics computes weekly/monthly/cohort/
+  * seasonal/growth CTEs but its final select only emits the daily
+  * spine join (`time_analytics.sql:149-179`) — a warehouse prunes the
+  * dead CTEs. Here each analysis is its own function, registered as its
+  * own driver-verified query, so every operator gets an oracle entry.
+  */
+object TimeMarts {
+
+  /** S7 date-spine generator (reference `metricflow_time_spine.sql:4-17`:
+    * 3650 consecutive days ending "today" = the pinned RunDate).
+    * `sequence` + `explode` — Catalyst's Generator, fully distributed-
+    * planable; 3650 rows regardless of SF.
+    */
+  def timeSpine(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      explode(sequence(date_sub(runDate, 3649), runDate)).as("date_day"))
+
+  /** A6 daily summary: conditional distinct counts + conditional sums
+    * (reference `time_analytics.sql:15-37`). Money stays decimal here —
+    * time_analytics consumes it exactly.
+    */
+  def dailySummary(orders: DataFrame): DataFrame =
+    orders.groupBy(col("ordered_at").as("order_date"))
+      .agg(
+        countDistinct(col("order_id")).as("daily_orders"),
+        countDistinct(col("customer_id")).as("daily_unique_customers"),
+        dec18(sum(col("order_total"))).as("rev_d"),
+        dec18(sum(col("order_cost"))).as("cost_d"),
+        count(col("order_id")).as("n"),
+        countDistinct(when(col("customer_order_number") === 1, col("customer_id"))).as("daily_new_customers"),
+        countDistinct(when(col("customer_order_number") > 1, col("customer_id"))).as("daily_returning_customers"),
+        count(when(col("is_promo_order"), lit(1))).as("daily_promo_orders"),
+        count(when(col("has_returned_item"), lit(1))).as("daily_returned_orders"))
+      .select(
+        col("order_date"), col("daily_orders"), col("daily_unique_customers"),
+        col("rev_d").as("daily_revenue"),
+        col("cost_d").as("daily_cost"),
+        (col("rev_d") - col("cost_d")).as("daily_profit"),
+        avgOf(col("rev_d"), col("n")).as("daily_avg_order_value"),
+        col("daily_new_customers"), col("daily_returning_customers"),
+        col("daily_promo_orders"), col("daily_returned_orders"))
+
+  /** A7 weekly summary (reference `time_analytics.sql:39-55`). */
+  def weeklySummary(orders: DataFrame): DataFrame =
+    orders.groupBy(date_trunc("week", col("ordered_at")).cast(DateType).as("order_week"))
+      .agg(
+        countDistinct(col("order_id")).as("weekly_orders"),
+        countDistinct(col("customer_id")).as("weekly_unique_customers"),
+        dec18(sum(col("order_total"))).as("rev_d"),
+        dec18(sum(col("order_cost"))).as("cost_d"),
+        count(col("order_id")).as("n"))
+      .select(
+        col("order_week"), col("weekly_orders"), col("weekly_unique_customers"),
+        col("rev_d").cast("double").as("weekly_revenue"),
+        col("cost_d").cast("double").as("weekly_cost"),
+        (col("rev_d") - col("cost_d")).cast("double").as("weekly_profit"),
+        avgOf(col("rev_d"), col("n")).as("weekly_avg_order_value"))
+
+  /** A8 monthly summary — 4-key grouping where year/month/quarter are
+    * functions of the truncated month (reference `time_analytics.sql:
+    * 57-77` `group by 1, 8, 9, 10`). Decimal revenue kept for growth
+    * metrics.
+    */
+  def monthlySummary(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        date_trunc("month", col("ordered_at")).cast(DateType).as("order_month"),
+        year(col("ordered_at")).as("order_year"),
+        month(col("ordered_at")).as("order_month_num"),
+        quarter(col("ordered_at")).as("order_quarter"))
+      .agg(
+        countDistinct(col("order_id")).as("monthly_orders"),
+        countDistinct(col("customer_id")).as("monthly_unique_customers"),
+        dec18(sum(col("order_total"))).as("rev_d"),
+        dec18(sum(col("order_cost"))).as("cost_d"),
+        count(col("order_id")).as("n"))
+      .select(
+        col("order_month"), col("monthly_orders"), col("monthly_unique_customers"),
+        col("rev_d").as("monthly_revenue"),
+        col("cost_d").as("monthly_cost"),
+        (col("rev_d") - col("cost_d")).as("monthly_profit"),
+        avgOf(col("rev_d"), col("n")).as("monthly_avg_order_value"),
+        col("order_year"), col("order_month_num"), col("order_quarter"))
+
+  /** A9-A10 cohorts (reference `time_analytics.sql:79-107`).
+    * Faithful to the reference *as written*: first_order_date is
+    * min(ordered_at) WITHIN the (cohort_month, customer) group, so
+    * first_order_month == cohort_month and period_number is always 0 —
+    * a quirk of the reference we reproduce rather than "fix". F3
+    * month-boundary datediff is still exercised (monthsBetweenBoundary).
+    */
+  def cohortRetention(orders: DataFrame): DataFrame = {
+    val cohort = orders.groupBy(
+        date_trunc("month", col("ordered_at")).cast(DateType).as("cohort_month"),
+        col("customer_id"))
+      .agg(min(col("ordered_at")).as("first_order_date"))
+      .withColumn("first_order_month", date_trunc("month", col("first_order_date")).cast(DateType))
+    cohort.groupBy(
+        col("first_order_month"), col("cohort_month"),
+        monthsBetweenBoundary(col("first_order_month"), col("cohort_month")).as("period_number"))
+      .agg(countDistinct(col("customer_id")).as("customers"))
+  }
+
+  /** A11 seasonal trends by extracted keys (reference
+    * `time_analytics.sql:109-124`); F4 extract family. Spark dayofweek
+    * is 1=Sunday, matching the documented semantics
+    * (`time_analytics.yml:31`); the DuckDB oracle adds +1 to its
+    * 0=Sunday convention.
+    */
+  def seasonalTrends(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        month(col("ordered_at")).as("month_of_year"),
+        quarter(col("ordered_at")).as("quarter_of_year"),
+        dayofweek(col("ordered_at")).as("day_of_week"))
+      .agg(
+        countDistinct(col("order_id")).as("seasonal_orders"),
+        dec18(sum(col("order_total"))).as("rev_d"),
+        count(col("order_id")).as("n"))
+      .select(
+        col("month_of_year"), col("quarter_of_year"), col("day_of_week"),
+        col("seasonal_orders"),
+        col("rev_d").cast("double").as("seasonal_revenue"),
+        avgOf(col("rev_d"), col("n")).as("seasonal_avg_order_value"))
+
+  /** W5 lag month-over-month growth (reference `time_analytics.sql:
+    * 126-147`). Global window over ~80 month rows — order_month is the
+    * (unique) group key, so no tiebreak needed.
+    */
+  def growthMetrics(orders: DataFrame): DataFrame = {
+    val m = monthlySummary(orders)
+    val w = Window.orderBy(col("order_month"))
+    val prevRev = lag(col("monthly_revenue"), 1).over(w)
+    val prevOrd = lag(col("monthly_orders"), 1).over(w)
+    m.select(
+        col("order_month"), col("monthly_revenue"), col("monthly_orders"))
+      .withColumn("prev_month_revenue", prevRev)
+      .withColumn("prev_month_orders", prevOrd)
+      .select(
+        col("order_month"),
+        col("monthly_revenue").cast("double").as("monthly_revenue"),
+        col("prev_month_revenue").cast("double").as("prev_month_revenue"),
+        col("prev_month_orders"),
+        when(col("prev_month_revenue") > 0,
+          (col("monthly_revenue") - col("prev_month_revenue")).cast("double")
+            / col("prev_month_revenue").cast("double")).as("revenue_growth_rate"),
+        when(col("prev_month_orders") > 0,
+          (col("monthly_orders") - col("prev_month_orders")).cast("double")
+            / col("prev_month_orders").cast("double")).as("order_growth_rate"))
+  }
+
+  /** time_analytics final output: J17 calendar left join preserving gap
+    * days, P5 date-range filter, F6 zero backfill (reference
+    * `time_analytics.sql:149-179`; clamp adapted to the testdata epoch).
+    */
+  def timeAnalytics(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val spine = timeSpine(spark)
+      .filter(col("date_day").between(lit("1995-01-01"), runDate))
+    val daily = dailySummary(orders)
+    spine.join(daily, spine("date_day") === daily("order_date"), "left")
+      .select(
+        col("date_day"),
+        coalesce(col("daily_orders"), lit(0L)).as("daily_orders"),
+        coalesce(col("daily_revenue"), lit(0)).cast("double").as("daily_revenue"),
+        coalesce(col("daily_profit"), lit(0)).cast("double").as("daily_profit"),
+        coalesce(col("daily_unique_customers"), lit(0L)).as("daily_unique_customers"),
+        coalesce(col("daily_avg_order_value"), lit(0.0)).as("daily_avg_order_value"),
+        date_trunc("week", col("date_day")).cast(DateType).as("week_start"),
+        date_trunc("month", col("date_day")).cast(DateType).as("month_start"),
+        year(col("date_day")).as("year"),
+        month(col("date_day")).as("month"),
+        quarter(col("date_day")).as("quarter"),
+        dayofweek(col("date_day")).as("day_of_week"))
+  }
+}

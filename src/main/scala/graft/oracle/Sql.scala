@@ -9,7 +9,7 @@ package graft.oracle
   */
 object Sql {
 
-  val runDate = "DATE '2001-12-31'"
+  val runDate = "DATE '2001-08-15'"
 
   // ---- staging CTE bodies (mirror graft.staging.Staging) ----
 
@@ -51,8 +51,8 @@ object Sql {
     """select p_partkey as product_id, p_name as product_name,
       |  p_type as product_type, p_brand as brand, p_size as product_size,
       |  cast(p_retailprice as decimal(18,2)) as product_price,
-      |  coalesce(p_type = 'PROMO', false) as is_promo_item,
-      |  coalesce(p_type = 'ECONOMY', false) as is_economy_item
+      |  coalesce(p_type like 'PROMO%', false) as is_promo_item,
+      |  coalesce(p_type like 'ECONOMY%', false) as is_economy_item
       |from part""".stripMargin
 
   val stgLocations: String =
@@ -62,15 +62,29 @@ object Sql {
       |  cast(DATE '1995-01-01' + (n_nationkey * 30) as date) as opened_at
       |from nation left join region on n_regionkey = r_regionkey""".stripMargin
 
+  /* Two cost-component rows per supplier (mirrors graft Staging: exact
+   * 0.75/0.25 decimal fractions at scale 4 — no rounding step). */
   val stgSupplies: String =
     """select
       |  md5(concat_ws('-',
       |    coalesce(cast(s_suppkey as varchar), '_dbt_utils_surrogate_key_null_'),
-      |    coalesce(cast(s_name as varchar), '_dbt_utils_surrogate_key_null_'))) as supply_uuid,
+      |    'materials')) as supply_uuid,
       |  s_suppkey as supply_id, s_name as supply_name,
+      |  'materials' as supply_component,
       |  s_nationkey as location_id,
-      |  cast(abs(s_acctbal) as decimal(18,2)) as supply_cost,
-      |  s_suppkey % 2 = 1 as is_perishable_supply
+      |  cast(cast(abs(s_acctbal) as decimal(18,2)) * 0.75 as decimal(18,4)) as supply_cost,
+      |  (s_suppkey + 0) % 2 = 1 as is_perishable_supply
+      |from supplier
+      |union all
+      |select
+      |  md5(concat_ws('-',
+      |    coalesce(cast(s_suppkey as varchar), '_dbt_utils_surrogate_key_null_'),
+      |    'freight')) as supply_uuid,
+      |  s_suppkey as supply_id, s_name as supply_name,
+      |  'freight' as supply_component,
+      |  s_nationkey as location_id,
+      |  cast(cast(abs(s_acctbal) as decimal(18,2)) * 0.25 as decimal(18,4)) as supply_cost,
+      |  (s_suppkey + 1) % 2 = 1 as is_perishable_supply
       |from supplier""".stripMargin
 
   /** All staging models as a WITH prefix for mart oracles. */
@@ -103,6 +117,7 @@ object Sql {
 
   val ordersBody: String =
     """select o.order_id, o.customer_id, o.ordered_at,
+      |  cast(o.order_id % 25 as int) as location_id,
       |  o.order_total, o.subtotal, o.tax_paid, o.order_status, o.order_priority,
       |  coalesce(s.count_order_items, 0) as count_order_items,
       |  cast(coalesce(s.order_items_subtotal, 0) as decimal(18,2)) as order_items_subtotal,
@@ -155,6 +170,521 @@ object Sql {
        |orders_mart as ($ordersBody),
        |customers_mart as ($customersBody)""".stripMargin
 
+  // ---- analytics marts (mirror graft.marts.AnalyticsMarts) ----
+  // Every ratio/average is written as the SAME single double expression
+  // the Scala side emits (sum::double / count::double etc.) so both
+  // engines produce bit-identical float64.
+
+  val productsCtes: String =
+    """product_perf as (
+      |  select p.product_id, p.product_name, p.product_type, p.brand,
+      |    p.product_price, p.is_promo_item, p.is_economy_item,
+      |    count(distinct oi.order_id) as total_orders,
+      |    count(oi.order_item_id) as total_quantity_sold,
+      |    cast(sum(oi.product_price) as decimal(18,2)) as rev_d,
+      |    cast(sum(oi.supply_cost) as decimal(18,2)) as cost_d
+      |  from stg_products p
+      |  left join order_items oi using (product_id)
+      |  group by 1,2,3,4,5,6,7
+      |),
+      |product_perf2 as (
+      |  select product_id, product_name, product_type, brand, product_price,
+      |    is_promo_item, is_economy_item, total_orders, total_quantity_sold,
+      |    cast(rev_d as double) as total_revenue,
+      |    cast(cost_d as double) as total_supply_cost,
+      |    cast(rev_d - cost_d as double) as total_profit,
+      |    case when cost_d > 0 then cast(rev_d - cost_d as double) / cast(cost_d as double) end as profit_margin_ratio,
+      |    case when total_quantity_sold > 0 then cast(rev_d as double) / cast(total_quantity_sold as double) end as avg_selling_price,
+      |    case when total_quantity_sold > 0 then cast(cost_d as double) / cast(total_quantity_sold as double) end as avg_supply_cost
+      |  from product_perf
+      |),
+      |product_ranked as (
+      |  select *,
+      |    row_number() over (order by total_revenue desc nulls last, product_id) as revenue_rank,
+      |    row_number() over (order by total_quantity_sold desc nulls last, product_id) as popularity_rank,
+      |    row_number() over (order by total_profit desc nulls last, product_id) as profit_rank,
+      |    row_number() over (order by profit_margin_ratio desc nulls last, product_id) as margin_rank
+      |  from product_perf2
+      |),
+      |product_seasonal as (
+      |  select oi.product_id,
+      |    extract(quarter from oi.ordered_at) as order_quarter,
+      |    extract(month from oi.ordered_at) as order_month,
+      |    count(oi.order_item_id) as quarterly_quantity,
+      |    cast(sum(oi.product_price) as decimal(18,2)) as quarterly_revenue
+      |  from order_items oi group by 1,2,3
+      |),
+      |product_seasonal_summary as (
+      |  select product_id,
+      |    cast(max(quarterly_revenue) as double) as peak_quarter_revenue,
+      |    cast(min(quarterly_revenue) as double) as low_quarter_revenue,
+      |    case when count(quarterly_revenue) > 0 then cast(sum(quarterly_revenue) as double) / cast(count(quarterly_revenue) as double) end as avg_quarterly_revenue,
+      |    case when max(quarterly_revenue) > 0 then cast(max(quarterly_revenue) - min(quarterly_revenue) as double) / cast(max(quarterly_revenue) as double) else 0.0 end as seasonality_index
+      |  from product_seasonal group by 1
+      |),
+      |product_loc as (
+      |  select oi.product_id, o.location_id,
+      |    count(oi.order_item_id) as location_quantity,
+      |    cast(sum(oi.product_price) as decimal(18,2)) as location_revenue
+      |  from order_items oi
+      |  left join (select order_id, location_id from orders_mart) o using (order_id)
+      |  group by 1,2
+      |),
+      |product_loc_summary as (
+      |  select product_id,
+      |    count(distinct location_id) as locations_sold_at,
+      |    cast(max(location_revenue) as double) as best_location_revenue,
+      |    cast(min(location_revenue) as double) as worst_location_revenue
+      |  from product_loc group by 1
+      |),
+      |products_mart as (
+      |  select r.product_id, r.product_name, r.product_type, r.brand, r.product_price,
+      |    r.is_promo_item, r.is_economy_item,
+      |    r.total_orders, r.total_quantity_sold, r.total_revenue, r.total_supply_cost,
+      |    r.total_profit, r.profit_margin_ratio, r.avg_selling_price, r.avg_supply_cost,
+      |    r.revenue_rank, r.popularity_rank, r.profit_rank, r.margin_rank,
+      |    coalesce(l.locations_sold_at, 0) as locations_sold_at,
+      |    coalesce(l.best_location_revenue, 0) as best_location_revenue,
+      |    coalesce(l.worst_location_revenue, 0) as worst_location_revenue,
+      |    coalesce(s.peak_quarter_revenue, 0) as peak_quarter_revenue,
+      |    coalesce(s.low_quarter_revenue, 0) as low_quarter_revenue,
+      |    coalesce(s.avg_quarterly_revenue, 0) as avg_quarterly_revenue,
+      |    coalesce(s.seasonality_index, 0) as seasonality_index,
+      |    case when r.revenue_rank <= 5 then 'Top Performer'
+      |         when r.revenue_rank <= 10 then 'High Performer'
+      |         when r.revenue_rank <= 20 then 'Medium Performer'
+      |         else 'Low Performer' end as performance_tier
+      |  from product_ranked r
+      |  left join product_loc_summary l using (product_id)
+      |  left join product_seasonal_summary s using (product_id)
+      |)""".stripMargin
+
+  // string-routed decimal→double matches Spark's correctly-rounded
+  // conversion for sums whose unscaled value exceeds 2^53 (see
+  // Funcs.stddevFromSums).
+  private val locSxStr = "cast(cast(sum(order_total - order_cost) as varchar) as double)"
+  private val locSx2Str = "cast(cast(sum((order_total - order_cost) * (order_total - order_cost)) as varchar) as double)"
+  private val locSx = "cast(sum(order_total - order_cost) as double)"
+  private val locN = "cast(count(order_id) as double)"
+  private val locStd = s"sqrt(($locSx2Str - $locSxStr * $locSxStr / $locN) / ($locN - 1.0))"
+  private val locAvg = s"case when count(order_id) > 0 then $locSx / $locN end"
+
+  val locationsCtes: String =
+    s"""loc_perf as (
+      |  select l.location_id, l.location_name, l.tax_rate, l.opened_at,
+      |    count(distinct o.order_id) as total_orders,
+      |    count(distinct o.customer_id) as unique_customers,
+      |    cast(sum(o.order_total) as decimal(18,2)) as rev_d,
+      |    cast(sum(o.tax_paid) as decimal(18,2)) as tax_d,
+      |    cast(sum(o.order_cost) as decimal(18,2)) as cost_d,
+      |    count(o.order_id) as n_orders,
+      |    count(case when o.is_promo_order then 1 end) as promo_orders,
+      |    count(case when o.has_returned_item then 1 end) as returned_orders,
+      |    count(distinct case when o.customer_order_number = 1 then o.customer_id end) as new_customers,
+      |    count(distinct case when o.customer_order_number > 1 then o.customer_id end) as returning_customers
+      |  from stg_locations l
+      |  left join orders_mart o using (location_id)
+      |  group by 1,2,3,4
+      |),
+      |loc_perf2 as (
+      |  select location_id, location_name, tax_rate, opened_at, total_orders, unique_customers,
+      |    cast(rev_d as double) as total_revenue,
+      |    cast(tax_d as double) as total_tax_collected,
+      |    cast(cost_d as double) as total_supply_cost,
+      |    cast(rev_d - cost_d as double) as total_profit,
+      |    case when n_orders > 0 then cast(rev_d as double) / cast(n_orders as double) end as avg_order_value,
+      |    case when n_orders > 0 then cast(cost_d as double) / cast(n_orders as double) end as avg_order_cost,
+      |    case when cost_d > 0 then cast(rev_d - cost_d as double) / cast(cost_d as double) end as profit_margin_ratio,
+      |    promo_orders, returned_orders, new_customers, returning_customers
+      |  from loc_perf
+      |),
+      |loc_ranked as (
+      |  select *,
+      |    row_number() over (order by total_revenue desc nulls last, location_id) as revenue_rank,
+      |    row_number() over (order by total_orders desc nulls last, location_id) as order_volume_rank,
+      |    row_number() over (order by unique_customers desc nulls last, location_id) as customer_base_rank,
+      |    row_number() over (order by avg_order_value desc nulls last, location_id) as aov_rank,
+      |    row_number() over (order by profit_margin_ratio desc nulls last, location_id) as profitability_rank
+      |  from loc_perf2
+      |),
+      |loc_behavior as (
+      |  select o.location_id,
+      |    case when count(c.count_lifetime_orders) > 0 then cast(sum(c.count_lifetime_orders) as double) / cast(count(c.count_lifetime_orders) as double) end as avg_customer_lifetime_orders,
+      |    case when count(c.lifetime_spend) > 0 then cast(cast(sum(c.lifetime_spend) as decimal(18,2)) as double) / cast(count(c.lifetime_spend) as double) end as avg_customer_lifetime_value,
+      |    count(distinct case when c.customer_type = 'new' then c.customer_id end) as new_customer_count,
+      |    count(distinct case when c.customer_type = 'returning' then c.customer_id end) as returning_customer_count,
+      |    case when count(distinct c.customer_id) > 0 then cast(count(distinct case when c.customer_type = 'returning' then c.customer_id end) as double) / cast(count(distinct c.customer_id) as double) else 0.0 end as customer_retention_rate
+      |  from orders_mart o
+      |  left join customers_mart c using (customer_id)
+      |  group by 1
+      |),
+      |loc_supply as (
+      |  select location_id,
+      |    $locAvg as avg_profit_per_order,
+      |    case when count(order_id) > 1 then $locStd end as profit_variance,
+      |    case when ($locAvg) > 0 then (case when count(order_id) > 1 then $locStd end) / ($locAvg) end as profit_coefficient_of_variation
+      |  from orders_mart group by 1
+      |),
+      |locations_mart as (
+      |  select r.*,
+      |    coalesce(b.avg_customer_lifetime_orders, 0) as avg_customer_lifetime_orders,
+      |    coalesce(b.avg_customer_lifetime_value, 0) as avg_customer_lifetime_value,
+      |    coalesce(b.customer_retention_rate, 0) as customer_retention_rate,
+      |    coalesce(s.avg_profit_per_order, 0) as avg_profit_per_order,
+      |    coalesce(s.profit_variance, 0) as profit_variance,
+      |    coalesce(s.profit_coefficient_of_variation, 0) as profit_coefficient_of_variation,
+      |    case when r.revenue_rank <= 2 then 'Top Performer'
+      |         when r.revenue_rank <= 4 then 'High Performer'
+      |         else 'Standard Performer' end as performance_tier,
+      |    case when coalesce(b.customer_retention_rate, 0) >= 0.7 then 'High Retention'
+      |         when coalesce(b.customer_retention_rate, 0) >= 0.5 then 'Medium Retention'
+      |         else 'Low Retention' end as retention_tier
+      |  from loc_ranked r
+      |  left join loc_behavior b using (location_id)
+      |  left join loc_supply s using (location_id)
+      |)""".stripMargin
+
+  val suppliesCtes: String =
+    """supply_perf as (
+      |  select s.supply_uuid, s.supply_id, s.supply_name, s.supply_component,
+      |    s.supply_cost, s.is_perishable_supply,
+      |    count(distinct oi.order_id) as orders_using_supply,
+      |    count(oi.order_item_id) as total_usage_quantity,
+      |    cast(sum(oi.product_price) as decimal(18,2)) as rev_d,
+      |    cast(sum(oi.supply_cost) as decimal(18,2)) as cost_d
+      |  from stg_supplies s
+      |  left join order_items oi on s.supply_id = oi.supplier_id
+      |  group by 1,2,3,4,5,6
+      |),
+      |supply_perf2 as (
+      |  select supply_uuid, supply_id, supply_name, supply_component, supply_cost, is_perishable_supply,
+      |    orders_using_supply, total_usage_quantity,
+      |    cast(rev_d as double) as revenue_generated,
+      |    cast(cost_d as double) as total_supply_cost_incurred,
+      |    case when cost_d > 0 then cast(rev_d as double) / cast(cost_d as double) end as revenue_to_cost_ratio,
+      |    case when total_usage_quantity > 0 then cast(rev_d as double) / cast(total_usage_quantity as double) end as avg_product_selling_price,
+      |    case when total_usage_quantity > 0 then cast(cost_d as double) / cast(total_usage_quantity as double) else cast(supply_cost as double) end as avg_cost_per_usage
+      |  from supply_perf
+      |),
+      |supply_ranked as (
+      |  select *,
+      |    row_number() over (order by total_usage_quantity desc nulls last, supply_uuid) as usage_rank,
+      |    row_number() over (order by revenue_generated desc nulls last, supply_uuid) as revenue_contribution_rank,
+      |    row_number() over (order by revenue_to_cost_ratio desc nulls last, supply_uuid) as efficiency_rank,
+      |    row_number() over (order by total_supply_cost_incurred desc nulls last, supply_uuid) as cost_rank
+      |  from supply_perf2
+      |),
+      |supply_turnover as (
+      |  select supply_uuid,
+      |    case when supply_cost > 0 and total_usage_quantity > 0 then total_supply_cost_incurred / cast(supply_cost as double) else 0.0 end as turnover_ratio,
+      |    case when total_usage_quantity > 0 then cast(365.0 as double) / cast(total_usage_quantity as double) end as days_between_usage
+      |  from supply_perf2
+      |),
+      |supply_variance as (
+      |  select supply_uuid,
+      |    case when supply_cost > 0 then (avg_cost_per_usage - cast(supply_cost as double)) / cast(supply_cost as double) else 0.0 end as cost_variance_percentage,
+      |    abs(avg_cost_per_usage - cast(supply_cost as double)) as absolute_cost_variance
+      |  from supply_perf2
+      |),
+      |supplies_mart as (
+      |  select r.supply_uuid, r.supply_id, r.supply_name, r.supply_component,
+      |    cast(r.supply_cost as double) as supply_cost, r.is_perishable_supply,
+      |    r.orders_using_supply, r.total_usage_quantity, r.revenue_generated,
+      |    r.total_supply_cost_incurred, r.revenue_to_cost_ratio,
+      |    r.avg_product_selling_price, r.avg_cost_per_usage,
+      |    r.usage_rank, r.revenue_contribution_rank, r.efficiency_rank, r.cost_rank,
+      |    coalesce(t.turnover_ratio, 0) as inventory_turnover_ratio,
+      |    coalesce(t.days_between_usage, 0) as avg_days_between_usage,
+      |    coalesce(v.cost_variance_percentage, 0) as cost_variance_percentage,
+      |    coalesce(v.absolute_cost_variance, 0) as absolute_cost_variance,
+      |    case when r.usage_rank <= 5 then 'High Usage'
+      |         when r.usage_rank <= 15 then 'Medium Usage'
+      |         else 'Low Usage' end as usage_tier,
+      |    case when r.efficiency_rank <= 5 then 'High Efficiency'
+      |         when r.efficiency_rank <= 15 then 'Medium Efficiency'
+      |         else 'Low Efficiency' end as efficiency_tier,
+      |    case when r.is_perishable_supply and coalesce(t.days_between_usage, 0) > 7 then 'Risk: Slow Moving Perishable'
+      |         when not r.is_perishable_supply and coalesce(t.days_between_usage, 0) > 30 then 'Risk: Slow Moving'
+      |         when coalesce(v.cost_variance_percentage, 0) > 0.2 then 'Risk: High Cost Variance'
+      |         else 'Normal' end as risk_category
+      |  from supply_ranked r
+      |  left join supply_turnover t using (supply_uuid)
+      |  left join supply_variance v using (supply_uuid)
+      |),
+      |supplier_rollup as (
+      |  select s.supply_name,
+      |    count(distinct s.supply_component) as components_supplied,
+      |    case when count(s.supply_cost) > 0 then cast(cast(sum(s.supply_cost) as decimal(18,4)) as double) / cast(count(s.supply_cost) as double) end as avg_supply_cost,
+      |    cast(sum(p.total_usage_quantity) as bigint) as total_supplier_usage,
+      |    sum(p.revenue_generated) as total_supplier_revenue,
+      |    case when sum(p.total_supply_cost_incurred) > 0 then sum(p.revenue_generated) / sum(p.total_supply_cost_incurred) end as supplier_efficiency_ratio
+      |  from stg_supplies s
+      |  left join (select supply_uuid, total_usage_quantity, revenue_generated, total_supply_cost_incurred from supply_perf2) p using (supply_uuid)
+      |  group by 1
+      |)""".stripMargin
+
+  // ---- time marts (mirror graft.marts.TimeMarts) ----
+
+  val timeCtes: String =
+    s"""time_spine as (
+      |  select cast(unnest(generate_series($runDate - INTERVAL 3649 DAY, $runDate, INTERVAL 1 DAY)) as date) as date_day
+      |),
+      |daily_summary_raw as (
+      |  select o.ordered_at as order_date,
+      |    count(distinct o.order_id) as daily_orders,
+      |    count(distinct o.customer_id) as daily_unique_customers,
+      |    cast(sum(o.order_total) as decimal(18,2)) as rev_d,
+      |    cast(sum(o.order_cost) as decimal(18,2)) as cost_d,
+      |    count(o.order_id) as n,
+      |    count(distinct case when o.customer_order_number = 1 then o.customer_id end) as daily_new_customers,
+      |    count(distinct case when o.customer_order_number > 1 then o.customer_id end) as daily_returning_customers,
+      |    count(case when o.is_promo_order then 1 end) as daily_promo_orders,
+      |    count(case when o.has_returned_item then 1 end) as daily_returned_orders
+      |  from orders_mart o group by 1
+      |),
+      |daily_summary as (
+      |  select order_date, daily_orders, daily_unique_customers,
+      |    rev_d as daily_revenue, cost_d as daily_cost,
+      |    cast(rev_d - cost_d as decimal(18,2)) as daily_profit,
+      |    case when n > 0 then cast(rev_d as double) / cast(n as double) end as daily_avg_order_value,
+      |    daily_new_customers, daily_returning_customers, daily_promo_orders, daily_returned_orders
+      |  from daily_summary_raw
+      |),
+      |weekly_summary_raw as (
+      |  select date_trunc('week', o.ordered_at) as order_week,
+      |    count(distinct o.order_id) as weekly_orders,
+      |    count(distinct o.customer_id) as weekly_unique_customers,
+      |    cast(sum(o.order_total) as decimal(18,2)) as rev_d,
+      |    cast(sum(o.order_cost) as decimal(18,2)) as cost_d,
+      |    count(o.order_id) as n
+      |  from orders_mart o group by 1
+      |),
+      |weekly_summary as (
+      |  select order_week, weekly_orders, weekly_unique_customers,
+      |    cast(rev_d as double) as weekly_revenue,
+      |    cast(cost_d as double) as weekly_cost,
+      |    cast(rev_d - cost_d as double) as weekly_profit,
+      |    case when n > 0 then cast(rev_d as double) / cast(n as double) end as weekly_avg_order_value
+      |  from weekly_summary_raw
+      |),
+      |monthly_summary_raw as (
+      |  select date_trunc('month', o.ordered_at) as order_month,
+      |    extract(year from o.ordered_at) as order_year,
+      |    extract(month from o.ordered_at) as order_month_num,
+      |    extract(quarter from o.ordered_at) as order_quarter,
+      |    count(distinct o.order_id) as monthly_orders,
+      |    count(distinct o.customer_id) as monthly_unique_customers,
+      |    cast(sum(o.order_total) as decimal(18,2)) as rev_d,
+      |    cast(sum(o.order_cost) as decimal(18,2)) as cost_d,
+      |    count(o.order_id) as n
+      |  from orders_mart o group by 1,2,3,4
+      |),
+      |monthly_summary as (
+      |  select order_month, monthly_orders, monthly_unique_customers,
+      |    rev_d as monthly_revenue, cost_d as monthly_cost,
+      |    cast(rev_d - cost_d as decimal(18,2)) as monthly_profit,
+      |    case when n > 0 then cast(rev_d as double) / cast(n as double) end as monthly_avg_order_value,
+      |    order_year, order_month_num, order_quarter
+      |  from monthly_summary_raw
+      |),
+      |cohort_analysis as (
+      |  select date_trunc('month', o.ordered_at) as cohort_month, o.customer_id,
+      |    min(o.ordered_at) as first_order_date
+      |  from orders_mart o group by 1,2
+      |),
+      |cohort_retention as (
+      |  select date_trunc('month', first_order_date) as first_order_month,
+      |    cohort_month,
+      |    (extract(year from cohort_month) * 12 + extract(month from cohort_month))
+      |      - (extract(year from date_trunc('month', first_order_date)) * 12 + extract(month from date_trunc('month', first_order_date))) as period_number,
+      |    count(distinct customer_id) as customers
+      |  from cohort_analysis
+      |  group by 1,2,3
+      |),
+      |seasonal_trends_raw as (
+      |  select extract(month from o.ordered_at) as month_of_year,
+      |    extract(quarter from o.ordered_at) as quarter_of_year,
+      |    dayofweek(o.ordered_at) + 1 as day_of_week,
+      |    count(distinct o.order_id) as seasonal_orders,
+      |    cast(sum(o.order_total) as decimal(18,2)) as rev_d,
+      |    count(o.order_id) as n
+      |  from orders_mart o group by 1,2,3
+      |),
+      |seasonal_trends as (
+      |  select month_of_year, quarter_of_year, day_of_week, seasonal_orders,
+      |    cast(rev_d as double) as seasonal_revenue,
+      |    case when n > 0 then cast(rev_d as double) / cast(n as double) end as seasonal_avg_order_value
+      |  from seasonal_trends_raw
+      |),
+      |growth_base as (
+      |  select order_month, monthly_revenue, monthly_orders,
+      |    lag(monthly_revenue, 1) over (order by order_month) as prev_month_revenue,
+      |    lag(monthly_orders, 1) over (order by order_month) as prev_month_orders
+      |  from monthly_summary
+      |),
+      |growth_metrics as (
+      |  select order_month,
+      |    cast(monthly_revenue as double) as monthly_revenue,
+      |    cast(prev_month_revenue as double) as prev_month_revenue,
+      |    prev_month_orders,
+      |    case when prev_month_revenue > 0 then cast(monthly_revenue - prev_month_revenue as double) / cast(prev_month_revenue as double) end as revenue_growth_rate,
+      |    case when prev_month_orders > 0 then cast(monthly_orders - prev_month_orders as double) / cast(prev_month_orders as double) end as order_growth_rate
+      |  from growth_base
+      |),
+      |time_analytics as (
+      |  select t.date_day,
+      |    coalesce(d.daily_orders, 0) as daily_orders,
+      |    cast(coalesce(d.daily_revenue, 0) as double) as daily_revenue,
+      |    cast(coalesce(d.daily_profit, 0) as double) as daily_profit,
+      |    coalesce(d.daily_unique_customers, 0) as daily_unique_customers,
+      |    coalesce(d.daily_avg_order_value, 0) as daily_avg_order_value,
+      |    date_trunc('week', t.date_day) as week_start,
+      |    date_trunc('month', t.date_day) as month_start,
+      |    extract(year from t.date_day) as year,
+      |    extract(month from t.date_day) as month,
+      |    extract(quarter from t.date_day) as quarter,
+      |    dayofweek(t.date_day) + 1 as day_of_week
+      |  from time_spine t
+      |  left join daily_summary d on t.date_day = d.order_date
+      |  where t.date_day >= DATE '1995-01-01' and t.date_day <= $runDate
+      |)""".stripMargin
+
+  // ---- customer segmentation (mirror graft.marts.SegmentationMart) ----
+
+  private val segDays = s"date_diff('day', c.last_ordered_at, $runDate)"
+
+  val segmentationCtes: String =
+    s"""seg_rfm as (
+      |  select c.customer_id, c.customer_name, c.customer_type,
+      |    c.count_lifetime_orders, c.lifetime_spend, c.first_ordered_at, c.last_ordered_at,
+      |    $segDays as days_since_last_order,
+      |    c.count_lifetime_orders as frequency_score,
+      |    c.lifetime_spend as monetary_score,
+      |    case when $segDays <= 30 then 5 when $segDays <= 60 then 4
+      |         when $segDays <= 90 then 3 when $segDays <= 180 then 2
+      |         else 1 end as recency_score,
+      |    case when c.count_lifetime_orders >= 13 then 5
+      |         when c.count_lifetime_orders >= 11 then 4
+      |         when c.count_lifetime_orders >= 9 then 3
+      |         when c.count_lifetime_orders >= 7 then 2
+      |         else 1 end as frequency_quintile,
+      |    case when c.lifetime_spend >= 3300000 then 5
+      |         when c.lifetime_spend >= 2700000 then 4
+      |         when c.lifetime_spend >= 2200000 then 3
+      |         when c.lifetime_spend >= 1700000 then 2
+      |         else 1 end as monetary_quintile
+      |  from customers_mart c
+      |  where c.customer_id is not null
+      |),
+      |seg_segments as (
+      |  select *,
+      |    cast(recency_score + frequency_quintile + monetary_quintile as double) / 3.0 as rfm_score,
+      |    case when recency_score >= 4 and frequency_quintile >= 4 and monetary_quintile >= 4 then 'Champions'
+      |         when recency_score >= 3 and frequency_quintile >= 3 and monetary_quintile >= 3 then 'Loyal Customers'
+      |         when recency_score >= 4 and frequency_quintile <= 2 and monetary_quintile >= 3 then 'Potential Loyalists'
+      |         when recency_score >= 4 and frequency_quintile <= 2 and monetary_quintile <= 2 then 'New Customers'
+      |         when recency_score >= 3 and frequency_quintile >= 2 and monetary_quintile <= 2 then 'Promising'
+      |         when recency_score <= 2 and frequency_quintile >= 3 and monetary_quintile >= 3 then 'Need Attention'
+      |         when recency_score <= 2 and frequency_quintile >= 2 and monetary_quintile >= 2 then 'About to Sleep'
+      |         when recency_score <= 2 and frequency_quintile >= 4 and monetary_quintile <= 2 then 'At Risk'
+      |         when recency_score <= 1 and frequency_quintile >= 4 and monetary_quintile >= 4 then 'Cannot Lose Them'
+      |         when recency_score <= 2 and frequency_quintile <= 2 and monetary_quintile >= 3 then 'Hibernating'
+      |         else 'Lost' end as rfm_segment
+      |  from seg_rfm
+      |),
+      |seg_clv as (
+      |  select customer_id,
+      |    case when lifetime_spend >= 3500000 then 'High Value'
+      |         when lifetime_spend >= 2500000 then 'Medium Value'
+      |         when lifetime_spend >= 1500000 then 'Low Value'
+      |         else 'Minimal Value' end as clv_tier,
+      |    case when count_lifetime_orders >= 12 then 'Very Frequent'
+      |         when count_lifetime_orders >= 9 then 'Frequent'
+      |         when count_lifetime_orders >= 6 then 'Occasional'
+      |         else 'Rare' end as purchase_frequency_tier
+      |  from seg_rfm
+      |),
+      |seg_behavioral as (
+      |  select o.customer_id,
+      |    count(case when o.is_promo_order then 1 end) as promo_orders,
+      |    count(case when o.has_returned_item then 1 end) as returned_orders,
+      |    count(distinct o.location_id) as locations_visited,
+      |    case when count(case when o.is_promo_order then 1 end) > count(case when o.has_returned_item then 1 end) then 'Promo Focused'
+      |         when count(case when o.has_returned_item then 1 end) > count(case when o.is_promo_order then 1 end) then 'Return Heavy'
+      |         else 'Balanced' end as product_preference,
+      |    case when count(distinct o.location_id) >= 9 then 'Multi-Location'
+      |         when count(distinct o.location_id) >= 7 then 'Two-Location'
+      |         else 'Single-Location' end as location_behavior
+      |  from orders_mart o group by 1
+      |),
+      |seg_items as (
+      |  select oi.order_id, oi.product_id, oi.product_name, o.customer_id
+      |  from order_items oi
+      |  left join (select order_id, customer_id from orders_mart) o using (order_id)
+      |),
+      |seg_favorite as (
+      |  select customer_id, product_name as favorite_product from (
+      |    select customer_id, product_name,
+      |      row_number() over (partition by customer_id order by count(*) desc, product_name) as rn
+      |    from seg_items group by customer_id, product_name
+      |  ) ranked where rn = 1
+      |),
+      |seg_prefs as (
+      |  select p.customer_id, p.unique_products_purchased, f.favorite_product,
+      |    case when p.unique_products_purchased >= 30 then 'Variety Seeker'
+      |         when p.unique_products_purchased >= 15 then 'Moderate Variety'
+      |         else 'Consistent Buyer' end as variety_preference
+      |  from (select customer_id, count(distinct product_id) as unique_products_purchased
+      |        from seg_items group by 1) p
+      |  left join seg_favorite f using (customer_id)
+      |),
+      |seg_churn as (
+      |  select customer_id,
+      |    case when days_since_last_order > 180 then 'High Risk'
+      |         when days_since_last_order > 90 then 'Medium Risk'
+      |         when days_since_last_order > 60 then 'Low Risk'
+      |         else 'Active' end as churn_risk,
+      |    case when rfm_segment in ('Lost', 'Hibernating', 'Cannot Lose Them') then 'Immediate Action'
+      |         when rfm_segment in ('At Risk', 'About to Sleep', 'Need Attention') then 'Monitor Closely'
+      |         else 'Maintain' end as retention_action
+      |  from seg_segments
+      |),
+      |customer_segmentation as (
+      |  select s.customer_id, s.customer_name, s.customer_type, s.count_lifetime_orders,
+      |    cast(s.lifetime_spend as double) as lifetime_spend,
+      |    s.first_ordered_at, s.last_ordered_at, s.days_since_last_order,
+      |    s.frequency_score, cast(s.monetary_score as double) as monetary_score,
+      |    s.recency_score, s.frequency_quintile, s.monetary_quintile,
+      |    s.rfm_score, s.rfm_segment,
+      |    coalesce(c.clv_tier, 'Unknown') as clv_tier,
+      |    coalesce(c.purchase_frequency_tier, 'Unknown') as purchase_frequency_tier,
+      |    coalesce(b.promo_orders, 0) as promo_orders,
+      |    coalesce(b.returned_orders, 0) as returned_orders,
+      |    coalesce(b.locations_visited, 0) as locations_visited,
+      |    coalesce(b.product_preference, 'Unknown') as product_preference,
+      |    coalesce(b.location_behavior, 'Unknown') as location_behavior,
+      |    coalesce(p.unique_products_purchased, 0) as unique_products_purchased,
+      |    coalesce(p.favorite_product, 'Unknown') as favorite_product,
+      |    coalesce(p.variety_preference, 'Unknown') as variety_preference,
+      |    coalesce(ch.churn_risk, 'Unknown') as churn_risk,
+      |    coalesce(ch.retention_action, 'Unknown') as retention_action
+      |  from seg_segments s
+      |  left join seg_clv c using (customer_id)
+      |  left join seg_behavioral b using (customer_id)
+      |  left join seg_prefs p using (customer_id)
+      |  left join seg_churn ch using (customer_id)
+      |)""".stripMargin
+
+  /** Full WITH prefix: staging + core + analytics + time + segmentation
+    * (DuckDB prunes unused CTEs, so sharing one prefix is free). */
+  val allCtes: String =
+    s"""$coreCtes,
+       |$productsCtes,
+       |$locationsCtes,
+       |$suppliesCtes,
+       |$timeCtes,
+       |$segmentationCtes""".stripMargin
+
   // ---- per-query oracle statements ----
 
   /** Output-boundary decimal→double (mirrors graft.Out.presentDoubles):
@@ -179,4 +709,20 @@ object Sql {
   val customersQ = s"$coreCtes ${asDouble("customers_mart",
     "account_balance", "lifetime_spend_pretax", "lifetime_tax_paid",
     "lifetime_spend", "lifetime_cost")}"
+
+  val productsQ = s"$allCtes ${asDouble("products_mart", "product_price")}"
+  val locationsQ = s"$allCtes select * from locations_mart"
+  val suppliesQ = s"$allCtes select * from supplies_mart"
+  val supplierRollupQ = s"$allCtes select * from supplier_rollup"
+  val timeSpineQ = s"$allCtes select * from time_spine"
+  val dailySummaryQ = s"$allCtes ${asDouble("daily_summary",
+    "daily_revenue", "daily_cost", "daily_profit")}"
+  val weeklySummaryQ = s"$allCtes select * from weekly_summary"
+  val monthlySummaryQ = s"$allCtes ${asDouble("monthly_summary",
+    "monthly_revenue", "monthly_cost", "monthly_profit")}"
+  val cohortRetentionQ = s"$allCtes select * from cohort_retention"
+  val seasonalTrendsQ = s"$allCtes select * from seasonal_trends"
+  val growthMetricsQ = s"$allCtes select * from growth_metrics"
+  val timeAnalyticsQ = s"$allCtes select * from time_analytics"
+  val customerSegmentationQ = s"$allCtes select * from customer_segmentation"
 }

@@ -81,8 +81,12 @@ object Staging {
       col("p_brand").as("brand"),
       col("p_size").as("product_size"),
       money(col("p_retailprice")).as("product_price"),
-      coalesce(col("p_type") === lit("PROMO"), lit(false)).as("is_promo_item"),
-      coalesce(col("p_type") === lit("ECONOMY"), lit(false)).as("is_economy_item"))
+      // prefix match: TPC-H types are "PROMO BURNISHED COPPER" etc. —
+      // exact equality never fired, degenerating every downstream
+      // promo/economy boolean (analog of reference is_food/is_drink,
+      // `stg_products.sql:26-28`).
+      coalesce(col("p_type").startsWith("PROMO"), lit(false)).as("is_promo_item"),
+      coalesce(col("p_type").startsWith("ECONOMY"), lit(false)).as("is_economy_item"))
 
   /** Locations = nation ⟕ region (broadcast: 25×5 rows at any SF), with a
     * derived tax_rate and opened_at (reference `stg_locations.sql:11-25`). */
@@ -98,14 +102,37 @@ object Staging {
         ((col("n_nationkey") % 5).cast("double") / lit(100.0) + lit(0.04)).as("tax_rate"),
         date_add(to_date(lit("1995-01-01")), col("n_nationkey") * 30).as("opened_at"))
 
-  /** Supplies with F8 surrogate uuid (reference `stg_supplies.sql:11-27`;
-    * grain doc `stg_supplies.yml:3-6`). */
-  def stgSupplies(supplier: DataFrame): DataFrame =
-    supplier.select(
-      surrogateKey(col("s_suppkey"), col("s_name")).as("supply_uuid"),
+  /** Supplies with F8 surrogate uuid (reference `stg_supplies.sql:11-27`).
+    *
+    * Grain = (supplier × cost component), two rows per supplier —
+    * mirroring the reference's per-supply-cost-row grain
+    * (`stg_supplies.yml:3-6`: raw_supplies has multiple cost rows per
+    * product). This preserves the N:M fan-out (J14) and the
+    * sum-ALL-rows grain trap (reference unit test `order_items.yml:37-41`)
+    * that a 1-row-per-supplier mapping would lose.
+    *
+    * Cost split uses exact decimal fractions (0.75/0.25 at scale 4):
+    * no rounding step exists, so Spark(HALF_UP)/DuckDB(half-even) can't
+    * diverge, and the per-supplier rollup sums back to the base cost
+    * exactly.
+    */
+  def stgSupplies(supplier: DataFrame): DataFrame = {
+    val base = supplier.select(
       col("s_suppkey").as("supply_id"),
       col("s_name").as("supply_name"),
       col("s_nationkey").as("location_id"),
-      money(abs(col("s_acctbal"))).as("supply_cost"),
-      (col("s_suppkey") % 2 === 1).as("is_perishable_supply"))
+      money(abs(col("s_acctbal"))).as("base_cost"))
+    val components = Seq(("materials", "0.75", 0), ("freight", "0.25", 1))
+    components.map { case (comp, frac, flip) =>
+      base.select(
+        surrogateKey(col("supply_id"), lit(comp)).as("supply_uuid"),
+        col("supply_id"),
+        col("supply_name"),
+        lit(comp).as("supply_component"),
+        col("location_id"),
+        (col("base_cost") * lit(new java.math.BigDecimal(frac)))
+          .cast(DecimalType(18, 4)).as("supply_cost"),
+        ((col("supply_id") + lit(flip)) % 2 === 1).as("is_perishable_supply"))
+    }.reduce(_ unionAll _)
+  }
 }
