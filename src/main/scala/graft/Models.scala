@@ -69,4 +69,30 @@ object Models {
 
   def customerSegmentation(s: SparkSession, d: String): DataFrame =
     SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d))
+
+  // ---- LLM-pipeline operators (documents / embeddings tables) ----
+
+  /** Shared shingle table (doc_id, sh) — materialized once, feeds both
+    * the MinHash and Jaccard paths. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "doc_shingles")(llm.Dedup.docShingles(Tables.documents(s, d)))
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.exactDedup(Tables.documents(s, d))
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "minhash_sigs")(llm.Dedup.minhashSignatures(docShingles(s, d)))
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.minhashPairs(minhashSignatures(s, d))
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.simhashSignatures(Tables.documents(s, d))
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.ngramJaccardPairs(docShingles(s, d))
+  def annCosineTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
+  def annLshBuckets(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annLshBuckets(Tables.embeddings(s, d))
+  def textStats(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.textStats(Tables.documents(s, d))
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
 }

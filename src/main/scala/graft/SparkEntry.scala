@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.oracle.Sql
+import graft.oracle.{LlmSql, Sql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
@@ -46,6 +46,16 @@ object SparkEntry {
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
+    // LLM-pipeline operators (documents / embeddings)
+    "dedup_exact" -> out(Models.dedupExact),
+    "minhash_signatures" -> out(Models.minhashSignatures),
+    "minhash_pairs" -> out(Models.minhashPairs),
+    "simhash_signatures" -> out(Models.simhashSignatures),
+    "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
+    "ann_cosine_topk" -> out(Models.annCosineTopK),
+    "ann_lsh_buckets" -> out(Models.annLshBuckets),
+    "text_stats" -> out(Models.textStats),
+    "media_features" -> out(Models.mediaFeatures),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +83,14 @@ object SparkEntry {
     "growth_metrics" -> Sql.growthMetricsQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
+    "dedup_exact" -> LlmSql.dedupExactQ,
+    "minhash_signatures" -> LlmSql.minhashSignaturesQ,
+    "minhash_pairs" -> LlmSql.minhashPairsQ,
+    "simhash_signatures" -> LlmSql.simhashSignaturesQ,
+    "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
+    "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
+    "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
+    "text_stats" -> LlmSql.textStatsQ,
+    "media_features" -> LlmSql.mediaFeaturesQ,
   )
 }

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines over the
+  * `documents` table (driver brief; VERDICT r1 "LLM-data-pipeline
+  * operators" — all previously missing).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: hash-partitioned groupBy on md5(text) — the 32-byte
+  *    digest shuffles, never the raw text (a `dropDuplicates(text)`
+  *    would shuffle full documents).
+  *  - MinHash: one explode pass over shingles, ALL K min-aggregates in a
+  *    single hash aggregation (no K-fold data blow-up), then banded
+  *    bucket self-join — candidate pairs only ever meet inside a
+  *    (band, value) bucket; nothing is all-pairs.
+  *  - SimHash: one explode pass, 32 conditional sums in one aggregation.
+  *  - n-gram Jaccard: rare-shingle blocking (doc-frequency cap) bounds
+  *    bucket fan-out before the pair join.
+  *
+  * Cross-engine determinism: every hash is md5-derived (`hex60`), which
+  * DuckDB computes identically; the oracle SQL is generated from the
+  * same band/bit lists (graft.oracle.LlmSql).
+  */
+object Dedup {
+
+  /** First 60 bits of md5 as a non-negative long — the shared hash
+    * primitive (DuckDB: `cast('0x' || substr(md5(x),1,15) as bigint)`). */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens with empties dropped. */
+  def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
+
+  /** Word 3-shingles; empty below 3 words (DuckDB generate_series is
+    * empty there too, Spark sequence would count DOWN — hence the guard). */
+  def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tokenize once, BELOW an exchange barrier. Two reasons:
+    * (a) the corpus parquet arrives in few (possibly one) input splits —
+    * repartitioning spreads the hash-heavy stages across all cores;
+    * (b) higher-order-function expressions are not whole-stage-codegen'd
+    * and Catalyst's project-collapse would otherwise inline
+    * `filter(split(text))` into EVERY downstream reference, re-splitting
+    * the text O(refs) times per row. The exchange stops the collapse, so
+    * `w` is computed exactly once per document. */
+  private def tokenized(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), col("n_chars"), words(col("text")).as("w"))
+      .repartition(col("doc_id"))
+
+  /** Exploded (doc_id, shingle) pairs — the shared input of the MinHash
+    * and Jaccard paths; materialized once via Mat at the Models layer. */
+  def docShingles(documents: DataFrame): DataFrame =
+    tokenized(documents).select(col("doc_id"),
+      explode(shingles(col("w"))).as("sh"))
+
+  val MinhashBands = 16
+
+  /** Exact duplicate groups: digest → copy count + canonical id. */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Per-document MinHash signature: K=16 min-aggregates over the
+    * shared shingle table (one pass, no K-fold blow-up). */
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashBands).map(b =>
+      min(hex60(concat(lit(s"$b|"), col("sh")))).as(s"mh$b"))
+    shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: 16 bands of 1 row (high-recall); docs sharing
+    * any band bucket become a candidate with its shared-band count.
+    * Takes the (materialized) signature table so the self-join reads it
+    * twice instead of recomputing the whole hash pipeline twice. */
+  def minhashPairs(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until MinhashBands).map(b => col(s"mh$b"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash signature from per-occurrence word hashes. */
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val wordsDf = tokenized(documents)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .select(col("doc_id"), hex60(col("word")).as("h"))
+    val sums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val sig = (0 until SimhashBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    wordsDf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val JaccardDocFreqCap = 10
+  val JaccardMinIntersection = 2
+
+  /** n-gram Jaccard candidate pairs with rare-shingle blocking: only
+    * shingles appearing in ≤ cap documents join; the reported value is
+    * the blocked-intersection Jaccard estimate. Takes the materialized
+    * shingle table (read 4× here — sizes, blocking, both join sides). */
+  def ngramJaccardPairs(shingled: DataFrame): DataFrame = {
+    val docSh = shingled.distinct()
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = docSh.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= JaccardDocFreqCap)
+      .select("sh")
+    val blocked = docSh.join(rare, Seq("sh"), "left_semi")
+    val a = blocked.as("a"); val b = blocked.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= JaccardMinIntersection)
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"), col("size_b"),
+        (col("n_shared").cast("double")
+          / (col("size_a") + col("size_b") - col("n_shared")).cast("double"))
+          .as("jaccard_est"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, dim 64).
+  *
+  * Scale design (100 TB): the brute-force path broadcasts a SMALL query
+  * set against the full corpus (never corpus × corpus); the LSH path
+  * assigns every vector a 16-bit hyperplane bucket so neighbor search
+  * becomes a bucket-local join.
+  *
+  * Cross-engine determinism: dot products are sequential left-to-right
+  * folds over index order (`aggregate` in Spark ≡ `list_reduce` in
+  * DuckDB — both start from the first element after a 0.0+x1 identity),
+  * with float→double element promotion, so both engines emit the same
+  * IEEE doubles.
+  */
+object Similarity {
+
+  /** Sequential dot product of two float arrays in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  val TopK = 5
+  val NQueries = 10
+
+  /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), rank
+    * over the full corpus, self excluded; norm-zero vectors guarded. */
+  def annCosineTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val norms = embeddings.select(
+      col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val queries = norms
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = norms.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
+          .as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  val LshBits = 16
+
+  /** Deterministic pseudo-random ±1 for hyperplane k, component i —
+    * plain integer arithmetic so DuckDB reproduces it exactly. */
+  private def sgn(k: Int, i: Column): Column =
+    when((i.cast("long") * 2654435761L + lit(k.toLong * 40503L)) % 97 < 48, lit(-1.0))
+      .otherwise(lit(1.0))
+
+  /** Signed projection s_k = Σ_i sgn(k,i)·v[i], sequential fold. */
+  private def proj(k: Int, v: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), size(v)), i => sgn(k, i) * element_at(v, i).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 16-bit hyperplane-LSH bucket per vector + bucket occupancy. */
+  def annLshBuckets(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val bucket = (0 until LshBits).map(k =>
+      when(proj(k, col("embedding")) > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), bucket.as("bucket"))
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.oracle
+
+import graft.llm.{Dedup, Similarity, TextStats}
+
+/** DuckDB oracles for the LLM-pipeline operators (mirror graft.llm.*).
+  * All hash/band/bit lists are generated from the SAME constants as the
+  * Spark side, and every floating-point fold is the same sequential
+  * index-order reduction, so results are bit-identical.
+  */
+object LlmSql {
+
+  /** Shared 60-bit md5 hash (mirror of Dedup.hex60). */
+  private def hex60(x: String): String =
+    s"cast(('0x' || substr(md5($x),1,15)) as bigint)"
+
+  /** Words + 3-shingles CTEs (mirror Dedup.words / Dedup.shingles). */
+  val textCtes: String =
+    """doc_words as (
+      |  select doc_id, text, n_chars,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') as w
+      |  from documents
+      |),
+      |doc_shingles as (
+      |  select doc_id,
+      |    unnest(case when len(w) >= 3
+      |      then list_transform(generate_series(1, len(w) - 2),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      else [] end) as sh
+      |  from doc_words
+      |)""".stripMargin
+
+  val dedupExactQ: String =
+    """select md5(text) as text_hash, count(*) as n_copies,
+      |  min(doc_id) as canonical_doc_id
+      |from documents group by 1""".stripMargin
+
+  private val mhAggs = (0 until Dedup.MinhashBands)
+    .map(b => s"min(${hex60(s"'$b|' || sh")}) as mh$b").mkString(",\n    ")
+  private val mhSigs =
+    s"""mh_sigs as (
+       |  select doc_id,
+       |    $mhAggs
+       |  from doc_shingles group by 1
+       |)""".stripMargin
+
+  val minhashSignaturesQ: String =
+    s"with $textCtes, $mhSigs select * from mh_sigs"
+
+  private val mhBands = (0 until Dedup.MinhashBands)
+    .map(b => s"select doc_id, $b as band, mh$b as v from mh_sigs")
+    .mkString("\nunion all\n")
+
+  val minhashPairsQ: String =
+    s"""with $textCtes, $mhSigs,
+       |mh_bands as ($mhBands)
+       |select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared_bands
+       |from mh_bands a join mh_bands b
+       |  on a.band = b.band and a.v = b.v and a.doc_id < b.doc_id
+       |group by 1, 2""".stripMargin
+
+  private val shSums = (0 until Dedup.SimhashBits)
+    .map(j => s"sum(case when (h >> $j) & 1 = 1 then 1 else -1 end) as s$j")
+    .mkString(",\n    ")
+  private val shSig = (0 until Dedup.SimhashBits)
+    .map(j => s"(case when s$j > 0 then cast(${1L << j} as bigint) else cast(0 as bigint) end)")
+    .mkString(" + ")
+
+  val simhashSignaturesQ: String =
+    s"""with $textCtes,
+       |sim_words as (select doc_id, unnest(w) as word from doc_words),
+       |sim_hashes as (select doc_id, ${hex60("word")} as h from sim_words),
+       |sim_sums as (
+       |  select doc_id,
+       |    $shSums
+       |  from sim_hashes group by 1
+       |)
+       |select doc_id, $shSig as simhash from sim_sums""".stripMargin
+
+  val ngramJaccardPairsQ: String =
+    s"""with $textCtes,
+       |doc_sh as (select distinct doc_id, sh from doc_shingles),
+       |sh_sizes as (select doc_id, count(*) as n_sh from doc_sh group by 1),
+       |rare_sh as (select sh from doc_sh group by sh
+       |            having count(distinct doc_id) <= ${Dedup.JaccardDocFreqCap}),
+       |blocked as (select d.doc_id, d.sh from doc_sh d join rare_sh using (sh)),
+       |pairs0 as (
+       |  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+       |  from blocked a join blocked b on a.sh = b.sh and a.doc_id < b.doc_id
+       |  group by 1, 2
+       |  having count(*) >= ${Dedup.JaccardMinIntersection}
+       |)
+       |select doc_a, doc_b, n_shared, sa.n_sh as size_a, sb.n_sh as size_b,
+       |  cast(n_shared as double) / cast(sa.n_sh + sb.n_sh - n_shared as double) as jaccard_est
+       |from pairs0
+       |join sh_sizes sa on pairs0.doc_a = sa.doc_id
+       |join sh_sizes sb on pairs0.doc_b = sb.doc_id""".stripMargin
+
+  /** Sequential index-order dot product (mirror Similarity.dot). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::double) * ($b[i]::double)), (acc, x) -> acc + x)"
+
+  val annCosineTopKQ: String =
+    s"""with emb_norms as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |emb_ok as (select * from emb_norms where nrm > 0),
+       |ann_queries as (
+       |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm
+       |  from emb_ok where vec_id < ${Similarity.NQueries}
+       |),
+       |ann_scored as (
+       |  select q.query_id, e.vec_id as neighbor_id,
+       |    ${dotSql("e.embedding", "q.q_emb")} / (sqrt(e.nrm) * sqrt(q.q_nrm)) as cosine
+       |  from emb_ok e cross join ann_queries q
+       |  where e.vec_id != q.query_id
+       |)
+       |select query_id, neighbor_id, rank, cosine from (
+       |  select *, row_number() over (
+       |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
+       |  from ann_scored
+       |) t where rank <= ${Similarity.TopK}""".stripMargin
+
+  private def projSql(k: Int): String =
+    s"list_reduce(list_transform(generate_series(1, len(embedding)), " +
+      s"i -> (case when (i * 2654435761 + ${k.toLong * 40503L}) % 97 < 48 then -1.0 else 1.0 end) * (embedding[i]::double)), (a, x) -> a + x)"
+
+  private val lshProjs = (0 until Similarity.LshBits)
+    .map(k => s"${projSql(k)} as p$k").mkString(",\n    ")
+  private val lshBucket = (0 until Similarity.LshBits)
+    .map(k => s"(case when p$k > 0 then cast(${1L << k} as bigint) else cast(0 as bigint) end)")
+    .mkString(" + ")
+
+  val annLshBucketsQ: String =
+    s"""with lsh_proj as (
+       |  select vec_id,
+       |    $lshProjs
+       |  from embeddings
+       |),
+       |lsh_buckets as (select vec_id, $lshBucket as bucket from lsh_proj)
+       |select vec_id, bucket, count(*) over (partition by bucket) as bucket_size
+       |from lsh_buckets""".stripMargin
+
+  private def hits(vals: Seq[String]): String =
+    s"len(list_filter(w, x -> x in (${vals.map(v => s"'$v'").mkString(", ")})))"
+
+  val textStatsQ: String = {
+    val stop = hits(TextStats.Stopwords)
+    val p = TextStats.FingerprintMod
+    s"""with $textCtes,
+       |ts1 as (
+       |  select doc_id, text, n_chars, w,
+       |    len(w) as n_words,
+       |    $stop as stop_hits,
+       |    len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as digit_count,
+       |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) as punct_count,
+       |    ${hits(Seq("the", "and", "of"))} as en_hits,
+       |    ${hits(Seq("le", "la", "et"))} as fr_hits,
+       |    ${hits(Seq("der", "und", "die"))} as de_hits,
+       |    ${hits(Seq("el", "los", "y"))} as es_hits
+       |  from doc_words
+       |),
+       |ts2 as (
+       |  select doc_id, text, n_chars, w, n_words,
+       |    case when n_words > 0 then cast(stop_hits as double) / cast(n_words as double) else 0.0 end as stopword_ratio,
+       |    case when len(text) > 0 then cast(digit_count as double) / cast(len(text) as double) else 0.0 end as digit_ratio,
+       |    case when len(text) > 0 then cast(punct_count as double) / cast(len(text) as double) else 0.0 end as punct_ratio,
+       |    case when en_hits >= fr_hits and en_hits >= de_hits and en_hits >= es_hits and en_hits > 0 then 'en'
+       |         when fr_hits >= de_hits and fr_hits >= es_hits and fr_hits > 0 then 'fr'
+       |         when de_hits >= es_hits and de_hits > 0 then 'de'
+       |         when es_hits > 0 then 'es'
+       |         else 'other' end as predicted_lang
+       |  from ts1
+       |)
+       |select doc_id,
+       |  cast(n_words as bigint) as n_words,
+       |  cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens_est,
+       |  case when n_words > 0 then cast(len(array_to_string(w, '')) as double) / cast(n_words as double) else 0.0 end as avg_word_len,
+       |  stopword_ratio, digit_ratio, punct_ratio,
+       |  0.3 * least(1.0, cast(n_words as double) / 100.0) + 0.4 * stopword_ratio + 0.3 * (1.0 - digit_ratio) as quality_score,
+       |  predicted_lang,
+       |  case when n_words > 0
+       |    then list_reduce(list_transform(w, x -> ${hex60("x")} % $p), (acc, h) -> (acc * 31 + h) % $p)
+       |    else cast(0 as bigint) end as fingerprint
+       |from ts2""".stripMargin
+  }
+
+  val mediaFeaturesQ: String =
+    """select doc_id,
+      |  case when doc_id % 3 = 0 then 'image'
+      |       when doc_id % 3 = 1 then 'audio'
+      |       else 'video' end as media_type,
+      |  64 + cast(('0x' || substr(md5(text), 1, 2)) as int) as width,
+      |  64 + cast(('0x' || substr(md5(text), 3, 2)) as int) as height,
+      |  cast(cast(('0x' || substr(md5(text), 5, 2)) as int) as double) / 255.0 as brightness,
+      |  case when doc_id % 3 = 2
+      |    then 1 + cast(('0x' || substr(md5(text), 7, 1)) as int)
+      |    else 1 end as n_frames,
+      |  cast(('0x' || substr(md5(text), 9, 8)) as bigint) as feature_hash
+      |from documents""".stripMargin
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.testing.DataTests._
+
+/** Specs for the LLM-pipeline operators (dedup, similarity, text
+  * analysis, multimodal plumbing). */
+class LlmSpec extends SparkSpec {
+
+  test("dedup_exact: groups partition the corpus") {
+    val docs = Tables.documents(spark, sf).count()
+    val groups = Models.dedupExact(spark, sf)
+    assert(groups.agg(sum("n_copies")).head.getLong(0) === docs)
+    assert(unique(groups, "text_hash") === 0)
+  }
+
+  test("minhash: signatures are per-doc unique; pairs are ordered and de-duplicated") {
+    val sigs = Models.minhashSignatures(spark, sf)
+    assert(unique(sigs, "doc_id") === 0)
+    val pairs = Models.minhashPairs(spark, sf)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(pairs.count() > 0)
+    assert(expressionIsTrue(pairs,
+      col("n_shared_bands").between(1, llm.Dedup.MinhashBands)) === 0)
+  }
+
+  test("simhash: 32-bit signatures within range") {
+    val s = Models.simhashSignatures(spark, sf)
+    assert(unique(s, "doc_id") === 0)
+    assert(expressionIsTrue(s,
+      col("simhash") >= 0L && col("simhash") < (1L << 32)) === 0)
+  }
+
+  test("ngram jaccard: estimates within (0,1], pairs ordered") {
+    val p = Models.ngramJaccardPairs(spark, sf)
+    assert(p.count() > 0)
+    assert(expressionIsTrue(p,
+      col("jaccard_est") > 0.0 && col("jaccard_est") <= 1.0) === 0)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("ann cosine: top-k per query, cosine in [-1,1], ranks dense") {
+    val t = Models.annCosineTopK(spark, sf)
+    val perQuery = t.groupBy("query_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQuery.filter(col("n") =!= llm.Similarity.TopK ||
+      col("mx") =!= llm.Similarity.TopK || col("mn") =!= 1).count() === 0)
+    assert(expressionIsTrue(t, col("cosine").between(-1.0000001, 1.0000001)) === 0)
+    // neighbors must never contain the query itself
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("ann lsh: every vector gets a 16-bit bucket; sizes consistent") {
+    val b = Models.annLshBuckets(spark, sf)
+    assert(b.count() === Tables.embeddings(spark, sf).count())
+    assert(expressionIsTrue(b,
+      col("bucket") >= 0L && col("bucket") < (1L << llm.Similarity.LshBits)) === 0)
+    val bad = b.groupBy("bucket").agg(count(lit(1)).as("n"), max("bucket_size").as("bs"))
+      .filter(col("n") =!= col("bs")).count()
+    assert(bad === 0)
+  }
+
+  test("text_stats: ratios in [0,1], quality bounded, fingerprint stable") {
+    val t = Models.textStats(spark, sf)
+    assert(expressionIsTrue(t,
+      col("stopword_ratio").between(0.0, 1.0) &&
+        col("digit_ratio").between(0.0, 1.0) &&
+        col("punct_ratio").between(0.0, 1.0) &&
+        col("quality_score").between(0.0, 1.0)) === 0)
+    // deterministic: two runs produce identical fingerprints
+    val a = t.select("doc_id", "fingerprint")
+    val b = Models.textStats(spark, sf).select("doc_id", "fingerprint")
+    assert(a.exceptAll(b).count() === 0)
+  }
+
+  test("multimodal: batched stub decode is deterministic and schema-complete") {
+    val m = Models.mediaFeatures(spark, sf)
+    assert(m.count() === Tables.documents(spark, sf).count())
+    assert(acceptedValues(m, "media_type", Seq("image", "audio", "video")) === 0)
+    assert(expressionIsTrue(m,
+      col("width").between(64, 319) && col("height").between(64, 319) &&
+        col("brightness").between(0.0, 1.0) && col("n_frames") >= 1) === 0)
+    // images/audio sample exactly one frame; video up to 16
+    assert(m.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() === 0)
+  }
+}
