@@ -95,4 +95,21 @@ object Models {
     llm.TextStats.textStats(Tables.documents(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
+
+  // ---- semantic layer (M1-M8): saved queries over the marts ----
+
+  private val semanticBacking: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders" -> (orders _),
+    "order_items" -> (orderItems _),
+    "customers" -> (customers _),
+    "products" -> (products _),
+    "locations" -> (locations _),
+    "supplies" -> (supplies _),
+    "customer_segmentation" -> (customerSegmentation _),
+    "time_analytics" -> (timeAnalytics _))
+
+  def semanticQuery(name: String)(s: SparkSession, d: String): DataFrame = {
+    val q = semantic.Registry.savedQuery(name)
+    semantic.Planner.savedQuery(q, semantic.Registry, semanticBacking(q.model)(s, d))
+  }
 }

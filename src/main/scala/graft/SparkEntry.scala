@@ -56,7 +56,11 @@ object SparkEntry {
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "text_stats" -> out(Models.textStats),
     "media_features" -> out(Models.mediaFeatures),
-  )
+  ) ++
+    // semantic layer M1-M8: the reference's 8 saved queries + planner
+    // demos for ratio/median/offset/cumulative metric types.
+    graft.semantic.Registry.savedQueries.map(q =>
+      q.name -> out(Models.semanticQuery(q.name))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +96,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "text_stats" -> LlmSql.textStatsQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
-  )
+  ) ++
+    graft.semantic.Registry.savedQueries.map(q =>
+      q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap
 }

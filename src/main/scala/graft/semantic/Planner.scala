@@ -1,0 +1,122 @@
+package graft.semantic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+import graft.semantic.Spec._
+
+/** Compiles a SavedQuery spec into ONE single-scan groupBy/agg plan —
+  * simple/ratio metrics (with per-metric filters) all evaluate as
+  * conditional aggregates in the same hash aggregation, so a saved
+  * query costs one shuffle regardless of metric count. Derived offsets
+  * add one self-join on the shifted grain; cumulative adds one window
+  * over the (already aggregated) time rows. That is the plan shape a
+  * 100 TB run wants: fact scanned once, aggregates combined map-side.
+  */
+object Planner {
+
+  private def aggCol(model: SemanticModel, m: Measure, filter: Option[String]): Column = {
+    val base = expr(m.exprSql)
+    val e = filter match {
+      case Some(f) => when(expr(f), base)
+      case None => base
+    }
+    m.agg match {
+      case Sum if m.isCount => sum(e)                       // stays long
+      case Sum => sum(e).cast("double")                     // exact sum, then present
+      case CountDistinct => countDistinct(e)
+      case Avg => when(count(e) > 0, sum(e).cast("double") / count(e).cast("double"))
+      case Median => median(e.cast("double"))               // doubles: same sort+interpolate both engines
+    }
+  }
+
+  private def groupCol(model: SemanticModel, g: GroupBy): Column = g match {
+    case ByTime(grain) =>
+      val t = model.timeDim.getOrElse(sys.error(s"model ${model.name} has no time dimension"))
+      date_trunc(grain, col(t)).cast(DateType).as("metric_time")
+    case ByEntity(e) =>
+      col(model.entities.getOrElse(e, sys.error(s"unknown entity $e"))).as(e)
+  }
+
+  private def groupName(g: GroupBy): String = g match {
+    case ByTime(_) => "metric_time"
+    case ByEntity(e) => e
+  }
+
+  /** Resolve a metric name to its aggregate columns. Simple/Ratio
+    * compile inline; Derived/Cumulative are handled in `savedQuery`. */
+  def compile(model: SemanticModel, metrics: Seq[Metric], df: DataFrame, g: GroupBy): DataFrame = {
+    val gName = groupName(g)
+
+    val simpleAggs: Seq[(String, Column)] = metrics.flatMap {
+      case Simple(n, meas, f) => Seq(n -> aggCol(model, model.measure(meas), f).as(n))
+      case Ratio(n, num, den) =>
+        // numerator/denominator are metric names resolved in this list
+        def part(mn: String): Column = metrics.collectFirst {
+          case Simple(`mn`, meas, f) => aggCol(model, model.measure(meas), f)
+        }.getOrElse(sys.error(s"ratio $n: metric $mn not in query"))
+        val d = part(den)
+        Seq(n -> when(d =!= 0, part(num).cast("double") / d.cast("double")).as(n))
+      case Cumulative(n, meas) =>
+        // keep the per-grain base EXACT (decimal); the running window
+        // sums decimals and only the final cast presents a double.
+        Seq(s"__base_$n" -> sum(expr(model.measure(meas).exprSql)).as(s"__base_$n"))
+      case Derived(_, _, inputs) =>
+        // inputs must appear as metrics in this query (deps are pulled
+        // in by savedQuery); they aggregate under their own names.
+        inputs.foreach { in =>
+          require(metrics.exists {
+            case Simple(n, _, _) => n == in.metric
+            case _ => false
+          }, s"derived input ${in.metric} must be a Simple metric in the query")
+        }
+        Nil
+    }
+
+    val grouped = df.groupBy(groupCol(model, g))
+      .agg(simpleAggs.head._2, simpleAggs.tail.map(_._2): _*)
+
+    // Derived (M5/M6) and Cumulative (M7) post-processing.
+    val withOffsets = metrics.foldLeft(grouped) {
+      case (acc, Derived(n, e, inputs)) =>
+        val withIn = inputs.foldLeft(acc) { (a, in) =>
+          val alias = in.alias.getOrElse(in.metric)
+          if (in.offsetMonths == 0) {
+            if (alias == in.metric) a
+            else a.withColumn(alias, col(in.metric))
+          } else {
+            require(g.isInstanceOf[ByTime], s"offset metric $n needs time grouping")
+            val shifted = acc.select(
+              add_months(col(gName), in.offsetMonths).as(gName),
+              col(in.metric).as(alias))
+            a.join(shifted, Seq(gName), "left")
+          }
+        }
+        withIn.withColumn(n, expr(e))
+      case (acc, Cumulative(n, _)) =>
+        val w = Window.orderBy(col(gName)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        acc.withColumn(n, sum(col(s"__base_$n")).over(w).cast("double"))
+      case (acc, _) => acc
+    }
+
+    // project: group col + requested metrics (drop derived scaffolding)
+    withOffsets.select((col(gName) +: metrics.map(m => col(m.name))): _*)
+  }
+
+  def savedQuery(q: SavedQuery, registry: Registry, df: DataFrame): DataFrame = {
+    val model = registry.model(q.model)
+    val metrics = q.metrics.map(registry.metric(q.model, _))
+    // pull in ratio/derived dependencies as hidden simple metrics
+    val deps = metrics.flatMap {
+      case Ratio(_, n, d) => Seq(n, d)
+      case Derived(_, _, ins) => ins.map(_.metric)
+      case _ => Nil
+    }.distinct.filterNot(q.metrics.contains).map(registry.metric(q.model, _))
+    val all = metrics ++ deps
+    val out = compile(model, all, df, q.groupBy)
+    out.select((col(Planner.nameOf(q.groupBy)) +: q.metrics.map(col)): _*)
+  }
+
+  def nameOf(g: GroupBy): String = groupName(g)
+}

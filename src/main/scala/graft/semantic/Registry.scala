@@ -1,0 +1,204 @@
+package graft.semantic
+
+import graft.semantic.Spec._
+
+/** The reference's semantic models, metrics, and all 8 saved queries
+  * (reference `models/marts yml files`), adapted to this engine's schema
+  * (promo/returned stand in for food/drink, money thresholds scaled —
+  * same adaptations as the marts themselves).
+  */
+class Registry {
+
+  val models: Map[String, SemanticModel] = Map(
+    // reference orders.yml:54-97
+    "orders" -> SemanticModel("orders", Some("ordered_at"),
+      Map("order" -> "order_id", "location" -> "location_id", "customer" -> "customer_id"),
+      Seq(
+        Measure("order_total", Sum),
+        Measure("order_count", Sum, Some("1")),
+        Measure("tax_paid", Sum),
+        Measure("order_cost", Sum))),
+    // reference order_items.yml:43-86
+    "order_items" -> SemanticModel("order_items", Some("ordered_at"),
+      Map("order_item" -> "order_item_id", "order" -> "order_id", "product" -> "product_id"),
+      Seq(
+        Measure("revenue", Sum, Some("product_price")),
+        Measure("promo_revenue", Sum, Some("case when is_promo_item then product_price else 0 end")),
+        Measure("economy_revenue", Sum, Some("case when is_economy_item then product_price else 0 end")),
+        Measure("median_revenue", Median, Some("product_price")),
+        Measure("supply_cost", Sum))),
+    // reference customers.yml:35-72
+    "customers" -> SemanticModel("customers", Some("first_ordered_at"),
+      Map("customer" -> "customer_id"),
+      Seq(
+        Measure("customers", CountDistinct, Some("customer_id")),
+        Measure("count_lifetime_orders", Sum),
+        Measure("lifetime_spend_pretax", Sum),
+        Measure("lifetime_spend", Sum))),
+    // reference products.yml:39-84
+    "products" -> SemanticModel("products", None,
+      Map("product" -> "product_id"),
+      Seq(
+        Measure("products", CountDistinct, Some("product_id")),
+        Measure("total_revenue", Sum),
+        Measure("total_profit", Sum),
+        Measure("total_quantity_sold", Sum),
+        Measure("avg_profit_margin", Avg, Some("profit_margin_ratio")))),
+    // reference locations.yml:35-84
+    "locations" -> SemanticModel("locations", None,
+      Map("location" -> "location_id"),
+      Seq(
+        Measure("locations", CountDistinct, Some("location_id")),
+        Measure("total_revenue", Sum),
+        Measure("total_profit", Sum),
+        Measure("total_orders", Sum),
+        Measure("avg_order_value", Avg),
+        Measure("avg_customer_retention_rate", Avg, Some("customer_retention_rate")),
+        Measure("average_tax_rate", Avg, Some("tax_rate")))),
+    // reference supplies.yml:41-90
+    "supplies" -> SemanticModel("supplies", None,
+      Map("supply" -> "supply_id"),
+      Seq(
+        Measure("supplies", CountDistinct, Some("supply_id")),
+        Measure("total_supply_cost", Sum, Some("total_supply_cost_incurred")),
+        Measure("total_revenue_generated", Sum, Some("revenue_generated")),
+        Measure("avg_revenue_to_cost_ratio", Avg, Some("revenue_to_cost_ratio")),
+        Measure("avg_inventory_turnover", Avg, Some("inventory_turnover_ratio")))),
+    // reference customer_segmentation.yml:35-87
+    "customer_segmentation" -> SemanticModel("customer_segmentation", Some("first_ordered_at"),
+      Map("customer" -> "customer_id"),
+      Seq(
+        Measure("customers", CountDistinct, Some("customer_id")),
+        Measure("avg_rfm_score", Avg, Some("rfm_score")),
+        Measure("avg_lifetime_spend", Avg, Some("lifetime_spend")),
+        Measure("avg_lifetime_orders", Avg, Some("count_lifetime_orders")))),
+    // reference time_analytics.yml:33-81
+    "time_analytics" -> SemanticModel("time_analytics", Some("date_day"),
+      Map("date" -> "date_day"),
+      Seq(
+        Measure("daily_orders", Sum),
+        // daily money presents as double but is exact at 2 decimals;
+        // re-cast to decimal so the SUM is order-independent (a double
+        // sum would drift between engines' partition orders).
+        Measure("daily_revenue", Sum, Some("cast(daily_revenue as decimal(18,2))")),
+        Measure("daily_profit", Sum, Some("cast(daily_profit as decimal(18,2))")),
+        Measure("daily_unique_customers", Sum),
+        Measure("avg_daily_order_value", Avg, Some("daily_avg_order_value")))))
+
+  val metrics: Map[String, Seq[Metric]] = Map(
+    // reference orders.yml:99-143 (food/drink → promo/returned; 20 → 2 000 000)
+    "orders" -> Seq(
+      Simple("order_total", "order_total"),
+      Simple("new_customer_orders", "order_count", Some("customer_order_number = 1")),
+      Simple("large_orders", "order_count", Some("order_total >= 2000000")),
+      Simple("orders", "order_count"),
+      Simple("promo_orders", "order_count", Some("is_promo_order = true")),
+      Simple("returned_orders", "order_count", Some("has_returned_item = true"))),
+    // reference order_items.yml:88-167 (M4 ratio, M5/M6 derived, M7 cumulative)
+    "order_items" -> Seq(
+      Simple("revenue", "revenue"),
+      Simple("order_cost", "supply_cost"),
+      Simple("median_revenue", "median_revenue"),
+      Simple("promo_revenue", "promo_revenue"),
+      Simple("economy_revenue", "economy_revenue"),
+      Ratio("promo_revenue_pct", "promo_revenue", "revenue"),
+      Ratio("economy_revenue_pct", "economy_revenue", "revenue"),
+      Derived("revenue_growth_mom",
+        "(current_revenue - revenue_prev_month) * 100 / revenue_prev_month",
+        Seq(MetricInput("revenue", Some("current_revenue")),
+          MetricInput("revenue", Some("revenue_prev_month"), offsetMonths = 1))),
+      Derived("order_gross_profit", "revenue - cost",
+        Seq(MetricInput("revenue"), MetricInput("order_cost", Some("cost")))),
+      Cumulative("cumulative_revenue", "revenue")),
+    // reference customers.yml:74-95
+    "customers" -> Seq(
+      Simple("lifetime_spend_pretax", "lifetime_spend_pretax"),
+      Simple("count_lifetime_orders", "count_lifetime_orders"),
+      Derived("average_order_value", "lifetime_spend_pretax / count_lifetime_orders",
+        Seq(MetricInput("count_lifetime_orders"), MetricInput("lifetime_spend_pretax")))),
+    // reference products.yml:86-110
+    "products" -> Seq(
+      Simple("product_revenue", "total_revenue"),
+      Simple("product_profit", "total_profit"),
+      Simple("product_count", "products"),
+      Simple("avg_profit_margin", "avg_profit_margin")),
+    // reference locations.yml:86-110
+    "locations" -> Seq(
+      Simple("location_revenue", "total_revenue"),
+      Simple("location_profit", "total_profit"),
+      Simple("location_count", "locations"),
+      Simple("avg_location_order_value", "avg_order_value")),
+    // reference supplies.yml:92-116
+    "supplies" -> Seq(
+      Simple("supply_cost", "total_supply_cost"),
+      Simple("supply_revenue", "total_revenue_generated"),
+      Simple("supply_count", "supplies"),
+      Simple("avg_supply_efficiency", "avg_revenue_to_cost_ratio")),
+    // reference customer_segmentation.yml:89-115
+    "customer_segmentation" -> Seq(
+      Simple("customer_segments", "customers"),
+      Simple("avg_customer_rfm_score", "avg_rfm_score"),
+      Simple("avg_customer_lifetime_value", "avg_lifetime_spend"),
+      Simple("high_value_customers", "customers", Some("clv_tier = 'High Value'"))),
+    // reference time_analytics.yml:83-107
+    "time_analytics" -> Seq(
+      Simple("total_daily_orders", "daily_orders"),
+      Simple("total_daily_revenue", "daily_revenue"),
+      Simple("total_daily_profit", "daily_profit"),
+      Simple("avg_daily_customers", "daily_unique_customers")))
+
+  /** All 8 saved queries (M8; one per mart yml) + planner demos for the
+    * metric types not covered by a reference saved query (M4/M6/M7 and
+    * median). */
+  val savedQueries: Seq[SavedQuery] = Seq(
+    SavedQuery("order_metrics", "orders",
+      Seq("orders", "new_customer_orders", "order_total", "promo_orders", "returned_orders"),
+      ByTime("day")),
+    SavedQuery("revenue_metrics", "order_items",
+      Seq("revenue", "promo_revenue", "economy_revenue"), ByTime("day")),
+    SavedQuery("customer_order_metrics", "customers",
+      Seq("count_lifetime_orders", "lifetime_spend_pretax", "average_order_value"),
+      ByEntity("customer")),
+    SavedQuery("product_performance_metrics", "products",
+      Seq("product_revenue", "product_profit", "product_count", "avg_profit_margin"),
+      ByEntity("product")),
+    SavedQuery("location_performance_metrics", "locations",
+      Seq("location_revenue", "location_profit", "location_count", "avg_location_order_value"),
+      ByEntity("location")),
+    SavedQuery("supply_chain_metrics", "supplies",
+      Seq("supply_cost", "supply_revenue", "supply_count", "avg_supply_efficiency"),
+      ByEntity("supply")),
+    SavedQuery("customer_segmentation_metrics", "customer_segmentation",
+      Seq("customer_segments", "avg_customer_rfm_score", "avg_customer_lifetime_value",
+        "high_value_customers"),
+      ByEntity("customer")),
+    SavedQuery("time_analytics_metrics", "time_analytics",
+      Seq("total_daily_orders", "total_daily_revenue", "total_daily_profit", "avg_daily_customers"),
+      ByTime("month")),
+    // metric-type demos: M3 filter, M4 ratio, M2 median
+    SavedQuery("metric_revenue_pct", "order_items",
+      Seq("promo_revenue_pct", "economy_revenue_pct"), ByTime("day")),
+    SavedQuery("metric_median_revenue", "order_items",
+      Seq("median_revenue"), ByTime("month")),
+    // M6 offset + M5 derived
+    SavedQuery("metric_revenue_growth_mom", "order_items",
+      Seq("revenue_growth_mom"), ByTime("month")),
+    SavedQuery("metric_order_gross_profit", "order_items",
+      Seq("order_gross_profit"), ByTime("day")),
+    // M7 cumulative
+    SavedQuery("metric_cumulative_revenue", "order_items",
+      Seq("cumulative_revenue"), ByTime("day")),
+    SavedQuery("metric_large_orders", "orders",
+      Seq("large_orders"), ByTime("month")))
+
+  def model(n: String): SemanticModel =
+    models.getOrElse(n, sys.error(s"unknown semantic model $n"))
+
+  def metric(modelName: String, n: String): Metric =
+    metrics(modelName).find(_.name == n).getOrElse(sys.error(s"unknown metric $n"))
+
+  def savedQuery(n: String): SavedQuery =
+    savedQueries.find(_.name == n).getOrElse(sys.error(s"unknown saved query $n"))
+}
+
+object Registry extends Registry

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.semantic.{OracleGen, Registry}
+import graft.semantic.Spec._
+
+/** Specs for the metric planner (M1-M8). */
+class SemanticSpec extends SparkSpec {
+
+  test("M8: every saved query compiles and returns one row per group key") {
+    Registry.savedQueries.foreach { q =>
+      val df = Models.semanticQuery(q.name)(spark, sf)
+      val gName = graft.semantic.Planner.nameOf(q.groupBy)
+      assert(df.columns.head === gName, q.name)
+      assert(df.groupBy(gName).count().filter(col("count") > 1).count() === 0, q.name)
+      assert(df.count() > 0, q.name)
+    }
+  }
+
+  test("M3: filtered metric <= unfiltered metric") {
+    val df = Models.semanticQuery("order_metrics")(spark, sf)
+    assert(df.filter(col("new_customer_orders") > col("orders")).count() === 0)
+    assert(df.filter(col("promo_orders") > col("orders")).count() === 0)
+  }
+
+  test("M4: ratio metrics bounded by [0,1]") {
+    val df = Models.semanticQuery("metric_revenue_pct")(spark, sf)
+    assert(df.filter(col("promo_revenue_pct") < 0 || col("promo_revenue_pct") > 1).count() === 0)
+  }
+
+  test("M5: derived AOV = pretax / orders") {
+    val df = Models.semanticQuery("customer_order_metrics")(spark, sf)
+    val bad = df.filter(col("count_lifetime_orders") > 0 &&
+      abs(col("average_order_value") -
+        col("lifetime_spend_pretax") / col("count_lifetime_orders")) > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("M6: offset metric is null exactly on the first month") {
+    val df = Models.semanticQuery("metric_revenue_growth_mom")(spark, sf).orderBy("metric_time")
+    val rows = df.collect()
+    assert(rows.head.isNullAt(1))
+    assert(rows.tail.forall(!_.isNullAt(1)))
+  }
+
+  test("M7: cumulative metric is monotone and ends at the total") {
+    val df = Models.semanticQuery("metric_cumulative_revenue")(spark, sf).orderBy("metric_time")
+    val vals = df.select("cumulative_revenue").collect().map(_.getDouble(0))
+    assert(vals.sliding(2).forall { case Array(a, b) => b >= a })
+    val total = Models.orderItems(spark, sf)
+      .agg(sum("product_price").cast("double")).head.getDouble(0)
+    assert(math.abs(vals.last - total) < 1e-6)
+  }
+
+  test("oracle generator emits SQL for every saved query") {
+    Registry.savedQueries.foreach { q =>
+      val sql = OracleGen.savedQuery(q, Registry, "")
+      assert(sql.contains(q.name.takeRight(0) + "sq_base"), q.name)
+      q.metrics.foreach(m => assert(sql.contains(m), s"${q.name}: $m"))
+    }
+  }
+
+  test("spec registry is closed: every metric's measures resolve") {
+    Registry.metrics.foreach { case (modelName, ms) =>
+      val model = Registry.model(modelName)
+      ms.foreach {
+        case Simple(_, meas, _) => model.measure(meas)
+        case Cumulative(_, meas) => model.measure(meas)
+        case Ratio(n, a, b) =>
+          assert(ms.exists(_.name == a) && ms.exists(_.name == b), n)
+        case Derived(n, _, ins) =>
+          ins.foreach(i => assert(ms.exists(_.name == i.metric), s"$n -> ${i.metric}"))
+      }
+    }
+  }
+}
