@@ -95,6 +95,8 @@ object Models {
     llm.TextStats.textStats(Tables.documents(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    operators.Sessions.sessionize(Tables.events(s, d))
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

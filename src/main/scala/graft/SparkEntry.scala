@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "text_stats" -> out(Models.textStats),
     "media_features" -> out(Models.mediaFeatures),
+    "sessionize" -> out(Models.sessionize),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -96,6 +97,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "text_stats" -> LlmSql.textStatsQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
+    "sessionize" -> graft.operators.Sessions.oracleSql,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming specs: windowed watermarked aggregation and
+  * stateful sessionization driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming: watermarked daily window counts per event type") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.windowedEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2001-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2001-01-01 11:00:00"), 1, "click", 2.0),
+        Event(3, ts("2001-01-01 12:00:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past day 1 so the window closes and emits
+      input.addData(Event(4, ts("2001-01-03 00:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n_events") === 2)
+      assert(clicks.getAs[Double]("total_value") === 3.0)
+      val views = rows.find(_.getAs[String]("event_type") == "view").get
+      assert(views.getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
+  test("streaming: flatMapGroupsWithState closes sessions on 30-minute gaps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 10 min apart; then a 2-hour gap opens session 2
+      input.addData(
+        Event(1, ts("2001-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2001-01-01 10:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2001-01-01 12:30:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length === 1)
+      assert(closed(0).getAs[Long]("user_id") === 7)
+      assert(closed(0).getAs[Int]("n_events") === 2)
+      assert(closed(0).getAs[Double]("total_value") === 3.0)
+      assert(closed(0).getAs[Timestamp]("ended_at") === ts("2001-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("streaming: parquet sink round-trip via file source") {
+    val dir = java.nio.file.Files.createTempDirectory("stream").toFile.getAbsolutePath
+    // seed the source directory with a parquet slice of the events table
+    Tables.events(spark, sf).limit(100).write.mode("overwrite").parquet(s"$dir/in")
+    val q = Streams.toParquetSink(
+      Streams.eventsStream(spark, s"$dir/in")
+        .select("event_id", "ts", "event_type", "value"),
+      s"$dir/out", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() === 100)
+    } finally q.stop()
+  }
+
+  test("batch sessionize: sequential sessions reconstruct per-user event counts") {
+    val s = Models.sessionize(spark, sf)
+    val total = s.agg(sum("n_events")).head.getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    assert(s.filter(col("started_at") > col("ended_at")).count() === 0)
+    // session_seq forms 1..N per user
+    val bad = s.groupBy("user_id")
+      .agg(min("session_seq").as("mn"), max("session_seq").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n")).count()
+    assert(bad === 0)
+  }
+}
