@@ -116,15 +116,18 @@ object Dedup {
     * the blocked-intersection Jaccard estimate. Takes the materialized
     * shingle table (read 4× here — sizes, blocking, both join sides). */
   def ngramJaccardPairs(shingled: DataFrame): DataFrame = {
-    val docSh = shingled.distinct()
+    // join on the 60-bit shingle hash, not the string: the pair-join
+    // shuffle ships 8-byte keys. Both engines use the same md5-derived
+    // hash, so even a (≈2^-30) collision would be mirrored exactly.
+    val docSh = shingled.select(col("doc_id"), hex60(col("sh")).as("shk")).distinct()
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = docSh.groupBy("sh")
+    val rare = docSh.groupBy("shk")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= JaccardDocFreqCap)
-      .select("sh")
-    val blocked = docSh.join(rare, Seq("sh"), "left_semi")
+      .select("shk")
+    val blocked = docSh.join(rare, Seq("shk"), "left_semi")
     val a = blocked.as("a"); val b = blocked.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= JaccardMinIntersection)

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two float arrays in double. */
+  /** Sequential dot product of two float arrays in double — a native
+    * codegen'd Expression (graft.expressions.VectorExprs.DotProduct);
+    * the equivalent `aggregate(zip_with(...))` fold evaluates its
+    * lambdas interpreted, outside whole-stage codegen. Same
+    * left-to-right accumulation order, so same IEEE result. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExprs.dot_product(a, b)
 
   val TopK = 5
   val NQueries = 10
@@ -54,17 +57,11 @@ object Similarity {
 
   val LshBits = 16
 
-  /** Deterministic pseudo-random ±1 for hyperplane k, component i —
-    * plain integer arithmetic so DuckDB reproduces it exactly. */
-  private def sgn(k: Int, i: Column): Column =
-    when((i.cast("long") * 2654435761L + lit(k.toLong * 40503L)) % 97 < 48, lit(-1.0))
-      .otherwise(lit(1.0))
-
-  /** Signed projection s_k = Σ_i sgn(k,i)·v[i], sequential fold. */
+  /** Signed hyperplane projection s_k = Σ_i sgn(k,i)·v[i] — native
+    * codegen'd Expression; sgn is deterministic integer arithmetic the
+    * DuckDB oracle reproduces exactly. */
   private def proj(k: Int, v: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), size(v)), i => sgn(k, i) * element_at(v, i).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExprs.signed_projection(v, k)
 
   /** 16-bit hyperplane-LSH bucket per vector + bucket occupancy. */
   def annLshBuckets(embeddingsRaw: DataFrame): DataFrame = {

@@ -31,20 +31,26 @@ object AnalyticsMarts {
       col("supply_cost").as("item_supply_cost"),
       col("ordered_at"))
 
-    // A12: product performance, grouped by 7 product attributes
-    // (reference `products.sql:21-54` groups by id/name/type/
-    // description/price/is_food/is_drink; brand stands in for the
-    // missing description).
+    // A12: product performance (reference `products.sql:21-54` groups
+    // by 7 product attributes). The 6 non-key attributes are
+    // functionally dependent on product_id, so we aggregate the FACT by
+    // product_id alone — the shuffle carries an 8-byte key instead of
+    // ~100 bytes of strings through the count-distinct Expand — and
+    // join the dim attributes back afterwards. Values are identical
+    // (the unchanged 7-key oracle proves it); counts backfill to 0 like
+    // the reference's left-join groups.
     val keys = Seq("product_id", "product_name", "product_type", "brand",
       "product_price", "is_promo_item", "is_economy_item")
-    val perf = stgProducts
-      .join(oi, Seq("product_id"), "left")
-      .groupBy(keys.map(col): _*)
+    val perItem = oi.groupBy("product_id")
       .agg(
-        countDistinct(col("order_id")).as("total_orders"),
-        count(col("order_item_id")).as("total_quantity_sold"),
+        countDistinct(col("order_id")).as("total_orders_raw"),
+        count(col("order_item_id")).as("total_quantity_raw"),
         dec18(sum(col("item_price"))).as("rev_d"),
         dec18(sum(col("item_supply_cost"))).as("cost_d"))
+    val perf = stgProducts
+      .join(perItem, Seq("product_id"), "left")
+      .withColumn("total_orders", coalesce(col("total_orders_raw"), lit(0L)))
+      .withColumn("total_quantity_sold", coalesce(col("total_quantity_raw"), lit(0L)))
       .select(
         keys.map(col) ++ Seq(
           col("total_orders"), col("total_quantity_sold"),
@@ -247,14 +253,23 @@ object AnalyticsMarts {
       col("supply_cost").as("item_supply_cost"))
     val keys = Seq("supply_uuid", "supply_id", "supply_name", "supply_component",
       "supply_cost", "is_perishable_supply")
-    stgSupplies
-      .join(oi, stgSupplies("supply_id") === oi("supplier_id"), "left")
-      .groupBy(keys.map(col): _*)
+    // The reference joins supplies⟕items on the shared key and
+    // aggregates per supply row (J14 N:M fan-out). A supplier's item
+    // metrics are identical across its component rows, so aggregate the
+    // fact ONCE per supplier and join the (2-row) dim after — the 2×
+    // fan-out never shuffles. Values are identical per supply row (the
+    // unchanged fan-out oracle proves it); the A2 grain trap (sum ALL
+    // component rows) still lives in the order_items rollup.
+    val perSupplier = oi.groupBy(col("supplier_id"))
       .agg(
-        countDistinct(col("order_id")).as("orders_using_supply"),
-        count(col("order_item_id")).as("total_usage_quantity"),
+        countDistinct(col("order_id")).as("orders_raw"),
+        count(col("order_item_id")).as("usage_raw"),
         dec18(sum(col("item_price"))).as("rev_d"),
         dec18(sum(col("item_supply_cost"))).as("cost_d"))
+    stgSupplies
+      .join(perSupplier, stgSupplies("supply_id") === perSupplier("supplier_id"), "left")
+      .withColumn("orders_using_supply", coalesce(col("orders_raw"), lit(0L)))
+      .withColumn("total_usage_quantity", coalesce(col("usage_raw"), lit(0L)))
       .select(
         keys.map(col) ++ Seq(
           col("orders_using_supply"), col("total_usage_quantity"),

@@ -78,14 +78,14 @@ object LlmSql {
 
   val ngramJaccardPairsQ: String =
     s"""with $textCtes,
-       |doc_sh as (select distinct doc_id, sh from doc_shingles),
+       |doc_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),
        |sh_sizes as (select doc_id, count(*) as n_sh from doc_sh group by 1),
-       |rare_sh as (select sh from doc_sh group by sh
+       |rare_sh as (select shk from doc_sh group by shk
        |            having count(distinct doc_id) <= ${Dedup.JaccardDocFreqCap}),
-       |blocked as (select d.doc_id, d.sh from doc_sh d join rare_sh using (sh)),
+       |blocked as (select d.doc_id, d.shk from doc_sh d join rare_sh using (shk)),
        |pairs0 as (
        |  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
-       |  from blocked a join blocked b on a.sh = b.sh and a.doc_id < b.doc_id
+       |  from blocked a join blocked b on a.shk = b.shk and a.doc_id < b.doc_id
        |  group by 1, 2
        |  having count(*) >= ${Dedup.JaccardMinIntersection}
        |)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExprs
+
+/** Specs for the native vector expressions: the codegen'd loop must be
+  * bit-identical to both the interpreted eval and the higher-order
+  * `aggregate(zip_with(...))` fold it replaced. */
+class VectorExprsSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf).limit(50)
+
+  test("dot_product codegen == sequential HOF fold, bit-exact") {
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val bad = emb.select(
+        VectorExprs.dot_product(col("embedding"), col("embedding")).as("native"),
+        hof.as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(bad === 0)
+  }
+
+  test("dot_product interpreted eval matches codegen") {
+    val rows = emb.select(col("embedding"),
+      VectorExprs.dot_product(col("embedding"), col("embedding")).as("d")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      assert(r.getDouble(1) === acc)
+    }
+  }
+
+  test("signed_projection matches the SQL-formula fold") {
+    def sgn(k: Int, i: Column) =
+      when((i.cast("long") * 2654435761L + lit(k.toLong * 40503L)) % 97 < 48, lit(-1.0))
+        .otherwise(lit(1.0))
+    def fold(k: Int) = aggregate(
+      transform(sequence(lit(1), size(col("embedding"))),
+        i => sgn(k, i) * element_at(col("embedding"), i).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    (0 until 4).foreach { k =>
+      val bad = emb.select(
+          VectorExprs.signed_projection(col("embedding"), k).as("native"),
+          fold(k).as("fold"))
+        .filter(col("native") =!= col("fold")).count()
+      assert(bad === 0, s"k=$k")
+    }
+  }
+
+  test("null arrays propagate null") {
+    val df = emb.select(
+      VectorExprs.dot_product(lit(null).cast("array<float>"), col("embedding")).as("d"))
+    assert(df.filter(col("d").isNotNull).count() === 0)
+  }
+}
