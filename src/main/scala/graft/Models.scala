@@ -91,6 +91,8 @@ object Models {
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
   def annLshBuckets(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annLshBuckets(Tables.embeddings(s, d))
+  def embeddingDedupPairs(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d))
   def textStats(s: SparkSession, d: String): DataFrame =
     llm.TextStats.textStats(Tables.documents(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =

@@ -54,6 +54,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
+    "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "text_stats" -> out(Models.textStats),
     "media_features" -> out(Models.mediaFeatures),
     "sessionize" -> out(Models.sessionize),
@@ -95,6 +96,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
+    "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "text_stats" -> LlmSql.textStatsQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,

@@ -72,4 +72,35 @@ object Similarity {
       .select(col("vec_id"), bucket.as("bucket"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
   }
+
+  /** Tunables: the synthetic testdata has no true duplicates (max
+    * pairwise cosine ≈ 0.51), so the demo threshold sits in the tail of
+    * its similarity distribution; a real corpus would run ≥ 0.9 with
+    * more hyperplanes. */
+  val NearDupCosine = 0.35
+  val NearDupBits = 4
+
+  /** Embedding-cosine near-duplicate pairs, bucket-locally: candidates
+    * only meet inside a coarse hyperplane-LSH bucket, then exact cosine
+    * filters at the threshold. Never all-pairs: the bucket join bounds
+    * the candidate set the same way the banded MinHash join does for
+    * text.
+    */
+  def embeddingDedupPairs(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val coarse = (0 until NearDupBits).map(k =>
+      when(proj(k, col("embedding")) > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    val withBucket = embeddings.select(
+      col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"),
+      coarse.as("bucket"))
+      .filter(col("nrm") > 0)
+    val a = withBucket.as("a"); val b = withBucket.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+  }
 }

@@ -141,6 +141,26 @@ object LlmSql {
        |select vec_id, bucket, count(*) over (partition by bucket) as bucket_size
        |from lsh_buckets""".stripMargin
 
+  private val coarseBucket = (0 until Similarity.NearDupBits)
+    .map(k => s"(case when p$k > 0 then cast(${1L << k} as bigint) else cast(0 as bigint) end)")
+    .mkString(" + ")
+
+  val embeddingDedupPairsQ: String =
+    s"""with nd_proj as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm,
+       |    ${(0 until Similarity.NearDupBits).map(k => s"${projSql(k)} as p$k").mkString(",\n    ")}
+       |  from embeddings
+       |),
+       |nd_buckets as (
+       |  select vec_id, embedding, nrm, $coarseBucket as bucket
+       |  from nd_proj where nrm > 0
+       |)
+       |select a.vec_id as vec_a, b.vec_id as vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) as cosine
+       |from nd_buckets a join nd_buckets b
+       |  on a.bucket = b.bucket and a.vec_id < b.vec_id
+       |where ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= ${Similarity.NearDupCosine}""".stripMargin
+
   private def hits(vals: Seq[String]): String =
     s"len(list_filter(w, x -> x in (${vals.map(v => s"'$v'").mkString(", ")})))"
 

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
+
+/** Value-level specs for the scalar-function surface (SURVEY §2.7) —
+  * including the helpers no registered query exercises directly
+  * (centsToDollars, safeDiv), per ADVICE r1.
+  */
+class FuncsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("F1 centsToDollars: (c/100)::numeric(16,2) with HALF_UP") {
+    val out = Seq(1100L, 1, 50, 149, 151).toDF("c")
+      .select(Funcs.centsToDollars(col("c")).cast("string")).as[String].collect()
+    assert(out === Array("11.00", "0.01", "0.50", "1.49", "1.51"))
+  }
+
+  test("safeDiv: guarded double division, 0 on zero denominator") {
+    val out = Seq((10.0, 4.0), (1.0, 0.0)).toDF("n", "d")
+      .select(Funcs.safeDiv(col("n"), col("d"))).as[Double].collect()
+    assert(out === Array(2.5, 0.0))
+  }
+
+  test("F3 monthsBetweenBoundary counts month boundaries, not fractions") {
+    val out = Seq(("2001-01-31", "2001-02-01"), ("2001-01-01", "2001-12-31"))
+      .toDF("a", "b")
+      .select(Funcs.monthsBetweenBoundary(to_date(col("a")), to_date(col("b"))))
+      .as[Int].collect()
+    assert(out === Array(1, 11))
+  }
+
+  test("F8 surrogateKey matches the dbt_utils md5 recipe incl. null marker") {
+    val row = Seq((java.lang.Long.valueOf(7L), "x")).toDF("a", "b")
+    val got = row.select(Funcs.surrogateKey(col("a"), col("b"))).as[String].head
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("7-x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === expected)
+    val gotNull = row.select(Funcs.surrogateKey(lit(null).cast("string"), col("b")))
+      .as[String].head
+    val expNull = java.security.MessageDigest.getInstance("MD5")
+      .digest("_dbt_utils_surrogate_key_null_-x".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(gotNull === expNull)
+  }
+
+  test("stddevFromSums equals Spark's stddev_samp on clean doubles") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("x")
+    val viaSums = df.agg(Funcs.stddevFromSums(
+      sum(col("x")), sum(col("x") * col("x")), count(col("x")))).as[Double].head
+    val native = df.agg(stddev_samp(col("x"))).as[Double].head
+    assert(math.abs(viaSums - native) < 1e-9)
+  }
+
+  test("embedding near-dup pairs: ordered, thresholded, symmetric-free") {
+    val p = Models.embeddingDedupPairs(spark, sf)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
+    assert(p.filter(col("cosine") < llm.Similarity.NearDupCosine).count() === 0)
+  }
+}
