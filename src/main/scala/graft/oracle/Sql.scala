@@ -34,7 +34,10 @@ object Sql {
     """select
       |  md5(concat_ws('-',
       |    coalesce(cast(l_orderkey as varchar), '_dbt_utils_surrogate_key_null_'),
-      |    coalesce(cast(l_linenumber as varchar), '_dbt_utils_surrogate_key_null_'))) as order_item_id,
+      |    coalesce(cast(l_linenumber as varchar), '_dbt_utils_surrogate_key_null_'),
+      |    coalesce(cast(l_partkey as varchar), '_dbt_utils_surrogate_key_null_'),
+      |    coalesce(cast(l_suppkey as varchar), '_dbt_utils_surrogate_key_null_'),
+      |    coalesce(cast(cast(l_shipdate as date) as varchar), '_dbt_utils_surrogate_key_null_'))) as order_item_id,
       |  l_orderkey as order_id, l_linenumber as line_number,
       |  l_partkey as product_id, l_suppkey as supplier_id,
       |  cast(l_quantity as decimal(12,2)) as quantity,

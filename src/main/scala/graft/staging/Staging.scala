@@ -53,7 +53,12 @@ object Staging {
     * `stg_supplies.sql:14` for the key pattern). */
   def stgOrderItems(lineitem: DataFrame): DataFrame =
     lineitem.select(
-      surrogateKey(col("l_orderkey"), col("l_linenumber")).as("order_item_id"),
+      // the synthetic lineitem duplicates (orderkey, linenumber) pairs;
+      // widen the surrogate to the minimal combination that is unique
+      // at every SF and whose parts stringify identically on both
+      // engines (ints + ISO date — no doubles in the digest).
+      surrogateKey(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), toDay(col("l_shipdate"))).as("order_item_id"),
       col("l_orderkey").as("order_id"),
       col("l_linenumber").as("line_number"),
       col("l_partkey").as("product_id"),
