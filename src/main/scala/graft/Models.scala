@@ -93,6 +93,8 @@ object Models {
     llm.Similarity.annLshBuckets(Tables.embeddings(s, d))
   def embeddingDedupPairs(s: SparkSession, d: String): DataFrame =
     llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d))
+  def annIvfTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annIvfTopK(Tables.embeddings(s, d))
   def textStats(s: SparkSession, d: String): DataFrame =
     llm.TextStats.textStats(Tables.documents(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =

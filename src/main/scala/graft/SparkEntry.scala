@@ -55,6 +55,7 @@ object SparkEntry {
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
+    "ann_ivf_topk" -> out(Models.annIvfTopK),
     "text_stats" -> out(Models.textStats),
     "media_features" -> out(Models.mediaFeatures),
     "sessionize" -> out(Models.sessionize),
@@ -97,6 +98,7 @@ object SparkEntry {
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
+    "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, dim 64).
@@ -71,6 +72,61 @@ object Similarity {
     embeddings
       .select(col("vec_id"), bucket.as("bucket"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path. The coarse
+    * quantizer is DETERMINISTIC: centroids are per-label exact means
+    * (float components cast to decimal, summed exactly, one double
+    * division, presented as float) so both engines build bit-identical
+    * centroids without iterative k-means. Every vector is assigned to
+    * its nearest centroid (its inverted list); a query probes its own
+    * centroid's list only — at 100 TB the lists are the partitioning,
+    * and the probe is a bucket-local join, never corpus × corpus.
+    */
+  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+
+    // exact-mean centroids per label
+    val comp = embeddings.select(col("label"),
+      posexplode(col("embedding")).as(Seq("idx", "v")))
+    val centroids = comp.groupBy("label", "idx")
+      .agg((sum(col("v").cast(DecimalType(27, 12))).cast("string").cast("double")
+        / count(lit(1)).cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("pairs"))
+      .select(col("label").as("centroid_id"),
+        transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
+
+    val withNorm = embeddings.select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+
+    // assignment = nearest centroid by cosine (centroid_id tiebreak)
+    val assigned = withNorm.crossJoin(broadcast(
+        centroids.select(col("centroid_id"), col("centroid"),
+          dot(col("centroid"), col("centroid")).as("cnrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
+        (dot(col("embedding"), col("centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc_nulls_last, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "centroid_id")
+
+    // probe: each query searches its own inverted list
+    val qs = assigned.filter(col("vec_id") < NQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("centroid_id").as("q_centroid"))
+    assigned.join(broadcast(qs),
+        col("centroid_id") === col("q_centroid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("centroid_id"),
+        (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "centroid_id", "rank", "cosine")
   }
 
   /** Tunables: the synthetic testdata has no true duplicates (max

@@ -141,6 +141,63 @@ object LlmSql {
        |select vec_id, bucket, count(*) over (partition by bucket) as bucket_size
        |from lsh_buckets""".stripMargin
 
+  /** IVF oracle (mirror Similarity.annIvfTopK): exact-mean centroids,
+    * nearest-centroid assignment, bucket-local probe. Paired unnests in
+    * one select zip positionally in DuckDB, giving (idx, component)
+    * rows like Spark's posexplode. */
+  val annIvfTopKQ: String =
+    s"""with ivf_comp as (
+       |  select label,
+       |    unnest(generate_series(0, len(embedding) - 1)) as idx,
+       |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
+       |  from embeddings
+       |),
+       |ivf_cent0 as (
+       |  select label as centroid_id, idx,
+       |    cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double) / cast(count(*) as double) as c
+       |  from ivf_comp group by 1, 2
+       |),
+       |ivf_cent as (
+       |  select centroid_id, list(cast(c as float) order by idx) as centroid
+       |  from ivf_cent0 group by 1
+       |),
+       |ivf_cent_n as (
+       |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm from ivf_cent
+       |),
+       |ivf_emb as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |ivf_emb_ok as (select * from ivf_emb where nrm > 0),
+       |ivf_assign0 as (
+       |  select e.vec_id, e.embedding, e.nrm, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm)) as sim
+       |  from ivf_emb_ok e cross join ivf_cent_n c
+       |),
+       |ivf_assign as (
+       |  select vec_id, embedding, nrm, centroid_id from (
+       |    select *, row_number() over (
+       |      partition by vec_id order by sim desc nulls last, centroid_id) as rn
+       |    from ivf_assign0
+       |  ) t where rn = 1
+       |),
+       |ivf_q as (
+       |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm,
+       |    centroid_id as q_centroid
+       |  from ivf_assign where vec_id < ${Similarity.NQueries}
+       |),
+       |ivf_cand as (
+       |  select q.query_id, a.vec_id as neighbor_id, a.centroid_id,
+       |    ${dotSql("a.embedding", "q.q_emb")} / (sqrt(a.nrm) * sqrt(q.q_nrm)) as cosine
+       |  from ivf_assign a join ivf_q q
+       |    on a.centroid_id = q.q_centroid and a.vec_id != q.query_id
+       |)
+       |select query_id, neighbor_id, centroid_id, rank, cosine from (
+       |  select *, row_number() over (
+       |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
+       |  from ivf_cand
+       |) t where rank <= ${Similarity.TopK}""".stripMargin
+
   private val coarseBucket = (0 until Similarity.NearDupBits)
     .map(k => s"(case when p$k > 0 then cast(${1L << k} as bigint) else cast(0 as bigint) end)")
     .mkString(" + ")

@@ -58,4 +58,14 @@ class FuncsSpec extends SparkSpec {
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
     assert(p.filter(col("cosine") < llm.Similarity.NearDupCosine).count() === 0)
   }
+
+  test("ann ivf: probes stay within one inverted list per query; ranks dense") {
+    val t = Models.annIvfTopK(spark, sf)
+    // every neighbor of a query carries the query's own centroid
+    assert(t.groupBy("query_id")
+      .agg(countDistinct("centroid_id").as("n")).filter(col("n") =!= 1).count() === 0)
+    val perQuery = t.groupBy("query_id").agg(min("rank").as("mn"), max("rank").as("mx"))
+    assert(perQuery.filter(col("mn") =!= 1).count() === 0)
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
 }
