@@ -39,14 +39,18 @@ object Models {
     Mat.table(s, d, "customers")(
       CoreMarts.customers(stgCustomers(s, d), orders(s, d)))
 
-  // ---- analytics marts (terminal consumers) ----
+  // ---- analytics marts (dbt `table`s: materialized — each is read by
+  // its own registered query AND its semantic-layer saved query) ----
 
   def products(s: SparkSession, d: String): DataFrame =
-    AnalyticsMarts.products(stgProducts(s, d), orderItems(s, d), orders(s, d))
+    Mat.table(s, d, "products")(
+      AnalyticsMarts.products(stgProducts(s, d), orderItems(s, d), orders(s, d)))
   def locations(s: SparkSession, d: String): DataFrame =
-    AnalyticsMarts.locations(stgLocations(s, d), orders(s, d), customers(s, d))
+    Mat.table(s, d, "locations")(
+      AnalyticsMarts.locations(stgLocations(s, d), orders(s, d), customers(s, d)))
   def supplies(s: SparkSession, d: String): DataFrame =
-    AnalyticsMarts.supplies(stgSupplies(s, d), orderItems(s, d))
+    Mat.table(s, d, "supplies")(
+      AnalyticsMarts.supplies(stgSupplies(s, d), orderItems(s, d)))
   def supplierRollup(s: SparkSession, d: String): DataFrame =
     AnalyticsMarts.supplierRollup(stgSupplies(s, d), orderItems(s, d))
 
@@ -65,10 +69,11 @@ object Models {
   def growthMetrics(s: SparkSession, d: String): DataFrame =
     TimeMarts.growthMetrics(orders(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
-    TimeMarts.timeAnalytics(s, orders(s, d))
+    Mat.table(s, d, "time_analytics")(TimeMarts.timeAnalytics(s, orders(s, d)))
 
   def customerSegmentation(s: SparkSession, d: String): DataFrame =
-    SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d))
+    Mat.table(s, d, "customer_segmentation")(
+      SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d)))
 
   // ---- LLM-pipeline operators (documents / embeddings tables) ----
 
