@@ -114,7 +114,11 @@ class Registry {
     "customers" -> Seq(
       Simple("lifetime_spend_pretax", "lifetime_spend_pretax"),
       Simple("count_lifetime_orders", "count_lifetime_orders"),
-      Derived("average_order_value", "lifetime_spend_pretax / count_lifetime_orders",
+      // guarded: zero-order customers exist at larger SFs, and ANSI
+      // division by zero throws (Spark) / yields inf (DuckDB) — the
+      // CASE keeps both engines at NULL.
+      Derived("average_order_value",
+        "case when count_lifetime_orders <> 0 then lifetime_spend_pretax / count_lifetime_orders end",
         Seq(MetricInput("count_lifetime_orders"), MetricInput("lifetime_spend_pretax")))),
     // reference products.yml:86-110
     "products" -> Seq(

@@ -23,7 +23,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if str(s.dtype).startswith('datetime64'):
-            df[c] = s.dt.strftime('%Y-%m-%d %H:%M:%S.%f')
+            # NaT must normalize to None, matching parquet-side nulls
+            # (object columns hold None, datetime64 holds NaT -> 'nan').
+            df[c] = s.dt.strftime('%Y-%m-%d %H:%M:%S.%f').where(s.notna(), None)
             continue
         if s.dtype == object:
             nn = s.dropna()
