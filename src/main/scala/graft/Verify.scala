@@ -16,6 +16,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // independent mart subtrees build in parallel before the serial dump
+    try Models.prebuildMarts(spark, sfDir) catch { case _: Throwable => () }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

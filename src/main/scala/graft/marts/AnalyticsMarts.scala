@@ -4,27 +4,64 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.operators.Ranks
 
 /** Analytics marts: products / locations / supplies (SURVEY §2 A12-A18,
   * W2-W4, J8-J16; reference `models/marts/{products,locations,supplies}
   * .sql`). All money math is exact decimal internally; every ratio /
   * average is a single IEEE double op over exact inputs, mirrored
   * verbatim in the DuckDB oracle so both engines produce bit-identical
-  * float64. Global rank windows run over *aggregated dims* (thousands of
-  * rows, not facts), so the single-partition window is fine at any SF;
-  * each gets a unique-key tiebreak the reference lacks (determinism).
+  * float64.
+  *
+  * Global ranks: products and supplies are backed by dims that grow
+  * linearly with SF (TPC-H part = SF×200k rows), so their ranks use the
+  * two-phase range-partitioned [[graft.operators.Ranks.globalRank]] over
+  * a materialized core table (byte-identical to a global window, no
+  * single-partition stage). Only the genuinely bounded dims (25
+  * locations) keep the single-partition window form.
   */
 object AnalyticsMarts {
 
-  /** row_number with explicit nulls-last + unique tiebreak. */
+  /** row_number with explicit nulls-last + unique tiebreak. ONLY for
+    * dims bounded independent of data size (locations: 25 rows) — for
+    * SF-scaling dims use Ranks.globalRank. */
   private def rank1(metric: Column, tiebreak: Column): Column =
     row_number().over(Window.orderBy(metric.desc_nulls_last, tiebreak))
 
-  /** products mart (reference `products.sql:21-172`): A12 7-key perf
-    * rollup, W2 4 global ranks, A13 two-level seasonal/location rollups,
-    * J8-J10.
+  /** products mart rank stage (reference `products.sql:61-64` W2 +
+    * `:142-172` J10/tiers): four scalable global ranks over the
+    * materialized core, then the final projection. Each rank pass is a
+    * 2-column pruned scan of the core table.
     */
-  def products(stgProducts: DataFrame, orderItems: DataFrame, orders: DataFrame): DataFrame = {
+  def productsFinal(core: DataFrame): DataFrame = {
+    val keys = Seq("product_id", "product_name", "product_type", "brand",
+      "product_price", "is_promo_item", "is_economy_item")
+    Ranks.withGlobalRanks(core, "product_id", Seq(
+        "revenue_rank" -> col("total_revenue"),
+        "popularity_rank" -> col("total_quantity_sold"),
+        "profit_rank" -> col("total_profit"),
+        "margin_rank" -> col("profit_margin_ratio")))
+      .select(
+        keys.map(col) ++ Seq(
+          col("total_orders"), col("total_quantity_sold"), col("total_revenue"),
+          col("total_supply_cost"), col("total_profit"), col("profit_margin_ratio"),
+          col("avg_selling_price"), col("avg_supply_cost"),
+          col("revenue_rank"), col("popularity_rank"), col("profit_rank"), col("margin_rank"),
+          col("locations_sold_at"), col("best_location_revenue"), col("worst_location_revenue"),
+          col("peak_quarter_revenue"), col("low_quarter_revenue"),
+          col("avg_quarterly_revenue"), col("seasonality_index"),
+          when(col("revenue_rank") <= 5, lit("Top Performer"))
+            .when(col("revenue_rank") <= 10, lit("High Performer"))
+            .when(col("revenue_rank") <= 20, lit("Medium Performer"))
+            .otherwise(lit("Low Performer")).as("performance_tier")): _*)
+  }
+
+  /** products mart core (reference `products.sql:21-172` minus the rank
+    * columns): A12 7-key perf rollup, A13 two-level seasonal/location
+    * rollups, J8-J10, F6 backfills. Materialized (Mat barrier in Models)
+    * so the rank passes in [[productsFinal]] read a pruned parquet scan.
+    */
+  def productsCore(stgProducts: DataFrame, orderItems: DataFrame, orders: DataFrame): DataFrame = {
     val oi = orderItems.select(
       col("product_id"), col("order_id"), col("order_item_id"),
       col("product_price").as("item_price"),
@@ -63,14 +100,6 @@ object AnalyticsMarts {
           avgOf(col("rev_d"), col("total_quantity_sold")).as("avg_selling_price"),
           avgOf(col("cost_d"), col("total_quantity_sold")).as("avg_supply_cost")): _*)
 
-    // W2: four global product ranks (reference `products.sql:61-64`),
-    // deterministic via product_id tiebreak.
-    val ranked = perf
-      .withColumn("revenue_rank", rank1(col("total_revenue"), col("product_id")))
-      .withColumn("popularity_rank", rank1(col("total_quantity_sold"), col("product_id")))
-      .withColumn("profit_rank", rank1(col("total_profit"), col("product_id")))
-      .withColumn("margin_rank", rank1(col("profit_margin_ratio"), col("product_id")))
-
     // A13 level 1: per (product, quarter, month) (reference `:70-82`).
     val seasonal = oi.groupBy(
         col("product_id"),
@@ -106,8 +135,9 @@ object AnalyticsMarts {
         max(col("location_revenue")).cast("double").as("best_location_revenue"),
         min(col("location_revenue")).cast("double").as("worst_location_revenue"))
 
-    // J10 final 3-way + F6 backfill + performance tier (`:142-172`).
-    ranked
+    // J10 core 3-way + F6 backfill (`:142-172`; ranks/tier added in
+    // productsFinal over the materialized result).
+    perf
       .join(locSummary, Seq("product_id"), "left")
       .join(seasonalSummary, Seq("product_id"), "left")
       .select(
@@ -115,18 +145,13 @@ object AnalyticsMarts {
           col("total_orders"), col("total_quantity_sold"), col("total_revenue"),
           col("total_supply_cost"), col("total_profit"), col("profit_margin_ratio"),
           col("avg_selling_price"), col("avg_supply_cost"),
-          col("revenue_rank"), col("popularity_rank"), col("profit_rank"), col("margin_rank"),
           coalesce(col("locations_sold_at"), lit(0L)).as("locations_sold_at"),
           coalesce(col("best_location_revenue"), lit(0.0)).as("best_location_revenue"),
           coalesce(col("worst_location_revenue"), lit(0.0)).as("worst_location_revenue"),
           coalesce(col("peak_quarter_revenue"), lit(0.0)).as("peak_quarter_revenue"),
           coalesce(col("low_quarter_revenue"), lit(0.0)).as("low_quarter_revenue"),
           coalesce(col("avg_quarterly_revenue"), lit(0.0)).as("avg_quarterly_revenue"),
-          coalesce(col("seasonality_index"), lit(0.0)).as("seasonality_index"),
-          when(col("revenue_rank") <= 5, lit("Top Performer"))
-            .when(col("revenue_rank") <= 10, lit("High Performer"))
-            .when(col("revenue_rank") <= 20, lit("Medium Performer"))
-            .otherwise(lit("Low Performer")).as("performance_tier")): _*)
+          coalesce(col("seasonality_index"), lit(0.0)).as("seasonality_index")): _*)
   }
 
   /** locations mart (reference `locations.sql:21-156`): A14 4-key perf,
@@ -244,9 +269,11 @@ object AnalyticsMarts {
   /** supply_performance: A17 rollup over the J14 N:M fan-out join
     * (supplies: 2 cost rows per supplier × order_items per supplier —
     * reference `supplies.sql:21-55` joins supplies to order_items on
-    * product_id with the same fan-out shape).
+    * product_id with the same fan-out shape). Materialized (Mat barrier
+    * in Models): it feeds the supplies mart's rank/turnover/variance
+    * stages AND the supplier rollup, so each consumer is a pruned scan.
     */
-  private def supplyPerformance(stgSupplies: DataFrame, orderItems: DataFrame): DataFrame = {
+  def supplyPerformance(stgSupplies: DataFrame, orderItems: DataFrame): DataFrame = {
     val oi = orderItems.select(
       col("supplier_id"), col("order_id"), col("order_item_id"),
       col("product_price").as("item_price"),
@@ -290,14 +317,14 @@ object AnalyticsMarts {
     * "one row per supply" contract; we honor the contract), J16 final,
     * turnover + cost-variance analyses, 3 tier CASEs.
     */
-  def supplies(stgSupplies: DataFrame, orderItems: DataFrame): DataFrame = {
-    val perf = supplyPerformance(stgSupplies, orderItems)
-
-    val ranked = perf
-      .withColumn("usage_rank", rank1(col("total_usage_quantity"), col("supply_uuid")))
-      .withColumn("revenue_contribution_rank", rank1(col("revenue_generated"), col("supply_uuid")))
-      .withColumn("efficiency_rank", rank1(col("revenue_to_cost_ratio"), col("supply_uuid")))
-      .withColumn("cost_rank", rank1(col("total_supply_cost_incurred"), col("supply_uuid")))
+  def supplies(perf: DataFrame): DataFrame = {
+    // W4: four scalable global ranks (supplies dim = supplier × 2 grows
+    // with SF) over the materialized performance table.
+    val ranked = Ranks.withGlobalRanks(perf, "supply_uuid", Seq(
+      "usage_rank" -> col("total_usage_quantity"),
+      "revenue_contribution_rank" -> col("revenue_generated"),
+      "efficiency_rank" -> col("revenue_to_cost_ratio"),
+      "cost_rank" -> col("total_supply_cost_incurred")))
 
     // inventory turnover (reference `supplies.sql:99-121`).
     val turnover = perf.select(
@@ -353,13 +380,11 @@ object AnalyticsMarts {
     * select; registered here as its own driver-verified query).
     * Groups the per-supply-row performance up to the supplier name.
     */
-  def supplierRollup(stgSupplies: DataFrame, orderItems: DataFrame): DataFrame = {
-    val perf = supplyPerformance(stgSupplies, orderItems)
-      .select(col("supply_uuid"),
-        col("total_usage_quantity"), col("revenue_generated"),
-        col("total_supply_cost_incurred"))
-    stgSupplies
-      .join(perf, Seq("supply_uuid"), "left")
+  def supplierRollup(perf: DataFrame): DataFrame = {
+    // perf IS stg_supplies left-joined to its usage aggregates (same
+    // rows, same grain), so the rollup groups the materialized table
+    // directly — the old stg_supplies re-join was a 1:1 identity.
+    perf
       .groupBy("supply_name")
       .agg(
         countDistinct(col("supply_component")).as("components_supplied"),
