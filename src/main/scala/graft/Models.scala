@@ -116,6 +116,8 @@ object Models {
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
     operators.Sessions.sessionize(Tables.events(s, d))
+  def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.windowedEventCountsOnce(s, d)
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

@@ -59,6 +59,10 @@ object SparkEntry {
     "text_stats" -> out(Models.textStats),
     "media_features" -> out(Models.mediaFeatures),
     "sessionize" -> out(Models.sessionize),
+    // streaming surface: the windowed aggregation run through the real
+    // streaming engine (file source → watermark → state store →
+    // AvailableNow → memory sink), gated by its batch-twin oracle.
+    "stream_windowed_counts" -> out(Models.streamWindowedCounts),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -102,6 +106,7 @@ object SparkEntry {
     "text_stats" -> LlmSql.textStatsQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,
+    "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

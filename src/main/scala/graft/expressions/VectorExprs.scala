@@ -24,8 +24,14 @@ object VectorExprs {
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType)) ||
-        Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType])
+      // element type must be FLOAT exactly (containsNull irrelevant):
+      // eval reads via getFloat, so an array<double>/array<long> input
+      // would silently produce garbage instead of failing analysis
+      // (ADVICE r2).
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
       if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"dot_product needs two array<float> inputs, got ${left.dataType}, ${right.dataType}")
@@ -62,6 +68,14 @@ object VectorExprs {
     * < 48 with 1-based i, identical to the SQL formula in the oracle. */
   case class SignedProjection(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"signed_projection needs an array<float> input, got $t")
+      }
 
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[ArrayData]

@@ -46,15 +46,21 @@ object LlmSql {
   val minhashSignaturesQ: String =
     s"with $textCtes, $mhSigs select * from mh_sigs"
 
-  private val mhBands = (0 until Dedup.MinhashBands)
-    .map(b => s"select doc_id, $b as band, mh$b as v from mh_sigs")
+  // b×r banding (mirror Dedup.minhashPairs): 8 bands × 2 rows, bucket
+  // key = hex60 of "mh2b|mh2b+1", buckets capped at MinhashBucketCap.
+  private val mhBands = (0 until Dedup.MinhashPairBands)
+    .map(b => s"select doc_id, $b as band, " +
+      s"${hex60(s"cast(mh${2 * b} as varchar) || '|' || cast(mh${2 * b + 1} as varchar)")} as v from mh_sigs")
     .mkString("\nunion all\n")
 
   val minhashPairsQ: String =
     s"""with $textCtes, $mhSigs,
-       |mh_bands as ($mhBands)
+       |mh_bands as ($mhBands),
+       |mh_ok as (select band, v from mh_bands group by 1, 2
+       |          having count(*) <= ${Dedup.MinhashBucketCap}),
+       |mh_capped as (select mb.* from mh_bands mb join mh_ok using (band, v))
        |select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared_bands
-       |from mh_bands a join mh_bands b
+       |from mh_capped a join mh_capped b
        |  on a.band = b.band and a.v = b.v and a.doc_id < b.doc_id
        |group by 1, 2""".stripMargin
 
@@ -198,25 +204,44 @@ object LlmSql {
        |  from ivf_cand
        |) t where rank <= ${Similarity.TopK}""".stripMargin
 
-  private val coarseBucket = (0 until Similarity.NearDupBits)
-    .map(k => s"(case when p$k > 0 then cast(${1L << k} as bigint) else cast(0 as bigint) end)")
-    .mkString(" + ")
+  // mirror Similarity.embeddingDedupPairs: 4 bands × 8 hyperplane bits,
+  // per-band bucket cap, OR-probed candidates de-duplicated, exact
+  // cosine at the threshold.
+  private val ndNProj = Similarity.NearDupBands * Similarity.NearDupBandBits
+
+  private def ndBandSql(b: Int): String =
+    (0 until Similarity.NearDupBandBits).map { j =>
+      val k = b * Similarity.NearDupBandBits + j
+      s"(case when p$k > 0 then cast(${1L << j} as bigint) else cast(0 as bigint) end)"
+    }.mkString(" + ")
+
+  private val ndBands = (0 until Similarity.NearDupBands)
+    .map(b => s"select vec_id, $b as band, ${ndBandSql(b)} as bkt from nd_proj where nrm > 0")
+    .mkString("\nunion all\n")
 
   val embeddingDedupPairsQ: String =
     s"""with nd_proj as (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm,
-       |    ${(0 until Similarity.NearDupBits).map(k => s"${projSql(k)} as p$k").mkString(",\n    ")}
+       |    ${(0 until ndNProj).map(k => s"${projSql(k)} as p$k").mkString(",\n    ")}
        |  from embeddings
        |),
-       |nd_buckets as (
-       |  select vec_id, embedding, nrm, $coarseBucket as bucket
-       |  from nd_proj where nrm > 0
+       |nd_base as (select vec_id, embedding, nrm from nd_proj where nrm > 0),
+       |nd_bands as ($ndBands),
+       |nd_ok as (select band, bkt from nd_bands group by 1, 2
+       |          having count(*) <= ${Similarity.NearDupBucketCap}),
+       |nd_capped as (select nb.* from nd_bands nb join nd_ok using (band, bkt)),
+       |nd_cand as (
+       |  select distinct x.vec_id as vec_a, y.vec_id as vec_b
+       |  from nd_capped x join nd_capped y
+       |    on x.band = y.band and x.bkt = y.bkt and x.vec_id < y.vec_id
        |)
-       |select a.vec_id as vec_a, b.vec_id as vec_b,
-       |  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) as cosine
-       |from nd_buckets a join nd_buckets b
-       |  on a.bucket = b.bucket and a.vec_id < b.vec_id
-       |where ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= ${Similarity.NearDupCosine}""".stripMargin
+       |select vec_a, vec_b, cosine from (
+       |  select c.vec_a, c.vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) as cosine
+       |  from nd_cand c
+       |  join nd_base a on c.vec_a = a.vec_id
+       |  join nd_base b on c.vec_b = b.vec_id
+       |) t where cosine >= ${Similarity.NearDupCosine}""".stripMargin
 
   private def hits(vals: Seq[String]): String =
     s"len(list_filter(w, x -> x in (${vals.map(v => s"'$v'").mkString(", ")})))"

@@ -44,10 +44,37 @@ object Planner {
     case ByEntity(e) => e
   }
 
+  /** Time-grain groups span partitions, so a Sum/Avg/Cumulative over a
+    * double-typed measure would fold IEEE doubles in partition order —
+    * nondeterministic and free to drift from the oracle's sequential
+    * sum (ADVICE r2). Exact types (decimal/integral) are associative;
+    * Median sorts (order-independent). Reject the flaky combination at
+    * compile time: the fix is a decimal cast in the measure expr (see
+    * the time_analytics daily_revenue measure). Entity grains are
+    * exempt only because their groups are single mart rows. */
+  private def requireExactForTimeGrain(model: SemanticModel, metrics: Seq[Metric], df: DataFrame): Unit = {
+    def check(measName: String): Unit = {
+      val m = model.measure(measName)
+      if (m.agg == Sum || m.agg == Avg) {
+        val t = df.select(expr(m.exprSql)).schema.head.dataType
+        require(t != org.apache.spark.sql.types.DoubleType &&
+          t != org.apache.spark.sql.types.FloatType,
+          s"measure $measName sums/averages a $t at a time grain — " +
+            "partition-order dependent; cast the measure expr to an exact decimal")
+      }
+    }
+    metrics.foreach {
+      case Simple(_, meas, _) => check(meas)
+      case Cumulative(_, meas) => check(meas)
+      case _ => ()
+    }
+  }
+
   /** Resolve a metric name to its aggregate columns. Simple/Ratio
     * compile inline; Derived/Cumulative are handled in `savedQuery`. */
   def compile(model: SemanticModel, metrics: Seq[Metric], df: DataFrame, g: GroupBy): DataFrame = {
     val gName = groupName(g)
+    if (g.isInstanceOf[ByTime]) requireExactForTimeGrain(model, metrics, df)
 
     val simpleAggs: Seq[(String, Column)] = metrics.flatMap {
       case Simple(n, meas, f) => Seq(n -> aggCol(model, model.measure(meas), f).as(n))

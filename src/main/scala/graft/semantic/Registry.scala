@@ -193,7 +193,11 @@ class Registry {
     SavedQuery("metric_cumulative_revenue", "order_items",
       Seq("cumulative_revenue"), ByTime("day")),
     SavedQuery("metric_large_orders", "orders",
-      Seq("large_orders"), ByTime("month")))
+      Seq("large_orders"), ByTime("month")),
+    // week grain (both engines truncate to Monday) — covers the one
+    // planner grain no reference saved query exercises (VERDICT r2 #9)
+    SavedQuery("metric_weekly_orders", "orders",
+      Seq("orders", "order_total"), ByTime("week")))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))

@@ -21,7 +21,7 @@ class LlmSpec extends SparkSpec {
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() === 0)
     assert(pairs.count() > 0)
     assert(expressionIsTrue(pairs,
-      col("n_shared_bands").between(1, llm.Dedup.MinhashBands)) === 0)
+      col("n_shared_bands").between(1, llm.Dedup.MinhashPairBands)) === 0)
   }
 
   test("simhash: 32-bit signatures within range") {

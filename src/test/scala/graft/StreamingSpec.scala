@@ -76,6 +76,14 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming one-shot over events table equals its batch twin") {
+    val streamed = Models.streamWindowedCounts(spark, sf)
+    val batch = Streams.windowedEventCounts(Tables.events(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("batch sessionize: sequential sessions reconstruct per-user event counts") {
     val s = Models.sessionize(spark, sf)
     val total = s.agg(sum("n_events")).head.getLong(0)
