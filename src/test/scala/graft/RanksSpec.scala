@@ -30,6 +30,22 @@ class RanksSpec extends SparkSpec {
     assert(fast.count() === 10000)
   }
 
+  test("products/supplies builds contain no global (unpartitioned) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val productsBuild = graft.marts.AnalyticsMarts.productsFinal(
+      graft.marts.AnalyticsMarts.productsCore(
+        Models.stgProducts(spark, sf), Models.orderItems(spark, sf), Models.orders(spark, sf)))
+    val suppliesBuild = graft.marts.AnalyticsMarts.supplies(
+      graft.marts.AnalyticsMarts.supplyPerformance(
+        Models.stgSupplies(spark, sf), Models.orderItems(spark, sf)))
+    for (df <- Seq(productsBuild, suppliesBuild)) {
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"unpartitioned Window in plan: $global")
+    }
+  }
+
   test("globalRank ranks are a dense permutation of 1..N") {
     val df = spark.range(500).select(col("id"), (col("id") % 7).cast("double").as("m"))
     val r = Ranks.globalRank(df, "id", col("m"), "rk")
