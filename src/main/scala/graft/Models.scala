@@ -100,6 +100,8 @@ object Models {
     llm.Dedup.minhashPairs(minhashSignatures(s, d))
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
     llm.Dedup.simhashSignatures(Tables.documents(s, d))
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.simhashPairs(simhashSignatures(s, d))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.ngramJaccardPairs(docShingles(s, d))
   def annCosineTopK(s: SparkSession, d: String): DataFrame =

@@ -51,6 +51,7 @@ object SparkEntry {
     "minhash_signatures" -> out(Models.minhashSignatures),
     "minhash_pairs" -> out(Models.minhashPairs),
     "simhash_signatures" -> out(Models.simhashSignatures),
+    "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
@@ -98,6 +99,7 @@ object SparkEntry {
     "minhash_signatures" -> LlmSql.minhashSignaturesQ,
     "minhash_pairs" -> LlmSql.minhashPairsQ,
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
+    "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,

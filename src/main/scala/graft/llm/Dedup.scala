@@ -133,6 +133,39 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-dup blocking: a pair within Hamming distance d of a
+    * 32-bit signature must agree EXACTLY on at least one of 4 8-bit
+    * bands whenever d ≤ 3 (pigeonhole — the classic Manku/Jain/Sarma
+    * web-dedup construction), so banding finds every such pair without
+    * an all-pairs scan. Buckets are capped like the MinHash path. */
+  val SimhashPairBands = 4
+  val SimhashMaxHamming = 3
+  val SimhashBucketCap = 128
+
+  /** SimHash near-duplicate pairs: band-blocked candidates (exact match
+    * on any 8-bit signature slice, capped buckets, OR across bands),
+    * then the exact Hamming-distance filter via bit_count(xor). Takes
+    * the signature table (doc_id, simhash). */
+  def simhashPairs(sigs: DataFrame): DataFrame = {
+    val slices = (0 until SimhashPairBands).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(slices: _*)).as(Seq("band", "v")))
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= SimhashBucketCap).select("band", "v")
+    val capped = bands.join(ok, Seq("band", "v"), "left_semi")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
   val JaccardDocFreqCap = 10
   val JaccardMinIntersection = 2
 

@@ -23,6 +23,12 @@ object TextStats {
   val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   val FingerprintMod = 1000000007L
 
+  /** BPE-ish pre-tokenizer regex (GPT-2-style split shape: letter runs,
+    * digit runs, punctuation runs — each absorbing one leading space —
+    * plus residual whitespace). Deliberately lookahead-free so the Java
+    * regex engine (Spark) and RE2 (DuckDB) count identical matches. */
+  val BpeTokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   private val EnWords = Seq("the", "and", "of")
   private val FrWords = Seq("le", "la", "et")
   private val DeWords = Seq("der", "und", "die")
@@ -90,6 +96,7 @@ object TextStats {
       col("doc_id"),
       nWords.cast("long").as("n_words"),
       ceil(col("n_chars").cast("double") / lit(4.0)).cast("long").as("n_tokens_est"),
+      regexp_count(col("text"), lit(BpeTokenRegex)).cast("long").as("n_tokens_bpe"),
       when(nWords > 0,
         length(concat_ws("", w)).cast("double") / nWords.cast("double"))
         .otherwise(lit(0.0)).as("avg_word_len"),

@@ -82,6 +82,37 @@ object LlmSql {
        |)
        |select doc_id, $shSig as simhash from sim_sums""".stripMargin
 
+  // mirror Dedup.simhashPairs: 4 8-bit signature slices, capped
+  // buckets, OR-probed candidates, exact Hamming via bit_count(xor).
+  private val shBands = (0 until Dedup.SimhashPairBands)
+    .map(b => s"select doc_id, simhash, $b as band, (simhash >> ${b * 8}) & 255 as v from sim_sig")
+    .mkString("\nunion all\n")
+
+  val simhashPairsQ: String =
+    s"""with $textCtes,
+       |sim_words as (select doc_id, unnest(w) as word from doc_words),
+       |sim_hashes as (select doc_id, ${hex60("word")} as h from sim_words),
+       |sim_sums as (
+       |  select doc_id,
+       |    $shSums
+       |  from sim_hashes group by 1
+       |),
+       |sim_sig as (select doc_id, $shSig as simhash from sim_sums),
+       |sh_bands as ($shBands),
+       |sh_ok as (select band, v from sh_bands group by 1, 2
+       |          having count(*) <= ${Dedup.SimhashBucketCap}),
+       |sh_capped as (select sb.* from sh_bands sb join sh_ok using (band, v)),
+       |sh_cand as (
+       |  select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       |    a.simhash as simhash_a, b.simhash as simhash_b
+       |  from sh_capped a join sh_capped b
+       |    on a.band = b.band and a.v = b.v and a.doc_id < b.doc_id
+       |)
+       |select doc_a, doc_b, simhash_a, simhash_b, hamming from (
+       |  select *, cast(bit_count(xor(simhash_a, simhash_b)) as bigint) as hamming
+       |  from sh_cand
+       |) t where hamming <= ${Dedup.SimhashMaxHamming}""".stripMargin
+
   val ngramJaccardPairsQ: String =
     s"""with $textCtes,
        |doc_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),
@@ -277,6 +308,7 @@ object LlmSql {
        |select doc_id,
        |  cast(n_words as bigint) as n_words,
        |  cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens_est,
+       |  cast(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}')) as bigint) as n_tokens_bpe,
        |  case when n_words > 0 then cast(len(array_to_string(w, '')) as double) / cast(n_words as double) else 0.0 end as avg_word_len,
        |  stopword_ratio, digit_ratio, punct_ratio,
        |  0.3 * least(1.0, cast(n_words as double) / 100.0) + 0.4 * stopword_ratio + 0.3 * (1.0 - digit_ratio) as quality_score,

@@ -31,6 +31,24 @@ class LlmSpec extends SparkSpec {
       col("simhash") >= 0L && col("simhash") < (1L << 32)) === 0)
   }
 
+  test("simhash pairs: ordered, Hamming-bounded, and complete for d<=3") {
+    val p = Models.simhashPairs(spark, sf)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(expressionIsTrue(p,
+      col("hamming").between(0, llm.Dedup.SimhashMaxHamming)) === 0)
+    // pigeonhole completeness: any pair within Hamming 3 of a 32-bit
+    // signature agrees on >=1 of the 4 bands, so banding finds every
+    // all-pairs hit (spot-check on a sample; no bucket exceeds the cap
+    // at this scale, so the cap costs no recall here).
+    val sigs = Models.simhashSignatures(spark, sf).limit(200)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= llm.Dedup.SimhashMaxHamming)
+    val found = p.select("doc_a", "doc_b")
+    assert(brute.select("doc_a", "doc_b").exceptAll(found).count() === 0)
+  }
+
   test("ngram jaccard: estimates within (0,1], pairs ordered") {
     val p = Models.ngramJaccardPairs(spark, sf)
     assert(p.count() > 0)
