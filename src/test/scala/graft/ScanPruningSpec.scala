@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Evidence that the declarative staging layer keeps Catalyst's scan
+  * optimizations intact: a narrow projection prunes the parquet
+  * ReadSchema to the referenced physical columns, and a filter on a
+  * renamed column pushes down to the scan as a data filter on the
+  * underlying parquet column.
+  */
+class ScanPruningSpec extends SparkSpec {
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+
+  test("column pruning: 2-column projection reads 2 physical columns") {
+    // stg_orders derives order_id from o_orderkey and order_total from
+    // o_totalprice; selecting them must not read the other 7 columns.
+    val df = Models.stgOrders(spark, sf).select("order_id", "order_total")
+    val read = scanOf(df).requiredSchema.fieldNames.toSet
+    assert(read === Set("o_orderkey", "o_totalprice"))
+  }
+
+  test("filter pushdown: renamed-column predicate reaches the scan") {
+    val df = Models.stgOrders(spark, sf)
+      .filter(col("order_id") === 42L).select("order_id")
+    val pushed = scanOf(df).dataFilters.mkString(",")
+    assert(pushed.contains("o_orderkey"), s"filter not pushed: $pushed")
+  }
+}
