@@ -52,13 +52,22 @@ object OracleGen {
       case _ => Nil
     }.distinct.filterNot(q.metrics.contains).map(registry.metric(q.model, _))
     val all = requested ++ deps
-    val (gExpr, gName) = groupSql(model, q.groupBy)
+    val groups = q.groupBys.map(groupSql(model, _))   // (expr, name) per dim
+    val gNames = groups.map(_._2)
+    val timeExprName = q.groupBys.zip(groups).collectFirst {
+      case (_: ByTime, (e, n)) => (e, n)
+    }
+    val entityGroups = q.groupBys.zip(groups).collect {
+      case (_: ByEntity, g) => g
+    }
 
     def simpleAgg(name: String): String = all.collectFirst {
       case Simple(`name`, meas, f) => aggSql(model.measure(meas), f)
     }.getOrElse(sys.error(s"metric $name not resolvable in ${q.name}"))
 
-    // base aggregation: every Simple/Ratio/Cumulative output.
+    // base aggregation: every Simple/Ratio/Cumulative output. The
+    // cumulative window mirrors the Planner: partition by the non-time
+    // dims, order by the time expression.
     val baseCols = all.flatMap {
       case Simple(n, meas, f) => Seq(s"${aggSql(model.measure(meas), f)} as $n")
       case Ratio(n, num, den) =>
@@ -66,24 +75,31 @@ object OracleGen {
         Seq(s"case when ($dn) <> 0 then (${simpleAgg(num)}) / ($dn) end as $n")
       case Cumulative(n, meas) =>
         val m = model.measure(meas)
-        Seq(s"cast(sum(sum(${m.exprSql})) over (order by $gExpr rows between unbounded preceding and current row) as double) as $n")
+        val t = timeExprName.getOrElse(sys.error(s"cumulative $n needs time grouping"))._1
+        val part = if (entityGroups.isEmpty) ""
+          else s"partition by ${entityGroups.map(_._1).mkString(", ")} "
+        Seq(s"cast(sum(sum(${m.exprSql})) over (${part}order by $t rows between unbounded preceding and current row) as double) as $n")
       case Derived(_, _, _) => Nil
     }
     val base =
       s"""sq_base as (
-         |  select $gExpr as $gName,
+         |  select ${groups.map { case (e, n) => s"$e as $n" }.mkString(", ")},
          |    ${baseCols.mkString(",\n    ")}
          |  from ${cteOf(q.model)}
-         |  group by 1
+         |  group by ${(1 to groups.size).mkString(", ")}
          |)""".stripMargin
 
     // offset CTEs + the final select with derived expressions.
     val deriveds = all.collect { case d: Derived => d }
     val offsetCtes = deriveds.flatMap(d => d.inputs.filter(_.offsetMonths > 0).map { in =>
       val alias = in.alias.getOrElse(in.metric)
+      val tName = timeExprName.getOrElse(sys.error(s"offset $alias needs time grouping"))._2
+      val shiftedCols =
+        s"cast(($tName + interval ${in.offsetMonths} month) as date) as $tName" +:
+          entityGroups.map(g => g._2)
       (alias,
         s"""sq_off_$alias as (
-           |  select cast(($gName + interval ${in.offsetMonths} month) as date) as $gName,
+           |  select ${shiftedCols.mkString(", ")},
            |    ${in.metric} as $alias
            |  from sq_base
            |)""".stripMargin)
@@ -107,7 +123,7 @@ object OracleGen {
     }
 
     val joins = offsetCtes.map { case (alias, _) =>
-      s"left join sq_off_$alias using ($gName)"
+      s"left join sq_off_$alias using (${gNames.mkString(", ")})"
     }.mkString("\n")
 
     val withPrefix =
@@ -115,7 +131,7 @@ object OracleGen {
       else s"$ctes,\n$base${offsetCtes.map(c => ",\n" + c._2).mkString}"
 
     s"""$withPrefix
-       |select sq_base.$gName, ${finalCols.mkString(", ")}
+       |select ${gNames.map(n => s"sq_base.$n").mkString(", ")}, ${finalCols.mkString(", ")}
        |from sq_base
        |$joins""".stripMargin
   }

@@ -71,10 +71,16 @@ object Planner {
   }
 
   /** Resolve a metric name to its aggregate columns. Simple/Ratio
-    * compile inline; Derived/Cumulative are handled in `savedQuery`. */
-  def compile(model: SemanticModel, metrics: Seq[Metric], df: DataFrame, g: GroupBy): DataFrame = {
-    val gName = groupName(g)
-    if (g.isInstanceOf[ByTime]) requireExactForTimeGrain(model, metrics, df)
+    * compile inline; Derived/Cumulative are handled in `savedQuery`.
+    * Multiple dimensions group together in the same hash aggregation;
+    * offset joins carry the full dimension key, and cumulative windows
+    * PARTITION by the non-time dimensions (keyed window — with a second
+    * dimension present the running total never needs a global sort). */
+  def compile(model: SemanticModel, metrics: Seq[Metric], df: DataFrame, gs: Seq[GroupBy]): DataFrame = {
+    val gNames = gs.map(groupName)
+    val timeName = gs.collectFirst { case g: ByTime => groupName(g) }
+    val entityNames = gNames.filterNot(timeName.contains)
+    if (timeName.isDefined) requireExactForTimeGrain(model, metrics, df)
 
     val simpleAggs: Seq[(String, Column)] = metrics.flatMap {
       case Simple(n, meas, f) => Seq(n -> aggCol(model, model.measure(meas), f).as(n))
@@ -101,7 +107,7 @@ object Planner {
         Nil
     }
 
-    val grouped = df.groupBy(groupCol(model, g))
+    val grouped = df.groupBy(gs.map(groupCol(model, _)): _*)
       .agg(simpleAggs.head._2, simpleAggs.tail.map(_._2): _*)
 
     // Derived (M5/M6) and Cumulative (M7) post-processing.
@@ -113,22 +119,25 @@ object Planner {
             if (alias == in.metric) a
             else a.withColumn(alias, col(in.metric))
           } else {
-            require(g.isInstanceOf[ByTime], s"offset metric $n needs time grouping")
+            val t = timeName.getOrElse(sys.error(s"offset metric $n needs time grouping"))
+            // shift the time key, carry the full dimension key through
             val shifted = acc.select(
-              add_months(col(gName), in.offsetMonths).as(gName),
-              col(in.metric).as(alias))
-            a.join(shifted, Seq(gName), "left")
+              (add_months(col(t), in.offsetMonths).as(t) +:
+                (entityNames.map(col) :+ col(in.metric).as(alias))): _*)
+            a.join(shifted, gNames, "left")
           }
         }
         withIn.withColumn(n, expr(e))
       case (acc, Cumulative(n, _)) =>
-        val w = Window.orderBy(col(gName)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = timeName.getOrElse(sys.error(s"cumulative metric $n needs time grouping"))
+        val w = Window.partitionBy(entityNames.map(col): _*)
+          .orderBy(col(t)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         acc.withColumn(n, sum(col(s"__base_$n")).over(w).cast("double"))
       case (acc, _) => acc
     }
 
-    // project: group col + requested metrics (drop derived scaffolding)
-    withOffsets.select((col(gName) +: metrics.map(m => col(m.name))): _*)
+    // project: group cols + requested metrics (drop derived scaffolding)
+    withOffsets.select((gNames.map(col) ++ metrics.map(m => col(m.name))): _*)
   }
 
   def savedQuery(q: SavedQuery, registry: Registry, df: DataFrame): DataFrame = {
@@ -141,8 +150,8 @@ object Planner {
       case _ => Nil
     }.distinct.filterNot(q.metrics.contains).map(registry.metric(q.model, _))
     val all = metrics ++ deps
-    val out = compile(model, all, df, q.groupBy)
-    out.select((col(Planner.nameOf(q.groupBy)) +: q.metrics.map(col)): _*)
+    val out = compile(model, all, df, q.groupBys)
+    out.select((q.groupBys.map(g => col(groupName(g))) ++ q.metrics.map(col)): _*)
   }
 
   def nameOf(g: GroupBy): String = groupName(g)

@@ -157,47 +157,54 @@ class Registry {
   val savedQueries: Seq[SavedQuery] = Seq(
     SavedQuery("order_metrics", "orders",
       Seq("orders", "new_customer_orders", "order_total", "promo_orders", "returned_orders"),
-      ByTime("day")),
+      Seq(ByTime("day"))),
     SavedQuery("revenue_metrics", "order_items",
-      Seq("revenue", "promo_revenue", "economy_revenue"), ByTime("day")),
+      Seq("revenue", "promo_revenue", "economy_revenue"), Seq(ByTime("day"))),
     SavedQuery("customer_order_metrics", "customers",
       Seq("count_lifetime_orders", "lifetime_spend_pretax", "average_order_value"),
-      ByEntity("customer")),
+      Seq(ByEntity("customer"))),
     SavedQuery("product_performance_metrics", "products",
       Seq("product_revenue", "product_profit", "product_count", "avg_profit_margin"),
-      ByEntity("product")),
+      Seq(ByEntity("product"))),
     SavedQuery("location_performance_metrics", "locations",
       Seq("location_revenue", "location_profit", "location_count", "avg_location_order_value"),
-      ByEntity("location")),
+      Seq(ByEntity("location"))),
     SavedQuery("supply_chain_metrics", "supplies",
       Seq("supply_cost", "supply_revenue", "supply_count", "avg_supply_efficiency"),
-      ByEntity("supply")),
+      Seq(ByEntity("supply"))),
     SavedQuery("customer_segmentation_metrics", "customer_segmentation",
       Seq("customer_segments", "avg_customer_rfm_score", "avg_customer_lifetime_value",
         "high_value_customers"),
-      ByEntity("customer")),
+      Seq(ByEntity("customer"))),
     SavedQuery("time_analytics_metrics", "time_analytics",
       Seq("total_daily_orders", "total_daily_revenue", "total_daily_profit", "avg_daily_customers"),
-      ByTime("month")),
+      Seq(ByTime("month"))),
     // metric-type demos: M3 filter, M4 ratio, M2 median
     SavedQuery("metric_revenue_pct", "order_items",
-      Seq("promo_revenue_pct", "economy_revenue_pct"), ByTime("day")),
+      Seq("promo_revenue_pct", "economy_revenue_pct"), Seq(ByTime("day"))),
     SavedQuery("metric_median_revenue", "order_items",
-      Seq("median_revenue"), ByTime("month")),
+      Seq("median_revenue"), Seq(ByTime("month"))),
     // M6 offset + M5 derived
     SavedQuery("metric_revenue_growth_mom", "order_items",
-      Seq("revenue_growth_mom"), ByTime("month")),
+      Seq("revenue_growth_mom"), Seq(ByTime("month"))),
     SavedQuery("metric_order_gross_profit", "order_items",
-      Seq("order_gross_profit"), ByTime("day")),
+      Seq("order_gross_profit"), Seq(ByTime("day"))),
     // M7 cumulative
     SavedQuery("metric_cumulative_revenue", "order_items",
-      Seq("cumulative_revenue"), ByTime("day")),
+      Seq("cumulative_revenue"), Seq(ByTime("day"))),
     SavedQuery("metric_large_orders", "orders",
-      Seq("large_orders"), ByTime("month")),
+      Seq("large_orders"), Seq(ByTime("month"))),
     // week grain (both engines truncate to Monday) — covers the one
     // planner grain no reference saved query exercises (VERDICT r2 #9)
     SavedQuery("metric_weekly_orders", "orders",
-      Seq("orders", "order_total"), ByTime("week")))
+      Seq("orders", "order_total"), Seq(ByTime("week"))),
+    // multi-dimension group-bys (MetricFlow's general shape): time ×
+    // entity in one hash aggregation; the cumulative variant runs its
+    // running total as a KEYED window partitioned by product.
+    SavedQuery("metric_revenue_by_product_month", "order_items",
+      Seq("revenue"), Seq(ByTime("month"), ByEntity("product"))),
+    SavedQuery("metric_cumulative_revenue_by_product", "order_items",
+      Seq("cumulative_revenue"), Seq(ByTime("month"), ByEntity("product"))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))

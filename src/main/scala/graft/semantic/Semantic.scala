@@ -59,7 +59,13 @@ object Spec {
   /** Entity('name'). */
   case class ByEntity(entity: String) extends GroupBy
 
-  /** M8: saved query = metrics + group_by over one semantic model,
-    * exported as a table. */
-  case class SavedQuery(name: String, model: String, metrics: Seq[String], groupBy: GroupBy)
+  /** M8: saved query = metrics + group_bys over one semantic model,
+    * exported as a table. Multiple dimensions compose (e.g. time ×
+    * entity); at most one ByTime (offset/cumulative metrics anchor to
+    * it, partitioned by the remaining dimensions). */
+  case class SavedQuery(name: String, model: String, metrics: Seq[String], groupBys: Seq[GroupBy]) {
+    require(groupBys.nonEmpty, s"saved query $name needs at least one group_by")
+    require(groupBys.count(_.isInstanceOf[ByTime]) <= 1,
+      s"saved query $name: at most one time dimension")
+  }
 }

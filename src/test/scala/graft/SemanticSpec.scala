@@ -10,11 +10,39 @@ class SemanticSpec extends SparkSpec {
   test("M8: every saved query compiles and returns one row per group key") {
     Registry.savedQueries.foreach { q =>
       val df = Models.semanticQuery(q.name)(spark, sf)
-      val gName = graft.semantic.Planner.nameOf(q.groupBy)
-      assert(df.columns.head === gName, q.name)
-      assert(df.groupBy(gName).count().filter(col("count") > 1).count() === 0, q.name)
+      val gNames = q.groupBys.map(graft.semantic.Planner.nameOf)
+      assert(df.columns.take(gNames.size).toSeq === gNames, q.name)
+      assert(df.groupBy(gNames.map(col): _*).count()
+        .filter(col("count") > 1).count() === 0, q.name)
       assert(df.count() > 0, q.name)
     }
+  }
+
+  test("multi-dimension group-by: time x entity totals reconcile") {
+    val df = Models.semanticQuery("metric_revenue_by_product_month")(spark, sf)
+    assert(df.columns.toSeq === Seq("metric_time", "product", "revenue"))
+    // summing the per-product monthly revenue over products reproduces
+    // the single-dim monthly revenue (both exact-decimal sums)
+    val perMonth = df.groupBy("metric_time")
+      .agg(sum(col("revenue").cast("decimal(18,2)")).as("r"))
+    val oneDim = Models.semanticQuery("metric_median_revenue")(spark, sf) // month grain rows
+    assert(perMonth.count() === oneDim.count())
+    val monthly = Models.orderItems(spark, sf)
+      .groupBy(date_trunc("month", col("ordered_at")).cast("date").as("metric_time"))
+      .agg(sum(col("product_price")).cast("decimal(18,2)").as("expected"))
+    val bad = perMonth.join(monthly, Seq("metric_time"))
+      .filter(col("r") =!= col("expected")).count()
+    assert(bad === 0)
+  }
+
+  test("multi-dimension cumulative: running total is keyed per product") {
+    val df = Models.semanticQuery("metric_cumulative_revenue_by_product")(spark, sf)
+    // within each product the cumulative is monotone over months
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("product").orderBy("metric_time")
+    val bad = df.withColumn("prev", lag(col("cumulative_revenue"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cumulative_revenue") < col("prev")).count()
+    assert(bad === 0)
   }
 
   test("M3: filtered metric <= unfiltered metric") {
