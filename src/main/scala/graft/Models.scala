@@ -151,7 +151,7 @@ object Models {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = Mat.ec
     val roots: Seq[(SparkSession, String) => DataFrame] = Seq(
-      customers _, products _, supplies _, timeAnalytics _,
+      customers _, products _, locations _, supplies _, timeAnalytics _,
       customerSegmentation _, minhashSignatures _)
     val futs = roots.map(f => Future(f(s, d)))
     futs.foreach(f =>
