@@ -98,8 +98,10 @@ object Models {
     Mat.table(s, d, "minhash_sigs")(llm.Dedup.minhashSignatures(docShingles(s, d)))
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.minhashPairs(minhashSignatures(s, d))
+  /** Materialized like the minhash signatures: the pairs query reads
+    * the table three times (band explode + both self-join sides). */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    llm.Dedup.simhashSignatures(Tables.documents(s, d))
+    Mat.table(s, d, "simhash_sigs")(llm.Dedup.simhashSignatures(Tables.documents(s, d)))
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.simhashPairs(simhashSignatures(s, d))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -152,7 +154,7 @@ object Models {
     implicit val ec: scala.concurrent.ExecutionContext = Mat.ec
     val roots: Seq[(SparkSession, String) => DataFrame] = Seq(
       customers _, products _, locations _, supplies _, timeAnalytics _,
-      customerSegmentation _, minhashSignatures _)
+      customerSegmentation _, minhashSignatures _, simhashSignatures _)
     val futs = roots.map(f => Future(f(s, d)))
     futs.foreach(f =>
       try Await.result(f, Duration.Inf)
