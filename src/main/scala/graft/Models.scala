@@ -105,7 +105,8 @@ object Models {
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.simhashPairs(simhashSignatures(s, d))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    llm.Dedup.ngramJaccardPairs(docShingles(s, d))
+    llm.Dedup.ngramJaccardPairs(
+      Mat.table(s, d, "doc_shingle_keys")(llm.Dedup.docShingleKeys(docShingles(s, d))))
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
   def annLshBuckets(s: SparkSession, d: String): DataFrame =

@@ -169,15 +169,21 @@ object Dedup {
   val JaccardDocFreqCap = 10
   val JaccardMinIntersection = 2
 
+  /** Distinct (doc_id, 60-bit shingle-hash key) pairs — the Jaccard
+    * path joins on the 8-byte hash, never the shingle string, so the
+    * pair-join shuffle ships 8-byte keys. Both engines use the same
+    * md5-derived hash, so even a (≈2^-30) collision would be mirrored
+    * exactly. Materialized at the Models layer: ngramJaccardPairs reads
+    * it 4× (sizes, blocking, both join sides) and the md5+distinct must
+    * not re-run per reference. */
+  def docShingleKeys(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), hex60(col("sh")).as("shk")).distinct()
+
   /** n-gram Jaccard candidate pairs with rare-shingle blocking: only
     * shingles appearing in ≤ cap documents join; the reported value is
     * the blocked-intersection Jaccard estimate. Takes the materialized
-    * shingle table (read 4× here — sizes, blocking, both join sides). */
-  def ngramJaccardPairs(shingled: DataFrame): DataFrame = {
-    // join on the 60-bit shingle hash, not the string: the pair-join
-    // shuffle ships 8-byte keys. Both engines use the same md5-derived
-    // hash, so even a (≈2^-30) collision would be mirrored exactly.
-    val docSh = shingled.select(col("doc_id"), hex60(col("sh")).as("shk")).distinct()
+    * shingle-KEY table. */
+  def ngramJaccardPairs(docSh: DataFrame): DataFrame = {
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = docSh.groupBy("shk")
       .agg(countDistinct(col("doc_id")).as("df"))
