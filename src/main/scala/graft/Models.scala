@@ -104,9 +104,11 @@ object Models {
     Mat.table(s, d, "simhash_sigs")(llm.Dedup.simhashSignatures(Tables.documents(s, d)))
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.simhashPairs(simhashSignatures(s, d))
+  /** Distinct hashed shingle keys — read 4× by the Jaccard pair query. */
+  private def docShingleKeys(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "doc_shingle_keys")(llm.Dedup.docShingleKeys(docShingles(s, d)))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    llm.Dedup.ngramJaccardPairs(
-      Mat.table(s, d, "doc_shingle_keys")(llm.Dedup.docShingleKeys(docShingles(s, d))))
+    llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d))
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
   def annLshBuckets(s: SparkSession, d: String): DataFrame =
@@ -155,7 +157,8 @@ object Models {
     implicit val ec: scala.concurrent.ExecutionContext = Mat.ec
     val roots: Seq[(SparkSession, String) => DataFrame] = Seq(
       customers _, products _, locations _, supplies _, timeAnalytics _,
-      customerSegmentation _, minhashSignatures _, simhashSignatures _)
+      customerSegmentation _, minhashSignatures _, simhashSignatures _,
+      docShingleKeys _)
     val futs = roots.map(f => Future(f(s, d)))
     futs.foreach(f =>
       try Await.result(f, Duration.Inf)
