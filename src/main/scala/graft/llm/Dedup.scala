@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** First 60 bits of md5 as a non-negative long — the shared hash
-    * primitive (DuckDB: `cast('0x' || substr(md5(x),1,15) as bigint)`). */
+    * primitive (DuckDB: `cast('0x' || substr(md5(x),1,15) as bigint)`).
+    * Native digest→long expression (graft.expressions.TextExprs):
+    * bit-identical to `conv(substring(md5(c),1,15),16,10)` without the
+    * hex-string/substring/radix-parse allocations — the MinHash path
+    * evaluates this 16× per shingle. */
   def hex60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.expressions.TextExprs.md5_prefix60(c)
 
   /** Whitespace tokens with empties dropped. */
   def words(text: Column): Column =
