@@ -119,6 +119,10 @@ object Models {
     llm.Similarity.annIvfTopK(Tables.embeddings(s, d))
   def textStats(s: SparkSession, d: String): DataFrame =
     llm.TextStats.textStats(Tables.documents(s, d))
+  /** End-to-end curation pipeline over the shared dedup/stats models. */
+  def corpusCuration(s: SparkSession, d: String): DataFrame =
+    llm.Curation.curate(Tables.documents(s, d), textStats(s, d),
+      dedupExact(s, d), minhashPairs(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =

@@ -58,6 +58,7 @@ object SparkEntry {
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
     "text_stats" -> out(Models.textStats),
+    "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
     "sessionize" -> out(Models.sessionize),
     // streaming surface: the windowed aggregation run through the real
@@ -106,6 +107,7 @@ object SparkEntry {
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
+    "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,

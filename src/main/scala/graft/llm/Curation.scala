@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the operators composed into the actual
+  * training-data use case: quality-filter → exact-dedup → MinHash
+  * near-dup removal, emitting one row per document with its fate.
+  *
+  * Deterministic drop rules (both engines agree exactly):
+  *  - `low_quality`: quality_score (TextStats) below MinQuality;
+  *  - `exact_duplicate`: not the min-doc_id canonical of its md5 group;
+  *  - `near_duplicate`: greedy keep-smallest — the doc appears as the
+  *    LARGER id (doc_b) of a MinHash candidate pair sharing at least
+  *    NearDupDropBands of the 8 bands;
+  *  - `kept` otherwise. Precedence: quality, exact, near.
+  */
+object Curation {
+
+  val MinQuality = 0.4
+  val NearDupDropBands = 4
+
+  def curate(documents: DataFrame, textStats: DataFrame,
+             exactGroups: DataFrame, minhashPairs: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val quality = textStats.select(col("doc_id"), col("quality_score"))
+    val canon = exactGroups.select(col("text_hash"), col("canonical_doc_id"))
+    val near = minhashPairs
+      .filter(col("n_shared_bands") >= NearDupDropBands)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    docs
+      .join(quality, Seq("doc_id"))
+      .join(canon, Seq("text_hash"))
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("quality_score"),
+        when(col("quality_score") < MinQuality, lit("low_quality"))
+          .when(col("doc_id") =!= col("canonical_doc_id"), lit("exact_duplicate"))
+          .when(col("is_near_dup"), lit("near_duplicate"))
+          .otherwise(lit("kept")).as("status"))
+  }
+}

@@ -319,6 +319,30 @@ object LlmSql {
        |from ts2""".stripMargin
   }
 
+  /** Corpus-curation oracle (mirror graft.llm.Curation.curate): composes
+    * the already-gated query strings verbatim as derived tables — zero
+    * formula duplication, so the pipeline oracle cannot drift from its
+    * component oracles. (Declared after its components: object vals
+    * initialize in order.) */
+  val corpusCurationQ: String = {
+    import graft.llm.Curation._
+    s"""with cq as (select doc_id, quality_score from ($textStatsQ) t),
+       |cpairs as (select doc_a, doc_b, n_shared_bands from ($minhashPairsQ) t),
+       |ccanon as (select text_hash, canonical_doc_id from ($dedupExactQ) t),
+       |cdocs as (select doc_id, md5(text) as text_hash from documents),
+       |cnear as (select distinct doc_b as doc_id from cpairs
+       |          where n_shared_bands >= $NearDupDropBands)
+       |select d.doc_id, q.quality_score,
+       |  case when q.quality_score < $MinQuality then 'low_quality'
+       |       when d.doc_id != c.canonical_doc_id then 'exact_duplicate'
+       |       when n.doc_id is not null then 'near_duplicate'
+       |       else 'kept' end as status
+       |from cdocs d
+       |join cq q using (doc_id)
+       |join ccanon c on d.text_hash = c.text_hash
+       |left join cnear n on d.doc_id = n.doc_id""".stripMargin
+  }
+
   val mediaFeaturesQ: String =
     """select doc_id,
       |  case when doc_id % 3 = 0 then 'image'

@@ -49,6 +49,18 @@ class LlmSpec extends SparkSpec {
     assert(brute.select("doc_a", "doc_b").exceptAll(found).count() === 0)
   }
 
+  test("corpus curation: one row per doc, statuses consistent with components") {
+    val c = Models.corpusCuration(spark, sf)
+    assert(c.count() === Tables.documents(spark, sf).count())
+    assert(unique(c, "doc_id") === 0)
+    assert(acceptedValues(c, "status",
+      Seq("kept", "low_quality", "exact_duplicate", "near_duplicate")) === 0)
+    // precedence: every doc below the quality bar is low_quality
+    assert(c.filter(col("quality_score") < llm.Curation.MinQuality &&
+      col("status") =!= "low_quality").count() === 0)
+    assert(c.filter(col("status") === "kept").count() > 0)
+  }
+
   test("ngram jaccard: estimates within (0,1], pairs ordered") {
     val p = Models.ngramJaccardPairs(spark, sf)
     assert(p.count() > 0)
