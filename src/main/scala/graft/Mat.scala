@@ -72,8 +72,12 @@ object Mat {
         case Some(k) =>
           // one file per month: repartition on the partition key before
           // the partitioned write (else every task writes every month).
+          // Rows are sorted on the time key inside each partition so
+          // parquet row-group min/max stats support finer-than-month
+          // range pruning.
           df.withColumn("__p_month", date_trunc("month", col(k)).cast(DateType))
             .repartition(col("__p_month"))
+            .sortWithinPartitions(col(k))
             .write.partitionBy("__p_month")
         case None => df.write
       }
