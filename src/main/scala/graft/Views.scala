@@ -11,9 +11,29 @@ import org.apache.spark.sql.SparkSession
   * the lazy staging layer and computed queries uniformly.
   */
 object Views {
-  /** Register every SparkEntry query as a temp view over `sfDir`. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+
+  /** Queries whose BUILDER is an eager job (not a lazy plan): the
+    * streaming one-shot runs a whole readStream→AvailableNow→memory
+    * job just to produce its DataFrame. Excluded from default view
+    * registration (ADVICE r3 #3) — opt in via `includeEager`. */
+  private val eagerBuilders = Set("stream_windowed_counts")
+
+  /** Register every SparkEntry query as a temp view over `sfDir`.
+    *
+    * `createOrReplaceTempView` itself is lazy (it stores the plan), but
+    * building a Mat-backed DataFrame materializes its mart barrier — a
+    * one-time-per-session cost every consumer shares. Registration
+    * therefore prebuilds the mart DAG FIRST, concurrently (independent
+    * subtrees overlap, dbt-style), instead of serially tripping one
+    * barrier per view; re-calls find every barrier already built and
+    * are cheap metadata-only loops.
+    */
+  def registerAll(spark: SparkSession, sfDir: String,
+                  includeEager: Boolean = false): Unit = {
+    Models.prebuildMarts(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, sfDir).createOrReplaceTempView(name)
+      if (includeEager || !eagerBuilders.contains(name))
+        fn(spark, sfDir).createOrReplaceTempView(name)
     }
+  }
 }

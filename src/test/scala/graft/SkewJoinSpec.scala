@@ -47,4 +47,15 @@ class SkewJoinSpec extends SparkSpec {
       .groupBy("__salt").count().count()
     assert(spread === 8)
   }
+
+  test("shared non-key column names are rejected up front") {
+    // ADVICE r3 #4: without the guard this fails later, at analysis,
+    // with an ambiguous-reference error from the final select
+    val (probe, build) = skewed()
+    val clash = build.withColumnRenamed(build.columns.filterNot(_ == "k").head, "id")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.salted(probe, clash, "k", col("id"))
+    }
+    assert(e.getMessage.contains("disjoint non-key columns"))
+  }
 }
