@@ -61,6 +61,7 @@ object Mat {
     * column to month-partition the stored table by. */
   def table(spark: SparkSession, sfDir: String, name: String,
             timeKey: Option[String] = None)(build: => DataFrame): DataFrame = {
+    plans.MonthPruning.install(spark)
     val key = (spark.sparkContext.applicationId, sfDir, name)
     val fut = built.computeIfAbsent(key, _ => Future {
       val df = build
@@ -87,6 +88,13 @@ object Mat {
           spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
         }
         writer.mode("overwrite").option("path", path).saveAsTable(s"$db.$name")
+        // record the month-partitioning's source column so the
+        // MonthPruning rule can derive __p_month partition filters
+        // from time-key range predicates for ANY consumer
+        timeKey.foreach { k =>
+          spark.sql(s"ALTER TABLE $db.$name SET TBLPROPERTIES " +
+            s"('${plans.MonthPruning.TimeKeyProp}'='$k')")
+        }
         Registered(s"$db.$name", cols)
       } catch {
         case NonFatal(e) =>

@@ -1,0 +1,121 @@
+package graft.plans
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Derived month-partition pruning for [[graft.Mat]] tables.
+  *
+  * Mat stores time-keyed marts partitioned by `__p_month =
+  * date_trunc('month', timeKey)`, but consumers filter on the TIME KEY
+  * (`date_day between ...`), not the helper column — and Spark cannot
+  * know the functional dependency, so by itself a date-ranged read
+  * would still list and scan every partition; only parquet row-group
+  * stats would help. This rule closes that gap for every consumer:
+  * for a filter directly over a Mat table whose catalog properties
+  * name its time key ([[TimeKeyProp]], written at build time), each
+  * literal range conjunct on the time key implies a conjunct on the
+  * partition column — `k >= lo ⇒ trunc(k) >= trunc(lo)` and
+  * `k <= hi ⇒ trunc(k) <= trunc(hi)` by monotonicity of month
+  * truncation — which FileSourceStrategy then splits into
+  * `PartitionFilters`, so the scan lists only matching months. At
+  * 100 TB that is the difference between touching one month and
+  * listing ten years.
+  *
+  * Runs in the "User Provided Optimizers" batch (installed via
+  * `spark.experimental.extraOptimizations` the first time Mat builds a
+  * table, so ANY session — including a caller-supplied one — gets it
+  * with zero configuration). That batch runs after filter pushdown has
+  * placed predicates directly above the relation, and physical
+  * planning performs partition pruning from the augmented filter.
+  * Idempotent under the batch's fixpoint: a filter already
+  * referencing the partition column is left untouched.
+  */
+object MonthPruning extends Rule[LogicalPlan] {
+
+  val PartCol = "__p_month"
+  val TimeKeyProp = "graft.time_key"
+
+  /** Idempotently append this rule to the session's extra optimizer
+    * rules (thread-safe: Mat builds marts concurrently). */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq MonthPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MonthPruning
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, r: LogicalRelation) =>
+      val timeKey = r.catalogTable.flatMap(_.properties.get(TimeKeyProp))
+        .flatMap(n => r.output.find(_.name == n))
+      val part = r.output.find(_.name == PartCol)
+      (timeKey, part) match {
+        case (Some(tk), Some(p)) if !cond.references.contains(p) =>
+          val derived = conjuncts(cond).flatMap(derive(_, tk, p))
+          if (derived.isEmpty) f else Filter(derived.foldLeft(cond)(And), r)
+        case _ => f
+      }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** First day of the literal's month as a DateType literal, evaluated
+    * at planning time (timestamps via the session timezone). */
+  private def monthFloor(l: Literal): Option[Literal] = {
+    val days: Option[Int] = (l.dataType, l.value) match {
+      case (_, null) => None
+      case (DateType, d: Integer) => Some(d.intValue)
+      case (TimestampType, micros: java.lang.Long) =>
+        val zone = DateTimeUtils.getZoneId(SQLConf.get.sessionLocalTimeZone)
+        Some(DateTimeUtils.microsToDays(micros, zone))
+      case _ => None
+    }
+    days.map { d =>
+      Literal(LocalDate.ofEpochDay(d.toLong).withDayOfMonth(1).toEpochDay.toInt, DateType)
+    }
+  }
+
+  /** `tk <op> literal` (either side) ⇒ the implied `__p_month` bound.
+    * Strict bounds relax to inclusive ones: truncation absorbs the
+    * strictness (k < hi still allows trunc(k) == trunc(hi)). */
+  private def derive(c: Expression, tk: Attribute, p: Attribute): Seq[Expression] = {
+    def isTk(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == tk.exprId
+      case _ => false
+    }
+    c match {
+      case GreaterThanOrEqual(a, l: Literal) if isTk(a) =>
+        monthFloor(l).map(GreaterThanOrEqual(p, _)).toSeq
+      case GreaterThan(a, l: Literal) if isTk(a) =>
+        monthFloor(l).map(GreaterThanOrEqual(p, _)).toSeq
+      case LessThanOrEqual(a, l: Literal) if isTk(a) =>
+        monthFloor(l).map(LessThanOrEqual(p, _)).toSeq
+      case LessThan(a, l: Literal) if isTk(a) =>
+        monthFloor(l).map(LessThanOrEqual(p, _)).toSeq
+      case EqualTo(a, l: Literal) if isTk(a) =>
+        monthFloor(l).map(EqualTo(p, _)).toSeq
+      // literal-on-the-left mirrors
+      case GreaterThanOrEqual(l: Literal, a) if isTk(a) =>
+        monthFloor(l).map(LessThanOrEqual(p, _)).toSeq
+      case GreaterThan(l: Literal, a) if isTk(a) =>
+        monthFloor(l).map(LessThanOrEqual(p, _)).toSeq
+      case LessThanOrEqual(l: Literal, a) if isTk(a) =>
+        monthFloor(l).map(GreaterThanOrEqual(p, _)).toSeq
+      case LessThan(l: Literal, a) if isTk(a) =>
+        monthFloor(l).map(GreaterThanOrEqual(p, _)).toSeq
+      case EqualTo(l: Literal, a) if isTk(a) =>
+        monthFloor(l).map(EqualTo(p, _)).toSeq
+      case _ => Seq.empty
+    }
+  }
+}
