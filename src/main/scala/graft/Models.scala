@@ -143,6 +143,8 @@ object Models {
     operators.Sessions.sessionize(Tables.events(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.windowedEventCountsOnce(s, d)
+  def streamSessions(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.sessionsOnce(s, d)
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

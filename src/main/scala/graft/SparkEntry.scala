@@ -66,6 +66,9 @@ object SparkEntry {
     // streaming engine (file source → watermark → state store →
     // AvailableNow → memory sink), gated by its batch-twin oracle.
     "stream_windowed_counts" -> out(Models.streamWindowedCounts),
+    // stateful streaming path: flatMapGroupsWithState session state,
+    // gated by the batch-twin oracle minus never-closed last sessions.
+    "stream_sessions" -> out(Models.streamSessions),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -113,6 +116,7 @@ object SparkEntry {
     "media_features" -> LlmSql.mediaFeaturesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
+    "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

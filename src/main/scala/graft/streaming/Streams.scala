@@ -22,11 +22,15 @@ object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  /** start/last are epoch MICROS: the events table carries sub-second
+    * timestamps on every row, so gap tests and sort order must run at
+    * full precision or they diverge from the (full-precision) SQL
+    * oracle. */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, started_at: Timestamp, ended_at: Timestamp,
-                     n_events: Int, total_value: Double)
+                     n_events: Long, total_value: Double)
 
-  val SessionGapMs: Long = 30 * 60 * 1000L
+  val SessionGapMicros: Long = 30 * 60 * 1000000L
 
   /** File-based streaming source with the events schema (a production
     * deploy would point this at an object-store drop zone or Kafka). */
@@ -95,9 +99,12 @@ object Streams {
     * pending batch alive and stalls `processAllAvailable`. */
   def sessionize(events: Dataset[Event], withTimeout: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils.{fromJavaTimestamp, toJavaTimestamp}
     val timeoutConf =
       if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    def emit(userId: Long, s: SessionState): Session =
+      Session(userId, toJavaTimestamp(s.start), toJavaTimestamp(s.last), s.n, s.total)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -106,18 +113,18 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+            Iterator(emit(userId, s))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (fromJavaTimestamp(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = fromJavaTimestamp(e.ts)
               cur match {
-                case Some(s) if t - s.last <= SessionGapMs =>
+                case Some(s) if t - s.last <= SessionGapMicros =>
                   cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  closed += emit(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -125,12 +132,72 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              if (withTimeout) state.setTimeoutDuration(SessionGapMs)
+              if (withTimeout) state.setTimeoutDuration(SessionGapMicros / 1000L)
             }
             closed.result().iterator
           }
       }
   }
+
+  /** One-shot driver-verifiable run of the STATEFUL path: the events
+    * table as a file stream through flatMapGroupsWithState session
+    * state (append mode, AvailableNow) into a memory sink. Over a
+    * bounded input the emitted rows are exactly the CLOSED sessions —
+    * every session of the batch twin except each user's last (which
+    * stays open in state when the stream ends; only a timeout would
+    * flush it) — so the oracle is the batch sessionization minus the
+    * per-user max(session_seq) row. total_value is accumulated as a
+    * sequential double fold in (ts, event_id) order; the oracle
+    * mirrors the same left-to-right IEEE fold via an ordered
+    * list_reduce rather than a decimal sum. */
+  def sessionsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val events = raw.select(
+      col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+    val name = "stream_sessions_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = sessionize(events).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** DuckDB oracle for the one-shot sessions: the batch sessionization
+    * (same window recipe as operators/Sessions) with the per-user LAST
+    * session removed (it never closes in the bounded stream) and the
+    * value total as the same ordered sequential double fold the state
+    * handler performs. */
+  val sessionsOracleSql: String =
+    """with ev as (
+      |  select user_id, event_id, ts, value,
+      |    case when lag(ts) over (partition by user_id order by ts, event_id) is null
+      |           or ts > lag(ts) over (partition by user_id order by ts, event_id) + interval 30 minute
+      |         then 1 else 0 end as is_new
+      |  from events
+      |),
+      |ev2 as (
+      |  select *, cast(sum(is_new) over (
+      |    partition by user_id order by ts, event_id
+      |    rows between unbounded preceding and current row) as bigint) as session_seq
+      |  from ev
+      |),
+      |sess as (
+      |  select user_id, session_seq, count(*) as n_events,
+      |    min(ts) as started_at, max(ts) as ended_at,
+      |    list_reduce(list(value order by ts, event_id), (a, x) -> a + x) as total_value
+      |  from ev2 group by 1, 2
+      |)
+      |select user_id, started_at, ended_at, n_events, total_value
+      |from sess s
+      |where session_seq < (select max(session_seq) from sess m
+      |                     where m.user_id = s.user_id)""".stripMargin
 
   /** Sink plumbing: append stream to a parquet directory with a
     * checkpoint — the write side of the readStream→writeStream loop. */

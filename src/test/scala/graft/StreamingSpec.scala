@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpec {
       val closed = spark.table("sessions").collect()
       assert(closed.length === 1)
       assert(closed(0).getAs[Long]("user_id") === 7)
-      assert(closed(0).getAs[Int]("n_events") === 2)
+      assert(closed(0).getAs[Long]("n_events") === 2L)
       assert(closed(0).getAs[Double]("total_value") === 3.0)
       assert(closed(0).getAs[Timestamp]("ended_at") === ts("2001-01-01 10:10:00"))
     } finally q.stop()
