@@ -77,6 +77,8 @@ object Models {
     TimeMarts.seasonalTrends(orders(s, d))
   def growthMetrics(s: SparkSession, d: String): DataFrame =
     TimeMarts.growthMetrics(orders(s, d))
+  def revenueRollup(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueRollup(orders(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "time_analytics", timeKey = Some("date_day"))(
       TimeMarts.timeAnalytics(s, orders(s, d)))

@@ -43,6 +43,7 @@ object SparkEntry {
     "cohort_retention" -> out(Models.cohortRetention),
     "seasonal_trends" -> out(Models.seasonalTrends),
     "growth_metrics" -> out(Models.growthMetrics),
+    "revenue_rollup" -> out(Models.revenueRollup),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
@@ -98,6 +99,7 @@ object SparkEntry {
     "cohort_retention" -> Sql.cohortRetentionQ,
     "seasonal_trends" -> Sql.seasonalTrendsQ,
     "growth_metrics" -> Sql.growthMetricsQ,
+    "revenue_rollup" -> Sql.revenueRollupQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,

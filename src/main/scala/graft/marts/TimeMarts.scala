@@ -92,6 +92,28 @@ object TimeMarts {
         avgOf(col("rev_d"), col("n")).as("monthly_avg_order_value"),
         col("order_year"), col("order_month_num"), col("order_quarter"))
 
+  /** Multi-level ROLLUP aggregation: one scan produces month, quarter,
+    * year, and grand-total rows with a `grouping_id` discriminator —
+    * Spark's Expand operator replicates each input row once per
+    * grouping set BEFORE the hash aggregate, so the drill-down "cube
+    * slice" costs one shuffle instead of four scans + a union of the
+    * per-grain summary marts. `grouping_id` bit order (first rollup
+    * column = most significant) matches DuckDB's `GROUPING(...)`
+    * exactly, so the oracle is a plain `GROUP BY ROLLUP`. Beyond the
+    * reference surface (its time_analytics emits fixed per-grain CTEs);
+    * counts use order_id (orders grain: count == countDistinct without
+    * the extra dedup aggregation). */
+  def revenueRollup(orders: DataFrame): DataFrame =
+    orders.rollup(
+        year(col("ordered_at")).as("order_year"),
+        quarter(col("ordered_at")).as("order_quarter"),
+        month(col("ordered_at")).as("order_month_num"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(col("order_id")).as("n_orders"),
+        countDistinct(col("customer_id")).as("n_customers"),
+        dec18(sum(col("order_total"))).as("revenue"))
+
   /** A9-A10 cohorts (reference `time_analytics.sql:79-107`).
     * Faithful to the reference *as written*: first_order_date is
     * min(ordered_at) WITHIN the (cohort_month, customer) group, so

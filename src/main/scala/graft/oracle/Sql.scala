@@ -724,6 +724,19 @@ object Sql {
   val monthlySummaryQ = s"$allCtes ${asDouble("monthly_summary",
     "monthly_revenue", "monthly_cost", "monthly_profit")}"
   val cohortRetentionQ = s"$allCtes select * from cohort_retention"
+  /** Mirror of TimeMarts.revenueRollup: GROUP BY ROLLUP with the same
+    * grouping-bit order (first column = MSB in both engines). */
+  val revenueRollupQ: String =
+    s"""$coreCtes
+       |select year(ordered_at) as order_year,
+       |  quarter(ordered_at) as order_quarter,
+       |  month(ordered_at) as order_month_num,
+       |  cast(grouping(year(ordered_at), quarter(ordered_at), month(ordered_at)) as bigint) as gid,
+       |  count(order_id) as n_orders,
+       |  count(distinct customer_id) as n_customers,
+       |  cast(cast(sum(order_total) as decimal(18,2)) as double) as revenue
+       |from orders_mart
+       |group by rollup(1, 2, 3)""".stripMargin
   val seasonalTrendsQ = s"$allCtes select * from seasonal_trends"
   val growthMetricsQ = s"$allCtes select * from growth_metrics"
   val timeAnalyticsQ = s"$allCtes select * from time_analytics"

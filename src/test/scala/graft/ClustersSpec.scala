@@ -31,6 +31,33 @@ class ClustersSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("components equal brute-force transitive closure on random graphs") {
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val es = (1 to 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // ground truth: BFS closure, canonical = min reachable vertex
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def reachMin(v: Long): Long = {
+        var seen = Set(v); var frontier = Set(v)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val expected = adj.keys.map(v => v -> reachMin(v)).toMap
+      val got = Clusters.connectedComponents(edges(es: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("nearDupEdges dedupes a pair found by both families") {
     import spark.implicits._
     val mh = Seq((1L, 2L, 5L), (3L, 4L, 2L)).toDF("doc_a", "doc_b", "n_shared_bands")
