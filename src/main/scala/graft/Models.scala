@@ -141,6 +141,10 @@ object Models {
       dedupExact(s, d), dedupClusters(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
+  def mediaResized(s: SparkSession, d: String): DataFrame =
+    llm.Multimodal.mediaResized(Tables.documents(s, d))
+  def mediaFrames(s: SparkSession, d: String): DataFrame =
+    llm.Multimodal.mediaFrames(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
     operators.Sessions.sessionize(Tables.events(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =

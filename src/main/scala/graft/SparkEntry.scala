@@ -62,6 +62,8 @@ object SparkEntry {
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
+    "media_resized" -> out(Models.mediaResized),
+    "media_frames" -> out(Models.mediaFrames),
     "sessionize" -> out(Models.sessionize),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
@@ -116,6 +118,8 @@ object SparkEntry {
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
+    "media_resized" -> LlmSql.mediaResizedQ,
+    "media_frames" -> LlmSql.mediaFramesQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,

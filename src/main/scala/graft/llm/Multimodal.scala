@@ -65,4 +65,51 @@ object Multimodal {
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
       .toDF()
   }
+
+  val ThumbW = 64
+  val ThumbH = 64
+
+  /** Resize-to-thumbnail plumbing (STUB codec, real dataflow): the
+    * "resized" content is a deterministic digest of (content, target
+    * dims) — a real codec would decode, scale, and re-encode here; the
+    * column shapes, the binary-in/binary-out contract, and the
+    * determinism the oracle checks are the production ones. The output
+    * carries the content digest (hex) rather than the bytes so the
+    * driver's hash gate can compare it to SQL. */
+  def mediaResized(documents: DataFrame): DataFrame =
+    mediaTable(documents).select(
+      col("doc_id"), col("media_type"),
+      lit(ThumbW).as("width"), lit(ThumbH).as("height"),
+      // digest over the content's hex form + dims: DuckDB's md5 is
+      // varchar-only, so the stub hashes the same UTF-8 string in
+      // both engines (a real codec outputs bytes, not a digest)
+      md5(concat(lower(hex(col("content"))), lit(s"${ThumbW}x$ThumbH")))
+        .as("content_hash"))
+
+  val FrameSampleMax = 4
+
+  /** Frame sampling for video rows: up to [[FrameSampleMax]] evenly
+    * strided frame indices from the stub decoder's n_frames, each with
+    * its timestamp offset and a deterministic per-frame content digest.
+    * The explode is a Catalyst Generator — one scan, distributed, no
+    * per-row driver logic; a real codec would replace the digest with
+    * the extracted frame bytes. */
+  def mediaFrames(documents: DataFrame): DataFrame = {
+    val media = mediaTable(documents).filter(col("media_type") === "video")
+      // stub n_frames: high nibble of content byte 3 (= hex digit 7 of
+      // the digest), as in decodeBatch / the mediaFeatures oracle
+      .withColumn("n_frames",
+        (lit(1) + conv(substring(hex(col("content")), 7, 1), 16, 10).cast("int"))
+          .cast("int"))
+    val stride = ((col("n_frames") + FrameSampleMax - 1) / FrameSampleMax).cast("int")
+    media
+      .select(col("doc_id"), col("content"), col("duration_ms"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        (col("duration_ms") * col("frame_idx") / col("n_frames")).cast("long")
+          .as("frame_ts_ms"),
+        md5(concat(lower(hex(col("content"))), col("frame_idx").cast("string")))
+          .as("frame_hash"))
+  }
 }

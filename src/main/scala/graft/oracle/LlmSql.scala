@@ -393,6 +393,44 @@ object LlmSql {
        |left join cnear n on d.doc_id = n.doc_id""".stripMargin
   }
 
+  /** Mirror Multimodal.mediaResized: the content's hex form is
+    * md5(text), so the "resized" digest is md5(md5(text) || "WxH") —
+    * the same UTF-8 string both engines hash (DuckDB md5 is
+    * varchar-only). */
+  val mediaResizedQ: String = {
+    import graft.llm.Multimodal.{ThumbW, ThumbH}
+    s"""select doc_id,
+       |  case when doc_id % 3 = 0 then 'image'
+       |       when doc_id % 3 = 1 then 'audio'
+       |       else 'video' end as media_type,
+       |  $ThumbW as width, $ThumbH as height,
+       |  md5(md5(text) || '${ThumbW}x$ThumbH') as content_hash
+       |from documents""".stripMargin
+  }
+
+  /** Mirror Multimodal.mediaFrames: video rows only, stub n_frames from
+    * hex digit 7, evenly strided sample of up to FrameSampleMax frame
+    * indices, per-frame digest of content || index. */
+  val mediaFramesQ: String = {
+    import graft.llm.Multimodal.FrameSampleMax
+    s"""with mm as (
+       |  select doc_id, md5(text) as content_hex,
+       |    n_chars * 10 as duration_ms,
+       |    1 + cast(('0x' || substr(md5(text), 7, 1)) as int) as n_frames
+       |  from documents where doc_id % 3 = 2
+       |),
+       |mf as (
+       |  select doc_id, content_hex, duration_ms, n_frames,
+       |    unnest(generate_series(0, n_frames - 1,
+       |      cast((n_frames + $FrameSampleMax - 1) // $FrameSampleMax as int))) as frame_idx
+       |  from mm
+       |)
+       |select doc_id, cast(frame_idx as int) as frame_idx,
+       |  cast(duration_ms * frame_idx // n_frames as bigint) as frame_ts_ms,
+       |  md5(content_hex || cast(frame_idx as varchar)) as frame_hash
+       |from mf""".stripMargin
+  }
+
   val mediaFeaturesQ: String =
     """select doc_id,
       |  case when doc_id % 3 = 0 then 'image'
