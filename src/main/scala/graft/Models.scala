@@ -145,6 +145,10 @@ object Models {
     llm.Multimodal.mediaResized(Tables.documents(s, d))
   def mediaFrames(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFrames(Tables.documents(s, d))
+  def datasetSplits(s: SparkSession, d: String): DataFrame =
+    llm.Splits.assign(Tables.documents(s, d))
+  def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    llm.Kmeans.centroids(Tables.embeddings(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
     operators.Sessions.sessionize(Tables.events(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =

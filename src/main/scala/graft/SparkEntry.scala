@@ -64,6 +64,8 @@ object SparkEntry {
     "media_features" -> out(Models.mediaFeatures),
     "media_resized" -> out(Models.mediaResized),
     "media_frames" -> out(Models.mediaFrames),
+    "dataset_splits" -> out(Models.datasetSplits),
+    "kmeans_centroids" -> out(Models.kmeansCentroids),
     "sessionize" -> out(Models.sessionize),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
@@ -120,6 +122,8 @@ object SparkEntry {
     "media_features" -> LlmSql.mediaFeaturesQ,
     "media_resized" -> LlmSql.mediaResizedQ,
     "media_frames" -> LlmSql.mediaFramesQ,
+    "dataset_splits" -> LlmSql.datasetSplitsQ,
+    "kmeans_centroids" -> LlmSql.kmeansCentroidsQ,
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,

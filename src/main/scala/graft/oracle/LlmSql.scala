@@ -393,6 +393,68 @@ object LlmSql {
        |left join cnear n on d.doc_id = n.doc_id""".stripMargin
   }
 
+  /** Mirror Kmeans.centroids: same seeds (lowest vec_ids), same
+    * Iters unrolled Lloyd steps, same exact-decimal-mean / float
+    * presentation per iteration as the IVF recipe. Iteration CTEs are
+    * materialized (each is referenced by the next round). */
+  val kmeansCentroidsQ: String = {
+    import graft.llm.Kmeans.{K, Iters}
+    val rounds = (1 to Iters).map { i =>
+      s"""km_centn${i - 1} as materialized (
+         |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm
+         |  from km_cent${i - 1}
+         |),
+         |km_assign$i as materialized (
+         |  select vec_id, embedding, centroid_id from (
+         |    select e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() over (partition by e.vec_id order by
+         |        ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm))
+         |          desc nulls last, c.centroid_id) as rn
+         |    from km_emb e cross join km_centn${i - 1} c
+         |  ) t where rn = 1
+         |),
+         |km_mean$i as materialized (
+         |  select centroid_id,
+         |    unnest(generate_series(0, len(embedding) - 1)) as idx,
+         |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
+         |  from km_assign$i
+         |),
+         |km_cent$i as materialized (
+         |  select centroid_id, list(cast(c as float) order by idx) as centroid from (
+         |    select centroid_id, idx,
+         |      cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double)
+         |        / cast(count(*) as double) as c
+         |    from km_mean$i group by 1, 2
+         |  ) t group by 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""with km_emb as materialized (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |  where ${dotSql("embedding", "embedding")} > 0
+       |),
+       |km_cent0 as materialized (
+       |  select vec_id as centroid_id, embedding as centroid from km_emb where vec_id < $K
+       |),
+       |$rounds
+       |select centroid_id,
+       |  cast(unnest(generate_series(0, len(centroid) - 1)) as int) as idx,
+       |  unnest(list_transform(generate_series(1, len(centroid)), j -> centroid[j]::double)) as component
+       |from km_cent$Iters""".stripMargin
+  }
+
+  /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
+    * % on non-negative bigints equals Spark's pmod here. */
+  val datasetSplitsQ: String = {
+    import graft.llm.Splits._
+    val b = s"${hex60(s"'$Salt' || cast(doc_id as varchar)")} % 100"
+    s"""select doc_id, $b as bucket,
+       |  case when $b < $TrainPct then 'train'
+       |       when $b < ${TrainPct + ValidationPct} then 'validation'
+       |       else 'test' end as split
+       |from documents""".stripMargin
+  }
+
   /** Mirror Multimodal.mediaResized: the content's hex form is
     * md5(text), so the "resized" digest is md5(md5(text) || "WxH") —
     * the same UTF-8 string both engines hash (DuckDB md5 is

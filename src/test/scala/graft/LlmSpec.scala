@@ -49,6 +49,32 @@ class LlmSpec extends SparkSpec {
     assert(brute.select("doc_a", "doc_b").exceptAll(found).count() === 0)
   }
 
+  test("dataset splits: id-pure (growth never moves a doc between splits)") {
+    val docs = Tables.documents(spark, sf)
+    val full = Models.datasetSplits(spark, sf)
+    // assignment over a SUBSET must agree with the full corpus on
+    // every shared id — the anti-leakage property row_number schemes lack
+    val subset = llm.Splits.assign(docs.filter(col("doc_id") % 7 === 0))
+    val moved = subset.withColumnRenamed("split", "s2").select("doc_id", "s2")
+      .join(full, Seq("doc_id"))
+      .filter(col("s2") =!= col("split")).count()
+    assert(moved === 0)
+    // roughly the configured proportions at n=500
+    val n = full.count().toDouble
+    val train = full.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97)
+    assert(full.filter(col("split") === "test").count() > 0)
+    assert(full.filter(col("split") === "validation").count() > 0)
+  }
+
+  test("kmeans: K centroids with a full component vector each") {
+    val c = Models.kmeansCentroids(spark, sf)
+    assert(c.select("centroid_id").distinct().count() === llm.Kmeans.K)
+    val dims = c.groupBy("centroid_id").agg(count(lit(1)).as("d"))
+    assert(dims.filter(col("d") =!= 64).count() === 0)
+    assert(c.filter(!col("component").between(-1e6, 1e6)).count() === 0)
+  }
+
   test("corpus curation reads Mat barriers, not recomputed corpus passes") {
     // VERDICT r3 "What's wrong" #2: the composed pipeline must scan the
     // materialized text_stats / dedup_clusters tables; a plan that
