@@ -16,7 +16,7 @@ object Views {
     * streaming one-shot runs a whole readStream→AvailableNow→memory
     * job just to produce its DataFrame. Excluded from default view
     * registration (ADVICE r3 #3) — opt in via `includeEager`. */
-  private val eagerBuilders = Set("stream_windowed_counts")
+  private val eagerBuilders = Set("stream_windowed_counts", "stream_sessions")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

@@ -31,35 +31,14 @@ object Kmeans {
   val K = 8
   val Iters = 2
 
-  /** Exact component means of each assignment group, presented as
-    * float (the IVF centroid determinism recipe). */
-  private def means(assigned: DataFrame): DataFrame =
-    assigned.select(col("centroid_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
-      .groupBy("centroid_id", "idx")
-      .agg((sum(col("v").cast(DecimalType(27, 12))).cast("string").cast("double")
-        / count(lit(1)).cast("double")).as("c"))
-      .groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("pairs"))
-      .select(col("centroid_id"),
-        transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
-
-  /** Nearest-centroid assignment of every non-degenerate vector. */
-  private def assign(withNorm: DataFrame, centroids: DataFrame): DataFrame =
-    withNorm.crossJoin(broadcast(
-        centroids.select(col("centroid_id"), col("centroid"),
-          Similarity.dot(col("centroid"), col("centroid")).as("cnrm"))))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        (Similarity.dot(col("embedding"), col("centroid"))
-          / (sqrt(col("nrm")) * sqrt(col("cnrm")))).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim").desc_nulls_last, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "centroid_id")
-
   /** Run [[Iters]] Lloyd steps from the lowest-vec_id seeds; returns
     * the final centroids exploded to (centroid_id, idx, component)
     * rows — scalar columns, so the differential gate hashes them
-    * directly. */
+    * directly. Assignment and exact-mean arithmetic are the SHARED
+    * [[Similarity]] recipe (one oracle-critical implementation, not
+    * two that can drift). A centroid that attracts no vectors keeps
+    * its previous position (the standard Lloyd fix — without it the
+    * operator silently returns fewer than K centroids). */
   def centroids(embeddingsRaw: DataFrame): DataFrame = {
     val withNorm = embeddingsRaw.repartition(col("vec_id")).select(
         col("vec_id"), col("embedding"),
@@ -67,8 +46,14 @@ object Kmeans {
       .filter(col("nrm") > 0)
     var cents = withNorm.filter(col("vec_id") < K)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    for (_ <- 1 to Iters)
-      cents = means(assign(withNorm, cents))
+    for (_ <- 1 to Iters) {
+      val assigned = Similarity.centroidRanked(withNorm, cents)
+        .filter(col("rn") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      val moved = Similarity.exactMeanCentroids(assigned, "centroid_id")
+      cents = moved.union(
+        cents.join(moved.select("centroid_id"), Seq("centroid_id"), "left_anti"))
+    }
     cents.select(col("centroid_id"),
       posexplode(col("centroid")).as(Seq("idx", "component")))
       .select(col("centroid_id"), col("idx"),

@@ -90,29 +90,27 @@ object Similarity {
     * corpus size.
     */
   val IvfNProbe = 2
-  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
-    val embeddings = embeddingsRaw.repartition(col("vec_id"))
-
-    // exact-mean centroids per label
-    val comp = embeddings.select(col("label"),
-      posexplode(col("embedding")).as(Seq("idx", "v")))
-    val centroids = comp.groupBy("label", "idx")
+  /** Exact per-key component means of `embedding`, presented as float
+    * — THE deterministic centroid recipe (decimal sums, one double
+    * division, float presentation), shared by IVF list building and
+    * [[Kmeans]] Lloyd steps so the oracle-critical arithmetic exists
+    * exactly once. Output: (centroid_id, centroid). */
+  private[llm] def exactMeanCentroids(df: DataFrame, key: String): DataFrame =
+    df.select(col(key), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(key, "idx")
       .agg((sum(col("v").cast(DecimalType(27, 12))).cast("string").cast("double")
         / count(lit(1)).cast("double")).as("c"))
-      .groupBy("label")
+      .groupBy(key)
       .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("pairs"))
-      .select(col("label").as("centroid_id"),
+      .select(col(key).as("centroid_id"),
         transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
 
-    val withNorm = embeddings.select(
-        col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nrm"))
-      .filter(col("nrm") > 0)
-
-    // centroid ranking per vector (centroid_id tiebreak): rank 1 is
-    // the vector's inverted list; ranks <= IvfNProbe are the lists a
-    // QUERY probes
-    val ranked = withNorm.crossJoin(broadcast(
+  /** Per-vector centroid ranking by cosine (centroid_id tiebreak):
+    * rank 1 is the nearest-centroid assignment; higher ranks are the
+    * extra lists a multi-probe query searches. Shared by IVF and
+    * k-means assignment. `withNorm`: (vec_id, embedding, nrm). */
+  private[llm] def centroidRanked(withNorm: DataFrame, centroids: DataFrame): DataFrame =
+    withNorm.crossJoin(broadcast(
         centroids.select(col("centroid_id"), col("centroid"),
           dot(col("centroid"), col("centroid")).as("cnrm"))))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
@@ -120,6 +118,22 @@ object Similarity {
           .as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("sim").desc_nulls_last, col("centroid_id"))))
+
+  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+
+    // exact-mean centroids per label
+    val centroids = exactMeanCentroids(
+      embeddings.select(col("label"), col("embedding")), "label")
+
+    val withNorm = embeddings.select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+
+    // centroid ranking per vector: rank 1 is the vector's inverted
+    // list; ranks <= IvfNProbe are the lists a QUERY probes
+    val ranked = centroidRanked(withNorm, centroids)
     val assigned = ranked.filter(col("rn") === 1)
       .select("vec_id", "embedding", "nrm", "centroid_id")
 

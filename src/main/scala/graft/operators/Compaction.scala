@@ -42,6 +42,14 @@ object Compaction {
     val d = new File(dir)
     val files = parquetFiles(d)
     if (files.isEmpty) return 0
+    // refuse Hive-partitioned roots: a flat rewrite would fold the
+    // partition column into the data files and orphan the catalog's
+    // partition locations (reads silently return nothing). Compact the
+    // LEAF partition directories individually instead.
+    val partitioned = files.exists(
+      _.getAbsolutePath.drop(d.getAbsolutePath.length).contains("="))
+    require(!partitioned,
+      s"$dir contains partition subdirectories (k=v); compact each leaf partition directory instead")
     val total = files.map(_.length()).sum
     val want = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     if (files.size <= want) return 0

@@ -30,27 +30,36 @@ import org.apache.spark.sql.types.DateType
   */
 object Incremental {
 
+  private val confLock = new Object
+
   /** Overwrite only the `__p_month` partitions present in `newRows`.
     * `newRows` must have the table's data-column order (partition
     * column is appended last here, matching the catalog schema that
     * `saveAsTable(partitionBy)` wrote — `insertInto` resolves columns
     * by POSITION). */
   def overwriteMonths(spark: SparkSession, table: String, timeKey: String,
-                      newRows: DataFrame): Unit = {
+                      newRows: DataFrame): Unit =
     // the session conf, not a writer option: insertInto's V1 command
     // reads spark.sql.sources.partitionOverwriteMode (a writer option
     // is silently ignored here and would STATIC-overwrite the whole
-    // table, dropping history); restore the caller's setting after
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try newRows
-      .withColumn("__p_month", date_trunc("month", col(timeKey)).cast(DateType))
-      .repartition(col("__p_month"))
-      .sortWithinPartitions(col(timeKey))
-      .write
-      .mode(SaveMode.Overwrite)
-      .insertInto(table)
-    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+    // table, dropping history); restore the caller's setting after.
+    // The set/write/restore is serialized under a JVM-wide lock —
+    // interleaved toggles from concurrent calls could otherwise leave
+    // a call running in static mode (= drop history). Writers OUTSIDE
+    // this object that race the same session conf are the caller's
+    // responsibility — or switch Mat to a table format with per-write
+    // overwrite semantics (see README "Table format status").
+    confLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try newRows
+        .withColumn("__p_month", date_trunc("month", col(timeKey)).cast(DateType))
+        .repartition(col("__p_month"))
+        .sortWithinPartitions(col(timeKey))
+        .write
+        .mode(SaveMode.Overwrite)
+        .insertInto(table)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
 }

@@ -419,13 +419,19 @@ object LlmSql {
          |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
          |  from km_assign$i
          |),
-         |km_cent$i as materialized (
+         |km_moved$i as materialized (
          |  select centroid_id, list(cast(c as float) order by idx) as centroid from (
          |    select centroid_id, idx,
          |      cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double)
          |        / cast(count(*) as double) as c
          |    from km_mean$i group by 1, 2
          |  ) t group by 1
+         |),
+         |km_cent$i as materialized (
+         |  select centroid_id, centroid from km_moved$i
+         |  union all
+         |  select c.centroid_id, c.centroid from km_cent${i - 1} c
+         |  where c.centroid_id not in (select centroid_id from km_moved$i)
          |)""".stripMargin
     }.mkString(",\n")
     s"""with km_emb as materialized (

@@ -6,10 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.DateType
 
 /** Derived month-partition pruning for [[graft.Mat]] tables.
   *
@@ -70,19 +68,18 @@ object MonthPruning extends Rule[LogicalPlan] {
   }
 
   /** First day of the literal's month as a DateType literal, evaluated
-    * at planning time (timestamps via the session timezone). */
-  private def monthFloor(l: Literal): Option[Literal] = {
-    val days: Option[Int] = (l.dataType, l.value) match {
-      case (_, null) => None
-      case (DateType, d: Integer) => Some(d.intValue)
-      case (TimestampType, micros: java.lang.Long) =>
-        val zone = DateTimeUtils.getZoneId(SQLConf.get.sessionLocalTimeZone)
-        Some(DateTimeUtils.microsToDays(micros, zone))
-      case _ => None
-    }
-    days.map { d =>
-      Literal(LocalDate.ofEpochDay(d.toLong).withDayOfMonth(1).toEpochDay.toInt, DateType)
-    }
+    * at planning time. DATE literals only: a timestamp bound would have
+    * to be converted through a timezone, and the READER session's zone
+    * can differ from the one the WRITER used to compute `__p_month` —
+    * a mismatch would prune partitions that contain qualifying rows
+    * (silent row loss). All current time keys are DateType; extending
+    * to timestamps requires recording the writer zone in the table
+    * properties and converting with it, not with SQLConf. */
+  private def monthFloor(l: Literal): Option[Literal] = (l.dataType, l.value) match {
+    case (DateType, d: Integer) =>
+      Some(Literal(
+        LocalDate.ofEpochDay(d.longValue).withDayOfMonth(1).toEpochDay.toInt, DateType))
+    case _ => None
   }
 
   /** `tk <op> literal` (either side) ⇒ the implied `__p_month` bound.

@@ -84,6 +84,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("events ts nanos→micros conversion TRUNCATES (oracle contract)") {
+    // the raw parquet TIMESTAMP(NANOS) values DO carry sub-microsecond
+    // components; the engines agree because BOTH truncate them — DuckDB
+    // 1.0 reads the column as microsecond TIMESTAMP (nanos dropped) and
+    // Tables.events floors with `ts div 1000`. Pin the Spark side as
+    // truncating: "fixing" it to round-to-nearest would silently break
+    // every session/window oracle on ns-carrying rows.
+    val raw = Tables.read(spark, sf, "events")
+    assume(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(raw.filter(col("ts") % 1000 =!= 0).count() > 0) // data really has nanos
+    val diverged = Tables.events(spark, sf)
+      .withColumnRenamed("ts", "converted")
+      .join(raw.select(col("event_id"), col("ts").as("nanos")), Seq("event_id"))
+      .filter(unix_micros(col("converted")) =!= expr("nanos div 1000"))
+    assert(diverged.count() === 0)
+  }
+
   test("batch sessionize: sequential sessions reconstruct per-user event counts") {
     val s = Models.sessionize(spark, sf)
     val total = s.agg(sum("n_events")).head.getLong(0)
