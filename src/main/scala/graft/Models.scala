@@ -79,6 +79,10 @@ object Models {
     TimeMarts.growthMetrics(orders(s, d))
   def revenueRollup(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueRollup(orders(s, d))
+  def monthlyOrderStats(s: SparkSession, d: String): DataFrame =
+    TimeMarts.monthlyOrderStats(orders(s, d))
+  def quarterlyRevenuePivot(s: SparkSession, d: String): DataFrame =
+    TimeMarts.quarterlyRevenuePivot(orders(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "time_analytics", timeKey = Some("date_day"))(
       TimeMarts.timeAnalytics(s, orders(s, d)))

@@ -44,6 +44,8 @@ object SparkEntry {
     "seasonal_trends" -> out(Models.seasonalTrends),
     "growth_metrics" -> out(Models.growthMetrics),
     "revenue_rollup" -> out(Models.revenueRollup),
+    "monthly_order_stats" -> out(Models.monthlyOrderStats),
+    "quarterly_revenue_pivot" -> out(Models.quarterlyRevenuePivot),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
@@ -104,6 +106,8 @@ object SparkEntry {
     "seasonal_trends" -> Sql.seasonalTrendsQ,
     "growth_metrics" -> Sql.growthMetricsQ,
     "revenue_rollup" -> Sql.revenueRollupQ,
+    "monthly_order_stats" -> Sql.monthlyOrderStatsQ,
+    "quarterly_revenue_pivot" -> Sql.quarterlyRevenuePivotQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,

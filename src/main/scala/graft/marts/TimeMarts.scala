@@ -114,6 +114,38 @@ object TimeMarts {
         countDistinct(col("customer_id")).as("n_customers"),
         dec18(sum(col("order_total"))).as("revenue"))
 
+  /** Distribution window functions (percent_rank / cume_dist / ntile)
+    * over orders WITHIN their month: each order's standing among its
+    * month's peers. Partitioned by the bounded month key — these
+    * functions need a total order of their partition, so partitioning
+    * by a time bucket is the shape that scales (a global version would
+    * be a single-partition window; see operators/Ranks for the
+    * two-phase global alternative). Unique (total, order_id) ordering
+    * keeps every value deterministic. */
+  def monthlyOrderStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(date_trunc("month", col("ordered_at")).cast(DateType))
+      .orderBy(col("order_total"), col("order_id"))
+    orders.select(
+      col("order_id"),
+      date_trunc("month", col("ordered_at")).cast(DateType).as("order_month"),
+      col("order_total"),
+      percent_rank().over(w).as("pct_rank_in_month"),
+      cume_dist().over(w).as("cume_dist_in_month"),
+      ntile(4).over(w).as("quartile_in_month"))
+  }
+
+  /** Quarterly revenue pivot: one row per year, one column per quarter
+    * — Spark's `pivot` with an EXPLICIT value list (never the
+    * implicit distinct-scan form, which adds a full pass and a
+    * nondeterministic column order) compiles to conditional
+    * aggregation, exactly what the oracle spells out. */
+  def quarterlyRevenuePivot(orders: DataFrame): DataFrame =
+    orders.groupBy(year(col("ordered_at")).as("order_year"))
+      .pivot(quarter(col("ordered_at")), Seq(1, 2, 3, 4))
+      .agg(dec18(sum(col("order_total"))))
+      .select(col("order_year"), col("1").as("q1_revenue"), col("2").as("q2_revenue"),
+        col("3").as("q3_revenue"), col("4").as("q4_revenue"))
+
   /** A9-A10 cohorts (reference `time_analytics.sql:79-107`).
     * Faithful to the reference *as written*: first_order_date is
     * min(ordered_at) WITHIN the (cohort_month, customer) group, so

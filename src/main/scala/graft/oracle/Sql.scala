@@ -724,6 +724,32 @@ object Sql {
   val monthlySummaryQ = s"$allCtes ${asDouble("monthly_summary",
     "monthly_revenue", "monthly_cost", "monthly_profit")}"
   val cohortRetentionQ = s"$allCtes select * from cohort_retention"
+  /** Mirror of TimeMarts.monthlyOrderStats: identical ANSI window
+    * functions over the same unique ordering. */
+  val monthlyOrderStatsQ: String =
+    s"""$coreCtes
+       |select order_id,
+       |  date_trunc('month', ordered_at) as order_month,
+       |  cast(order_total as double) as order_total,
+       |  percent_rank() over w as pct_rank_in_month,
+       |  cume_dist() over w as cume_dist_in_month,
+       |  cast(ntile(4) over w as int) as quartile_in_month
+       |from orders_mart
+       |window w as (partition by date_trunc('month', ordered_at)
+       |             order by order_total, order_id)""".stripMargin
+
+  /** Mirror of TimeMarts.quarterlyRevenuePivot: pivot IS conditional
+    * aggregation — spelled out as CASE sums. */
+  val quarterlyRevenuePivotQ: String = {
+    val qs = (1 to 4).map(q =>
+      s"cast(cast(sum(case when quarter(ordered_at) = $q then order_total end) as decimal(18,2)) as double) as q${q}_revenue")
+      .mkString(",\n  ")
+    s"""$coreCtes
+       |select year(ordered_at) as order_year,
+       |  $qs
+       |from orders_mart group by 1""".stripMargin
+  }
+
   /** Mirror of TimeMarts.revenueRollup: GROUP BY ROLLUP with the same
     * grouping-bit order (first column = MSB in both engines). */
   val revenueRollupQ: String =
