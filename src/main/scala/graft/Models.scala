@@ -153,6 +153,8 @@ object Models {
     llm.Splits.assign(Tables.documents(s, d))
   def kmeansCentroids(s: SparkSession, d: String): DataFrame =
     llm.Kmeans.centroids(Tables.embeddings(s, d))
+  def bm25Scores(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
     operators.Sessions.sessionize(Tables.events(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =

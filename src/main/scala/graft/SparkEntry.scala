@@ -68,6 +68,7 @@ object SparkEntry {
     "media_frames" -> out(Models.mediaFrames),
     "dataset_splits" -> out(Models.datasetSplits),
     "kmeans_centroids" -> out(Models.kmeansCentroids),
+    "bm25_scores" -> out(Models.bm25Scores),
     "sessionize" -> out(Models.sessionize),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
@@ -128,6 +129,7 @@ object SparkEntry {
     "media_frames" -> LlmSql.mediaFramesQ,
     "dataset_splits" -> LlmSql.datasetSplitsQ,
     "kmeans_centroids" -> LlmSql.kmeansCentroidsQ,
+    "bm25_scores" -> LlmSql.bm25Q,
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,

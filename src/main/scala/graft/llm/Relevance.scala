@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over the documents table — the lexical
+  * ranking primitive behind corpus search and query-targeted quality
+  * filtering (e.g. "keep documents relevant to these seed terms").
+  *
+  * Okapi BM25 with the standard k1/b and the +1 idf smoothing
+  * (Robertson/Sparck Jones; the Lucene variant):
+  *   idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+  *   s(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  *
+  * Scale design (100 TB): terms are filtered to the query set BEFORE
+  * the explode aggregates — the shuffled tf table has at most
+  * |query| rows per document; corpus stats (N, total length) are one
+  * broadcast row; document frequencies are |query| rows. Nothing
+  * scales with vocabulary size.
+  *
+  * Determinism: every aggregate is exact integer arithmetic; doubles
+  * appear only in the final per-term formula, and the per-document
+  * total adds the per-term scores in FIXED query order (coalesced
+  * conditional aggregates, not a sum over an unordered group — a
+  * `sum(score)` fold over shuffle partitions would be
+  * partition-order-dependent in the last ulp). The one
+  * non-correctly-rounded operation, `ln`, differs between libm
+  * implementations in the last ulp, so idf is QUANTIZED to 9 decimal
+  * places through a decimal cast on both engines; every other
+  * operation is IEEE correctly-rounded in identical order, making the
+  * downstream scores bit-exact.
+  */
+object Relevance {
+
+  val K1 = 1.2
+  val B = 0.75
+  val QueryTerms: Seq[String] = Seq("data", "join", "stream")
+
+  def bm25(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .repartition(col("doc_id"))
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+      .withColumn("avgdl",
+        col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("s",
+        col("idf") * col("tf") * (K1 + 1) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
+    val perTerm: Seq[Column] = QueryTerms.map(t =>
+      max(when(col("term") === t, col("s"))).as(s"s_$t"))
+    scored.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id") +: QueryTerms.map(t =>
+        coalesce(col(s"s_$t"), lit(0.0)).as(s"s_$t")): _*)
+      // fixed left-to-right addition — both engines fold identically
+      .withColumn("bm25_score",
+        QueryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _))
+  }
+}

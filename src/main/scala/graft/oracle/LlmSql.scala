@@ -393,6 +393,43 @@ object LlmSql {
        |left join cnear n on d.doc_id = n.doc_id""".stripMargin
   }
 
+  /** Mirror Relevance.bm25: same Okapi formula, same FIXED-order
+    * per-term addition (coalesced conditional maxes, never an
+    * unordered double sum). */
+  val bm25Q: String = {
+    import graft.llm.Relevance._
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val perTerm = QueryTerms.map(t =>
+      s"coalesce(max(case when term = '$t' then s end), 0.0) as s_$t").mkString(",\n  ")
+    val total = QueryTerms.map(t => s"s_$t").mkString(" + ")
+    s"""with $textCtes,
+       |bm_dl as (select doc_id, cast(len(w) as bigint) as dl from doc_words),
+       |bm_corpus as (select count(*) as n_docs, sum(dl) as total_len from bm_dl),
+       |bm_tf as (
+       |  select doc_id, dl, w as term, count(*) as tf from (
+       |    select doc_id, dl, unnest(w) as w
+       |    from doc_words join bm_dl using (doc_id)
+       |  ) t where w in ($terms) group by 1, 2, 3
+       |),
+       |bm_df as (select term, count(*) as df from bm_tf group by 1),
+       |bm_scored as (
+       |  select doc_id, term,
+       |    cast(cast(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) as decimal(18,9)) as double)
+       |      * tf * ($K1 + 1) /
+       |      (tf + $K1 * (1.0 - $B + $B * cast(dl as double)
+       |        / (cast(total_len as double) / cast(n_docs as double)))) as s
+       |  from bm_tf join bm_df using (term) cross join bm_corpus
+       |),
+       |bm_pivot as (
+       |  select doc_id,
+       |  $perTerm
+       |  from bm_scored group by 1
+       |)
+       |select doc_id, s_${QueryTerms.head}${QueryTerms.tail.map(t => s", s_$t").mkString},
+       |  $total as bm25_score
+       |from bm_pivot""".stripMargin
+  }
+
   /** Mirror Kmeans.centroids: same seeds (lowest vec_ids), same
     * Iters unrolled Lloyd steps, same exact-decimal-mean / float
     * presentation per iteration as the IVF recipe. Iteration CTEs are
