@@ -67,6 +67,21 @@ class LlmSpec extends SparkSpec {
     assert(full.filter(col("split") === "validation").count() > 0)
   }
 
+  test("bm25: positive bounded scores, only term-matching docs emitted") {
+    val s = Models.bm25Scores(spark, sf)
+    assert(s.count() > 0)
+    // every emitted doc matched at least one query term → positive total
+    assert(s.filter(col("bm25_score") <= 0.0).count() === 0)
+    // per-term scores are nonnegative and bounded by idf*(k1+1) < 10
+    for (t <- llm.Relevance.QueryTerms)
+      assert(s.filter(col(s"s_$t") < 0.0 || col(s"s_$t") > 10.0).count() === 0)
+    // docs not containing any query term are absent
+    val withTerm = Tables.documents(spark, sf)
+      .filter(llm.Relevance.QueryTerms
+        .map(t => col("text").contains(t)).reduce(_ || _))
+    assert(s.count() <= withTerm.count())
+  }
+
   test("kmeans: K centroids with a full component vector each") {
     val c = Models.kmeansCentroids(spark, sf)
     assert(c.select("centroid_id").distinct().count() === llm.Kmeans.K)
