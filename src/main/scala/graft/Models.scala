@@ -161,6 +161,8 @@ object Models {
     streaming.Streams.windowedEventCountsOnce(s, d)
   def streamSessions(s: SparkSession, d: String): DataFrame =
     streaming.Streams.sessionsOnce(s, d)
+  def streamSegmentCounts(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.segmentCountsOnce(s, d, stgCustomers(s, d))
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

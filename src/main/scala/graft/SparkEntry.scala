@@ -77,6 +77,8 @@ object SparkEntry {
     // stateful streaming path: flatMapGroupsWithState session state,
     // gated by the batch-twin oracle minus never-closed last sessions.
     "stream_sessions" -> out(Models.streamSessions),
+    // stream-static enrichment join path
+    "stream_segment_counts" -> out(Models.streamSegmentCounts),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -133,6 +135,7 @@ object SparkEntry {
     "sessionize" -> graft.operators.Sessions.oracleSql,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
+    "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

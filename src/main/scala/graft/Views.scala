@@ -16,7 +16,8 @@ object Views {
     * streaming one-shot runs a whole readStream→AvailableNow→memory
     * job just to produce its DataFrame. Excluded from default view
     * registration (ADVICE r3 #3) — opt in via `includeEager`. */
-  private val eagerBuilders = Set("stream_windowed_counts", "stream_sessions")
+  private val eagerBuilders =
+    Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

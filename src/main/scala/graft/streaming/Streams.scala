@@ -199,6 +199,54 @@ object Streams {
       |where session_seq < (select max(session_seq) from sess m
       |                     where m.user_id = s.user_id)""".stripMargin
 
+  /** Stream-static enrichment join — the standard streaming shape the
+    * other two one-shots don't cover: a stream joined to a BATCH dim
+    * table (no state, no watermark requirement on the join itself —
+    * the static side is re-queried per micro-batch, so at 100 TB the
+    * dim should be broadcastable or a fast lookup store), then a
+    * watermarked windowed aggregation per enriched key. Unmatched
+    * users keep their events under 'unknown' (left join + coalesce).
+    */
+  def segmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(customers.select(col("customer_id").as("user_id"), col("market_segment")),
+        Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        coalesce(col("market_segment"), lit("unknown")).as("market_segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("market_segment"), col("n_events"))
+
+  /** One-shot driver-verifiable run of the stream-static join path;
+    * same file-stream → AvailableNow → memory-sink harness as the
+    * other one-shots, gated by the batch-equivalent oracle. */
+  def segmentCountsOnce(spark: SparkSession, sfDir: String,
+                        customers: DataFrame): DataFrame = {
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "stream_segments_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = segmentCounts(events, customers).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** DuckDB oracle for the one-shot segment counts: stg_customers is a
+    * pure rename of the customer table, so the batch twin joins the
+    * raw columns directly. */
+  val segmentCountsOracleSql: String =
+    """select date_trunc('day', e.ts) as window_start,
+      |  coalesce(c.c_mktsegment, 'unknown') as market_segment,
+      |  count(*) as n_events
+      |from events e left join customer c on e.user_id = c.c_custkey
+      |group by 1, 2""".stripMargin
+
   /** Sink plumbing: append stream to a parquet directory with a
     * checkpoint — the write side of the readStream→writeStream loop. */
   def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
