@@ -82,7 +82,19 @@ object Bench {
     // prebuild failures likewise (ADVICE r3 #5) — a query timed against
     // a missing mart barrier pays the whole chain build inline.
     def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"cold_total_sec":$coldTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"cold_total_sec":$coldTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"sf":"$sfDir"}"""
+    println(full)
+    // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
+    // the warm total and warm per-query dict to that truncation (VERDICT
+    // r4 #1). Two defenses: (a) the LAST line is a short summary that
+    // always fits in any tail window, (b) the full JSON is written to a
+    // repo file the round-end commit preserves.
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    val warmTop = results.sortBy(-_._2).take(10)
+    println(s"""{"warm_total_sec":$total,"cold_total_sec":$coldTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"warm_top10":${qjson(warmTop)}}""")
     spark.stop()
   }
 }
