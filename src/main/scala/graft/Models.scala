@@ -127,6 +127,8 @@ object Models {
     llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d))
   def annIvfTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfTopK(Tables.embeddings(s, d))
+  def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d))
   def textStats(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "text_stats")(llm.TextStats.textStats(Tables.documents(s, d)))
   /** Transitive near-dup clusters over the union of MinHash+SimHash
@@ -163,6 +165,8 @@ object Models {
     streaming.Streams.sessionsOnce(s, d)
   def streamSegmentCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.segmentCountsOnce(s, d, stgCustomers(s, d))
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.ingestDedupOnce(s, d)
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

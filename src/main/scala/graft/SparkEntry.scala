@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
+    "ann_ivf_kmeans_topk" -> out(Models.annIvfKmeansTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -79,6 +80,8 @@ object SparkEntry {
     "stream_sessions" -> out(Models.streamSessions),
     // stream-static enrichment join path
     "stream_segment_counts" -> out(Models.streamSegmentCounts),
+    // at-least-once ingest dedup (watermark-bounded key state)
+    "stream_dedup" -> out(Models.streamDedup),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -124,6 +127,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
+    "ann_ivf_kmeans_topk" -> LlmSql.annIvfKmeansTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
@@ -136,6 +140,7 @@ object SparkEntry {
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,
+    "stream_dedup" -> graft.streaming.Streams.ingestDedupOracleSql,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -17,7 +17,8 @@ object Views {
     * job just to produce its DataFrame. Excluded from default view
     * registration (ADVICE r3 #3) — opt in via `includeEager`. */
   private val eagerBuilders =
-    Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts")
+    Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts",
+      "stream_dedup")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

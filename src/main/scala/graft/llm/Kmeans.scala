@@ -32,14 +32,15 @@ object Kmeans {
   val Iters = 2
 
   /** Run [[Iters]] Lloyd steps from the lowest-vec_id seeds; returns
-    * the final centroids exploded to (centroid_id, idx, component)
-    * rows — scalar columns, so the differential gate hashes them
-    * directly. Assignment and exact-mean arithmetic are the SHARED
-    * [[Similarity]] recipe (one oracle-critical implementation, not
-    * two that can drift). A centroid that attracts no vectors keeps
-    * its previous position (the standard Lloyd fix — without it the
-    * operator silently returns fewer than K centroids). */
-  def centroids(embeddingsRaw: DataFrame): DataFrame = {
+    * the final centroids in list form, (centroid_id, centroid:
+    * array<float>) — the shape [[Similarity.annIvfKmeansTopK]] plugs
+    * in as its coarse quantizer. Assignment and exact-mean arithmetic
+    * are the SHARED [[Similarity]] recipe (one oracle-critical
+    * implementation, not two that can drift). A centroid that attracts
+    * no vectors keeps its previous position (the standard Lloyd fix —
+    * without it the operator silently returns fewer than K
+    * centroids). */
+  def centroidVectors(embeddingsRaw: DataFrame): DataFrame = {
     val withNorm = embeddingsRaw.repartition(col("vec_id")).select(
         col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("nrm"))
@@ -54,9 +55,16 @@ object Kmeans {
       cents = moved.union(
         cents.join(moved.select("centroid_id"), Seq("centroid_id"), "left_anti"))
     }
-    cents.select(col("centroid_id"),
-      posexplode(col("centroid")).as(Seq("idx", "component")))
+    cents
+  }
+
+  /** The final centroids exploded to (centroid_id, idx, component)
+    * rows — scalar columns, so the differential gate hashes them
+    * directly. */
+  def centroids(embeddingsRaw: DataFrame): DataFrame =
+    centroidVectors(embeddingsRaw)
+      .select(col("centroid_id"),
+        posexplode(col("centroid")).as(Seq("idx", "component")))
       .select(col("centroid_id"), col("idx"),
         col("component").cast("double").as("component"))
-  }
 }

@@ -119,13 +119,11 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("sim").desc_nulls_last, col("centroid_id"))))
 
-  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
-    val embeddings = embeddingsRaw.repartition(col("vec_id"))
-
-    // exact-mean centroids per label
-    val centroids = exactMeanCentroids(
-      embeddings.select(col("label"), col("embedding")), "label")
-
+  /** The IVF search itself, independent of how the coarse quantizer
+    * was trained: assign every vector to its nearest centroid (its
+    * inverted list), then each query probes its top-[[IvfNProbe]]
+    * centroids' lists. `centroids`: (centroid_id, centroid). */
+  private def ivfProbe(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val withNorm = embeddings.select(
         col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm"))
@@ -152,6 +150,25 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "centroid_id", "rank", "cosine")
+  }
+
+  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    // exact-mean centroids per label
+    ivfProbe(embeddings, exactMeanCentroids(
+      embeddings.select(col("label"), col("embedding")), "label"))
+  }
+
+  /** IVF with a TRAINED coarse quantizer: the inverted lists are built
+    * from [[Kmeans.centroidVectors]] (K deterministic Lloyd-iterated
+    * centroids) instead of the label-derived exact means — the
+    * composition a production ANN index actually runs (train a small
+    * quantizer, then partition the corpus by it). Same probe machinery,
+    * so the scale story is unchanged: K centroids broadcast, probe cost
+    * scales with nprobe, never corpus × corpus. */
+  def annIvfKmeansTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    ivfProbe(embeddings, Kmeans.centroidVectors(embeddings))
   }
 
   /** Near-dup tunables. The demo threshold 0.35 sits in the tail of the

@@ -178,29 +178,13 @@ object LlmSql {
        |select vec_id, bucket, count(*) over (partition by bucket) as bucket_size
        |from lsh_buckets""".stripMargin
 
-  /** IVF oracle (mirror Similarity.annIvfTopK): exact-mean centroids,
-    * nearest-centroid assignment, bucket-local multi-probe (queries
-    * search their top-IvfNProbe centroids' lists). Paired unnests in
-    * one select zip positionally in DuckDB, giving (idx, component)
-    * rows like Spark's posexplode. */
-  val annIvfTopKQ: String =
-    s"""with ivf_comp as (
-       |  select label,
-       |    unnest(generate_series(0, len(embedding) - 1)) as idx,
-       |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
-       |  from embeddings
-       |),
-       |ivf_cent0 as (
-       |  select label as centroid_id, idx,
-       |    cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double) / cast(count(*) as double) as c
-       |  from ivf_comp group by 1, 2
-       |),
-       |ivf_cent as (
-       |  select centroid_id, list(cast(c as float) order by idx) as centroid
-       |  from ivf_cent0 group by 1
-       |),
-       |ivf_cent_n as (
-       |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm from ivf_cent
+  /** The IVF probe chain (mirror Similarity.ivfProbe), independent of
+    * the coarse quantizer: `centName` is any CTE yielding (centroid_id,
+    * centroid). Shared by the label-mean and kmeans-trained oracles so
+    * the probe arithmetic exists exactly once. */
+  private def ivfProbeCtes(centName: String): String =
+    s"""ivf_cent_n as (
+       |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm from $centName
        |),
        |ivf_emb as (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
@@ -235,12 +219,38 @@ object LlmSql {
        |  from ivf_assign a
        |  join ivf_probe p on a.centroid_id = p.q_centroid
        |  join ivf_q q on p.query_id = q.query_id and a.vec_id != q.query_id
-       |)
-       |select query_id, neighbor_id, centroid_id, rank, cosine from (
+       |)""".stripMargin
+
+  private val ivfSelect: String =
+    s"""select query_id, neighbor_id, centroid_id, rank, cosine from (
        |  select *, row_number() over (
        |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
        |  from ivf_cand
        |) t where rank <= ${Similarity.TopK}""".stripMargin
+
+  /** IVF oracle (mirror Similarity.annIvfTopK): exact-mean centroids,
+    * nearest-centroid assignment, bucket-local multi-probe (queries
+    * search their top-IvfNProbe centroids' lists). Paired unnests in
+    * one select zip positionally in DuckDB, giving (idx, component)
+    * rows like Spark's posexplode. */
+  val annIvfTopKQ: String =
+    s"""with ivf_comp as (
+       |  select label,
+       |    unnest(generate_series(0, len(embedding) - 1)) as idx,
+       |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
+       |  from embeddings
+       |),
+       |ivf_cent0 as (
+       |  select label as centroid_id, idx,
+       |    cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double) / cast(count(*) as double) as c
+       |  from ivf_comp group by 1, 2
+       |),
+       |ivf_cent as (
+       |  select centroid_id, list(cast(c as float) order by idx) as centroid
+       |  from ivf_cent0 group by 1
+       |),
+       |${ivfProbeCtes("ivf_cent")}
+       |$ivfSelect""".stripMargin
 
   // mirror Similarity.embeddingDedupPairs: 4 bands × 8 hyperplane bits,
   // per-band bucket cap, OR-probed candidates de-duplicated, exact
@@ -430,11 +440,12 @@ object LlmSql {
        |from bm_pivot""".stripMargin
   }
 
-  /** Mirror Kmeans.centroids: same seeds (lowest vec_ids), same
-    * Iters unrolled Lloyd steps, same exact-decimal-mean / float
-    * presentation per iteration as the IVF recipe. Iteration CTEs are
-    * materialized (each is referenced by the next round). */
-  val kmeansCentroidsQ: String = {
+  /** The unrolled-Lloyd CTE chain (mirror Kmeans.centroidVectors):
+    * same seeds (lowest vec_ids), same Iters unrolled steps, same
+    * exact-decimal-mean / float presentation per iteration as the IVF
+    * recipe. Iteration CTEs are materialized (each is referenced by
+    * the next round). Final centroids: `km_cent${Iters}`. */
+  private val kmCtes: String = {
     import graft.llm.Kmeans.{K, Iters}
     val rounds = (1 to Iters).map { i =>
       s"""km_centn${i - 1} as materialized (
@@ -471,7 +482,7 @@ object LlmSql {
          |  where c.centroid_id not in (select centroid_id from km_moved$i)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""with km_emb as materialized (
+    s"""km_emb as materialized (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
        |  from embeddings
        |  where ${dotSql("embedding", "embedding")} > 0
@@ -479,12 +490,24 @@ object LlmSql {
        |km_cent0 as materialized (
        |  select vec_id as centroid_id, embedding as centroid from km_emb where vec_id < $K
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val kmeansCentroidsQ: String =
+    s"""with $kmCtes
        |select centroid_id,
        |  cast(unnest(generate_series(0, len(centroid) - 1)) as int) as idx,
        |  unnest(list_transform(generate_series(1, len(centroid)), j -> centroid[j]::double)) as component
-       |from km_cent$Iters""".stripMargin
-  }
+       |from km_cent${graft.llm.Kmeans.Iters}""".stripMargin
+
+  /** Mirror Similarity.annIvfKmeansTopK: the SAME probe chain as the
+    * label-mean IVF oracle, quantized by the SAME unrolled-Lloyd
+    * centroids as the kmeans oracle — pure composition, zero new
+    * arithmetic. */
+  val annIvfKmeansTopKQ: String =
+    s"""with $kmCtes,
+       |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
+       |$ivfSelect""".stripMargin
 
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
