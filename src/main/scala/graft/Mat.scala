@@ -17,12 +17,12 @@ import org.apache.spark.sql.types.DateType
   * once is exactly what the reference does.
   *
   * Production shape (VERDICT r2 "What's missing" #1):
-  *  - each mart is registered in the session catalog as an EXTERNAL
-  *    table under a per-dataset schema (`graft_<md5(sfDir)>.name`) and
-  *    read back via `spark.table` — named, queryable, atomically
-  *    replaced (overwrite mode), the `BASELINE` "Spark SQL + table
-  *    format" seam. (Delta/Iceberg jars are not in this sandbox; the
-  *    catalog + partitioned-parquet layout is the same seam.)
+  *  - each mart is registered in the session catalog under a
+  *    per-dataset schema (`graft_<md5(sfDir)>.name`) and read back via
+  *    `spark.table` — named, queryable, the `BASELINE` "Spark SQL +
+  *    table format" seam. (Delta/Iceberg jars are not in this sandbox;
+  *    the versioned-location layout below supplies the atomic-replace
+  *    half of what they'd provide with plain parquet.)
   *  - time-keyed marts are month-partitioned (`__p_month`) so a
   *    date-ranged consumer prunes partitions at the scan; the helper
   *    column is dropped on read so mart schemas are unchanged.
@@ -30,6 +30,37 @@ import org.apache.spark.sql.types.DateType
   *    marts build CONCURRENTLY (dbt's thread-pool DAG execution,
   *    SURVEY §3.1 step 4) while dependents await their parents via the
   *    same per-key future, each built exactly once per session.
+  *
+  * == Versioned locations: atomic replace with plain parquet ==
+  *
+  * (VERDICT r4 "Next round" #2.) A `saveAsTable(overwrite)` onto a live
+  * location deletes files a concurrent reader may hold in its scan's
+  * file listing — the reader-race window Delta/Iceberg close with
+  * metadata transactions. The same property with plain parquet:
+  *
+  *  - version N of a mart is its OWN external table
+  *    `<db>.<name>__vN` at its OWN directory `<base>/<name>/v=N` —
+  *    a build never writes into a directory any reader can be holding;
+  *  - the stable name `<db>.<name>` is a catalog VIEW over the current
+  *    version, and a rebuild ([[refresh]]) repoints it with a single
+  *    `CREATE OR REPLACE VIEW` — one catalog operation, so the flip is
+  *    atomic to readers. (A view, not `ALTER TABLE SET LOCATION`: a
+  *    month-partitioned table carries per-partition locations in the
+  *    catalog, so a location flip would be one op per partition —
+  *    racy — while the view repoint is always exactly one.)
+  *  - a reader that resolved `spark.table(<db>.<name>)` BEFORE a
+  *    refresh analyzed the view into version N's relation and keeps
+  *    reading version N's untouched files afterwards (MatSwapSpec);
+  *  - the last [[KeepVersions]] versions are retained
+  *    (poor-man's time travel: `spark.table("<db>.<name>__vN")`);
+  *    older ones are dropped and their directories deleted through the
+  *    Hadoop FileSystem API (object-store ready).
+  *
+  * [[operators.Incremental]] month-overwrites mutate the CURRENT
+  * version's partitions in place ([[currentTable]]) — that is the
+  * cheap O(recent) path; a full rebuild goes through [[refresh]] and
+  * gets a fresh version. [[operators.Compaction]] likewise compacts a
+  * version directory in place between refreshes.
   *
   * Cache key includes the Spark applicationId so a new session never
   * reads a stale dump; the path segment is md5(sfDir) — collision-
@@ -42,7 +73,13 @@ object Mat {
   private case class PathOnly(path: String, cols: Seq[String]) extends Stored
 
   private val built = new ConcurrentHashMap[(String, String, String), Future[Stored]]()
+  private val versions = new ConcurrentHashMap[(String, String, String), Integer]()
   private val ddlLock = new Object
+
+  /** Versions retained after a refresh: the current one plus one
+    * previous, so any reader that resolved before the flip still has
+    * its files. Deeper retention = longer time travel, more storage. */
+  val KeepVersions = 2
 
   /** Unbounded daemon pool: a build Future awaits its parents' futures
     * (DAG depth ~4), so the pool must never starve nested waits. */
@@ -57,59 +94,115 @@ object Mat {
 
   def schemaFor(sfDir: String): String = s"graft_${md5hex(sfDir).take(12)}"
 
+  private def baseFor(spark: SparkSession, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-marts/" +
+      s"${spark.sparkContext.applicationId}/${md5hex(sfDir).take(12)}"
+
+  /** The mart's current version number (0 = not built yet). */
+  def currentVersion(spark: SparkSession, sfDir: String, name: String): Int =
+    Option(versions.get((spark.sparkContext.applicationId, sfDir, name)))
+      .fold(0)(_.intValue)
+
+  /** The PHYSICAL table backing the mart's current version — the
+    * target for in-place partition maintenance (Incremental), which
+    * must address a real table: `insertInto` on the stable view name
+    * would fail analysis. */
+  def currentTable(spark: SparkSession, sfDir: String, name: String): String =
+    s"${schemaFor(sfDir)}.${name}__v${currentVersion(spark, sfDir, name)}"
+
+  /** Write `df` as the mart's next version and atomically repoint the
+    * stable view; prune versions beyond [[KeepVersions]]. */
+  private def writeVersion(spark: SparkSession, sfDir: String, name: String,
+                           timeKey: Option[String], df: DataFrame): Stored = {
+    val cols = df.columns.toSeq
+    val base = baseFor(spark, sfDir)
+    val db = schemaFor(sfDir)
+    val n = versions.merge((spark.sparkContext.applicationId, sfDir, name),
+       1, (a, _) => a + 1).intValue
+    val path = s"$base/$name/v=$n"
+    val writer = timeKey match {
+      case Some(k) =>
+        // one file per month: repartition on the partition key before
+        // the partitioned write (else every task writes every month).
+        // Rows are sorted on the time key inside each partition so
+        // parquet row-group min/max stats support finer-than-month
+        // range pruning.
+        df.withColumn("__p_month", date_trunc("month", col(k)).cast(DateType))
+          .repartition(col("__p_month"))
+          .sortWithinPartitions(col(k))
+          .write.partitionBy("__p_month")
+      case None => df.write
+    }
+    try {
+      ddlLock.synchronized {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
+      }
+      writer.mode("overwrite").option("path", path).saveAsTable(s"$db.${name}__v$n")
+      // record the month-partitioning's source column — and the zone
+      // this session computed __p_month with, so timestamp bounds can
+      // be converted with the WRITER's zone at read time — letting the
+      // MonthPruning rule derive __p_month partition filters from
+      // time-key range predicates for ANY consumer
+      timeKey.foreach { k =>
+        spark.sql(s"ALTER TABLE $db.${name}__v$n SET TBLPROPERTIES " +
+          s"('${plans.MonthPruning.TimeKeyProp}'='$k', " +
+          s"'${plans.MonthPruning.TimeZoneProp}'=" +
+          s"'${spark.sessionState.conf.sessionLocalTimeZone}')")
+      }
+      // THE pointer flip: one catalog op, atomic to readers.
+      ddlLock.synchronized {
+        spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS " +
+          s"SELECT * FROM $db.${name}__v$n")
+      }
+      val old = n - KeepVersions
+      if (old >= 1) {
+        ddlLock.synchronized {
+          spark.sql(s"DROP TABLE IF EXISTS $db.${name}__v$old")
+        }
+        val p = new org.apache.hadoop.fs.Path(s"$base/$name/v=$old")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(p, true)
+      }
+      Registered(s"$db.$name", cols)
+    } catch {
+      case NonFatal(e) =>
+        // catalog registration is best-effort; the parquet barrier is
+        // the correctness-critical part.
+        System.err.println(s"[mat] catalog registration failed for $db.$name " +
+          s"(${e.getMessage}); falling back to path-only parquet")
+        writer.mode("overwrite").parquet(path)
+        PathOnly(path, cols)
+    }
+  }
+
+  private def resolve(spark: SparkSession, stored: Stored): DataFrame = stored match {
+    case Registered(t, cols) => spark.table(t).select(cols.map(col): _*)
+    case PathOnly(p, cols) => spark.read.parquet(p).select(cols.map(col): _*)
+  }
+
   /** Build-once materialization. `timeKey`: name of a date/timestamp
     * column to month-partition the stored table by. */
   def table(spark: SparkSession, sfDir: String, name: String,
             timeKey: Option[String] = None)(build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
     val key = (spark.sparkContext.applicationId, sfDir, name)
-    val fut = built.computeIfAbsent(key, _ => Future {
-      val df = build
-      val cols = df.columns.toSeq
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-marts/" +
-        s"${spark.sparkContext.applicationId}/${md5hex(sfDir).take(12)}"
-      val path = s"$base/$name"
-      val writer = timeKey match {
-        case Some(k) =>
-          // one file per month: repartition on the partition key before
-          // the partitioned write (else every task writes every month).
-          // Rows are sorted on the time key inside each partition so
-          // parquet row-group min/max stats support finer-than-month
-          // range pruning.
-          df.withColumn("__p_month", date_trunc("month", col(k)).cast(DateType))
-            .repartition(col("__p_month"))
-            .sortWithinPartitions(col(k))
-            .write.partitionBy("__p_month")
-        case None => df.write
-      }
-      val db = schemaFor(sfDir)
-      try {
-        ddlLock.synchronized {
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
-        }
-        writer.mode("overwrite").option("path", path).saveAsTable(s"$db.$name")
-        // record the month-partitioning's source column so the
-        // MonthPruning rule can derive __p_month partition filters
-        // from time-key range predicates for ANY consumer
-        timeKey.foreach { k =>
-          spark.sql(s"ALTER TABLE $db.$name SET TBLPROPERTIES " +
-            s"('${plans.MonthPruning.TimeKeyProp}'='$k')")
-        }
-        Registered(s"$db.$name", cols)
-      } catch {
-        case NonFatal(e) =>
-          // catalog registration is best-effort; the parquet barrier is
-          // the correctness-critical part.
-          System.err.println(s"[mat] catalog registration failed for $db.$name " +
-            s"(${e.getMessage}); falling back to path-only parquet")
-          writer.mode("overwrite").parquet(path)
-          PathOnly(path, cols)
-      }
-    })
+    val fut = built.computeIfAbsent(key, _ =>
+      Future(writeVersion(spark, sfDir, name, timeKey, build)))
     fut.failed.foreach(_ => built.remove(key, fut))
-    Await.result(fut, Duration.Inf) match {
-      case Registered(t, cols) => spark.table(t).select(cols.map(col): _*)
-      case PathOnly(p, cols) => spark.read.parquet(p).select(cols.map(col): _*)
-    }
+    resolve(spark, Await.result(fut, Duration.Inf))
+  }
+
+  /** Full rebuild as a NEW version + atomic view repoint: in-flight
+    * readers of the previous version keep a consistent snapshot, new
+    * `spark.table` resolutions see the rebuilt mart. Synchronous (the
+    * caller decides refresh scheduling); subsequent [[table]] calls
+    * return the refreshed version without rebuilding. */
+  def refresh(spark: SparkSession, sfDir: String, name: String,
+              timeKey: Option[String] = None)(build: => DataFrame): DataFrame = {
+    plans.MonthPruning.install(spark)
+    val stored = writeVersion(spark, sfDir, name, timeKey, build)
+    built.put((spark.sparkContext.applicationId, sfDir, name),
+      Future.successful(stored))
+    resolve(spark, stored)
   }
 }

@@ -1,8 +1,8 @@
 package graft.operators
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable.ListBuffer
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for parquet directories — the maintenance
@@ -16,21 +16,33 @@ import org.apache.spark.sql.SparkSession
   * Compaction rewrites a directory to ceil(totalBytes / targetBytes)
   * files.
   *
+  * All filesystem access goes through the Hadoop `FileSystem` API
+  * resolved from the path's scheme (VERDICT r4 "Next round" #5) — the
+  * same code walks local disk, HDFS, or an object store; `java.io.File`
+  * would only ever see local disk, and a 100 TB table does not live
+  * there.
+  *
   * The rewrite stages into a sibling temp directory, then swaps via
-  * two renames (dir moves on the same filesystem). The swap is NOT
-  * atomic against concurrent readers — that gap is exactly what an
-  * ACID table format closes (see README "Table format status"); for
-  * Mat's session-scoped marts and streaming sink outputs it is the
-  * right standalone tool.
+  * two renames. On HDFS a directory rename is atomic; on S3-like
+  * stores rename is copy+delete, and the swap is NOT atomic against
+  * concurrent readers either way — for atomic replace, compact a
+  * [[graft.Mat]] version directory between refreshes (the view
+  * repoint is the atomic boundary), or use an ACID table format (see
+  * README "Table format status"). For Mat's session-scoped marts and
+  * streaming sink outputs this standalone form is the right tool.
   */
 object Compaction {
 
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
-  private def parquetFiles(dir: File): Seq[File] = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-    walk(dir).filter(_.getName.endsWith(".parquet"))
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val out = ListBuffer.empty[FileStatus]
+    val it = fs.listFiles(dir, true) // recursive, object-store friendly
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) out += s
+    }
+    out.toSeq
   }
 
   /** Compact `dir` to ~targetBytes files. Returns the resulting file
@@ -39,33 +51,32 @@ object Compaction {
     * schedule). */
   def compactDir(spark: SparkSession, dir: String,
                  targetBytes: Long = DefaultTargetBytes): Int = {
-    val d = new File(dir)
-    val files = parquetFiles(d)
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) return 0
+    val base = fs.makeQualified(d)
+    val files = parquetFiles(fs, base)
     if (files.isEmpty) return 0
     // refuse Hive-partitioned roots: a flat rewrite would fold the
     // partition column into the data files and orphan the catalog's
     // partition locations (reads silently return nothing). Compact the
     // LEAF partition directories individually instead.
+    val baseUri = base.toUri.getPath
     val partitioned = files.exists(
-      _.getAbsolutePath.drop(d.getAbsolutePath.length).contains("="))
+      _.getPath.toUri.getPath.drop(baseUri.length).contains("="))
     require(!partitioned,
       s"$dir contains partition subdirectories (k=v); compact each leaf partition directory instead")
-    val total = files.map(_.length()).sum
+    val total = files.map(_.getLen).sum
     val want = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     if (files.size <= want) return 0
-    val tmp = new File(d.getParentFile, d.getName + ".__compacting")
+    val tmp = new Path(base.getParent, base.getName + ".__compacting")
     // coalesce, not repartition: merging files needs no shuffle
     spark.read.parquet(dir).coalesce(want)
-      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val old = new File(d.getParentFile, d.getName + ".__old")
-    Files.move(Paths.get(d.getAbsolutePath), Paths.get(old.getAbsolutePath),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp.getAbsolutePath), Paths.get(d.getAbsolutePath),
-      StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
-    }
-    rm(old)
-    parquetFiles(d).size
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(base.getParent, base.getName + ".__old")
+    require(fs.rename(base, old), s"rename $base -> $old failed")
+    require(fs.rename(tmp, base), s"rename $tmp -> $base failed")
+    fs.delete(old, true)
+    parquetFiles(fs, base).size
   }
 }

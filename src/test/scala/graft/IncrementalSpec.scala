@@ -18,8 +18,12 @@ class IncrementalSpec extends SparkSpec {
     val cut = Date.valueOf("1998-01-01")
     // v1: history only — built as a normal Mat table
     val v1 = full.filter(col("order_date") < lit(cut))
-    val table = s"${Mat.schemaFor(sf)}.inc_daily_spec"
     Mat.table(spark, sf, "inc_daily_spec", timeKey = Some("order_date"))(v1)
+    // the overwrite targets the current PHYSICAL version table (the
+    // stable name is a view since the versioned-swap layout); the
+    // in-place partition overwrite is the cheap path that deliberately
+    // does NOT create a new version.
+    val table = Mat.currentTable(spark, sf, "inc_daily_spec")
     val loc = java.net.URI.create(
       spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
         .find(_.getString(0) == "Location").get.getString(1)).getPath
