@@ -159,6 +159,12 @@ object Models {
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
     operators.Sessions.sessionize(Tables.events(s, d))
+  def eventsAsofPurchase(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.eventsAsofPurchase(Tables.events(s, d))
+  def valueBandStats(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.valueBandStats(s, Tables.events(s, d))
+  def hllUserCounts(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hllUserCounts(Tables.events(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.windowedEventCountsOnce(s, d)
   def streamSessions(s: SparkSession, d: String): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.oracle.{LlmSql, Sql}
+import graft.oracle.{LlmSql, OpsSql, Sql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
@@ -71,6 +71,11 @@ object SparkEntry {
     "kmeans_centroids" -> out(Models.kmeansCentroids),
     "bm25_scores" -> out(Models.bm25Scores),
     "sessionize" -> out(Models.sessionize),
+    // custom relational operators: as-of join, bucketed range join,
+    // deterministic HLL sketch
+    "events_asof_purchase" -> out(Models.eventsAsofPurchase),
+    "value_band_stats" -> out(Models.valueBandStats),
+    "hll_user_counts" -> out(Models.hllUserCounts),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
     // AvailableNow → memory sink), gated by its batch-twin oracle.
@@ -137,6 +142,9 @@ object SparkEntry {
     "kmeans_centroids" -> LlmSql.kmeansCentroidsQ,
     "bm25_scores" -> LlmSql.bm25Q,
     "sessionize" -> graft.operators.Sessions.oracleSql,
+    "events_asof_purchase" -> OpsSql.eventsAsofPurchaseQ,
+    "value_band_stats" -> OpsSql.valueBandStatsQ,
+    "hll_user_counts" -> OpsSql.hllUserCountsQ,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,

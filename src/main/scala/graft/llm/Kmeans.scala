@@ -52,8 +52,15 @@ object Kmeans {
         .filter(col("rn") === 1)
         .select(col("centroid_id"), col("embedding"))
       val moved = Similarity.exactMeanCentroids(assigned, "centroid_id")
+      // localCheckpoint per iteration (the Clusters recipe): the union
+      // references `cents` twice and the next iteration embeds the
+      // whole previous plan again, so lineage doubles per round AND
+      // every downstream reference (the IVF probe reads the centroids
+      // in three subplans) re-executes the full Lloyd chain. The
+      // checkpoint materializes K tiny rows once; values unchanged.
       cents = moved.union(
         cents.join(moved.select("centroid_id"), Seq("centroid_id"), "left_anti"))
+        .localCheckpoint()
     }
     cents
   }

@@ -1,0 +1,54 @@
+package graft.marts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{AsOfJoin, RangeJoin, Sketches}
+
+/** Event-stream analytics built on the custom relational operators
+  * (as-of join, bucketed range join, HLL sketch) — the driver-gated
+  * demonstrations that each operator produces oracle-exact results
+  * over the events table.
+  */
+object EventMarts {
+
+  /** Value bands for the range-join demo ([lo, hi) intervals covering
+    * the events value domain 0.01..~490). */
+  val ValueBands: Seq[(String, Double, Double)] = Seq(
+    ("nano", 0.0, 50.0), ("small", 50.0, 100.0), ("mid", 100.0, 200.0),
+    ("large", 200.0, 300.0), ("huge", 300.0, 500.0))
+  val BandStep = 50.0
+
+  /** Each non-purchase event joined as-of to the user's latest
+    * purchase at-or-before it (null columns when none precedes). */
+  def eventsAsofPurchase(events: DataFrame): DataFrame = {
+    val ev = events.select("event_id", "ts", "user_id", "event_type", "value")
+    val left = ev.filter(col("event_type") =!= "purchase")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    AsOfJoin.backward(left, right, key = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      payload = Seq("purchase_value", "purchase_ts"), rightTieBreak = "event_id")
+  }
+
+  /** Per-band event stats through the bucketed range join (exact-sum
+    * decimal money rule at the output boundary). */
+  def valueBandStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bands = ValueBands.toDF("band", "lo", "hi")
+    RangeJoin.bucketed(events, bands, col("value"), col("lo"), col("hi"), BandStep)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+  }
+
+  /** Deterministic HLL distinct users per event type, with the exact
+    * count alongside (the differential gate then certifies the whole
+    * sketch pipeline, not just its shape). */
+  def hllUserCounts(events: DataFrame): DataFrame =
+    Sketches.hllDistinct(events, Seq("event_type"),
+      concat(lit("hll|"), col("user_id").cast("string")))
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the time-series primitive Spark has no built-in
+  * operator for (the brief's canonical example): for every left row
+  * (key, t), attach the payload of the LATEST right row with the same
+  * key and time ≤ t.
+  *
+  * The naive formulations do not scale: a non-equi self-join explodes
+  * to O(|left| × |right per key|) candidate pairs before the argmax,
+  * and a correlated subquery re-scans the right side per left row.
+  * This is the single-shuffle form:
+  *
+  *   1. UNION both sides, tagged: right rows carry the payload, left
+  *      rows carry null payload + their own row struct;
+  *   2. one keyed window sorted by (time, side, tiebreak) — side
+  *      orders a right row BEFORE a left row at the same instant, so
+  *      "≤" semantics fall out of the sort;
+  *   3. `last(payload, ignoreNulls)` with an unbounded-preceding frame
+  *      propagates the most recent right payload onto every left row —
+  *      a running O(1)-state pass, no pair blowup;
+  *   4. keep the left rows, unwrap their struct.
+  *
+  * Scale: ONE shuffle on the key (both inputs), then a linear sorted
+  * pass per partition. Key cardinality is the parallelism; a key's
+  * rows must fit a partition's sort spill budget — the same contract
+  * as any keyed window. Deterministic for any input: the sort is
+  * totalized by the caller-supplied unique right tiebreak (ties among
+  * LEFT rows are harmless — each left row's result depends only on
+  * the right rows ordered before it).
+  */
+object AsOfJoin {
+
+  /** `left ⟕asof right` on `key`: latest right row with
+    * `right(rightTime) <= left(leftTime)`. `payload`: right columns to
+    * attach (null when no right row precedes). `rightTieBreak`: unique
+    * right column totalizing the order among equal-time right rows
+    * (the largest wins, matching "latest"). */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String], rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val shared = leftCols.filterNot(_ == key).toSet
+      .intersect(payload.toSet)
+    require(shared.isEmpty,
+      s"payload columns collide with left columns: ${shared.mkString(", ")} " +
+        "(alias the right side before joining)")
+    val rightRows = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTieBreak).cast("long").as("__tb"),
+        lit(null).cast(left.schema(key).dataType).as("__l_dummy")) ++
+        payload.map(col): _*)
+      .withColumn("__l", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          left.schema.fields.filterNot(_.name == key))))
+      .drop("__l_dummy")
+    val leftRows = left.select(
+      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tb")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)) :+
+        struct(leftCols.filterNot(_ == key).map(col): _*).as("__l"): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightRows.unionByName(leftRows)
+      .select(Seq(col(key), col("__side"), col("__l")) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__side") === 1)
+      .select(col(key) +:
+        leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
+        payload.map(col): _*)
+  }
+}

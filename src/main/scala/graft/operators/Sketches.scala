@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic HyperLogLog distinct-count sketch (Flajolet et al.) —
+  * the "novel sketch" custom-operator slot. Spark's own
+  * `approx_count_distinct` is HLL++ whose hash (xxhash of the internal
+  * binary encoding) no other engine reproduces, so it can never pass a
+  * cross-engine differential gate. This sketch is built from the same
+  * md5-derived 60-bit hash the dedup family uses — every intermediate
+  * is INTEGER arithmetic both engines perform bit-identically:
+  *
+  *  - register index = hash % m (m = 2^P registers);
+  *  - rho = position of the leading 1-bit in the remaining W-bit word
+  *    (computed as W+1 − len(bin(w)) — string length of the binary
+  *    form, exact in both engines — no floating log2);
+  *  - per-register max(rho), then the harmonic term Σ 2^(−M_j) scaled
+  *    by 2^(W+1) so it SUMS AS EXACT LONGS (every term ≤ 2^(W+1),
+  *    m terms fit a signed 64-bit range) — the only doubles are one
+  *    final division and, on the small-range linear-counting branch,
+  *    one ln() quantized through decimal(18,9) (the bm25 idf recipe,
+  *    since libm ln differs across engines in the last ulp).
+  *
+  * Scale: the sketch state is m longs per group — constant, mergeable,
+  * shuffle-light (the groupBy carries (group, register) pairs, never
+  * values). This is the shape that counts distincts over 100 TB in one
+  * pass where exact countDistinct would shuffle every value.
+  */
+object Sketches {
+
+  /** log2(registers): m = 64 — ±13% standard error, enough to
+    * demonstrate the machinery while keeping the oracle SQL bounded. */
+  val HllP = 6
+  val HllM = 64
+  /** Bits of the hash word the leading-1 scan runs over (60-bit hash
+    * minus P index bits = 54). */
+  val HllW: Int = 60 - HllP
+  /** Bias correction alpha_64 (standard constant for m = 64). */
+  val HllAlpha = 0.709
+
+  /** Per-group HLL distinct estimate of `keyExpr` (a string column),
+    * alongside the exact count for reference. Output columns:
+    * groupCols ++ (n_exact, hll_estimate). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyExpr: Column): DataFrame = {
+    val h = graft.llm.Dedup.hex60(keyExpr)
+    val gs = groupCols.map(col)
+    // index = low P bits, word = the rest — integer ops only (a double
+    // division would round a 60-bit hash past the 53-bit mantissa)
+    val regs = df.select(gs :+ pmod(h, lit(HllM.toLong)).as("__reg") :+
+      shiftright(h, HllP).as("__w"): _*)
+      .withColumn("__rho",
+        when(col("__w") === 0, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("__w")))))
+    val perReg = regs.groupBy(gs :+ col("__reg"): _*)
+      .agg(max(col("__rho")).as("__mj"))
+    // scaled harmonic term 2^(W+1-Mj): exact long arithmetic
+    val summed = perReg.groupBy(gs: _*).agg(
+      sum(expr(s"shiftleft(1L, ${HllW + 1} - __mj)")).as("__ssum"),
+      count(lit(1)).as("__nreg"))
+    val zeros = lit(HllM.toLong) - col("__nreg")
+    val scaled = col("__ssum") + zeros * lit(1L << (HllW + 1))
+    val rawEst = lit(HllAlpha * HllM * HllM) * lit(math.pow(2.0, HllW + 1)) /
+      col("__scaled").cast("double")
+    // ln through a decimal quantization so both engines' libm agree
+    val linEst = (log(lit(HllM.toDouble) / zeros.cast("double")) * lit(HllM.toDouble))
+      .cast(DecimalType(18, 9)).cast("double")
+    val est = summed.withColumn("__scaled", scaled)
+      .withColumn("__raw", rawEst)
+      .withColumn("hll_estimate",
+        when(zeros > 0 && col("__raw") <= lit(2.5 * HllM), linEst)
+          .otherwise(col("__raw")))
+      .select(gs :+ col("hll_estimate"): _*)
+    val exact = df.groupBy(gs: _*)
+      .agg(countDistinct(keyExpr).as("n_exact"))
+    exact.join(est, groupCols)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.oracle
+
+import graft.marts.EventMarts
+import graft.operators.Sketches
+
+/** DuckDB oracles for the custom-operator event queries (mirror
+  * graft.marts.EventMarts). Same recipes as the rest of the oracle
+  * layer: integer/decimal arithmetic wherever Spark uses it, the same
+  * window orderings with the same tiebreaks, constants generated from
+  * the SAME Scala values as the Spark side.
+  */
+object OpsSql {
+
+  /** Mirror EventMarts.eventsAsofPurchase — the same union + keyed
+    * window + last_value(ignore nulls) formulation, with the same
+    * (t, side, tiebreak) total order, rather than DuckDB's native
+    * ASOF JOIN whose equal-time tie rule is unspecified. */
+  val eventsAsofPurchaseQ: String =
+    """with r as (
+      |  select user_id, ts as t, 0 as side, event_id as tb,
+      |    value as p_value, ts as p_ts,
+      |    cast(null as bigint) as l_event_id, cast(null as timestamp) as l_ts,
+      |    cast(null as varchar) as l_type, cast(null as double) as l_value
+      |  from events where event_type = 'purchase'
+      |),
+      |l as (
+      |  select user_id, ts as t, 1 as side, 9223372036854775807 as tb,
+      |    cast(null as double) as p_value, cast(null as timestamp) as p_ts,
+      |    event_id as l_event_id, ts as l_ts, event_type as l_type, value as l_value
+      |  from events where event_type != 'purchase'
+      |),
+      |u as (select * from r union all select * from l),
+      |w as (
+      |  select *,
+      |    last_value(p_value ignore nulls) over win as purchase_value,
+      |    last_value(p_ts ignore nulls) over win as purchase_ts
+      |  from u
+      |  window win as (partition by user_id order by t, side, tb
+      |                 rows between unbounded preceding and current row)
+      |)
+      |select l_event_id as event_id, user_id, l_ts as ts, l_type as event_type,
+      |  l_value as value, purchase_value, purchase_ts
+      |from w where side = 1""".stripMargin
+
+  /** Mirror EventMarts.valueBandStats: the bucketing is a pure
+    * equi-join rewrite, so the oracle is the plain interval join. */
+  val valueBandStatsQ: String = {
+    val bands = EventMarts.ValueBands
+      .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""with bands(band, lo, hi) as (values $bands),
+       |j as (
+       |  select b.band, e.user_id, e.value
+       |  from events e join bands b on e.value >= b.lo and e.value < b.hi
+       |)
+       |select band, count(*) as n_events, count(distinct user_id) as n_users,
+       |  cast(sum(cast(value as decimal(18,6))) as double) as total_value
+       |from j group by 1""".stripMargin
+  }
+
+  /** Mirror Sketches.hllDistinct over events/user_id: identical
+    * integer pipeline (md5-60 hash, low-P-bit register, leading-1 via
+    * binary string length, exact scaled harmonic sum in integers), one
+    * final double division, ln quantized through decimal(18,9). */
+  val hllUserCountsQ: String = {
+    import Sketches.{HllM, HllP, HllW, HllAlpha}
+    val w1 = HllW + 1
+    s"""with h as (
+       |  select event_type,
+       |    cast(('0x' || substr(md5('hll|' || cast(user_id as varchar)),1,15)) as bigint) as h
+       |  from events
+       |),
+       |r as (select event_type, h % $HllM as reg, h >> $HllP as w from h),
+       |rr as (
+       |  select event_type, reg,
+       |    case when w = 0 then $w1 else $w1 - length(bin(w)) end as rho
+       |  from r
+       |),
+       |mj as (select event_type, reg, max(rho) as m_j from rr group by 1, 2),
+       |s as (
+       |  select event_type,
+       |    sum(cast(1 as bigint) << ($w1 - m_j)) as ssum,
+       |    count(*) as nreg
+       |  from mj group by 1
+       |),
+       |e as (
+       |  select event_type,
+       |    cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as scaled,
+       |    $HllM - nreg as zeros
+       |  from s
+       |),
+       |est as (
+       |  select event_type, zeros,
+       |    ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |      / scaled as raw
+       |  from e
+       |),
+       |ex as (
+       |  select event_type, count(distinct 'hll|' || cast(user_id as varchar)) as n_exact
+       |  from events group by 1
+       |)
+       |select ex.event_type, ex.n_exact,
+       |  case when zeros > 0 and raw <= ${2.5 * HllM}
+       |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+       |           as decimal(18,9)) as double)
+       |    else raw end as hll_estimate
+       |from ex join est using (event_type)""".stripMargin
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** RangeJoin.bucketed must be row-for-row equal to the plain non-equi
+  * interval join — boundary values, multi-bucket ranges, overlapping
+  * ranges, and left-outer misses included — while planning as an
+  * EQUI-join (the entire point: no nested-loop pair blowup).
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val fact = Seq(
+    (1L, 0.0), (2L, 49.999), (3L, 50.0), // 50.0 sits exactly on lo/hi
+    (4L, 123.4), (5L, 250.0), (6L, 999.0) // 999 matches nothing
+  ).toDF("id", "v")
+  // "wide" spans many buckets; "low"/"overlap" overlap each other
+  private lazy val ranges = Seq(
+    ("low", 0.0, 50.0), ("overlap", 25.0, 75.0),
+    ("mid", 50.0, 200.0), ("wide", 0.0, 300.0)
+  ).toDF("name", "lo", "hi")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), if (r.isNullAt(2)) "" else r.getString(2)))
+      .sorted.toSeq
+
+  test("bucketed inner join equals the plain interval join") {
+    val naive = fact.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+    val bucketed = RangeJoin.bucketed(fact, ranges, col("v"), col("lo"), col("hi"), 50.0)
+    assert(canon(bucketed) === canon(naive))
+    assert(canon(bucketed).nonEmpty)
+  }
+
+  test("bucketed left join keeps unmatched fact rows") {
+    val naive = fact.join(ranges, col("v") >= col("lo") && col("v") < col("hi"), "left")
+    val bucketed = RangeJoin.bucketed(fact, ranges, col("v"), col("lo"), col("hi"), 50.0,
+      joinType = "left")
+    assert(canon(bucketed) === canon(naive))
+    assert(canon(bucketed).exists(_._1 == 6L)) // the miss survives
+  }
+
+  test("plans as an equi-join, not a nested-loop join") {
+    val plan = RangeJoin.bucketed(fact, ranges, col("v"), col("lo"), col("hi"), 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

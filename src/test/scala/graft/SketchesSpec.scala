@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** The deterministic HLL sketch must estimate within its theoretical
+  * error envelope (±1.04/√m ≈ 13% standard error at m=64) across
+  * cardinalities hitting both the linear-counting and raw-formula
+  * branches, and must be bit-stable run to run.
+  */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def estFor(n: Int): (Long, Double) = {
+    val df = (1 to n).map(i => ("g", s"user_$i")).toDF("grp", "k")
+    val r = Sketches.hllDistinct(df, Seq("grp"), col("k")).head()
+    (r.getAs[Long]("n_exact"), r.getAs[Double]("hll_estimate"))
+  }
+
+  test("estimates stay within 3 standard errors across cardinalities") {
+    // 1.04/sqrt(64) ~ 13% standard error; 3 sigma ~ 39%
+    for (n <- Seq(10, 50, 150, 1000, 5000)) {
+      val (exact, est) = estFor(n)
+      assert(exact === n.toLong)
+      val rel = math.abs(est - n) / n
+      assert(rel < 0.39, s"n=$n est=$est rel=$rel")
+    }
+  }
+
+  test("estimate is deterministic and duplicate-insensitive") {
+    val once = estFor(500)._2
+    val again = estFor(500)._2
+    assert(once === again)
+    // duplicates must not move the estimate: max(rho) is idempotent
+    val dup = ((1 to 500) ++ (1 to 500)).map(i => ("g", s"user_$i")).toDF("grp", "k")
+    val dupEst = Sketches.hllDistinct(dup, Seq("grp"), col("k"))
+      .head().getAs[Double]("hll_estimate")
+    assert(dupEst === once)
+  }
+}
