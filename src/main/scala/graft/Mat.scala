@@ -113,14 +113,15 @@ object Mat {
   /** Write `df` as the mart's next version and atomically repoint the
     * stable view; prune versions beyond [[KeepVersions]]. */
   private def writeVersion(spark: SparkSession, sfDir: String, name: String,
-                           timeKey: Option[String], df: DataFrame): Stored = {
+                           timeKey: Option[String], df: DataFrame,
+                           bucketBy: Option[(String, Int)]): Stored = {
     val cols = df.columns.toSeq
     val base = baseFor(spark, sfDir)
     val db = schemaFor(sfDir)
     val n = versions.merge((spark.sparkContext.applicationId, sfDir, name),
        1, (a, _) => a + 1).intValue
     val path = s"$base/$name/v=$n"
-    val writer = timeKey match {
+    val writer0 = timeKey match {
       case Some(k) =>
         // one file per month: repartition on the partition key before
         // the partitioned write (else every task writes every month).
@@ -132,6 +133,13 @@ object Mat {
           .sortWithinPartitions(col(k))
           .write.partitionBy("__p_month")
       case None => df.write
+    }
+    // hash-bucketed storage: a join or aggregation on the bucket key
+    // between tables bucketed the same way needs NO shuffle at read
+    // time — the write pays the exchange once, every consumer reuses
+    // it (BucketedJoinSpec asserts the shuffle-free plan).
+    val writer = bucketBy.fold(writer0) { case (k, buckets) =>
+      writer0.bucketBy(buckets, k).sortBy(k)
     }
     try {
       ddlLock.synchronized {
@@ -181,13 +189,16 @@ object Mat {
   }
 
   /** Build-once materialization. `timeKey`: name of a date/timestamp
-    * column to month-partition the stored table by. */
+    * column to month-partition the stored table by. `bucketBy`:
+    * (column, numBuckets) to hash-bucket the stored files by, making
+    * joins/aggregations on that key shuffle-free for every reader. */
   def table(spark: SparkSession, sfDir: String, name: String,
-            timeKey: Option[String] = None)(build: => DataFrame): DataFrame = {
+            timeKey: Option[String] = None,
+            bucketBy: Option[(String, Int)] = None)(build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
     val key = (spark.sparkContext.applicationId, sfDir, name)
     val fut = built.computeIfAbsent(key, _ =>
-      Future(writeVersion(spark, sfDir, name, timeKey, build)))
+      Future(writeVersion(spark, sfDir, name, timeKey, build, bucketBy)))
     fut.failed.foreach(_ => built.remove(key, fut))
     resolve(spark, Await.result(fut, Duration.Inf))
   }
@@ -198,9 +209,10 @@ object Mat {
     * caller decides refresh scheduling); subsequent [[table]] calls
     * return the refreshed version without rebuilding. */
   def refresh(spark: SparkSession, sfDir: String, name: String,
-              timeKey: Option[String] = None)(build: => DataFrame): DataFrame = {
+              timeKey: Option[String] = None,
+              bucketBy: Option[(String, Int)] = None)(build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
-    val stored = writeVersion(spark, sfDir, name, timeKey, build)
+    val stored = writeVersion(spark, sfDir, name, timeKey, build, bucketBy)
     built.put((spark.sparkContext.applicationId, sfDir, name),
       Future.successful(stored))
     resolve(spark, stored)

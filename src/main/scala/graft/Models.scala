@@ -165,6 +165,10 @@ object Models {
     marts.EventMarts.valueBandStats(s, Tables.events(s, d))
   def hllUserCounts(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.hllUserCounts(Tables.events(s, d))
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.valuePercentiles(Tables.events(s, d))
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.windowedEventCountsOnce(s, d)
   def streamSessions(s: SparkSession, d: String): DataFrame =

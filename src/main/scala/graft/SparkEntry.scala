@@ -76,6 +76,8 @@ object SparkEntry {
     "events_asof_purchase" -> out(Models.eventsAsofPurchase),
     "value_band_stats" -> out(Models.valueBandStats),
     "hll_user_counts" -> out(Models.hllUserCounts),
+    "value_percentiles" -> out(Models.valuePercentiles),
+    "tfidf_top_terms" -> out(Models.tfidfTopTerms),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
     // AvailableNow → memory sink), gated by its batch-twin oracle.
@@ -145,6 +147,8 @@ object SparkEntry {
     "events_asof_purchase" -> OpsSql.eventsAsofPurchaseQ,
     "value_band_stats" -> OpsSql.valueBandStatsQ,
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
+    "value_percentiles" -> OpsSql.valuePercentilesQ,
+    "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,

@@ -68,4 +68,38 @@ object Relevance {
       .withColumn("bm25_score",
         QueryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _))
   }
+
+  val TfidfTopK = 3
+
+  /** Top-[[TfidfTopK]] terms per document by tf·idf (idf = ln(N/df))
+    * — the classic document-keyword extraction pass.
+    *
+    * Unlike [[bm25]], this one DOES aggregate over the whole
+    * vocabulary (that is its job), so the scale shape matters: tf
+    * shuffles on (doc_id, term) with map-side combine, df is one
+    * aggregation bounded by vocabulary size, N is a single broadcast
+    * row, and the top-k is a keyed window per document — nothing is
+    * quadratic and no state exceeds vocabulary × counters.
+    *
+    * Determinism: tf/df/N are exact integers; idf is the quantized-ln
+    * recipe; the score is one double multiplication of identical
+    * inputs; the ranking order is totalized by the term tiebreak. */
+  def tfidfTopTerms(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(ndocs))
+      .withColumn("idf",
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+      .withColumn("score", col("tf").cast("double") * col("idf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
 }

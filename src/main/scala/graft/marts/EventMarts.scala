@@ -1,6 +1,6 @@
 package graft.marts
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -51,4 +51,23 @@ object EventMarts {
   def hllUserCounts(events: DataFrame): DataFrame =
     Sketches.hllDistinct(events, Seq("event_type"),
       concat(lit("hll|"), col("user_id").cast("string")))
+
+  /** Exact interpolated value percentiles per event type. Engines
+    * interpolate `(1-d)·a + d·b` with differing association, so each
+    * output runs through the decimal(18,9) quantization (the bm25 idf
+    * recipe) to absorb the last-ulp divergence. At 100 TB an EXACT
+    * per-group percentile means a per-group sort — acceptable for
+    * bounded groups like these five; unbounded groups would move to
+    * the HLL-style sketch family. */
+  def valuePercentiles(events: DataFrame): DataFrame = {
+    def q(c: Column): Column =
+      c.cast(DecimalType(18, 9)).cast("double")
+    val ps = expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), ps.as("__p"))
+      .select(col("event_type"), col("n_events"),
+        q(element_at(col("__p"), 1)).as("p50"),
+        q(element_at(col("__p"), 2)).as("p90"),
+        q(element_at(col("__p"), 3)).as("p99"))
+  }
 }

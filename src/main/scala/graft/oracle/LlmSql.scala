@@ -509,6 +509,29 @@ object LlmSql {
        |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
        |$ivfSelect""".stripMargin
 
+  /** Mirror Relevance.tfidfTopTerms: integer tf/df/N, quantized-ln
+    * idf, one double multiply, term-tiebroken ranking. */
+  val tfidfTopTermsQ: String = {
+    import graft.llm.Relevance.TfidfTopK
+    s"""with $textCtes,
+       |tw as (select doc_id, unnest(w) as term from doc_words),
+       |ttf as (select doc_id, term, count(*) as tf from tw group by 1, 2),
+       |tdf as (select term, count(*) as df from ttf group by 1),
+       |tnd as (select count(*) as n_docs from documents),
+       |tscored as (
+       |  select ttf.doc_id, ttf.term, ttf.tf,
+       |    cast(ttf.tf as double) *
+       |      cast(cast(ln(cast(n_docs as double) / cast(df as double))
+       |        as decimal(18,9)) as double) as score
+       |  from ttf join tdf using (term) cross join tnd
+       |)
+       |select doc_id, term, tf, score, rank from (
+       |  select *, row_number() over (
+       |    partition by doc_id order by score desc, term) as rank
+       |  from tscored
+       |) t where rank <= $TfidfTopK""".stripMargin
+  }
+
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
   val datasetSplitsQ: String = {

@@ -57,6 +57,17 @@ object OpsSql {
        |from j group by 1""".stripMargin
   }
 
+  /** Mirror EventMarts.valuePercentiles: DuckDB's quantile_cont is the
+    * same interpolated exact percentile; both outputs run through the
+    * decimal(18,9) quantization to absorb interpolation-association
+    * ulp differences. */
+  val valuePercentilesQ: String =
+    """select event_type, count(*) as n_events,
+      |  cast(cast(quantile_cont(value, 0.5) as decimal(18,9)) as double) as p50,
+      |  cast(cast(quantile_cont(value, 0.9) as decimal(18,9)) as double) as p90,
+      |  cast(cast(quantile_cont(value, 0.99) as decimal(18,9)) as double) as p99
+      |from events group by 1""".stripMargin
+
   /** Mirror Sketches.hllDistinct over events/user_id: identical
     * integer pipeline (md5-60 hash, low-P-bit register, leading-1 via
     * binary string length, exact scaled harmonic sum in integers), one
