@@ -177,6 +177,12 @@ object Models {
     streaming.Streams.segmentCountsOnce(s, d, stgCustomers(s, d))
   def streamDedup(s: SparkSession, d: String): DataFrame =
     streaming.Streams.ingestDedupOnce(s, d)
+  def streamAttribution(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.clickAttributionOnce(s, d)
+  def stratifiedEvents(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.stratifiedEvents(Tables.events(s, d))
+  def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

@@ -89,6 +89,11 @@ object SparkEntry {
     "stream_segment_counts" -> out(Models.streamSegmentCounts),
     // at-least-once ingest dedup (watermark-bounded key state)
     "stream_dedup" -> out(Models.streamDedup),
+    // stream-stream interval join (click→purchase attribution)
+    "stream_attribution" -> out(Models.streamAttribution),
+    // deterministic stratified sampling + salted skew join
+    "stratified_sample" -> out(Models.stratifiedEvents),
+    "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -153,6 +158,9 @@ object SparkEntry {
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,
     "stream_dedup" -> graft.streaming.Streams.ingestDedupOracleSql,
+    "stream_attribution" -> graft.streaming.Streams.clickAttributionOracleSql,
+    "stratified_sample" -> OpsSql.stratifiedEventsQ,
+    "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

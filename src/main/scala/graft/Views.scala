@@ -18,7 +18,7 @@ object Views {
     * registration (ADVICE r3 #3) — opt in via `includeEager`. */
   private val eagerBuilders =
     Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts",
-      "stream_dedup")
+      "stream_dedup", "stream_attribution")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

@@ -41,4 +41,26 @@ object Splits {
         .when(b < TrainPct + ValidationPct, lit("validation"))
         .otherwise(lit("test")).as("split"))
   }
+
+  val SampleSalt = "smp|"
+
+  /** Deterministic STRATIFIED sampling: keep `fractions(stratum)` % of
+    * each stratum (unlisted strata keep everything), decided by the
+    * same salted-hash-bucket device as [[assign]] — so the sample is
+    * reproducible, growth-stable, engine-mirrorable, and a pure
+    * projection+filter at any scale. The standard rebalancing pass of
+    * a training-data pipeline: downsample the over-represented strata
+    * (boilerplate languages, crawl duplicates' sources) without an RNG
+    * whose draw depends on partitioning. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Int]): DataFrame = {
+    require(fractions.values.forall(p => p >= 0 && p <= 100),
+      "fractions are percentages in 0..100")
+    val b = pmod(Dedup.hex60(concat(lit(SampleSalt), col(idCol).cast("string"))),
+      lit(100L))
+    val keepPct = fractions.foldLeft(lit(100): Column) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", b).filter(col("sample_bucket") < keepPct)
+  }
 }

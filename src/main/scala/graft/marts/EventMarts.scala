@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{AsOfJoin, RangeJoin, Sketches}
+import graft.llm.Splits
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, Sketches}
 
 /** Event-stream analytics built on the custom relational operators
   * (as-of join, bucketed range join, HLL sketch) — the driver-gated
@@ -51,6 +52,29 @@ object EventMarts {
   def hllUserCounts(events: DataFrame): DataFrame =
     Sketches.hllDistinct(events, Seq("event_type"),
       concat(lit("hll|"), col("user_id").cast("string")))
+
+  /** Stratum → keep-percentage for the stratified-sample demo:
+    * downsample the high-volume interaction types, keep signups. */
+  val SampleFractions: Seq[(String, Int)] = Seq(
+    ("click", 10), ("view", 10), ("error", 25), ("purchase", 50))
+
+  /** Deterministic stratified sample of the events table. */
+  def stratifiedEvents(events: DataFrame): DataFrame =
+    Splits.stratifiedSample(
+      events.select("event_id", "event_type", "user_id"),
+      "event_id", "event_type", SampleFractions.toMap)
+
+  /** Every event enriched with its type's totals through the salted
+    * skew join (event_type is the canonical skewed key: 5 values over
+    * the whole table). Row-equal to the plain join — which is exactly
+    * what the oracle checks. */
+  def skewSaltedEnrich(events: DataFrame): DataFrame = {
+    val dim = events.groupBy("event_type").agg(
+      count(lit(1)).as("type_events"),
+      sum(col("value").cast(DecimalType(18, 6))).cast("double").as("type_value"))
+    SkewJoin.salted(events.select("event_id", "event_type", "user_id"), dim,
+      key = "event_type", saltBy = col("event_id"))
+  }
 
   /** Exact interpolated value percentiles per event type. Engines
     * interpolate `(1-d)·a + d·b` with differing association, so each

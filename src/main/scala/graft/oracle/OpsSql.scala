@@ -57,6 +57,33 @@ object OpsSql {
        |from j group by 1""".stripMargin
   }
 
+  /** Mirror EventMarts.stratifiedEvents: the same salted md5-60 bucket
+    * and per-stratum keep percentages (unlisted strata keep 100%). */
+  val stratifiedEventsQ: String = {
+    val arms = EventMarts.SampleFractions
+      .map { case (s, p) => s"when '$s' then $p" }.mkString(" ")
+    s"""with b as (
+       |  select event_id, event_type, user_id,
+       |    cast(('0x' || substr(md5('${graft.llm.Splits.SampleSalt}' ||
+       |      cast(event_id as varchar)),1,15)) as bigint) % 100 as sample_bucket
+       |  from events
+       |)
+       |select event_id, event_type, user_id, sample_bucket from b
+       |where sample_bucket < case event_type $arms else 100 end""".stripMargin
+  }
+
+  /** Mirror EventMarts.skewSaltedEnrich: the salted join is row-equal
+    * to the plain equi-join by construction, so the oracle IS the
+    * plain join — gating exactly that equivalence. */
+  val skewSaltedEnrichQ: String =
+    """with dim as (
+      |  select event_type, count(*) as type_events,
+      |    cast(sum(cast(value as decimal(18,6))) as double) as type_value
+      |  from events group by 1
+      |)
+      |select e.event_type, e.event_id, e.user_id, d.type_events, d.type_value
+      |from events e join dim d using (event_type)""".stripMargin
+
   /** Mirror EventMarts.valuePercentiles: DuckDB's quantile_cont is the
     * same interpolated exact percentile; both outputs run through the
     * decimal(18,9) quantization to absorb interpolation-association

@@ -304,6 +304,66 @@ object Streams {
   val ingestDedupOracleSql: String =
     """select event_id, ts, user_id, event_type, value from events""".stripMargin
 
+  /** Stream-STREAM interval join — the last classic streaming shape
+    * (windowed agg, stateful sessions, stream-static join, ingest
+    * dedup are the other four): click-to-purchase attribution, each
+    * click joined to the same user's purchases in the preceding
+    * [[AttributionWindow]]. Both sides are watermarked and the join
+    * condition time-bounds the purchase against the click from BOTH
+    * directions, so each side's state store evicts rows once the
+    * other side's watermark passes the bound — state is
+    * O(users × window), never O(history). */
+  val AttributionWindow = "6 hours"
+
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") - expr(s"interval $AttributionWindow") &&
+          col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value")
+  }
+
+  /** One-shot driver-verifiable run of the stream-stream join: both
+    * sides are file streams over the events table (separate source
+    * instances), AvailableNow into an append-mode memory sink; the
+    * oracle is the batch interval self-join twin. */
+  def clickAttributionOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(eventType: String): DataFrame =
+      spark.readStream
+        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("value"))
+    val name = "stream_attr_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = clickAttribution(side("click"), side("purchase")).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** DuckDB oracle for the one-shot attribution join. */
+  val clickAttributionOracleSql: String =
+    s"""select c.event_id as click_id, c.user_id, c.ts as click_ts,
+       |  p.event_id as purchase_id, p.ts as purchase_ts, p.value as purchase_value
+       |from events c join events p
+       |  on c.user_id = p.user_id
+       | and c.event_type = 'click' and p.event_type = 'purchase'
+       | and p.ts >= c.ts - interval 6 hour and p.ts <= c.ts""".stripMargin
+
   /** Sink plumbing: append stream to a parquet directory with a
     * checkpoint — the write side of the readStream→writeStream loop. */
   def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
