@@ -90,7 +90,8 @@ object Bench {
     // always fits in any tail window, (b) the full JSON is written to a
     // repo file the round-end commit preserves.
     try {
-      val p = java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json")
+      val p = java.nio.file.Paths.get(
+        System.getProperty("user.dir"), "BENCH_LOCAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val warmTop = results.sortBy(-_._2).take(10)

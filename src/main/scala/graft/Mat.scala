@@ -141,46 +141,85 @@ object Mat {
     val writer = bucketBy.fold(writer0) { case (k, buckets) =>
       writer0.bucketBy(buckets, k).sortBy(k)
     }
+    val stored =
+      try {
+        ddlLock.synchronized {
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
+        }
+        writer.mode("overwrite").option("path", path).saveAsTable(s"$db.${name}__v$n")
+        // record the month-partitioning's source column — and the zone
+        // this session computed __p_month with, so timestamp bounds can
+        // be converted with the WRITER's zone at read time — letting the
+        // MonthPruning rule derive __p_month partition filters from
+        // time-key range predicates for ANY consumer
+        timeKey.foreach { k =>
+          spark.sql(s"ALTER TABLE $db.${name}__v$n SET TBLPROPERTIES " +
+            s"('${plans.MonthPruning.TimeKeyProp}'='$k', " +
+            s"'${plans.MonthPruning.TimeZoneProp}'=" +
+            s"'${spark.sessionState.conf.sessionLocalTimeZone}')")
+        }
+        // THE pointer flip: one catalog op, atomic to readers. Nothing
+        // below this line may fall back to rewriting `path`: once the
+        // view points at version n, its files are LIVE and an in-place
+        // overwrite would reintroduce the reader race this layout
+        // exists to close.
+        ddlLock.synchronized {
+          spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS " +
+            s"SELECT * FROM $db.${name}__v$n")
+        }
+        Registered(s"$db.$name", cols)
+      } catch {
+        case NonFatal(e) =>
+          // catalog registration is best-effort; the parquet barrier is
+          // the correctness-critical part. The flip did not happen (the
+          // view repoint is the last catalog op above), so no reader
+          // holds this version's files yet and an in-place parquet
+          // rewrite of the fresh directory is safe. Bucketed writes
+          // cannot fall back (DataFrameWriter.parquet rejects
+          // bucketBy), so fall back through the UNbucketed writer.
+          System.err.println(s"[mat] catalog registration failed for $db.$name " +
+            s"(${e.getMessage}); falling back to path-only parquet")
+          try {
+            writer0.mode("overwrite").parquet(path)
+            PathOnly(path, cols)
+          } catch {
+            case NonFatal(e2) =>
+              // roll the reserved version back so a retry reuses slot n
+              // instead of leaving a gap that would make the retention
+              // prune (n+1 - KeepVersions) delete the version the view
+              // is still serving.
+              versions.merge((spark.sparkContext.applicationId, sfDir, name),
+                0, (a, _) => Integer.valueOf(a.intValue - 1))
+              throw e2
+          }
+      }
+    // best-effort retention prune, AFTER publication and outside its
+    // try: a transient drop/delete failure must never downgrade or
+    // rewrite an already-published version.
     try {
-      ddlLock.synchronized {
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
-      }
-      writer.mode("overwrite").option("path", path).saveAsTable(s"$db.${name}__v$n")
-      // record the month-partitioning's source column — and the zone
-      // this session computed __p_month with, so timestamp bounds can
-      // be converted with the WRITER's zone at read time — letting the
-      // MonthPruning rule derive __p_month partition filters from
-      // time-key range predicates for ANY consumer
-      timeKey.foreach { k =>
-        spark.sql(s"ALTER TABLE $db.${name}__v$n SET TBLPROPERTIES " +
-          s"('${plans.MonthPruning.TimeKeyProp}'='$k', " +
-          s"'${plans.MonthPruning.TimeZoneProp}'=" +
-          s"'${spark.sessionState.conf.sessionLocalTimeZone}')")
-      }
-      // THE pointer flip: one catalog op, atomic to readers.
-      ddlLock.synchronized {
-        spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS " +
-          s"SELECT * FROM $db.${name}__v$n")
-      }
       val old = n - KeepVersions
-      if (old >= 1) {
+      // belt-and-braces: never prune a version the stable view still
+      // references (reachable only through failure-path version gaps,
+      // but deleting the live version is the one unrecoverable outcome)
+      val viewStillServesOld =
+        try spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db)))
+          .viewText.exists(_.contains(s"__v$old"))
+        catch { case NonFatal(_) => false }
+      if (old >= 1 && !viewStillServesOld) {
         ddlLock.synchronized {
           spark.sql(s"DROP TABLE IF EXISTS $db.${name}__v$old")
         }
         val p = new org.apache.hadoop.fs.Path(s"$base/$name/v=$old")
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(p, true)
+        fs.delete(p, true): Unit
       }
-      Registered(s"$db.$name", cols)
     } catch {
       case NonFatal(e) =>
-        // catalog registration is best-effort; the parquet barrier is
-        // the correctness-critical part.
-        System.err.println(s"[mat] catalog registration failed for $db.$name " +
-          s"(${e.getMessage}); falling back to path-only parquet")
-        writer.mode("overwrite").parquet(path)
-        PathOnly(path, cols)
+        System.err.println(s"[mat] retention prune failed for $db.$name " +
+          s"v=${n - KeepVersions} (${e.getMessage}); old version left on disk")
     }
+    stored
   }
 
   private def resolve(spark: SparkSession, stored: Stored): DataFrame = stored match {

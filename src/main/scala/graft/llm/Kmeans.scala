@@ -58,9 +58,12 @@ object Kmeans {
       // every downstream reference (the IVF probe reads the centroids
       // in three subplans) re-executes the full Lloyd chain. The
       // checkpoint materializes K tiny rows once; values unchanged.
+      // lazy, not eager: eager would run the Lloyd jobs at DataFrame
+      // CONSTRUCTION time, which view registration does for every
+      // query builder (the ADVICE r3 #3 eager-builder trap).
       cents = moved.union(
         cents.join(moved.select("centroid_id"), Seq("centroid_id"), "left_anti"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cents
   }

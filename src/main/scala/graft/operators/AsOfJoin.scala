@@ -36,9 +36,18 @@ object AsOfJoin {
 
   /** `left ⟕asof right` on `key`: latest right row with
     * `right(rightTime) <= left(leftTime)`. `payload`: right columns to
-    * attach (null when no right row precedes). `rightTieBreak`: unique
-    * right column totalizing the order among equal-time right rows
-    * (the largest wins, matching "latest"). */
+    * attach (all null when no right row precedes). `rightTieBreak`:
+    * unique right column (any orderable type) totalizing the order
+    * among equal-time right rows — the largest wins, matching
+    * "latest". Left rows need no tiebreak: at equal time the side tag
+    * already orders every right row before every left row, and
+    * left-left order cannot affect any left row's answer.
+    *
+    * The payload travels as ONE struct, not per-column windows: the
+    * matched right row is attached atomically, so a null FIELD in the
+    * latest right row stays null instead of being back-filled from an
+    * older row (which would fabricate a composite row that never
+    * existed). */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String], rightTieBreak: String): DataFrame = {
@@ -48,29 +57,28 @@ object AsOfJoin {
     require(shared.isEmpty,
       s"payload columns collide with left columns: ${shared.mkString(", ")} " +
         "(alias the right side before joining)")
+    val tbType = right.schema(rightTieBreak).dataType
     val rightRows = right.select(
-      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-        col(rightTieBreak).cast("long").as("__tb"),
-        lit(null).cast(left.schema(key).dataType).as("__l_dummy")) ++
-        payload.map(col): _*)
-      .withColumn("__l", lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          left.schema.fields.filterNot(_.name == key))))
-      .drop("__l_dummy")
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightTieBreak).as("__tb"),
+      struct(payload.map(col): _*).as("__p"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields.filterNot(_.name == key))).as("__l"))
     val leftRows = left.select(
-      Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(Long.MaxValue).as("__tb")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)) :+
-        struct(leftCols.filterNot(_ == key).map(col): _*).as("__l"): _*)
+      col(key), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(tbType).as("__tb"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        payload.map(p => right.schema(p)).toArray)).as("__p"),
+      struct(leftCols.filterNot(_ == key).map(col): _*).as("__l"))
     val w = Window.partitionBy(key)
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightRows.unionByName(leftRows)
-      .select(Seq(col(key), col("__side"), col("__l")) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .select(col(key), col("__side"), col("__l"),
+        last(col("__p"), ignoreNulls = true).over(w).as("__p"))
       .filter(col("__side") === 1)
       .select(col(key) +:
         leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
-        payload.map(col): _*)
+        payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

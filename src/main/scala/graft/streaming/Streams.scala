@@ -277,8 +277,13 @@ object Streams {
   def ingestDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "events.parquet")
+    // applicationId in the scratch path (the Mat convention): two
+    // sessions over the same dataset must not share an ingest dir —
+    // REPLACE_EXISTING truncates a file the other session's stream
+    // could be mid-read of.
     val ingest = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-ingest", sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft-ingest", spark.sparkContext.applicationId,
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(ingest)
     Seq("delivery1.parquet", "delivery2.parquet").foreach { f =>
       Files.copy(src, ingest.resolve(f), StandardCopyOption.REPLACE_EXISTING)
@@ -355,14 +360,16 @@ object Streams {
     spark.table(name)
   }
 
-  /** DuckDB oracle for the one-shot attribution join. */
+  /** DuckDB oracle for the one-shot attribution join (window derived
+    * from the SAME constant as the Spark join — the oracle-layer
+    * convention). */
   val clickAttributionOracleSql: String =
     s"""select c.event_id as click_id, c.user_id, c.ts as click_ts,
        |  p.event_id as purchase_id, p.ts as purchase_ts, p.value as purchase_value
        |from events c join events p
        |  on c.user_id = p.user_id
        | and c.event_type = 'click' and p.event_type = 'purchase'
-       | and p.ts >= c.ts - interval 6 hour and p.ts <= c.ts""".stripMargin
+       | and p.ts >= c.ts - interval '$AttributionWindow' and p.ts <= c.ts""".stripMargin
 
   /** Sink plumbing: append stream to a parquet directory with a
     * checkpoint — the write side of the readStream→writeStream loop. */

@@ -46,6 +46,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("payload is atomic: a null field in the matched right row stays null") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2020-01-01 12:00:00"), "x")).toDF("k", "t", "tag")
+    // latest right row has price=null — it must NOT be back-filled
+    // from the older row; tiebreak is a STRING id (no long cast)
+    val right = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "r1", Some(5.0), 1L),
+      (1L, ts("2020-01-01 11:00:00"), "r2", None, 2L)
+    ).toDF("k", "rt", "rid", "price", "qty")
+    val row = AsOfJoin.backward(left, right, "k", "t", "rt",
+      payload = Seq("price", "qty"), rightTieBreak = "rid").head()
+    assert(row.isNullAt(row.fieldIndex("price")),
+      "null field back-filled from an older right row")
+    assert(row.getLong(row.fieldIndex("qty")) === 2L)
+  }
+
   test("colliding payload names are rejected up front") {
     import spark.implicits._
     val l = Seq((1L, ts("2020-01-01 00:00:00"), 5.0)).toDF("k", "t", "price")
