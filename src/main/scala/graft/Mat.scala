@@ -113,40 +113,52 @@ object Mat {
   /** Write `df` as the mart's next version and atomically repoint the
     * stable view; prune versions beyond [[KeepVersions]]. */
   private def writeVersion(spark: SparkSession, sfDir: String, name: String,
-                           timeKey: Option[String], df: DataFrame,
-                           bucketBy: Option[(String, Int)]): Stored = {
+                           timeKey: Option[String], df0: DataFrame,
+                           bucketBy: Option[(String, Int)],
+                           contract: Option[org.apache.spark.sql.types.StructType]): Stored = {
+    // dbt model contract: schema mismatches fail HERE (nothing
+    // published); null-constraint checks ride inside the write job.
+    val df = contract.fold(df0)(c =>
+      operators.Contracts.enforce(df0, c, s"${schemaFor(sfDir)}.$name"))
     val cols = df.columns.toSeq
     val base = baseFor(spark, sfDir)
     val db = schemaFor(sfDir)
     val n = versions.merge((spark.sparkContext.applicationId, sfDir, name),
        1, (a, _) => a + 1).intValue
     val path = s"$base/$name/v=$n"
-    val writer0 = timeKey match {
-      case Some(k) =>
-        // one file per month: repartition on the partition key before
-        // the partitioned write (else every task writes every month).
-        // Rows are sorted on the time key inside each partition so
-        // parquet row-group min/max stats support finer-than-month
-        // range pruning.
-        df.withColumn("__p_month", date_trunc("month", col(k)).cast(DateType))
-          .repartition(col("__p_month"))
-          .sortWithinPartitions(col(k))
-          .write.partitionBy("__p_month")
-      case None => df.write
-    }
-    // hash-bucketed storage: a join or aggregation on the bucket key
-    // between tables bucketed the same way needs NO shuffle at read
-    // time — the write pays the exchange once, every consumer reuses
-    // it (BucketedJoinSpec asserts the shuffle-free plan).
-    val writer = bucketBy.fold(writer0) { case (k, buckets) =>
-      writer0.bucketBy(buckets, k).sortBy(k)
+    // writer construction is a FUNCTION, not a shared value:
+    // DataFrameWriter is mutable, so the primary attempt's
+    // .option("path")/.mode calls would leak into a reused instance
+    // and break the fallback write.
+    def mkWriter(withBuckets: Boolean) = {
+      val w0 = timeKey match {
+        case Some(k) =>
+          // one file per month: repartition on the partition key before
+          // the partitioned write (else every task writes every month).
+          // Rows are sorted on the time key inside each partition so
+          // parquet row-group min/max stats support finer-than-month
+          // range pruning.
+          df.withColumn("__p_month", date_trunc("month", col(k)).cast(DateType))
+            .repartition(col("__p_month"))
+            .sortWithinPartitions(col(k))
+            .write.partitionBy("__p_month")
+        case None => df.write
+      }
+      // hash-bucketed storage: a join or aggregation on the bucket key
+      // between tables bucketed the same way needs NO shuffle at read
+      // time — the write pays the exchange once, every consumer reuses
+      // it (BucketedJoinSpec asserts the shuffle-free plan).
+      if (withBuckets) bucketBy.fold(w0) { case (k, buckets) =>
+        w0.bucketBy(buckets, k).sortBy(k)
+      } else w0
     }
     val stored =
       try {
         ddlLock.synchronized {
           spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
         }
-        writer.mode("overwrite").option("path", path).saveAsTable(s"$db.${name}__v$n")
+        mkWriter(withBuckets = true)
+          .mode("overwrite").option("path", path).saveAsTable(s"$db.${name}__v$n")
         // record the month-partitioning's source column — and the zone
         // this session computed __p_month with, so timestamp bounds can
         // be converted with the WRITER's zone at read time — letting the
@@ -170,26 +182,37 @@ object Mat {
         Registered(s"$db.$name", cols)
       } catch {
         case NonFatal(e) =>
+          def rollbackVersion(): Unit = {
+            // roll the reserved version back so a retry reuses slot n
+            // instead of leaving a gap that would make the retention
+            // prune (n+1 - KeepVersions) delete the version the view
+            // is still serving.
+            versions.merge((spark.sparkContext.applicationId, sfDir, name),
+              0, (a, _) => Integer.valueOf(a.intValue - 1)): Unit
+          }
+          // a contract violation is bad DATA, not a broken catalog —
+          // it must fail the build, never degrade to a path-only
+          // publish of the same bad data.
+          def contractViolation(t: Throwable): Boolean =
+            t != null && (Option(t.getMessage)
+              .exists(_.contains("contract violation for")) ||
+              contractViolation(t.getCause))
+          if (contractViolation(e)) { rollbackVersion(); throw e }
           // catalog registration is best-effort; the parquet barrier is
           // the correctness-critical part. The flip did not happen (the
           // view repoint is the last catalog op above), so no reader
           // holds this version's files yet and an in-place parquet
           // rewrite of the fresh directory is safe. Bucketed writes
           // cannot fall back (DataFrameWriter.parquet rejects
-          // bucketBy), so fall back through the UNbucketed writer.
+          // bucketBy), so fall back through a FRESH unbucketed writer.
           System.err.println(s"[mat] catalog registration failed for $db.$name " +
             s"(${e.getMessage}); falling back to path-only parquet")
           try {
-            writer0.mode("overwrite").parquet(path)
+            mkWriter(withBuckets = false).mode("overwrite").parquet(path)
             PathOnly(path, cols)
           } catch {
             case NonFatal(e2) =>
-              // roll the reserved version back so a retry reuses slot n
-              // instead of leaving a gap that would make the retention
-              // prune (n+1 - KeepVersions) delete the version the view
-              // is still serving.
-              versions.merge((spark.sparkContext.applicationId, sfDir, name),
-                0, (a, _) => Integer.valueOf(a.intValue - 1))
+              rollbackVersion()
               throw e2
           }
       }
@@ -233,11 +256,13 @@ object Mat {
     * joins/aggregations on that key shuffle-free for every reader. */
   def table(spark: SparkSession, sfDir: String, name: String,
             timeKey: Option[String] = None,
-            bucketBy: Option[(String, Int)] = None)(build: => DataFrame): DataFrame = {
+            bucketBy: Option[(String, Int)] = None,
+            contract: Option[org.apache.spark.sql.types.StructType] = None)
+           (build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
     val key = (spark.sparkContext.applicationId, sfDir, name)
     val fut = built.computeIfAbsent(key, _ =>
-      Future(writeVersion(spark, sfDir, name, timeKey, build, bucketBy)))
+      Future(writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)))
     fut.failed.foreach(_ => built.remove(key, fut))
     resolve(spark, Await.result(fut, Duration.Inf))
   }
@@ -249,9 +274,11 @@ object Mat {
     * return the refreshed version without rebuilding. */
   def refresh(spark: SparkSession, sfDir: String, name: String,
               timeKey: Option[String] = None,
-              bucketBy: Option[(String, Int)] = None)(build: => DataFrame): DataFrame = {
+              bucketBy: Option[(String, Int)] = None,
+              contract: Option[org.apache.spark.sql.types.StructType] = None)
+             (build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
-    val stored = writeVersion(spark, sfDir, name, timeKey, build, bucketBy)
+    val stored = writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)
     built.put((spark.sparkContext.applicationId, sfDir, name),
       Future.successful(stored))
     resolve(spark, stored)

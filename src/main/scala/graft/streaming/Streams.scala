@@ -379,4 +379,23 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .format("parquet")
       .option("path", outDir)
+
+  /** Exactly-once parquet sink via foreachBatch: each micro-batch
+    * writes its own `batch=<id>` directory, and a REPLAYED batch id
+    * (the at-least-once crash-recovery case — the checkpoint commits
+    * the offset range only after the sink returns, so a crash between
+    * write and commit re-delivers the same batch id with the same
+    * data) overwrites the same directory instead of appending
+    * duplicates. Idempotent-overwrite-by-batch-id is THE standard
+    * recipe for exactly-once file output from Structured Streaming;
+    * the plain parquet sink gets this from its own write-ahead
+    * file-manifest log, foreachBatch sinks must do it themselves. */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String,
+                             checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Blanket anti-pattern audit over EVERY registered batch query's
+  * physical plan: no cartesian products anywhere, and no
+  * nested-loop joins outside the explicit allowlist of queries whose
+  * crossJoin broadcasts a BOUNDED side by design (query sets,
+  * centroids, corpus stats — documented in their operators). A new
+  * query that accidentally plans a nested loop over two scaling
+  * inputs fails here before it fails at 100 TB.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a broadcast nested loop:
+    * one side is a bounded broadcast (≤ K rows / one stats row). */
+  private val boundedCrossAllowed = Set(
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
+    "hll_user_counts", "corpus_curation", "value_percentiles")
+
+  /** The streaming one-shots run whole jobs at build time; plan
+    * inspection happens through their own specs instead. */
+  private val skip = Set(
+    "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
+    "stream_dedup", "stream_attribution")
+
+  /** Queries whose GLOBAL (unpartitioned) window runs over a side
+    * whose row count is bounded by the schema, not the data — 25
+    * locations, ~80 months, 7 years, K centroids — where a
+    * single-partition window is the correct plan (two-phase
+    * range-partitioned ranking would only add a shuffle). Global
+    * windows over SF-scaling dims must use operators/Ranks instead
+    * (RanksSpec asserts products/supplies do). */
+  private val boundedGlobalWindowAllowed = Set(
+    "locations", "location_performance_metrics", "growth_metrics",
+    "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
+    "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
+    "metric_median_revenue", "metric_large_orders", "metric_weekly_orders",
+    "metric_cumulative_revenue", "metric_cumulative_revenue_by_product")
+
+  test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        def all(p: SparkPlan): Seq[SparkPlan] =
+          p +: (p.children ++ p.subqueries).flatMap(all)
+        val nodes = all(plan)
+        val cart = nodes.collect { case c: CartesianProductExec => c }
+        val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+        val globalWin = nodes.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+        (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (bnlj.nonEmpty && !boundedCrossAllowed.contains(name))
+            Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+          (if (globalWin.nonEmpty && !boundedGlobalWindowAllowed.contains(name))
+            Seq(s"$name: unpartitioned WindowExec") else Nil)
+      }
+    assert(offenders.isEmpty, s"anti-pattern plans: ${offenders.mkString("; ")}")
+  }
+}
