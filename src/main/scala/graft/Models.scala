@@ -83,6 +83,10 @@ object Models {
     TimeMarts.monthlyOrderStats(orders(s, d))
   def quarterlyRevenuePivot(s: SparkSession, d: String): DataFrame =
     TimeMarts.quarterlyRevenuePivot(orders(s, d))
+  def revenueCube(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueCube(orders(s, d))
+  def dailyMovingStats(s: SparkSession, d: String): DataFrame =
+    TimeMarts.dailyMovingStats(dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "time_analytics", timeKey = Some("date_day"))(
       TimeMarts.timeAnalytics(s, orders(s, d)))

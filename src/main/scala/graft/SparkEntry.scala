@@ -46,6 +46,8 @@ object SparkEntry {
     "revenue_rollup" -> out(Models.revenueRollup),
     "monthly_order_stats" -> out(Models.monthlyOrderStats),
     "quarterly_revenue_pivot" -> out(Models.quarterlyRevenuePivot),
+    "revenue_cube" -> out(Models.revenueCube),
+    "daily_moving_stats" -> out(Models.dailyMovingStats),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
@@ -126,6 +128,8 @@ object SparkEntry {
     "revenue_rollup" -> Sql.revenueRollupQ,
     "monthly_order_stats" -> Sql.monthlyOrderStatsQ,
     "quarterly_revenue_pivot" -> Sql.quarterlyRevenuePivotQ,
+    "revenue_cube" -> Sql.revenueCubeQ,
+    "daily_moving_stats" -> Sql.dailyMovingStatsQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,

@@ -114,6 +114,40 @@ object TimeMarts {
         countDistinct(col("customer_id")).as("n_customers"),
         dec18(sum(col("order_total"))).as("revenue"))
 
+  /** CUBE over two INDEPENDENT dimensions (year × promo flag): all
+    * four grouping sets from one Expand + one shuffle, with the same
+    * `grouping_id` bit convention as ROLLUP ([[revenueRollup]]) —
+    * completing the grouping-sets family (GROUP BY / ROLLUP / CUBE /
+    * pivot). */
+  def revenueCube(orders: DataFrame): DataFrame =
+    orders.cube(
+        year(col("ordered_at")).as("order_year"),
+        col("is_promo_order"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(col("order_id")).as("n_orders"),
+        dec18(sum(col("order_total"))).as("revenue"))
+
+  /** 7-day moving revenue window over the daily summary — the rows
+    * frame (`6 preceding .. current`) moving aggregate, the one frame
+    * shape the surface didn't cover. The window is UNPARTITIONED but
+    * bounded by the CALENDAR (one row per day, fixed date range), not
+    * by SF — the documented exception PlanGuardSpec allowlists;
+    * decimal sums keep the running totals exact. */
+  def dailyMovingStats(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("order_date")).rowsBetween(-6, Window.currentRow)
+    daily.select(
+        col("order_date"),
+        sum(col("daily_revenue")).over(w).as("rev_7d"),
+        count(lit(1)).over(w).as("n_days_7d"))
+      .select(
+        col("order_date"),
+        col("rev_7d").cast("double").as("revenue_7d"),
+        col("n_days_7d"),
+        (col("rev_7d").cast("double") / col("n_days_7d").cast("double"))
+          .as("avg_daily_revenue_7d"))
+  }
+
   /** Distribution window functions (percent_rank / cume_dist / ntile)
     * over orders WITHIN their month: each order's standing among its
     * month's peers. Partitioned by the bounded month key — these

@@ -763,6 +763,34 @@ object Sql {
        |  cast(cast(sum(order_total) as decimal(18,2)) as double) as revenue
        |from orders_mart
        |group by rollup(1, 2, 3)""".stripMargin
+  /** Mirror of TimeMarts.revenueCube: GROUP BY CUBE with the same
+    * grouping-bit order. */
+  val revenueCubeQ: String =
+    s"""$coreCtes
+       |select year(ordered_at) as order_year,
+       |  is_promo_order,
+       |  cast(grouping(year(ordered_at), is_promo_order) as bigint) as gid,
+       |  count(order_id) as n_orders,
+       |  cast(cast(sum(order_total) as decimal(18,2)) as double) as revenue
+       |from orders_mart
+       |group by cube(1, 2)""".stripMargin
+
+  /** Mirror of TimeMarts.dailyMovingStats: same rows frame over the
+    * daily summary, decimal running sums, one double division. */
+  val dailyMovingStatsQ: String =
+    s"""$allCtes ,
+       |mv as (
+       |  select order_date,
+       |    sum(daily_revenue) over (order by order_date
+       |      rows between 6 preceding and current row) as rev_7d,
+       |    count(*) over (order by order_date
+       |      rows between 6 preceding and current row) as n_days_7d
+       |  from daily_summary
+       |)
+       |select order_date, cast(rev_7d as double) as revenue_7d, n_days_7d,
+       |  cast(rev_7d as double) / cast(n_days_7d as double) as avg_daily_revenue_7d
+       |from mv""".stripMargin
+
   val seasonalTrendsQ = s"$allCtes select * from seasonal_trends"
   val growthMetricsQ = s"$allCtes select * from growth_metrics"
   val timeAnalyticsQ = s"$allCtes select * from time_analytics"

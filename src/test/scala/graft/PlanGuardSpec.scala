@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkSpec {
     * windows over SF-scaling dims must use operators/Ranks instead
     * (RanksSpec asserts products/supplies do). */
   private val boundedGlobalWindowAllowed = Set(
+    "daily_moving_stats", // one row per calendar day, fixed date range
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
