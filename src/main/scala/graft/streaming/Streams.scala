@@ -351,12 +351,22 @@ object Streams {
         .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
           col("user_id"), col("value"))
     val name = "stream_attr_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val q = clickAttribution(side("click"), side("purchase")).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join maintains FOUR state-store families per
+    // shuffle partition (key/index per side), and every micro-batch
+    // commits all of them — for this bounded one-shot, 32 partitions
+    // is pure per-batch overhead. 8 cuts the state-commit fan-out 4x;
+    // a production deployment sizes this to join-key cardinality.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = clickAttribution(side("click"), side("purchase")).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevPart)
     spark.table(name)
   }
 
