@@ -187,6 +187,10 @@ object Models {
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
+  def eventPropsStats(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.eventPropsStats(Tables.events(s, d))
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.sessionWindowAgg(Tables.events(s, d))
 
   // ---- semantic layer (M1-M8): saved queries over the marts ----
 

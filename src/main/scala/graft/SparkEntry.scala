@@ -80,6 +80,8 @@ object SparkEntry {
     "hll_user_counts" -> out(Models.hllUserCounts),
     "value_percentiles" -> out(Models.valuePercentiles),
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
+    "event_props_stats" -> out(Models.eventPropsStats),
+    "session_window_agg" -> out(Models.sessionWindowAgg),
     // streaming surface: the windowed aggregation run through the real
     // streaming engine (file source → watermark → state store →
     // AvailableNow → memory sink), gated by its batch-twin oracle.
@@ -158,6 +160,8 @@ object SparkEntry {
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
+    "event_props_stats" -> OpsSql.eventPropsStatsQ,
+    "session_window_agg" -> OpsSql.sessionWindowAggQ,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
     "stream_sessions" -> graft.streaming.Streams.sessionsOracleSql,
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,

