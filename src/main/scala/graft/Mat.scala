@@ -192,11 +192,22 @@ object Mat {
           }
           // a contract violation is bad DATA, not a broken catalog —
           // it must fail the build, never degrade to a path-only
-          // publish of the same bad data.
-          def contractViolation(t: Throwable): Boolean =
-            t != null && (Option(t.getMessage)
-              .exists(_.contains("contract violation for")) ||
-              contractViolation(t.getCause))
+          // publish of the same bad data. Classified by error
+          // CONDITION (assert_true/raise_error surface as
+          // USER_RAISED_EXCEPTION — any user-raised assertion inside
+          // a build is a data error by definition), with the message
+          // substring as a fallback channel; depth-bounded cause walk
+          // (exception chains can cycle).
+          def contractViolation(t: Throwable, depth: Int = 0): Boolean =
+            t != null && depth < 16 && {
+              (t match {
+                case st: org.apache.spark.SparkThrowable =>
+                  st.getCondition == "USER_RAISED_EXCEPTION"
+                case _ => false
+              }) ||
+                Option(t.getMessage).exists(_.contains("contract violation for")) ||
+                contractViolation(t.getCause, depth + 1)
+            }
           if (contractViolation(e)) { rollbackVersion(); throw e }
           // catalog registration is best-effort; the parquet barrier is
           // the correctness-critical part. The flip did not happen (the

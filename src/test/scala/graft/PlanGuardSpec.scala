@@ -42,25 +42,34 @@ class PlanGuardSpec extends SparkSpec {
     "metric_cumulative_revenue", "metric_cumulative_revenue_by_product")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => skip.contains(name) }
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
-        def all(p: SparkPlan): Seq[SparkPlan] =
-          p +: (p.children ++ p.subqueries).flatMap(all)
-        val nodes = all(plan)
-        val cart = nodes.collect { case c: CartesianProductExec => c }
-        val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
-        val globalWin = nodes.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
+    // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
+    // hiding every operator from a children traversal (the RanksSpec /
+    // BucketedJoinSpec gotcha) — the audit must run with AQE off or it
+    // inspects exactly one node and passes vacuously.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val offenders = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => skip.contains(name) }
+        .flatMap { case (name, fn) =>
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          def all(p: SparkPlan): Seq[SparkPlan] =
+            p +: (p.children ++ p.subqueries).flatMap(all)
+          val nodes = all(plan)
+          assert(nodes.length > 1, s"$name: audit saw a collapsed plan")
+          val cart = nodes.collect { case c: CartesianProductExec => c }
+          val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+          val globalWin = nodes.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          }
+          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj.nonEmpty && !boundedCrossAllowed.contains(name))
+              Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+            (if (globalWin.nonEmpty && !boundedGlobalWindowAllowed.contains(name))
+              Seq(s"$name: unpartitioned WindowExec") else Nil)
         }
-        (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
-          (if (bnlj.nonEmpty && !boundedCrossAllowed.contains(name))
-            Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
-          (if (globalWin.nonEmpty && !boundedGlobalWindowAllowed.contains(name))
-            Seq(s"$name: unpartitioned WindowExec") else Nil)
-      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(offenders.isEmpty, s"anti-pattern plans: ${offenders.mkString("; ")}")
   }
 }
