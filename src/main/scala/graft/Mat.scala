@@ -75,6 +75,21 @@ object Mat {
   private val built = new ConcurrentHashMap[(String, String, String), Future[Stored]]()
   private val versions = new ConcurrentHashMap[(String, String, String), Integer]()
   private val ddlLock = new Object
+  // Per-mart build serialization (ADVICE r5): without it, a refresh()
+  // racing another refresh/table build of the SAME mart could interleave
+  // "reserve n=1, fail, decrement" with "reserve n=2, publish" — the
+  // decrement lands the counter below the published slot, the next build
+  // reuses the LIVE v=2 directory, and saveAsTable(overwrite) deletes
+  // files the stable view is serving. Serializing writeVersion per
+  // (appId, sfDir, name) makes reserve→publish/rollback atomic, so the
+  // counter can never move while another build of the same mart holds a
+  // reserved slot; it also totally orders the view repoints (no
+  // last-writer-wins repoint to an OLDER dataset). Distinct marts still
+  // build concurrently; the lock is taken after the build plan's parents
+  // are awaited (df0 is strict), so DAG nesting cannot deadlock on it.
+  private val buildLocks = new ConcurrentHashMap[(String, String, String), Object]()
+  private def buildLock(key: (String, String, String)): Object =
+    buildLocks.computeIfAbsent(key, _ => new Object)
 
   /** Versions retained after a refresh: the current one plus one
     * previous, so any reader that resolved before the flip still has
@@ -123,8 +138,9 @@ object Mat {
     val cols = df.columns.toSeq
     val base = baseFor(spark, sfDir)
     val db = schemaFor(sfDir)
-    val n = versions.merge((spark.sparkContext.applicationId, sfDir, name),
-       1, (a, _) => a + 1).intValue
+    val key = (spark.sparkContext.applicationId, sfDir, name)
+    buildLock(key).synchronized {
+    val n = versions.merge(key, 1, (a, _) => a + 1).intValue
     val path = s"$base/$name/v=$n"
     // writer construction is a FUNCTION, not a shared value:
     // DataFrameWriter is mutable, so the primary attempt's
@@ -186,9 +202,10 @@ object Mat {
             // roll the reserved version back so a retry reuses slot n
             // instead of leaving a gap that would make the retention
             // prune (n+1 - KeepVersions) delete the version the view
-            // is still serving.
-            versions.merge((spark.sparkContext.applicationId, sfDir, name),
-              0, (a, _) => Integer.valueOf(a.intValue - 1)): Unit
+            // is still serving. Safe ONLY because writeVersion is
+            // serialized per mart by buildLock: no concurrent build of
+            // this mart can have reserved a higher slot.
+            versions.merge(key, 0, (a, _) => Integer.valueOf(a.intValue - 1)): Unit
           }
           // a contract violation is bad DATA, not a broken catalog —
           // it must fail the build, never degrade to a path-only
@@ -254,6 +271,7 @@ object Mat {
           s"v=${n - KeepVersions} (${e.getMessage}); old version left on disk")
     }
     stored
+    } // buildLock(key)
   }
 
   private def resolve(spark: SparkSession, stored: Stored): DataFrame = stored match {

@@ -75,7 +75,21 @@ object Compaction {
       .write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(base.getParent, base.getName + ".__old")
     require(fs.rename(base, old), s"rename $base -> $old failed")
-    require(fs.rename(tmp, base), s"rename $tmp -> $base failed")
+    // If the second rename fails the data directory would be GONE
+    // (content stranded at .__old) — restore the original before
+    // throwing so readers of `dir` never observe an empty path
+    // (ADVICE r5).
+    val swapped =
+      try fs.rename(tmp, base)
+      catch { case scala.util.control.NonFatal(e) =>
+        fs.rename(old, base); throw e }
+    if (!swapped) {
+      require(fs.rename(old, base),
+        s"rename $tmp -> $base failed AND rollback $old -> $base failed: " +
+          s"data is at $old")
+      throw new IllegalStateException(
+        s"rename $tmp -> $base failed; original directory restored")
+    }
     fs.delete(old, true)
     parquetFiles(fs, base).size
   }

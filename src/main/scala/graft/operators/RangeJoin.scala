@@ -29,20 +29,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Replication guard default: a range spanning more buckets than
+    * this fails fast with a step-tuning message instead of letting
+    * `sequence()` build a huge array (bad units, an open-ended
+    * sentinel hi) that would hit Spark's sequence length limit or
+    * executor memory with an opaque error (ADVICE r5). */
+  val DefaultMaxBucketsPerRange: Long = 4096L
+
   /** `fact ⋈ ranges` on `lo <= valueCol < hi` as a bucketed equi-join.
     * `joinType` "inner" or "left" (left keeps unmatched fact rows). */
   def bucketed(fact: DataFrame, ranges: DataFrame, valueCol: Column,
                loCol: Column, hiCol: Column, step: Double,
-               joinType: String = "inner"): DataFrame = {
+               joinType: String = "inner",
+               maxBucketsPerRange: Long = DefaultMaxBucketsPerRange): DataFrame = {
     require(step > 0, "step must be positive")
+    require(maxBucketsPerRange > 0, "maxBucketsPerRange must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"bucketed range join supports inner/left only, got $joinType")
     val f = fact.withColumn("__bkt", floor(valueCol / step))
     // [lo, hi): the hi bucket is still needed when hi is not on a
     // bucket boundary (a fact value just under hi lands there); the
     // exact predicate below re-excludes v == hi either way.
-    val r = ranges.withColumn("__bkt",
-      explode(sequence(floor(loCol / step), floor(hiCol / step))))
+    // Per-row replication guard: evaluated BEFORE the explode, so an
+    // oversized interval raises a targeted error instead of an OOM or
+    // sequence-length failure deep in the join. The CASE is lazy —
+    // the error branch costs nothing on conforming rows.
+    val nBkts = floor(hiCol / step) - floor(loCol / step) + lit(1L)
+    val guarded = when(nBkts <= maxBucketsPerRange,
+        sequence(floor(loCol / step), floor(hiCol / step)))
+      .otherwise(raise_error(concat(
+        lit("range join: interval spans "), nBkts.cast("string"),
+        lit(s" buckets > maxBucketsPerRange=$maxBucketsPerRange; " +
+          s"raise step (currently $step) or maxBucketsPerRange"))))
+    val r = ranges.withColumn("__bkt", explode(guarded))
     f.join(r, f("__bkt") === r("__bkt") &&
         valueCol >= loCol && valueCol < hiCol, joinType)
       .drop("__bkt")

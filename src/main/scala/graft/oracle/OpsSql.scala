@@ -14,32 +14,38 @@ object OpsSql {
   /** Mirror EventMarts.eventsAsofPurchase — the same union + keyed
     * window + last_value(ignore nulls) formulation, with the same
     * (t, side, tiebreak) total order, rather than DuckDB's native
-    * ASOF JOIN whose equal-time tie rule is unspecified. */
+    * ASOF JOIN whose equal-time tie rule is unspecified.
+    *
+    * The purchase payload travels as ONE struct through a single
+    * last_value window — mirroring the Spark operator's atomic
+    * struct payload (AsOfJoin). Two independent per-field windows
+    * would backfill a null field of the latest purchase from an
+    * OLDER purchase row — composite-row fabrication the operator
+    * (and AsOfJoinSpec's atomicity test) deliberately prevents
+    * (ADVICE r5). */
   val eventsAsofPurchaseQ: String =
     """with r as (
       |  select user_id, ts as t, 0 as side, event_id as tb,
-      |    value as p_value, ts as p_ts,
+      |    struct_pack(v := value, t := ts) as p,
       |    cast(null as bigint) as l_event_id, cast(null as timestamp) as l_ts,
       |    cast(null as varchar) as l_type, cast(null as double) as l_value
       |  from events where event_type = 'purchase'
       |),
       |l as (
       |  select user_id, ts as t, 1 as side, 9223372036854775807 as tb,
-      |    cast(null as double) as p_value, cast(null as timestamp) as p_ts,
+      |    cast(null as struct(v double, t timestamp)) as p,
       |    event_id as l_event_id, ts as l_ts, event_type as l_type, value as l_value
       |  from events where event_type != 'purchase'
       |),
       |u as (select * from r union all select * from l),
       |w as (
-      |  select *,
-      |    last_value(p_value ignore nulls) over win as purchase_value,
-      |    last_value(p_ts ignore nulls) over win as purchase_ts
+      |  select *, last_value(p ignore nulls) over win as pl
       |  from u
       |  window win as (partition by user_id order by t, side, tb
       |                 rows between unbounded preceding and current row)
       |)
       |select l_event_id as event_id, user_id, l_ts as ts, l_type as event_type,
-      |  l_value as value, purchase_value, purchase_ts
+      |  l_value as value, pl.v as purchase_value, pl.t as purchase_ts
       |from w where side = 1""".stripMargin
 
   /** Mirror EventMarts.valueBandStats: the bucketing is a pure

@@ -59,6 +59,59 @@ class MatSwapSpec extends SparkSpec {
     assert(spark.table(s"$db.swap_prune_spec").select("tag").head.getString(0) === "c")
   }
 
+  test("a failed build releases its slot; the next refresh publishes cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val contract = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    Mat.table(spark, sf, "swap_fail_spec", contract = Some(contract))(
+      Seq((Some(1L), "v1")).toDF("id", "tag"))
+    assert(Mat.currentVersion(spark, sf, "swap_fail_spec") === 1)
+    // a data-contract violation fails INSIDE the write job, after the
+    // version slot was reserved — rollback must release it
+    intercept[Exception] {
+      Mat.refresh(spark, sf, "swap_fail_spec", contract = Some(contract))(
+        Seq((Some(2L), "bad"), (None, "bad")).toDF("id", "tag"))
+    }
+    assert(Mat.currentVersion(spark, sf, "swap_fail_spec") === 1,
+      "failed refresh leaked its version slot")
+    // the live version is untouched and the next refresh lands on slot 2
+    assert(spark.table(s"$db.swap_fail_spec").select("tag").head.getString(0) === "v1")
+    Mat.refresh(spark, sf, "swap_fail_spec", contract = Some(contract))(
+      Seq((Some(3L), "v2")).toDF("id", "tag"))
+    assert(Mat.currentVersion(spark, sf, "swap_fail_spec") === 2)
+    assert(spark.table(s"$db.swap_fail_spec").select("tag").head.getString(0) === "v2")
+  }
+
+  test("concurrent refreshes serialize per mart; the view always lands on a complete version") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Mat.ec
+    Mat.table(spark, sf, "swap_race_spec")(Seq((0L, "seed")).toDF("id", "tag"))
+    // 4 concurrent rebuilds of the SAME mart: without per-key
+    // serialization these interleave slot reservation / publication /
+    // retention pruning and can overwrite a live directory (ADVICE r5)
+    val tags = (1 to 4).map(i => s"r$i")
+    Await.result(Future.sequence(tags.map(t => Future {
+      Mat.refresh(spark, sf, "swap_race_spec")(
+        Seq((1L, t), (2L, t)).toDF("id", "tag")): Unit
+    })), Duration.Inf)
+    // one slot per refresh, none reused, none skipped
+    assert(Mat.currentVersion(spark, sf, "swap_race_spec") === 5)
+    // the stable view points at SOME complete refresh (2 rows, one tag)
+    val rows = spark.table(s"$db.swap_race_spec").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).distinct.toSeq.length === 1)
+    assert(tags.contains(rows.head.getString(1)))
+    // retained versions are intact snapshots too
+    (4 to 5).foreach { v =>
+      val snap = spark.table(s"$db.swap_race_spec__v$v").collect()
+      assert(snap.length === 2 && snap.map(_.getString(1)).distinct.length === 1)
+    }
+  }
+
   test("refresh of a month-partitioned mart keeps pruning metadata") {
     import spark.implicits._
     val mk = (d: String, v: Long) => (Date.valueOf(d), v)

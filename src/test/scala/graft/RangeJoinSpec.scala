@@ -42,6 +42,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(canon(bucketed).exists(_._1 == 6L)) // the miss survives
   }
 
+  test("an interval spanning more buckets than the cap fails fast with a tuning message") {
+    // an open-ended sentinel hi (the classic bad-units bug) must raise
+    // a targeted error, not build a two-billion-element sequence
+    val sentinel = Seq(("bad", 0.0, 1.0e9)).toDF("name", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.bucketed(fact, sentinel, col("v"), col("lo"), col("hi"), 50.0)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBucketsPerRange")),
+      s"expected replication-guard error, got: ${messages(e).mkString(" | ")}")
+    // a raised cap lets the same ranges through (guard, not a hard limit)
+    val wide = RangeJoin.bucketed(fact, sentinel, col("v"), col("lo"), col("hi"),
+      1.0e8, maxBucketsPerRange = 64)
+    assert(wide.count() === fact.count()) // every v in [0, 1e9)
+  }
+
   test("plans as an equi-join, not a nested-loop join") {
     val plan = RangeJoin.bucketed(fact, ranges, col("v"), col("lo"), col("hi"), 50.0)
       .queryExecution.executedPlan.toString
