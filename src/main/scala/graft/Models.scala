@@ -157,6 +157,23 @@ object Models {
     llm.Multimodal.mediaFrames(Tables.documents(s, d))
   def datasetSplits(s: SparkSession, d: String): DataFrame =
     llm.Splits.assign(Tables.documents(s, d))
+  def piiRedaction(s: SparkSession, d: String): DataFrame =
+    llm.Redaction.piiRedaction(Tables.documents(s, d))
+  /** Shares the Mat'd distinct shingle-key table with the Jaccard path. */
+  def decontamination(s: SparkSession, d: String): DataFrame =
+    llm.Decontam.contamination(Tables.documents(s, d), docShingleKeys(s, d))
+  /** Shares the Mat'd shingle explosion with MinHash/Jaccard. */
+  def docRepetition(s: SparkSession, d: String): DataFrame =
+    llm.Repetition.repetitionStats(Tables.documents(s, d), docShingles(s, d))
+  def domainMixture(s: SparkSession, d: String): DataFrame =
+    llm.Mixture.domainMixture(Tables.documents(s, d))
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    operators.Sketches.cmsHeavyHitters(
+      Tables.documents(s, d)
+        .select(explode(llm.Dedup.words(col("text"))).as("term")),
+      col("term"), "term", operators.Sketches.CmsHeavyThreshold)
+  }
   def kmeansCentroids(s: SparkSession, d: String): DataFrame =
     llm.Kmeans.centroids(Tables.embeddings(s, d))
   def bm25Scores(s: SparkSession, d: String): DataFrame =

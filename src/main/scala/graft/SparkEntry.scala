@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.oracle.{LlmSql, OpsSql, Sql}
+import graft.oracle.{CurateSql, LlmSql, OpsSql, Sql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
@@ -98,6 +98,14 @@ object SparkEntry {
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
+    // round-6 curation surface: PII/blocklist scrubbing, benchmark
+    // decontamination, intra-doc repetition, mixture rebalancing, and
+    // a deterministic Count-Min heavy-hitter sketch
+    "pii_redaction" -> out(Models.piiRedaction),
+    "decontamination" -> out(Models.decontamination),
+    "doc_repetition" -> out(Models.docRepetition),
+    "domain_mixture" -> out(Models.domainMixture),
+    "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -169,6 +177,11 @@ object SparkEntry {
     "stream_attribution" -> graft.streaming.Streams.clickAttributionOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
+    "pii_redaction" -> CurateSql.piiRedactionQ,
+    "decontamination" -> CurateSql.decontaminationQ,
+    "doc_repetition" -> CurateSql.docRepetitionQ,
+    "domain_mixture" -> CurateSql.domainMixtureQ,
+    "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture rebalancing — downsample over-represented domains
+  * (languages, sources, crawls) to a TARGET mixture, the step that
+  * turns a raw corpus into a training mix. Target shares are basis
+  * points (1/10000) per domain; a domain needing more than it has is
+  * kept whole (no upsampling — duplication is dedup's enemy), and a
+  * domain absent from the target map is dropped (the mixture is the
+  * explicit contract of what trains).
+  *
+  * Keep decisions are the pipeline's standard salted-hash-bucket
+  * device ([[Splits]]): `keep_bp(domain) = min(10000,
+  * target_bp * N / n_domain)` in pure INTEGER arithmetic (exactly
+  * mirrorable — no float rounding disagreement at keep boundaries),
+  * and a document survives iff its salted 0..9999 bucket is below its
+  * domain's keep_bp. Reproducible across runs/engines/partitionings,
+  * and growth-stable the way an RNG-based `sample()` is not.
+  *
+  * At 100 TB: one tiny aggregation (|domains| rows) broadcast back
+  * onto the corpus — the corpus itself sees a single scan with a
+  * projection + filter; no shuffle of the data being sampled.
+  */
+object Mixture {
+
+  val MixSalt = "mix|"
+
+  /** Target mixture for the registered query: equal fifths across the
+    * corpus languages (en is ~44% of the driver's documents table, so
+    * the rebalance visibly downsamples it). */
+  val QueryTargetBp: Map[String, Long] = Map(
+    "en" -> 2000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 2000L)
+
+  /** 0..9999 salted bucket for an id column. */
+  private def bucket(id: org.apache.spark.sql.Column) =
+    pmod(Dedup.hex60(concat(lit(MixSalt), id.cast("string"))), lit(10000L))
+
+  /** Rebalance `df` to `targetBp` over `domainCol`. N is the TOTAL row
+    * count (all domains, dropped ones included) so shares are of the
+    * incoming corpus. Output keeps the surviving rows' id + domain plus
+    * the decision columns (mix_bucket, keep_bp) for auditability. */
+  def rebalance(df: DataFrame, idCol: String, domainCol: String,
+                targetBp: Map[String, Long]): DataFrame = {
+    require(targetBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "target shares are basis points in 0..10000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // deterministic map order so the tiny dim's row order is stable
+    val bpDf = targetBp.toSeq.sortBy(_._1).toDF(domainCol, "__bp")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    // |domains| rows: the cross join is a broadcast of ONE total row
+    val totals = counts.agg(sum("__n").as("__total"))
+    // `div`, not `/`: Spark's `/` on bigints is DOUBLE division; the
+    // keep threshold must stay pure integer arithmetic (truncating,
+    // same as DuckDB's `//` on non-negatives) or boundary buckets
+    // could disagree across engines.
+    val keep = counts.crossJoin(broadcast(totals))
+      .join(bpDf, domainCol)
+      .selectExpr(domainCol,
+        "least(10000L, (__bp * __total) div __n) as keep_bp")
+    df.select(col(idCol), col(domainCol), bucket(col(idCol)).as("mix_bucket"))
+      .join(broadcast(keep), domainCol)
+      .filter(col("mix_bucket") < col("keep_bp"))
+      .select(col(idCol), col(domainCol), col("mix_bucket"), col("keep_bp"))
+  }
+
+  /** Driver query: documents rebalanced to [[QueryTargetBp]] over
+    * `lang`. */
+  def domainMixture(documents: DataFrame): DataFrame =
+    rebalance(documents, "doc_id", "lang", QueryTargetBp)
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII / blocklist redaction — the scrubbing pass every training-data
+  * pipeline runs before text reaches a model: structured-PII regexes
+  * (emails, phone numbers, IPs, SSNs) and a term blocklist, each
+  * replaced with a `[LABEL]` placeholder.
+  *
+  * Design constraints at 100 TB:
+  *  - pure per-row projection — no shuffle, no state, no UDF: every
+  *    pattern is a codegen'd `regexp_replace`/`regexp_count`, so the
+  *    pass pipelines inside whole-stage codegen with whatever scan or
+  *    filter precedes it;
+  *  - deterministic and engine-mirrorable: patterns are lookahead-free
+  *    (Java regex on the Spark side, RE2 in the DuckDB oracle — RE2
+  *    has no lookahead, so sticking to the common subset keeps both
+  *    engines matching byte-identically);
+  *  - patterns apply in declared order, MOST SPECIFIC FIRST, and each
+  *    pattern's match count is taken on the text as the previous
+  *    patterns' replacements stand — so `n_<label>` is exactly "how
+  *    many [LABEL] placeholders this pattern inserted", and a span
+  *    already claimed by a more specific pattern (an IP that would
+  *    also parse as a phone number) is never double-counted.
+  */
+object Redaction {
+
+  /** (label, pattern) — applied in order, most specific first (the
+    * broad PHONE shape would otherwise swallow IPs and SSNs); all
+    * lookahead-free. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "SSN" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "PHONE" -> "\\+?[0-9][0-9() .-]{6,}[0-9]")
+
+  /** `\b(t1|t2|…)\b` alternation for a dictionary blocklist. */
+  def blocklistPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"blocklist term '$t' must be alphanumeric (it is embedded in a regex)"))
+    "\\b(" + terms.mkString("|") + ")\\b"
+  }
+
+  /** Adds, for each (label, pattern): `n_<label>` — the number of
+    * `[LABEL]` placeholders the pattern inserted, counted on the text
+    * as the PREVIOUS patterns' replacements stand — and finally
+    * `redacted_text` with all replacements applied in declared order. */
+  def redact(df: DataFrame, textCol: Column,
+             patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      "duplicate redaction labels")
+    val (counted, redacted) = patterns.foldLeft((df, textCol)) {
+      case ((acc, cur), (label, re)) =>
+        (acc.withColumn(s"n_${label.toLowerCase}",
+          regexp_count(cur, lit(re)).cast("long")),
+          regexp_replace(cur, re, s"[$label]"))
+    }
+    counted.withColumn("redacted_text", redacted)
+  }
+
+  /** Blocklist used by the registered `pii_redaction` query: the
+    * driver's synthetic corpus carries no real PII, so the dictionary
+    * arm is what exercises non-trivial replacement there (the regex
+    * arms are oracle-gated on real PII shapes by RedactionSpec). */
+  val QueryBlocklist: Seq[String] = Seq("customer", "spark")
+
+  /** Driver query: documents → per-doc PII counts + blocklist count +
+    * redacted text. */
+  def piiRedaction(documents: DataFrame): DataFrame = {
+    val pats = PiiPatterns :+ ("TERM" -> blocklistPattern(QueryBlocklist))
+    redact(documents, col("text"), pats)
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("n_ssn"), col("n_term"), col("redacted_text"))
+  }
+}

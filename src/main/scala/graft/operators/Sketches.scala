@@ -76,4 +76,61 @@ object Sketches {
       .agg(countDistinct(keyExpr).as("n_exact"))
     exact.join(est, groupCols)
   }
+
+  // ---- Count-Min Sketch (Cormode & Muthukrishnan) ----
+
+  /** Depth: independent hash rows. */
+  val CmsD = 4
+  /** Width: counters per row. */
+  val CmsWidth = 256L
+  val CmsSalt = "cms"
+  /** Heavy-hitter cutoff for the registered `cms_heavy_hitters` query
+    * (the corpus token counts span ~26..~1000, so 500 filters). */
+  val CmsHeavyThreshold = 500L
+
+  /** Heavy hitters over a key column via a deterministic Count-Min
+    * Sketch: d salted md5-60 hash rows × w counters; a key's estimate
+    * is the MIN over its d counters — an upper bound on the true count
+    * (collisions only ever inflate). Same cross-engine-determinism
+    * recipe as [[hllDistinct]]: Spark's own CountMinSketch aggregate
+    * hashes with xxhash over internal encodings no other engine
+    * reproduces, while this one is pure integer arithmetic over the
+    * shared md5 primitive.
+    *
+    * Scale: the sketch state is d×w longs TOTAL (the groupBy carries
+    * (row, bucket) pairs bounded by d×w, with map-side partial
+    * combine), so frequency estimation over 100 TB of keys shuffles a
+    * constant-size table; only the reported heavy-hitter keys
+    * themselves (bounded by threshold) join against it. The exact
+    * count per reported key rides along for error accounting.
+    *
+    * Output: (key AS `keyName`, n_exact, cms_estimate) for keys whose
+    * ESTIMATE ≥ threshold (the CMS decision rule — no false negatives:
+    * est ≥ true count, so every truly-heavy key is reported). */
+  def cmsHeavyHitters(df: DataFrame, keyCol: Column, keyName: String,
+                      threshold: Long): DataFrame = {
+    val keyed = df.select(keyCol.cast("string").as(keyName))
+    def hashRow(r: Int, k: Column): Column =
+      pmod(graft.llm.Dedup.hex60(concat(lit(s"$CmsSalt$r|"), k)), lit(CmsWidth))
+    // one pass: each key contributes to d counters (explode of a
+    // d-element literal-built array, then ONE partial-combined agg)
+    val rowBuckets = keyed.select(col(keyName), explode(array(
+      (0 until CmsD).map(r => struct(lit(r).as("r"),
+        hashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
+    val counters = rowBuckets
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    // point queries: distinct keys × d rows against the counter table;
+    // the counter side is ≤ d×w rows — broadcast
+    val exact = keyed.groupBy(keyName).agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select(col(keyName), col("n_exact"), explode(array(
+      (0 until CmsD).map(r => struct(lit(r).as("r"),
+        hashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
+      .select(col(keyName), col("n_exact"),
+        col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    probes.join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy(col(keyName), col("n_exact"))
+      .agg(min("cnt").as("cms_estimate"))
+      .filter(col("cms_estimate") >= threshold)
+  }
 }

@@ -1,0 +1,113 @@
+package graft.oracle
+
+import graft.llm.{Decontam, Mixture, Redaction}
+import graft.operators.Sketches
+
+/** DuckDB oracles for the round-6 curation operators (mirror
+  * graft.llm.{Redaction,Decontam,Repetition,Mixture} and
+  * Sketches.cmsHeavyHitters). Patterns, salts, thresholds and target
+  * shares are generated from the SAME Scala constants as the Spark
+  * side; regexes are lookahead-free (Java regex ≡ RE2 on this subset)
+  * and embedded verbatim (DuckDB single-quoted strings do not process
+  * backslashes). All arithmetic that decides a row's fate is integer.
+  */
+object CurateSql {
+
+  private def hex60(x: String): String =
+    s"cast(('0x' || substr(md5($x),1,15)) as bigint)"
+
+  /** Same words/3-shingles CTEs as LlmSql.textCtes (kept in sync with
+    * Dedup.words/shingles). */
+  private val textCtes: String = LlmSql.textCtes
+
+  val piiRedactionQ: String = {
+    val pats = Redaction.PiiPatterns :+
+      ("TERM" -> Redaction.blocklistPattern(Redaction.QueryBlocklist))
+    // mirror the Spark fold exactly: pattern i's count runs on the
+    // text with patterns 1..i-1 already replaced, then replaces
+    var cur = "text"
+    val counts = pats.map { case (l, re) =>
+      val c = s"cast(len(regexp_extract_all($cur, '$re')) as bigint) as n_${l.toLowerCase}"
+      cur = s"regexp_replace($cur, '$re', '[$l]', 'g')"
+      c
+    }.mkString(",\n  ")
+    s"""select doc_id,
+       |  $counts,
+       |  $cur as redacted_text
+       |from documents""".stripMargin
+  }
+
+  val decontaminationQ: String =
+    s"""with $textCtes,
+       |doc_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),
+       |bench as (select distinct shk from doc_sh where doc_id % ${Decontam.BenchmarkMod} = 0),
+       |hits as (
+       |  select doc_id, count(*) as n
+       |  from doc_sh join bench using (shk)
+       |  where doc_id % ${Decontam.BenchmarkMod} != 0
+       |  group by 1
+       |)
+       |select d.doc_id,
+       |  cast(coalesce(h.n, 0) as bigint) as n_benchmark_hits,
+       |  coalesce(h.n, 0) >= ${Decontam.MinHits} as contaminated
+       |from documents d left join hits h using (doc_id)
+       |where d.doc_id % ${Decontam.BenchmarkMod} != 0""".stripMargin
+
+  val docRepetitionQ: String =
+    s"""with $textCtes,
+       |per_gram as (select doc_id, sh, count(*) as c from doc_shingles group by 1, 2),
+       |per_doc as (
+       |  select doc_id, cast(sum(c) as bigint) as n_grams,
+       |    count(*) as n_distinct, max(c) as max_repeat
+       |  from per_gram group by 1
+       |)
+       |select d.doc_id,
+       |  coalesce(n_grams, 0) as n_grams,
+       |  coalesce(n_distinct, 0) as n_distinct,
+       |  coalesce(max_repeat, 0) as max_repeat,
+       |  case when n_grams is not null
+       |    then cast(1 as double) - cast(n_distinct as double) / cast(n_grams as double)
+       |    else cast(0 as double) end as dup_ratio
+       |from documents d left join per_doc using (doc_id)""".stripMargin
+
+  val domainMixtureQ: String = {
+    val bps = Mixture.QueryTargetBp.toSeq.sortBy(_._1)
+      .map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""with counts as (select lang, count(*) as n from documents group by 1),
+       |tot as (select cast(sum(n) as bigint) as total from counts),
+       |bp(lang, bp) as (values $bps),
+       |keep as (
+       |  select c.lang,
+       |    cast(least(10000, (bp * total) // n) as bigint) as keep_bp
+       |  from counts c cross join tot join bp using (lang)
+       |)
+       |select d.doc_id, d.lang,
+       |  ${hex60(s"'${Mixture.MixSalt}' || cast(doc_id as varchar)")} % 10000 as mix_bucket,
+       |  keep_bp
+       |from documents d join keep using (lang)
+       |where ${hex60(s"'${Mixture.MixSalt}' || cast(doc_id as varchar)")} % 10000 < keep_bp""".stripMargin
+  }
+
+  val cmsHeavyHittersQ: String = {
+    import Sketches.{CmsD, CmsSalt, CmsWidth}
+    val rows = (0 until CmsD).map(r => s"($r)").mkString(", ")
+    def h(term: String) =
+      s"${hex60(s"'$CmsSalt' || cast(r as varchar) || '|' || $term")} % $CmsWidth"
+    s"""with $textCtes,
+       |tokens as (select unnest(w) as term from doc_words),
+       |rr(r) as (values $rows),
+       |counters as (
+       |  select r, ${h("term")} as bkt, count(*) as cnt
+       |  from tokens cross join rr group by 1, 2
+       |),
+       |exact as (select term, count(*) as n_exact from tokens group by 1),
+       |probes as (
+       |  select term, n_exact, r, ${h("term")} as bkt
+       |  from exact cross join rr
+       |)
+       |select term, n_exact, min(cnt) as cms_estimate
+       |from probes join counters using (r, bkt)
+       |group by 1, 2
+       |having min(cnt) >= ${Sketches.CmsHeavyThreshold}""".stripMargin
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Decontam, Dedup, Mixture, Redaction, Repetition}
+import graft.operators.Sketches
+
+/** Unit coverage for the round-6 curation operators on fixtures the
+  * driver corpus cannot provide: real PII shapes for the redaction
+  * regexes, hand-checkable contamination/repetition/mixture cases, and
+  * the CMS estimate-is-upper-bound property.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("redaction scrubs emails, phones, IPs and SSNs; counts are per-pattern insertions") {
+    val df = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or bob@test.org today"),
+      (2L, "call +1 (555) 123-4567 or 555-987-6543 now"),
+      (3L, "host 192.168.0.1 ssn 123-45-6789"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = Redaction.redact(df, col("text"), Redaction.PiiPatterns)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "n_ssn", "redacted_text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 2) // both emails
+    assert(out(1L).getString(5) === "contact [EMAIL] or [EMAIL] today")
+    assert(out(2L).getLong(2) === 2) // both phone forms
+    assert(!out(2L).getString(5).exists(_.isDigit))
+    assert(out(3L).getLong(3) === 1 && out(3L).getLong(4) === 1)
+    assert(out(3L).getString(5) === "host [IP] ssn [SSN]")
+    assert(out(4L).getString(5) === "nothing sensitive here")
+  }
+
+  test("blocklist terms are redacted on word boundaries only") {
+    val df = Seq((1L, "the customer saw customers and spark sparked")).toDF("doc_id", "text")
+    val out = Redaction.redact(df, col("text"),
+      Seq("TERM" -> Redaction.blocklistPattern(Seq("customer", "spark"))))
+      .select("n_term", "redacted_text").head
+    assert(out.getLong(0) === 2) // 'customers'/'sparked' do NOT match
+    assert(out.getString(1) === "the [TERM] saw customers and [TERM] sparked")
+  }
+
+  test("decontamination flags exactly the documents sharing a 3-gram with the benchmark set") {
+    // doc 0 is benchmark (0 % 20 == 0); doc 21 copies its text, doc 22
+    // shares no 3-gram, doc 23 is too short to have any
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma epsilon"),
+      (22L, "zeta eta theta iota"),
+      (23L, "kappa lambda")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val keys = Dedup.docShingleKeys(Dedup.docShingles(df))
+    val out = Decontam.contamination(df, keys)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(out === Seq((21L, 1L, true), (22L, 0L, false), (23L, 0L, false)))
+  }
+
+  test("repetition stats count gram multiplicity and surface short docs with zeros") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // grams: 7 total, 3 distinct, 'a b c' ×3
+      (2L, "one two three four"), // 2 grams, all distinct
+      (3L, "too short")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Repetition.repetitionStats(df, Dedup.docShingles(df))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((7L, 3L, 3L, 1.0 - 3.0 / 7.0)))
+    assert(out(2L) === ((2L, 2L, 1L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("mixture rebalance downsamples only over-target domains and drops unlisted ones") {
+    val rows = (1L to 400L).map(i => (i, "big")) ++
+      (401L to 440L).map(i => (i, "small")) ++
+      (441L to 450L).map(i => (i, "unlisted"))
+    val df = rows.toDF("doc_id", "lang")
+    // 50/50 target over 450 rows: big keeps 225/400 (5625 bp),
+    // small needs 225 but has 40 → capped at 10000 bp (keep all)
+    val out = Mixture.rebalance(df, "doc_id", "lang",
+      Map("big" -> 5000L, "small" -> 5000L)).collect()
+    val byLang = out.groupBy(_.getString(1))
+    assert(!byLang.contains("unlisted"))
+    assert(byLang("small").length === 40) // kept whole, keep_bp capped
+    assert(byLang("small").forall(_.getLong(3) === 10000L))
+    assert(byLang("big").forall(_.getLong(3) === 5625L))
+    val kept = byLang("big").length
+    // hash buckets are ~uniform: expect ~225 of 400
+    assert(kept > 180 && kept < 270, s"kept $kept of 400")
+    // determinism: same input → same rows
+    val again = Mixture.rebalance(df, "doc_id", "lang",
+      Map("big" -> 5000L, "small" -> 5000L)).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === again.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("CMS estimates are upper bounds and exact when collision-free") {
+    val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
+      .toDF("k")
+    val out = Sketches.cmsHeavyHitters(df, col("k"), "k", 10L).collect()
+    // the three heavy keys are all reported (no false negatives)
+    assert(out.map(_.getString(0)).toSet === Set("k1", "k2", "k3"))
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: estimate below exact count")
+    }
+  }
+}

@@ -18,7 +18,9 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedCrossAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
-    "hll_user_counts", "corpus_curation", "value_percentiles")
+    "hll_user_counts", "corpus_curation", "value_percentiles",
+    // |domains| counts × ONE broadcast total row (Mixture.rebalance)
+    "domain_mixture")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */
