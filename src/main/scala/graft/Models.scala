@@ -167,6 +167,8 @@ object Models {
     llm.Repetition.repetitionStats(Tables.documents(s, d), docShingles(s, d))
   def domainMixture(s: SparkSession, d: String): DataFrame =
     llm.Mixture.domainMixture(Tables.documents(s, d))
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    llm.Chunking.chunks(Tables.documents(s, d))
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     operators.Sketches.cmsHeavyHitters(

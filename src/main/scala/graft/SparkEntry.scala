@@ -105,6 +105,7 @@ object SparkEntry {
     "decontamination" -> out(Models.decontamination),
     "doc_repetition" -> out(Models.docRepetition),
     "domain_mixture" -> out(Models.domainMixture),
+    "doc_chunks" -> out(Models.docChunks),
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
@@ -181,6 +182,7 @@ object SparkEntry {
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,
+    "doc_chunks" -> CurateSql.docChunksQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>

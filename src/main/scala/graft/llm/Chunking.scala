@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking — split each document into fixed-size word
+  * windows, the step that turns variable-length documents into
+  * training-context-sized pieces (and RAG corpora into indexable
+  * passages).
+  *
+  * Chunk boundaries are a pure function of the document's own token
+  * positions (no cross-document state): doc k's chunk i is words
+  * [i·W, (i+1)·W). So the operator is embarrassingly parallel — a
+  * projection + generator per row, no shuffle, no window function —
+  * and chunk identity `(doc_id, chunk_idx)` is stable under corpus
+  * growth and repartitioning. The final chunk keeps its natural short
+  * length (truncation vs padding is the trainer's decision, not the
+  * pipeline's).
+  *
+  * At 100 TB this is the shape that matters: chunking must not be a
+  * `Window(partitionBy doc)` (needless shuffle of the full corpus) —
+  * it is `explode(transform(sequence(...)))` over the in-row token
+  * array, fully pipelined inside the scan's stage.
+  */
+object Chunking {
+
+  /** Words per chunk for the registered query (small enough that the
+    * driver's ~50-400-word documents produce real multi-chunk output). */
+  val ChunkWords = 32
+
+  /** (doc_id, chunk_idx, n_words_chunk, chunk_text) — one row per
+    * W-word window; documents with no words produce no chunks. */
+  def chunks(documents: DataFrame, w: Int = ChunkWords): DataFrame = {
+    require(w > 0, "chunk width must be positive")
+    val words = Dedup.words(col("text"))
+    // last chunk index = (n-1) div W for n >= 1; the division is a
+    // double but n << 2^52, so truncation ≡ integer division exactly
+    val lastIdx = ((size(words) - lit(1)).cast("double") / lit(w.toDouble)).cast("long")
+    val gen = when(size(words) >= 1,
+      transform(sequence(lit(0L), lastIdx),
+        i => struct(
+          i.as("chunk_idx"),
+          concat_ws(" ", slice(words, (i * w + 1).cast("int"), lit(w))).as("chunk_text"))))
+      .otherwise(array().cast("array<struct<chunk_idx:bigint,chunk_text:string>>"))
+    documents
+      .select(col("doc_id"), explode(gen).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        size(Dedup.words(col("c.chunk_text"))).cast("long").as("n_words_chunk"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+}

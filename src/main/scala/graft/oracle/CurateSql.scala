@@ -20,6 +20,11 @@ object CurateSql {
     * Dedup.words/shingles). */
   private val textCtes: String = LlmSql.textCtes
 
+  /** Whitespace tokenizer over an arbitrary expression (mirror
+    * Dedup.words; plain string — `\s` must reach DuckDB verbatim). */
+  private val wordsOf: String =
+    """list_filter(string_split_regex(trim(%s), '\s+'), x -> x != '')"""
+
   val piiRedactionQ: String = {
     val pats = Redaction.PiiPatterns :+
       ("TERM" -> Redaction.blocklistPattern(Redaction.QueryBlocklist))
@@ -86,6 +91,24 @@ object CurateSql {
        |  keep_bp
        |from documents d join keep using (lang)
        |where ${hex60(s"'${Mixture.MixSalt}' || cast(doc_id as varchar)")} % 10000 < keep_bp""".stripMargin
+  }
+
+  val docChunksQ: String = {
+    val w = graft.llm.Chunking.ChunkWords
+    s"""with $textCtes,
+       |ch as (
+       |  select doc_id,
+       |    unnest(case when len(w) >= 1
+       |      then list_transform(generate_series(0, (len(w) - 1) // $w),
+       |             i -> struct_pack(chunk_idx := cast(i as bigint),
+       |                    chunk_text := array_to_string(list_slice(w, i*$w + 1, i*$w + $w), ' ')))
+       |      else [] end) as c
+       |  from doc_words
+       |)
+       |select doc_id, c.chunk_idx as chunk_idx,
+       |  cast(len(${wordsOf.format("c.chunk_text")}) as bigint) as n_words_chunk,
+       |  c.chunk_text as chunk_text
+       |from ch""".stripMargin
   }
 
   val cmsHeavyHittersQ: String = {

@@ -92,6 +92,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).sorted.toSeq === again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("chunking tiles each document exactly; the last chunk is short, not padded") {
+    val df = Seq(
+      (1L, (1 to 70).map(i => s"w$i").mkString(" ")), // 70 words, W=32 → 3 chunks
+      (2L, "exactly one chunk"),
+      (3L, "   ")).toDF("doc_id", "text") // no words → no chunks
+    val out = llm.Chunking.chunks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2, t._3)) ===
+      Seq((1L, 0L, 32L), (1L, 1L, 32L), (1L, 2L, 6L), (2L, 0L, 3L)))
+    // reassembling the chunks reproduces the document's token stream
+    val rejoined = out.filter(_._1 == 1L).map(_._4).mkString(" ")
+    assert(rejoined === (1 to 70).map(i => s"w$i").mkString(" "))
+    assert(out.find(_._1 == 2L).get._4 === "exactly one chunk")
+  }
+
   test("CMS estimates are upper bounds and exact when collision-free") {
     val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
       .toDF("k")
