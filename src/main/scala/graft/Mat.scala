@@ -307,9 +307,17 @@ object Mat {
               contract: Option[org.apache.spark.sql.types.StructType] = None)
              (build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
-    val stored = writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)
-    built.put((spark.sparkContext.applicationId, sfDir, name),
-      Future.successful(stored))
+    val key = (spark.sparkContext.applicationId, sfDir, name)
+    // the `built` cache update rides INSIDE the per-mart lock (held
+    // reentrantly across writeVersion): were it outside, two
+    // serialized refreshes could publish their Stored results out of
+    // order and leave the cache pointing at the older build's
+    // metadata (a path the retention prune later deletes).
+    val stored = buildLock(key).synchronized {
+      val s = writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)
+      built.put(key, Future.successful(s))
+      s
+    }
     resolve(spark, stored)
   }
 }

@@ -36,18 +36,23 @@ object Chunking {
     // last chunk index = (n-1) div W for n >= 1; the division is a
     // double but n << 2^52, so truncation ≡ integer division exactly
     val lastIdx = ((size(words) - lit(1)).cast("double") / lit(w.toDouble)).cast("long")
+    // chunk word count is pure arithmetic on the slice bounds —
+    // re-tokenizing chunk_text would run a second regex pass over
+    // every byte of the corpus for a number already known
     val gen = when(size(words) >= 1,
       transform(sequence(lit(0L), lastIdx),
         i => struct(
           i.as("chunk_idx"),
+          least(lit(w.toLong), size(words).cast("long") - i * w).as("n_words_chunk"),
           concat_ws(" ", slice(words, (i * w + 1).cast("int"), lit(w))).as("chunk_text"))))
-      .otherwise(array().cast("array<struct<chunk_idx:bigint,chunk_text:string>>"))
+      .otherwise(array().cast(
+        "array<struct<chunk_idx:bigint,n_words_chunk:bigint,chunk_text:string>>"))
     documents
       .select(col("doc_id"), explode(gen).as("c"))
       .select(
         col("doc_id"),
         col("c.chunk_idx").as("chunk_idx"),
-        size(Dedup.words(col("c.chunk_text"))).cast("long").as("n_words_chunk"),
+        col("c.n_words_chunk").as("n_words_chunk"),
         col("c.chunk_text").as("chunk_text"))
   }
 }

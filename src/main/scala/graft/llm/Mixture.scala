@@ -33,9 +33,9 @@ object Mixture {
   val QueryTargetBp: Map[String, Long] = Map(
     "en" -> 2000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 2000L)
 
-  /** 0..9999 salted bucket for an id column. */
+  /** 0..9999 salted bucket for an id column ([[Splits.saltedBucket]]). */
   private def bucket(id: org.apache.spark.sql.Column) =
-    pmod(Dedup.hex60(concat(lit(MixSalt), id.cast("string"))), lit(10000L))
+    Splits.saltedBucket(MixSalt, id, 10000L)
 
   /** Rebalance `df` to `targetBp` over `domainCol`. N is the TOTAL row
     * count (all domains, dropped ones included) so shares are of the

@@ -27,9 +27,17 @@ object Splits {
 
   val Salt = "split|"
 
+  /** THE salted-hash-bucket device, defined once: every deterministic
+    * sampling/assignment decision in the pipeline (splits, stratified
+    * sampling, mixture rebalancing) is `md5-60(salt || id) mod m`, and
+    * every DuckDB oracle mirrors exactly this shape — keeping the
+    * salt-format/cast/pmod contract in one place so a change cannot
+    * silently miss a copy and break oracle parity. */
+  def saltedBucket(salt: String, id: Column, mod: Long): Column =
+    pmod(Dedup.hex60(concat(lit(salt), id.cast("string"))), lit(mod))
+
   /** 0..99 split bucket for an id column. */
-  def bucket(id: Column): Column =
-    pmod(Dedup.hex60(concat(lit(Salt), id.cast("string"))), lit(100L))
+  def bucket(id: Column): Column = saltedBucket(Salt, id, 100L)
 
   /** (doc_id, bucket, split) with train/validation/test labels. */
   def assign(documents: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -56,8 +64,7 @@ object Splits {
                        fractions: Map[String, Int]): DataFrame = {
     require(fractions.values.forall(p => p >= 0 && p <= 100),
       "fractions are percentages in 0..100")
-    val b = pmod(Dedup.hex60(concat(lit(SampleSalt), col(idCol).cast("string"))),
-      lit(100L))
+    val b = saltedBucket(SampleSalt, col(idCol), 100L)
     val keepPct = fractions.foldLeft(lit(100): Column) { case (acc, (s, p)) =>
       when(col(strataCol) === s, lit(p)).otherwise(acc)
     }

@@ -82,7 +82,10 @@ object Compaction {
     val swapped =
       try fs.rename(tmp, base)
       catch { case scala.util.control.NonFatal(e) =>
-        fs.rename(old, base); throw e }
+        require(fs.rename(old, base),
+          s"rename $tmp -> $base threw (${e.getMessage}) AND rollback " +
+            s"$old -> $base failed: data is at $old")
+        throw e }
     if (!swapped) {
       require(fs.rename(old, base),
         s"rename $tmp -> $base failed AND rollback $old -> $base failed: " +

@@ -53,14 +53,18 @@ object RangeJoin {
     // Per-row replication guard: evaluated BEFORE the explode, so an
     // oversized interval raises a targeted error instead of an OOM or
     // sequence-length failure deep in the join. The CASE is lazy —
-    // the error branch costs nothing on conforming rows.
+    // the error branch costs nothing on conforming rows. The raise
+    // condition is `nBkts > max` (not the negation of `<=`): a NULL
+    // lo/hi makes nBkts NULL, which must fall through to the sequence
+    // (itself NULL → explode drops the row, the pre-guard behavior —
+    // a null-bounded interval can never match the exact predicate).
     val nBkts = floor(hiCol / step) - floor(loCol / step) + lit(1L)
-    val guarded = when(nBkts <= maxBucketsPerRange,
-        sequence(floor(loCol / step), floor(hiCol / step)))
-      .otherwise(raise_error(concat(
-        lit("range join: interval spans "), nBkts.cast("string"),
-        lit(s" buckets > maxBucketsPerRange=$maxBucketsPerRange; " +
-          s"raise step (currently $step) or maxBucketsPerRange"))))
+    val guarded = when(nBkts > maxBucketsPerRange,
+        raise_error(concat(
+          lit("range join: interval spans "), nBkts.cast("string"),
+          lit(s" buckets > maxBucketsPerRange=$maxBucketsPerRange; " +
+            s"raise step (currently $step) or maxBucketsPerRange"))))
+      .otherwise(sequence(floor(loCol / step), floor(hiCol / step)))
     val r = ranges.withColumn("__bkt", explode(guarded))
     f.join(r, f("__bkt") === r("__bkt") &&
         valueCol >= loCol && valueCol < hiCol, joinType)

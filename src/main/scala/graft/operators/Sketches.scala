@@ -100,9 +100,11 @@ object Sketches {
     * Scale: the sketch state is d×w longs TOTAL (the groupBy carries
     * (row, bucket) pairs bounded by d×w, with map-side partial
     * combine), so frequency estimation over 100 TB of keys shuffles a
-    * constant-size table; only the reported heavy-hitter keys
-    * themselves (bounded by threshold) join against it. The exact
-    * count per reported key rides along for error accounting.
+    * constant-size table. The probe side here is EVERY distinct key
+    * (the exact count rides along for error accounting, so the
+    * distinct aggregate is paid anyway and the tiny counter table
+    * broadcasts); a pure production sketch would probe only candidate
+    * keys and skip the exact pass entirely.
     *
     * Output: (key AS `keyName`, n_exact, cms_estimate) for keys whose
     * ESTIMATE ≥ threshold (the CMS decision rule — no false negatives:

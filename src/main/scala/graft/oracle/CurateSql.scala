@@ -20,11 +20,6 @@ object CurateSql {
     * Dedup.words/shingles). */
   private val textCtes: String = LlmSql.textCtes
 
-  /** Whitespace tokenizer over an arbitrary expression (mirror
-    * Dedup.words; plain string — `\s` must reach DuckDB verbatim). */
-  private val wordsOf: String =
-    """list_filter(string_split_regex(trim(%s), '\s+'), x -> x != '')"""
-
   val piiRedactionQ: String = {
     val pats = Redaction.PiiPatterns :+
       ("TERM" -> Redaction.blocklistPattern(Redaction.QueryBlocklist))
@@ -101,12 +96,13 @@ object CurateSql {
        |    unnest(case when len(w) >= 1
        |      then list_transform(generate_series(0, (len(w) - 1) // $w),
        |             i -> struct_pack(chunk_idx := cast(i as bigint),
+       |                    n_words_chunk := cast(least($w, len(w) - i*$w) as bigint),
        |                    chunk_text := array_to_string(list_slice(w, i*$w + 1, i*$w + $w), ' ')))
        |      else [] end) as c
        |  from doc_words
        |)
        |select doc_id, c.chunk_idx as chunk_idx,
-       |  cast(len(${wordsOf.format("c.chunk_text")}) as bigint) as n_words_chunk,
+       |  c.n_words_chunk as n_words_chunk,
        |  c.chunk_text as chunk_text
        |from ch""".stripMargin
   }

@@ -60,6 +60,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(wide.count() === fact.count()) // every v in [0, 1e9)
   }
 
+  test("null-bounded ranges are dropped, not raised on") {
+    // a NULL lo/hi can never satisfy lo <= v < hi — the guard must let
+    // the row fall through to the NULL sequence (explode drops it),
+    // not abort the job with a null-message raise_error
+    val withNull = Seq(("ok", Some(0.0), Some(50.0)), ("open", Some(0.0), None))
+      .toDF("name", "lo", "hi")
+    val out = RangeJoin.bucketed(fact, withNull, col("v"), col("lo"), col("hi"), 50.0)
+    assert(out.select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("ok"))
+  }
+
   test("plans as an equi-join, not a nested-loop join") {
     val plan = RangeJoin.bucketed(fact, ranges, col("v"), col("lo"), col("hi"), 50.0)
       .queryExecution.executedPlan.toString
