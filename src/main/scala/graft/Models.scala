@@ -190,6 +190,11 @@ object Models {
     marts.EventMarts.hllUserCounts(Tables.events(s, d))
   def valuePercentiles(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.valuePercentiles(Tables.events(s, d))
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    operators.Sketches.histogramQuantiles(
+      Tables.events(s, d), Seq("event_type"), col("value"))
+  }
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =

@@ -107,6 +107,7 @@ object SparkEntry {
     "domain_mixture" -> out(Models.domainMixture),
     "doc_chunks" -> out(Models.docChunks),
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
+    "hist_quantiles" -> out(Models.histQuantiles),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -184,6 +185,7 @@ object SparkEntry {
     "domain_mixture" -> CurateSql.domainMixtureQ,
     "doc_chunks" -> CurateSql.docChunksQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
+    "hist_quantiles" -> OpsSql.histQuantilesQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -135,4 +135,76 @@ object Sketches {
       .agg(min("cnt").as("cms_estimate"))
       .filter(col("cms_estimate") >= threshold)
   }
+
+  // ---- Histogram quantile sketch ----
+
+  /** Equi-width bins per group. */
+  val HistBins = 256
+
+  /** Quantiles reported by the registered `hist_quantiles` query. */
+  val HistQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Approximate per-group quantiles from a fixed-width histogram —
+    * the one-pass-shape quantile for data that cannot be sorted:
+    * exact `percentile` globally sorts every value per group, while
+    * the histogram shuffles at most `groupCols × HistBins` counter
+    * rows regardless of input size, and two histograms over disjoint
+    * data MERGE by adding counters (incremental/streaming friendly).
+    *
+    * Estimate: target rank `ceil(q·n)` lands in the first bin whose
+    * cumulative count reaches it; linear interpolation inside the bin
+    * gives `vmin + width·(bin + (target − cum_before)/bin_count)`.
+    * Every operation is IEEE +,−,×,÷ (no libm), so Spark and the
+    * DuckDB oracle produce bit-identical doubles.
+    *
+    * The per-group (min, max, n) pre-pass is itself one bounded
+    * aggregation; the bin-cumulative window partitions by group over
+    * ≤ HistBins rows. Output: one row per group × quantile:
+    * (groupCols…, q, n, est). */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                         qs: Seq[Double] = HistQs): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "quantiles in (0, 1]")
+    val gs = groupCols.map(col)
+    val stats = df.groupBy(gs: _*).agg(
+      min(valueCol).as("__vmin"), max(valueCol).as("__vmax"),
+      count(valueCol).as("__n"))
+      .withColumn("__width",
+        (col("__vmax") - col("__vmin")) / lit(HistBins.toDouble))
+    val binned = df.select(gs :+ valueCol.as("__v"): _*)
+      .join(broadcast(stats), groupCols)
+      .withColumn("__bin",
+        when(col("__width") === 0.0, lit(0L)) // constant group: one bin
+          .otherwise(least(lit(HistBins - 1L),
+            floor((col("__v") - col("__vmin")) / col("__width")))))
+    val bins = binned.groupBy(gs :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__bin"))
+    val cum = bins
+      .withColumn("__cum", sum("__cnt").over(win))
+      .withColumn("__cum_before", col("__cum") - col("__cnt"))
+      .join(broadcast(stats), groupCols)
+    val qDf = {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(
+        qs.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
+    val target = greatest(lit(1L), ceil(col("q") * col("__n").cast("double")).cast("long"))
+    cum.crossJoin(broadcast(qDf))
+      .withColumn("__target", target)
+      // exactly one bin per (group, q): the first whose cum reaches it
+      .filter(col("__cum_before") < col("__target") &&
+        col("__cum") >= col("__target"))
+      .select(gs ++ Seq(
+        col("q"),
+        col("__n").as("n"),
+        when(col("__width") === 0.0, col("__vmin"))
+          .otherwise(col("__vmin") + col("__width") *
+            (col("__bin").cast("double") +
+              (col("__target") - col("__cum_before")).cast("double") /
+                col("__cnt").cast("double"))).as("est")): _*)
+  }
 }

@@ -136,6 +136,50 @@ object OpsSql {
       |  cast(cast(quantile_cont(value, 0.99) as decimal(18,9)) as double) as p99
       |from events group by 1""".stripMargin
 
+  /** Mirror Sketches.histogramQuantiles over events/value by
+    * event_type: same two-pass equi-width histogram, same integer
+    * target rank, same IEEE interpolation expression shape (all
+    * +,−,×,÷ — no libm), with every DuckDB numeric literal cast to
+    * double (bare decimals are DECIMAL there). */
+  val histQuantilesQ: String = {
+    import Sketches.{HistBins, HistQs}
+    val qVals = HistQs.map(q => s"(cast($q as double))").mkString(", ")
+    val lastBin = HistBins - 1
+    s"""with stats as (
+       |  select event_type, min(value) as vmin, max(value) as vmax,
+       |    count(value) as n
+       |  from events group by 1
+       |),
+       |st as (select *, (vmax - vmin) / cast($HistBins as double) as width from stats),
+       |b as (
+       |  select e.event_type,
+       |    case when width = 0 then 0
+       |      else least($lastBin, cast(floor((value - vmin) / width) as bigint))
+       |    end as bin
+       |  from events e join st using (event_type)
+       |),
+       |bins as (select event_type, bin, count(*) as cnt from b group by 1, 2),
+       |cum as (
+       |  select event_type, bin, cnt,
+       |    sum(cnt) over (partition by event_type order by bin) as cum
+       |  from bins
+       |),
+       |qq(q) as (values $qVals),
+       |j as (
+       |  select c.event_type, q, st.n, st.vmin, st.width, c.bin, c.cnt,
+       |    cast(c.cum - c.cnt as bigint) as cum_before,
+       |    greatest(1, cast(ceil(q * cast(st.n as double)) as bigint)) as target
+       |  from cum c join st using (event_type) cross join qq
+       |)
+       |select event_type, q, n,
+       |  case when width = 0 then vmin
+       |    else vmin + width * (cast(bin as double)
+       |      + cast(target - cum_before as double) / cast(cnt as double))
+       |  end as est
+       |from j
+       |where cum_before < target and cum_before + cnt >= target""".stripMargin
+  }
+
   /** Mirror Sketches.hllDistinct over events/user_id: identical
     * integer pipeline (md5-60 hash, low-P-bit register, leading-1 via
     * binary string length, exact scaled harmonic sum in integers), one

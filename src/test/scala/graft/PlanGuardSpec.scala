@@ -20,7 +20,9 @@ class PlanGuardSpec extends SparkSpec {
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
-    "domain_mixture")
+    "domain_mixture",
+    // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
+    "hist_quantiles")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */

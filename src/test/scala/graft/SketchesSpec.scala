@@ -38,4 +38,32 @@ class SketchesSpec extends SparkSpec {
       .head().getAs[Double]("hll_estimate")
     assert(dupEst === once)
   }
+
+  test("histogram quantiles track exact percentiles within a bin width") {
+    // uniform 1..10000: exact q-quantile ≈ q·10000, bin width ≈ 39
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Sketches.histogramQuantiles(df, Seq("grp"), col("v"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val width = (10000.0 - 1.0) / Sketches.HistBins
+    for ((q, est) <- out) {
+      val exact = q * 10000
+      assert(math.abs(est - exact) <= width + 1,
+        s"q=$q est=$est exact~$exact width=$width")
+    }
+    assert(out.keySet === Sketches.HistQs.toSet)
+    // monotone in q
+    val sorted = Sketches.HistQs.sorted.map(out)
+    assert(sorted === sorted.sorted)
+  }
+
+  test("histogram quantiles: constant group returns the constant; one row per group x q") {
+    val df = (Seq.fill(50)(("c", 7.5)) ++ (1 to 100).map(i => ("u", i.toDouble)))
+      .toDF("grp", "v")
+    val rows = Sketches.histogramQuantiles(df, Seq("grp"), col("v")).collect()
+    assert(rows.length === 2 * Sketches.HistQs.length)
+    rows.filter(_.getString(0) == "c").foreach { r =>
+      assert(r.getDouble(3) === 7.5)
+      assert(r.getLong(2) === 50L)
+    }
+  }
 }
