@@ -14,19 +14,22 @@ import org.apache.spark.sql.functions._
   * and `dup_ratio = 1 - distinct/total` (0 = no repetition).
   *
   * At 100 TB: reuses the shared shingle explosion (one tokenization
-  * pass feeds dedup, decontamination AND this), aggregates with
-  * map-side partial combine on (doc_id, gram) — the shuffle carries
-  * per-document DISTINCT gram counts, never raw text positions — then
-  * a second partial-combined aggregate collapses to one row per
-  * document. Short documents (< 3 words, no grams) surface with zero
-  * counts via the left join from the corpus, not silently dropped.
+  * pass feeds dedup, decontamination AND this), and aggregates on the
+  * 60-bit gram HASH — the shuffle key is 8 bytes, never the raw gram
+  * text (the same convention as the whole dedup family) — with
+  * map-side partial combine; a second partial-combined aggregate then
+  * collapses to one row per document. Short documents (< 3 words, no
+  * grams) surface with zero counts via the left join from the corpus,
+  * not silently dropped.
   */
 object Repetition {
 
   /** `docShingles`: exploded (doc_id, sh) WITH multiplicity —
     * [[Dedup.docShingles]]. */
   def repetitionStats(documents: DataFrame, docShingles: DataFrame): DataFrame = {
-    val perGram = docShingles.groupBy("doc_id", "sh")
+    val perGram = docShingles
+      .select(col("doc_id"), Dedup.hex60(col("sh")).as("shk"))
+      .groupBy("doc_id", "shk")
       .agg(count(lit(1)).as("c"))
     val perDoc = perGram.groupBy("doc_id").agg(
       sum("c").as("n_grams"),

@@ -55,7 +55,8 @@ object CurateSql {
 
   val docRepetitionQ: String =
     s"""with $textCtes,
-       |per_gram as (select doc_id, sh, count(*) as c from doc_shingles group by 1, 2),
+       |per_gram as (select doc_id, ${hex60("sh")} as shk, count(*) as c
+       |             from doc_shingles group by 1, 2),
        |per_doc as (
        |  select doc_id, cast(sum(c) as bigint) as n_grams,
        |    count(*) as n_distinct, max(c) as max_repeat
