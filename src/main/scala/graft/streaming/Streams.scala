@@ -32,6 +32,30 @@ object Streams {
 
   val SessionGapMicros: Long = 30 * 60 * 1000000L
 
+  /** Shuffle-partition count for the one-shot streaming runs. A
+    * stateful streaming query creates one state-store instance (and
+    * one task + store commit per micro-batch) PER shuffle partition —
+    * fixed machinery cost independent of data volume. The session
+    * default (32) is sized for the batch queries' scans; the one-shot
+    * streams carry bounded state (5 event types / active users), so 8
+    * partitions keep the same results (partitioning never changes
+    * aggregation output) while quartering the per-batch state-store
+    * setup. A real deployment sizes this to state volume, not scans. */
+  val StreamShufflePartitions = 8
+  private val streamConfLock = new Object
+
+  /** Run a one-shot streaming body under [[StreamShufflePartitions]],
+    * restoring the session conf after. The conf is read at
+    * `query.start()`, so the override must span it; serialized so
+    * concurrent one-shots don't interleave set/restore. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T =
+    streamConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, StreamShufflePartitions.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
   /** File-based streaming source with the events schema (a production
     * deploy would point this at an object-store drop zone or Kafka). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -63,7 +87,7 @@ object Streams {
     * The events parquet stores ts as TIMESTAMP(NANOS) which arrives as
     * nanosecond longs under spark.sql.legacy.parquet.nanosAsLong (see
     * Tables.events) — the stream schema mirrors that and converts. */
-  def windowedEventCountsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedEventCountsOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
     // the file stream source requires a DIRECTORY; the events table is
     // a single file inside the dataset dir, so stream the dir with a
     // filename filter.
@@ -150,7 +174,7 @@ object Streams {
     * sequential double fold in (ts, event_id) order; the oracle
     * mirrors the same left-to-right IEEE fold via an ordered
     * list_reduce rather than a decimal sum. */
-  def sessionsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionsOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
     import spark.implicits._
     val raw = spark.readStream
       .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
@@ -221,7 +245,7 @@ object Streams {
     * same file-stream → AvailableNow → memory-sink harness as the
     * other one-shots, gated by the batch-equivalent oracle. */
   def segmentCountsOnce(spark: SparkSession, sfDir: String,
-                        customers: DataFrame): DataFrame = {
+                        customers: DataFrame): DataFrame = withStreamPartitions(spark) {
     val raw = spark.readStream
       .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
       .option("pathGlobFilter", "events.parquet")
@@ -274,7 +298,7 @@ object Streams {
     * duplicate. Every surviving row is the first delivery of its
     * event_id, so the oracle is the batch events table itself
     * (event_id is unique at the source). */
-  def ingestDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def ingestDedupOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "events.parquet")
     // applicationId in the scratch path (the Mat convention): two
@@ -353,20 +377,17 @@ object Streams {
     val name = "stream_attr_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     // a stream-stream join maintains FOUR state-store families per
     // shuffle partition (key/index per side), and every micro-batch
-    // commits all of them — for this bounded one-shot, 32 partitions
-    // is pure per-batch overhead. 8 cuts the state-commit fan-out 4x;
-    // a production deployment sizes this to join-key cardinality.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevPart = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
+    // commits all of them — the shared reduced-partition harness cuts
+    // that fan-out 4x (it was this query's r5 tuning, now applied to
+    // every one-shot).
+    withStreamPartitions(spark) {
       val q = clickAttribution(side("click"), side("purchase")).writeStream
         .format("memory").queryName(name)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(partKey, prevPart)
+    }
     spark.table(name)
   }
 
