@@ -108,6 +108,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._4 === "exactly one chunk")
   }
 
+  test("decontamination's benchmark side joins as a broadcast, never a shuffle of the corpus") {
+    val df = (1L to 200L).map(i => (i, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val keys = Dedup.docShingleKeys(Dedup.docShingles(df))
+    val plan = Decontam.contamination(df, keys)
+      .queryExecution.executedPlan.toString
+    // the semi-join against benchmark shingles must be broadcast-hash
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("CMS estimates are upper bounds and exact when collision-free") {
     val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
       .toDF("k")
