@@ -131,8 +131,12 @@ object Models {
     llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d))
   def annIvfTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfTopK(Tables.embeddings(s, d))
+  /** The probe reads the MAT-materialized kmeans centroid table (the
+    * reconstruction roundtrip is bit-exact), so registering both this
+    * query and kmeans_centroids trains Lloyd once, not twice. */
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
-    llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d))
+    llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
+      Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
   def textStats(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "text_stats")(llm.TextStats.textStats(Tables.documents(s, d)))
   /** Transitive near-dup clusters over the union of MinHash+SimHash
@@ -177,7 +181,7 @@ object Models {
       col("term"), "term", operators.Sketches.CmsHeavyThreshold)
   }
   def kmeansCentroids(s: SparkSession, d: String): DataFrame =
-    llm.Kmeans.centroids(Tables.embeddings(s, d))
+    Mat.table(s, d, "kmeans_centroids")(llm.Kmeans.centroids(Tables.embeddings(s, d)))
   def bm25Scores(s: SparkSession, d: String): DataFrame =
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
@@ -254,7 +258,8 @@ object Models {
       "simhash_sigs" -> (simhashSignatures _),
       "doc_shingle_keys" -> (docShingleKeys _),
       "text_stats" -> (textStats _),
-      "dedup_clusters" -> (dedupClusters _))
+      "dedup_clusters" -> (dedupClusters _),
+      "kmeans_centroids" -> (kmeansCentroids _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -77,4 +77,16 @@ object Kmeans {
         posexplode(col("centroid")).as(Seq("idx", "component")))
       .select(col("centroid_id"), col("idx"),
         col("component").cast("double").as("component"))
+
+  /** Inverse of [[centroids]]: reassemble (centroid_id, centroid)
+    * vectors from the exploded scalar rows. The float→double explode
+    * cast is exact, so casting back gives bit-identical vectors —
+    * letting the IVF probe read the MATERIALIZED centroid table
+    * instead of re-running the Lloyd chain (the two registered
+    * consumers share one training pass via the Mat barrier). */
+  def vectorsFromExploded(exploded: DataFrame): DataFrame =
+    exploded.groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("idx"), col("component")))).as("pairs"))
+      .select(col("centroid_id"),
+        transform(col("pairs"), p => p.getField("component").cast("float")).as("centroid"))
 }

@@ -166,9 +166,14 @@ object Similarity {
     * quantizer, then partition the corpus by it). Same probe machinery,
     * so the scale story is unchanged: K centroids broadcast, probe cost
     * scales with nprobe, never corpus × corpus. */
-  def annIvfKmeansTopK(embeddingsRaw: DataFrame): DataFrame = {
+  /** `centroidVectors`: a precomputed coarse quantizer — pass
+    * [[Kmeans.vectorsFromExploded]] of the materialized centroid table
+    * so the probe reuses the training pass instead of re-running the
+    * Lloyd chain; None trains inline. */
+  def annIvfKmeansTopK(embeddingsRaw: DataFrame,
+                       centroidVectors: Option[DataFrame] = None): DataFrame = {
     val embeddings = embeddingsRaw.repartition(col("vec_id"))
-    ivfProbe(embeddings, Kmeans.centroidVectors(embeddings))
+    ivfProbe(embeddings, centroidVectors.getOrElse(Kmeans.centroidVectors(embeddings)))
   }
 
   /** Near-dup tunables. The demo threshold 0.35 sits in the tail of the
