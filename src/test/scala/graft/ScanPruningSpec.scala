@@ -29,4 +29,26 @@ class ScanPruningSpec extends SparkSpec {
     val pushed = scanOf(df).dataFilters.mkString(",")
     assert(pushed.contains("o_orderkey"), s"filter not pushed: $pushed")
   }
+
+  test("curation queries prune the documents scan to the columns they use") {
+    // pii_redaction touches only (doc_id, text) of the 5-column table;
+    // domain_mixture only (doc_id, lang). A scan reading all columns
+    // would ship n_chars/source/lang bytes through every executor for
+    // nothing — at 100 TB the pruned ReadSchema IS the operator's cost.
+    val redact = scanOf(Models.piiRedaction(spark, sf))
+    assert(redact.requiredSchema.fieldNames.toSet === Set("doc_id", "text"))
+    // domain_mixture shuffles, so its plan is AQE-wrapped (scans
+    // invisible to a children traversal) — audit it with AQE off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val mix = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Models.domainMixture(spark, sf).queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // three scans: the row side reads (doc_id, lang); the count and
+    // total branches prune further, to lang alone
+    assert(mix.nonEmpty && mix.forall(_.subsetOf(Set("doc_id", "lang"))), mix.toString)
+    val chunks = scanOf(Models.docChunks(spark, sf))
+    assert(chunks.requiredSchema.fieldNames.toSet === Set("doc_id", "text"))
+  }
 }
