@@ -239,7 +239,7 @@ object Models {
 
   /** Build every Mat-materialized mart, independent subtrees in
     * parallel (dbt's thread-pool DAG execution, SURVEY §3.1 step 4):
-    * the six roots below cover the whole barrier DAG — shared parents
+    * the roots below cover the whole barrier DAG — shared parents
     * (order_items → orders) are built once via Mat's per-key futures
     * while disjoint subtrees (segmentation vs supplies vs shingles)
     * overlap. Used by the Bench warm-up (so per-query timings measure

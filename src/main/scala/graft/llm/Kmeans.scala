@@ -85,8 +85,5 @@ object Kmeans {
     * instead of re-running the Lloyd chain (the two registered
     * consumers share one training pass via the Mat barrier). */
   def vectorsFromExploded(exploded: DataFrame): DataFrame =
-    exploded.groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("idx"), col("component")))).as("pairs"))
-      .select(col("centroid_id"),
-        transform(col("pairs"), p => p.getField("component").cast("float")).as("centroid"))
+    Similarity.assembleFloatVectors(exploded, "centroid_id", "idx", "component")
 }

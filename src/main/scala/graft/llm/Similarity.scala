@@ -96,14 +96,24 @@ object Similarity {
     * [[Kmeans]] Lloyd steps so the oracle-critical arithmetic exists
     * exactly once. Output: (centroid_id, centroid). */
   private[llm] def exactMeanCentroids(df: DataFrame, key: String): DataFrame =
-    df.select(col(key), posexplode(col("embedding")).as(Seq("idx", "v")))
-      .groupBy(key, "idx")
-      .agg((sum(col("v").cast(DecimalType(27, 12))).cast("string").cast("double")
-        / count(lit(1)).cast("double")).as("c"))
-      .groupBy(key)
-      .agg(array_sort(collect_list(struct(col("idx"), col("c")))).as("pairs"))
+    assembleFloatVectors(
+      df.select(col(key), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(key, "idx")
+        .agg((sum(col("v").cast(DecimalType(27, 12))).cast("string").cast("double")
+          / count(lit(1)).cast("double")).as("c")),
+      key, "idx", "c")
+
+  /** (key, idx, value) scalar rows → (centroid_id, centroid) float
+    * vectors, idx-ordered — THE reassembly idiom, shared by the
+    * exact-mean recipe above and [[Kmeans.vectorsFromExploded]] (the
+    * float cast and idx sort are oracle-critical; one implementation,
+    * not two that can drift). */
+  private[llm] def assembleFloatVectors(df: DataFrame, key: String,
+                                        idxCol: String, vCol: String): DataFrame =
+    df.groupBy(key)
+      .agg(array_sort(collect_list(struct(col(idxCol), col(vCol)))).as("pairs"))
       .select(col(key).as("centroid_id"),
-        transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
+        transform(col("pairs"), p => p.getField(vCol).cast("float")).as("centroid"))
 
   /** Per-vector centroid ranking by cosine (centroid_id tiebreak):
     * rank 1 is the nearest-centroid assignment; higher ranks are the

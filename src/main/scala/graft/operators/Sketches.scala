@@ -165,13 +165,22 @@ object Sketches {
                          qs: Seq[Double] = HistQs): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "quantiles in (0, 1]")
     val gs = groupCols.map(col)
-    val stats = df.groupBy(gs: _*).agg(
+    // NULL values are excluded up front, matching count(valueCol) /
+    // percentile semantics — without the filter, floor(null/width) is
+    // null and least() (which SKIPS nulls, both engines) would bin
+    // every null row into the TOP bin, silently diluting high
+    // quantiles. No broadcast hint on the per-group stats: Catalyst
+    // broadcasts small group counts on its own, and a hint would force
+    // a driver-side collect of |groups| rows — a ceiling a generic
+    // operator must not impose (the hllDistinct convention).
+    val nonNull = df.filter(valueCol.isNotNull)
+    val stats = nonNull.groupBy(gs: _*).agg(
       min(valueCol).as("__vmin"), max(valueCol).as("__vmax"),
       count(valueCol).as("__n"))
       .withColumn("__width",
         (col("__vmax") - col("__vmin")) / lit(HistBins.toDouble))
-    val binned = df.select(gs :+ valueCol.as("__v"): _*)
-      .join(broadcast(stats), groupCols)
+    val binned = nonNull.select(gs :+ valueCol.as("__v"): _*)
+      .join(stats, groupCols)
       .withColumn("__bin",
         when(col("__width") === 0.0, lit(0L)) // constant group: one bin
           .otherwise(least(lit(HistBins - 1L),
@@ -183,7 +192,7 @@ object Sketches {
     val cum = bins
       .withColumn("__cum", sum("__cnt").over(win))
       .withColumn("__cum_before", col("__cum") - col("__cnt"))
-      .join(broadcast(stats), groupCols)
+      .join(stats, groupCols)
     val qDf = {
       import scala.jdk.CollectionConverters._
       df.sparkSession.createDataFrame(

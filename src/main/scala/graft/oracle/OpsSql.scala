@@ -145,10 +145,11 @@ object OpsSql {
     import Sketches.{HistBins, HistQs}
     val qVals = HistQs.map(q => s"(cast($q as double))").mkString(", ")
     val lastBin = HistBins - 1
-    s"""with stats as (
+    s"""with ev as (select event_type, value from events where value is not null),
+       |stats as (
        |  select event_type, min(value) as vmin, max(value) as vmax,
        |    count(value) as n
-       |  from events group by 1
+       |  from ev group by 1
        |),
        |st as (select *, (vmax - vmin) / cast($HistBins as double) as width from stats),
        |b as (
@@ -156,7 +157,7 @@ object OpsSql {
        |    case when width = 0 then 0
        |      else least($lastBin, cast(floor((value - vmin) / width) as bigint))
        |    end as bin
-       |  from events e join st using (event_type)
+       |  from ev e join st using (event_type)
        |),
        |bins as (select event_type, bin, count(*) as cnt from b group by 1, 2),
        |cum as (

@@ -76,4 +76,22 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(offenders.isEmpty, s"anti-pattern plans: ${offenders.mkString("; ")}")
   }
+
+  test("the k-means TRAINING plan (pre-Mat) broadcasts its cross joins") {
+    // the registered kmeans_centroids query reads the Mat-materialized
+    // table, so the blanket audit above sees only a scan — the Lloyd
+    // training plan that executes at mart-BUILD time must be audited
+    // directly or a lost broadcast (CartesianProduct over the corpus)
+    // would ship unguarded
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.llm.Kmeans.centroids(Tables.embeddings(spark, sf))
+        .queryExecution.executedPlan
+      def all(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children ++ p.subqueries).flatMap(all)
+      assert(!all(plan).exists(_.isInstanceOf[CartesianProductExec]),
+        "Lloyd training plan contains a CartesianProduct")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
