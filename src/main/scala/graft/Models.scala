@@ -194,6 +194,8 @@ object Models {
     marts.EventMarts.hllUserCounts(Tables.events(s, d))
   def valuePercentiles(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.valuePercentiles(Tables.events(s, d))
+  def eventFunnel(s: SparkSession, d: String): DataFrame =
+    operators.Funnel.funnel(Tables.events(s, d))
   def histQuantiles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     operators.Sketches.histogramQuantiles(

@@ -108,6 +108,7 @@ object SparkEntry {
     "doc_chunks" -> out(Models.docChunks),
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
+    "event_funnel" -> out(Models.eventFunnel),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -186,6 +187,7 @@ object SparkEntry {
     "doc_chunks" -> CurateSql.docChunksQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,
+    "event_funnel" -> OpsSql.eventFunnelQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered multi-stage funnel — the classic product-analytics operator
+  * (view → click → purchase): a user counts for stage i only with an
+  * event of that type STRICTLY AFTER their first qualifying event of
+  * stage i−1, so out-of-order histories (a purchase before ever
+  * viewing) do not inflate conversion.
+  *
+  * Shape at scale: one aggregation per stage, each keyed on user_id —
+  * stage i's input is stage i−1's (user_id, first_ts) result joined
+  * back to the events of type i, so every shuffle carries (user_id,
+  * timestamp) pairs, never event payloads, and the stage DAG is a
+  * chain of hash joins AQE can plan from runtime sizes. The final
+  * summary is |stages| rows of counts + ratios.
+  *
+  * Determinism: stage entry is min(ts) per user (unique regardless of
+  * partitioning), counts are exact longs, and each conversion ratio is
+  * a single double division of exact counts.
+  */
+object Funnel {
+
+  /** Stage sequence for the registered `event_funnel` query. */
+  val Stages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** One row per stage: (stage, stage_idx, n_users, conv_from_prev,
+    * conv_from_first). `conv_from_prev` is 1.0 for the first stage. */
+  def funnel(events: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "stages must be non-empty and distinct")
+    // reached(i): (user_id, __t = first time the user completed stages 0..i)
+    val reachedPerStage: Seq[DataFrame] =
+      stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+        case (acc, (stage, i)) =>
+          val typed = events.filter(col("event_type") === stage)
+            .select(col("user_id"), col("ts"))
+          val reached =
+            if (i == 0) typed.groupBy("user_id").agg(min("ts").as("__t"))
+            else typed
+              .join(acc.last.withColumnRenamed("__t", "__prev_t"), "user_id")
+              .filter(col("ts") > col("__prev_t"))
+              .groupBy("user_id").agg(min("ts").as("__t"))
+          acc :+ reached
+      }
+    val counts = stages.zip(reachedPerStage).zipWithIndex
+      .map { case ((stage, reached), i) =>
+        reached.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(i.toLong).as("stage_idx"),
+            col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+    val first = counts.filter(col("stage_idx") === 0)
+      .select(col("n_users").as("__n_first"))
+    val prev = counts.select(col("stage_idx").as("__prev_idx"),
+      col("n_users").as("__n_prev"))
+    counts
+      .join(prev, col("stage_idx") === col("__prev_idx") + 1, "left")
+      .crossJoin(broadcast(first))
+      .select(
+        col("stage"), col("stage_idx"), col("n_users"),
+        when(col("stage_idx") === 0, lit(1.0))
+          .otherwise(col("n_users").cast("double") / col("__n_prev").cast("double"))
+          .as("conv_from_prev"),
+        (col("n_users").cast("double") / col("__n_first").cast("double"))
+          .as("conv_from_first"))
+  }
+}

@@ -136,6 +136,36 @@ object OpsSql {
       |  cast(cast(quantile_cont(value, 0.99) as decimal(18,9)) as double) as p99
       |from events group by 1""".stripMargin
 
+  /** Mirror operators.Funnel over events: the same per-stage
+    * min-after-previous chain (strict `>`, µs timestamps both
+    * engines), counts as exact longs, ratios as single double
+    * divisions. Stage CTEs are generated from the SAME Stages list. */
+  val eventFunnelQ: String = {
+    val stages = graft.operators.Funnel.Stages
+    val stageCtes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"s0 as (select user_id, min(ts) as t from events where event_type = '$s' group by 1)"
+      else
+        s"s$i as (select e.user_id, min(e.ts) as t from events e " +
+          s"join s${i - 1} p on e.user_id = p.user_id and e.ts > p.t " +
+          s"where e.event_type = '$s' group by 1)"
+    }.mkString(",\n")
+    val countRows = stages.zipWithIndex.map { case (s, i) =>
+      s"select '$s' as stage, cast($i as bigint) as stage_idx, count(*) as n from s$i"
+    }.mkString("\nunion all\n")
+    s"""with $stageCtes,
+       |c as (
+       |$countRows
+       |)
+       |select c.stage, c.stage_idx, cast(c.n as bigint) as n_users,
+       |  case when c.stage_idx = 0 then cast(1 as double)
+       |       else cast(c.n as double) / cast(p.n as double) end as conv_from_prev,
+       |  cast(c.n as double) / cast(f.n as double) as conv_from_first
+       |from c
+       |left join c p on p.stage_idx = c.stage_idx - 1
+       |cross join (select n from c where stage_idx = 0) f(n)""".stripMargin
+  }
+
   /** Mirror Sketches.histogramQuantiles over events/value by
     * event_type: same two-pass equi-width histogram, same integer
     * target rank, same IEEE interpolation expression shape (all

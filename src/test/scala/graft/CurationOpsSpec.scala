@@ -118,6 +118,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("funnel stages require strictly ordered progress per user") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // user 1 completes view -> click -> purchase in order
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // user 2 views and clicks, never purchases
+      (2L, "view", t(1)), (2L, "click", t(5)),
+      // user 3 purchases BEFORE viewing: must not count past stage 1
+      (3L, "purchase", t(1)), (3L, "view", t(2)),
+      // user 4 clicks at the SAME instant as the view: strict > excludes
+      (4L, "view", t(7)), (4L, "click", t(7)),
+      // user 5 never views
+      (5L, "click", t(1)), (5L, "purchase", t(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.Funnel.funnel(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("view") === ((4L, 1.0)))     // users 1-4
+    assert(out("click") === ((2L, 0.5)))    // users 1, 2
+    assert(out("purchase") === ((1L, 0.5))) // user 1 only
+  }
+
   test("CMS estimates are upper bounds and exact when collision-free") {
     val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
       .toDF("k")

@@ -22,7 +22,9 @@ class PlanGuardSpec extends SparkSpec {
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
     "domain_mixture",
     // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
-    "hist_quantiles")
+    "hist_quantiles",
+    // |stages| count rows × ONE broadcast first-stage row (Funnel)
+    "event_funnel")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */
