@@ -139,6 +139,11 @@ object Models {
       Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
   def textStats(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "text_stats")(llm.TextStats.textStats(Tables.documents(s, d)))
+  /** Grouped top-k over the text_stats barrier via the bounded-heap
+    * TopKAggregate (partial-merge ObjectHashAggregate, not a window
+    * sort). */
+  def topDocsPerLang(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.topDocsPerLang(textStats(s, d))
   /** Transitive near-dup clusters over the union of MinHash+SimHash
     * pair edges — Mat'd: the 8-round propagation plan executes once,
     * then its own query AND the curation pipeline read the barrier. */
@@ -215,6 +220,12 @@ object Models {
     streaming.Streams.clickAttributionOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
+  def bloomPrunedStats(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.bloomPrunedStats(Tables.events(s, d))
+  def zorderKeys(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.zorderKeys(Tables.events(s, d))
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    llm.Splits.weightedSample(Tables.documents(s, d))
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
   def eventPropsStats(s: SparkSession, d: String): DataFrame =

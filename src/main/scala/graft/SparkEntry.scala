@@ -109,6 +109,14 @@ object SparkEntry {
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
     "event_funnel" -> out(Models.eventFunnel),
+    // bounded-heap grouped top-k (native TypedImperativeAggregate)
+    "top_docs_per_lang" -> out(Models.topDocsPerLang),
+    // Bloom-pruned fact scan before an exact join (runtime-filter op)
+    "bloom_pruned_stats" -> out(Models.bloomPrunedStats),
+    // Z-order (Morton) layout keys for two-dimensional data skipping
+    "zorder_keys" -> out(Models.zorderKeys),
+    // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
+    "weighted_sample" -> out(Models.weightedSample),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -188,6 +196,10 @@ object SparkEntry {
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,
     "event_funnel" -> OpsSql.eventFunnelQ,
+    "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
+    "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
+    "zorder_keys" -> OpsSql.zorderKeysQ,
+    "weighted_sample" -> LlmSql.weightedSampleQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

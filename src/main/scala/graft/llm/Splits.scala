@@ -70,4 +70,41 @@ object Splits {
     }
     df.withColumn("sample_bucket", b).filter(col("sample_bucket") < keepPct)
   }
+
+  val WeightedSalt = "wsmp|"
+  val WeightedK = 20
+
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row's priority is
+    * `ln(u) / w` with `u = (md5-60(salt‖id) + 1) / 2^60` — a pure
+    * function of the id, so the top-k by priority per stratum is the
+    * exact weighted sample u^(1/w) would select, reproducible across
+    * runs and engines. Selection runs through the bounded-heap
+    * [[graft.expressions.TopKAggregate]] (k entries per stratum per
+    * map task cross the exchange, not every row), then a broadcast
+    * self-join restores the payload columns.
+    *
+    * The pretraining use: length-weighted document sampling — longer
+    * documents carry more tokens, so token-budget sampling weights by
+    * `n_chars`, not uniformly.
+    */
+  def weightedSample(documents: DataFrame, strataCol: String = "source",
+                     k: Int = WeightedK): DataFrame = {
+    val u = (Dedup.hex60(concat(lit(WeightedSalt), col("doc_id").cast("string")))
+      .cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val picked = documents
+      .select(col(strataCol), col("doc_id"), (log(u) / w).as("priority"))
+      .groupBy(col(strataCol))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("priority"), col("doc_id"), k).as("tk"))
+      .select(col(strataCol), posexplode(col("tk")))
+      .select(col(strataCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("doc_id"))
+    // broadcast the TINY picked set (k rows per stratum) against the
+    // corpus-sized documents side to restore payload columns shuffle-free
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(picked), Seq("doc_id"))
+      .select(col(strataCol), col("rank"), col("doc_id"), col("n_chars"))
+  }
 }

@@ -109,4 +109,27 @@ object TextStats {
       lang.as("predicted_lang"),
       fingerprint.as("fingerprint"))
   }
+
+  /** Top 5 documents per predicted language by quality score, via the
+    * bounded-heap [[graft.expressions.TopKAggregate]] — the scale-safe
+    * grouped top-k: a partial ObjectHashAggregate keeps ≤ k entries per
+    * language per map task, so the exchange carries tiny heaps instead
+    * of every document row the window-function formulation would
+    * shuffle and sort (TopKSpec asserts both the plan shape and
+    * row-equality with that window twin). */
+  val TopDocsK = 5
+
+  /** `stats`: the (Mat'd) [[textStats]] output — passed in so the
+    * barrier is shared with every other text_stats consumer. */
+  def topDocsPerLang(stats: DataFrame): DataFrame =
+    stats
+      .groupBy(col("predicted_lang"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("quality_score"), col("doc_id"), TopDocsK).as("tk"))
+      .select(col("predicted_lang"), posexplode(col("tk")))
+      .select(
+        col("predicted_lang"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("doc_id"),
+        col("col.score").as("quality_score"))
 }

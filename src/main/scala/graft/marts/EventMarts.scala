@@ -127,4 +127,42 @@ object EventMarts {
         q(element_at(col("__p"), 2)).as("p90"),
         q(element_at(col("__p"), 3)).as("p99"))
   }
+
+  /** Per-type stats over events of purchasing users, with the fact
+    * scan Bloom-pruned on the purchaser set BEFORE the join
+    * ([[graft.operators.BloomPrune]]): the filter drops ~all
+    * non-purchaser rows at the scan, the exact join then removes Bloom
+    * false positives — so the result is row-equal to the plain join
+    * (the oracle gates exactly that) while the join's exchange carries
+    * only the pruned survivors at scale. */
+  def bloomPrunedStats(events: DataFrame): DataFrame = {
+    import graft.operators.BloomPrune
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val bloom = BloomPrune.buildBloom(purchasers, col("user_id"),
+      expectedItems = 100000L)
+    BloomPrune.prune(events, col("user_id"), bloom)
+      .join(purchasers.hint("broadcast"), Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+  }
+
+  /** Morton keys for the (value bucket, epoch-day) plane — the Z-order
+    * layout key ([[graft.expressions.ZOrder]]): sorting the write by
+    * `zkey` gives every file a narrow min/max range on BOTH value and
+    * day, so parquet skipping serves range predicates on either
+    * (ZOrderSpec asserts the span contraction; this query gates the
+    * key arithmetic against the oracle's mirrored mask ladder). */
+  def zorderKeys(events: DataFrame): DataFrame = {
+    import graft.expressions.ZOrder.zorder_key
+    val x = floor(least(greatest(col("value"), lit(0.0)), lit(65535.0))).cast("long")
+    val y = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    events.select(
+      col("event_id"),
+      x.as("value_bucket"),
+      y.as("day_bucket"),
+      zorder_key(x, y).as("zkey"))
+  }
 }

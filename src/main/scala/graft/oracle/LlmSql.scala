@@ -595,4 +595,43 @@ object LlmSql {
       |    else 1 end as n_frames,
       |  cast(('0x' || substr(md5(text), 9, 8)) as bigint) as feature_hash
       |from documents""".stripMargin
+
+  /** Mirror TextStats.topDocsPerLang: the bounded-heap top_k aggregate
+    * is row-equal to the row_number window with the SAME total order
+    * (score desc, doc_id asc) by construction — the oracle gates
+    * exactly that equivalence over the shared text-stats formulas. */
+  val topDocsPerLangQ: String =
+    s"""with tds as (
+       |  select predicted_lang, doc_id, quality_score from ($textStatsQ) t
+       |),
+       |ranked as (
+       |  select predicted_lang, doc_id, quality_score,
+       |    row_number() over (partition by predicted_lang
+       |                       order by quality_score desc, doc_id) as rn
+       |  from tds
+       |)
+       |select predicted_lang, cast(rn as int) as rank, doc_id, quality_score
+       |from ranked where rn <= ${graft.llm.TextStats.TopDocsK}""".stripMargin
+
+  /** Mirror Splits.weightedSample: the SAME md5-60 uniform, the SAME
+    * ln(u)/w Efraimidis–Spirakis priority (double arithmetic is
+    * identical on both engines; the +1.0 rides in double on both), the
+    * SAME (priority desc, doc_id) total order. */
+  val weightedSampleQ: String = {
+    import graft.llm.Splits.{WeightedK, WeightedSalt}
+    s"""with pr as (
+       |  select source, doc_id, n_chars,
+       |    ln((cast(cast(('0x' || substr(md5('$WeightedSalt' || cast(doc_id as varchar)), 1, 15)) as bigint) as double) + 1.0)
+       |        / 1152921504606846976.0)
+       |      / cast(greatest(n_chars, 1) as double) as priority
+       |  from documents
+       |),
+       |r as (
+       |  select source, doc_id, n_chars,
+       |    row_number() over (partition by source order by priority desc, doc_id) as rn
+       |  from pr
+       |)
+       |select source, cast(rn as int) as rank, doc_id, n_chars
+       |from r where rn <= $WeightedK""".stripMargin
+  }
 }

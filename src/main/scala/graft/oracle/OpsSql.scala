@@ -259,4 +259,33 @@ object OpsSql {
        |    else raw end as hll_estimate
        |from ex join est using (event_type)""".stripMargin
   }
+
+  /** Mirror EventMarts.bloomPrunedStats: the Bloom-pruned exact join
+    * is row-equal to the plain equi-join by construction (no false
+    * negatives; the exact join removes false positives) — the oracle
+    * IS the plain join, gating exactly that equivalence. */
+  val bloomPrunedStatsQ: String =
+    """with p as (
+      |  select distinct user_id from events where event_type = 'purchase'
+      |)
+      |select e.event_type, count(*) as n_events,
+      |  count(distinct e.user_id) as n_users,
+      |  cast(sum(cast(e.value as decimal(18,6))) as double) as total_value
+      |from events e join p using (user_id)
+      |group by 1""".stripMargin
+
+  /** Mirror EventMarts.zorderKeys: the SAME Morton mask ladder in
+    * DuckDB integer arithmetic (graft.expressions.ZOrder.zorderSql). */
+  val zorderKeysQ: String = {
+    import graft.expressions.ZOrder
+    s"""with zb as (
+       |  select event_id,
+       |    cast(floor(least(greatest(value, 0.0), 65535.0)) as bigint) as value_bucket,
+       |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) as bigint) as day_bucket
+       |  from events
+       |)
+       |select event_id, value_bucket, day_bucket,
+       |  ${ZOrder.zorderSql("value_bucket", "day_bucket")} as zkey
+       |from zb""".stripMargin
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.ZOrder
+
+/** Morton key correctness (hand-computed values + the SQL mask-ladder
+  * mirror) and the property the layout exists for: files cut from a
+  * zkey-sorted order have narrow min/max spans on BOTH dimensions.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("known Morton values") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L), (1L, 1L))
+      .toDF("x", "y")
+      .select(ZOrder.zorder_key(col("x"), col("y")).as("z")).as[Long]
+    // x=3,y=5: bits x→5, y→17·2=34 → 39; spread(0xFFFF)=0x55555555
+    assert(df.collect().toSeq === Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL, 3L))
+  }
+
+  test("expression == SQL mask ladder (oracle parity within Spark)") {
+    val df = spark.range(5000).select(
+      (col("id") % 311).as("x"), (col("id") % 4099).as("y"))
+    val diff = df.select(
+        ZOrder.zorder_key(col("x"), col("y")).as("a"),
+        expr(ZOrder.zorderSql("x", "y")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("zkey-sorted chunks have narrow spans on BOTH dimensions") {
+    // uniform 64×64 grid → 16 contiguous zkey chunks are the 16
+    // 16×16 quadrants: per-chunk span ≈ 15 of global 63 on each axis
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val chunked = grid
+      .withColumn("z", ZOrder.zorder_key(col("x"), col("y")))
+      .withColumn("chunk", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("z"))))
+    val spans = chunked.groupBy("chunk")
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .agg(avg(col("sx")).as("ax"), avg(col("sy")).as("ay"))
+      .head()
+    assert(spans.getDouble(0) < 0.3 * 63, s"x spans too wide: $spans")
+    assert(spans.getDouble(1) < 0.3 * 63, s"y spans too wide: $spans")
+  }
+
+  test("weightedSample is deterministic, bounded, and a subset") {
+    val docs = Tables.documents(spark, sf)
+    val a = llm.Splits.weightedSample(docs)
+    val b = llm.Splits.weightedSample(docs)
+    assert(a.exceptAll(b).count() === 0)
+    val perStratum = a.groupBy("source").count()
+      .filter(col("count") > llm.Splits.WeightedK).count()
+    assert(perStratum === 0)
+    assert(a.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+}
