@@ -220,12 +220,26 @@ object Models {
     streaming.Streams.clickAttributionOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
+  def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.eventsAsofNextPurchase(Tables.events(s, d))
   def bloomPrunedStats(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.bloomPrunedStats(Tables.events(s, d))
   def zorderKeys(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.zorderKeys(Tables.events(s, d))
   def weightedSample(s: SparkSession, d: String): DataFrame =
     llm.Splits.weightedSample(Tables.documents(s, d))
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    llm.Packing.packSequences(Tables.documents(s, d))
+  /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
+    * ingest batch" — their signatures are computed fresh; the rest
+    * come from the materialized signature barrier, never re-hashed. */
+  def dedupIncrementalPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val existing = minhashSignatures(s, d).filter(col("doc_id") % 5 =!= 0)
+    val newSigs = llm.Dedup.minhashSignatures(llm.Dedup.docShingles(newDocs))
+    llm.Dedup.incrementalMinhashPairs(existing, newSigs)
+  }
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
   def eventPropsStats(s: SparkSession, d: String): DataFrame =

@@ -113,10 +113,16 @@ object SparkEntry {
     "top_docs_per_lang" -> out(Models.topDocsPerLang),
     // Bloom-pruned fact scan before an exact join (runtime-filter op)
     "bloom_pruned_stats" -> out(Models.bloomPrunedStats),
+    // forward as-of join (next purchase at-or-after each event)
+    "events_asof_next_purchase" -> out(Models.eventsAsofNextPurchase),
     // Z-order (Morton) layout keys for two-dimensional data skipping
     "zorder_keys" -> out(Models.zorderKeys),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
+    // concatenate-and-chunk sequence packing into token budgets
+    "pack_sequences" -> out(Models.packSequences),
+    // per-ingest-batch incremental near-dup candidates (no re-hash)
+    "dedup_incremental_pairs" -> out(Models.dedupIncrementalPairs),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -198,8 +204,11 @@ object SparkEntry {
     "event_funnel" -> OpsSql.eventFunnelQ,
     "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
     "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
+    "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
+    "pack_sequences" -> LlmSql.packSequencesQ,
+    "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -32,6 +32,7 @@ object Views {
     */
   def registerAll(spark: SparkSession, sfDir: String,
                   includeEager: Boolean = false): Unit = {
+    functions.SqlFunctions.register(spark)
     Models.prebuildMarts(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (includeEager || !eagerBuilders.contains(name))

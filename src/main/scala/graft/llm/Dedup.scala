@@ -106,11 +106,7 @@ object Dedup {
     * md5-derived hash of the band's two minhashes — 8 bytes on the
     * shuffle, mirrored exactly in DuckDB. */
   def minhashPairs(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until MinhashPairBands).map(b =>
-      hex60(concat_ws("|",
-        col(s"mh${2 * b}").cast("string"), col(s"mh${2 * b + 1}").cast("string"))))
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "v")))
+    val bands = bandRows(sigs)
     val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
       .filter(col("n") <= MinhashBucketCap).select("band", "v")
     val capped = bands.join(ok, Seq("band", "v"), "left_semi")
@@ -118,6 +114,49 @@ object Dedup {
     a.join(b,
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** (doc_id, band, v) rows — one per LSH band per signature row. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until MinhashPairBands).map(b =>
+      hex60(concat_ws("|",
+        col(s"mh${2 * b}").cast("string"), col(s"mh${2 * b + 1}").cast("string"))))
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "v")))
+  }
+
+  /** INCREMENTAL near-dup candidates: pairs that involve at least one
+    * NEW document, computed against an EXISTING (materialized)
+    * signature table without re-hashing the corpus — the maintenance
+    * path a production dedup pipeline runs per ingest batch. Cost is
+    * new-batch hashing + a band semi-join that touches only buckets a
+    * new doc lands in; the corpus pays 8 longs per doc of band
+    * arithmetic, not the text→shingle→minhash pipeline.
+    *
+    * EXACTLY equivalent (IncrementalDedupSpec) to running
+    * [[minhashPairs]] over the full signature union and keeping the
+    * pairs that touch a new doc: the semi-join keeps every old member
+    * of every touched bucket, so per-bucket occupancy — and therefore
+    * the cap decision — matches the full recompute's, and old-old
+    * pairs are exactly the ones the full run produces that the filter
+    * drops. */
+  def incrementalMinhashPairs(existingSigs: DataFrame, newSigs: DataFrame): DataFrame = {
+    val newBands = bandRows(newSigs)
+    val touched = newBands.select("band", "v").distinct()
+    val oldBands = bandRows(existingSigs)
+      .join(touched, Seq("band", "v"), "left_semi")
+    val bands = oldBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= MinhashBucketCap).select("band", "v")
+    val capped = bands.join(ok, Seq("band", "v"), "left_semi")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }

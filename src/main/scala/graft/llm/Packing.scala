@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between a curated corpus and a
+  * pretraining batch: documents are concatenated (in a deterministic
+  * order) and cut into fixed token-budget training sequences, so short
+  * documents share a context window instead of wasting padding.
+  *
+  * This is the linear concatenate-and-chunk form: within a pack group,
+  * documents are laid out in doc_id order; a document's sequence is
+  * the one its STARTING offset falls in (`floor(prefix_sum / budget)`,
+  * prefix = running total excluding the document itself). One keyed
+  * window cumsum — no driver-side loop, no RNG.
+  *
+  * Scale shape: the cumsum is per (source, pack bucket) where the
+  * bucket is the salted md5-60 device ([[Splits.saltedBucket]]), so
+  * group size — the per-partition sort budget — is corpus size /
+  * (sources × [[PackBuckets]]); raise the bucket count with the
+  * corpus. Token counts come from `n_chars` (the ceil(chars/4)
+  * estimator of [[TextStats]]), so the scan never reads `text`.
+  */
+object Packing {
+
+  val PackBudget = 4096L
+  val PackBuckets = 8L
+  val PackSalt = "pack|"
+
+  def packSequences(documents: DataFrame,
+                    budget: Long = PackBudget): DataFrame = {
+    val nTokens: Column =
+      ceil(col("n_chars").cast("double") / lit(4.0)).cast("long")
+    val bucket = Splits.saltedBucket(PackSalt, col("doc_id"), PackBuckets)
+    val w = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("source"), col("doc_id"), bucket.as("bucket"),
+        nTokens.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("source"), col("bucket"), col("doc_id"), col("n_tokens"),
+        // the document STARTS at cum - n_tokens; `div` is LONG integer
+        // division (DuckDB mirrors with //), no double round-trip
+        expr(s"(cum_tokens - n_tokens) div ${budget}L").as("seq_index"),
+        pmod(col("cum_tokens") - col("n_tokens"), lit(budget))
+          .as("offset_in_seq"))
+  }
+}

@@ -49,11 +49,17 @@ object Similarity {
         col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
           .as("cosine"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    // bounded-heap grouped top-k, NOT a window sort: the partial
+    // aggregate keeps ≤ TopK candidates per query per map task, so the
+    // exchange carries small heaps instead of the full scored cross
+    // product (same (cosine desc, neighbor_id) total order — TopKSpec
+    // gates the window equivalence).
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("cosine"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
   }
 
   val LshBits = 16
@@ -156,10 +162,19 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("centroid_id"),
         (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
           .as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "neighbor_id", "centroid_id", "rank", "cosine")
+      // bounded-heap top-k per query (see annCosineTopK). The payload
+      // struct orders lexicographically, and neighbor_id (unique)
+      // leads, so ties break exactly like the window's
+      // (cosine desc, neighbor_id) order; centroid_id just rides along.
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggregate.top_k(col("cosine"),
+        struct(col("neighbor_id"), col("centroid_id")), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"),
+        col("col.payload.neighbor_id").as("neighbor_id"),
+        col("col.payload.centroid_id").as("centroid_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
   }
 
   def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {

@@ -128,6 +128,21 @@ object EventMarts {
         q(element_at(col("__p"), 3)).as("p99"))
   }
 
+  /** Forward twin of [[eventsAsofPurchase]]: each non-purchase event
+    * joined to the user's NEXT purchase at-or-after it (null columns
+    * when none follows) — "did this click convert, and to what". */
+  def eventsAsofNextPurchase(events: DataFrame): DataFrame = {
+    val ev = events.select("event_id", "ts", "user_id", "event_type", "value")
+    val left = ev.filter(col("event_type") =!= "purchase")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("next_purchase_value"), col("ts").as("next_purchase_ts"))
+    AsOfJoin.forward(left, right, key = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      payload = Seq("next_purchase_value", "next_purchase_ts"),
+      rightTieBreak = "event_id")
+  }
+
   /** Per-type stats over events of purchasing users, with the fact
     * scan Bloom-pruned on the purchaser set BEFORE the join
     * ([[graft.operators.BloomPrune]]): the filter drops ~all

@@ -48,9 +48,20 @@ object Compaction {
   /** Compact `dir` to ~targetBytes files. Returns the resulting file
     * count, or 0 if the directory was already at or below it (no
     * rewrite performed — compaction must be cheap to call on a
-    * schedule). */
+    * schedule).
+    *
+    * `layout`: optional clustering expressions — when non-empty the
+    * rewrite range-partitions AND sorts the data by them (one shuffle,
+    * inherent to re-clustering), so each output file covers a narrow
+    * range of the layout key and parquet min/max skipping serves
+    * predicates on it. Pass a single
+    * [[graft.expressions.ZOrder.zorder_key]] to cluster on TWO
+    * dimensions at once — the plain-parquet `OPTIMIZE ZORDER BY`
+    * (ZOrderSpec asserts the per-file span contraction). A layout
+    * rewrite always runs (clustering, not file count, is its point). */
   def compactDir(spark: SparkSession, dir: String,
-                 targetBytes: Long = DefaultTargetBytes): Int = {
+                 targetBytes: Long = DefaultTargetBytes,
+                 layout: Seq[org.apache.spark.sql.Column] = Nil): Int = {
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(d)) return 0
@@ -68,11 +79,16 @@ object Compaction {
       s"$dir contains partition subdirectories (k=v); compact each leaf partition directory instead")
     val total = files.map(_.getLen).sum
     val want = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    if (files.size <= want) return 0
+    if (layout.isEmpty && files.size <= want) return 0
     val tmp = new Path(base.getParent, base.getName + ".__compacting")
-    // coalesce, not repartition: merging files needs no shuffle
-    spark.read.parquet(dir).coalesce(want)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(dir)
+    // plain compaction: coalesce — merging files needs no shuffle.
+    // layout rewrite: range-partition + in-file sort on the keys.
+    val rewritten =
+      if (layout.isEmpty) df.coalesce(want)
+      else df.repartitionByRange(want, layout: _*)
+        .sortWithinPartitions(layout: _*)
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(base.getParent, base.getName + ".__old")
     require(fs.rename(base, old), s"rename $base -> $old failed")
     // If the second rename fails the data directory would be GONE

@@ -613,6 +613,38 @@ object LlmSql {
        |select predicted_lang, cast(rn as int) as rank, doc_id, quality_score
        |from ranked where rn <= ${graft.llm.TextStats.TopDocsK}""".stripMargin
 
+  /** Mirror Models.dedupIncrementalPairs: the incremental band join is
+    * EXACTLY the full-recompute pair set restricted to pairs touching
+    * a new (doc_id % 5 = 0) document — the oracle gates that
+    * equivalence (IncrementalDedupSpec proves it structurally). */
+  val dedupIncrementalPairsQ: String =
+    s"""select doc_a, doc_b, n_shared_bands from ($minhashPairsQ) t
+       |where doc_a % 5 = 0 or doc_b % 5 = 0""".stripMargin
+
+  /** Mirror Packing.packSequences: the same salted pack bucket, the
+    * same (source, bucket, doc_id-ordered) window cumsum, `//` for
+    * Spark's `div` (both LONG integer division). */
+  val packSequencesQ: String = {
+    import graft.llm.Packing.{PackBudget, PackBuckets, PackSalt}
+    s"""with pk as (
+       |  select source, doc_id,
+       |    cast(('0x' || substr(md5('$PackSalt' || cast(doc_id as varchar)), 1, 15)) as bigint) % $PackBuckets as bucket,
+       |    cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens
+       |  from documents
+       |),
+       |c as (
+       |  select source, bucket, doc_id, n_tokens,
+       |    -- DuckDB sums bigint to HUGEINT; Spark's sum stays long
+       |    cast(sum(n_tokens) over (partition by source, bucket order by doc_id
+       |                        rows between unbounded preceding and current row) as bigint) as cum_tokens
+       |  from pk
+       |)
+       |select source, bucket, doc_id, n_tokens,
+       |  (cum_tokens - n_tokens) // $PackBudget as seq_index,
+       |  (cum_tokens - n_tokens) % $PackBudget as offset_in_seq
+       |from c""".stripMargin
+  }
+
   /** Mirror Splits.weightedSample: the SAME md5-60 uniform, the SAME
     * ln(u)/w Efraimidis–Spirakis priority (double arithmetic is
     * identical on both engines; the +1.0 rides in double on both), the

@@ -46,6 +46,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("forward as-of equals the naive argmin, ties and misses included") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "a"), // next is r1 at 11:00
+      (1L, ts("2020-01-01 12:00:00"), "b"), // equal-time: matches r2 (SMALLEST tb)
+      (1L, ts("2020-01-01 15:00:00"), "c"), // after every right row → null
+      (2L, ts("2020-01-01 09:00:00"), "d"), // key with no right rows
+      (3L, ts("2020-01-01 07:00:00"), "e")  // right row follows at 08:00
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2020-01-01 11:00:00"), 100L, 1.0),
+      (1L, ts("2020-01-01 12:00:00"), 101L, 2.0), // tie on ts with next
+      (1L, ts("2020-01-01 12:00:00"), 102L, 3.0), // smaller tb (101) wins
+      (3L, ts("2020-01-01 08:00:00"), 103L, 4.0)
+    ).toDF("k", "rt", "rid", "price")
+
+    val got = AsOfJoin.forward(left, right, "k", "t", "rt",
+      payload = Seq("price"), rightTieBreak = "rid")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+
+    val expected = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "a", 1.0),
+      (1L, ts("2020-01-01 12:00:00"), "b", 2.0),
+      (1L, ts("2020-01-01 15:00:00"), "c", null),
+      (2L, ts("2020-01-01 09:00:00"), "d", null),
+      (3L, ts("2020-01-01 07:00:00"), "e", 4.0))
+    assert(got.toSeq === expected)
+  }
+
   test("payload is atomic: a null field in the matched right row stays null") {
     import spark.implicits._
     val left = Seq((1L, ts("2020-01-01 12:00:00"), "x")).toDF("k", "t", "tag")

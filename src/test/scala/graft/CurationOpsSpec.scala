@@ -140,6 +140,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("purchase") === ((1L, 0.5))) // user 1 only
   }
 
+  test("sequence packing tiles each pack group contiguously in doc_id order") {
+    import org.apache.spark.sql.functions._
+    val packed = llm.Packing.packSequences(Tables.documents(spark, sf))
+    // offsets reconstruct from the running total: offset = prefix % budget
+    val bad = packed
+      .withColumn("prefix", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "bucket").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, -1)))
+      .filter(coalesce(col("prefix"), lit(0L)) % llm.Packing.PackBudget =!= col("offset_in_seq"))
+    assert(bad.count() === 0)
+    // seq_index is non-decreasing in doc_id within a group, starts at 0
+    val firstRows = packed.groupBy("source", "bucket")
+      .agg(min(struct(col("doc_id"), col("seq_index"))).as("f"))
+      .filter(col("f.seq_index") =!= 0)
+    assert(firstRows.count() === 0)
+    // every sequence's docs fit the budget except a possible straddler:
+    // a doc's start offset is always < budget (offset_in_seq invariant)
+    assert(packed.filter(col("offset_in_seq") >= llm.Packing.PackBudget).count() === 0)
+    assert(packed.filter(col("offset_in_seq") < 0).count() === 0)
+  }
+
   test("CMS estimates are upper bounds and exact when collision-free") {
     val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
       .toDF("k")

@@ -46,6 +46,37 @@ class ZOrderSpec extends SparkSpec {
     assert(spans.getDouble(1) < 0.3 * 63, s"y spans too wide: $spans")
   }
 
+  test("zorder layout compaction contracts per-FILE spans on both dims") {
+    // shuffled 64×64 grid written as many unclustered files, then
+    // compacted with the Morton key as the layout: each rewritten
+    // file must cover a narrow range of BOTH x and y
+    val dir = java.nio.file.Files.createTempDirectory("zorder-compact").toString
+    val grid = spark.range(16384).select(
+        (col("id") % 128).as("x"), expr("id div 128").as("y"),
+        // shuffle the write order so unclustered files span everything
+        expr("hash(id)").as("h"))
+      .repartition(8, col("h")).drop("h")
+    grid.write.mode("overwrite").parquet(dir)
+    // aim for ~16 files: each ideally a 32×32 Morton quadrant
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = operators.Compaction.compactDir(spark, dir,
+      targetBytes = math.max(1L, total / 16),
+      layout = Seq(ZOrder.zorder_key(col("x"), col("y"))))
+    assert(n >= 8, s"layout rewrite produced only $n files")
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .agg(avg(col("sx")).as("ax"), avg(col("sy")).as("ay"))
+      .head()
+    // ~16 ideal quadrant files span 31; range-sample boundary files
+    // span more — but far below the ~127 every unclustered file covers
+    assert(perFile.getDouble(0) < 0.5 * 127, s"x file spans too wide: $perFile")
+    assert(perFile.getDouble(1) < 0.5 * 127, s"y file spans too wide: $perFile")
+  }
+
   test("weightedSample is deterministic, bounded, and a subset") {
     val docs = Tables.documents(spark, sf)
     val a = llm.Splits.weightedSample(docs)
