@@ -230,14 +230,30 @@ object Models {
     llm.Splits.weightedSample(Tables.documents(s, d))
   def packSequences(s: SparkSession, d: String): DataFrame =
     llm.Packing.packSequences(Tables.documents(s, d))
+  /** The end-to-end training-corpus build: curation-kept ∩ train-split
+    * documents, sequence-packed into token budgets — each stage is the
+    * SAME (Mat-shared) component its standalone query gates. */
+  def trainingCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = corpusCuration(s, d)
+      .filter(col("status") === "kept").select("doc_id")
+    val train = datasetSplits(s, d)
+      .filter(col("split") === "train").select("doc_id")
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .join(kept, Seq("doc_id")).join(train, Seq("doc_id"))
+    llm.Packing.packSequences(base)
+  }
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
-    * ingest batch" — their signatures are computed fresh; the rest
-    * come from the materialized signature barrier, never re-hashed. */
+    * ingest batch" — their signatures are aggregated fresh from the
+    * shingle barrier (production ingest computes the batch's shingles
+    * once; nothing text-level runs twice), the rest come from the
+    * materialized signature barrier, never re-hashed. */
   def dedupIncrementalPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val existing = minhashSignatures(s, d).filter(col("doc_id") % 5 =!= 0)
-    val newSigs = llm.Dedup.minhashSignatures(llm.Dedup.docShingles(newDocs))
+    val newSigs = llm.Dedup.minhashSignatures(
+      docShingles(s, d).filter(col("doc_id") % 5 === 0))
     llm.Dedup.incrementalMinhashPairs(existing, newSigs)
   }
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =

@@ -123,6 +123,8 @@ object SparkEntry {
     "pack_sequences" -> out(Models.packSequences),
     // per-ingest-batch incremental near-dup candidates (no re-hash)
     "dedup_incremental_pairs" -> out(Models.dedupIncrementalPairs),
+    // end-to-end: curation ∩ train split → packed training sequences
+    "training_corpus" -> out(Models.trainingCorpus),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -209,6 +211,7 @@ object SparkEntry {
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,
+    "training_corpus" -> LlmSql.trainingCorpusQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -621,16 +621,17 @@ object LlmSql {
     s"""select doc_a, doc_b, n_shared_bands from ($minhashPairsQ) t
        |where doc_a % 5 = 0 or doc_b % 5 = 0""".stripMargin
 
-  /** Mirror Packing.packSequences: the same salted pack bucket, the
-    * same (source, bucket, doc_id-ordered) window cumsum, `//` for
-    * Spark's `div` (both LONG integer division). */
-  val packSequencesQ: String = {
+  /** Mirror Packing.packSequences over relation `rel` (needs source,
+    * doc_id, n_chars): the same salted pack bucket, the same (source,
+    * bucket, doc_id-ordered) window cumsum, `//` for Spark's `div`
+    * (both LONG integer division). */
+  def packSequencesOver(rel: String): String = {
     import graft.llm.Packing.{PackBudget, PackBuckets, PackSalt}
     s"""with pk as (
        |  select source, doc_id,
        |    cast(('0x' || substr(md5('$PackSalt' || cast(doc_id as varchar)), 1, 15)) as bigint) % $PackBuckets as bucket,
        |    cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens
-       |  from documents
+       |  from $rel
        |),
        |c as (
        |  select source, bucket, doc_id, n_tokens,
@@ -643,6 +644,27 @@ object LlmSql {
        |  (cum_tokens - n_tokens) // $PackBudget as seq_index,
        |  (cum_tokens - n_tokens) % $PackBudget as offset_in_seq
        |from c""".stripMargin
+  }
+
+  val packSequencesQ: String = packSequencesOver("documents")
+
+  /** Mirror Models.trainingCorpus — the end-to-end composition: the
+    * curation verdicts, the split assignment, and the packing window
+    * are the SAME subqueries as their standalone oracles, so the
+    * pipeline cannot drift from its gated components. */
+  val trainingCorpusQ: String = {
+    s"""with tc_kept as (
+       |  select doc_id from ($corpusCurationQ) t where status = 'kept'
+       |),
+       |tc_train as (
+       |  select doc_id from ($datasetSplitsQ) t where split = 'train'
+       |),
+       |tc_base as (
+       |  select d.source, d.doc_id, d.n_chars from documents d
+       |  join tc_kept using (doc_id)
+       |  join tc_train using (doc_id)
+       |)
+       |select * from (${packSequencesOver("tc_base")}) t""".stripMargin
   }
 
   /** Mirror Splits.weightedSample: the SAME md5-60 uniform, the SAME
