@@ -296,6 +296,21 @@ object Mat {
     resolve(spark, Await.result(fut, Duration.Inf))
   }
 
+  /** Time-travel read: the mart AS OF `version` (1-based; the last
+    * [[KeepVersions]] are retained, older ones are pruned). Fails fast
+    * with the retention window when the version is gone — a silent
+    * fallback to another version would be a wrong-answer generator. */
+  def tableVersion(spark: SparkSession, sfDir: String, name: String,
+                   version: Int): DataFrame = {
+    val cur = currentVersion(spark, sfDir, name)
+    require(cur > 0, s"$name has no built version in this session")
+    require(version >= 1 && version <= cur,
+      s"$name version $version out of range 1..$cur")
+    require(version > cur - KeepVersions,
+      s"$name version $version was pruned (retained: ${math.max(1, cur - KeepVersions + 1)}..$cur)")
+    spark.table(s"${schemaFor(sfDir)}.${name}__v$version")
+  }
+
   /** Full rebuild as a NEW version + atomic view repoint: in-flight
     * readers of the previous version keep a consistent snapshot, new
     * `spark.table` resolutions see the rebuilt mart. Synchronous (the

@@ -18,7 +18,9 @@ object Views {
     * registration (ADVICE r3 #3) — opt in via `includeEager`. */
   private val eagerBuilders =
     Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts",
-      "stream_dedup", "stream_attribution")
+      "stream_dedup", "stream_attribution",
+      // builds the Bloom filter with a driver-side aggregate job
+      "bloom_pruned_stats")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

@@ -36,6 +36,11 @@ class MatSwapSpec extends SparkSpec {
     assert(after.filter(col("tag") =!= "v2").count() === 0)
     // time travel: the previous version is still addressable by name
     assert(spark.table(s"$db.swap_spec__v1").count() === 2)
+    // ... and through the typed API, which validates the retention window
+    assert(Mat.tableVersion(spark, sf, "swap_spec", 1).count() === 2)
+    assert(Mat.tableVersion(spark, sf, "swap_spec", 2).count() === 3)
+    assertThrows[IllegalArgumentException](
+      Mat.tableVersion(spark, sf, "swap_spec", 3))
   }
 
   test("versions beyond KeepVersions are dropped and their files deleted") {
@@ -57,6 +62,12 @@ class MatSwapSpec extends SparkSpec {
     // the in-retention pre-refresh reader still works
     assert(v2Reader.select("tag").head.getString(0) === "b")
     assert(spark.table(s"$db.swap_prune_spec").select("tag").head.getString(0) === "c")
+    // tableVersion refuses the pruned version instead of failing later
+    // (or silently reading another version)
+    assertThrows[IllegalArgumentException](
+      Mat.tableVersion(spark, sf, "swap_prune_spec", 1))
+    assert(Mat.tableVersion(spark, sf, "swap_prune_spec", 2)
+      .select("tag").head.getString(0) === "b")
   }
 
   test("a failed build releases its slot; the next refresh publishes cleanly") {
