@@ -32,10 +32,19 @@ import org.apache.spark.sql.types._
   * sketch per group — the same partial/merge shape every production
   * top-k (Druid, Pinot, ClickHouse) uses.
   *
-  * The payload is any orderable atomic type (ordering via Catalyst's
-  * interpreted ordering, so ties break identically to the SQL oracle's
-  * `order by score desc, payload` row_number); buffers serialize for
-  * exchange as length-prefixed (double, UnsafeRow) pairs.
+  * The payload is any orderable type — atomic or struct (ordering via
+  * Catalyst's interpreted ordering, so ties break identically to the
+  * SQL oracle's `order by score desc, payload` row_number); buffers
+  * serialize for exchange as length-prefixed (double, UnsafeRow)
+  * pairs.
+  *
+  * NULL contract: rows whose score OR payload is NULL are ignored —
+  * top_k over a group of n non-null rows returns min(k, n) entries.
+  * This diverges from `row_number() ... order by s desc` (NULLS LAST)
+  * only when a group has fewer than k non-null-score rows AND some
+  * null-score rows: the window would pad with them, top_k will not
+  * (TopKSpec pins this; a null can never displace a real candidate in
+  * either formulation).
   */
 case class TopKAggregate(
     score: Expression,

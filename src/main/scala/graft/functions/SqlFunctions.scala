@@ -13,6 +13,8 @@ import graft.expressions.VectorExprs.DotProduct
   * callable there too, not only through the Scala Column API:
   *
   *   select g, top_k(score, id, 5)      -- bounded-heap grouped top-k
+  *                                         (null score/payload rows
+  *                                         are ignored — see TopKAgg)
   *   select zorder_key(xb, yb)          -- Morton layout key
   *   select dot_product(a, b)           -- codegen'd float-vector dot
   *   select md5_prefix60(s)             -- 60-bit md5 (no hex round-trip)

@@ -30,8 +30,7 @@ object Packing {
 
   def packSequences(documents: DataFrame,
                     budget: Long = PackBudget): DataFrame = {
-    val nTokens: Column =
-      ceil(col("n_chars").cast("double") / lit(4.0)).cast("long")
+    val nTokens: Column = TextStats.nTokensEst(col("n_chars"))
     val bucket = Splits.saltedBucket(PackSalt, col("doc_id"), PackBuckets)
     val w = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("doc_id"))

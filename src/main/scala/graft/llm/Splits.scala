@@ -81,8 +81,11 @@ object Splits {
     * exact weighted sample u^(1/w) would select, reproducible across
     * runs and engines. Selection runs through the bounded-heap
     * [[graft.expressions.TopKAggregate]] (k entries per stratum per
-    * map task cross the exchange, not every row), then a broadcast
-    * self-join restores the payload columns.
+    * map task cross the exchange, not every row); the payload struct
+    * carries (doc_id, n_chars) so ONE corpus scan suffices — doc_id is
+    * unique and leads the struct's lexicographic order, so ties break
+    * exactly like the oracle's `priority desc, doc_id` (review r6:
+    * the join-back formulation scanned documents twice).
     *
     * The pretraining use: length-weighted document sampling — longer
     * documents carry more tokens, so token-budget sampling weights by
@@ -93,18 +96,16 @@ object Splits {
     val u = (Dedup.hex60(concat(lit(WeightedSalt), col("doc_id").cast("string")))
       .cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
     val w = greatest(col("n_chars"), lit(1L)).cast("double")
-    val picked = documents
-      .select(col(strataCol), col("doc_id"), (log(u) / w).as("priority"))
+    documents
+      .select(col(strataCol),
+        struct(col("doc_id"), col("n_chars")).as("pay"),
+        (log(u) / w).as("priority"))
       .groupBy(col(strataCol))
       .agg(graft.expressions.TopKAggregate
-        .top_k(col("priority"), col("doc_id"), k).as("tk"))
+        .top_k(col("priority"), col("pay"), k).as("tk"))
       .select(col(strataCol), posexplode(col("tk")))
       .select(col(strataCol), (col("pos") + 1).cast("int").as("rank"),
-        col("col.payload").as("doc_id"))
-    // broadcast the TINY picked set (k rows per stratum) against the
-    // corpus-sized documents side to restore payload columns shuffle-free
-    documents.select(col("doc_id"), col("n_chars"))
-      .join(broadcast(picked), Seq("doc_id"))
-      .select(col(strataCol), col("rank"), col("doc_id"), col("n_chars"))
+        col("col.payload.doc_id").as("doc_id"),
+        col("col.payload.n_chars").as("n_chars"))
   }
 }

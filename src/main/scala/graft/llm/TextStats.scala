@@ -23,6 +23,16 @@ object TextStats {
   val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   val FingerprintMod = 1000000007L
 
+  /** THE chars/4 token estimator, defined once: every token-budget
+    * decision (text_stats' n_tokens_est, sequence packing, the
+    * training-corpus build) and both DuckDB mirrors derive from this
+    * pair, so the estimator cannot change in one place and silently
+    * desynchronize pack budgets from text stats (review r6). */
+  def nTokensEst(nChars: Column): Column =
+    ceil(nChars.cast("double") / lit(4.0)).cast("long")
+  def nTokensEstSql(nCharsExpr: String): String =
+    s"cast(ceil(cast($nCharsExpr as double) / 4.0) as bigint)"
+
   /** BPE-ish pre-tokenizer regex (GPT-2-style split shape: letter runs,
     * digit runs, punctuation runs — each absorbing one leading space —
     * plus residual whitespace). Deliberately lookahead-free so the Java
@@ -95,7 +105,7 @@ object TextStats {
     mid.select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
-      ceil(col("n_chars").cast("double") / lit(4.0)).cast("long").as("n_tokens_est"),
+      nTokensEst(col("n_chars")).as("n_tokens_est"),
       regexp_count(col("text"), lit(BpeTokenRegex)).cast("long").as("n_tokens_bpe"),
       when(nWords > 0,
         length(concat_ws("", w)).cast("double") / nWords.cast("double"))

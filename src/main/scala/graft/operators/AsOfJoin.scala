@@ -56,11 +56,16 @@ object AsOfJoin {
 
   /** Forward as-of: EARLIEST right row with `right(rightTime) >=
     * left(leftTime)` — the mirror of [[backward]] ("what happens next
-    * after this event"): the side tag flips so an equal-time right row
-    * sorts AFTER the left rows (">=" inclusion), the frame flips to
-    * current-row→unbounded-following, `first` replaces `last`, and the
-    * SMALLEST tiebreak wins among equal-time right rows ("earliest").
-    * Same single-shuffle scale shape. */
+    * after this event"), expressed as the SAME growing-frame running
+    * pass over time REVERSED: sort (time desc, side, tiebreak desc) and
+    * keep `last(payload)` over unbounded-preceding→current-row. In the
+    * descending scan the most recent right row seen is the smallest
+    * `rt >= t`, equal-time rights still sort before the left rows
+    * (">=" inclusion), and tiebreak-desc makes the SMALLEST tiebreak
+    * the last seen ("earliest" wins). Same single-shuffle shape AND the
+    * same O(rows) frame as backward — a current-row→unbounded-following
+    * frame would re-scan the partition tail per row, O(m²) on a hot
+    * key (review r6). */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
               payload: Seq[String], rightTieBreak: String): DataFrame =
@@ -78,38 +83,37 @@ object AsOfJoin {
       s"payload columns collide with left columns: ${shared.mkString(", ")} " +
         "(alias the right side before joining)")
     val tbType = right.schema(rightTieBreak).dataType
-    // backward: right rows sort BEFORE left rows at equal time ("<=")
-    // and the LATEST preceding right row wins (last over a preceding
-    // frame, largest tiebreak last). forward: right rows sort AFTER
-    // left rows at equal time (">=") and the EARLIEST following right
-    // row wins (first over a following frame, smallest tiebreak first).
-    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
+    // Both directions run the same growing-frame `last` pass; only the
+    // sort direction flips. backward: time asc — the last right row
+    // seen is the LATEST rt <= t, ties resolved largest-tiebreak-last.
+    // forward: time desc — the last right row seen is the SMALLEST
+    // rt >= t, ties resolved smallest-tiebreak-last. Rights sort
+    // before lefts at equal time in both (inclusive semantics).
     val rightRows = right.select(
-      col(key), col(rightTime).as("__t"), lit(rightSide).as("__side"),
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
       col(rightTieBreak).as("__tb"),
       struct(payload.map(col): _*).as("__p"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields.filterNot(_.name == key))).as("__l"))
     val leftRows = left.select(
-      col(key), col(leftTime).as("__t"), lit(leftSide).as("__side"),
+      col(key), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         payload.map(p => right.schema(p)).toArray)).as("__p"),
       struct(leftCols.filterNot(_ == key).map(col): _*).as("__l"))
     // left rows' null __tb never ties with a right row (the side tag
     // differs), so one null ordering serves both directions
-    val wBase = Window.partitionBy(key)
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
-    val (w, pick) =
-      if (forward)
-        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__p"), ignoreNulls = true))
+    val w = (if (forward)
+        Window.partitionBy(key).orderBy(
+          col("__t").desc, col("__side").asc, col("__tb").desc_nulls_last)
       else
-        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__p"), ignoreNulls = true))
+        Window.partitionBy(key).orderBy(
+          col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightRows.unionByName(leftRows)
-      .select(col(key), col("__side"), col("__l"), pick.over(w).as("__p"))
-      .filter(col("__side") === leftSide)
+      .select(col(key), col("__side"), col("__l"),
+        last(col("__p"), ignoreNulls = true).over(w).as("__p"))
+      .filter(col("__side") === 1)
       .select(col(key) +:
         leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
         payload.map(p => col(s"__p.$p").as(p)): _*)

@@ -324,7 +324,7 @@ object LlmSql {
        |)
        |select doc_id,
        |  cast(n_words as bigint) as n_words,
-       |  cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens_est,
+       |  ${TextStats.nTokensEstSql("n_chars")} as n_tokens_est,
        |  cast(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}')) as bigint) as n_tokens_bpe,
        |  case when n_words > 0 then cast(len(array_to_string(w, '')) as double) / cast(n_words as double) else 0.0 end as avg_word_len,
        |  stopword_ratio, digit_ratio, punct_ratio,
@@ -630,7 +630,7 @@ object LlmSql {
     s"""with pk as (
        |  select source, doc_id,
        |    cast(('0x' || substr(md5('$PackSalt' || cast(doc_id as varchar)), 1, 15)) as bigint) % $PackBuckets as bucket,
-       |    cast(ceil(cast(n_chars as double) / 4.0) as bigint) as n_tokens
+       |    ${graft.llm.TextStats.nTokensEstSql("n_chars")} as n_tokens
        |  from $rel
        |),
        |c as (

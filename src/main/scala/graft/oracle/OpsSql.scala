@@ -48,34 +48,37 @@ object OpsSql {
       |  l_value as value, pl.v as purchase_value, pl.t as purchase_ts
       |from w where side = 1""".stripMargin
 
-  /** Mirror EventMarts.eventsAsofNextPurchase — the forward direction:
-    * sides flip so an equal-time purchase sorts AFTER the left rows
-    * (">=" inclusion), first_value over a following frame, smallest
-    * tiebreak first ("earliest"). Same atomic single-struct payload. */
+  /** Mirror EventMarts.eventsAsofNextPurchase — the forward direction
+    * as the SAME growing-frame last_value pass over time REVERSED
+    * (the Spark operator's O(rows) formulation): order (t desc, side,
+    * tb desc), rights before lefts at equal time (">=" inclusion),
+    * smallest tiebreak last ("earliest" wins). Same atomic
+    * single-struct payload. */
   val eventsAsofNextPurchaseQ: String =
     """with r as (
-      |  select user_id, ts as t, 1 as side, event_id as tb,
+      |  select user_id, ts as t, 0 as side, event_id as tb,
       |    struct_pack(v := value, t := ts) as p,
       |    cast(null as bigint) as l_event_id, cast(null as timestamp) as l_ts,
       |    cast(null as varchar) as l_type, cast(null as double) as l_value
       |  from events where event_type = 'purchase'
       |),
       |l as (
-      |  select user_id, ts as t, 0 as side, 9223372036854775807 as tb,
+      |  select user_id, ts as t, 1 as side, cast(null as bigint) as tb,
       |    cast(null as struct(v double, t timestamp)) as p,
       |    event_id as l_event_id, ts as l_ts, event_type as l_type, value as l_value
       |  from events where event_type != 'purchase'
       |),
       |u as (select * from r union all select * from l),
       |w as (
-      |  select *, first_value(p ignore nulls) over win as pl
+      |  select *, last_value(p ignore nulls) over win as pl
       |  from u
-      |  window win as (partition by user_id order by t, side, tb
-      |                 rows between current row and unbounded following)
+      |  window win as (partition by user_id
+      |                 order by t desc, side, tb desc nulls last
+      |                 rows between unbounded preceding and current row)
       |)
       |select l_event_id as event_id, user_id, l_ts as ts, l_type as event_type,
       |  l_value as value, pl.v as next_purchase_value, pl.t as next_purchase_ts
-      |from w where side = 0""".stripMargin
+      |from w where side = 1""".stripMargin
 
   /** Mirror EventMarts.valueBandStats: the bucketing is a pure
     * equi-join rewrite, so the oracle is the plain interval join. */

@@ -79,6 +79,17 @@ class TopKSpec extends SparkSpec {
     assert(partialBelowExchange.nonEmpty, s"no partial aggregate below the exchange:\n$plan")
   }
 
+  test("NULL contract: null-score rows are ignored, not padded in") {
+    import spark.implicits._
+    // 2 non-null rows, k=3: the window twin (NULLS LAST) would emit a
+    // third row carrying the null score; top_k documents min(k, n)
+    val df = Seq(("g", Some(2.0), 1L), ("g", None, 2L), ("g", Some(1.0), 3L))
+      .toDF("g", "s", "p")
+    val got = df.groupBy(col("g")).agg(top_k(col("s"), col("p"), 3).as("tk"))
+      .select(explode(col("tk"))).select(col("col.payload")).as[Long].collect()
+    assert(got.toSeq === Seq(1L, 3L))
+  }
+
   test("k larger than group size returns whole group, ordered") {
     import spark.implicits._
     val df = Seq(("g", 3.0, 30L), ("g", 1.0, 10L), ("g", 2.0, 20L)).toDF("g", "s", "p")
