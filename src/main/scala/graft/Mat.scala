@@ -186,6 +186,19 @@ object Mat {
             s"'${plans.MonthPruning.TimeZoneProp}'=" +
             s"'${spark.sessionState.conf.sessionLocalTimeZone}')")
         }
+        // catalog row/size statistics for the new version BEFORE it
+        // goes live: one count job per build, and every reader's
+        // Catalyst cost estimates (broadcast-vs-shuffle join choice,
+        // CBO reorder when enabled) start from real numbers instead of
+        // file-size guesses — the dbt post-hook ANALYZE every
+        // warehouse runs. Best-effort: stats are an optimization, a
+        // failure must not fail a correct build.
+        try spark.sql(s"ANALYZE TABLE $db.${name}__v$n COMPUTE STATISTICS")
+        catch {
+          case NonFatal(se) =>
+            System.err.println(s"[mat] ANALYZE failed for $db.${name}__v$n " +
+              s"(${se.getMessage}); proceeding without stats")
+        }
         // THE pointer flip: one catalog op, atomic to readers. Nothing
         // below this line may fall back to rewriting `path`: once the
         // view points at version n, its files are LIVE and an in-place

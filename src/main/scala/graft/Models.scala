@@ -137,6 +137,30 @@ object Models {
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
       Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
+  /** Int8 scalar-quantized embeddings (vec_id, scale, qvec). */
+  def embeddingQuantization(s: SparkSession, d: String): DataFrame =
+    llm.Quantize.quantize(Tables.embeddings(s, d))
+  /** Brute-force cosine top-k over the dequantized int8 corpus. */
+  def annSq8TopK(s: SparkSession, d: String): DataFrame =
+    llm.Quantize.annSq8TopK(Tables.embeddings(s, d))
+  /** Recall@k of the kmeans-quantized IVF index against the exact
+    * brute-force top-k — both sides the SAME gated queries. */
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annRecall(annCosineTopK(s, d), annIvfKmeansTopK(s, d))
+  /** Transitive clusters over the embedding-cosine near-dup pairs —
+    * the semantic-dedup twin of [[dedupClusters]], through the SAME
+    * connected-components operator. */
+  def embeddingDedupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    llm.Clusters.connectedComponents(
+      embeddingDedupPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+  }
+  /** Deterministic epoch-0 corpus shuffle order (two-phase global
+    * index — no single-partition window over the corpus). */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    operators.GlobalIndex.epochShuffle(Tables.documents(s, d))
   def textStats(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "text_stats")(llm.TextStats.textStats(Tables.documents(s, d)))
   /** Grouped top-k over the text_stats barrier via the bounded-heap

@@ -64,6 +64,15 @@ object SparkEntry {
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
     "ann_ivf_kmeans_topk" -> out(Models.annIvfKmeansTopK),
+    // int8 scalar quantization + search over the dequantized corpus
+    "embedding_quantization" -> out(Models.embeddingQuantization),
+    "ann_sq8_topk" -> out(Models.annSq8TopK),
+    // recall@k of the kmeans-IVF index vs the exact brute force
+    "ann_recall" -> out(Models.annRecall),
+    // transitive clusters over the embedding near-dup pairs
+    "embedding_dedup_clusters" -> out(Models.embeddingDedupClusters),
+    // deterministic epoch shuffle via the two-phase global index
+    "epoch_shuffle" -> out(Models.epochShuffle),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -173,6 +182,11 @@ object SparkEntry {
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "ann_ivf_kmeans_topk" -> LlmSql.annIvfKmeansTopKQ,
+    "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
+    "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
+    "ann_recall" -> LlmSql.annRecallQ,
+    "embedding_dedup_clusters" -> LlmSql.embeddingDedupClustersQ,
+    "epoch_shuffle" -> LlmSql.epochShuffleQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,

@@ -201,6 +201,25 @@ object Similarity {
     ivfProbe(embeddings, centroidVectors.getOrElse(Kmeans.centroidVectors(embeddings)))
   }
 
+  /** Recall@k of an approximate ANN result against the exact
+    * brute-force top-k — the eval metric that decides every ANN
+    * accuracy/cost trade (nprobe, band counts, quantization bits).
+    * Both inputs are (query_id, neighbor_id, …) top-k tables; output
+    * is one row per query with the overlap count and recall fraction.
+    * Scale: the top-k tables are |queries|·k rows — the join is over
+    * results, never the corpus. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      // count of non-null hits (NOT a sum: DuckDB's integer sum widens
+      // to hugeint, count is bigint on both engines)
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+
   /** Near-dup tunables. The demo threshold 0.35 sits in the tail of the
     * synthetic testdata's similarity distribution (no true duplicates;
     * max pairwise cosine ≈ 0.51) — a real corpus runs ≥ 0.9.

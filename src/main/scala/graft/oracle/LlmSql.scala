@@ -136,10 +136,13 @@ object LlmSql {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::double) * ($b[i]::double)), (acc, x) -> acc + x)"
 
-  val annCosineTopKQ: String =
-    s"""with emb_norms as (
+  /** Brute-force cosine top-k over any (vec_id, embedding) relation —
+    * shared by the raw-embedding oracle and the dequantized-int8
+    * oracle so the search arithmetic exists exactly once. */
+  def annCosineTopKOver(rel: String): String =
+    s"""emb_norms as (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
-       |  from embeddings
+       |  from $rel
        |),
        |emb_ok as (select * from emb_norms where nrm > 0),
        |ann_queries as (
@@ -157,6 +160,36 @@ object LlmSql {
        |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
        |  from ann_scored
        |) t where rank <= ${Similarity.TopK}""".stripMargin
+
+  val annCosineTopKQ: String = s"with ${annCosineTopKOver("embeddings")}"
+
+  /** Mirror Quantize: max-abs scale, explicit half-up floor codes.
+    * Shared CTE prefix for the quantization table and the dequantized
+    * ANN oracle. */
+  val quantCtes: String =
+    s"""sq_scale as (
+       |  select vec_id, embedding,
+       |    cast(list_max(list_transform(embedding, x -> abs(x))) as double) as scale
+       |  from embeddings
+       |),
+       |sq_q as (
+       |  select vec_id, scale,
+       |    list_transform(generate_series(1, len(embedding)),
+       |      i -> cast(floor(embedding[i]::double * ${graft.llm.Quantize.QMax} / scale + 0.5) as int)) as qvec
+       |  from sq_scale where scale > 0
+       |)""".stripMargin
+
+  val embeddingQuantizationQ: String =
+    s"with $quantCtes select vec_id, scale, qvec from sq_q"
+
+  val annSq8TopKQ: String =
+    s"""with $quantCtes,
+       |sq_rec as (
+       |  select vec_id,
+       |    list_transform(qvec, q -> cast(q::double * scale / ${graft.llm.Quantize.QMax} as float)) as embedding
+       |  from sq_q
+       |),
+       |${annCosineTopKOver("sq_rec")}""".stripMargin
 
   private def projSql(k: Int): String =
     s"list_reduce(list_transform(generate_series(1, len(embedding)), " +
@@ -348,8 +381,11 @@ object LlmSql {
     * the whole upstream 2^rounds times — the exact blowup the Spark
     * side prevents with per-round localCheckpoint. (Un-hinted, the
     * inlined tree re-opened documents.parquet past the fd limit.) */
-  val dedupClustersQ: String = {
-    import graft.llm.{Clusters, Curation}
+  /** The 8 unrolled rounds over ANY (doc_a, doc_b) edge SQL — shared
+    * by the text near-dup clusters and the embedding near-dup clusters
+    * so the propagation arithmetic exists exactly once. */
+  private def ccOverEdges(edgesSql: String): String = {
+    import graft.llm.Clusters
     val rounds = (1 to Clusters.MaxIters).map { i =>
       s"""cl_m$i as materialized (
          |  select doc_id, min(lbl) as lbl from (
@@ -363,10 +399,7 @@ object LlmSql {
          |)""".stripMargin
     }.mkString(",\n")
     s"""with cl_edges as materialized (
-       |  select doc_a, doc_b from ($minhashPairsQ) t
-       |  where n_shared_bands >= ${Curation.NearDupDropBands}
-       |  union
-       |  select doc_a, doc_b from ($simhashPairsQ) t
+       |$edgesSql
        |),
        |cl_und as materialized (
        |  select doc_a as src, doc_b as dst from cl_edges
@@ -379,6 +412,22 @@ object LlmSql {
        |  count(*) over (partition by lbl) as cluster_size
        |from cl_l${Clusters.MaxIters}""".stripMargin
   }
+
+  val dedupClustersQ: String = {
+    import graft.llm.Curation
+    ccOverEdges(
+      s"""  select doc_a, doc_b from ($minhashPairsQ) t
+         |  where n_shared_bands >= ${Curation.NearDupDropBands}
+         |  union
+         |  select doc_a, doc_b from ($simhashPairsQ) t""".stripMargin)
+  }
+
+  /** Mirror Models.embeddingDedupClusters: the SAME unrolled rounds
+    * over the embedding near-dup pair edges. */
+  val embeddingDedupClustersQ: String =
+    s"""select doc_id as vec_id, cluster_id, cluster_size from (
+       |${ccOverEdges(s"  select vec_a as doc_a, vec_b as doc_b from ($embeddingDedupPairsQ) t")}
+       |) t""".stripMargin
 
   /** Corpus-curation oracle (mirror graft.llm.Curation.curate): composes
     * the already-gated query strings verbatim as derived tables — zero
@@ -508,6 +557,33 @@ object LlmSql {
     s"""with $kmCtes,
        |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
        |$ivfSelect""".stripMargin
+
+  /** Mirror Similarity.annRecall over the same two gated queries —
+    * pure composition, zero new arithmetic. */
+  val annRecallQ: String =
+    s"""with ar_exact as (select query_id, neighbor_id from ($annCosineTopKQ) t),
+       |ar_approx as (select query_id, neighbor_id from ($annIvfKmeansTopKQ) t)
+       |select e.query_id,
+       |  count(a.neighbor_id) as n_hits,
+       |  cast(count(a.neighbor_id) as double) / ${Similarity.TopK.toDouble} as recall
+       |from ar_exact e
+       |left join ar_approx a
+       |  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+       |group by 1""".stripMargin
+
+  /** Mirror GlobalIndex.epochShuffle: the oracle IS the naive global
+    * row_number the operator decomposes into bucket ranks + offsets. */
+  val epochShuffleQ: String = {
+    import graft.operators.GlobalIndex
+    s"""with es as (
+       |  select doc_id,
+       |    ${hex60(s"'${GlobalIndex.EpochSaltPrefix}0|' || cast(doc_id as varchar)")} as h
+       |  from documents
+       |)
+       |select doc_id,
+       |  row_number() over (order by h, doc_id) - 1 as shuffle_pos
+       |from es""".stripMargin
+  }
 
   /** Mirror Relevance.tfidfTopTerms: integer tf/df/N, quantized-ln
     * idf, one double multiply, term-tiebroken ranking. */

@@ -43,6 +43,19 @@ class MatSwapSpec extends SparkSpec {
       Mat.tableVersion(spark, sf, "swap_spec", 3))
   }
 
+  test("published versions carry catalog row-count statistics") {
+    import spark.implicits._
+    Mat.table(spark, sf, "stats_spec")(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    val n = Mat.currentVersion(spark, sf, "stats_spec")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"stats_spec__v$n",
+        Some(db)))
+    assert(meta.stats.flatMap(_.rowCount).contains(BigInt(3)),
+      s"no rowCount in ${meta.stats}")
+    assert(meta.stats.exists(_.sizeInBytes > 0))
+  }
+
   test("versions beyond KeepVersions are dropped and their files deleted") {
     import spark.implicits._
     Mat.table(spark, sf, "swap_prune_spec")(Seq((1L, "a")).toDF("id", "tag"))

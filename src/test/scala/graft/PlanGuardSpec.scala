@@ -17,6 +17,8 @@ class PlanGuardSpec extends SparkSpec {
     * one side is a bounded broadcast (≤ K rows / one stats row). */
   private val boundedCrossAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    // both compose annCosineTopK's bounded broadcast query set
+    "ann_sq8_topk", "ann_recall",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
@@ -45,7 +47,11 @@ class PlanGuardSpec extends SparkSpec {
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
     "metric_median_revenue", "metric_large_orders", "metric_weekly_orders",
-    "metric_cumulative_revenue", "metric_cumulative_revenue_by_product")
+    "metric_cumulative_revenue", "metric_cumulative_revenue_by_product",
+    // GlobalIndex offset cumsum: one row per occupied hash bucket —
+    // fixed 64-bucket domain regardless of corpus size (GlobalIndexSpec
+    // asserts the corpus-scale window is the partitioned one)
+    "epoch_shuffle")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
