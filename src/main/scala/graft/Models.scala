@@ -211,6 +211,15 @@ object Models {
   }
   def kmeansCentroids(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "kmeans_centroids")(llm.Kmeans.centroids(Tables.embeddings(s, d)))
+  /** PQ codebooks Mat'd: the 4-subspace Lloyd training executes once;
+    * both the codes query and the PQ ANN read the barrier (parquet
+    * float roundtrip is bit-exact). */
+  def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "pq_codebooks")(llm.PQ.codebooks(Tables.embeddings(s, d)))
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    llm.PQ.codes(Tables.embeddings(s, d), pqCodebooks(s, d))
+  def annPqTopK(s: SparkSession, d: String): DataFrame =
+    llm.PQ.annPqTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
   def bm25Scores(s: SparkSession, d: String): DataFrame =
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
@@ -232,6 +241,8 @@ object Models {
   }
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
+  def docSurprisal(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.unigramSurprisal(Tables.documents(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.windowedEventCountsOnce(s, d)
   def streamSessions(s: SparkSession, d: String): DataFrame =
@@ -268,6 +279,10 @@ object Models {
       .join(kept, Seq("doc_id")).join(train, Seq("doc_id"))
     llm.Packing.packSequences(base)
   }
+  /** Per-shard manifest of the packed training corpus (deterministic
+    * salted-hash shard assignment of sequences). */
+  def trainingShards(s: SparkSession, d: String): DataFrame =
+    llm.Packing.shardStats(trainingCorpus(s, d))
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

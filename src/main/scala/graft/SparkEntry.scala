@@ -73,6 +73,9 @@ object SparkEntry {
     "embedding_dedup_clusters" -> out(Models.embeddingDedupClusters),
     // deterministic epoch shuffle via the two-phase global index
     "epoch_shuffle" -> out(Models.epochShuffle),
+    // product quantization: per-subspace codebooks → codes → PQ ANN
+    "pq_codes" -> out(Models.pqCodes),
+    "ann_pq_topk" -> out(Models.annPqTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -89,6 +92,8 @@ object SparkEntry {
     "hll_user_counts" -> out(Models.hllUserCounts),
     "value_percentiles" -> out(Models.valuePercentiles),
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
+    // unigram LM surprisal quality score (quantized-ln determinism)
+    "doc_surprisal" -> out(Models.docSurprisal),
     "event_props_stats" -> out(Models.eventPropsStats),
     "session_window_agg" -> out(Models.sessionWindowAgg),
     // streaming surface: the windowed aggregation run through the real
@@ -134,6 +139,8 @@ object SparkEntry {
     "dedup_incremental_pairs" -> out(Models.dedupIncrementalPairs),
     // end-to-end: curation ∩ train split → packed training sequences
     "training_corpus" -> out(Models.trainingCorpus),
+    // per-shard manifest of the packed corpus (webdataset-style)
+    "training_shards" -> out(Models.trainingShards),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -187,6 +194,8 @@ object SparkEntry {
     "ann_recall" -> LlmSql.annRecallQ,
     "embedding_dedup_clusters" -> LlmSql.embeddingDedupClustersQ,
     "epoch_shuffle" -> LlmSql.epochShuffleQ,
+    "pq_codes" -> LlmSql.pqCodesQ,
+    "ann_pq_topk" -> LlmSql.annPqTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
@@ -201,6 +210,7 @@ object SparkEntry {
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
+    "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,
     "session_window_agg" -> OpsSql.sessionWindowAggQ,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,
@@ -226,6 +236,7 @@ object SparkEntry {
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "training_corpus" -> LlmSql.trainingCorpusQ,
+    "training_shards" -> LlmSql.trainingShardsQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — THE large-corpus vector
+  * compression: split each d-dim vector into [[SubSpaces]] contiguous
+  * subvectors, train an independent small codebook per subspace (the
+  * deterministic [[Kmeans]] recipe on the slice), and store each
+  * vector as [[SubSpaces]] small integer codes. With m=4 × K=8 the
+  * demo stores 4 × 3 bits; production uses m=8..64 × K=256 (one byte
+  * per subspace — a 64-dim float32 vector compresses 256→64 bytes at
+  * m=64, or 256→8 bytes at m=8).
+  *
+  * Determinism: training is the shared Lloyd chain (exact decimal
+  * means, lowest-id seeds); code assignment is plain-L2
+  * argmin ‖x_s − c‖² = nrm_s − 2·x_s·c + cnrm via the sequential
+  * [[Similarity.dot]] folds with a centroid-id tiebreak — no division,
+  * no NaN edge even for zero subvectors, so the DuckDB oracle emits
+  * bit-identical codes.
+  *
+  * Scale (100 TB): training runs on the corpus ONCE per subspace
+  * (broadcast-K scoring scans, K×subdim mean shuffles); encoding is a
+  * broadcast-codebook projection — each vector meets m×K bounded
+  * centroids, never another vector. The codes table is the compressed
+  * corpus: downstream ANN scans codes + codebooks, not raw floats.
+  */
+object PQ {
+
+  val SubSpaces = 4
+  val SubDim = 16 // embeddings are 64-dim
+
+  private def sliceEmb(s: Int): Column =
+    slice(col("embedding"), s * SubDim + 1, SubDim)
+
+  /** Per-subspace codebooks: (subspace, centroid_id, centroid) —
+    * [[Kmeans.centroidVectors]] trained on each contiguous slice. */
+  def codebooks(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    (0 until SubSpaces).map { s =>
+      Kmeans.centroidVectors(
+        embeddings.select(col("vec_id"), sliceEmb(s).as("embedding")))
+        .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
+    }.reduce(_ union _)
+  }
+
+  /** L2 code assignment of every vector's subvectors against
+    * `codebooks`: (vec_id, subspace, code). Total: every vector gets a
+    * code in every subspace (zero-norm subvectors included — L2 argmin
+    * needs no norm guard). */
+  def codes(embeddingsRaw: DataFrame, codebooks: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val subVecs = embeddings.select(col("vec_id"),
+      posexplode(array((0 until SubSpaces).map(sliceEmb): _*))
+        .as(Seq("subspace", "sub")))
+    val cents = codebooks.select(col("subspace"), col("centroid_id"),
+      col("centroid"),
+      Similarity.dot(col("centroid"), col("centroid")).as("cnrm"))
+    subVecs
+      .join(broadcast(cents), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"), col("centroid_id"),
+        (Similarity.dot(col("sub"), col("sub"))
+          - lit(2.0) * Similarity.dot(col("sub"), col("centroid"))
+          + col("cnrm")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("subspace"))
+          .orderBy(col("d2").asc_nulls_last, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("centroid_id").as("code"))
+  }
+
+  /** The PQ-reconstructed corpus: each vector is the concatenation of
+    * its subspaces' codeword centroids, shaped like the raw table so
+    * the shared ANN machinery runs on it unchanged. Pass a
+    * materialized `books` table so the Lloyd training chain executes
+    * once, not once per consumer. */
+  def reconstructed(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
+    codes(embeddingsRaw, books)
+      .join(broadcast(books.select(col("subspace"),
+        col("centroid_id").as("code"), col("centroid"))),
+        Seq("subspace", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("centroid"))))
+        .as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("centroid")))
+          .as("embedding"))
+
+  /** Cosine top-k over the PQ-reconstructed corpus (symmetric variant
+    * — queries reconstructed too; the asymmetric-distance refinement
+    * would score raw queries against the same reconstruction). */
+  def annPqTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
+    Similarity.annCosineTopK(reconstructed(embeddingsRaw, books))
+}

@@ -47,4 +47,28 @@ object Packing {
         pmod(col("cum_tokens") - col("n_tokens"), lit(budget))
           .as("offset_in_seq"))
   }
+
+  val ShardSalt = "shard|"
+  val NShards = 16L
+
+  /** Deterministic shard assignment of packed sequences — the step
+    * that turns a packed corpus into the fixed set of training-shard
+    * files a data loader streams (webdataset-style). A sequence's
+    * shard is the salted md5-60 of its (source, bucket, seq_index)
+    * key mod [[NShards]]: reproducible, growth-stable, and uniform —
+    * shards stay balanced no matter how skewed sources are. Returns
+    * per-shard stats (the manifest a loader checks before an epoch):
+    * sequence/document/token counts. Scale: one hash projection plus
+    * one [[NShards]]-group aggregation. */
+  def shardStats(packed: DataFrame, nShards: Long = NShards): DataFrame = {
+    val seqKey = concat(col("source"), lit("|"),
+      col("bucket").cast("string"), lit("|"), col("seq_index").cast("string"))
+    packed
+      .withColumn("shard", Splits.saltedBucket(ShardSalt, seqKey, nShards))
+      .groupBy(col("shard"))
+      .agg(
+        countDistinct(col("source"), col("bucket"), col("seq_index")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
 }

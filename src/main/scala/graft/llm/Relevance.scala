@@ -84,6 +84,48 @@ object Relevance {
     * Determinism: tf/df/N are exact integers; idf is the quantized-ln
     * recipe; the score is one double multiplication of identical
     * inputs; the ranking order is totalized by the term tiebreak. */
+  /** Unigram LM surprisal per document — average −ln p(w) in nats
+    * against the corpus's own unigram distribution, the classic
+    * LM-based quality-filter signal (CCNet-style: documents far from
+    * the corpus distribution score high and get culled or bucketed).
+    * Perplexity would be exp(avg_nll); exp is deliberately NOT applied
+    * — it differs across libms in the last ulp and adds nothing to a
+    * monotone ranking signal.
+    *
+    * Determinism: −ln p is quantized to decimal(18,9) per TERM (the
+    * bm25 idf recipe), the per-document total is an EXACT decimal sum
+    * (partition-order independent), presented through the shared
+    * string→double route, then ONE IEEE division by the token count.
+    *
+    * Scale (100 TB): the shuffled state is (doc_id, term, tf) — linear
+    * in corpus tokens; term counts are vocabulary-keyed; the corpus
+    * total is one broadcast row. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("corpus_tokens"))
+    tf.join(counts, Seq("term")).crossJoin(broadcast(total))
+      .withColumn("nll",
+        log(col("corpus_tokens").cast("double") / col("cnt").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      // tf is cast to a NARROW decimal(10,0) before the multiply:
+      // decimal(18,9) × long would promote to precision 39 > 38 and
+      // Spark silently drops the product to scale 8, rounding each
+      // term by up to 5e-9 (caught by the oracle gate); (18,9)×(10,0)
+      // stays within 38 digits and the product is exact at scale 9,
+      // matching DuckDB's exact decimal×bigint.
+      .agg(sum(col("nll") * col("tf")
+          .cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("nll_sum"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nll_sum").cast("string").cast("double")
+          / col("n_tokens").cast("double")).as("avg_nll"))
+  }
+
   def tfidfTopTerms(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = documents

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *      (bucket, h, tie) lexicographic order IS (h, tie) order),
   *      rank within each bucket in parallel;
   *   2. per-bucket counts → prefix-sum offsets over the BOUNDED bucket
-  *      domain ([[Buckets]] rows — the only unpartitioned window, over
-  *      64 rows regardless of corpus size), broadcast back.
+  *      domain (at most [[Buckets]] rows — the only unpartitioned
+  *      window, fixed size regardless of corpus size), broadcast back.
   * global position = bucket offset + in-bucket rank − 1. Uniform hash
-  * ⇒ balanced buckets; grow [[BucketBits]] with the cluster, the
-  * offset table stays tiny.
+  * ⇒ balanced buckets (corpus/1024 per sort task at the default);
+  * grow [[BucketBits]] with the cluster — the RESULT is invariant to
+  * the bucket count (the bucket is a prefix of the sort key, so any
+  * B yields the same total order), only task granularity changes.
   *
   * The training use is the EPOCH SHUFFLE: a data loader wants every
   * document exactly once per epoch in a deterministic pseudo-random
@@ -30,8 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object GlobalIndex {
 
-  val BucketBits = 6
-  val Buckets = 1 << BucketBits // 64
+  val BucketBits = 10
+  val Buckets = 1 << BucketBits // 1024
 
   /** Appends `posCol`: the 0-based global ordinal of each row under
     * (hashCol, tieCol) ascending. `hashCol` must be a 60-bit

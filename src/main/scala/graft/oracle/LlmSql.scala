@@ -494,53 +494,59 @@ object LlmSql {
     * exact-decimal-mean / float presentation per iteration as the IVF
     * recipe. Iteration CTEs are materialized (each is referenced by
     * the next round). Final centroids: `km_cent${Iters}`. */
-  private val kmCtes: String = {
+  /** The chain over ANY (vec_id, embedding) relation with a CTE-name
+    * prefix — shared by the full-vector kmeans oracles and the
+    * per-subspace PQ codebook oracles. Final centroids:
+    * `${p}_cent${Iters}`. */
+  private def kmCtesOver(p: String, srcRel: String): String = {
     import graft.llm.Kmeans.{K, Iters}
     val rounds = (1 to Iters).map { i =>
-      s"""km_centn${i - 1} as materialized (
+      s"""${p}_centn${i - 1} as materialized (
          |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm
-         |  from km_cent${i - 1}
+         |  from ${p}_cent${i - 1}
          |),
-         |km_assign$i as materialized (
+         |${p}_assign$i as materialized (
          |  select vec_id, embedding, centroid_id from (
          |    select e.vec_id, e.embedding, c.centroid_id,
          |      row_number() over (partition by e.vec_id order by
          |        ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm))
          |          desc nulls last, c.centroid_id) as rn
-         |    from km_emb e cross join km_centn${i - 1} c
+         |    from ${p}_emb e cross join ${p}_centn${i - 1} c
          |  ) t where rn = 1
          |),
-         |km_mean$i as materialized (
+         |${p}_mean$i as materialized (
          |  select centroid_id,
          |    unnest(generate_series(0, len(embedding) - 1)) as idx,
          |    unnest(list_transform(generate_series(1, len(embedding)), j -> embedding[j]::double)) as v
-         |  from km_assign$i
+         |  from ${p}_assign$i
          |),
-         |km_moved$i as materialized (
+         |${p}_moved$i as materialized (
          |  select centroid_id, list(cast(c as float) order by idx) as centroid from (
          |    select centroid_id, idx,
          |      cast(cast(sum(cast(v as decimal(27,12))) as varchar) as double)
          |        / cast(count(*) as double) as c
-         |    from km_mean$i group by 1, 2
+         |    from ${p}_mean$i group by 1, 2
          |  ) t group by 1
          |),
-         |km_cent$i as materialized (
-         |  select centroid_id, centroid from km_moved$i
+         |${p}_cent$i as materialized (
+         |  select centroid_id, centroid from ${p}_moved$i
          |  union all
-         |  select c.centroid_id, c.centroid from km_cent${i - 1} c
-         |  where c.centroid_id not in (select centroid_id from km_moved$i)
+         |  select c.centroid_id, c.centroid from ${p}_cent${i - 1} c
+         |  where c.centroid_id not in (select centroid_id from ${p}_moved$i)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""km_emb as materialized (
+    s"""${p}_emb as materialized (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
-       |  from embeddings
+       |  from $srcRel
        |  where ${dotSql("embedding", "embedding")} > 0
        |),
-       |km_cent0 as materialized (
-       |  select vec_id as centroid_id, embedding as centroid from km_emb where vec_id < $K
+       |${p}_cent0 as materialized (
+       |  select vec_id as centroid_id, embedding as centroid from ${p}_emb where vec_id < $K
        |),
        |$rounds""".stripMargin
   }
+
+  private val kmCtes: String = kmCtesOver("km", "embeddings")
 
   val kmeansCentroidsQ: String =
     s"""with $kmCtes
@@ -557,6 +563,63 @@ object LlmSql {
     s"""with $kmCtes,
        |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
        |$ivfSelect""".stripMargin
+
+  /** Mirror PQ: per-subspace slices, the SAME unrolled-Lloyd chain per
+    * subspace (kmCtesOver), then plain-L2 code assignment of every
+    * subvector against its final codebook. */
+  private val pqCtes: String = {
+    import graft.llm.{Kmeans, PQ}
+    val subs = (0 until PQ.SubSpaces).map { s =>
+      val lo = s * PQ.SubDim + 1
+      val hi = (s + 1) * PQ.SubDim
+      s"""pq${s}_sub as materialized (
+         |  select vec_id, list_slice(embedding, $lo, $hi) as embedding from embeddings
+         |),
+         |${kmCtesOver(s"pq$s", s"pq${s}_sub")}""".stripMargin
+    }.mkString(",\n")
+    val fins = (0 until PQ.SubSpaces).map { s =>
+      s"""pq${s}_fin as materialized (
+         |  select vec_id, centroid_id as code from (
+         |    select e.vec_id, c.centroid_id,
+         |      row_number() over (partition by e.vec_id order by
+         |        (${dotSql("e.embedding", "e.embedding")}
+         |          - 2.0 * ${dotSql("e.embedding", "c.centroid")}
+         |          + ${dotSql("c.centroid", "c.centroid")}) asc nulls last,
+         |        c.centroid_id) as rn
+         |    from pq${s}_sub e cross join pq${s}_cent${Kmeans.Iters} c
+         |  ) t where rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$subs,\n$fins"
+  }
+
+  val pqCodesQ: String = {
+    import graft.llm.PQ
+    val union = (0 until PQ.SubSpaces)
+      .map(s => s"select vec_id, $s as subspace, code from pq${s}_fin")
+      .mkString("\nunion all\n")
+    s"with $pqCtes\n$union"
+  }
+
+  val annPqTopKQ: String = {
+    import graft.llm.{Kmeans, PQ}
+    val codesUnion = (0 until PQ.SubSpaces)
+      .map(s => s"select vec_id, $s as subspace, code from pq${s}_fin")
+      .mkString(" union all ")
+    val centsUnion = (0 until PQ.SubSpaces)
+      .map(s => s"select $s as subspace, centroid_id, centroid from pq${s}_cent${Kmeans.Iters}")
+      .mkString(" union all ")
+    s"""with $pqCtes,
+       |pq_codes as ($codesUnion),
+       |pq_cents as ($centsUnion),
+       |pq_rec as (
+       |  select j.vec_id, flatten(list(c.centroid order by c.subspace)) as embedding
+       |  from pq_codes j
+       |  join pq_cents c on j.subspace = c.subspace and j.code = c.centroid_id
+       |  group by j.vec_id
+       |),
+       |${annCosineTopKOver("pq_rec")}""".stripMargin
+  }
 
   /** Mirror Similarity.annRecall over the same two gated queries —
     * pure composition, zero new arithmetic. */
@@ -607,6 +670,30 @@ object LlmSql {
        |  from tscored
        |) t where rank <= $TfidfTopK""".stripMargin
   }
+
+  /** Mirror Relevance.unigramSurprisal: quantized −ln p per term,
+    * exact decimal per-doc sum, string→double presentation, one IEEE
+    * division. */
+  val unigramSurprisalQ: String =
+    s"""with $textCtes,
+       |us_tf as (
+       |  select doc_id, term, count(*) as tf from (
+       |    select doc_id, unnest(w) as term from doc_words
+       |  ) t group by 1, 2
+       |),
+       |us_cnt as (select term, cast(sum(tf) as bigint) as cnt from us_tf group by 1),
+       |us_total as (select cast(sum(cnt) as bigint) as corpus_tokens from us_cnt),
+       |us_nll as (
+       |  select doc_id, tf,
+       |    cast(ln(cast(corpus_tokens as double) / cast(cnt as double))
+       |      as decimal(18,9)) as nll
+       |  from us_tf join us_cnt using (term) cross join us_total
+       |)
+       |select doc_id,
+       |  cast(sum(tf) as bigint) as n_tokens,
+       |  cast(cast(sum(nll * tf) as varchar) as double)
+       |    / cast(cast(sum(tf) as bigint) as double) as avg_nll
+       |from us_nll group by 1""".stripMargin
 
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
@@ -741,6 +828,23 @@ object LlmSql {
        |  join tc_train using (doc_id)
        |)
        |select * from (${packSequencesOver("tc_base")}) t""".stripMargin
+  }
+
+  /** Mirror Packing.shardStats over the training corpus: the SAME
+    * salted-hash shard key on the composed pack output. */
+  val trainingShardsQ: String = {
+    import graft.llm.Packing
+    val key = "'" + Packing.ShardSalt +
+      "' || source || '|' || cast(bucket as varchar) || '|' || cast(seq_index as varchar)"
+    s"""with ts_packed as (select * from ($trainingCorpusQ) t),
+       |ts_sharded as (
+       |  select *, ${hex60(key)} % ${Packing.NShards} as shard from ts_packed
+       |)
+       |select shard,
+       |  count(distinct (source, bucket, seq_index)) as n_seqs,
+       |  count(*) as n_docs,
+       |  cast(sum(n_tokens) as bigint) as n_tokens
+       |from ts_sharded group by 1""".stripMargin
   }
 
   /** Mirror Splits.weightedSample: the SAME md5-60 uniform, the SAME

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{PQ, Similarity}
+
+/** Product quantization: structural totality of the code table, code
+  * range, reconstruction shape, and that PQ compression actually
+  * preserves neighborhood signal (recall vs the exact top-k beats the
+  * random-baseline floor).
+  */
+class PQSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+  private lazy val books = PQ.codebooks(emb).localCheckpoint()
+
+  test("codebooks: SubSpaces × K centroids of SubDim components") {
+    val rows = books.collect()
+    assert(rows.length === PQ.SubSpaces * llm.Kmeans.K)
+    assert(rows.forall(_.getAs[Seq[Float]]("centroid").length === PQ.SubDim))
+  }
+
+  test("codes are total and drawn from the seed id range") {
+    val n = emb.count()
+    val c = PQ.codes(emb, books)
+    assert(c.count() === n * PQ.SubSpaces)
+    // one code per (vector, subspace)
+    assert(c.groupBy("vec_id", "subspace").count()
+      .filter(col("count") =!= 1).count() === 0L)
+    // codes are centroid ids = lowest-vec_id seeds
+    assert(c.filter(col("code") >= llm.Kmeans.K || col("code") < 0).count() === 0L)
+  }
+
+  test("reconstruction restores full dimensionality") {
+    val r = PQ.reconstructed(emb, books)
+    assert(r.filter(size(col("embedding")) =!= PQ.SubSpaces * PQ.SubDim)
+      .count() === 0L)
+    assert(r.count() === emb.count())
+  }
+
+  test("PQ search beats the random-recall floor against the exact top-k") {
+    val recall = Similarity.annRecall(
+        Similarity.annCosineTopK(emb), PQ.annPqTopK(emb, books))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    // random top-5 of ~100 candidates would land ≈ 5/(n-1) ≈ 0.05;
+    // even 12-bit PQ must do far better on structured neighborhoods
+    assert(recall > 0.15, s"mean recall@5 $recall — PQ lost the signal")
+  }
+}

@@ -17,10 +17,12 @@ class PlanGuardSpec extends SparkSpec {
     * one side is a bounded broadcast (≤ K rows / one stats row). */
   private val boundedCrossAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-    // both compose annCosineTopK's bounded broadcast query set
-    "ann_sq8_topk", "ann_recall",
+    // these compose annCosineTopK's bounded broadcast query set
+    "ann_sq8_topk", "ann_recall", "ann_pq_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
+    // |vocab-join rows| × ONE broadcast corpus-total row
+    "doc_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
     "domain_mixture",
     // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
