@@ -76,6 +76,7 @@ object SparkEntry {
     // product quantization: per-subspace codebooks → codes → PQ ANN
     "pq_codes" -> out(Models.pqCodes),
     "ann_pq_topk" -> out(Models.annPqTopK),
+    "ann_pq_adc_topk" -> out(Models.annPqAdcTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -196,6 +197,7 @@ object SparkEntry {
     "epoch_shuffle" -> LlmSql.epochShuffleQ,
     "pq_codes" -> LlmSql.pqCodesQ,
     "ann_pq_topk" -> LlmSql.annPqTopKQ,
+    "ann_pq_adc_topk" -> LlmSql.annPqAdcTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,

@@ -93,4 +93,12 @@ object PQ {
     * would score raw queries against the same reconstruction). */
   def annPqTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
     Similarity.annCosineTopK(reconstructed(embeddingsRaw, books))
+
+  /** ADC search (the production PQ query path): FULL-PRECISION query
+    * vectors ranked against the compressed (reconstructed) corpus —
+    * asymmetric distance loses half the quantization noise of the
+    * symmetric form because only one side is approximated. */
+  def annPqAdcTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
+    Similarity.annCosineTopKAsym(
+      reconstructed(embeddingsRaw, books), embeddingsRaw)
 }

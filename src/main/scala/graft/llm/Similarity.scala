@@ -34,13 +34,25 @@ object Similarity {
 
   /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), rank
     * over the full corpus, self excluded; norm-zero vectors guarded. */
-  def annCosineTopK(embeddingsRaw: DataFrame): DataFrame = {
-    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+  def annCosineTopK(embeddingsRaw: DataFrame): DataFrame =
+    annCosineTopKAsym(embeddingsRaw, embeddingsRaw)
+
+  /** The ASYMMETRIC form: corpus rows ranked against query vectors
+    * taken from a possibly different relation (same shape, matched by
+    * vec_id < NQueries; self excluded by id). This is PQ's ADC search
+    * — full-precision queries against the compressed corpus — and the
+    * symmetric [[annCosineTopK]] is the special case corpus == query
+    * source. */
+  def annCosineTopKAsym(corpusRaw: DataFrame, queryRaw: DataFrame): DataFrame = {
+    val embeddings = corpusRaw.repartition(col("vec_id"))
     val norms = embeddings.select(
       col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    val queries = norms
+    val queries = queryRaw
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = norms.crossJoin(broadcast(queries))

@@ -136,18 +136,23 @@ object LlmSql {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::double) * ($b[i]::double)), (acc, x) -> acc + x)"
 
-  /** Brute-force cosine top-k over any (vec_id, embedding) relation —
-    * shared by the raw-embedding oracle and the dequantized-int8
-    * oracle so the search arithmetic exists exactly once. */
-  def annCosineTopKOver(rel: String): String =
+  /** Brute-force cosine top-k with a possibly DIFFERENT query relation
+    * (mirror Similarity.annCosineTopKAsym — PQ's ADC search); the
+    * symmetric [[annCosineTopKOver]] is the corpus == queries case.
+    * Shared by the raw, dequantized-int8, and PQ oracles so the search
+    * arithmetic exists exactly once. */
+  def annCosineTopKAsymOver(corpusRel: String, queryRel: String): String =
     s"""emb_norms as (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
-       |  from $rel
+       |  from $corpusRel
        |),
        |emb_ok as (select * from emb_norms where nrm > 0),
        |ann_queries as (
        |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm
-       |  from emb_ok where vec_id < ${Similarity.NQueries}
+       |  from (
+       |    select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |    from $queryRel
+       |  ) t where nrm > 0 and vec_id < ${Similarity.NQueries}
        |),
        |ann_scored as (
        |  select q.query_id, e.vec_id as neighbor_id,
@@ -160,6 +165,8 @@ object LlmSql {
        |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
        |  from ann_scored
        |) t where rank <= ${Similarity.TopK}""".stripMargin
+
+  def annCosineTopKOver(rel: String): String = annCosineTopKAsymOver(rel, rel)
 
   val annCosineTopKQ: String = s"with ${annCosineTopKOver("embeddings")}"
 
@@ -601,7 +608,9 @@ object LlmSql {
     s"with $pqCtes\n$union"
   }
 
-  val annPqTopKQ: String = {
+  /** pqCtes + the reconstruction CTEs (`pq_rec`: the compressed corpus
+    * as float vectors) — shared by the symmetric and ADC PQ oracles. */
+  private val pqRecCtes: String = {
     import graft.llm.{Kmeans, PQ}
     val codesUnion = (0 until PQ.SubSpaces)
       .map(s => s"select vec_id, $s as subspace, code from pq${s}_fin")
@@ -609,7 +618,7 @@ object LlmSql {
     val centsUnion = (0 until PQ.SubSpaces)
       .map(s => s"select $s as subspace, centroid_id, centroid from pq${s}_cent${Kmeans.Iters}")
       .mkString(" union all ")
-    s"""with $pqCtes,
+    s"""$pqCtes,
        |pq_codes as ($codesUnion),
        |pq_cents as ($centsUnion),
        |pq_rec as (
@@ -617,9 +626,17 @@ object LlmSql {
        |  from pq_codes j
        |  join pq_cents c on j.subspace = c.subspace and j.code = c.centroid_id
        |  group by j.vec_id
-       |),
-       |${annCosineTopKOver("pq_rec")}""".stripMargin
+       |)""".stripMargin
   }
+
+  val annPqTopKQ: String =
+    s"""with $pqRecCtes,
+       |${annCosineTopKOver("pq_rec")}""".stripMargin
+
+  /** ADC: full-precision queries, compressed corpus. */
+  val annPqAdcTopKQ: String =
+    s"""with $pqRecCtes,
+       |${annCosineTopKAsymOver("pq_rec", "embeddings")}""".stripMargin
 
   /** Mirror Similarity.annRecall over the same two gated queries —
     * pure composition, zero new arithmetic. */

@@ -45,4 +45,11 @@ class PQSpec extends SparkSpec {
     // even 12-bit PQ must do far better on structured neighborhoods
     assert(recall > 0.15, s"mean recall@5 $recall — PQ lost the signal")
   }
+
+  test("ADC (full-precision queries) also beats the random floor") {
+    val recall = Similarity.annRecall(
+        Similarity.annCosineTopK(emb), PQ.annPqAdcTopK(emb, books))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.15, s"mean ADC recall@5 $recall")
+  }
 }
