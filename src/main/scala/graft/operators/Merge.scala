@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** dbt `incremental` materialization, MERGE strategy — the default
+  * incremental strategy on warehouses with MERGE support, complementing
+  * [[Incremental]]'s insert_overwrite (the partition-replace path).
+  * Upsert semantics: rows of the batch whose unique key exists in the
+  * target REPLACE the stored row; new keys append; untouched rows
+  * survive verbatim.
+  *
+  * Plain parquet has no row-level MERGE, so this composes the versioned
+  * [[graft.Mat]] layout: anti-join the current version against the
+  * batch (drop the rows being replaced), union the batch, publish as
+  * the NEXT version behind the atomically-repointed view. Readers of
+  * the previous version keep their snapshot (MatSwapSpec semantics);
+  * the swap is one catalog operation. On a Delta/Iceberg classpath the
+  * same call maps to a native `MERGE INTO` — Mat's writer is the seam.
+  *
+  * Scale: one shuffled anti-join on the unique key + a write of the
+  * surviving rows. That is O(table) I/O per merge — the price of
+  * row-level upserts without a table format's delete files; when the
+  * key correlates with a partition column, prefer insert_overwrite
+  * (O(affected partitions)). The anti-join shuffles only the key from
+  * the batch side when AQE broadcasts the (typically small) batch.
+  */
+object Merge {
+
+  /** Merge `batch` into mart `name` by `uniqueKey` and publish the
+    * result as the mart's next version; returns the merged DataFrame
+    * as read back through the stable view. The mart must already have
+    * a built version (merge into nothing is a plain build — use
+    * [[graft.Mat.table]]). */
+  def upsert(spark: SparkSession, sfDir: String, name: String,
+             uniqueKey: String, batch: DataFrame): DataFrame = {
+    require(graft.Mat.currentVersion(spark, sfDir, name) > 0,
+      s"$name has no built version to merge into; use Mat.table for the first build")
+    val current = graft.Mat.tableVersion(spark, sfDir, name,
+      graft.Mat.currentVersion(spark, sfDir, name))
+    require(batch.columns.sameElements(current.columns),
+      s"merge batch schema ${batch.columns.toSeq} must match target ${current.columns.toSeq}")
+    val kept = current.join(batch.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+    // column order restored: the anti-join moves the key first
+    val merged = kept.select(current.columns.map(col): _*).union(batch)
+    graft.Mat.refresh(spark, sfDir, name)(merged)
+  }
+}
