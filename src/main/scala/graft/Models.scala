@@ -147,6 +147,24 @@ object Models {
     * brute-force top-k — both sides the SAME gated queries. */
   def annRecall(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annRecall(annCosineTopK(s, d), annIvfKmeansTopK(s, d))
+  /** Recall@k of EVERY approximate index against the exact top-k in
+    * one table — the accuracy/cost dashboard an ANN deployment is
+    * tuned from. Each method is the SAME gated query composed through
+    * the SAME recall operator. */
+  def annRecallByMethod(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val exact = annCosineTopK(s, d)
+    Seq(
+      "ivf" -> annIvfTopK(s, d),
+      "ivf_kmeans" -> annIvfKmeansTopK(s, d),
+      "sq8" -> annSq8TopK(s, d),
+      "pq" -> annPqTopK(s, d),
+      "pq_adc" -> annPqAdcTopK(s, d))
+      .map { case (m, approx) =>
+        llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
+      .reduce(_ union _)
+      .select(col("method"), col("query_id"), col("n_hits"), col("recall"))
+  }
   /** Transitive clusters over the embedding-cosine near-dup pairs —
     * the semantic-dedup twin of [[dedupClusters]], through the SAME
     * connected-components operator. */

@@ -69,6 +69,8 @@ object SparkEntry {
     "ann_sq8_topk" -> out(Models.annSq8TopK),
     // recall@k of the kmeans-IVF index vs the exact brute force
     "ann_recall" -> out(Models.annRecall),
+    // recall of EVERY approximate index vs exact, one table
+    "ann_recall_by_method" -> out(Models.annRecallByMethod),
     // transitive clusters over the embedding near-dup pairs
     "embedding_dedup_clusters" -> out(Models.embeddingDedupClusters),
     // deterministic epoch shuffle via the two-phase global index
@@ -193,6 +195,7 @@ object SparkEntry {
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,
+    "ann_recall_by_method" -> LlmSql.annRecallByMethodQ,
     "embedding_dedup_clusters" -> LlmSql.embeddingDedupClustersQ,
     "epoch_shuffle" -> LlmSql.epochShuffleQ,
     "pq_codes" -> LlmSql.pqCodesQ,

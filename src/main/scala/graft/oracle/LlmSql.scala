@@ -638,18 +638,31 @@ object LlmSql {
     s"""with $pqRecCtes,
        |${annCosineTopKAsymOver("pq_rec", "embeddings")}""".stripMargin
 
-  /** Mirror Similarity.annRecall over the same two gated queries —
-    * pure composition, zero new arithmetic. */
-  val annRecallQ: String =
-    s"""with ar_exact as (select query_id, neighbor_id from ($annCosineTopKQ) t),
-       |ar_approx as (select query_id, neighbor_id from ($annIvfKmeansTopKQ) t)
-       |select e.query_id,
+  /** Mirror Similarity.annRecall: recall of `approxQ` against the
+    * exact top-k — pure composition, zero new arithmetic. `methodCol`
+    * optionally prefixes a method label column. */
+  private def annRecallOver(approxQ: String, methodCol: String = ""): String =
+    s"""select $methodCol e.query_id,
        |  count(a.neighbor_id) as n_hits,
        |  cast(count(a.neighbor_id) as double) / ${Similarity.TopK.toDouble} as recall
-       |from ar_exact e
-       |left join ar_approx a
+       |from (select query_id, neighbor_id from ($annCosineTopKQ) t) e
+       |left join (select query_id, neighbor_id from ($approxQ) t) a
        |  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
-       |group by 1""".stripMargin
+       |group by ${if (methodCol.isEmpty) "1" else "1, 2"}""".stripMargin
+
+  val annRecallQ: String = annRecallOver(annIvfKmeansTopKQ)
+
+  /** Mirror Models.annRecallByMethod: every approximate index's recall
+    * vs the exact top-k, one method per union arm. */
+  val annRecallByMethodQ: String =
+    Seq(
+      "ivf" -> annIvfTopKQ,
+      "ivf_kmeans" -> annIvfKmeansTopKQ,
+      "sq8" -> annSq8TopKQ,
+      "pq" -> annPqTopKQ,
+      "pq_adc" -> annPqAdcTopKQ)
+      .map { case (m, q) => annRecallOver(q, s"'$m' as method,") }
+      .mkString("\nunion all\n")
 
   /** Mirror GlobalIndex.epochShuffle: the oracle IS the naive global
     * row_number the operator decomposes into bucket ranks + offsets. */

@@ -18,7 +18,7 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedCrossAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     // these compose annCosineTopK's bounded broadcast query set
-    "ann_sq8_topk", "ann_recall", "ann_pq_topk", "ann_pq_adc_topk",
+    "ann_sq8_topk", "ann_recall", "ann_recall_by_method", "ann_pq_topk", "ann_pq_adc_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
     // |vocab-join rows| × ONE broadcast corpus-total row
