@@ -38,10 +38,12 @@ object PQ {
   /** Per-subspace codebooks: (subspace, centroid_id, centroid) —
     * [[Kmeans.centroidVectors]] trained on each contiguous slice. */
   def codebooks(embeddingsRaw: DataFrame): DataFrame = {
-    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    // no repartition here: Kmeans.centroidVectors repartitions its own
+    // input, and a second outer repartition survives through the slice
+    // Project as a redundant full-width shuffle per subspace branch
     (0 until SubSpaces).map { s =>
       Kmeans.centroidVectors(
-        embeddings.select(col("vec_id"), sliceEmb(s).as("embedding")))
+        embeddingsRaw.select(col("vec_id"), sliceEmb(s).as("embedding")))
         .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
     }.reduce(_ union _)
   }

@@ -31,6 +31,20 @@ object ChangeFeed {
     val to = graft.Mat.tableVersion(spark, sfDir, name, toVersion)
     require(from.columns.sameElements(to.columns),
       s"version schemas diverge: ${from.columns.toSeq} vs ${to.columns.toSeq}")
+    // key integrity guard: SQL joins never match NULL keys (an
+    // unchanged null-key row would surface as a spurious delete +
+    // insert) and duplicate keys cross-product per key — both are
+    // wrong-CDC generators, so fail fast. One aggregation per side.
+    Seq(fromVersion -> from, toVersion -> to).foreach { case (v, df) =>
+      val s = df.agg(
+        count(lit(1)).as("rows"),
+        count(col(uniqueKey)).as("nonnull"),
+        countDistinct(col(uniqueKey)).as("distinct")).head()
+      require(s.getLong(0) == s.getLong(1),
+        s"$name v$v has null $uniqueKey values; change feed needs a total key")
+      require(s.getLong(1) == s.getLong(2),
+        s"$name v$v has duplicate $uniqueKey values; change feed needs a unique key")
+    }
     val cols = from.columns.toSeq
     val pre = from.select(col(uniqueKey).as("__cf_key"), struct(cols.map(col): _*).as("__cf_pre"))
     val post = to.select(col(uniqueKey).as("__cf_key"), struct(cols.map(col): _*).as("__cf_post"))
@@ -44,9 +58,11 @@ object ChangeFeed {
           array(
             struct(lit("update_preimage").as("t"), col("__cf_pre").as("r")),
             struct(lit("update_postimage").as("t"), col("__cf_post").as("r"))))
-        .otherwise(array().cast(
-          s"array<struct<t:string,r:struct<${from.schema.map(f =>
-            s"${f.name}:${f.dataType.sql}").mkString(",")}>>>"))
+        .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("r", from.schema))))))
         .as("__cf_chg"))
       .select(explode(col("__cf_chg")).as("c"))
       .select(col("c.r.*"), col("c.t").as("_change_type"))

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * polices for global ranks).
   *
   * Two-phase construction instead:
-  *   1. range-bucket on the HIGH bits of the 60-bit order hash
-  *      (bucket = h >> 54 — a prefix of the sort key, so
-  *      (bucket, h, tie) lexicographic order IS (h, tie) order),
-  *      rank within each bucket in parallel;
+  *   1. range-bucket on the HIGH [[BucketBits]] bits of the 60-bit
+  *      order hash (a prefix of the sort key, so (bucket, h, tie)
+  *      lexicographic order IS (h, tie) order), rank within each
+  *      bucket in parallel;
   *   2. per-bucket counts → prefix-sum offsets over the BOUNDED bucket
   *      domain (at most [[Buckets]] rows — the only unpartitioned
   *      window, fixed size regardless of corpus size), broadcast back.

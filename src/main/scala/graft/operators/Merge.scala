@@ -40,9 +40,16 @@ object Merge {
       graft.Mat.currentVersion(spark, sfDir, name))
     require(batch.columns.sameElements(current.columns),
       s"merge batch schema ${batch.columns.toSeq} must match target ${current.columns.toSeq}")
+    // multi-match guard (warehouse MERGE errors here too): a batch with
+    // duplicate keys would anti-join the stored row away and then union
+    // BOTH duplicates in — silent key corruption that every later merge
+    // propagates. One small aggregation job on the batch.
+    val dupKeys = batch.groupBy(col(uniqueKey))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge batch has duplicate $uniqueKey values; MERGE requires a unique key per batch")
+    // a left_anti join preserves the left side's columns and order
     val kept = current.join(batch.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
-    // column order restored: the anti-join moves the key first
-    val merged = kept.select(current.columns.map(col): _*).union(batch)
-    graft.Mat.refresh(spark, sfDir, name)(merged)
+    graft.Mat.refresh(spark, sfDir, name)(kept.union(batch))
   }
 }

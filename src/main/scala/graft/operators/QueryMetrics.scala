@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,10 +17,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * after a deploy, which queries fail.
   *
   * The listener is passive metadata collection — per-query overhead is
-  * one small record append on the driver; executors are untouched. The
-  * buffer is bounded ([[MaxEntries]], oldest dropped) so a long-lived
-  * session cannot leak. `history(spark)` snapshots the buffer as a
-  * DataFrame for querying/persisting like any other table.
+  * one record append plus an O(1) size check on the driver (an
+  * AtomicInteger tracks the count: ConcurrentLinkedQueue.size walks
+  * the list). History is PER SESSION — each installed session gets its
+  * own bounded buffer ([[MaxEntries]], oldest dropped), keyed weakly
+  * so a discarded session's history is collectable. `history(spark)`
+  * snapshots that session's buffer as a DataFrame.
   */
 object QueryMetrics {
 
@@ -29,39 +32,63 @@ object QueryMetrics {
     funcName: String, durationMs: Long, outputRows: Long,
     succeeded: Boolean, error: String)
 
-  private val buffer = new ConcurrentLinkedQueue[QueryRecord]()
-
-  private def record(r: QueryRecord): Unit = {
-    buffer.add(r)
-    while (buffer.size > MaxEntries) buffer.poll()
+  private final class Buffer {
+    val queue = new ConcurrentLinkedQueue[QueryRecord]()
+    val n = new AtomicInteger(0)
+    def add(r: QueryRecord): Unit = {
+      queue.add(r)
+      if (n.incrementAndGet() > MaxEntries && queue.poll() != null)
+        n.decrementAndGet(): Unit
+    }
   }
+
+  // weak keys: a dropped SparkSession must not be pinned by its history
+  private val buffers =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Buffer]())
+
+  private def bufferFor(spark: SparkSession): Buffer =
+    buffers.synchronized {
+      var b = buffers.get(spark)
+      if (b == null) { b = new Buffer; buffers.put(spark, b) }
+      b
+    }
 
   private def outputRows(qe: QueryExecution): Long =
     try qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
     catch { case _: Throwable => -1L }
 
-  private val listener = new QueryExecutionListener {
+  private final class Listener(session: SparkSession) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      record(QueryRecord(funcName, durationNs / 1000000L, outputRows(qe),
-        succeeded = true, error = null))
+      bufferFor(session).add(QueryRecord(funcName, durationNs / 1000000L,
+        outputRows(qe), succeeded = true, error = null))
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-      record(QueryRecord(funcName, -1L, -1L, succeeded = false,
+      bufferFor(session).add(QueryRecord(funcName, -1L, -1L, succeeded = false,
         error = String.valueOf(e.getMessage)))
   }
 
-  @volatile private var installed = false
+  private val installedSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  /** Idempotently attach the listener to the session. */
-  def install(spark: SparkSession): Unit = synchronized {
-    if (!installed) { spark.listenerManager.register(listener); installed = true }
-  }
+  /** Idempotently attach the listener to THIS session (per-session, not
+    * process-global: a second session gets its own registration and its
+    * own history). */
+  def install(spark: SparkSession): Unit =
+    installedSessions.synchronized {
+      if (installedSessions.add(spark))
+        spark.listenerManager.register(new Listener(spark))
+    }
 
-  /** Snapshot the captured history as a queryable DataFrame. */
+  /** Snapshot this session's captured history as a queryable DataFrame. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    buffer.asScala.toSeq.toDF()
+    bufferFor(spark).queue.asScala.toSeq.toDF()
   }
 
-  /** Test hook: clear the buffer. */
-  private[graft] def reset(): Unit = buffer.clear()
+  /** Test hook: clear this session's buffer. */
+  private[graft] def reset(spark: SparkSession): Unit = {
+    val b = bufferFor(spark); b.queue.clear(); b.n.set(0)
+  }
 }

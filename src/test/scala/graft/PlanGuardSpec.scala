@@ -51,8 +51,9 @@ class PlanGuardSpec extends SparkSpec {
     "metric_median_revenue", "metric_large_orders", "metric_weekly_orders",
     "metric_cumulative_revenue", "metric_cumulative_revenue_by_product",
     // GlobalIndex offset cumsum: one row per occupied hash bucket —
-    // fixed 64-bucket domain regardless of corpus size (GlobalIndexSpec
-    // asserts the corpus-scale window is the partitioned one)
+    // fixed 1024-bucket domain regardless of corpus size
+    // (GlobalIndexSpec asserts the corpus-scale window is the
+    // partitioned one)
     "epoch_shuffle")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {

@@ -11,7 +11,7 @@ class QueryMetricsSpec extends SparkSpec {
   test("actions land in the history with duration and row counts") {
     import spark.implicits._
     QueryMetrics.install(spark)
-    QueryMetrics.reset()
+    QueryMetrics.reset(spark)
     Seq(1, 2, 3).toDF("x").filter(col("x") > 1).collect()
     // listener callbacks are asynchronous on the listener bus — wait
     // for the record instead of asserting instantly
@@ -25,7 +25,7 @@ class QueryMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("durationMs") >= 0)
     // install is idempotent — no duplicate records from a second call
     QueryMetrics.install(spark)
-    QueryMetrics.reset()
+    QueryMetrics.reset(spark)
     Seq(1).toDF("y").collect()
     tries = 0
     while (QueryMetrics.history(spark).count() == 0 && tries < 50) {
@@ -37,5 +37,10 @@ class QueryMetricsSpec extends SparkSpec {
     val collects = QueryMetrics.history(spark)
       .filter(col("funcName") === "collect").count()
     assert(collects === 1, "duplicate listener registration detected")
+    // per-session isolation: a sibling session has its own (empty)
+    // history and its own registration
+    val sib = spark.newSession()
+    QueryMetrics.install(sib)
+    assert(QueryMetrics.history(sib).count() === 0)
   }
 }
