@@ -71,19 +71,6 @@ object Relevance {
 
   val TfidfTopK = 3
 
-  /** Top-[[TfidfTopK]] terms per document by tf·idf (idf = ln(N/df))
-    * — the classic document-keyword extraction pass.
-    *
-    * Unlike [[bm25]], this one DOES aggregate over the whole
-    * vocabulary (that is its job), so the scale shape matters: tf
-    * shuffles on (doc_id, term) with map-side combine, df is one
-    * aggregation bounded by vocabulary size, N is a single broadcast
-    * row, and the top-k is a keyed window per document — nothing is
-    * quadratic and no state exceeds vocabulary × counters.
-    *
-    * Determinism: tf/df/N are exact integers; idf is the quantized-ln
-    * recipe; the score is one double multiplication of identical
-    * inputs; the ranking order is totalized by the term tiebreak. */
   /** Unigram LM surprisal per document — average −ln p(w) in nats
     * against the corpus's own unigram distribution, the classic
     * LM-based quality-filter signal (CCNet-style: documents far from
@@ -126,6 +113,19 @@ object Relevance {
           / col("n_tokens").cast("double")).as("avg_nll"))
   }
 
+  /** Top-[[TfidfTopK]] terms per document by tf·idf (idf = ln(N/df))
+    * — the classic document-keyword extraction pass.
+    *
+    * Unlike [[bm25]], this one DOES aggregate over the whole
+    * vocabulary (that is its job), so the scale shape matters: tf
+    * shuffles on (doc_id, term) with map-side combine, df is one
+    * aggregation bounded by vocabulary size, N is a single broadcast
+    * row, and the top-k is a keyed window per document — nothing is
+    * quadratic and no state exceeds vocabulary × counters.
+    *
+    * Determinism: tf/df/N are exact integers; idf is the quantized-ln
+    * recipe; the score is one double multiplication of identical
+    * inputs; the ranking order is totalized by the term tiebreak. */
   def tfidfTopTerms(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = documents

@@ -218,6 +218,9 @@ object Similarity {
     * accuracy/cost trade (nprobe, band counts, quantization bits).
     * Both inputs are (query_id, neighbor_id, …) top-k tables; output
     * is one row per query with the overlap count and recall fraction.
+    * The denominator is the query's ACTUAL exact-result size, not the
+    * constant k: a query with fewer than k true neighbors (small or
+    * heavily filtered corpus) must still be able to score 1.0.
     * Scale: the top-k tables are |queries|·k rows — the join is over
     * results, never the corpus. */
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
@@ -226,11 +229,12 @@ object Similarity {
           .withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      // count of non-null hits (NOT a sum: DuckDB's integer sum widens
-      // to hugeint, count is bigint on both engines)
-      .agg(count(col("hit")).as("n_hits"))
+      // counts, not sums: DuckDB's integer sum widens to hugeint,
+      // count is bigint on both engines
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_exact"))
       .select(col("query_id"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
 
   /** Near-dup tunables. The demo threshold 0.35 sits in the tail of the
     * synthetic testdata's similarity distribution (no true duplicates;

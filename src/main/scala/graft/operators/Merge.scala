@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 /** dbt `incremental` materialization, MERGE strategy — the default
   * incremental strategy on warehouses with MERGE support, complementing
@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions.col
   */
 object Merge {
 
+  // serializes the read-modify-write per (app, sfDir, mart) WITHIN this
+  // JVM, mirroring Mat's buildLock convention: without it, two
+  // concurrent upserts both pin version n and the second publish
+  // silently drops the first batch's changes (lost update). Cross-JVM
+  // writers need external coordination — the same caveat Mat documents.
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
+
   /** Merge `batch` into mart `name` by `uniqueKey` and publish the
     * result as the mart's next version; returns the merged DataFrame
     * as read back through the stable view. The mart must already have
@@ -34,22 +42,31 @@ object Merge {
     * [[graft.Mat.table]]). */
   def upsert(spark: SparkSession, sfDir: String, name: String,
              uniqueKey: String, batch: DataFrame): DataFrame = {
-    require(graft.Mat.currentVersion(spark, sfDir, name) > 0,
-      s"$name has no built version to merge into; use Mat.table for the first build")
-    val current = graft.Mat.tableVersion(spark, sfDir, name,
-      graft.Mat.currentVersion(spark, sfDir, name))
-    require(batch.columns.sameElements(current.columns),
-      s"merge batch schema ${batch.columns.toSeq} must match target ${current.columns.toSeq}")
-    // multi-match guard (warehouse MERGE errors here too): a batch with
-    // duplicate keys would anti-join the stored row away and then union
-    // BOTH duplicates in — silent key corruption that every later merge
-    // propagates. One small aggregation job on the batch.
-    val dupKeys = batch.groupBy(col(uniqueKey))
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"merge batch has duplicate $uniqueKey values; MERGE requires a unique key per batch")
-    // a left_anti join preserves the left side's columns and order
-    val kept = current.join(batch.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
-    graft.Mat.refresh(spark, sfDir, name)(kept.union(batch))
+    val lock = locks.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, name), _ => new Object)
+    lock.synchronized {
+      require(graft.Mat.currentVersion(spark, sfDir, name) > 0,
+        s"$name has no built version to merge into; use Mat.table for the first build")
+      val current = graft.Mat.tableVersion(spark, sfDir, name,
+        graft.Mat.currentVersion(spark, sfDir, name))
+      require(batch.columns.sameElements(current.columns),
+        s"merge batch schema ${batch.columns.toSeq} must match target ${current.columns.toSeq}")
+      // key-integrity guard (warehouse MERGE errors on multi-match; NULL
+      // never joins): a duplicate batch key would anti-join the stored
+      // row away and union BOTH duplicates in; a null batch key can
+      // never replace anything and would accumulate one orphan row per
+      // merge. One small aggregation job on the batch.
+      val s = batch.agg(
+        count(lit(1)).as("rows"),
+        count(col(uniqueKey)).as("nonnull"),
+        countDistinct(col(uniqueKey)).as("distinct")).head()
+      require(s.getLong(0) == s.getLong(1),
+        s"merge batch has null $uniqueKey values; MERGE requires a total key")
+      require(s.getLong(1) == s.getLong(2),
+        s"merge batch has duplicate $uniqueKey values; MERGE requires a unique key per batch")
+      // a left_anti join preserves the left side's columns and order
+      val kept = current.join(batch.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+      graft.Mat.refresh(spark, sfDir, name)(kept.union(batch))
+    }
   }
 }

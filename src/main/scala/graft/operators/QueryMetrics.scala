@@ -54,9 +54,22 @@ object QueryMetrics {
       b
     }
 
+  /** Root-operator output rows. The literal root rarely carries the
+    * metric: AQE wraps the plan in AdaptiveSparkPlanExec (no metrics)
+    * and codegen in WholeStageCodegenExec (pipelineTime only) — both
+    * must be unwrapped or every real query records -1. */
   private def outputRows(qe: QueryExecution): Long =
-    try qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-    catch { case _: Throwable => -1L }
+    try {
+      def first(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] =
+        p.metrics.get("numOutputRows").map(_.value).orElse(p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            first(a.executedPlan)
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            first(w.child)
+          case other => other.children.headOption.flatMap(first)
+        })
+      first(qe.executedPlan).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
 
   private final class Listener(session: SparkSession) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

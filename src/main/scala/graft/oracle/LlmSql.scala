@@ -644,7 +644,7 @@ object LlmSql {
   private def annRecallOver(approxQ: String, methodCol: String = ""): String =
     s"""select $methodCol e.query_id,
        |  count(a.neighbor_id) as n_hits,
-       |  cast(count(a.neighbor_id) as double) / ${Similarity.TopK.toDouble} as recall
+       |  cast(count(a.neighbor_id) as double) / cast(count(*) as double) as recall
        |from (select query_id, neighbor_id from ($annCosineTopKQ) t) e
        |left join (select query_id, neighbor_id from ($approxQ) t) a
        |  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id

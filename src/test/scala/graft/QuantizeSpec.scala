@@ -66,7 +66,9 @@ class QuantizeSpec extends SparkSpec {
     val r = llm.Similarity.annRecall(exact, approx)
       .orderBy("query_id").collect()
     assert(r.map(_.getAs[Long]("n_hits")).toSeq === Seq(1L, 0L))
-    assert(r(0).getAs[Double]("recall") === 1.0 / llm.Similarity.TopK)
+    // denominator is the query's ACTUAL exact-result size (2 here),
+    // not the constant k — a short exact list must still allow 1.0
+    assert(r(0).getAs[Double]("recall") === 0.5)
     assert(r(1).getAs[Double]("recall") === 0.0)
   }
 }

@@ -23,6 +23,11 @@ class QueryMetricsSpec extends SparkSpec {
     assert(h.count() >= 1)
     val r = h.orderBy(col("durationMs").desc).head()
     assert(r.getAs[Long]("durationMs") >= 0)
+    // output rows must come through the AQE/codegen wrappers: the
+    // filtered collect returned 2 rows, so -1 means the metric probe
+    // stopped at a wrapper without numOutputRows
+    assert(h.filter(col("funcName") === "collect")
+      .select("outputRows").head().getLong(0) === 2L)
     // install is idempotent — no duplicate records from a second call
     QueryMetrics.install(spark)
     QueryMetrics.reset(spark)
