@@ -123,6 +123,30 @@ object Models {
     Mat.table(s, d, "doc_shingle_keys")(llm.Dedup.docShingleKeys(docShingles(s, d)))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d))
+  /** Cross-doc shared n-gram fraction over the shingle-key barrier. */
+  def docSharedNgrams(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.sharedNgramStats(docShingleKeys(s, d))
+  /** One-row corpus datasheet: the release-notes rollup (doc/token
+    * counts, curation outcome mix, split sizes) composed from the SAME
+    * gated component queries. */
+  def corpusDatasheet(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val ts = textStats(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens_est")).as("total_tokens_est"))
+    val cur = corpusCuration(s, d).agg(
+      count(when(col("status") === "kept", lit(1))).as("n_kept"),
+      count(when(col("status") === "low_quality", lit(1))).as("n_low_quality"),
+      count(when(col("status") === "exact_duplicate", lit(1))).as("n_exact_duplicate"),
+      count(when(col("status") === "near_duplicate", lit(1))).as("n_near_duplicate"))
+    val sp = datasetSplits(s, d).agg(
+      count(when(col("split") === "train", lit(1))).as("n_train"),
+      count(when(col("split") === "validation", lit(1))).as("n_validation"),
+      count(when(col("split") === "test", lit(1))).as("n_test"))
+    ts.crossJoin(cur).crossJoin(sp)
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
   def annLshBuckets(s: SparkSession, d: String): DataFrame =

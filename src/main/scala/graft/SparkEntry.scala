@@ -58,6 +58,8 @@ object SparkEntry {
     "simhash_signatures" -> out(Models.simhashSignatures),
     "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
+    // cross-doc shared n-gram fraction (boilerplate signal)
+    "doc_shared_ngrams" -> out(Models.docSharedNgrams),
     "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
@@ -144,6 +146,8 @@ object SparkEntry {
     "training_corpus" -> out(Models.trainingCorpus),
     // per-shard manifest of the packed corpus (webdataset-style)
     "training_shards" -> out(Models.trainingShards),
+    // one-row corpus datasheet (release-notes rollup)
+    "corpus_datasheet" -> out(Models.corpusDatasheet),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -186,6 +190,7 @@ object SparkEntry {
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
+    "doc_shared_ngrams" -> LlmSql.docSharedNgramsQ,
     "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
@@ -242,6 +247,7 @@ object SparkEntry {
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "training_corpus" -> LlmSql.trainingCorpusQ,
     "training_shards" -> LlmSql.trainingShardsQ,
+    "corpus_datasheet" -> LlmSql.corpusDatasheetQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -222,6 +222,27 @@ object Dedup {
   def docShingleKeys(shingled: DataFrame): DataFrame =
     shingled.select(col("doc_id"), hex60(col("sh")).as("shk")).distinct()
 
+  /** Cross-document shared-shingle fraction — the RefinedWeb/Gopher
+    * style "fraction of n-grams duplicated elsewhere in the corpus"
+    * quality signal, sitting between intra-doc repetition
+    * ([[Repetition]]) and whole-doc near-dup (the pair families): a
+    * document whose 3-gram shingles mostly appear in OTHER documents
+    * is boilerplate even if no single near-dup partner exists. Takes
+    * the materialized distinct shingle-KEY table; the shuffled state
+    * is (shingle, doc-frequency) — 8-byte keys, bounded by distinct
+    * shingles, nothing pairwise. One exact integer division at the
+    * output boundary. */
+  def sharedNgramStats(docSh: DataFrame): DataFrame = {
+    val dfreq = docSh.groupBy("shk").agg(count(lit(1)).as("sdf"))
+    docSh.join(dfreq, Seq("shk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("sdf") > 1, lit(1))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("shared_frac"))
+  }
+
   /** n-gram Jaccard candidate pairs with rare-shingle blocking: only
     * shingles appearing in ≤ cap documents join; the reported value is
     * the blocked-intersection Jaccard estimate. Takes the materialized

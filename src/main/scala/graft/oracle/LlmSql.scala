@@ -113,6 +113,20 @@ object LlmSql {
        |  from sh_cand
        |) t where hamming <= ${Dedup.SimhashMaxHamming}""".stripMargin
 
+  /** Mirror Dedup.sharedNgramStats over the same distinct shingle-key
+    * construction. */
+  val docSharedNgramsQ: String =
+    s"""with $textCtes,
+       |sng_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),
+       |sng_df as (select shk, count(*) as sdf from sng_sh group by 1)
+       |select doc_id,
+       |  count(*) as n_shingles,
+       |  count(case when sdf > 1 then 1 end) as n_shared,
+       |  cast(count(case when sdf > 1 then 1 end) as double)
+       |    / cast(count(*) as double) as shared_frac
+       |from sng_sh join sng_df using (shk)
+       |group by 1""".stripMargin
+
   val ngramJaccardPairsQ: String =
     s"""with $textCtes,
        |doc_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),
@@ -859,6 +873,34 @@ object LlmSql {
        |)
        |select * from (${packSequencesOver("tc_base")}) t""".stripMargin
   }
+
+  /** Mirror Models.corpusDatasheet: one-row rollup composed from the
+    * same gated component oracles. */
+  val corpusDatasheetQ: String =
+    s"""with dsh_ts as (
+       |  select count(*) as n_docs,
+       |    cast(sum(n_tokens_est) as bigint) as total_tokens_est
+       |  from ($textStatsQ) t
+       |),
+       |dsh_cur as (
+       |  select
+       |    count(case when status = 'kept' then 1 end) as n_kept,
+       |    count(case when status = 'low_quality' then 1 end) as n_low_quality,
+       |    count(case when status = 'exact_duplicate' then 1 end) as n_exact_duplicate,
+       |    count(case when status = 'near_duplicate' then 1 end) as n_near_duplicate
+       |  from ($corpusCurationQ) t
+       |),
+       |dsh_sp as (
+       |  select
+       |    count(case when split = 'train' then 1 end) as n_train,
+       |    count(case when split = 'validation' then 1 end) as n_validation,
+       |    count(case when split = 'test' then 1 end) as n_test
+       |  from ($datasetSplitsQ) t
+       |)
+       |select n_docs, total_tokens_est, n_kept, n_low_quality,
+       |  n_exact_duplicate, n_near_duplicate, n_train, n_validation, n_test,
+       |  cast(n_kept as double) / cast(n_docs as double) as kept_frac
+       |from dsh_ts cross join dsh_cur cross join dsh_sp""".stripMargin
 
   /** Mirror Packing.shardStats over the training corpus: the SAME
     * salted-hash shard key on the composed pack output. */

@@ -21,6 +21,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_sq8_topk", "ann_recall", "ann_recall_by_method", "ann_pq_topk", "ann_pq_adc_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
+    // three one-row aggregates cross-joined
+    "corpus_datasheet",
     // |vocab-join rows| × ONE broadcast corpus-total row
     "doc_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
