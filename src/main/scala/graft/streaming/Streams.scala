@@ -434,4 +434,40 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
+
+  /** Streaming UPSERT into a versioned mart — the table-format
+    * "streaming MERGE" pattern on plain parquet: each micro-batch is
+    * applied through [[graft.operators.Merge.upsert]], so the mart
+    * always serves a complete keyed snapshot (last write per key
+    * wins), every applied batch is a retained VERSION (time travel +
+    * [[graft.operators.ChangeFeed]] between any two applied batches),
+    * and in-flight readers keep their snapshot across applies.
+    * Duplicate keys WITHIN one micro-batch are reduced to the
+    * last-event-per-key first (Merge's multi-match guard rejects raw
+    * duplicates, exactly like warehouse MERGE) — `orderCol` decides
+    * "last", tiebroken deterministically by the remaining columns'
+    * struct order. Restart semantics: the checkpoint replays the
+    * last uncommitted batch; re-upserting the same rows is IDEMPOTENT
+    * (same keys, same values), which is what makes foreachBatch's
+    * at-least-once contract effectively exactly-once here. */
+  def mergeSink(df: DataFrame, sfDir: String, name: String,
+                uniqueKey: String, orderCol: String,
+                checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val lastPerKey = batch
+          .withColumn("__ms_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(uniqueKey))
+              .orderBy(col(orderCol).desc,
+                struct(batch.columns.map(col): _*).desc)))
+          .filter(col("__ms_rn") === 1).drop("__ms_rn")
+        if (graft.Mat.currentVersion(spark, sfDir, name) == 0)
+          graft.Mat.table(spark, sfDir, name)(lastPerKey): Unit
+        else
+          graft.operators.Merge.upsert(spark, sfDir, name, uniqueKey, lastPerKey): Unit
+      }
 }
