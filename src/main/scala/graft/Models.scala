@@ -144,8 +144,12 @@ object Models {
       count(when(col("split") === "validation", lit(1))).as("n_validation"),
       count(when(col("split") === "test", lit(1))).as("n_test"))
     ts.crossJoin(cur).crossJoin(sp)
+      // empty-corpus guard (the textStats ratio convention): 0/0 is
+      // NaN in Spark but engine-setting-dependent in DuckDB
       .withColumn("kept_frac",
-        col("n_kept").cast("double") / col("n_docs").cast("double"))
+        when(col("n_docs") > 0,
+          col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)))
   }
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))

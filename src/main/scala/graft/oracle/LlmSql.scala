@@ -899,7 +899,9 @@ object LlmSql {
        |)
        |select n_docs, total_tokens_est, n_kept, n_low_quality,
        |  n_exact_duplicate, n_near_duplicate, n_train, n_validation, n_test,
-       |  cast(n_kept as double) / cast(n_docs as double) as kept_frac
+       |  case when n_docs > 0
+       |    then cast(n_kept as double) / cast(n_docs as double)
+       |    else 0.0 end as kept_frac
        |from dsh_ts cross join dsh_cur cross join dsh_sp""".stripMargin
 
   /** Mirror Packing.shardStats over the training corpus: the SAME

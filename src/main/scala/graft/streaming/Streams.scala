@@ -439,17 +439,28 @@ object Streams {
     * "streaming MERGE" pattern on plain parquet: each micro-batch is
     * applied through [[graft.operators.Merge.upsert]], so the mart
     * always serves a complete keyed snapshot (last write per key
-    * wins), every applied batch is a retained VERSION (time travel +
-    * [[graft.operators.ChangeFeed]] between any two applied batches),
-    * and in-flight readers keep their snapshot across applies.
+    * wins), each applied batch publishes a new version (the last
+    * [[graft.Mat.KeepVersions]] are retained — time travel and
+    * [[graft.operators.ChangeFeed]] work within that window), and
+    * in-flight readers keep their snapshot across applies.
     * Duplicate keys WITHIN one micro-batch are reduced to the
     * last-event-per-key first (Merge's multi-match guard rejects raw
     * duplicates, exactly like warehouse MERGE) — `orderCol` decides
     * "last", tiebroken deterministically by the remaining columns'
-    * struct order. Restart semantics: the checkpoint replays the
-    * last uncommitted batch; re-upserting the same rows is IDEMPOTENT
-    * (same keys, same values), which is what makes foreachBatch's
-    * at-least-once contract effectively exactly-once here. */
+    * struct order.
+    *
+    * Restart semantics — scoped precisely: within one session, a
+    * query restart replays the last uncommitted batch and
+    * re-upserting the same rows is IDEMPOTENT (same keys, same
+    * values), so foreachBatch's at-least-once is effectively
+    * exactly-once. Across a JVM crash this does NOT hold: Mat's
+    * versions are session-scoped (in-memory registry + per-appId
+    * location), so a restarted process sees an empty mart while the
+    * durable checkpoint skips committed batches — recover by
+    * replaying the source from scratch (fresh checkpoint) or switch
+    * Mat's writer to a durable table format. A replay can also
+    * publish two versions for one logical batch (apply committed,
+    * checkpoint not), so versions do not map 1:1 to batches. */
   def mergeSink(df: DataFrame, sfDir: String, name: String,
                 uniqueKey: String, orderCol: String,
                 checkpointDir: String) =

@@ -35,9 +35,10 @@ class StreamingMergeSpec extends SparkSpec {
       StructField("v", StringType), StructField("ts", LongType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/f*")
-    graft.streaming.Streams
+    val stream0 = graft.streaming.Streams
       .mergeSink(stream, sf, "stream_merge_spec", "id", "ts", ckpt)
-      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(stream0.awaitTermination(120000), "stream did not finish in 120s")
 
     val rows = spark.table(s"${Mat.schemaFor(sf)}.stream_merge_spec")
       .orderBy("id").collect()
