@@ -123,6 +123,10 @@ object Models {
     Mat.table(s, d, "doc_shingle_keys")(llm.Dedup.docShingleKeys(docShingles(s, d)))
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d))
+  /** Exact-substring dedup transform (cross-doc duplicated spans
+    * removed, document rebuilt). */
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.substringDedup(Tables.documents(s, d))
   /** Cross-doc shared n-gram fraction over the shingle-key barrier. */
   def docSharedNgrams(s: SparkSession, d: String): DataFrame =
     llm.Dedup.sharedNgramStats(docShingleKeys(s, d))

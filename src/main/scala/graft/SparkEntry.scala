@@ -60,6 +60,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
     // cross-doc shared n-gram fraction (boilerplate signal)
     "doc_shared_ngrams" -> out(Models.docSharedNgrams),
+    // remove cross-doc duplicated spans, rebuild the document
+    "substring_dedup" -> out(Models.substringDedup),
     "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
@@ -191,6 +193,7 @@ object SparkEntry {
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
     "doc_shared_ngrams" -> LlmSql.docSharedNgramsQ,
+    "substring_dedup" -> LlmSql.substringDedupQ,
     "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,

@@ -222,6 +222,61 @@ object Dedup {
   def docShingleKeys(shingled: DataFrame): DataFrame =
     shingled.select(col("doc_id"), hex60(col("sh")).as("shk")).distinct()
 
+  /** Exact-substring (span) DEDUPLICATION as a transform — the Lee et
+    * al. ("Deduplicating Training Data Makes Language Models Better")
+    * operation the detection families stop short of: REMOVE the
+    * duplicated spans and keep the rest of the document. A span is
+    * duplicated when its shingle occurs in MORE THAN ONE document
+    * (cross-doc — the memorization risk; intra-doc repetition is
+    * [[Repetition]]'s signal); every token covered by any duplicated
+    * shingle is dropped and the document is rebuilt from the surviving
+    * tokens in order. (Production uses ~50-token spans over a suffix
+    * array; the shingle width here is the demo's 3 — the machinery is
+    * width-independent.)
+    *
+    * Scale: the positional shingle table is linear in corpus tokens
+    * (8-byte keys), duplicate detection is one vocabulary-keyed
+    * aggregation, coverage is ≤ 3 positions per duplicated shingle,
+    * and the rebuild is a per-document group (bounded by document
+    * length). Nothing is pairwise.
+    *
+    * Output: (doc_id, n_tokens, n_kept, removed_frac, cleaned_text) —
+    * exact integer counts, one guarded division, exact string rebuild,
+    * so both engines emit identical rows. */
+  def substringDedup(documents: DataFrame): DataFrame = {
+    val tok = tokenized(documents)
+    val posShingles = tok
+      .select(col("doc_id"), posexplode(shingles(col("w"))).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), hex60(col("sh")).as("shk"))
+    val dup = posShingles.groupBy("shk")
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") > 1).select("shk")
+    val covered = posShingles.join(dup, Seq("shk"), "left_semi")
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("cp"))
+      .distinct()
+    val tokens = tok.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = tokens.join(covered,
+        tokens("doc_id") === covered("doc_id") && tokens("pos") === covered("cp"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok"))).as("cleaned_text"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
+            / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("removed_frac"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Cross-document shared-shingle fraction — the RefinedWeb/Gopher
     * style "fraction of n-grams duplicated elsewhere in the corpus"
     * quality signal, sitting between intra-doc repetition

@@ -113,6 +113,47 @@ object LlmSql {
        |  from sh_cand
        |) t where hamming <= ${Dedup.SimhashMaxHamming}""".stripMargin
 
+  /** Mirror Dedup.substringDedup: positional shingles (paired unnests
+    * zip), cross-doc duplicate keys, covered-position removal, ordered
+    * rebuild. */
+  val substringDedupQ: String =
+    s"""with $textCtes,
+       |sdd_ps as (
+       |  select doc_id,
+       |    unnest(generate_series(1, len(w) - 2)) as pos,
+       |    unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")})) as shk
+       |  from doc_words where len(w) >= 3
+       |),
+       |sdd_dup as (select shk from sdd_ps group by 1 having count(distinct doc_id) > 1),
+       |sdd_cov as (
+       |  select distinct doc_id, cp from (
+       |    select p.doc_id, unnest([p.pos, p.pos + 1, p.pos + 2]) as cp
+       |    from sdd_ps p join sdd_dup using (shk)
+       |  ) t
+       |),
+       |sdd_tok as (
+       |  select doc_id, unnest(generate_series(1, len(w))) as pos, unnest(w) as tok
+       |  from doc_words
+       |),
+       |sdd_kept as (
+       |  select t.doc_id, count(*) as n_kept,
+       |    string_agg(t.tok, ' ' order by t.pos) as cleaned_text
+       |  from sdd_tok t
+       |  where not exists (
+       |    select 1 from sdd_cov c where c.doc_id = t.doc_id and c.cp = t.pos)
+       |  group by 1
+       |)
+       |select dw.doc_id,
+       |  cast(len(dw.w) as bigint) as n_tokens,
+       |  cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+       |  case when len(dw.w) > 0
+       |    then cast(len(dw.w) - coalesce(k.n_kept, 0) as double)
+       |      / cast(len(dw.w) as double)
+       |    else 0.0 end as removed_frac,
+       |  coalesce(k.cleaned_text, '') as cleaned_text
+       |from doc_words dw left join sdd_kept k using (doc_id)""".stripMargin
+
   /** Mirror Dedup.sharedNgramStats over the same distinct shingle-key
     * construction. */
   val docSharedNgramsQ: String =

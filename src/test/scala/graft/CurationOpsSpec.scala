@@ -13,6 +13,29 @@ class CurationOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("substring dedup removes cross-doc spans, keeps unique text verbatim") {
+    val df = Seq(
+      // docs 1+2 share the span "alpha beta gamma"; doc 3 is unique;
+      // doc 4 is too short for any shingle
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta alpha beta gamma eta"),
+      (3L, "one two three four five"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = llm.Dedup.substringDedup(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: positions 1-3 covered -> "delta epsilon" survives
+    assert(out(1L).getAs[String]("cleaned_text") === "delta epsilon")
+    assert(out(1L).getAs[Long]("n_kept") === 2L)
+    // doc 2: positions 2-4 covered -> "zeta eta"
+    assert(out(2L).getAs[String]("cleaned_text") === "zeta eta")
+    // unique doc untouched
+    assert(out(3L).getAs[String]("cleaned_text") === "one two three four five")
+    assert(out(3L).getAs[Double]("removed_frac") === 0.0)
+    // sub-shingle doc: no shingles, nothing removable
+    assert(out(4L).getAs[String]("cleaned_text") === "tiny doc")
+  }
+
   test("redaction scrubs emails, phones, IPs and SSNs; counts are per-pattern insertions") {
     val df = Seq(
       (1L, "contact alice.smith+x@example.co.uk or bob@test.org today"),
