@@ -126,7 +126,8 @@ object Models {
   /** Exact-substring dedup transform (cross-doc duplicated spans
     * removed, document rebuilt). */
   def substringDedup(s: SparkSession, d: String): DataFrame =
-    llm.Dedup.substringDedup(Tables.documents(s, d))
+    Mat.table(s, d, "substring_dedup")(
+      llm.Dedup.substringDedup(Tables.documents(s, d)))
   /** Cross-doc shared n-gram fraction over the shingle-key barrier. */
   def docSharedNgrams(s: SparkSession, d: String): DataFrame =
     llm.Dedup.sharedNgramStats(docShingleKeys(s, d))
