@@ -401,7 +401,8 @@ object Models {
       "dedup_clusters" -> (dedupClusters _),
       "kmeans_centroids" -> (kmeansCentroids _),
       "pq_codebooks" -> (pqCodebooks _),
-      "embedding_dedup_clusters" -> (embeddingDedupClusters _))
+      "embedding_dedup_clusters" -> (embeddingDedupClusters _),
+      "substring_dedup" -> (substringDedup _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus
