@@ -355,6 +355,37 @@ object Models {
   }
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
+  /** Blocked edit-distance nearest-name match over the product catalog
+    * (entity resolution; blocked semantics mirrored by the oracle). */
+  def fuzzyNameMatch(s: SparkSession, d: String): DataFrame =
+    operators.Fuzzy.nearestNameMatch(stgProducts(s, d), "product_name")
+  /** Bigram-LM surprisal quality score (conditional twin of
+    * [[docSurprisal]]). */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.bigramSurprisal(Tables.documents(s, d))
+  /** Per-doc OOV rate against the corpus top-K vocabulary. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.vocabCoverage(Tables.documents(s, d))
+  /** The reference's declarative test suite as one audit table —
+    * every rule over the DECIMAL model surface (exact invariants). */
+  def dqSummary(s: SparkSession, d: String): DataFrame =
+    testing.DqSummary.summary {
+      case "stg_customers" => stgCustomers(s, d)
+      case "stg_orders" => stgOrders(s, d)
+      case "stg_order_items" => stgOrderItems(s, d)
+      case "stg_products" => stgProducts(s, d)
+      case "stg_locations" => stgLocations(s, d)
+      case "stg_supplies" => stgSupplies(s, d)
+      case "orders" => orders(s, d)
+      case "customers" => customers(s, d)
+      case "order_items" => orderItems(s, d)
+      case "products" => products(s, d)
+      case "locations" => locations(s, d)
+      case "supplies" => supplies(s, d)
+      case "customer_segmentation" => customerSegmentation(s, d)
+      case "time_analytics" => timeAnalytics(s, d)
+      case other => sys.error(s"dq_summary: unknown table $other")
+    }
   def eventPropsStats(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.eventPropsStats(Tables.events(s, d))
   def sessionWindowAgg(s: SparkSession, d: String): DataFrame =

@@ -150,6 +150,14 @@ object SparkEntry {
     "training_shards" -> out(Models.trainingShards),
     // one-row corpus datasheet (release-notes rollup)
     "corpus_datasheet" -> out(Models.corpusDatasheet),
+    // blocked edit-distance entity resolution over the product catalog
+    "fuzzy_name_match" -> out(Models.fuzzyNameMatch),
+    // bigram-LM surprisal (conditional quality signal; word ORDER)
+    "bigram_surprisal" -> out(Models.bigramSurprisal),
+    // per-doc OOV rate vs the deterministic top-K corpus vocabulary
+    "vocab_coverage" -> out(Models.vocabCoverage),
+    // the reference's declarative test suite as one audit table
+    "dq_summary" -> out(Models.dqSummary),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -251,6 +259,10 @@ object SparkEntry {
     "training_corpus" -> LlmSql.trainingCorpusQ,
     "training_shards" -> LlmSql.trainingShardsQ,
     "corpus_datasheet" -> LlmSql.corpusDatasheetQ,
+    "fuzzy_name_match" -> OpsSql.fuzzyNameMatchQ,
+    "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
+    "vocab_coverage" -> LlmSql.vocabCoverageQ,
+    "dq_summary" -> Sql.dqSummaryQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

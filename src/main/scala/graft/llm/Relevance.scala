@@ -69,6 +69,65 @@ object Relevance {
         QueryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _))
   }
 
+  /** Bigram LM surprisal per document — average −ln p(wᵢ | wᵢ₋₁) in
+    * nats against the corpus's own maximum-likelihood bigram model,
+    * the step up from [[unigramSurprisal]] every LM-based quality
+    * filter takes once unigram stats stop separating fluent text from
+    * shuffled-word soup: a document can match the unigram distribution
+    * perfectly while its word ORDER is noise, and only a conditional
+    * model sees that. Scoring the training corpus against itself means
+    * every scored bigram was observed at least once, so the MLE model
+    * needs no smoothing (p > 0 by construction; a held-out scorer
+    * would interpolate — documented, out of scope here).
+    *
+    *   p(cur | prev) = count(prev cur) / count(prev ·)
+    *
+    * where count(prev ·) sums the bigram table over the context — the
+    * occurrences of `prev` as a non-final token.
+    *
+    * Determinism: the [[unigramSurprisal]] recipe verbatim — −ln p
+    * quantized to decimal(18,9) per bigram TYPE, exact decimal
+    * tf-weighted sum per document (partition-order independent), one
+    * IEEE division at the output boundary.
+    *
+    * Scale (100 TB): shuffled state is (doc_id, bigram, tf) — linear
+    * in corpus tokens; the bigram-count table is keyed by distinct
+    * bigrams, the context table by distinct unigrams; nothing is
+    * pairwise and nothing collects. Documents under 2 tokens have no
+    * bigrams and drop out (mirrored by the oracle). */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .repartition(col("doc_id"))
+    // bigram as a single "prev cur" string key: words are \s+-split so
+    // contain no spaces — the first token of the key IS the context.
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val tf = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val bgCnt = tf.groupBy("bg").agg(sum(col("tf")).as("big_cnt"))
+    val ctxCnt = bgCnt
+      .groupBy(substring_index(col("bg"), " ", 1).as("pv"))
+      .agg(sum(col("big_cnt")).as("ctx_cnt"))
+    tf.join(bgCnt, Seq("bg"))
+      .join(ctxCnt, substring_index(col("bg"), " ", 1) === col("pv"))
+      .withColumn("nll",
+        log(col("ctx_cnt").cast("double") / col("big_cnt").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      // tf narrowed to decimal(10,0) before the multiply — the
+      // unigramSurprisal precision trap: (18,9)×long would overflow
+      // precision 38 and silently round to scale 8.
+      .agg(sum(col("nll") * col("tf")
+          .cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("nll_sum"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_sum").cast("string").cast("double")
+          / col("n_bigrams").cast("double")).as("avg_bigram_nll"))
+  }
+
   val TfidfTopK = 3
 
   /** Unigram LM surprisal per document — average −ln p(w) in nats

@@ -129,6 +129,41 @@ object TextStats {
     * row-equality with that window twin). */
   val TopDocsK = 5
 
+  /** Vocabulary size for [[vocabCoverage]]: the top-K corpus terms by
+    * total occurrence count (ties broken by term ascending, making the
+    * cut deterministic). */
+  val VocabK = 256
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-[[VocabK]] vocabulary — the tokenizer-fit signal a training
+    * pipeline checks before committing to a vocab: a document whose
+    * tokens mostly fall outside the vocabulary will fragment into
+    * byte-fallback pieces and blow up its real token count.
+    *
+    * Scale (100 TB): term counts are vocabulary-keyed with map-side
+    * combine; the top-K cut is a distributed TakeOrdered (K rows to
+    * the driver, no global sort); membership is a BROADCAST left join
+    * of the K-row vocab against the exploded tokens; per-doc counts
+    * shuffle (doc_id) only. Determinism: exact integer counts, one
+    * IEEE division at the boundary; the (count desc, term asc) total
+    * order makes the vocabulary itself reproducible. */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(VocabK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac"))
+  }
+
   /** `stats`: the (Mat'd) [[textStats]] output — passed in so the
     * barrier is shared with every other text_stats consumer. */
   def topDocsPerLang(stats: DataFrame): DataFrame =

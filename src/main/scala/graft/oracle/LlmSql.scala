@@ -983,4 +983,60 @@ object LlmSql {
        |select source, cast(rn as int) as rank, doc_id, n_chars
        |from r where rn <= $WeightedK""".stripMargin
   }
+
+  /** Mirror Relevance.bigramSurprisal: the same "prev cur" bigram key
+    * (words are \s+-split, so split_part on the single space recovers
+    * the context exactly as Spark's substring_index does), the same
+    * quantized-ln + exact decimal tf-weighted sum recipe as the
+    * unigram oracle. Documents under 2 tokens produce no bigrams and
+    * drop out on both engines. */
+  val bigramSurprisalQ: String =
+    s"""with $textCtes,
+       |bg_rows as (
+       |  select doc_id,
+       |    unnest(case when len(w) >= 2
+       |      then list_transform(generate_series(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1])
+       |      else [] end) as bg
+       |  from doc_words
+       |),
+       |bg_tf as (select doc_id, bg, count(*) as tf from bg_rows group by 1, 2),
+       |bg_cnt as (select bg, cast(sum(tf) as bigint) as big_cnt from bg_tf group by 1),
+       |bg_ctx as (
+       |  select split_part(bg, ' ', 1) as pv, cast(sum(big_cnt) as bigint) as ctx_cnt
+       |  from bg_cnt group by 1
+       |),
+       |bg_nll as (
+       |  select doc_id, tf,
+       |    cast(ln(cast(ctx_cnt as double) / cast(big_cnt as double))
+       |      as decimal(18,9)) as nll
+       |  from bg_tf join bg_cnt using (bg)
+       |  join bg_ctx on split_part(bg, ' ', 1) = pv
+       |)
+       |select doc_id,
+       |  cast(sum(tf) as bigint) as n_bigrams,
+       |  cast(cast(sum(nll * tf) as varchar) as double)
+       |    / cast(cast(sum(tf) as bigint) as double) as avg_bigram_nll
+       |from bg_nll group by 1""".stripMargin
+
+  /** Mirror TextStats.vocabCoverage: the same (count desc, term asc)
+    * deterministic top-K vocabulary cut, the same left-join OOV count,
+    * one double division at the boundary. */
+  val vocabCoverageQ: String = {
+    import graft.llm.TextStats.VocabK
+    s"""with $textCtes,
+       |vc_toks as (select doc_id, unnest(w) as term from doc_words),
+       |vc_cnt as (select term, cast(count(*) as bigint) as cnt from vc_toks group by 1),
+       |vc_vocab as (
+       |  select term, 1 as in_vocab from vc_cnt
+       |  order by cnt desc, term asc limit $VocabK
+       |)
+       |select t.doc_id,
+       |  cast(count(*) as bigint) as n_tokens,
+       |  cast(count(case when v.in_vocab is null then 1 end) as bigint) as n_oov,
+       |  cast(count(case when v.in_vocab is null then 1 end) as double)
+       |    / cast(count(*) as double) as oov_frac
+       |from vc_toks t left join vc_vocab v on t.term = v.term
+       |group by 1""".stripMargin
+  }
 }

@@ -306,6 +306,39 @@ object OpsSql {
       |from events e join p using (user_id)
       |group by 1""".stripMargin
 
+  /** Mirror operators.Fuzzy.nearestNameMatch over distinct product
+    * names: the same last-token blocking, the same [2, BlockCap] block
+    * filter, DuckDB's levenshtein (the same standard unit-cost edit
+    * distance as Spark's), the same (distance, match_name) argmin
+    * tiebreak. Blocked semantics on BOTH sides — a cross-block pair is
+    * never a candidate by design. */
+  val fuzzyNameMatchQ: String = {
+    import graft.operators.Fuzzy.BlockCap
+    s"""with fz_names as (
+       |  select distinct p_name as name from part where p_name is not null
+       |),
+       |fz_blocked as (
+       |  select name, regexp_extract(name, '(\\S+)$$', 1) as block from fz_names
+       |),
+       |fz_ok as (
+       |  select block from fz_blocked group by 1
+       |  having count(*) <= $BlockCap and count(*) >= 2
+       |),
+       |fz_capped as (select b.* from fz_blocked b join fz_ok using (block)),
+       |fz_pairs as (
+       |  select a.name, a.block, b.name as match_name,
+       |    cast(levenshtein(a.name, b.name) as bigint) as distance
+       |  from fz_capped a join fz_capped b
+       |    on a.block = b.block and a.name != b.name
+       |),
+       |fz_rank as (
+       |  select *, row_number() over (
+       |    partition by name order by distance asc, match_name asc) as rn
+       |  from fz_pairs
+       |)
+       |select name, block, match_name, distance from fz_rank where rn = 1""".stripMargin
+  }
+
   /** Mirror EventMarts.zorderKeys: the SAME Morton mask ladder in
     * DuckDB integer arithmetic (graft.expressions.ZOrder.zorderSql). */
   val zorderKeysQ: String = {

@@ -795,4 +795,19 @@ object Sql {
   val growthMetricsQ = s"$allCtes select * from growth_metrics"
   val timeAnalyticsQ = s"$allCtes select * from time_analytics"
   val customerSegmentationQ = s"$allCtes select * from customer_segmentation"
+
+  /** Mirror testing.DqSummary.summary: the same rule lists rendered to
+    * DuckDB SQL over the oracle CTEs (marts carry `_mart` suffixes
+    * where the plain name is taken by an intermediate CTE). */
+  val dqSummaryQ: String = {
+    val cteName: String => String = {
+      case "orders" => "orders_mart"
+      case "customers" => "customers_mart"
+      case "products" => "products_mart"
+      case "locations" => "locations_mart"
+      case "supplies" => "supplies_mart"
+      case other => other
+    }
+    s"$allCtes ${graft.testing.DqSummary.oracleSelects(cteName)}"
+  }
 }
