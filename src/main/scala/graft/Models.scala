@@ -288,6 +288,10 @@ object Models {
     marts.EventMarts.valueBandStats(s, Tables.events(s, d))
   def hllUserCounts(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.hllUserCounts(Tables.events(s, d))
+  /** Per-type HLL sketches merged register-wise into the global
+    * distinct-user estimate (sketch mergeability, oracle-gated). */
+  def hllMergedUsers(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hllMergedUsers(Tables.events(s, d))
   def valuePercentiles(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.valuePercentiles(Tables.events(s, d))
   def eventFunnel(s: SparkSession, d: String): DataFrame =
@@ -341,6 +345,15 @@ object Models {
     * salted-hash shard assignment of sequences). */
   def trainingShards(s: SparkSession, d: String): DataFrame =
     llm.Packing.shardStats(trainingCorpus(s, d))
+  /** Learned BPE merge table (the trained tokenizer vocabulary) —
+    * Mat'd: the K-round training pipeline executes once per session.
+    * Distinct-word-frequency-bounded, so training cost is vocabulary-
+    * sized after the first corpus pass (llm.Bpe). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "bpe_merges")(llm.Bpe.train(Tables.documents(s, d))._1)
+  /** Every distinct corpus word segmented under the final merge table. */
+  def bpeSegmentation(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "bpe_segmentation")(llm.Bpe.train(Tables.documents(s, d))._2)
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

@@ -97,6 +97,8 @@ object SparkEntry {
     "events_asof_purchase" -> out(Models.eventsAsofPurchase),
     "value_band_stats" -> out(Models.valueBandStats),
     "hll_user_counts" -> out(Models.hllUserCounts),
+    // per-partition sketches merged register-wise (mergeability gate)
+    "hll_merged_users" -> out(Models.hllMergedUsers),
     "value_percentiles" -> out(Models.valuePercentiles),
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
     // unigram LM surprisal quality score (quantized-ln determinism)
@@ -158,6 +160,9 @@ object SparkEntry {
     "vocab_coverage" -> out(Models.vocabCoverage),
     // the reference's declarative test suite as one audit table
     "dq_summary" -> out(Models.dqSummary),
+    // distributed BPE training: learned merges + word segmentation
+    "bpe_merges" -> out(Models.bpeMerges),
+    "bpe_segmentation" -> out(Models.bpeSegmentation),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -229,6 +234,7 @@ object SparkEntry {
     "events_asof_purchase" -> OpsSql.eventsAsofPurchaseQ,
     "value_band_stats" -> OpsSql.valueBandStatsQ,
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
+    "hll_merged_users" -> OpsSql.hllMergedUsersQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
@@ -263,6 +269,8 @@ object SparkEntry {
     "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
     "vocab_coverage" -> LlmSql.vocabCoverageQ,
     "dq_summary" -> Sql.dqSummaryQ,
+    "bpe_merges" -> LlmSql.bpeMergesQ,
+    "bpe_segmentation" -> LlmSql.bpeSegmentationQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -53,6 +53,14 @@ object EventMarts {
     Sketches.hllDistinct(events, Seq("event_type"),
       concat(lit("hll|"), col("user_id").cast("string")))
 
+  /** Per-event-type HLL sketches MERGED into the global distinct-user
+    * estimate (register-wise max — [[Sketches.hllMergedDistinct]]);
+    * same salt/key as [[hllUserCounts]], so the merged registers are
+    * the same stored sketches that query builds per type. */
+  def hllMergedUsers(events: DataFrame): DataFrame =
+    Sketches.hllMergedDistinct(events, "event_type",
+      concat(lit("hll|"), col("user_id").cast("string")))
+
   /** Stratum → keep-percentage for the stratified-sample demo:
     * downsample the high-volume interaction types, keep signups. */
   val SampleFractions: Seq[(String, Int)] = Seq(

@@ -77,6 +77,52 @@ object Sketches {
     exact.join(est, groupCols)
   }
 
+  /** The property that makes sketches THE 100 TB distinct-count tool:
+    * register tables MERGE by per-register max, so per-partition (here:
+    * per-`partCol`-value) sketches built independently — different
+    * executors, different ingest batches, different days — combine into
+    * the global estimate without touching raw values again. This
+    * operator materializes that path explicitly: per-partition register
+    * tables (the "stored sketches"), a register-wise max merge, then
+    * the standard estimator; `max` is associative/commutative, so the
+    * merged registers equal the directly-built global sketch
+    * bit-for-bit — exactly the equivalence the DuckDB oracle gates
+    * (it builds the global sketch directly).
+    *
+    * Output: one row (n_sketches, n_exact, hll_estimate); the exact
+    * global distinct rides along for error accounting. */
+  def hllMergedDistinct(df: DataFrame, partCol: String, keyExpr: Column): DataFrame = {
+    val h = graft.llm.Dedup.hex60(keyExpr)
+    val regs = df.select(col(partCol).as("__part"),
+        pmod(h, lit(HllM.toLong)).as("__reg"), shiftright(h, HllP).as("__w"))
+      .withColumn("__rho",
+        when(col("__w") === 0, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("__w")))))
+    // the per-partition sketches (≤ m rows each — what a production
+    // pipeline would PERSIST per batch)...
+    val perPart = regs.groupBy(col("__part"), col("__reg"))
+      .agg(max(col("__rho")).as("__mj"))
+    // ...and the merge: register-wise max across sketches.
+    val merged = perPart.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj"))
+    val summed = merged.agg(
+      sum(expr(s"shiftleft(1L, ${HllW + 1} - __mj)")).as("__ssum"),
+      count(lit(1)).as("__nreg"))
+    val zeros = lit(HllM.toLong) - col("__nreg")
+    val rawEst = lit(HllAlpha * HllM * HllM) * lit(math.pow(2.0, HllW + 1)) /
+      (col("__ssum") + zeros * lit(1L << (HllW + 1))).cast("double")
+    val linEst = (log(lit(HllM.toDouble) / zeros.cast("double")) * lit(HllM.toDouble))
+      .cast(DecimalType(18, 9)).cast("double")
+    val est = summed
+      .withColumn("__raw", rawEst)
+      .withColumn("hll_estimate",
+        when(zeros > 0 && col("__raw") <= lit(2.5 * HllM), linEst)
+          .otherwise(col("__raw")))
+      .select(col("hll_estimate"))
+    df.agg(countDistinct(col(partCol)).as("n_sketches"),
+        countDistinct(keyExpr).as("n_exact"))
+      .crossJoin(est)
+  }
+
   // ---- Count-Min Sketch (Cormode & Muthukrishnan) ----
 
   /** Depth: independent hash rows. */

@@ -1019,6 +1019,67 @@ object LlmSql {
        |    / cast(cast(sum(tf) as bigint) as double) as avg_bigram_nll
        |from bg_nll group by 1""".stripMargin
 
+  /** Mirror llm.Bpe.train: the K merge iterations unrolled as a CTE
+    * chain generated from the SAME MergeCount, with the SAME greedy
+    * left-to-right fold (DuckDB `list_reduce` with first-element
+    * initial accumulator ≡ Spark `aggregate(slice(s,2,…), s[1], …)`),
+    * the same "   " sentinel guarding pair exhaustion, and the same
+    * (count desc, pair asc) argmax total order. */
+  private val bpeCtes: String = {
+    val iters = (1 to graft.llm.Bpe.MergeCount).map { k =>
+      val p = k - 1
+      s"""bpe_p$k as (
+         |  select pair, cast(sum(freq) as bigint) as cnt from (
+         |    select freq, unnest(case when len(s) >= 2
+         |      then list_transform(generate_series(1, len(s) - 1),
+         |             i -> s[i] || ' ' || s[i+1])
+         |      else [] end) as pair
+         |    from (select freq, string_split(syms, ' ') as s from bpe_w$p) t
+         |  ) t group by 1
+         |),
+         |bpe_t$k as (
+         |  select split_part(pair, ' ', 1) as a, split_part(pair, ' ', 2) as b, cnt
+         |  from (select * from bpe_p$k
+         |        union all select '   ', cast(-1 as bigint))
+         |  order by cnt desc, pair asc limit 1
+         |),
+         |bpe_w$k as (
+         |  select word, freq,
+         |    list_reduce(string_split(syms, ' '),
+         |      (acc, x) -> case when (acc = a or ends_with(acc, ' ' || a)) and x = b
+         |                  then acc || x else acc || ' ' || x end) as syms
+         |  from bpe_w$p cross join bpe_t$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""bpe_wf as (
+       |  select word, cast(count(*) as bigint) as freq from (
+       |    select unnest(w) as word from doc_words
+       |  ) t group by 1
+       |),
+       |bpe_w0 as (
+       |  select word, freq,
+       |    array_to_string(list_transform(generate_series(1, length(word)),
+       |      i -> word[i]), ' ') as syms
+       |  from bpe_wf
+       |),
+       |$iters""".stripMargin
+  }
+
+  val bpeMergesQ: String = {
+    val rows = (1 to graft.llm.Bpe.MergeCount).map { k =>
+      s"select $k as merge_rank, a as left_sym, b as right_sym, a || b as merged, " +
+        s"cnt as pair_freq from bpe_t$k where cnt >= 0"
+    }.mkString("\nunion all\n")
+    s"with $textCtes,\n$bpeCtes\n$rows"
+  }
+
+  val bpeSegmentationQ: String =
+    s"""with $textCtes,
+       |$bpeCtes
+       |select word, freq, cast(len(string_split(syms, ' ')) as bigint) as n_pieces,
+       |  syms as pieces
+       |from bpe_w${graft.llm.Bpe.MergeCount}""".stripMargin
+
   /** Mirror TextStats.vocabCoverage: the same (count desc, term asc)
     * deterministic top-K vocabulary cut, the same left-join OOV count,
     * one double division at the boundary. */

@@ -66,4 +66,17 @@ class SketchesSpec extends SparkSpec {
       assert(r.getLong(2) === 50L)
     }
   }
+
+  test("merged per-partition sketches equal the directly-built global sketch") {
+    // 4 partitions with overlapping key ranges: merge must dedup across
+    // partitions exactly like one global sketch would.
+    val df = (1 to 4).flatMap(p => (p * 100 until p * 100 + 300)
+      .map(k => (s"part$p", s"k$k"))).toDF("part", "key")
+    val merged = Sketches.hllMergedDistinct(df, "part", col("key")).collect()(0)
+    val direct = Sketches
+      .hllDistinct(df.withColumn("g", lit("all")), Seq("g"), col("key")).collect()(0)
+    assert(merged.getLong(0) === 4L)                       // n_sketches
+    assert(merged.getLong(1) === direct.getLong(1))        // n_exact
+    assert(merged.getDouble(2) === direct.getDouble(2))    // bit-equal estimate
+  }
 }
