@@ -345,15 +345,23 @@ object Models {
     * salted-hash shard assignment of sequences). */
   def trainingShards(s: SparkSession, d: String): DataFrame =
     llm.Packing.shardStats(trainingCorpus(s, d))
+  /** One BPE training per (session, dataset): Bpe.train eagerly
+    * checkpoints each round, so the cached tuple holds materialized
+    * plans both Mat builds below reuse — the K-round pipeline runs
+    * once even though it feeds two tables. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+  private def bpeTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeCache.computeIfAbsent((s.sparkContext.applicationId, d),
+      _ => llm.Bpe.train(Tables.documents(s, d)))
   /** Learned BPE merge table (the trained tokenizer vocabulary) —
-    * Mat'd: the K-round training pipeline executes once per session.
-    * Distinct-word-frequency-bounded, so training cost is vocabulary-
+    * distinct-word-frequency-bounded, so training cost is vocabulary-
     * sized after the first corpus pass (llm.Bpe). */
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "bpe_merges")(llm.Bpe.train(Tables.documents(s, d))._1)
+    Mat.table(s, d, "bpe_merges")(bpeTrained(s, d)._1)
   /** Every distinct corpus word segmented under the final merge table. */
   def bpeSegmentation(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "bpe_segmentation")(llm.Bpe.train(Tables.documents(s, d))._2)
+    Mat.table(s, d, "bpe_segmentation")(bpeTrained(s, d)._2)
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles
@@ -372,6 +380,16 @@ object Models {
     * (entity resolution; blocked semantics mirrored by the oracle). */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame =
     operators.Fuzzy.nearestNameMatch(stgProducts(s, d), "product_name")
+  /** Transitive entity resolution: fuzzy-match edges closed into
+    * catalog entity groups through the SAME connected-components
+    * operator as the dedup families (labels propagate the
+    * lexicographic-minimum name = the canonical form). */
+  def nameMatchClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    llm.Clusters.connectedComponents(
+        operators.Fuzzy.similarPairs(stgProducts(s, d), "product_name"))
+      .select(col("doc_id").as("name"), col("cluster_id"), col("cluster_size"))
+  }
   /** Bigram-LM surprisal quality score (conditional twin of
     * [[docSurprisal]]). */
   def bigramSurprisal(s: SparkSession, d: String): DataFrame =
@@ -446,7 +464,9 @@ object Models {
       "kmeans_centroids" -> (kmeansCentroids _),
       "pq_codebooks" -> (pqCodebooks _),
       "embedding_dedup_clusters" -> (embeddingDedupClusters _),
-      "substring_dedup" -> (substringDedup _))
+      "substring_dedup" -> (substringDedup _),
+      "bpe_merges" -> (bpeMerges _),
+      "bpe_segmentation" -> (bpeSegmentation _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -154,6 +154,8 @@ object SparkEntry {
     "corpus_datasheet" -> out(Models.corpusDatasheet),
     // blocked edit-distance entity resolution over the product catalog
     "fuzzy_name_match" -> out(Models.fuzzyNameMatch),
+    // fuzzy edges closed transitively into catalog entity groups
+    "name_match_clusters" -> out(Models.nameMatchClusters),
     // bigram-LM surprisal (conditional quality signal; word ORDER)
     "bigram_surprisal" -> out(Models.bigramSurprisal),
     // per-doc OOV rate vs the deterministic top-K corpus vocabulary
@@ -266,6 +268,7 @@ object SparkEntry {
     "training_shards" -> LlmSql.trainingShardsQ,
     "corpus_datasheet" -> LlmSql.corpusDatasheetQ,
     "fuzzy_name_match" -> OpsSql.fuzzyNameMatchQ,
+    "name_match_clusters" -> LlmSql.nameMatchClustersQ,
     "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
     "vocab_coverage" -> LlmSql.vocabCoverageQ,
     "dq_summary" -> Sql.dqSummaryQ,

@@ -41,16 +41,26 @@ object Fuzzy {
   /** Block key: the last whitespace-delimited token of the name. */
   def blockKey(name: Column): Column = regexp_extract(name, "(\\S+)$", 1)
 
-  /** Nearest-name match per distinct value of `nameCol` (see object
-    * doc). Output: (name, block, match_name, distance). */
-  def nearestNameMatch(df: DataFrame, nameCol: String,
-                       cap: Int = BlockCap): DataFrame = {
+  /** Edit-distance threshold under which two names are "the same
+    * entity" for [[graft.llm.Clusters]]-based resolution. */
+  val ClusterMaxDist = 4
+
+  /** Distinct names with their block keys, blocks outside [2, cap]
+    * dropped (see object doc). */
+  private def cappedNames(df: DataFrame, nameCol: String, cap: Int): DataFrame = {
     val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull)
       .distinct()
       .withColumn("block", blockKey(col("name")))
     val ok = names.groupBy("block").agg(count(lit(1)).as("n"))
       .filter(col("n") <= cap && col("n") >= 2).select("block")
-    val capped = names.join(ok, Seq("block"), "left_semi")
+    names.join(ok, Seq("block"), "left_semi")
+  }
+
+  /** Nearest-name match per distinct value of `nameCol` (see object
+    * doc). Output: (name, block, match_name, distance). */
+  def nearestNameMatch(df: DataFrame, nameCol: String,
+                       cap: Int = BlockCap): DataFrame = {
+    val capped = cappedNames(df, nameCol, cap)
     val a = capped.as("a"); val b = capped.as("b")
     val pairs = a.join(b,
         col("a.block") === col("b.block") && col("a.name") =!= col("b.name"))
@@ -63,5 +73,21 @@ object Fuzzy {
         Window.partitionBy("name").orderBy(col("distance").asc, col("match_name").asc)))
       .filter(col("rn") === 1)
       .select("name", "block", "match_name", "distance")
+  }
+
+  /** Undirected similar-name edges (name_a < name_b, same block,
+    * levenshtein ≤ maxDist) — the input to transitive entity
+    * resolution via [[graft.llm.Clusters.connectedComponents]] (the
+    * same min-label machinery works on strings: labels propagate the
+    * lexicographic minimum name, which becomes the cluster's canonical
+    * form). */
+  def similarPairs(df: DataFrame, nameCol: String,
+                   maxDist: Int = ClusterMaxDist,
+                   cap: Int = BlockCap): DataFrame = {
+    val capped = cappedNames(df, nameCol, cap)
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= maxDist)
+      .select(col("a.name").as("doc_a"), col("b.name").as("doc_b"))
   }
 }

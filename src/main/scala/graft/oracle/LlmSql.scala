@@ -984,6 +984,36 @@ object LlmSql {
        |from r where rn <= $WeightedK""".stripMargin
   }
 
+  /** Mirror Models.nameMatchClusters: the blocked levenshtein edges
+    * (same chain as OpsSql.fuzzyNameMatchQ) closed through the SAME
+    * unrolled connected-components rounds — min-label over VARCHAR is
+    * the lexicographic minimum on both engines (ASCII names, binary
+    * collation). */
+  val nameMatchClustersQ: String = {
+    import graft.operators.Fuzzy.{BlockCap, ClusterMaxDist}
+    val edges =
+      s"""  select doc_a, doc_b from (
+         |    with fz_names as (
+         |      select distinct p_name as name from part where p_name is not null
+         |    ),
+         |    fz_blocked as (
+         |      select name, regexp_extract(name, '(\\S+)$$', 1) as block from fz_names
+         |    ),
+         |    fz_ok as (
+         |      select block from fz_blocked group by 1
+         |      having count(*) <= $BlockCap and count(*) >= 2
+         |    ),
+         |    fz_capped as (select b.* from fz_blocked b join fz_ok using (block))
+         |    select a.name as doc_a, b.name as doc_b
+         |    from fz_capped a join fz_capped b
+         |      on a.block = b.block and a.name < b.name
+         |    where levenshtein(a.name, b.name) <= $ClusterMaxDist
+         |  ) t""".stripMargin
+    s"""select doc_id as name, cluster_id, cluster_size from (
+       |${ccOverEdges(edges)}
+       |) t""".stripMargin
+  }
+
   /** Mirror Relevance.bigramSurprisal: the same "prev cur" bigram key
     * (words are \s+-split, so split_part on the single space recovers
     * the context exactly as Spark's substring_index does), the same

@@ -47,6 +47,17 @@ class FuzzySpec extends SparkSpec {
     assert(m("ab x") === "aa x")
   }
 
+  test("similar pairs close transitively into entity clusters") {
+    // chain: "aaaa x" ~ "aaab x" ~ "aabb x" (each 1 edit apart), while
+    // "zzzz x" is isolated; cluster id is the lexicographic-min name.
+    val names = Seq("aaaa x", "aaab x", "aabb x", "zzzz x").toDF("name")
+    val edges = graft.operators.Fuzzy.similarPairs(names, "name", maxDist = 1)
+    val clusters = graft.llm.Clusters.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(clusters.keySet === Set("aaaa x", "aaab x", "aabb x"))
+    assert(clusters.values.toSet === Set(("aaaa x", 3L)))
+  }
+
   test("matches the unblocked argmin when every name shares one block") {
     val names = Seq("kitten z", "sitting z", "mitten z", "bitten z").toDF("name")
     val out = Fuzzy.nearestNameMatch(names, "name").collect()
