@@ -315,6 +315,8 @@ object Models {
     streaming.Streams.ingestDedupOnce(s, d)
   def streamAttribution(s: SparkSession, d: String): DataFrame =
     streaming.Streams.clickAttributionOnce(s, d)
+  def streamAttributionOuter(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.clickAttributionOuterOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =
@@ -362,6 +364,10 @@ object Models {
   /** Every distinct corpus word segmented under the final merge table. */
   def bpeSegmentation(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "bpe_segmentation")(bpeTrained(s, d)._2)
+  /** The tokenizer APPLIED: per-doc true BPE token counts through the
+    * Mat'd (broadcastable) segmentation table. */
+  def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
+    llm.Bpe.tokenCounts(Tables.documents(s, d), bpeSegmentation(s, d))
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

@@ -118,6 +118,8 @@ object SparkEntry {
     "stream_dedup" -> out(Models.streamDedup),
     // stream-stream interval join (click→purchase attribution)
     "stream_attribution" -> out(Models.streamAttribution),
+    // LEFT OUTER stream-stream join (watermark-gated null padding)
+    "stream_attribution_outer" -> out(Models.streamAttributionOuter),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -165,6 +167,8 @@ object SparkEntry {
     // distributed BPE training: learned merges + word segmentation
     "bpe_merges" -> out(Models.bpeMerges),
     "bpe_segmentation" -> out(Models.bpeSegmentation),
+    // the tokenizer applied: per-doc true BPE token counts
+    "bpe_token_counts" -> out(Models.bpeTokenCounts),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -247,6 +251,7 @@ object SparkEntry {
     "stream_segment_counts" -> graft.streaming.Streams.segmentCountsOracleSql,
     "stream_dedup" -> graft.streaming.Streams.ingestDedupOracleSql,
     "stream_attribution" -> graft.streaming.Streams.clickAttributionOracleSql,
+    "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,
@@ -274,6 +279,7 @@ object SparkEntry {
     "dq_summary" -> Sql.dqSummaryQ,
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,
+    "bpe_token_counts" -> LlmSql.bpeTokenCountsQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -1110,6 +1110,21 @@ object LlmSql {
        |  syms as pieces
        |from bpe_w${graft.llm.Bpe.MergeCount}""".stripMargin
 
+  /** Mirror Bpe.tokenCounts: per-occurrence join of corpus words to
+    * the final segmentation's piece counts. */
+  val bpeTokenCountsQ: String =
+    s"""with $textCtes,
+       |$bpeCtes,
+       |btc_words as (select doc_id, unnest(w) as word from doc_words),
+       |btc_seg as (
+       |  select word, cast(len(string_split(syms, ' ')) as bigint) as n_pieces
+       |  from bpe_w${graft.llm.Bpe.MergeCount}
+       |)
+       |select doc_id, cast(count(*) as bigint) as n_words,
+       |  cast(sum(n_pieces) as bigint) as n_bpe_tokens
+       |from btc_words join btc_seg using (word)
+       |group by 1""".stripMargin
+
   /** Mirror TextStats.vocabCoverage: the same (count desc, term asc)
     * deterministic top-K vocabulary cut, the same left-join OOV count,
     * one double division at the boundary. */

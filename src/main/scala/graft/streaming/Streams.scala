@@ -396,6 +396,86 @@ object Streams {
     spark.table(name)
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantics the inner
+    * join cannot give: every click is accounted for, null-padded when
+    * no purchase follows within the window. The hard part is WHEN an
+    * unmatched click may be emitted: only once the purchase-side
+    * watermark has passed the click's last possible match time
+    * (purchase_ts ≤ click_ts ⇒ that time is click_ts itself) — before
+    * that, a matching purchase could still arrive, so the row sits in
+    * the state store. Clicks newer than the final watermark therefore
+    * never emit an unmatched row in a bounded run; the oracle models
+    * exactly that boundary (the stream_sessions "never-closed last
+    * sessions" convention). State stays O(users × window) in both
+    * directions, as in the inner join. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") - expr(s"interval $AttributionWindow") &&
+          col("purchase_ts") <= col("click_ts"),
+        "leftOuter")
+      .select("click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value")
+  }
+
+  /** One-shot driver-verifiable run of the left-outer variant. */
+  def clickAttributionOuterOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(eventType: String): DataFrame =
+      spark.readStream
+        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("value"))
+    val name = "stream_attr_outer_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    withStreamPartitions(spark) {
+      val q = clickAttributionOuter(side("click"), side("purchase")).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
+  /** Oracle for the left-outer one-shot: the inner rows, plus
+    * null-padded clicks with no in-window purchase whose last possible
+    * match time (click_ts) precedes the FINAL global watermark
+    * (min of both sides' max event time, minus the 1-hour delay —
+    * Spark's default `min` multiple-watermark policy). */
+  val clickAttributionOuterOracleSql: String =
+    s"""with wm as (
+       |  select least(
+       |    (select max(ts) from events where event_type = 'click'),
+       |    (select max(ts) from events where event_type = 'purchase'))
+       |    - interval '1 hour' as w
+       |)
+       |select c.event_id as click_id, c.user_id, c.ts as click_ts,
+       |  p.event_id as purchase_id, p.ts as purchase_ts, p.value as purchase_value
+       |from events c join events p
+       |  on c.user_id = p.user_id
+       | and c.event_type = 'click' and p.event_type = 'purchase'
+       | and p.ts >= c.ts - interval '$AttributionWindow' and p.ts <= c.ts
+       |union all
+       |select c.event_id, c.user_id, c.ts,
+       |  cast(null as bigint), cast(null as timestamp), cast(null as double)
+       |from events c cross join wm
+       |where c.event_type = 'click' and c.ts < wm.w
+       |  and not exists (
+       |    select 1 from events p
+       |    where p.event_type = 'purchase' and p.user_id = c.user_id
+       |      and p.ts >= c.ts - interval '$AttributionWindow' and p.ts <= c.ts)""".stripMargin
+
   /** DuckDB oracle for the one-shot attribution join (window derived
     * from the SAME constant as the Spark join — the oracle-layer
     * convention). */

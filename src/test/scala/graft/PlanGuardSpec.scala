@@ -30,13 +30,15 @@ class PlanGuardSpec extends SparkSpec {
     // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
     "hist_quantiles",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
-    "event_funnel")
+    "event_funnel",
+    // ONE exact-counts row × ONE merged-estimate row
+    "hll_merged_users")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
-    "stream_dedup", "stream_attribution")
+    "stream_dedup", "stream_attribution", "stream_attribution_outer")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
     * whose row count is bounded by the schema, not the data — 25
