@@ -303,8 +303,14 @@ object Models {
   }
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
+  /** Mat'd: read by its own query AND the curriculum binning. */
   def docSurprisal(s: SparkSession, d: String): DataFrame =
-    llm.Relevance.unigramSurprisal(Tables.documents(s, d))
+    Mat.table(s, d, "doc_surprisal")(
+      llm.Relevance.unigramSurprisal(Tables.documents(s, d)))
+  /** Difficulty quartile per document via the histogram-quantile
+    * sketch over the Mat'd surprisal (curriculum learning order). */
+  def curriculumBins(s: SparkSession, d: String): DataFrame =
+    llm.Curriculum.bins(docSurprisal(s, d))
   def streamWindowedCounts(s: SparkSession, d: String): DataFrame =
     streaming.Streams.windowedEventCountsOnce(s, d)
   def streamSessions(s: SparkSession, d: String): DataFrame =

@@ -103,6 +103,8 @@ object SparkEntry {
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
+    // difficulty quartile per doc (curriculum order, sketch thresholds)
+    "curriculum_bins" -> out(Models.curriculumBins),
     "event_props_stats" -> out(Models.eventPropsStats),
     "session_window_agg" -> out(Models.sessionWindowAgg),
     // streaming surface: the windowed aggregation run through the real
@@ -244,6 +246,7 @@ object SparkEntry {
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
+    "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,
     "session_window_agg" -> OpsSql.sessionWindowAggQ,
     "stream_windowed_counts" -> graft.streaming.Streams.windowedCountsOracleSql,

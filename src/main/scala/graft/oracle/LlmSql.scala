@@ -780,6 +780,63 @@ object LlmSql {
        |    / cast(cast(sum(tf) as bigint) as double) as avg_nll
        |from us_nll group by 1""".stripMargin
 
+  /** Mirror Models.curriculumBins: the unigram-surprisal oracle as a
+    * derived table, the SAME equi-width histogram-quantile machinery
+    * as OpsSql.histQuantilesQ (generated from the same HistBins
+    * constant, every literal cast to double), quartile thresholds
+    * pivoted to one row, the same `<=`-lower-band assignment. */
+  val curriculumBinsQ: String = {
+    import graft.operators.Sketches.HistBins
+    import graft.llm.Curriculum.Quartiles
+    val lastBin = HistBins - 1
+    val qVals = Quartiles.map(q => s"(cast($q as double))").mkString(", ")
+    val thCols = Seq("t25", "t50", "t75").zip(Quartiles).map { case (n, q) =>
+      s"max(case when q = cast($q as double) then est end) as $n"
+    }.mkString(", ")
+    s"""with cb_surp as (
+       |  select doc_id, avg_nll from ($unigramSurprisalQ) t
+       |),
+       |cb_stats as (
+       |  select min(avg_nll) as vmin, max(avg_nll) as vmax, count(avg_nll) as n
+       |  from cb_surp
+       |),
+       |cb_st as (select *, (vmax - vmin) / cast($HistBins as double) as width from cb_stats),
+       |cb_b as (
+       |  select s.avg_nll,
+       |    case when width = 0 then 0
+       |      else least($lastBin, cast(floor((avg_nll - vmin) / width) as bigint))
+       |    end as bin
+       |  from cb_surp s cross join cb_st
+       |),
+       |cb_bins as (select bin, count(*) as cnt from cb_b group by 1),
+       |cb_cum as (
+       |  select bin, cnt, sum(cnt) over (order by bin) as cum from cb_bins
+       |),
+       |cb_q(q) as (values $qVals),
+       |cb_j as (
+       |  select q, st.n, st.vmin, st.width, c.bin, c.cnt,
+       |    cast(c.cum - c.cnt as bigint) as cum_before,
+       |    greatest(1, cast(ceil(q * cast(st.n as double)) as bigint)) as target
+       |  from cb_cum c cross join cb_st st cross join cb_q
+       |),
+       |cb_est as (
+       |  select q,
+       |    case when width = 0 then vmin
+       |      else vmin + width * (cast(bin as double)
+       |        + cast(target - cum_before as double) / cast(cnt as double))
+       |    end as est
+       |  from cb_j
+       |  where cum_before < target and cum_before + cnt >= target
+       |),
+       |cb_th as (select $thCols from cb_est)
+       |select s.doc_id, s.avg_nll,
+       |  case when s.avg_nll <= t25 then 'easy'
+       |       when s.avg_nll <= t50 then 'medium'
+       |       when s.avg_nll <= t75 then 'hard'
+       |       else 'expert' end as band
+       |from cb_surp s cross join cb_th""".stripMargin
+  }
+
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
   val datasetSplitsQ: String = {

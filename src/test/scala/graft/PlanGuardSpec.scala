@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkSpec {
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
     // ONE exact-counts row × ONE merged-estimate row
-    "hll_merged_users")
+    "hll_merged_users",
+    // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
+    "curriculum_bins")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */
