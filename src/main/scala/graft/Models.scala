@@ -292,6 +292,14 @@ object Models {
     * distinct-user estimate (sketch mergeability, oracle-gated). */
   def hllMergedUsers(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.hllMergedUsers(Tables.events(s, d))
+  /** The persisted daily register table (the sketch mart). */
+  private def hllDayRegisters(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hll_day_registers")(
+      marts.EventMarts.hllDayRegisters(Tables.events(s, d)))
+  /** Date-range distinct users by merging the STORED daily sketches —
+    * the estimate path never rescans events. */
+  def hllRangeUsers(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hllRangeUsers(Tables.events(s, d), hllDayRegisters(s, d))
   def valuePercentiles(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.valuePercentiles(Tables.events(s, d))
   def eventFunnel(s: SparkSession, d: String): DataFrame =
@@ -398,9 +406,13 @@ object Models {
     * lexicographic-minimum name = the canonical form). */
   def nameMatchClusters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    llm.Clusters.connectedComponents(
-        operators.Fuzzy.similarPairs(stgProducts(s, d), "product_name"))
-      .select(col("doc_id").as("name"), col("cluster_id"), col("cluster_size"))
+    // Mat'd like dedup_clusters: the 8 eagerly-checkpointed propagation
+    // rounds are all fixed per-round job cost (4.2 s warm un-Mat'd in
+    // the r6 bench) — behind the barrier they run once per session.
+    Mat.table(s, d, "name_match_clusters")(
+      llm.Clusters.connectedComponents(
+          operators.Fuzzy.similarPairs(stgProducts(s, d), "product_name"))
+        .select(col("doc_id").as("name"), col("cluster_id"), col("cluster_size")))
   }
   /** Bigram-LM surprisal quality score (conditional twin of
     * [[docSurprisal]]). */

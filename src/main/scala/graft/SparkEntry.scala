@@ -99,6 +99,8 @@ object SparkEntry {
     "hll_user_counts" -> out(Models.hllUserCounts),
     // per-partition sketches merged register-wise (mergeability gate)
     "hll_merged_users" -> out(Models.hllMergedUsers),
+    // date-range distinct via the persisted daily sketch mart
+    "hll_range_users" -> out(Models.hllRangeUsers),
     "value_percentiles" -> out(Models.valuePercentiles),
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
     // unigram LM surprisal quality score (quantized-ln determinism)
@@ -243,6 +245,7 @@ object SparkEntry {
     "value_band_stats" -> OpsSql.valueBandStatsQ,
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
     "hll_merged_users" -> OpsSql.hllMergedUsersQ,
+    "hll_range_users" -> OpsSql.hllRangeUsersQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,

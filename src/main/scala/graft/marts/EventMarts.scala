@@ -61,6 +61,36 @@ object EventMarts {
     Sketches.hllMergedDistinct(events, "event_type",
       concat(lit("hll|"), col("user_id").cast("string")))
 
+  /** Two-week window for the range-distinct demo (the events table
+    * spans January 2024). */
+  val HllRangeStart = "2024-01-08"
+  val HllRangeEnd = "2024-01-21"
+
+  private def hllKey = concat(lit("hll|"), col("user_id").cast("string"))
+
+  /** The PERSISTED daily sketch table: ≤ m register rows per day —
+    * built once per ingest day in production, here a Mat barrier. */
+  def hllDayRegisters(events: DataFrame): DataFrame =
+    Sketches.hllRegisters(events, to_date(col("ts")), "day", hllKey)
+
+  /** Incremental range-distinct: distinct users over
+    * [[HllRangeStart]]..[[HllRangeEnd]] by merging the STORED daily
+    * registers — the estimate path reads ≤ days × m register rows and
+    * never rescans events (THE production pattern for "uniques over an
+    * arbitrary date range"). The exact count rides along for error
+    * accounting, and the oracle builds the range sketch directly from
+    * events — gating merged-registers ≡ direct-sketch once more, now
+    * across a time-partitioned store. */
+  def hllRangeUsers(events: DataFrame, dayRegisters: DataFrame): DataFrame = {
+    val sel = dayRegisters.filter(col("day").between(HllRangeStart, HllRangeEnd))
+    val merged = sel.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj"))
+    val exact = events.filter(to_date(col("ts")).between(HllRangeStart, HllRangeEnd))
+      .agg(countDistinct(hllKey).as("n_exact"))
+    sel.agg(countDistinct(col("day")).as("n_days"))
+      .crossJoin(exact)
+      .crossJoin(Sketches.hllEstimateFromRegisters(merged))
+  }
+
   /** Stratum → keep-percentage for the stratified-sample demo:
     * downsample the high-volume interaction types, keep signups. */
   val SampleFractions: Seq[(String, Int)] = Seq(

@@ -91,19 +91,26 @@ object Sketches {
     *
     * Output: one row (n_sketches, n_exact, hll_estimate); the exact
     * global distinct rides along for error accounting. */
-  def hllMergedDistinct(df: DataFrame, partCol: String, keyExpr: Column): DataFrame = {
+  /** The stored-sketch table: one (part, register, max-rho) row per
+    * partition value — what a production pipeline PERSISTS per batch /
+    * day / ingest so later distinct-count queries never rescan raw
+    * events. ≤ m rows per partition value. */
+  def hllRegisters(df: DataFrame, partExpr: Column, partName: String,
+                   keyExpr: Column): DataFrame = {
     val h = graft.llm.Dedup.hex60(keyExpr)
-    val regs = df.select(col(partCol).as("__part"),
+    df.select(partExpr.as(partName),
         pmod(h, lit(HllM.toLong)).as("__reg"), shiftright(h, HllP).as("__w"))
       .withColumn("__rho",
         when(col("__w") === 0, lit(HllW + 1))
           .otherwise(lit(HllW + 1) - length(bin(col("__w")))))
-    // the per-partition sketches (≤ m rows each — what a production
-    // pipeline would PERSIST per batch)...
-    val perPart = regs.groupBy(col("__part"), col("__reg"))
+      .groupBy(col(partName), col("__reg"))
       .agg(max(col("__rho")).as("__mj"))
-    // ...and the merge: register-wise max across sketches.
-    val merged = perPart.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj"))
+  }
+
+  /** One-row estimate from a merged `(__reg, __mj)` register table —
+    * the standard HLL estimator with the quantized-ln linear-counting
+    * branch (see object doc). */
+  def hllEstimateFromRegisters(merged: DataFrame): DataFrame = {
     val summed = merged.agg(
       sum(expr(s"shiftleft(1L, ${HllW + 1} - __mj)")).as("__ssum"),
       count(lit(1)).as("__nreg"))
@@ -112,15 +119,22 @@ object Sketches {
       (col("__ssum") + zeros * lit(1L << (HllW + 1))).cast("double")
     val linEst = (log(lit(HllM.toDouble) / zeros.cast("double")) * lit(HllM.toDouble))
       .cast(DecimalType(18, 9)).cast("double")
-    val est = summed
+    summed
       .withColumn("__raw", rawEst)
       .withColumn("hll_estimate",
         when(zeros > 0 && col("__raw") <= lit(2.5 * HllM), linEst)
           .otherwise(col("__raw")))
       .select(col("hll_estimate"))
+  }
+
+  def hllMergedDistinct(df: DataFrame, partCol: String, keyExpr: Column): DataFrame = {
+    // the per-partition sketches (≤ m rows each)...
+    val perPart = hllRegisters(df, col(partCol), "__part", keyExpr)
+    // ...and the merge: register-wise max across sketches.
+    val merged = perPart.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj"))
     df.agg(countDistinct(col(partCol)).as("n_sketches"),
         countDistinct(keyExpr).as("n_exact"))
-      .crossJoin(est)
+      .crossJoin(hllEstimateFromRegisters(merged))
   }
 
   // ---- Count-Min Sketch (Cormode & Muthukrishnan) ----

@@ -338,6 +338,53 @@ object OpsSql {
        |from ex cross join est""".stripMargin
   }
 
+  /** Mirror EventMarts.hllRangeUsers: merging the stored daily
+    * registers over a day range ≡ the directly-built sketch over the
+    * range-filtered events (max associativity again) — the oracle
+    * builds the direct range sketch. */
+  val hllRangeUsersQ: String = {
+    import Sketches.{HllM, HllP, HllW, HllAlpha}
+    import graft.marts.EventMarts.{HllRangeStart, HllRangeEnd}
+    val w1 = HllW + 1
+    val range = s"cast(ts as date) between DATE '$HllRangeStart' and DATE '$HllRangeEnd'"
+    s"""with h as (
+       |  select cast(('0x' || substr(md5('hll|' || cast(user_id as varchar)),1,15)) as bigint) as h
+       |  from events where $range
+       |),
+       |r as (select h % $HllM as reg, h >> $HllP as w from h),
+       |rr as (
+       |  select reg, case when w = 0 then $w1 else $w1 - length(bin(w)) end as rho
+       |  from r
+       |),
+       |mj as (select reg, max(rho) as m_j from rr group by 1),
+       |s as (
+       |  select sum(cast(1 as bigint) << ($w1 - m_j)) as ssum, count(*) as nreg
+       |  from mj
+       |),
+       |e as (
+       |  select cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as scaled,
+       |    $HllM - nreg as zeros
+       |  from s
+       |),
+       |est as (
+       |  select zeros,
+       |    ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |      / scaled as raw
+       |  from e
+       |),
+       |ex as (
+       |  select count(distinct cast(ts as date)) as n_days,
+       |    count(distinct 'hll|' || cast(user_id as varchar)) as n_exact
+       |  from events where $range
+       |)
+       |select ex.n_days, ex.n_exact,
+       |  case when zeros > 0 and raw <= ${2.5 * HllM}
+       |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+       |           as decimal(18,9)) as double)
+       |    else raw end as hll_estimate
+       |from ex cross join est""".stripMargin
+  }
+
   /** Mirror EventMarts.bloomPrunedStats: the Bloom-pruned exact join
     * is row-equal to the plain equi-join by construction (no false
     * negatives; the exact join removes false positives) — the oracle

@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
     // ONE exact-counts row × ONE merged-estimate row
     "hll_merged_users",
     // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
-    "curriculum_bins")
+    "curriculum_bins",
+    // ONE day-count row × ONE exact row × ONE estimate row
+    "hll_range_users")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */

@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   */
 class PropertySpec extends SparkSpec {
 
-  private def check(name: String, p: Prop): Unit = {
+  private def check(name: String, p: Prop, cases: Int = 20): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default
-        .withMinSuccessfulTests(20)
+        .withMinSuccessfulTests(cases)
         .withInitialSeed(org.scalacheck.rng.Seed(0xC0FFEE)), p)
     assert(res.passed, s"$name: $res")
   }
@@ -34,6 +34,44 @@ class PropertySpec extends SparkSpec {
             lit(0.0), (acc, x) => greatest(acc, x)).as("err"))
         .filter(col("err") > col("s") / lit(254.0) * lit(1.0000001)).count()
       bad == 0L
+    })
+  }
+
+  test("BPE segmentation always rebuilds the word; merges shrink total pieces") {
+    import spark.implicits._
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    check("bpe roundtrip", Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+      val (merges, seg) = llm.Bpe.train(docs)
+      val rows = seg.collect()
+      val rebuilds = rows.forall(r => r.getString(3).replace(" ", "") == r.getString(0))
+      // n_pieces never exceeds word length, and equals it only when no
+      // merge touched the word
+      val bounded = rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getString(0).length)
+      // merge ranks are dense from 1 (sentinel rounds only ever at the tail)
+      val ranks = merges.select("merge_rank").as[Int].collect().sorted.toSeq
+      rebuilds && bounded && ranks == (1 to ranks.length)
+    }, cases = 6) // 6 corpora × MergeCount training rounds each
+  }
+
+  test("fuzzy nearest match equals the in-block DP-levenshtein argmin") {
+    import spark.implicits._
+    // two-token names over a small alphabet → multi-member blocks
+    val tok = Gen.nonEmptyListOf(Gen.oneOf('x', 'y')).map(_.take(4).mkString)
+    val nameGen = Gen.zip(tok, Gen.oneOf("n1", "n2")).map { case (a, b) => s"$a $b" }
+    check("fuzzy argmin", Prop.forAll(Gen.nonEmptyListOf(nameGen)) { names =>
+      val df = names.toDF("name")
+      val out = operators.Fuzzy.nearestNameMatch(df, "name").collect()
+        .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+      val distinct = names.distinct
+      out.forall { case (n, m, d) =>
+        val block = distinct.filter(o => o != n &&
+          o.split(" ").last == n.split(" ").last)
+        val best = block.map(o => (StringUtilsLev.dist(n, o), o)).min
+        (d, m) == best
+      }
     })
   }
 

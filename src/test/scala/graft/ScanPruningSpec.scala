@@ -51,4 +51,24 @@ class ScanPruningSpec extends SparkSpec {
     val chunks = scanOf(Models.docChunks(spark, sf))
     assert(chunks.requiredSchema.fieldNames.toSet === Set("doc_id", "text"))
   }
+
+  test("round-6 text queries prune the documents scan to (doc_id, text)") {
+    // bigram surprisal and vocab coverage read only the text; a scan
+    // shipping lang/source/n_chars would be pure waste at corpus scale
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq(
+        llm.Relevance.bigramSurprisal(Tables.documents(spark, sf)),
+        llm.TextStats.vocabCoverage(Tables.documents(spark, sf)))
+        .flatMap(_.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec
+            if s.requiredSchema.fieldNames.contains("text") ||
+              s.requiredSchema.fieldNames.contains("doc_id") =>
+            s.requiredSchema.fieldNames.toSet
+        })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(scans.nonEmpty && scans.forall(_.subsetOf(Set("doc_id", "text"))),
+      scans.toString)
+  }
 }
