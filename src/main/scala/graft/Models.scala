@@ -158,6 +158,9 @@ object Models {
   }
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
+  /** Metadata-filtered vector search (predicate BEFORE the top-k). */
+  def annFilteredTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annFilteredTopK(Tables.embeddings(s, d))
   def annLshBuckets(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annLshBuckets(Tables.embeddings(s, d))
   def embeddingDedupPairs(s: SparkSession, d: String): DataFrame =

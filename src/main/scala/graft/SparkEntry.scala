@@ -64,6 +64,8 @@ object SparkEntry {
     "substring_dedup" -> out(Models.substringDedup),
     "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
+    // metadata-filtered vector search (filter BEFORE top-k)
+    "ann_filtered_topk" -> out(Models.annFilteredTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
@@ -219,6 +221,7 @@ object SparkEntry {
     "substring_dedup" -> LlmSql.substringDedupQ,
     "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
+    "ann_filtered_topk" -> LlmSql.annFilteredTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,

@@ -74,6 +74,43 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
   }
 
+  /** FILTERED vector search — top-k among corpus vectors satisfying a
+    * per-query METADATA predicate (here: same `label` as the query,
+    * the "similar items within the same category" shape). Filtered
+    * search is its own capability because the filter must apply
+    * BEFORE the top-k (post-filtering an unfiltered top-k under-fills
+    * results — the classic vector-store pitfall); here the predicate
+    * rides in the scored join, so candidates are pruned before the
+    * bounded-heap selection and each query's k results are always the
+    * true filtered top-k. Same broadcast-queries × corpus-scan shape
+    * as [[annCosineTopK]]. */
+  def annFilteredTopK(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val norms = embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val queries = embeddingsRaw
+      .select(col("vec_id"), col("label"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = norms.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
+          .as("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("cosine"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
+  }
+
   val LshBits = 16
 
   /** Signed hyperplane projection s_k = Σ_i sgn(k,i)·v[i] — native

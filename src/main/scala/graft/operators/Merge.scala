@@ -69,4 +69,34 @@ object Merge {
       graft.Mat.refresh(spark, sfDir, name)(kept.union(batch))
     }
   }
+
+  /** Row-level DELETE by key through the same versioned layout — the
+    * "right to be forgotten" maintenance path: publish a new version
+    * WITHOUT the given keys (one anti-join + write), leave every prior
+    * version's files untouched for in-flight readers, and let the
+    * retention prune age the pre-delete versions out (after which the
+    * deleted rows exist nowhere — the point of the request). The
+    * [[graft.operators.ChangeFeed]] between the two versions shows
+    * exactly the deleted rows as `delete` pre-images while both
+    * versions are retained. Returns the surviving mart as read back
+    * through the stable view. Maps to `DELETE FROM … WHERE key IN …`
+    * on a table-format classpath.
+    *
+    * Scale: one shuffled anti-join + O(table) write, like [[upsert]];
+    * the keys side is typically tiny (AQE broadcasts it). */
+  def deleteKeys(spark: SparkSession, sfDir: String, name: String,
+                 uniqueKey: String, keys: DataFrame): DataFrame = {
+    val lock = locks.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, name), _ => new Object)
+    lock.synchronized {
+      require(graft.Mat.currentVersion(spark, sfDir, name) > 0,
+        s"$name has no built version to delete from")
+      val current = graft.Mat.tableVersion(spark, sfDir, name,
+        graft.Mat.currentVersion(spark, sfDir, name))
+      val kept = current.join(
+        keys.select(col(uniqueKey)).na.drop().distinct(),
+        Seq(uniqueKey), "left_anti")
+      graft.Mat.refresh(spark, sfDir, name)(kept)
+    }
+  }
 }

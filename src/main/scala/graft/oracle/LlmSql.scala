@@ -225,6 +225,30 @@ object LlmSql {
 
   val annCosineTopKQ: String = s"with ${annCosineTopKOver("embeddings")}"
 
+  /** Mirror Similarity.annFilteredTopK: the asym search with the
+    * per-query label predicate applied BEFORE the top-k rank. */
+  val annFilteredTopKQ: String =
+    s"""with embf_norms as (
+       |  select vec_id, label, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |embf_ok as (select * from embf_norms where nrm > 0),
+       |annf_queries as (
+       |  select vec_id as query_id, label as q_label, embedding as q_emb, nrm as q_nrm
+       |  from embf_norms where nrm > 0 and vec_id < ${Similarity.NQueries}
+       |),
+       |annf_scored as (
+       |  select q.query_id, e.vec_id as neighbor_id,
+       |    ${dotSql("e.embedding", "q.q_emb")} / (sqrt(e.nrm) * sqrt(q.q_nrm)) as cosine
+       |  from embf_ok e cross join annf_queries q
+       |  where e.vec_id != q.query_id and e.label = q.q_label
+       |)
+       |select query_id, neighbor_id, rank, cosine from (
+       |  select *, row_number() over (
+       |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
+       |  from annf_scored
+       |) t where rank <= ${Similarity.TopK}""".stripMargin
+
   /** Mirror Quantize: max-abs scale, explicit half-up floor codes.
     * Shared CTE prefix for the quantization table and the dequantized
     * ANN oracle. */

@@ -31,6 +31,27 @@ class MergeSpec extends SparkSpec {
       .filter(col("tag") === "b").count() === 1)
   }
 
+  test("deleteKeys publishes a version without the keys; CDF shows the deletes") {
+    import spark.implicits._
+    Mat.table(spark, sf, "delete_spec")(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "tag"))
+    val v1 = Mat.currentVersion(spark, sf, "delete_spec")
+
+    val after = Merge.deleteKeys(spark, sf, "delete_spec", "id",
+      Seq(Some(2L), Some(4L), None).toDF("id")) // null key must be a no-op
+
+    assert(after.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // in-flight snapshot semantics: the pre-delete version still has them
+    assert(Mat.tableVersion(spark, sf, "delete_spec", v1).count() === 4)
+    // the change feed between the versions is exactly the two deletes
+    val feed = graft.operators.ChangeFeed.changes(spark, sf, "delete_spec",
+      "id", v1, v1 + 1)
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(deletes === Seq(2L, 4L))
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
+  }
+
   test("merge into an unbuilt mart and schema drift both fail fast") {
     import spark.implicits._
     assertThrows[IllegalArgumentException](

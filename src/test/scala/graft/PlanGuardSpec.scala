@@ -16,7 +16,7 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plan legitimately contains a broadcast nested loop:
     * one side is a bounded broadcast (≤ K rows / one stats row). */
   private val boundedCrossAllowed = Set(
-    "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+    "ann_cosine_topk", "ann_filtered_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     // these compose annCosineTopK's bounded broadcast query set
     "ann_sq8_topk", "ann_recall", "ann_recall_by_method", "ann_pq_topk", "ann_pq_adc_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
