@@ -62,7 +62,11 @@ class PlanGuardSpec extends SparkSpec {
     // fixed 1024-bucket domain regardless of corpus size
     // (GlobalIndexSpec asserts the corpus-scale window is the
     // partitioned one)
-    "epoch_shuffle")
+    "epoch_shuffle",
+    // histogram cum-count over ≤ HistBins rows: the constant "all"
+    // partition key is constant-folded away, leaving an empty
+    // partitionSpec over a schema-bounded 64-row table
+    "curriculum_bins")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
