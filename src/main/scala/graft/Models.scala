@@ -85,6 +85,8 @@ object Models {
     TimeMarts.quarterlyRevenuePivot(orders(s, d))
   def revenueCube(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueCube(orders(s, d))
+  def revenueGroupingSets(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueGroupingSets(orders(s, d))
   def dailyMovingStats(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyMovingStats(dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
@@ -385,6 +387,9 @@ object Models {
     * Mat'd (broadcastable) segmentation table. */
   def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
     llm.Bpe.tokenCounts(Tables.documents(s, d), bpeSegmentation(s, d))
+  /** The id-assigned piece vocabulary (serializer lookup table). */
+  def bpeVocabIds(s: SparkSession, d: String): DataFrame =
+    llm.Bpe.vocabIds(bpeSegmentation(s, d))
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

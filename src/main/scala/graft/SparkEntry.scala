@@ -47,6 +47,8 @@ object SparkEntry {
     "monthly_order_stats" -> out(Models.monthlyOrderStats),
     "quarterly_revenue_pivot" -> out(Models.quarterlyRevenuePivot),
     "revenue_cube" -> out(Models.revenueCube),
+    // explicit GROUPING SETS (the general form rollup/cube specialize)
+    "revenue_grouping_sets" -> out(Models.revenueGroupingSets),
     "daily_moving_stats" -> out(Models.dailyMovingStats),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
@@ -175,6 +177,8 @@ object SparkEntry {
     "bpe_segmentation" -> out(Models.bpeSegmentation),
     // the tokenizer applied: per-doc true BPE token counts
     "bpe_token_counts" -> out(Models.bpeTokenCounts),
+    // id-assigned piece vocabulary via the two-phase global rank
+    "bpe_vocab_ids" -> out(Models.bpeVocabIds),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -208,6 +212,7 @@ object SparkEntry {
     "monthly_order_stats" -> Sql.monthlyOrderStatsQ,
     "quarterly_revenue_pivot" -> Sql.quarterlyRevenuePivotQ,
     "revenue_cube" -> Sql.revenueCubeQ,
+    "revenue_grouping_sets" -> Sql.revenueGroupingSetsQ,
     "daily_moving_stats" -> Sql.dailyMovingStatsQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
@@ -289,6 +294,7 @@ object SparkEntry {
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,
     "bpe_token_counts" -> LlmSql.bpeTokenCountsQ,
+    "bpe_vocab_ids" -> LlmSql.bpeVocabIdsQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -128,6 +128,26 @@ object TimeMarts {
         count(col("order_id")).as("n_orders"),
         dec18(sum(col("order_total"))).as("revenue"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP and CUBE
+    * specialize: exactly the requested grain combinations ((month),
+    * (promo flag), ()) from ONE Expand + one shuffle, where cube would
+    * also compute the unrequested (month, promo) set. Same
+    * `grouping_id` bit convention as [[revenueRollup]]/[[revenueCube]]
+    * (bit set = column aggregated away). */
+  def revenueGroupingSets(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      date_trunc("month", col("ordered_at")).cast(org.apache.spark.sql.types.DateType)
+        .as("order_month"),
+      col("is_promo_order"), col("order_id"), col("order_total"))
+    base.groupingSets(
+        Seq(Seq(col("order_month")), Seq(col("is_promo_order")), Seq.empty),
+        col("order_month"), col("is_promo_order"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(col("order_id")).as("n_orders"),
+        graft.functions.Funcs.dec18(sum(col("order_total"))).as("revenue"))
+  }
+
   /** 7-day moving revenue window over the daily summary — the rows
     * frame (`6 preceding .. current`) moving aggregate, the one frame
     * shape the surface didn't cover. The window is UNPARTITIONED but

@@ -1191,6 +1191,23 @@ object LlmSql {
        |  syms as pieces
        |from bpe_w${graft.llm.Bpe.MergeCount}""".stripMargin
 
+  /** Mirror Bpe.vocabIds: piece occurrence totals from the final
+    * segmentation, dense ids in (count desc, piece asc) order — the
+    * two-phase globalRank is byte-identical to this global window. */
+  val bpeVocabIdsQ: String =
+    s"""with $textCtes,
+       |$bpeCtes,
+       |bpe_vocab as (
+       |  select piece, cast(sum(freq) as bigint) as n_occurrences from (
+       |    select freq, unnest(string_split(syms, ' ')) as piece
+       |    from bpe_w${graft.llm.Bpe.MergeCount}
+       |  ) t group by 1
+       |)
+       |select piece,
+       |  cast(row_number() over (order by n_occurrences desc, piece asc) as bigint) as piece_id,
+       |  n_occurrences
+       |from bpe_vocab""".stripMargin
+
   /** Mirror Bpe.tokenCounts: per-occurrence join of corpus words to
     * the final segmentation's piece counts. */
   val bpeTokenCountsQ: String =

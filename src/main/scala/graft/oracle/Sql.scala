@@ -775,6 +775,18 @@ object Sql {
        |from orders_mart
        |group by cube(1, 2)""".stripMargin
 
+  /** Mirror TimeMarts.revenueGroupingSets: the same explicit set list,
+    * the same grouping-bit convention, revenue presented as double. */
+  val revenueGroupingSetsQ: String =
+    s"""$coreCtes
+       |select cast(date_trunc('month', ordered_at) as date) as order_month,
+       |  is_promo_order,
+       |  cast(grouping(cast(date_trunc('month', ordered_at) as date), is_promo_order) as bigint) as gid,
+       |  count(order_id) as n_orders,
+       |  cast(cast(sum(order_total) as decimal(18,2)) as double) as revenue
+       |from orders_mart
+       |group by grouping sets ((1), (2), ())""".stripMargin
+
   /** Mirror of TimeMarts.dailyMovingStats: same rows frame over the
     * daily summary, decimal running sums, one double division. */
   val dailyMovingStatsQ: String =
