@@ -50,6 +50,8 @@ object SparkEntry {
     // explicit GROUPING SETS (the general form rollup/cube specialize)
     "revenue_grouping_sets" -> out(Models.revenueGroupingSets),
     "daily_moving_stats" -> out(Models.dailyMovingStats),
+    // trailing-window 2-sigma anomaly flags (exact-moment baseline)
+    "revenue_anomalies" -> out(Models.revenueAnomalies),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
@@ -167,7 +169,7 @@ object SparkEntry {
     // fuzzy edges closed transitively into catalog entity groups
     "name_match_clusters" -> out(Models.nameMatchClusters),
     // bigram-LM surprisal (conditional quality signal; word ORDER)
-    "bigram_surprisal" -> out(Models.bigramSurprisal),
+    "bigram_surprisal" -> out(Models.bigramSurprisalMat),
     // per-doc OOV rate vs the deterministic top-K corpus vocabulary
     "vocab_coverage" -> out(Models.vocabCoverage),
     // the reference's declarative test suite as one audit table
@@ -214,6 +216,7 @@ object SparkEntry {
     "revenue_cube" -> Sql.revenueCubeQ,
     "revenue_grouping_sets" -> Sql.revenueGroupingSetsQ,
     "daily_moving_stats" -> Sql.dailyMovingStatsQ,
+    "revenue_anomalies" -> Sql.revenueAnomaliesQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,

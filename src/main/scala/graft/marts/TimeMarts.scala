@@ -128,6 +128,48 @@ object TimeMarts {
         count(col("order_id")).as("n_orders"),
         dec18(sum(col("order_total"))).as("revenue"))
 
+  /** Trailing-window anomaly flags over daily revenue — the metric
+    * monitor every production pipeline runs on its daily rollups: a
+    * day is anomalous when its revenue deviates more than
+    * [[AnomalySigma]] sample standard deviations from the TRAILING
+    * [[AnomalyWindow]]-day baseline (current day excluded — a spike
+    * must not mask itself by inflating its own baseline; windows with
+    * fewer than [[AnomalyMinDays]] prior days emit no verdict).
+    *
+    * Determinism: the baseline moments are EXACT decimal window sums
+    * (Σx, Σx², n — partition-order independent), finished by the
+    * string-routed [[graft.functions.Funcs.stddevFromSums]] recipe;
+    * the 2σ comparison is identical IEEE arithmetic on both engines.
+    * The window is calendar-bounded (one row per day), the documented
+    * unpartitioned-window exception. */
+  val AnomalyWindow = 28
+  val AnomalyMinDays = 14
+  val AnomalySigma = 2.0
+
+  def revenueAnomalies(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(-AnomalyWindow, -1)
+    val rev = col("daily_revenue")
+    val base = daily.select(
+      col("order_date"), rev,
+      count(rev).over(w).as("n_base"),
+      sum(rev).over(w).as("sum_base"),
+      sum(rev * rev).over(w).as("sumsq_base"))
+    val mean = col("sum_base").cast("string").cast("double") /
+      col("n_base").cast("double")
+    val std = graft.functions.Funcs.stddevFromSums(
+      col("sum_base"), col("sumsq_base"), col("n_base"))
+    base.select(
+      col("order_date"),
+      rev.cast("double").as("daily_revenue"),
+      col("n_base"),
+      when(col("n_base") >= AnomalyMinDays, mean).as("baseline_mean"),
+      when(col("n_base") >= AnomalyMinDays, std).as("baseline_std"),
+      when(col("n_base") >= AnomalyMinDays && std.isNotNull,
+        abs(rev.cast("string").cast("double") - mean) > lit(AnomalySigma) * std)
+        .as("is_anomaly"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE
     * specialize: exactly the requested grain combinations ((month),
     * (promo flag), ()) from ONE Expand + one shuffle, where cube would

@@ -787,6 +787,42 @@ object Sql {
        |from orders_mart
        |group by grouping sets ((1), (2), ())""".stripMargin
 
+  /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
+    * moments (current row excluded), the string-routed stddevFromSums
+    * recipe, identical IEEE 2σ comparison. */
+  val revenueAnomaliesQ: String = {
+    import graft.marts.TimeMarts.{AnomalyWindow, AnomalyMinDays, AnomalySigma}
+    s"""$allCtes,
+       |anom_base as (
+       |  select order_date, daily_revenue,
+       |    count(daily_revenue) over w as n_base,
+       |    sum(daily_revenue) over w as sum_base,
+       |    sum(daily_revenue * daily_revenue) over w as sumsq_base
+       |  from daily_summary
+       |  window w as (order by order_date
+       |               rows between $AnomalyWindow preceding and 1 preceding)
+       |),
+       |anom_m as (
+       |  select *,
+       |    cast(cast(sum_base as varchar) as double) / cast(n_base as double) as mean,
+       |    case when n_base > 1 then sqrt(
+       |      (cast(cast(sumsq_base as varchar) as double)
+       |        - cast(cast(sum_base as varchar) as double)
+       |          * cast(cast(sum_base as varchar) as double) / cast(n_base as double))
+       |      / (cast(n_base as double) - 1.0)) end as std
+       |  from anom_base
+       |)
+       |select order_date,
+       |  cast(daily_revenue as double) as daily_revenue,
+       |  cast(n_base as bigint) as n_base,
+       |  case when n_base >= $AnomalyMinDays then mean end as baseline_mean,
+       |  case when n_base >= $AnomalyMinDays then std end as baseline_std,
+       |  case when n_base >= $AnomalyMinDays and std is not null
+       |    then abs(cast(cast(daily_revenue as varchar) as double) - mean)
+       |         > $AnomalySigma * std end as is_anomaly
+       |from anom_m""".stripMargin
+  }
+
   /** Mirror of TimeMarts.dailyMovingStats: same rows frame over the
     * daily summary, decimal running sums, one double division. */
   val dailyMovingStatsQ: String =

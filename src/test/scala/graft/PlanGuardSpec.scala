@@ -36,7 +36,12 @@ class PlanGuardSpec extends SparkSpec {
     // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
     "curriculum_bins",
     // ONE day-count row × ONE exact row × ONE estimate row
-    "hll_range_users")
+    "hll_range_users",
+    // Ranks.globalRank offset join: |shuffle partitions| count rows ×
+    // the same broadcast (bounded by cluster config, not data; the
+    // mart-reading rank queries hide it behind Mat — this one ranks
+    // live)
+    "bpe_vocab_ids")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. */
@@ -53,6 +58,7 @@ class PlanGuardSpec extends SparkSpec {
     * (RanksSpec asserts products/supplies do). */
   private val boundedGlobalWindowAllowed = Set(
     "daily_moving_stats", // one row per calendar day, fixed date range
+    "revenue_anomalies",  // same calendar-bounded daily grain
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
