@@ -98,6 +98,9 @@ object Models {
   def customerSegmentation(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "customer_segmentation")(
       SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d)))
+  /** k-anonymity release audit over the segmentation quasi-ids. */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    llm.Redaction.kAnonymityAudit(customerSegmentation(s, d))
 
   // ---- LLM-pipeline operators (documents / embeddings tables) ----
 

@@ -137,6 +137,8 @@ object SparkEntry {
     // decontamination, intra-doc repetition, mixture rebalancing, and
     // a deterministic Count-Min heavy-hitter sketch
     "pii_redaction" -> out(Models.piiRedaction),
+    // k-anonymity go/no-go audit over the segmentation quasi-ids
+    "k_anonymity_audit" -> out(Models.kAnonymityAudit),
     "decontamination" -> out(Models.decontamination),
     "doc_repetition" -> out(Models.docRepetition),
     "domain_mixture" -> out(Models.domainMixture),
@@ -272,6 +274,7 @@ object SparkEntry {
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,
+    "k_anonymity_audit" -> Sql.kAnonymityAuditQ,
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,

@@ -74,4 +74,29 @@ object Redaction {
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         col("n_ssn"), col("n_term"), col("redacted_text"))
   }
+
+  /** k-anonymity for the release audit (Sweeney): a row is
+    * re-identifiable when its QUASI-IDENTIFIER combination is shared
+    * by fewer than k records. */
+  val KAnonymity = 5
+
+  /** Quasi-identifier set audited over the segmentation mart — the
+    * externally-correlatable attributes, not the direct keys. */
+  val QuasiIds: Seq[String] =
+    Seq("customer_type", "frequency_quintile", "monetary_quintile")
+
+  /** One-row k-anonymity audit: group sizes over the quasi-identifier
+    * combination, counting groups (and rows) below k — the go/no-go
+    * check before releasing a "de-identified" table. Scale: one
+    * keyed aggregation + one scalar rollup; nothing is pairwise. */
+  def kAnonymityAudit(df: DataFrame,
+                      quasiIds: Seq[String] = QuasiIds,
+                      k: Int = KAnonymity): DataFrame =
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(
+        lit(k.toLong).as("k"),
+        count(lit(1)).as("n_groups"),
+        count(when(col("n") < k, lit(1))).as("n_risky_groups"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("n_risky_rows"),
+        min(col("n")).as("min_group_size"))
 }

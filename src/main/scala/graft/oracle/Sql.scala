@@ -844,6 +844,24 @@ object Sql {
   val timeAnalyticsQ = s"$allCtes select * from time_analytics"
   val customerSegmentationQ = s"$allCtes select * from customer_segmentation"
 
+  /** Mirror llm.Redaction.kAnonymityAudit over the segmentation mart:
+    * generated from the SAME quasi-id list and k. */
+  val kAnonymityAuditQ: String = {
+    import graft.llm.Redaction.{KAnonymity, QuasiIds}
+    val qids = QuasiIds.mkString(", ")
+    s"""$allCtes,
+       |ka_groups as (
+       |  select $qids, count(*) as n from customer_segmentation group by ${
+        QuasiIds.indices.map(_ + 1).mkString(", ")}
+       |)
+       |select cast($KAnonymity as bigint) as k,
+       |  cast(count(*) as bigint) as n_groups,
+       |  cast(count(case when n < $KAnonymity then 1 end) as bigint) as n_risky_groups,
+       |  cast(coalesce(sum(case when n < $KAnonymity then n end), 0) as bigint) as n_risky_rows,
+       |  cast(min(n) as bigint) as min_group_size
+       |from ka_groups""".stripMargin
+  }
+
   /** Mirror testing.DqSummary.summary: the same rule lists rendered to
     * DuckDB SQL over the oracle CTEs (marts carry `_mart` suffixes
     * where the plain name is taken by an intermediate CTE). */
