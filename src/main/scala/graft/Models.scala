@@ -111,6 +111,9 @@ object Models {
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
     llm.Dedup.exactDedup(Tables.documents(s, d))
+  /** Normalization-before-hash exact dedup (CCNet canonical form). */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.normalizedDedup(Tables.documents(s, d))
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "minhash_sigs")(llm.Dedup.minhashSignatures(docShingles(s, d)))
   /** Mat-materialized (VERDICT r3 "What's wrong" #2): read by its own
@@ -238,6 +241,12 @@ object Models {
     * sort). */
   def topDocsPerLang(s: SparkSession, d: String): DataFrame =
     llm.TextStats.topDocsPerLang(textStats(s, d))
+  /** Language-ID heuristic accuracy vs the labeled lang column. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.langConfusion(Tables.documents(s, d), textStats(s, d))
+  /** Near-dup pairs straddling split boundaries (eval leakage). */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    llm.Splits.leakageAudit(dedupClusters(s, d), datasetSplits(s, d))
   /** Transitive near-dup clusters over the union of MinHash+SimHash
     * pair edges — Mat'd: the 8-round propagation plan executes once,
     * then its own query AND the curation pipeline read the barrier. */

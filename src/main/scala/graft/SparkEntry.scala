@@ -57,6 +57,8 @@ object SparkEntry {
     "customer_segmentation" -> out(Models.customerSegmentation),
     // LLM-pipeline operators (documents / embeddings)
     "dedup_exact" -> out(Models.dedupExact),
+    // normalization-before-hash dedup (reformatted-copy catcher)
+    "dedup_normalized" -> out(Models.dedupNormalized),
     "minhash_signatures" -> out(Models.minhashSignatures),
     "minhash_pairs" -> out(Models.minhashPairs),
     "simhash_signatures" -> out(Models.simhashSignatures),
@@ -148,6 +150,10 @@ object SparkEntry {
     "event_funnel" -> out(Models.eventFunnel),
     // bounded-heap grouped top-k (native TypedImperativeAggregate)
     "top_docs_per_lang" -> out(Models.topDocsPerLang),
+    // language-ID confusion matrix vs labels
+    "lang_confusion" -> out(Models.langConfusion),
+    // near-dup pairs straddling train/val/test boundaries
+    "split_leakage_audit" -> out(Models.splitLeakage),
     // Bloom-pruned fact scan before an exact join (runtime-filter op)
     "bloom_pruned_stats" -> out(Models.bloomPrunedStats),
     // forward as-of join (next purchase at-or-after each event)
@@ -222,6 +228,7 @@ object SparkEntry {
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,
+    "dedup_normalized" -> LlmSql.normalizedDedupQ,
     "minhash_signatures" -> LlmSql.minhashSignaturesQ,
     "minhash_pairs" -> LlmSql.minhashPairsQ,
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
@@ -283,6 +290,8 @@ object SparkEntry {
     "hist_quantiles" -> OpsSql.histQuantilesQ,
     "event_funnel" -> OpsSql.eventFunnelQ,
     "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
+    "lang_confusion" -> LlmSql.langConfusionQ,
+    "split_leakage_audit" -> LlmSql.splitLeakageQ,
     "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
     "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,

@@ -90,6 +90,26 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
 
+  /** CCNet-style normalization before hashing: lowercase, strip
+    * non-alphanumerics, collapse whitespace — the canonical form under
+    * which trivially-reformatted copies (case, punctuation, spacing)
+    * hash identically. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Exact dedup over the NORMALIZED text — catches the reformatted
+    * copies [[exactDedup]] misses; `n_raw_variants` counts how many
+    * distinct RAW texts each normalized group collapsed (1 = plain
+    * exact group, >1 = normalization did real work). Same 32-byte
+    * digest shuffle shape as exactDedup. */
+  def normalizedDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(normalizedText(col("text"))).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        countDistinct(md5(col("text"))).as("n_raw_variants"))
+
   /** Per-document MinHash signature: K=16 min-aggregates over the
     * shared shingle table (one pass, no K-fold blow-up). */
   def minhashSignatures(shingled: DataFrame): DataFrame = {

@@ -108,4 +108,32 @@ object Splits {
         col("col.payload.doc_id").as("doc_id"),
         col("col.payload.n_chars").as("n_chars"))
   }
+
+  val SplitNames: Seq[String] = Seq("train", "validation", "test")
+
+  /** Train/test LEAKAGE audit — near-duplicate pairs that STRADDLE a
+    * split boundary (a test doc with a near-dup in train invalidates
+    * the eval; this cross-split count is the number every lab checks
+    * before trusting held-out metrics). Composes the transitive
+    * near-dup clusters with the split assignment; pair counts are
+    * computed ARITHMETICALLY from per-(cluster, split) member counts
+    * (Σ over clusters of nₐ·n_b) — no within-cluster self-join, so a
+    * pathological mega-cluster costs one aggregation row, never a
+    * quadratic pair expansion. Output: one row per split pair. */
+  def leakageAudit(clusters: DataFrame, splits: DataFrame): DataFrame = {
+    val joined = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val cnts = SplitNames.map(sp =>
+      count(when(col("split") === sp, lit(1))).as(s"n_$sp"))
+    val perCluster = joined.groupBy("cluster_id").agg(cnts.head, cnts.tail: _*)
+    val pairs = SplitNames.combinations(2).toSeq
+    pairs.map { case Seq(a, b) =>
+      perCluster.agg(
+          coalesce(sum(col(s"n_$a") * col(s"n_$b")), lit(0L)).as("n_leaky_pairs"),
+          count(when(col(s"n_$a") > 0 && col(s"n_$b") > 0, lit(1)))
+            .as("n_clusters"))
+        .select(lit(a).as("split_a"), lit(b).as("split_b"),
+          col("n_leaky_pairs"), col("n_clusters"))
+    }.reduce(_ unionByName _)
+  }
 }

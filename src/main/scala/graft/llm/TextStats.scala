@@ -164,6 +164,16 @@ object TextStats {
           .as("oov_frac"))
   }
 
+  /** Confusion matrix of the n-gram language-ID heuristic against the
+    * labeled `lang` column — the accuracy artifact any heuristic
+    * classifier ships with. One keyed join (the stats side is the Mat
+    * barrier) + one grouped count; the matrix is |langs|² rows. */
+  def langConfusion(documents: DataFrame, stats: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"))
+      .join(stats.select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** `stats`: the (Mat'd) [[textStats]] output — passed in so the
     * barrier is shared with every other text_stats consumer. */
   def topDocsPerLang(stats: DataFrame): DataFrame =

@@ -861,6 +861,55 @@ object LlmSql {
        |from cb_surp s cross join cb_th""".stripMargin
   }
 
+  /** Mirror Dedup.normalizedDedup: the same lowercase / strip /
+    * collapse normalization (DuckDB regexp_replace needs the 'g' flag
+    * — Spark's replaces all matches by default). */
+  val normalizedDedupQ: String =
+    """select md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) as norm_hash,
+      |  count(*) as n_copies,
+      |  min(doc_id) as canonical_doc_id,
+      |  count(distinct md5(text)) as n_raw_variants
+      |from documents group by 1""".stripMargin
+
+  /** Mirror TextStats.langConfusion: labeled lang × predicted lang
+    * over the gated text-stats subquery. */
+  val langConfusionQ: String =
+    s"""select d.lang, t.predicted_lang, count(*) as n_docs
+       |from documents d
+       |join (select doc_id, predicted_lang from ($textStatsQ) s) t using (doc_id)
+       |group by 1, 2""".stripMargin
+
+  /** Mirror Splits.leakageAudit: per-(cluster, split) member counts
+    * from the SAME gated cluster and split subqueries, pair counts as
+    * Σ nₐ·n_b — identical arithmetic, no pair join. (A `def`: it
+    * composes datasetSplitsQ, which initializes LATER in this object —
+    * a val here would capture null.) */
+  def splitLeakageQ: String = {
+    import graft.llm.Splits.SplitNames
+    val cnts = SplitNames.map(sp =>
+      s"count(case when split = '$sp' then 1 end) as n_$sp").mkString(",\n    ")
+    val rows = SplitNames.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""select '$a' as split_a, '$b' as split_b,
+         |  cast(coalesce(sum(n_$a * n_$b), 0) as bigint) as n_leaky_pairs,
+         |  cast(count(case when n_$a > 0 and n_$b > 0 then 1 end) as bigint) as n_clusters
+         |from lk_counts""".stripMargin
+    }.mkString("\nunion all\n")
+    s"""with lk_cl as (
+       |  select doc_id, cluster_id from ($dedupClustersQ) t
+       |),
+       |lk_sp as (
+       |  select doc_id, split from ($datasetSplitsQ) t
+       |),
+       |lk_counts as (
+       |  select cluster_id,
+       |    $cnts
+       |  from lk_cl join lk_sp using (doc_id)
+       |  group by 1
+       |)
+       |$rows""".stripMargin
+  }
+
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
   val datasetSplitsQ: String = {
