@@ -91,6 +91,8 @@ object Models {
     TimeMarts.dailyMovingStats(dailySummary(s, d))
   def revenueAnomalies(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueAnomalies(dailySummary(s, d))
+  def dailyGapfill(s: SparkSession, d: String): DataFrame =
+    TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "time_analytics", timeKey = Some("date_day"))(
       TimeMarts.timeAnalytics(s, orders(s, d)))

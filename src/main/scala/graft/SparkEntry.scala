@@ -52,6 +52,8 @@ object SparkEntry {
     "daily_moving_stats" -> out(Models.dailyMovingStats),
     // trailing-window 2-sigma anomaly flags (exact-moment baseline)
     "revenue_anomalies" -> out(Models.revenueAnomalies),
+    // LOCF gap-filling over the calendar spine (ignore-nulls window)
+    "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
     // segmentation (A4-A5, J6-J7, P4, P6, F3)
     "customer_segmentation" -> out(Models.customerSegmentation),
@@ -225,6 +227,7 @@ object SparkEntry {
     "revenue_grouping_sets" -> Sql.revenueGroupingSetsQ,
     "daily_moving_stats" -> Sql.dailyMovingStatsQ,
     "revenue_anomalies" -> Sql.revenueAnomaliesQ,
+    "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,
     "dedup_exact" -> LlmSql.dedupExactQ,

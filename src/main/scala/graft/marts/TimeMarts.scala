@@ -128,6 +128,29 @@ object TimeMarts {
         count(col("order_id")).as("n_orders"),
         dec18(sum(col("order_total"))).as("revenue"))
 
+  /** LOCF gap-filling over the calendar spine — the time-series
+    * imputation every reporting layer needs: days with no orders get
+    * the last observed revenue carried forward (`last_value ignore
+    * nulls` over the spine ⟕ daily join), with the observed flag kept
+    * so consumers can tell filled from real. The window is the
+    * calendar-bounded one-row-per-day shape (documented
+    * unpartitioned-window exception); the fill happens on the EXACT
+    * decimal and converts once at the boundary. */
+  def dailyGapfill(spark: org.apache.spark.sql.SparkSession,
+                   daily: DataFrame): DataFrame = {
+    val spine = timeSpine(spark)
+    val joined = spine.join(daily,
+      spine("date_day") === daily("order_date"), "left")
+    val w = Window.orderBy(col("date_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      col("date_day"),
+      col("daily_revenue").cast("double").as("daily_revenue"),
+      last(col("daily_revenue"), ignoreNulls = true).over(w)
+        .cast("double").as("revenue_filled"),
+      col("order_date").isNotNull.as("is_observed"))
+  }
+
   /** Trailing-window anomaly flags over daily revenue — the metric
     * monitor every production pipeline runs on its daily rollups: a
     * day is anomalous when its revenue deviates more than

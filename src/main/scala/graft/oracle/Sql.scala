@@ -844,6 +844,24 @@ object Sql {
   val timeAnalyticsQ = s"$allCtes select * from time_analytics"
   val customerSegmentationQ = s"$allCtes select * from customer_segmentation"
 
+  /** Mirror TimeMarts.dailyGapfill: spine ⟕ daily, last_value ignore
+    * nulls over the same growing frame, decimal→double at the
+    * boundary. */
+  val dailyGapfillQ: String =
+    s"""$allCtes,
+       |gf as (
+       |  select ts.date_day, d.order_date, d.daily_revenue
+       |  from time_spine ts
+       |  left join daily_summary d on ts.date_day = d.order_date
+       |)
+       |select date_day,
+       |  cast(daily_revenue as double) as daily_revenue,
+       |  cast(last_value(daily_revenue ignore nulls) over (
+       |    order by date_day rows between unbounded preceding and current row)
+       |    as double) as revenue_filled,
+       |  order_date is not null as is_observed
+       |from gf""".stripMargin
+
   /** Mirror llm.Redaction.kAnonymityAudit over the segmentation mart:
     * generated from the SAME quasi-id list and k. */
   val kAnonymityAuditQ: String = {

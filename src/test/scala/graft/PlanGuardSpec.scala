@@ -59,6 +59,7 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedGlobalWindowAllowed = Set(
     "daily_moving_stats", // one row per calendar day, fixed date range
     "revenue_anomalies",  // same calendar-bounded daily grain
+    "daily_gapfill",      // 3650-row calendar spine fill
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
