@@ -523,7 +523,12 @@ object Models {
       "embedding_dedup_clusters" -> (embeddingDedupClusters _),
       "substring_dedup" -> (substringDedup _),
       "bpe_merges" -> (bpeMerges _),
-      "bpe_segmentation" -> (bpeSegmentation _))
+      "bpe_segmentation" -> (bpeSegmentation _),
+      "doc_surprisal" -> (docSurprisal _),
+      "bigram_surprisal" -> (bigramSurprisalMat _),
+      "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+      "name_match_clusters" -> (nameMatchClusters _),
+      "hll_day_registers" -> (hllDayRegisters _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus
