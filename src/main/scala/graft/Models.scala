@@ -249,6 +249,10 @@ object Models {
   /** Near-dup pairs straddling split boundaries (eval leakage). */
   def splitLeakage(s: SparkSession, d: String): DataFrame =
     llm.Splits.leakageAudit(dedupClusters(s, d), datasetSplits(s, d))
+  /** Which sources copy from each other: cross-source near-dup matrix. */
+  def sourceDupMatrix(s: SparkSession, d: String): DataFrame =
+    llm.Splits.crossGroupDupMatrix(dedupClusters(s, d),
+      Tables.documents(s, d), "source")
   /** Transitive near-dup clusters over the union of MinHash+SimHash
     * pair edges — Mat'd: the 8-round propagation plan executes once,
     * then its own query AND the curation pipeline read the barrier. */

@@ -156,6 +156,8 @@ object SparkEntry {
     "lang_confusion" -> out(Models.langConfusion),
     // near-dup pairs straddling train/val/test boundaries
     "split_leakage_audit" -> out(Models.splitLeakage),
+    // cross-source near-dup contamination matrix
+    "source_dup_matrix" -> out(Models.sourceDupMatrix),
     // Bloom-pruned fact scan before an exact join (runtime-filter op)
     "bloom_pruned_stats" -> out(Models.bloomPrunedStats),
     // forward as-of join (next purchase at-or-after each event)
@@ -295,6 +297,7 @@ object SparkEntry {
     "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
     "lang_confusion" -> LlmSql.langConfusionQ,
     "split_leakage_audit" -> LlmSql.splitLeakageQ,
+    "source_dup_matrix" -> LlmSql.sourceDupMatrixQ,
     "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
     "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,

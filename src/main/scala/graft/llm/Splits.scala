@@ -111,6 +111,26 @@ object Splits {
 
   val SplitNames: Seq[String] = Seq("train", "validation", "test")
 
+  /** Cross-GROUP duplication matrix for a DYNAMIC group column (the
+    * [[leakageAudit]] arithmetic without a fixed group list): one row
+    * per observed group pair (a < b) with the cross-group near-dup
+    * pair count Σ nₐ·n_b and the affected-cluster count. The
+    * per-cluster group-count table joins itself on cluster_id — fan-out
+    * is |groups-present-in-cluster|², bounded by the group domain (20
+    * sources here), never by cluster size. Used for the
+    * "which sources copy from each other" contamination matrix. */
+  def crossGroupDupMatrix(clusters: DataFrame, assign: DataFrame,
+                          groupCol: String): DataFrame = {
+    val joined = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(assign.select(col("doc_id"), col(groupCol).as("g")), Seq("doc_id"))
+    val cnt = joined.groupBy("cluster_id", "g").agg(count(lit(1)).as("n"))
+    val a = cnt.as("a"); val b = cnt.as("b")
+    a.join(b, col("a.cluster_id") === col("b.cluster_id") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as(s"${groupCol}_a"), col("b.g").as(s"${groupCol}_b"))
+      .agg(sum(col("a.n") * col("b.n")).as("n_dup_pairs"),
+        count(lit(1)).as("n_clusters"))
+  }
+
   /** Train/test LEAKAGE audit — near-duplicate pairs that STRADDLE a
     * split boundary (a test doc with a near-dup in train invalidates
     * the eval; this cross-split count is the number every lab checks

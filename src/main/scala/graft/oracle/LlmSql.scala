@@ -910,6 +910,26 @@ object LlmSql {
        |$rows""".stripMargin
   }
 
+  /** Mirror Models.sourceDupMatrix: per-(cluster, source) counts from
+    * the gated cluster subquery × documents, pairwise via the bounded
+    * cluster self-join, Σ nₐ·n_b. (A `def`: initialization-order
+    * safety, like splitLeakageQ.) */
+  def sourceDupMatrixQ: String =
+    s"""with sdm_cl as (
+       |  select doc_id, cluster_id from ($dedupClustersQ) t
+       |),
+       |sdm_cnt as (
+       |  select cluster_id, d.source as g, count(*) as n
+       |  from sdm_cl join documents d using (doc_id)
+       |  group by 1, 2
+       |)
+       |select a.g as source_a, b.g as source_b,
+       |  cast(sum(a.n * b.n) as bigint) as n_dup_pairs,
+       |  count(*) as n_clusters
+       |from sdm_cnt a join sdm_cnt b
+       |  on a.cluster_id = b.cluster_id and a.g < b.g
+       |group by 1, 2""".stripMargin
+
   /** Mirror Splits.assign: salted 60-bit md5 bucket mod 100. DuckDB's
     * % on non-negative bigints equals Spark's pmod here. */
   val datasetSplitsQ: String = {

@@ -67,6 +67,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("range query over stored daily registers equals the direct range sketch") {
+    import java.sql.Timestamp
+    // 6 days of keyed events; range covers days 2..4
+    val df = (0 until 6).flatMap(day => (0 until 200).map(k =>
+      (Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), s"u${day * 50 + k}")))
+      .toDF("ts", "key")
+    val regs = Sketches.hllRegisters(df,
+      to_date(col("ts")), "day", col("key"))
+    val sel = regs.filter(col("day").between("2024-01-02", "2024-01-04"))
+    val merged = sel.groupBy("__reg").agg(max(col("__mj")).as("__mj"))
+    val viaRegisters = Sketches.hllEstimateFromRegisters(merged)
+      .as[Double].head()
+    val direct = Sketches.hllDistinct(
+        df.filter(to_date(col("ts")).between("2024-01-02", "2024-01-04"))
+          .withColumn("g", lit("all")),
+        Seq("g"), col("key"))
+      .select("hll_estimate").as[Double].head()
+    assert(viaRegisters === direct) // bit-equal: max is associative
+  }
+
   test("merged per-partition sketches equal the directly-built global sketch") {
     // 4 partitions with overlapping key ranges: merge must dedup across
     // partitions exactly like one global sketch would.
