@@ -797,7 +797,12 @@ object Sql {
        |  select order_date, daily_revenue,
        |    count(daily_revenue) over w as n_base,
        |    sum(daily_revenue) over w as sum_base,
-       |    sum(daily_revenue * daily_revenue) over w as sumsq_base
+       |    -- widen BEFORE the square: DuckDB multiplies width-18
+       |    -- operands in int64 and overflows at sf0.1 revenue
+       |    -- magnitudes; (19,2)×(19,2) forces int128 and is exact
+       |    -- (Spark's (18,2)×(18,2) already widens to (37,4))
+       |    sum(cast(daily_revenue as decimal(19,2))
+       |        * cast(daily_revenue as decimal(19,2))) over w as sumsq_base
        |  from daily_summary
        |  window w as (order by order_date
        |               rows between $AnomalyWindow preceding and 1 preceding)
