@@ -62,27 +62,45 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    // Two timed passes; the SECOND is the reported number (VERDICT r3
-    // "Next round" #1). The warm-up above absorbs session/codegen/
-    // parquet-footer costs, but it cannot defend against host-level
-    // page-cache eviction or CPU contention landing DURING the timed
-    // loop — r3's recorded artifact charged 42 s to a 500-row query
-    // that re-runs in 1.5 s. Pass 1 repopulates every cache right
-    // before its query re-runs; pass 2 is steady-state plan cost. The
-    // cold pass is kept in the JSON (`cold`) so the I/O-inclusive
-    // numbers stay visible rather than silently discarded.
+    // Two timed passes; the HEADLINE per-query number is the MIN of a
+    // query's passes (VERDICT r6 #2). Reporting one fixed pass lets a
+    // single host-contention/GC window own the round's number: r6's
+    // recorded warm pass hit a ~100 s window that blew up 13
+    // alphabetically-contiguous queries 3-16× and left warm total
+    // (244.5 s) > cold total (206.6 s) — a self-refuting artifact. A
+    // per-query min across passes is the plan-cost estimator a bad
+    // window cannot inflate (it can only make one pass slower, never
+    // both faster). Both raw passes stay in the JSON (`cold`, `warm`)
+    // so I/O-inclusive and steady-state numbers remain visible.
+    // block-manager audit (VERDICT r6 #3 done-criterion): superseded
+    // iterative checkpoints are freed in-loop (Clusters/Bpe rotation),
+    // so persistent-RDD storage should be FLAT across passes; these
+    // stderr lines prove it per run.
+    def storageLine(tag: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      System.err.println(s"[bench] rdd-storage $tag: n=${infos.length} " +
+        f"mem=${infos.map(_.memSize).sum / 1e6}%.1fMB " +
+        f"disk=${infos.map(_.diskSize).sum / 1e6}%.1fMB")
+    }
+    storageLine("post-prebuild")
     val cold = timedPass()
-    val results = timedPass()
+    storageLine("post-cold")
+    val warm = timedPass()
+    storageLine("post-warm")
+    val results = cold.zip(warm).map { case ((name, c), (_, w)) =>
+      name -> math.min(c, w)
+    }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     // failed queries are listed explicitly so a failing run can never
     // masquerade as a healthy one to a JSON consumer (ADVICE r2);
     // prebuild failures likewise (ADVICE r3 #5) — a query timed against
     // a missing mart barrier pays the whole chain build inline.
     def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"cold_total_sec":$coldTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT
@@ -94,8 +112,8 @@ object Bench {
         System.getProperty("user.dir"), "BENCH_LOCAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
-    val warmTop = results.sortBy(-_._2).take(10)
-    println(s"""{"warm_total_sec":$total,"cold_total_sec":$coldTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"warm_top10":${qjson(warmTop)}}""")
+    val top10 = results.sortBy(-_._2).take(10)
+    println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"min_top10":${qjson(top10)}}""")
     spark.stop()
   }
 }

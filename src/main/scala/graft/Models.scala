@@ -189,9 +189,12 @@ object Models {
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
       Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
-  /** Int8 scalar-quantized embeddings (vec_id, scale, qvec). */
+  /** Int8 scalar-quantized embeddings, exploded to (vec_id, pos, q,
+    * scale) rows so the differential harness can sort the output (its
+    * pandas-side comparison cannot sort an array column — the array
+    * shape stays internal via [[llm.Quantize.quantize]]). */
   def embeddingQuantization(s: SparkSession, d: String): DataFrame =
-    llm.Quantize.quantize(Tables.embeddings(s, d))
+    llm.Quantize.quantizeExploded(Tables.embeddings(s, d))
   /** Brute-force cosine top-k over the dequantized int8 corpus. */
   def annSq8TopK(s: SparkSession, d: String): DataFrame =
     llm.Quantize.annSq8TopK(Tables.embeddings(s, d))

@@ -70,6 +70,12 @@ object Clusters {
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
+    // round k-1's checkpoint, freed once round k's is materialized:
+    // after the eager checkpoint below completes, k-1's blocks are
+    // read by nothing (labels references only the LATEST jumped) —
+    // without this, every round of every cluster build pins a
+    // doc-count-sized RDD for the session (VERDICT r6 #3)
+    var prevJumped: DataFrame = null
     for (_ <- 1 to MaxIters) {
       // 1-hop: label(v) <- min(label(v), min over neighbors u of label(u))
       val viaNbr = und
@@ -81,6 +87,8 @@ object Clusters {
       // below, and lineage truncation here is what stops the plan tree
       // doubling every round (see scaladoc)
       val jumped = oneHop.localCheckpoint()
+      if (prevJumped != null) graft.plans.Checkpoints.free(prevJumped)
+      prevJumped = jumped
       // pointer jump: label(v) <- label(label(v)). Labels are always
       // doc_ids present in the table (they start as own-id and only
       // existing ids propagate), so the inner self-join is total; the

@@ -34,9 +34,15 @@ object Dedup {
   def hex60(c: Column): Column =
     graft.expressions.TextExprs.md5_prefix60(c)
 
+  /** Whitespace class written out explicitly so the Spark (Java
+    * regex) and DuckDB-oracle (RE2) engines agree byte-for-byte: Java
+    * \s includes \x0B (vertical tab), RE2's does not, so a bare \s
+    * would tokenize a \x0B-bearing document differently per engine. */
+  val WsClass = "[ \\t\\n\\r\\f]"
+
   /** Whitespace tokens with empties dropped. */
   def words(text: Column): Column =
-    filter(split(trim(text), "\\s+"), w => w =!= "")
+    filter(split(trim(text), WsClass + "+"), w => w =!= "")
 
   /** Word 3-shingles; empty below 3 words (DuckDB generate_series is
     * empty there too, Spark sequence would count DOWN — hence the guard). */
@@ -95,8 +101,9 @@ object Dedup {
     * which trivially-reformatted copies (case, punctuation, spacing)
     * hash identically. */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
-      "\\s+", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+      WsClass + "+", " "))
 
   /** Exact dedup over the NORMALIZED text — catches the reformatted
     * copies [[exactDedup]] misses; `n_raw_variants` counts how many

@@ -60,7 +60,12 @@ object Kmeans {
       // checkpoint materializes K tiny rows once; values unchanged.
       // lazy, not eager: eager would run the Lloyd jobs at DataFrame
       // CONSTRUCTION time, which view registration does for every
-      // query builder (the ADVICE r3 #3 eager-builder trap).
+      // query builder (the ADVICE r3 #3 eager-builder trap). Laziness
+      // also means the rotation Clusters/Bpe use (free round k-1 when
+      // round k materializes) cannot apply — before the first action
+      // the chain still reads its predecessors. Acceptable: each
+      // pinned block is K rows (~100 KB), reclaimed by the
+      // ContextCleaner once driver references die post-Mat-barrier.
       cents = moved.union(
         cents.join(moved.select("centroid_id"), Seq("centroid_id"), "left_anti"))
         .localCheckpoint(eager = false)

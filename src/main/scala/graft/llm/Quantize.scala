@@ -39,6 +39,15 @@ object Quantize {
             .cast("int")).as("qvec"))
   }
 
+  /** [[quantize]] exploded to one row per code — (vec_id, pos, q,
+    * scale) — the shape the differential harness can sort and hash
+    * (an array column is unsortable on the pandas side). Downstream
+    * consumers ([[dequantize]], PQ) keep the array shape; this is the
+    * audit/export projection. */
+  def quantizeExploded(embeddings: DataFrame): DataFrame =
+    quantize(embeddings).select(col("vec_id"), col("scale"),
+      posexplode(col("qvec")).as(Seq("pos", "q")))
+
   /** Dequantized float vectors, shaped like the raw `embeddings` table
     * so every downstream ANN operator runs on them unchanged. */
   def dequantize(quantized: DataFrame): DataFrame =

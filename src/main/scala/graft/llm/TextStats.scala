@@ -35,9 +35,12 @@ object TextStats {
 
   /** BPE-ish pre-tokenizer regex (GPT-2-style split shape: letter runs,
     * digit runs, punctuation runs — each absorbing one leading space —
-    * plus residual whitespace). Deliberately lookahead-free so the Java
-    * regex engine (Spark) and RE2 (DuckDB) count identical matches. */
-  val BpeTokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    * plus residual whitespace). Deliberately lookahead-free, and the
+    * whitespace class is written out instead of \s (Java \s includes
+    * \x0B, RE2's does not), so the Java regex engine (Spark) and RE2
+    * (DuckDB) count identical matches. */
+  val BpeTokenRegex =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
   private val EnWords = Seq("the", "and", "of")
   private val FrWords = Seq("le", "la", "et")

@@ -13,11 +13,13 @@ object LlmSql {
   private def hex60(x: String): String =
     s"cast(('0x' || substr(md5($x),1,15)) as bigint)"
 
-  /** Words + 3-shingles CTEs (mirror Dedup.words / Dedup.shingles). */
+  /** Words + 3-shingles CTEs (mirror Dedup.words / Dedup.shingles).
+    * The whitespace class is written out (Dedup.WsClass) rather than
+    * \s: Java \s and RE2 \s disagree on \x0B. */
   val textCtes: String =
     """doc_words as (
       |  select doc_id, text, n_chars,
-      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') as w
+      |    list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'), x -> x != '') as w
       |  from documents
       |),
       |doc_shingles as (
@@ -265,8 +267,18 @@ object LlmSql {
        |  from sq_scale where scale > 0
        |)""".stripMargin
 
+  // Exploded to one row per code (vec_id, pos, q, scale): the harness
+  // sorts+hashes scalar columns only, so the array stays CTE-internal.
+  // DuckDB's unnest is 1-based via generate_series; pos is 0-based to
+  // match Spark's posexplode.
   val embeddingQuantizationQ: String =
-    s"with $quantCtes select vec_id, scale, qvec from sq_q"
+    s"""with $quantCtes,
+       |sq_pos as (
+       |  select vec_id, scale, qvec,
+       |    unnest(generate_series(1, len(qvec))) as i
+       |  from sq_q
+       |)
+       |select vec_id, scale, i - 1 as pos, qvec[i] as q from sq_pos""".stripMargin
 
   val annSq8TopKQ: String =
     s"""with $quantCtes,
@@ -863,10 +875,11 @@ object LlmSql {
 
   /** Mirror Dedup.normalizedDedup: the same lowercase / strip /
     * collapse normalization (DuckDB regexp_replace needs the 'g' flag
-    * — Spark's replaces all matches by default). */
+    * — Spark's replaces all matches by default; the whitespace class
+    * is written out because Java \s and RE2 \s disagree on \x0B). */
   val normalizedDedupQ: String =
     """select md5(trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) as norm_hash,
+      |    '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))) as norm_hash,
       |  count(*) as n_copies,
       |  min(doc_id) as canonical_doc_id,
       |  count(distinct md5(text)) as n_raw_variants
@@ -1203,8 +1216,12 @@ object LlmSql {
     * chain generated from the SAME MergeCount, with the SAME greedy
     * left-to-right fold (DuckDB `list_reduce` with first-element
     * initial accumulator ≡ Spark `aggregate(slice(s,2,…), s[1], …)`),
-    * the same "   " sentinel guarding pair exhaustion, and the same
-    * (count desc, pair asc) argmax total order. */
+    * and the same (count desc, pair asc) argmax total order. The
+    * exhaustion sentinel TEXT differs from the Spark side ("   "
+    * here, NUL-space-NUL in Bpe.Sentinel) — deliberately equivalent:
+    * both carry cnt = -1, which can never win the argmax against a
+    * real pair (cnt >= 1) and is filtered by cnt >= 0 before any
+    * symbol comparison, so the sentinel text never reaches output. */
   private val bpeCtes: String = {
     val iters = (1 to graft.llm.Bpe.MergeCount).map { k =>
       val p = k - 1

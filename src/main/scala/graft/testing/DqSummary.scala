@@ -63,23 +63,67 @@ object DqSummary {
     ("stg_orders", "ordered_at", 30))
 
   /** Spark side: `m` resolves a table name to its (decimal-surface)
-    * DataFrame. One row per rule instance. */
+    * DataFrame. One row per rule instance.
+    *
+    * EVERY rule on a table rides that table's single key aggregation
+    * (VERDICT r6 #4 — per-subplan fixed cost dominates this query, so
+    * the job count IS the cost): row-level counters (expression,
+    * accepted_values) sum per key group then globally, freshness
+    * maxes through both levels, and not_null/unique read the group
+    * counts — one scan and one shuffle per table, 14 table subplans +
+    * 3 relationship anti-joins instead of 22 subplans. Every
+    * expression/accepted/freshness table has a primary-key rule, so
+    * no separate plain-agg path is needed (asserted). */
   def summary(m: String => DataFrame): DataFrame = {
     def row(rule: String, table: String, target: String, n: DataFrame) =
       n.select(lit(rule).as("rule"), lit(table).as("table_name"),
         lit(target).as("target"), col("n_failing"))
-    // not_null + unique share ONE key aggregation per table (half the
-    // jobs of the naive two-subplans form — this query is 36 rules and
-    // per-subplan fixed cost dominates it)
-    val pk = primaryKeys.map { case (t, k) =>
-      m(t).groupBy(col(k)).agg(count(lit(1)).as("cnt"))
-        .agg(coalesce(sum(when(col(k).isNull, col("cnt"))), lit(0L)).as("n_null"),
-          count(when(col("cnt") > 1, lit(1))).as("n_dup"))
-        .select(explode(array(
-          struct(lit("not_null").as("rule"), lit(t).as("table_name"),
-            lit(k).as("target"), col("n_null").as("n_failing")),
-          struct(lit("unique").as("rule"), lit(t).as("table_name"),
-            lit(k).as("target"), col("n_dup").as("n_failing")))).as("r"))
+    val exByT = expressionRules.groupBy(_._1)
+    val accByT = acceptedValueRules.groupBy(_._1)
+    val freshByT = freshnessRules.groupBy(_._1)
+    val pkTables = primaryKeys.map(_._1).toSet
+    require((exByT.keySet ++ accByT.keySet ++ freshByT.keySet).subsetOf(pkTables),
+      "a non-key rule's table has no primary-key rule to fuse into")
+    val perTable = primaryKeys.map { case (t, k) =>
+      val ex = exByT.getOrElse(t, Nil)
+      val acc = accByT.getOrElse(t, Nil)
+      val fresh = freshByT.getOrElse(t, Nil)
+      // level 1: per-key partials (count for not_null/unique, failing-
+      // row counters for expression/accepted, max for freshness)
+      val partials =
+        count(lit(1)).as("cnt") +:
+        (ex.zipWithIndex.map { case ((_, e), i) =>
+          count(when(!coalesce(expr(e), lit(false)), lit(1))).as(s"ex$i") } ++
+         acc.zipWithIndex.map { case ((_, c, vals), i) =>
+          count(when(col(c).isNull || !col(c).isin(vals: _*), lit(1))).as(s"ac$i") } ++
+         fresh.zipWithIndex.map { case ((_, c, _), i) => max(col(c)).as(s"fr$i") })
+      // level 2: fold the partials to one row of global counters
+      val finals =
+        Seq(coalesce(sum(when(col(k).isNull, col("cnt"))), lit(0L)).as("n_null"),
+            count(when(col("cnt") > 1, lit(1))).as("n_dup")) ++
+        ex.indices.map(i => coalesce(sum(col(s"ex$i")), lit(0L)).as(s"exs$i")) ++
+        acc.indices.map(i => coalesce(sum(col(s"ac$i")), lit(0L)).as(s"acs$i")) ++
+        fresh.indices.map(i => max(col(s"fr$i")).as(s"frm$i"))
+      val rules =
+        Seq(struct(lit("not_null").as("rule"), lit(t).as("table_name"),
+              lit(k).as("target"), col("n_null").as("n_failing")),
+            struct(lit("unique").as("rule"), lit(t).as("table_name"),
+              lit(k).as("target"), col("n_dup").as("n_failing"))) ++
+        ex.zipWithIndex.map { case ((_, e), i) =>
+          struct(lit("expression_is_true").as("rule"), lit(t).as("table_name"),
+            lit(e).as("target"), col(s"exs$i").as("n_failing")) } ++
+        acc.zipWithIndex.map { case ((_, c, _), i) =>
+          struct(lit("accepted_values").as("rule"), lit(t).as("table_name"),
+            lit(c).as("target"), col(s"acs$i").as("n_failing")) } ++
+        fresh.zipWithIndex.map { case ((_, c, days), i) =>
+          struct(lit("freshness").as("rule"), lit(t).as("table_name"),
+            lit(c).as("target"),
+            when(col(s"frm$i").isNull ||
+                datediff(graft.functions.Funcs.runDate, col(s"frm$i")) > days,
+              lit(1L)).otherwise(lit(0L)).as("n_failing")) }
+      m(t).groupBy(col(k)).agg(partials.head, partials.tail: _*)
+        .agg(finals.head, finals.tail: _*)
+        .select(explode(array(rules: _*)).as("r"))
         .select("r.*")
     }
     val rel = relationshipRules.map { case (ct, ck, pt, pk0) =>
@@ -88,23 +132,7 @@ object DqSummary {
           .join(m(pt).select(col(pk0).as(ck)).distinct(), Seq(ck), "left_anti")
           .agg(count(lit(1)).as("n_failing")))
     }
-    val acc = acceptedValueRules.map { case (t, c, vals) =>
-      row("accepted_values", t, c,
-        m(t).agg(count(when(col(c).isNull || !col(c).isin(vals: _*), lit(1)))
-          .as("n_failing")))
-    }
-    val ex = expressionRules.map { case (t, e) =>
-      row("expression_is_true", t, e,
-        m(t).agg(count(when(!coalesce(expr(e), lit(false)), lit(1))).as("n_failing")))
-    }
-    val fresh = freshnessRules.map { case (t, c, days) =>
-      row("freshness", t, c,
-        m(t).agg(max(col(c)).as("mx"))
-          .select(when(col("mx").isNull ||
-              datediff(graft.functions.Funcs.runDate, col("mx")) > days, lit(1L))
-            .otherwise(lit(0L)).as("n_failing")))
-    }
-    (pk ++ rel ++ acc ++ ex ++ fresh).reduce(_ unionByName _)
+    (perTable ++ rel).reduce(_ unionByName _)
   }
 
   /** DuckDB side: the same rules over the oracle CTEs. `cte` maps a
