@@ -280,6 +280,8 @@ object Models {
     llm.Splits.assign(Tables.documents(s, d))
   def piiRedaction(s: SparkSession, d: String): DataFrame =
     llm.Redaction.piiRedaction(Tables.documents(s, d))
+  def piiRedactionShapes(s: SparkSession, d: String): DataFrame =
+    llm.Redaction.piiRedactionShapes(Tables.documents(s, d))
   /** Shares the Mat'd distinct shingle-key table with the Jaccard path. */
   def decontamination(s: SparkSession, d: String): DataFrame =
     llm.Decontam.contamination(Tables.documents(s, d), docShingleKeys(s, d))
@@ -368,6 +370,10 @@ object Models {
     streaming.Streams.clickAttributionOnce(s, d)
   def streamAttributionOuter(s: SparkSession, d: String): DataFrame =
     streaming.Streams.clickAttributionOuterOnce(s, d)
+  def streamSinkParquet(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.parquetSinkOnce(s, d)
+  def streamSinkMerge(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.mergeSinkOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =

@@ -134,6 +134,8 @@ object SparkEntry {
     "stream_attribution" -> out(Models.streamAttribution),
     // LEFT OUTER stream-stream join (watermark-gated null padding)
     "stream_attribution_outer" -> out(Models.streamAttributionOuter),
+    "stream_sink_parquet" -> out(Models.streamSinkParquet),
+    "stream_sink_merge" -> out(Models.streamSinkMerge),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -141,6 +143,7 @@ object SparkEntry {
     // decontamination, intra-doc repetition, mixture rebalancing, and
     // a deterministic Count-Min heavy-hitter sketch
     "pii_redaction" -> out(Models.piiRedaction),
+    "pii_redaction_shapes" -> out(Models.piiRedactionShapes),
     // k-anonymity go/no-go audit over the segmentation quasi-ids
     "k_anonymity_audit" -> out(Models.kAnonymityAudit),
     "decontamination" -> out(Models.decontamination),
@@ -283,9 +286,12 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.Streams.ingestDedupOracleSql,
     "stream_attribution" -> graft.streaming.Streams.clickAttributionOracleSql,
     "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
+    "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
+    "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,
+    "pii_redaction_shapes" -> CurateSql.piiRedactionShapesQ,
     "k_anonymity_audit" -> Sql.kAnonymityAuditQ,
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,

@@ -75,6 +75,33 @@ object Redaction {
         col("n_ssn"), col("n_term"), col("redacted_text"))
   }
 
+  /** Driver query gating the REGEX arms on real PII shapes (VERDICT
+    * r6 #7 — the synthetic corpus carries no PII, so `pii_redaction`
+    * only ever exercises the dictionary arm): every document gets a
+    * deterministic email, IP, SSN and phone number derived from its
+    * doc_id, spliced around a slice of its real text, and the
+    * standard [[redact]] fold runs over that. The fixture is built
+    * with engine-portable string concatenation from the SAME
+    * arithmetic on both sides, so the DuckDB oracle constructs the
+    * identical corpus — the driver then verifies match counts AND
+    * replacement output for all four patterns, including the
+    * most-specific-first ordering (the SSN must be claimed before the
+    * PHONE shape could swallow it). */
+  def piiRedactionShapes(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val fixture = concat(
+      lit("contact user"), id, lit("@mail"), id % 10,
+      lit(".example.com or 10."), id % 256, lit("."), (id * 7) % 256,
+      lit("."), id % 100,
+      lit(" ssn "), id % 900 + 100, lit("-"), id % 90 + 10,
+      lit("-"), id % 9000 + 1000,
+      lit(" call +1 555 "), id % 900 + 100, lit("-"), id % 9000 + 1000,
+      lit(" :: "), substring(col("text"), 1, 40))
+    redact(documents.select(id, fixture.as("text")), col("text"), PiiPatterns)
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_ssn"),
+        col("n_phone"), col("redacted_text"))
+  }
+
   /** k-anonymity for the release audit (Sweeney): a row is
     * re-identifiable when its QUASI-IDENTIFIER combination is shared
     * by fewer than k records. */

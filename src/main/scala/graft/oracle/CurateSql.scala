@@ -37,6 +37,31 @@ object CurateSql {
        |from documents""".stripMargin
   }
 
+  /** Mirror Redaction.piiRedactionShapes: the same doc_id-derived PII
+    * fixture (bigint || varchar renders identically in both engines),
+    * then the same ordered count/replace fold over PiiPatterns. */
+  val piiRedactionShapesQ: String = {
+    val fixture =
+      "'contact user' || doc_id || '@mail' || (doc_id % 10) || " +
+        "'.example.com or 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || " +
+        "'.' || (doc_id % 100) || " +
+        "' ssn ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || " +
+        "'-' || (doc_id % 9000 + 1000) || " +
+        "' call +1 555 ' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000) || " +
+        "' :: ' || substr(text, 1, 40)"
+    var cur = "text"
+    val counts = Redaction.PiiPatterns.map { case (l, re) =>
+      val c = s"cast(len(regexp_extract_all($cur, '$re')) as bigint) as n_${l.toLowerCase}"
+      cur = s"regexp_replace($cur, '$re', '[$l]', 'g')"
+      c
+    }.mkString(",\n  ")
+    s"""with shaped as (select doc_id, $fixture as text from documents)
+       |select doc_id,
+       |  $counts,
+       |  $cur as redacted_text
+       |from shaped""".stripMargin
+  }
+
   val decontaminationQ: String =
     s"""with $textCtes,
        |doc_sh as (select distinct doc_id, ${hex60("sh")} as shk from doc_shingles),

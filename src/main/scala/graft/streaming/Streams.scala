@@ -515,6 +515,45 @@ object Streams {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
 
+  /** One-shot driver-verifiable run of [[toParquetSink]] (VERDICT r6
+    * #6 — the file-sink path was spec-only): a stateless purchase
+    * projection streams through the REAL parquet sink — append mode,
+    * checkpoint, the sink's write-ahead file-manifest log — into a
+    * scratch directory, which is then read back as the query result.
+    * The transform is deliberately trivial (the gated subject is the
+    * SINK, not another aggregation); its batch twin is a WHERE clause.
+    * Scratch + checkpoint are applicationId-scoped (the Mat
+    * convention), so a re-run in the same session finds an
+    * up-to-date checkpoint, appends nothing, and returns the same
+    * directory — idempotent, as a manifest-logged file sink must be. */
+  def parquetSinkOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-psink",
+      spark.sparkContext.applicationId,
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val out = scratch.resolve("out").toString
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val purchases = raw
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("value"))
+    val q = toParquetSink(purchases, out, scratch.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** DuckDB oracle for the one-shot parquet sink: the projection's
+    * batch twin — every purchase row must appear in the sink exactly
+    * once. */
+  val parquetSinkOracleSql: String =
+    """select event_id, ts, user_id, value from events
+      |where event_type = 'purchase'""".stripMargin
+
   /** Streaming UPSERT into a versioned mart — the table-format
     * "streaming MERGE" pattern on plain parquet: each micro-batch is
     * applied through [[graft.operators.Merge.upsert]], so the mart
@@ -561,4 +600,55 @@ object Streams {
         else
           graft.operators.Merge.upsert(spark, sfDir, name, uniqueKey, lastPerKey): Unit
       }
+
+  /** One-shot driver-verifiable run of [[mergeSink]] (VERDICT r6 #6 —
+    * the streaming-MERGE path was spec-only): the events file is
+    * staged TWICE (the ingestDedup redelivery recipe) and streamed
+    * with `maxFilesPerTrigger=1`, so the sink applies one real batch
+    * and then a full REPLAY of it — the at-least-once delivery the
+    * idempotent-upsert claim is about. The mart must end up holding
+    * the last event per user, replay notwithstanding; the batch twin
+    * is one row_number window.
+    *
+    * The within-batch tiebreak (ts desc, then the full-row struct
+    * desc) reduces to `event_id desc` here: user_id is the partition
+    * key (constant) and event_id — the struct's next field — is
+    * globally unique, so later fields can never be compared. The
+    * oracle encodes exactly that. */
+  def mergeSinkOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = "stream_user_latest"
+    val scratch = Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-msink",
+      spark.sparkContext.applicationId,
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val ingest = scratch.resolve("ingest")
+    Files.createDirectories(ingest)
+    val src = Paths.get(sfDir, "events.parquet")
+    Seq("delivery1.parquet", "delivery2.parquet").foreach { f =>
+      Files.copy(src, ingest.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .option("maxFilesPerTrigger", "1") // force batch + replayed batch
+      .parquet(ingest.toString)
+    val keyed = raw.select(
+      col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"), col("value"))
+    val q = mergeSink(keyed, sfDir, name, "user_id", "ts",
+        scratch.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(s"${graft.Mat.schemaFor(sfDir)}.$name")
+  }
+
+  /** DuckDB oracle for the one-shot merge sink: last event per user —
+    * the keyed snapshot the upsert mart must converge to after the
+    * replayed delivery. */
+  val mergeSinkOracleSql: String =
+    """select user_id, event_id, ts, event_type, value from events
+      |qualify row_number() over
+      |  (partition by user_id order by ts desc, event_id desc) = 1""".stripMargin
 }
