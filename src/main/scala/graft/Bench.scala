@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions.{col, xxhash64, bit_xor}
   * agg itself is codegen'd and adds negligible time vs the query body.
   */
 object Bench {
+
+  /** Per-query min across the two passes — the headline estimator
+    * (VERDICT r6 #2: a one-pass headline lets a single contention/GC
+    * window own the round's number). GUARDED (VERDICT r7 #7): both
+    * passes must cover exactly the same full query set, name-aligned,
+    * else a pass that died mid-run would silently shrink the min dict
+    * and masquerade as a speedup. Throws on any drift; BenchSpec
+    * exercises both arms.
+    */
+  def minResults(cold: Seq[(String, Double)], warm: Seq[(String, Double)],
+                 expected: Int): Seq[(String, Double)] = {
+    require(cold.size == expected && warm.size == expected,
+      s"bench pass incomplete: cold=${cold.size} warm=${warm.size} expected=$expected")
+    require(cold.map(_._1) == warm.map(_._1),
+      "bench passes cover different query sets")
+    cold.zip(warm).map { case ((name, c), (_, w)) => name -> math.min(c, w) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,6 +46,21 @@ object Bench {
       df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
         .agg(bit_xor(col("h"))).collect()
     }
+    // ---- session-drift instrumentation (VERDICT r7 #3): the r7 round
+    // lost ~41 s to unchanged queries with no named cause. Per-phase
+    // JVM GC time (collector MXBeans — cumulative ms, so phase deltas)
+    // and block-manager storage land in the JSON, not just stderr, so
+    // a drifting round names its suspect in the artifact itself.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def storage(): (Int, Double, Double) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(_.memSize).sum / 1e6, infos.map(_.diskSize).sum / 1e6)
+    }
+    val gc0 = gcMs()
     // Untimed warm-up: session/codegen/parquet-footer costs land here,
     // not on whichever query happens to sort first. prebuildMarts
     // materializes EVERY Mat table up front (independent subtrees in
@@ -63,33 +96,26 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     // Two timed passes; the HEADLINE per-query number is the MIN of a
-    // query's passes (VERDICT r6 #2). Reporting one fixed pass lets a
-    // single host-contention/GC window own the round's number: r6's
-    // recorded warm pass hit a ~100 s window that blew up 13
-    // alphabetically-contiguous queries 3-16× and left warm total
-    // (244.5 s) > cold total (206.6 s) — a self-refuting artifact. A
-    // per-query min across passes is the plan-cost estimator a bad
-    // window cannot inflate (it can only make one pass slower, never
-    // both faster). Both raw passes stay in the JSON (`cold`, `warm`)
-    // so I/O-inclusive and steady-state numbers remain visible.
-    // block-manager audit (VERDICT r6 #3 done-criterion): superseded
-    // iterative checkpoints are freed in-loop (Clusters/Bpe rotation),
-    // so persistent-RDD storage should be FLAT across passes; these
-    // stderr lines prove it per run.
-    def storageLine(tag: String): Unit = {
-      val infos = spark.sparkContext.getRDDStorageInfo
-      System.err.println(s"[bench] rdd-storage $tag: n=${infos.length} " +
-        f"mem=${infos.map(_.memSize).sum / 1e6}%.1fMB " +
-        f"disk=${infos.map(_.diskSize).sum / 1e6}%.1fMB")
+    // query's passes (VERDICT r6 #2; see minResults). Both raw passes
+    // stay in the JSON (`cold`, `warm`) so I/O-inclusive and
+    // steady-state numbers remain visible.
+    def storageLine(tag: String): (Int, Double, Double) = {
+      val s = storage()
+      System.err.println(s"[bench] rdd-storage $tag: n=${s._1} " +
+        f"mem=${s._2}%.1fMB disk=${s._3}%.1fMB")
+      s
     }
-    storageLine("post-prebuild")
+    val stPre = storageLine("post-prebuild")
+    val gcWarm = gcMs() - gc0
+    val gc1 = gcMs()
     val cold = timedPass()
-    storageLine("post-cold")
+    val stCold = storageLine("post-cold")
+    val gcCold = gcMs() - gc1
+    val gc2 = gcMs()
     val warm = timedPass()
-    storageLine("post-warm")
-    val results = cold.zip(warm).map { case ((name, c), (_, w)) =>
-      name -> math.min(c, w)
-    }
+    val stWarm = storageLine("post-warm")
+    val gcWarmPass = gcMs() - gc2
+    val results = minResults(cold, warm, SparkEntry.queries.size)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -100,7 +126,12 @@ object Bench {
     // prebuild failures likewise (ADVICE r3 #5) — a query timed against
     // a missing mart barrier pays the whole chain build inline.
     def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
+    def stjson(s: (Int, Double, Double)): String =
+      s"""{"n":${s._1},"mem_mb":${f"${s._2}%.1f"},"disk_mb":${f"${s._3}%.1f"}}"""
+    // bench_schema (ADVICE r7 #4): 1 = "value" was the warm-pass total
+    // (r1-r6); 2 = "value" is the sum of per-query mins across passes
+    // (r7+). Historical totals must not be compared 1:1 across schemas.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT
@@ -113,7 +144,7 @@ object Bench {
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.sortBy(-_._2).take(10)
-    println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"min_top10":${qjson(top10)}}""")
+    println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"min_top10":${qjson(top10)}}""")
     spark.stop()
   }
 }

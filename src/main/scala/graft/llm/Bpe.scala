@@ -51,10 +51,17 @@ object Bpe {
     * rest on the NUL text (a pathological document could contain NUL;
     * the whitespace split does not strip it): the sentinel carries
     * cnt = -1, so it can never win the (cnt desc, pair asc) argmax
-    * against a real pair (cnt >= 1) and is filtered by the cnt >= 0
-    * guard before any symbol comparison. The DuckDB oracle's sentinel
-    * differs textually ("   " in LlmSql.bpeCtes) -- equivalent for
-    * the same reason: only its cnt = -1 matters. */
+    * against a real pair (cnt >= 1). Two consumers, two guards
+    * (ADVICE r7 — they are NOT the same): the merge-table output
+    * filters `cnt >= 0`, so sentinel rounds emit no merge row; the
+    * words-rewrite path has NO cnt guard — the sentinel's symbols DO
+    * reach applyMerge — and is safe only because the sentinel wins
+    * solely when the pair table is EMPTY, i.e. no word has >= 2
+    * symbols left, which makes the rewrite a no-op regardless of what
+    * (a, b) carry. A sentinel text that could match real symbols would
+    * still be safe for that reason, but keep it unmatchable anyway.
+    * The DuckDB oracle's sentinel differs textually ("   " in
+    * LlmSql.bpeCtes) -- equivalent: only its cnt = -1 matters. */
   private val Sentinel = "\u0000 \u0000"
 
   /** (word, freq) over the corpus — the one corpus-sized pass. */

@@ -226,11 +226,21 @@ object Similarity {
         col("col.score").as("cosine"))
   }
 
-  def annIvfTopK(embeddingsRaw: DataFrame): DataFrame = {
+  /** The label-derived coarse quantizer on its own: (centroid_id,
+    * centroid) exact per-label means — the IVF index-build half,
+    * exposed so Models can put it behind a Mat barrier (an ANN
+    * deployment trains its quantizer once at index build, not per
+    * search; parquet float roundtrip is bit-exact). */
+  def labelCentroids(embeddingsRaw: DataFrame): DataFrame =
+    exactMeanCentroids(
+      embeddingsRaw.select(col("label"), col("embedding")), "label")
+
+  /** `centroids`: a precomputed label quantizer (pass the Mat'd
+    * [[labelCentroids]]); None builds inline (specs). */
+  def annIvfTopK(embeddingsRaw: DataFrame,
+                 centroids: Option[DataFrame] = None): DataFrame = {
     val embeddings = embeddingsRaw.repartition(col("vec_id"))
-    // exact-mean centroids per label
-    ivfProbe(embeddings, exactMeanCentroids(
-      embeddings.select(col("label"), col("embedding")), "label"))
+    ivfProbe(embeddings, centroids.getOrElse(labelCentroids(embeddings)))
   }
 
   /** IVF with a TRAINED coarse quantizer: the inverted lists are built

@@ -188,10 +188,19 @@ object EventMarts {
     * false positives — so the result is row-equal to the plain join
     * (the oracle gates exactly that) while the join's exchange carries
     * only the pruned survivors at scale. */
-  def bloomPrunedStats(events: DataFrame): DataFrame = {
-    import graft.operators.BloomPrune
-    val purchasers = events.filter(col("event_type") === "purchase")
+  /** The Bloom build side: distinct purchasing users. Its own def so
+    * Models can put it behind a Mat barrier (VERDICT r7 #2 — the
+    * driver-side buildBloom aggregation then reads a tiny materialized
+    * dim instead of re-running this distinct per execution). */
+  def purchaserDim(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select("user_id").distinct()
+
+  def bloomPrunedStats(events: DataFrame): DataFrame =
+    bloomPrunedStats(events, purchaserDim(events))
+
+  def bloomPrunedStats(events: DataFrame, purchasers: DataFrame): DataFrame = {
+    import graft.operators.BloomPrune
     val bloom = BloomPrune.buildBloom(purchasers, col("user_id"),
       expectedItems = 100000L)
     BloomPrune.prune(events, col("user_id"), bloom)

@@ -26,12 +26,19 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Unpersist the checkpointed RDD behind `df` (a localCheckpoint'd
-    * frame whose plan root is the LogicalRDD the checkpoint created).
-    * Non-blocking: block removal proceeds async while the caller's
-    * next round runs. */
+    * frame whose plan ROOT is the LogicalRDD the checkpoint created).
+    * Matches ONLY the root (ADVICE r7): a whole-plan traversal would
+    * silently unpersist every LogicalRDD a derived frame references —
+    * for a join of two checkpointed frames that is unrecoverable data
+    * loss (lineage is truncated), so a non-root-checkpoint argument
+    * fails loudly instead. Non-blocking: block removal proceeds async
+    * while the caller's next round runs. */
   def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+      case other => throw new IllegalArgumentException(
+        "Checkpoints.free expects a frame whose plan root is the " +
+          s"checkpoint's LogicalRDD, got ${other.nodeName} — freeing a " +
+          "derived frame would unpersist inputs other live plans still read")
     }
 }

@@ -61,6 +61,29 @@ object Streams {
       try body finally spark.conf.set(key, prev)
     }
 
+  /** Micro-batch accounting for the one-shot runs (VERDICT r7 #3: the
+    * four older one-shots regressed ~3× min-over-min with UNCHANGED
+    * code — fixed micro-batch machinery cost, not data). One stderr
+    * line per run: batch count, input rows, where triggerExecution
+    * went (addBatch = plan execution, walCommit/commitOffsets = log
+    * writes), and state-store commit totals — enough to tell "more
+    * batches ran" from "each batch got slower" next to the bench's
+    * own timings. */
+  private def logProgress(name: String,
+                          q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val ps = q.recentProgress
+      def dur(k: String): Long =
+        ps.map(p => Option(p.durationMs.get(k)).fold(0L)(_.longValue)).sum
+      val stores = ps.flatMap(_.stateOperators)
+      System.err.println(s"[stream] $name: batches=${ps.length} " +
+        s"rows=${ps.map(_.numInputRows).sum} " +
+        s"triggerMs=${dur("triggerExecution")} addBatchMs=${dur("addBatch")} " +
+        s"walMs=${dur("walCommit") + dur("commitOffsets")} " +
+        s"stateCommitMs=${stores.map(_.commitTimeMs).sum} " +
+        s"stateStores=${stores.map(_.numStateStoreInstances).sum}")
+    } catch { case _: Throwable => () }
+
   /** File-based streaming source with the events schema (a production
     * deploy would point this at an object-store drop zone or Kafka). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -108,6 +131,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress("stream_windowed_counts", q)
     spark.table(name)
   }
 
@@ -195,6 +219,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress("stream_sessions", q)
     spark.table(name)
   }
 
@@ -263,6 +288,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress("stream_segment_counts", q)
     spark.table(name)
   }
 
@@ -330,6 +356,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress("stream_dedup", q)
     spark.table(name)
   }
 
@@ -392,6 +419,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress("stream_attribution", q)
     }
     spark.table(name)
   }
@@ -444,6 +472,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress("stream_attribution_outer", q)
     }
     spark.table(name)
   }
@@ -544,7 +573,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    logProgress("stream_sink_parquet", q)
+    // explicit schema on the read-back (ADVICE r7): a zero-purchase
+    // source commits no data files, and a schema-inferring read of the
+    // empty sink would fail instead of returning an empty result.
+    spark.read.schema(purchases.schema).parquet(out)
   }
 
   /** DuckDB oracle for the one-shot parquet sink: the projection's
@@ -641,6 +674,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress("stream_sink_merge", q)
     spark.table(s"${graft.Mat.schemaFor(sfDir)}.$name")
   }
 

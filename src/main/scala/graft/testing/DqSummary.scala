@@ -132,7 +132,26 @@ object DqSummary {
           .join(m(pt).select(col(pk0).as(ck)).distinct(), Seq(ck), "left_anti")
           .agg(count(lit(1)).as("n_failing")))
     }
-    (perTable ++ rel).reduce(_ unionByName _)
+    // The 17 subplans are independent and each yields a handful of
+    // rows, but a single unioned plan executes them as ONE job whose
+    // fixed per-subplan costs (codegen, scan setup, one shuffle each)
+    // serialize — measured at 6.9 s min in the r7 bench (VERDICT r7
+    // #5). Run them as CONCURRENT jobs (the Mat per-key-futures
+    // pattern; Spark's scheduler interleaves their stages across the
+    // 32 cores) and union the collected 36 rows locally. Eager by
+    // design: this is test-suite orchestration, not a lazy model —
+    // dbt's `dbt test` likewise runs its rule queries in a thread
+    // pool and assembles a results relation.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Mat.ec
+    val subplans = perTable ++ rel
+    val spark = subplans.head.sparkSession
+    val schema = subplans.head.schema
+    val futs = subplans.map(df => Future(df.collect()))
+    val rows = futs.flatMap(f => Await.result(f, Duration.Inf))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** DuckDB side: the same rules over the oracle CTEs. `cte` maps a

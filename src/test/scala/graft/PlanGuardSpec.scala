@@ -44,10 +44,15 @@ class PlanGuardSpec extends SparkSpec {
     "bpe_vocab_ids")
 
   /** The streaming one-shots run whole jobs at build time; plan
-    * inspection happens through their own specs instead. */
+    * inspection happens through their own specs instead. dq_summary
+    * likewise since r8: its 17 rule subplans execute as CONCURRENT
+    * jobs at construction (VERDICT r7 #5) and the returned frame is
+    * the collected 36-row local relation — the subplans' shapes are
+    * covered by DqSummarySpec. */
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
-    "stream_dedup", "stream_attribution", "stream_attribution_outer")
+    "stream_dedup", "stream_attribution", "stream_attribution_outer",
+    "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
     * whose row count is bounded by the schema, not the data — 25
