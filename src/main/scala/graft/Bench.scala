@@ -128,10 +128,18 @@ object Bench {
     def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def stjson(s: (Int, Double, Double)): String =
       s"""{"n":${s._1},"mem_mb":${f"${s._2}%.1f"},"disk_mb":${f"${s._3}%.1f"}}"""
+    // the one-shot streams' LAST-run micro-batch accounting (VERDICT
+    // r7 #4): stderr lines fall outside the driver's stdout tail, so
+    // the fixed-cost evidence rides in the artifact itself.
+    val streamAcct = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.Streams.lastAccounting.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     // bench_schema (ADVICE r7 #4): 1 = "value" was the warm-pass total
     // (r1-r6); 2 = "value" is the sum of per-query mins across passes
     // (r7+). Historical totals must not be compared 1:1 across schemas.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT

@@ -45,30 +45,46 @@ object Streams {
     * the opposite of the point. A real deployment sizes this to state
     * volume, not scans. */
   val StreamShufflePartitions = 8
+
+  /** Tighter cap for the stream-STREAM interval joins: they maintain
+    * FOUR state-store families per shuffle partition (key store +
+    * key-with-index store per side), each committing per micro-batch —
+    * at 8 partitions × 2 batches that is 64 store commits for a
+    * bounded one-shot whose per-user join state fits comfortably in a
+    * handful of partitions. 4 halves the commit fan-out with results
+    * unchanged (partitioning never changes join output); a real
+    * deployment sizes this to state volume. */
+  val JoinShufflePartitions = 4
   private val streamConfLock = new Object
 
   /** Run a one-shot streaming body with shuffle partitions capped at
-    * [[StreamShufflePartitions]], restoring the session conf after.
-    * The conf is read at `query.start()`, so the override must span
-    * it; serialized so concurrent one-shots don't interleave
-    * set/restore. */
-  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T =
+    * `cap` (default [[StreamShufflePartitions]]), restoring the
+    * session conf after. The conf is read at `query.start()`, so the
+    * override must span it; serialized so concurrent one-shots don't
+    * interleave set/restore. */
+  private def withStreamPartitions[T](spark: SparkSession,
+                                      cap: Int = StreamShufflePartitions)
+                                     (body: => T): T =
     streamConfLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
-      spark.conf.set(key,
-        math.min(prev.toInt, StreamShufflePartitions).toString)
+      spark.conf.set(key, math.min(prev.toInt, cap).toString)
       try body finally spark.conf.set(key, prev)
     }
 
   /** Micro-batch accounting for the one-shot runs (VERDICT r7 #3: the
     * four older one-shots regressed ~3× min-over-min with UNCHANGED
     * code — fixed micro-batch machinery cost, not data). One stderr
-    * line per run: batch count, input rows, where triggerExecution
+    * line per run — batch count, input rows, where triggerExecution
     * went (addBatch = plan execution, walCommit/commitOffsets = log
     * writes), and state-store commit totals — enough to tell "more
-    * batches ran" from "each batch got slower" next to the bench's
-    * own timings. */
+    * batches ran" from "each batch got slower"; the same numbers are
+    * kept in [[lastAccounting]] as a JSON fragment so Bench embeds
+    * the LAST run's accounting in its artifact (stderr lines fall
+    * outside the driver's stdout tail). */
+  val lastAccounting =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def logProgress(name: String,
                           q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
@@ -82,6 +98,12 @@ object Streams {
         s"walMs=${dur("walCommit") + dur("commitOffsets")} " +
         s"stateCommitMs=${stores.map(_.commitTimeMs).sum} " +
         s"stateStores=${stores.map(_.numStateStoreInstances).sum}")
+      lastAccounting.put(name,
+        s"""{"batches":${ps.length},"rows":${ps.map(_.numInputRows).sum},""" +
+        s""""trigger_ms":${dur("triggerExecution")},"add_batch_ms":${dur("addBatch")},""" +
+        s""""wal_ms":${dur("walCommit") + dur("commitOffsets")},""" +
+        s""""state_commit_ms":${stores.map(_.commitTimeMs).sum},""" +
+        s""""state_stores":${stores.map(_.numStateStoreInstances).sum}}"""): Unit
     } catch { case _: Throwable => () }
 
   /** File-based streaming source with the events schema (a production
@@ -409,10 +431,9 @@ object Streams {
     val name = "stream_attr_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     // a stream-stream join maintains FOUR state-store families per
     // shuffle partition (key/index per side), and every micro-batch
-    // commits all of them — the shared reduced-partition harness cuts
-    // that fan-out 4x (it was this query's r5 tuning, now applied to
-    // every one-shot).
-    withStreamPartitions(spark) {
+    // commits all of them — the [[JoinShufflePartitions]] cap cuts
+    // that fan-out harder than the shared one-shot cap does.
+    withStreamPartitions(spark, JoinShufflePartitions) {
       val q = clickAttribution(side("click"), side("purchase")).writeStream
         .format("memory").queryName(name)
         .outputMode(OutputMode.Append())
@@ -465,7 +486,7 @@ object Streams {
         .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
           col("user_id"), col("value"))
     val name = "stream_attr_outer_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    withStreamPartitions(spark) {
+    withStreamPartitions(spark, JoinShufflePartitions) {
       val q = clickAttributionOuter(side("click"), side("purchase")).writeStream
         .format("memory").queryName(name)
         .outputMode(OutputMode.Append())
