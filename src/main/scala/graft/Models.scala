@@ -63,6 +63,16 @@ object Models {
   def supplierRollup(s: SparkSession, d: String): DataFrame =
     AnalyticsMarts.supplierRollup(supplyPerf(s, d))
 
+  /** Exact population deciles of customer lifetime spend — SQL
+    * NTILE/percent_rank/cume_dist over an SF-scaling dim through the
+    * two-phase global rank (operators/Quantiles; no single-partition
+    * window). */
+  def customerValueDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    operators.Quantiles.exactBuckets(customers(s, d), "customer_id",
+      col("lifetime_spend"), 10)
+  }
+
   def timeSpine(s: SparkSession, d: String): DataFrame =
     TimeMarts.timeSpine(s)
   def dailySummary(s: SparkSession, d: String): DataFrame =

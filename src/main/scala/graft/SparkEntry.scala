@@ -35,6 +35,8 @@ object SparkEntry {
     "locations" -> out(Models.locations),
     "supplies" -> out(Models.supplies),
     "supplier_rollup" -> out(Models.supplierRollup),
+    // exact NTILE/percent_rank/cume_dist via the two-phase global rank
+    "customer_value_deciles" -> out(Models.customerValueDeciles),
     // time marts (S7, A6-A11, W5, J17, P5, F2-F5)
     "time_spine" -> out(Models.timeSpine),
     "daily_summary" -> out(Models.dailySummary),
@@ -218,6 +220,7 @@ object SparkEntry {
     "locations" -> Sql.locationsQ,
     "supplies" -> Sql.suppliesQ,
     "supplier_rollup" -> Sql.supplierRollupQ,
+    "customer_value_deciles" -> Sql.customerValueDecilesQ,
     "time_spine" -> Sql.timeSpineQ,
     "daily_summary" -> Sql.dailySummaryQ,
     "weekly_summary" -> Sql.weeklySummaryQ,

@@ -713,6 +713,21 @@ object Sql {
     "account_balance", "lifetime_spend_pretax", "lifetime_tax_paid",
     "lifetime_spend", "lifetime_cost")}"
 
+  /** Mirror operators/Quantiles.exactBuckets(customers,
+    * lifetime_spend, 10): the REAL SQL window functions over the same
+    * strict (lifetime_spend desc nulls last, customer_id) order — the
+    * two-phase rank + integer bucket arithmetic must be byte-identical
+    * to the single-window form. */
+  val customerValueDecilesQ: String =
+    s"""$coreCtes
+       |select customer_id,
+       |  cast(row_number() over w as int) as value_rank,
+       |  cast(ntile(10) over w as int) as bucket,
+       |  percent_rank() over w as pct_rank,
+       |  cume_dist() over w as cume_dist
+       |from customers_mart
+       |window w as (order by lifetime_spend desc nulls last, customer_id)""".stripMargin
+
   val productsQ = s"$allCtes ${asDouble("products_mart", "product_price")}"
   val locationsQ = s"$allCtes select * from locations_mart"
   val suppliesQ = s"$allCtes select * from supplies_mart"

@@ -41,7 +41,10 @@ class PlanGuardSpec extends SparkSpec {
     // the same broadcast (bounded by cluster config, not data; the
     // mart-reading rank queries hide it behind Mat — this one ranks
     // live)
-    "bpe_vocab_ids")
+    "bpe_vocab_ids",
+    // live globalRank offset join + corpus × ONE broadcast total row
+    // (Quantiles.exactBuckets)
+    "customer_value_deciles")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
