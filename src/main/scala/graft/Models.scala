@@ -13,6 +13,20 @@ import graft.marts.{AnalyticsMarts, CoreMarts, SegmentationMart, TimeMarts}
   * downstream consumer (reference `dbt_project.yml:33-36`).
   */
 object Models {
+
+  /** BFS depth of the co-purchase distance query; shared with the
+    * oracle's unrolled-CTE mirror (OpsSql) so both engines relax the
+    * same number of rounds. */
+  val BfsMaxHops = 4
+
+  /** The daily mart's metric columns in melt order; shared with the
+    * oracle's UNION ALL mirror. */
+  val DailyMeltMetrics: Seq[String] = Seq(
+    "daily_orders", "daily_unique_customers", "daily_revenue",
+    "daily_cost", "daily_profit", "daily_avg_order_value",
+    "daily_new_customers", "daily_returning_customers",
+    "daily_promo_orders", "daily_returned_orders")
+
   def stgCustomers(s: SparkSession, d: String): DataFrame =
     Staging.stgCustomers(Tables.customer(s, d))
   def stgOrders(s: SparkSession, d: String): DataFrame =
@@ -99,6 +113,11 @@ object Models {
     TimeMarts.revenueGroupingSets(orders(s, d))
   def dailyMovingStats(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyMovingStats(dailySummary(s, d))
+  /** Wide daily mart melted long — one (day, metric, value) row per
+    * cell, every value cast to double at the reshape boundary. */
+  def dailyMetricsLong(s: SparkSession, d: String): DataFrame =
+    operators.Unpivot.melt(dailySummary(s, d), Seq("order_date"),
+      Models.DailyMeltMetrics)
   def revenueAnomalies(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueAnomalies(dailySummary(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
@@ -149,6 +168,11 @@ object Models {
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "ngram_jaccard_pairs")(
       llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d)))
+  /** LSH banding quality: minhash candidate recall/precision against
+    * the exact-Jaccard truth set (both sides read Mat'd pair tables). */
+  def dedupLshRecall(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.lshRecallStats(ngramJaccardPairs(s, d), minhashPairs(s, d),
+      llm.Dedup.LshRecallThreshold)
   /** Exact-substring dedup transform (cross-doc duplicated spans
     * removed, document rebuilt). */
   def substringDedup(s: SparkSession, d: String): DataFrame =
@@ -426,6 +450,31 @@ object Models {
     marts.EventMarts.bloomPrunedStats(Tables.events(s, d), eventPurchasers(s, d))
   def zorderKeys(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.zorderKeys(Tables.events(s, d))
+
+  /** Distinct product pairs co-purchased in some order — the edge
+    * table of the co-purchase graph, Mat'd: the group self-join runs
+    * once per session, and both the edge query and the BFS read the
+    * materialized 8-byte pair table. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_edges")(
+      operators.Graph.coOccurrenceEdges(stgOrderItems(s, d),
+        "order_id", "product_id"))
+  def productCopurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchaseEdges(s, d)
+  /** BFS hop distances from the smallest connected product id —
+    * deterministic (integer-min relaxation; the source definition is
+    * mirrored in the oracle). Mat'd: the iterative rounds run ONCE
+    * per session at index-build time (the sq8_corpus precedent) and
+    * the registered query scans the materialized distance table; the
+    * per-round checkpoints go unreachable after the write and fall to
+    * the ContextCleaner. */
+  def productCopurchaseDistances(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_distances") {
+      import org.apache.spark.sql.functions.{col, min}
+      val edges = copurchaseEdges(s, d)
+      val src = edges.agg(min(col("src")).as("node"))
+      operators.Graph.bfsDistances(edges, src, Models.BfsMaxHops)
+    }
   def weightedSample(s: SparkSession, d: String): DataFrame =
     llm.Splits.weightedSample(Tables.documents(s, d))
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -589,7 +638,9 @@ object Models {
       "sq8_corpus" -> (sq8Corpus _),
       "event_purchasers" -> (eventPurchasers _),
       "ann_exact_topk" -> (annExactTopK _),
-      "ivf_label_centroids" -> (ivfLabelCentroids _))
+      "ivf_label_centroids" -> (ivfLabelCentroids _),
+      // transitively builds the copurchase_edges barrier first
+      "copurchase_distances" -> (productCopurchaseDistances _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

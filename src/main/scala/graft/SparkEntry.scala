@@ -52,6 +52,8 @@ object SparkEntry {
     // explicit GROUPING SETS (the general form rollup/cube specialize)
     "revenue_grouping_sets" -> out(Models.revenueGroupingSets),
     "daily_moving_stats" -> out(Models.dailyMovingStats),
+    // wide->long melt of the daily mart (single-Expand unpivot)
+    "daily_metrics_long" -> out(Models.dailyMetricsLong),
     // trailing-window 2-sigma anomaly flags (exact-moment baseline)
     "revenue_anomalies" -> out(Models.revenueAnomalies),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
@@ -68,6 +70,8 @@ object SparkEntry {
     "simhash_signatures" -> out(Models.simhashSignatures),
     "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
+    // LSH banding quality vs the exact-Jaccard truth set
+    "dedup_lsh_recall" -> out(Models.dedupLshRecall),
     // cross-doc shared n-gram fraction (boilerplate signal)
     "doc_shared_ngrams" -> out(Models.docSharedNgrams),
     // remove cross-doc duplicated spans, rebuild the document
@@ -169,6 +173,9 @@ object SparkEntry {
     "events_asof_next_purchase" -> out(Models.eventsAsofNextPurchase),
     // Z-order (Morton) layout keys for two-dimensional data skipping
     "zorder_keys" -> out(Models.zorderKeys),
+    // co-purchase graph: bounded-group edge derivation + k-round BFS
+    "copurchase_edges" -> out(Models.productCopurchaseEdges),
+    "copurchase_distances" -> out(Models.productCopurchaseDistances),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
@@ -234,6 +241,7 @@ object SparkEntry {
     "revenue_cube" -> Sql.revenueCubeQ,
     "revenue_grouping_sets" -> Sql.revenueGroupingSetsQ,
     "daily_moving_stats" -> Sql.dailyMovingStatsQ,
+    "daily_metrics_long" -> Sql.dailyMetricsLongQ,
     "revenue_anomalies" -> Sql.revenueAnomaliesQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
@@ -245,6 +253,7 @@ object SparkEntry {
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
+    "dedup_lsh_recall" -> LlmSql.dedupLshRecallQ,
     "doc_shared_ngrams" -> LlmSql.docSharedNgramsQ,
     "substring_dedup" -> LlmSql.substringDedupQ,
     "dedup_clusters" -> LlmSql.dedupClustersQ,
@@ -310,6 +319,8 @@ object SparkEntry {
     "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
     "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,
+    "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
+    "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,

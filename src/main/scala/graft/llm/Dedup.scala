@@ -349,4 +349,42 @@ object Dedup {
           / (col("size_a") + col("size_b") - col("n_shared")).cast("double"))
           .as("jaccard_est"))
   }
+
+  /** Truth threshold for [[lshRecallStats]]' registered query: low
+    * enough that the synthetic corpus (near-dup tail starts ≈ 0.05,
+    * see NearDupCosine's note on the testdata's similarity range)
+    * yields a non-trivial truth set at every SF; a real corpus
+    * evaluates at its dedup threshold (≥ 0.8). Shared with the
+    * DuckDB oracle (LlmSql) so both engines filter identically. */
+  val LshRecallThreshold = 0.05
+
+  /** Banded-LSH candidate quality against an exact-similarity truth
+    * set — the dedup analogue of [[Similarity.annRecall]]: the eval
+    * that decides every banding trade (b×r, bucket caps) before a
+    * corpus-scale run. `truth` is the exact pair table filtered to
+    * `jaccard_est >= threshold`; `candidates` is the LSH pair table.
+    * One summary row: pair counts, hits, recall (hits/truth) and
+    * precision (hits/candidates), zero-guarded. Scale: both inputs
+    * are PAIR tables (already bucket-cap-bounded, linear in corpus),
+    * the join is on 16-byte id pairs, and the output is one row —
+    * nothing here touches documents. */
+  def lshRecallStats(truth: DataFrame, candidates: DataFrame,
+                     threshold: Double): DataFrame = {
+    val t = truth.filter(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val c = candidates.select(col("doc_a"), col("doc_b"),
+      lit(1).as("hit"))
+    val joined = t.join(c.select(col("doc_a"), col("doc_b"), col("hit")),
+      Seq("doc_a", "doc_b"), "left")
+    val counts = joined.agg(
+        count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_candidates"))))
+    counts.select(col("n_truth"), col("n_candidates"), col("n_hits"),
+      when(col("n_truth") > 0,
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+        .otherwise(lit(1.0)).as("recall"),
+      when(col("n_candidates") > 0,
+        col("n_hits").cast("double") / col("n_candidates").cast("double"))
+        .otherwise(lit(1.0)).as("precision"))
+  }
 }

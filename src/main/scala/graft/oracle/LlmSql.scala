@@ -189,6 +189,32 @@ object LlmSql {
        |join sh_sizes sa on pairs0.doc_a = sa.doc_id
        |join sh_sizes sb on pairs0.doc_b = sb.doc_id""".stripMargin
 
+  /** Mirror Dedup.lshRecallStats(ngram_jaccard_pairs, minhash_pairs):
+    * the two pair queries as subqueries (both engines filter the truth
+    * side at the SAME shared threshold), one summary row with
+    * zero-guarded recall/precision. */
+  val dedupLshRecallQ: String =
+    s"""with truth as (
+       |  select doc_a, doc_b from ($ngramJaccardPairsQ) t
+       |  where jaccard_est >= ${Dedup.LshRecallThreshold}
+       |),
+       |cand as (select doc_a, doc_b from ($minhashPairsQ) m),
+       |joined as (
+       |  select case when c.doc_a is not null then 1 end as hit
+       |  from truth t left join cand c
+       |    on t.doc_a = c.doc_a and t.doc_b = c.doc_b
+       |),
+       |counts as (select count(*) as n_truth, count(hit) as n_hits from joined),
+       |cc as (select count(*) as n_candidates from cand)
+       |select n_truth, n_candidates, n_hits,
+       |  case when n_truth > 0
+       |    then cast(n_hits as double) / cast(n_truth as double)
+       |    else cast(1.0 as double) end as recall,
+       |  case when n_candidates > 0
+       |    then cast(n_hits as double) / cast(n_candidates as double)
+       |    else cast(1.0 as double) end as precision
+       |from counts, cc""".stripMargin
+
   /** Sequential index-order dot product (mirror Similarity.dot). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::double) * ($b[i]::double)), (acc, x) -> acc + x)"

@@ -446,4 +446,43 @@ object OpsSql {
        |  ${ZOrder.zorderSql("value_bucket", "day_bucket")} as zkey
        |from zb""".stripMargin
   }
+
+  /** Shared co-purchase edge CTEs (mirror operators/Graph
+    * .coOccurrenceEdges over stg_order_items): distinct (order,
+    * product) rows, then the strictly-ordered within-group self-join. */
+  private val copurchaseCtes: String =
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |edges as (
+       |  select distinct a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |)""".stripMargin
+
+  val copurchaseEdgesQ: String =
+    s"$copurchaseCtes select src, dst from edges"
+
+  /** Mirror Graph.bfsDistances: the k min-relaxation rounds UNROLLED
+    * as CTEs (same round count via Models.BfsMaxHops, same integer-min
+    * semantics — partition-order independence on the Spark side is
+    * what makes the unrolled form bit-identical). Source = smallest
+    * connected product id, exactly Models.productCopurchaseDistances'
+    * min(src) over the edge table. */
+  val copurchaseDistancesQ: String = {
+    val k = graft.Models.BfsMaxHops
+    val rounds = (1 to k).map { h =>
+      s"""d$h as (
+         |  select node, min(dist) as dist from (
+         |    select node, dist from d${h - 1}
+         |    union all
+         |    select s.dst as node, $h as dist
+         |    from d${h - 1} p join sym s on p.node = s.src
+         |  ) u group by 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseCtes,
+       |sym as (select src, dst from edges union all select dst as src, src as dst from edges),
+       |d0 as (select min(src) as node, 0 as dist from edges),
+       |$rounds
+       |select node, dist from d$k""".stripMargin
+  }
 }

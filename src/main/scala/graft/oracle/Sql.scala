@@ -735,6 +735,16 @@ object Sql {
   val timeSpineQ = s"$allCtes select * from time_spine"
   val dailySummaryQ = s"$allCtes ${asDouble("daily_summary",
     "daily_revenue", "daily_cost", "daily_profit")}"
+  /** Mirror operators/Unpivot.melt over the daily mart: the UNION ALL
+    * form of the same reshape (Spark runs it as one Expand pass), each
+    * metric cast to double exactly as the Spark side does at the melt
+    * boundary. Metric list shared via Models.DailyMeltMetrics. */
+  val dailyMetricsLongQ: String = {
+    val arms = graft.Models.DailyMeltMetrics.map(m =>
+      s"select order_date, '$m' as metric, cast($m as double) as value from daily_summary")
+      .mkString("\nunion all\n")
+    s"$allCtes $arms"
+  }
   val weeklySummaryQ = s"$allCtes select * from weekly_summary"
   val monthlySummaryQ = s"$allCtes ${asDouble("monthly_summary",
     "monthly_revenue", "monthly_cost", "monthly_profit")}"

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph.bfsDistances must equal a reference single-machine BFS on
+  * the same edge set (hop-by-hop frontier expansion in plain Scala),
+  * and the edge derivation must emit each unordered pair exactly once
+  * regardless of within-group duplication. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: distinct unordered pairs within groups") {
+    // group 1: {1,2,3} (item 2 listed twice), group 2: {2,3}, group 3: {4}
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("g", "i")
+    val edges = Graph.coOccurrenceEdges(df, "g", "i")
+      .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bfsDistances == reference BFS, unreached nodes absent") {
+    // path 1-2-3-4-5-6 plus a triangle (2,7,8) and an island (9,10)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L), (7L, 8L), (2L, 8L), (9L, 10L)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    for (k <- Seq(0, 1, 3)) {
+      val got = Graph.bfsDistances(edges, sources, k)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // reference BFS over the symmetrized adjacency
+      val adj = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+          (2L, 7L), (7L, 8L), (2L, 8L), (9L, 10L))
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var want = Map(1L -> 0)
+      for (h <- 1 to k) {
+        val frontier = want.filter(_._2 == h - 1).keySet
+          .flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(want.contains)
+        want = want ++ frontier.map(_ -> h)
+      }
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("min-relaxation keeps the SHORTEST hop count under multiple paths") {
+    // 1-2, 2-3, 1-3: node 3 is reachable in 2 hops via 2 but in 1 hop directly
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, Seq(1L).toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+}

@@ -44,7 +44,10 @@ class PlanGuardSpec extends SparkSpec {
     "bpe_vocab_ids",
     // live globalRank offset join + corpus × ONE broadcast total row
     // (Quantiles.exactBuckets)
-    "customer_value_deciles")
+    "customer_value_deciles",
+    // truth-side counts row × ONE broadcast candidate-count row
+    // (Dedup.lshRecallStats)
+    "dedup_lsh_recall")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
