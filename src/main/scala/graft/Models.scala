@@ -77,6 +77,11 @@ object Models {
   def supplierRollup(s: SparkSession, d: String): DataFrame =
     AnalyticsMarts.supplierRollup(supplyPerf(s, d))
 
+  /** Grouped top-k through the native bounded-heap aggregate (the
+    * relational use of the ANN top_k expression). */
+  def topProductsPerSupplier(s: SparkSession, d: String): DataFrame =
+    AnalyticsMarts.topProductsPerSupplier(stgOrderItems(s, d))
+
   /** Exact population deciles of customer lifetime spend — SQL
     * NTILE/percent_rank/cume_dist over an SF-scaling dim through the
     * two-phase global rank (operators/Quantiles; no single-partition

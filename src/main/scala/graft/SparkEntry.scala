@@ -37,6 +37,8 @@ object SparkEntry {
     "supplier_rollup" -> out(Models.supplierRollup),
     // exact NTILE/percent_rank/cume_dist via the two-phase global rank
     "customer_value_deciles" -> out(Models.customerValueDeciles),
+    // grouped top-k via the native bounded-heap aggregate
+    "top_products_per_supplier" -> out(Models.topProductsPerSupplier),
     // time marts (S7, A6-A11, W5, J17, P5, F2-F5)
     "time_spine" -> out(Models.timeSpine),
     "daily_summary" -> out(Models.dailySummary),
@@ -228,6 +230,7 @@ object SparkEntry {
     "supplies" -> Sql.suppliesQ,
     "supplier_rollup" -> Sql.supplierRollupQ,
     "customer_value_deciles" -> Sql.customerValueDecilesQ,
+    "top_products_per_supplier" -> Sql.topProductsPerSupplierQ,
     "time_spine" -> Sql.timeSpineQ,
     "daily_summary" -> Sql.dailySummaryQ,
     "weekly_summary" -> Sql.weeklySummaryQ,

@@ -400,4 +400,32 @@ object AnalyticsMarts {
         col("srev").as("total_supplier_revenue"),
         when(col("scost") > 0, col("srev") / col("scost")).as("supplier_efficiency_ratio"))
   }
+
+  /** Top products per supplier via [[graft.expressions.TopKAggregate]]
+    * — the GROUPED top-k done as a bounded-heap partial aggregate. */
+  val TopProductsK = 3
+
+  /** (supplier_id, product_rank, product_id, product_revenue): each
+    * supplier's top-K products by summed discounted revenue. The heap
+    * aggregate's partial pass keeps ≤ K entries per supplier per map
+    * task BEFORE the exchange — the window form (`row_number over
+    * (partition by supplier order by rev desc)`) would shuffle and
+    * sort every (supplier, product) row instead. Revenue leaves exact
+    * decimal as ONE double cast at the score boundary; ties break on
+    * ascending product_id in both the heap and the oracle window. */
+  def topProductsPerSupplier(orderItems: DataFrame): DataFrame = {
+    val rev = orderItems
+      .groupBy(col("supplier_id"), col("product_id"))
+      .agg(sum(col("discounted_price")).as("rev_dec"))
+      .select(col("supplier_id"), col("product_id"),
+        col("rev_dec").cast("double").as("product_revenue"))
+    rev.groupBy(col("supplier_id"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("product_revenue"), col("product_id"), TopProductsK).as("tk"))
+      .select(col("supplier_id"), posexplode(col("tk")))
+      .select(col("supplier_id"),
+        (col("pos") + 1).cast("int").as("product_rank"),
+        col("col.payload").as("product_id"),
+        col("col.score").as("product_revenue"))
+  }
 }

@@ -728,6 +728,27 @@ object Sql {
        |from customers_mart
        |window w as (order by lifetime_spend desc nulls last, customer_id)""".stripMargin
 
+  /** Mirror AnalyticsMarts.topProductsPerSupplier: the window form of
+    * the same grouped top-k — row_number over (rev desc, product_id),
+    * the exact total order the bounded heap keeps. */
+  val topProductsPerSupplierQ: String = {
+    import graft.marts.AnalyticsMarts.TopProductsK
+    s"""$stagingCtes,
+       |sup_rev as (
+       |  select supplier_id, product_id,
+       |    cast(sum(discounted_price) as double) as product_revenue
+       |  from stg_order_items group by 1, 2
+       |),
+       |sup_rnk as (
+       |  select supplier_id, product_id, product_revenue,
+       |    cast(row_number() over (partition by supplier_id
+       |      order by product_revenue desc, product_id) as int) as product_rank
+       |  from sup_rev
+       |)
+       |select supplier_id, product_rank, product_id, product_revenue
+       |from sup_rnk where product_rank <= $TopProductsK""".stripMargin
+  }
+
   val productsQ = s"$allCtes ${asDouble("products_mart", "product_price")}"
   val locationsQ = s"$allCtes select * from locations_mart"
   val suppliesQ = s"$allCtes select * from supplies_mart"
