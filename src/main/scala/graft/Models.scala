@@ -440,6 +440,9 @@ object Models {
     streaming.Streams.parquetSinkOnce(s, d)
   def streamSinkMerge(s: SparkSession, d: String): DataFrame =
     streaming.Streams.mergeSinkOnce(s, d)
+  /** transformWithState (Spark 4 arbitrary-state API) per-user rollup. */
+  def streamUserRollup(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.userRollupStateOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =

@@ -144,6 +144,8 @@ object SparkEntry {
     "stream_attribution_outer" -> out(Models.streamAttributionOuter),
     "stream_sink_parquet" -> out(Models.streamSinkParquet),
     "stream_sink_merge" -> out(Models.streamSinkMerge),
+    // transformWithState (Spark 4 typed-state API): per-user rollup
+    "stream_user_rollup" -> out(Models.streamUserRollup),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -303,6 +305,7 @@ object SparkEntry {
     "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
+    "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,

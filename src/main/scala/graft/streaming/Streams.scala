@@ -706,4 +706,135 @@ object Streams {
     """select user_id, event_id, ts, event_type, value from events
       |qualify row_number() over
       |  (partition by user_id order by ts desc, event_id desc) = 1""".stripMargin
+
+  // ---- transformWithState (the Spark 4 arbitrary-state API) ----
+
+  /** Input row for the per-user rollup: ts kept as epoch MICROS (the
+    * events parquet carries sub-second timestamps; see Event's note). */
+  case class KeyedEvent(event_id: Long, ts_micros: Long, user_id: Long,
+                        value: Double)
+  /** ValueState payload: all-integer accumulators, so the fold is
+    * exact and commutative — the emitted rollup cannot depend on
+    * micro-batch boundaries or in-batch row order. */
+  case class UserAgg(n: Long, total_micros: Long, last_ts_micros: Long,
+                     last_event_id: Long)
+  case class UserRollupRow(user_id: Long, n_events: Long,
+                           total_value: Double, last_ts_micros: Long,
+                           last_event_id: Long)
+
+  /** Spark's `cast(double as decimal(18,6))` replicated exactly:
+    * Decimal(BigDecimal(double)) goes through Double.toString
+    * (`java.math.BigDecimal.valueOf`) and changePrecision rounds
+    * HALF_UP — so the state fold accumulates the SAME micros the
+    * engine's decimal cast (and the oracle's) produces, as a plain
+    * long. */
+  def valueMicros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  /** Per-user running rollup on [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the Spark 4 successor of flatMapGroupsWithState ([[sessionize]]
+    * covers the legacy API): typed ValueState, explicit TTL config
+    * (NONE here — the rollup is a lifetime aggregate; a real deploy
+    * sets a retention TTL and the store evicts cold users), TimeMode
+    * off. Each batch emits the UPDATED rollup per key touched
+    * (OutputMode.Update) — the changelog a downstream upsert consumer
+    * applies; state is one fixed-size row per user, partitioned by
+    * the groupByKey shuffle, RocksDB-backed (the API requires it; at
+    * 100 TB that is also the right store — state spills off-heap
+    * instead of competing with execution memory). */
+  class UserRollupProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, UserRollupRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 tv: TimerValues): Iterator[UserRollupRow] = {
+      var cur =
+        if (st.exists()) st.get()
+        else UserAgg(0L, 0L, Long.MinValue, Long.MinValue)
+      rows.foreach { e =>
+        val later = e.ts_micros > cur.last_ts_micros ||
+          (e.ts_micros == cur.last_ts_micros && e.event_id > cur.last_event_id)
+        cur = UserAgg(cur.n + 1L, cur.total_micros + valueMicros(e.value),
+          if (later) e.ts_micros else cur.last_ts_micros,
+          if (later) e.event_id else cur.last_event_id)
+      }
+      st.update(cur)
+      // exact decimal→double presentation of the micros accumulator —
+      // identical to cast(sum(decimal(18,6)) as double)
+      Iterator.single(UserRollupRow(key, cur.n,
+        java.math.BigDecimal.valueOf(cur.total_micros, 6).doubleValue(),
+        cur.last_ts_micros, cur.last_event_id))
+    }
+  }
+
+  def userRollupState(events: Dataset[KeyedEvent]): Dataset[UserRollupRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserRollupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One-shot driver-verifiable run: file stream → transformWithState
+    * rollup → Update-mode memory sink, then the consumer's upsert —
+    * keep each key's LATEST emission (n_events is strictly increasing
+    * per emission, so max n_events IS the final state; ≤ one row per
+    * key per micro-batch in the sink). RocksDB provider is set for
+    * the run and restored after (transformWithState requires it). */
+  def userRollupStateOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = spark.readStream
+        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      val keyed = raw.select(col("event_id"),
+        expr("ts div 1000").as("ts_micros"),
+        col("user_id"), col("value")).as[KeyedEvent]
+      val name = "stream_user_rollup_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val q = userRollupState(keyed).toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      logProgress("stream_user_rollup", q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      spark.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"), col("total_value"),
+          timestamp_micros(col("last_ts_micros")).as("last_ts"),
+          col("last_event_id"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** DuckDB oracle for the transformWithState rollup: the batch
+    * lifetime aggregate per user plus the (ts, event_id)-latest event
+    * — what the commutative integer fold must converge to over any
+    * micro-batch split. */
+  val userRollupOracleSql: String =
+    """with agg as (
+      |  select user_id, count(*) as n_events,
+      |    cast(sum(cast(value as decimal(18,6))) as double) as total_value
+      |  from events group by 1
+      |),
+      |last as (
+      |  select user_id, ts as last_ts, event_id as last_event_id from events
+      |  qualify row_number() over
+      |    (partition by user_id order by ts desc, event_id desc) = 1
+      |)
+      |select a.user_id, a.n_events, a.total_value, l.last_ts, l.last_event_id
+      |from agg a join last l on a.user_id = l.user_id""".stripMargin
 }

@@ -38,7 +38,8 @@ class PlanBudgetSpec extends SparkSpec {
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
-    "stream_sink_parquet", "stream_sink_merge", "dq_summary")
+    "stream_sink_parquet", "stream_sink_merge", "stream_user_rollup",
+    "dq_summary")
 
   private def exchangeCounts(plan: SparkPlan): (Int, Int) = {
     def all(p: SparkPlan): Seq[SparkPlan] =
