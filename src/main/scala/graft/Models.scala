@@ -19,6 +19,10 @@ object Models {
     * same number of rounds. */
   val BfsMaxHops = 4
 
+  /** Co-occurrence weight threshold of the strong-edge affinity graph
+    * the triangle query runs on; shared with the oracle. */
+  val CoPurchaseMinWeight = 2
+
   /** The daily mart's metric columns in melt order; shared with the
     * oracle's UNION ALL mirror. */
   val DailyMeltMetrics: Seq[String] = Seq(
@@ -80,7 +84,7 @@ object Models {
   /** Grouped top-k through the native bounded-heap aggregate (the
     * relational use of the ANN top_k expression). */
   def topProductsPerSupplier(s: SparkSession, d: String): DataFrame =
-    AnalyticsMarts.topProductsPerSupplier(stgOrderItems(s, d))
+    AnalyticsMarts.topProductsPerSupplier(orderItems(s, d))
 
   /** Exact population deciles of customer lifetime spend — SQL
     * NTILE/percent_rank/cume_dist over an SF-scaling dim through the
@@ -469,6 +473,17 @@ object Models {
         "order_id", "product_id"))
   def productCopurchaseEdges(s: SparkSession, d: String): DataFrame =
     copurchaseEdges(s, d)
+  /** Weight-thresholded affinity edges — Mat'd index-build like the
+    * distance table; the triangle query's wedge joins read 8-byte pair
+    * rows, never the order fact. */
+  private def copurchaseStrongEdges(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_strong_edges")(
+      operators.Graph.strongCoOccurrenceEdges(stgOrderItems(s, d),
+        "order_id", "product_id", Models.CoPurchaseMinWeight))
+  /** Per-node triangle counts on the strong-edge graph (ordered wedge
+    * join over the Mat'd pair table). */
+  def copurchaseTriangles(s: SparkSession, d: String): DataFrame =
+    operators.Graph.triangleCounts(copurchaseStrongEdges(s, d))
   /** BFS hop distances from the smallest connected product id —
     * deterministic (integer-min relaxation; the source definition is
     * mirrored in the oracle). Mat'd: the iterative rounds run ONCE
@@ -648,7 +663,8 @@ object Models {
       "ann_exact_topk" -> (annExactTopK _),
       "ivf_label_centroids" -> (ivfLabelCentroids _),
       // transitively builds the copurchase_edges barrier first
-      "copurchase_distances" -> (productCopurchaseDistances _))
+      "copurchase_distances" -> (productCopurchaseDistances _),
+      "copurchase_strong_edges" -> (copurchaseStrongEdges _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

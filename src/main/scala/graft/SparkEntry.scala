@@ -180,6 +180,7 @@ object SparkEntry {
     // co-purchase graph: bounded-group edge derivation + k-round BFS
     "copurchase_edges" -> out(Models.productCopurchaseEdges),
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
+    "copurchase_triangles" -> out(Models.copurchaseTriangles),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
@@ -327,6 +328,7 @@ object SparkEntry {
     "zorder_keys" -> OpsSql.zorderKeysQ,
     "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
+    "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,

@@ -39,6 +39,45 @@ object Graph {
       .distinct()
   }
 
+  /** [[coOccurrenceEdges]] with a co-occurrence WEIGHT threshold:
+    * keep only pairs sharing at least `minWeight` groups. On a
+    * skewed real corpus this is the affinity-graph pruning that makes
+    * downstream wedge-based algorithms (triangles, clustering
+    * coefficients) tractable — thresholding drops the long tail of
+    * coincidental pairs, so wedge fan-out is bounded by the STRONG
+    * degree, not the raw one. */
+  def strongCoOccurrenceEdges(df: DataFrame, groupCol: String,
+                              itemCol: String, minWeight: Int): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val a = g.as("a"); val b = g.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("src"), col("b.i").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+      .select(col("src"), col("dst"), col("weight"))
+  }
+
+  /** Per-node triangle participation counts over an id-oriented edge
+    * set (src < dst — [[coOccurrenceEdges]]' invariant): the ordered
+    * wedge join (a<b<c) meets each triangle exactly once, so no
+    * divide-by-symmetry step. Counts are integers — deterministic.
+    * Scale: wedge fan-out is Σ out-degree² of the ORIENTED graph; run
+    * it on a thresholded edge set ([[strongCoOccurrenceEdges]]) or
+    * re-orient by degree (low→high) first for power-law graphs —
+    * id-orientation is the demo simplification, the join shapes are
+    * identical. Nodes in no triangle are absent. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Hop distance from the source set within `maxHops` rounds:
     * (node, dist), dist ∈ [0, maxHops], unreached nodes absent.
     * `sources` is a one-column (node) frame; edges are treated as

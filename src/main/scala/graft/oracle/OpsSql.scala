@@ -461,6 +461,31 @@ object OpsSql {
   val copurchaseEdgesQ: String =
     s"$copurchaseCtes select src, dst from edges"
 
+  /** Mirror Graph.triangleCounts over strongCoOccurrenceEdges: the
+    * weight-thresholded edge set, the same ordered (a<b<c) wedge
+    * join meeting each triangle once, per-node counts via the
+    * three-corner union. */
+  val copurchaseTrianglesQ: String = {
+    val k = graft.Models.CoPurchaseMinWeight
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $k
+       |),
+       |tri as (
+       |  select e1.src as a, e1.dst as b, e2.dst as c
+       |  from se e1 join se e2 on e1.dst = e2.src
+       |  join se e3 on e3.src = e1.src and e3.dst = e2.dst
+       |)
+       |select node, count(*) as n_triangles from (
+       |  select a as node from tri union all
+       |  select b as node from tri union all
+       |  select c as node from tri
+       |) u group by 1""".stripMargin
+  }
+
   /** Mirror Graph.bfsDistances: the k min-relaxation rounds UNROLLED
     * as CTEs (same round count via Models.BfsMaxHops, same integer-min
     * semantics — partition-order independence on the Spark side is

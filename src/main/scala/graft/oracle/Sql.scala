@@ -733,11 +733,11 @@ object Sql {
     * the exact total order the bounded heap keeps. */
   val topProductsPerSupplierQ: String = {
     import graft.marts.AnalyticsMarts.TopProductsK
-    s"""$stagingCtes,
+    s"""$coreCtes,
        |sup_rev as (
        |  select supplier_id, product_id,
        |    cast(sum(discounted_price) as double) as product_revenue
-       |  from stg_order_items group by 1, 2
+       |  from order_items group by 1, 2
        |),
        |sup_rnk as (
        |  select supplier_id, product_id, product_revenue,

@@ -43,6 +43,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("strongCoOccurrenceEdges thresholds on co-occurrence weight") {
+    // pair (1,2) in groups 1,2; pair (1,3) only in group 1
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)).toDF("g", "i")
+    val got = Graph.strongCoOccurrenceEdges(df, "g", "i", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2L)))
+  }
+
+  test("triangleCounts meets each triangle once, per corner") {
+    // triangle {1,2,3}; square {4,5,6,7} without diagonals (no triangle);
+    // {1,2,3,8}: 8 connected to 1 and 2 -> second triangle {1,2,8}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (4L, 7L), (1L, 8L), (2L, 8L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 8L -> 1L))
+  }
+
   test("min-relaxation keeps the SHORTEST hop count under multiple paths") {
     // 1-2, 2-3, 1-3: node 3 is reachable in 2 hops via 2 but in 1 hop directly
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
