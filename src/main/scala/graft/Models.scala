@@ -23,6 +23,15 @@ object Models {
     * the triangle query runs on; shared with the oracle. */
   val CoPurchaseMinWeight = 2
 
+  /** Orders-mart columns the profile query audits; shared with the
+    * oracle's generated per-column arms. */
+  val OrdersProfileCols: Seq[String] = Seq(
+    "order_id", "customer_id", "ordered_at", "location_id",
+    "order_total", "subtotal", "tax_paid", "order_status",
+    "order_priority", "count_order_items", "order_items_subtotal",
+    "order_cost", "count_promo_items", "count_returned_items",
+    "is_promo_order", "has_returned_item", "customer_order_number")
+
   /** The daily mart's metric columns in melt order; shared with the
     * oracle's UNION ALL mirror. */
   val DailyMeltMetrics: Seq[String] = Seq(
@@ -484,6 +493,13 @@ object Models {
     * join over the Mat'd pair table). */
   def copurchaseTriangles(s: SparkSession, d: String): DataFrame =
     operators.Graph.triangleCounts(copurchaseStrongEdges(s, d))
+  /** Local clustering coefficients on the same strong-edge graph. */
+  def copurchaseClustering(s: SparkSession, d: String): DataFrame =
+    operators.Graph.clusteringCoefficients(copurchaseStrongEdges(s, d))
+
+  /** Exact column profile of the orders mart (catalog/dq audit). */
+  def ordersProfile(s: SparkSession, d: String): DataFrame =
+    operators.Profile.profile(orders(s, d), Models.OrdersProfileCols)
   /** BFS hop distances from the smallest connected product id —
     * deterministic (integer-min relaxation; the source definition is
     * mirrored in the oracle). Mat'd: the iterative rounds run ONCE

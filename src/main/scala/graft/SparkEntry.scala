@@ -181,6 +181,9 @@ object SparkEntry {
     "copurchase_edges" -> out(Models.productCopurchaseEdges),
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
     "copurchase_triangles" -> out(Models.copurchaseTriangles),
+    "copurchase_clustering" -> out(Models.copurchaseClustering),
+    // one-pass exact column profile (catalog/dq audit surface)
+    "orders_profile" -> out(Models.ordersProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
@@ -329,6 +332,8 @@ object SparkEntry {
     "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
+    "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
+    "orders_profile" -> Sql.ordersProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,

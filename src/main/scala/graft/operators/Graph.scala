@@ -78,6 +78,27 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·triangles(v) /
+    * (deg(v)·(deg(v)−1)) over the undirected degree of the same
+    * oriented edge set [[triangleCounts]] reads — how close each
+    * node's neighborhood is to a clique (the affinity-graph quality
+    * signal next to raw triangle counts). One double division of
+    * exact integers at the output boundary; degree-1 nodes get 0. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2L).cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Hop distance from the source set within `maxHops` rounds:
     * (node, dist), dist ∈ [0, maxHops], unreached nodes absent.
     * `sources` is a one-column (node) frame; edges are treated as

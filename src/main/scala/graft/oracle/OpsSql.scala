@@ -486,6 +486,45 @@ object OpsSql {
        |) u group by 1""".stripMargin
   }
 
+  /** Mirror Graph.clusteringCoefficients over the same strong-edge
+    * graph: undirected degree from both edge endpoints, triangles
+    * from the ordered wedge join, one double division of exact
+    * integers (2T / d(d-1)), degree-1 nodes 0. */
+  val copurchaseClusteringQ: String = {
+    val k = graft.Models.CoPurchaseMinWeight
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $k
+       |),
+       |tri as (
+       |  select e1.src as a, e1.dst as b, e2.dst as c
+       |  from se e1 join se e2 on e1.dst = e2.src
+       |  join se e3 on e3.src = e1.src and e3.dst = e2.dst
+       |),
+       |tcount as (
+       |  select node, count(*) as n_triangles from (
+       |    select a as node from tri union all
+       |    select b as node from tri union all
+       |    select c as node from tri
+       |  ) u group by 1
+       |),
+       |deg as (
+       |  select node, count(*) as degree from (
+       |    select src as node from se union all select dst as node from se
+       |  ) d group by 1
+       |)
+       |select deg.node, deg.degree,
+       |  coalesce(tcount.n_triangles, 0) as n_triangles,
+       |  case when deg.degree >= 2
+       |    then cast(coalesce(tcount.n_triangles, 0) * 2 as double)
+       |         / cast(deg.degree * (deg.degree - 1) as double)
+       |    else cast(0.0 as double) end as clustering_coeff
+       |from deg left join tcount on deg.node = tcount.node""".stripMargin
+  }
+
   /** Mirror Graph.bfsDistances: the k min-relaxation rounds UNROLLED
     * as CTEs (same round count via Models.BfsMaxHops, same integer-min
     * semantics — partition-order independence on the Spark side is

@@ -749,6 +749,19 @@ object Sql {
        |from sup_rnk where product_rank <= $TopProductsK""".stripMargin
   }
 
+  /** Mirror operators/Profile.profile(orders): one per-column arm
+    * over the SAME shared column list (Models.OrdersProfileCols) —
+    * the oracle re-derives each (n_rows, n_nulls, n_distinct) row
+    * with plain aggregates. */
+  val ordersProfileQ: String = {
+    val arms = graft.Models.OrdersProfileCols.map(c =>
+      s"""select '$c' as column_name, count(*) as n_rows,
+         |  count(*) - count($c) as n_nulls,
+         |  count(distinct $c) as n_distinct from orders_mart""".stripMargin)
+      .mkString("\nunion all\n")
+    s"$coreCtes $arms"
+  }
+
   val productsQ = s"$allCtes ${asDouble("products_mart", "product_price")}"
   val locationsQ = s"$allCtes select * from locations_mart"
   val suppliesQ = s"$allCtes select * from supplies_mart"

@@ -61,6 +61,19 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 8L -> 1L))
   }
 
+  test("clusteringCoefficients: 2T/d(d-1) with degree-1 zeros") {
+    // triangle {1,2,3} plus pendant 4 attached to 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 2.0 / 6.0)), // deg 3, 1 triangle -> 1/3
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
+
   test("min-relaxation keeps the SHORTEST hop count under multiple paths") {
     // 1-2, 2-3, 1-3: node 3 is reachable in 2 hops via 2 but in 1 hop directly
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
