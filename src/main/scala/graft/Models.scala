@@ -23,6 +23,10 @@ object Models {
     * the triangle query runs on; shared with the oracle. */
   val CoPurchaseMinWeight = 2
 
+  /** Fixed-point PageRank rounds; shared with the oracle's unrolled
+    * mirror. */
+  val PageRankRounds = 4
+
   /** Orders-mart columns the profile query audits; shared with the
     * oracle's generated per-column arms. */
   val OrdersProfileCols: Seq[String] = Seq(
@@ -496,6 +500,11 @@ object Models {
   /** Local clustering coefficients on the same strong-edge graph. */
   def copurchaseClustering(s: SparkSession, d: String): DataFrame =
     operators.Graph.clusteringCoefficients(copurchaseStrongEdges(s, d))
+  /** Fixed-point PageRank over the full co-purchase graph — Mat'd
+    * iterative build like the BFS distances. */
+  def copurchasePagerank(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_pagerank")(
+      operators.Graph.pageRank(copurchaseEdges(s, d), Models.PageRankRounds))
 
   /** Exact column profile of the orders mart (catalog/dq audit). */
   def ordersProfile(s: SparkSession, d: String): DataFrame =
@@ -680,7 +689,8 @@ object Models {
       "ivf_label_centroids" -> (ivfLabelCentroids _),
       // transitively builds the copurchase_edges barrier first
       "copurchase_distances" -> (productCopurchaseDistances _),
-      "copurchase_strong_edges" -> (copurchaseStrongEdges _))
+      "copurchase_strong_edges" -> (copurchaseStrongEdges _),
+      "copurchase_pagerank" -> (copurchasePagerank _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -182,6 +182,7 @@ object SparkEntry {
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
     "copurchase_triangles" -> out(Models.copurchaseTriangles),
     "copurchase_clustering" -> out(Models.copurchaseClustering),
+    "copurchase_pagerank" -> out(Models.copurchasePagerank),
     // one-pass exact column profile (catalog/dq audit surface)
     "orders_profile" -> out(Models.ordersProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
@@ -333,6 +334,7 @@ object SparkEntry {
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
+    "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,

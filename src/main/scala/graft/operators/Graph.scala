@@ -99,6 +99,50 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** PageRank in FIXED-POINT integer arithmetic — deterministic
+    * across any partitioning and mirrored exactly by an unrolled SQL
+    * oracle, which floating-point PageRank cannot be (double sums are
+    * partition-order dependent). Ranks carry in units of 1e-9
+    * ([[PageRankScale]]): each round distributes
+    * `rank div degree` to every neighbor and damps with integer
+    * arithmetic, `new = (15·SCALE) div 100 + (85·Σcontrib) div 100`.
+    * The div-floor mass leakage is bounded by degree·1e-9 per node
+    * per round — irrelevant for RANKING, which is what the operator
+    * serves. Rounds are checkpoint-bounded like [[bfsDistances]];
+    * per-round cost is one rank⨝edges shuffle, state is |V| rows of
+    * two longs. Symmetrizes the oriented input; every node of the
+    * edge set has degree ≥ 1, so there are no dangling nodes. */
+  val PageRankScale = 1000000000L
+  val PageRankDampingPct = 85L
+
+  def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    var rank = deg.select(col("node"), col("degree"),
+        lit(PageRankScale).as("rank_scaled"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = rank
+      val contrib = rank
+        .select(col("node"), expr("rank_scaled div degree").as("c"))
+        .join(sym, col("node") === col("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
+      rank = deg.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          (lit(15L * PageRankScale / 100L) +
+            expr(s"$PageRankDampingPct * coalesce(in_sum, 0L) div 100"))
+            .as("rank_scaled"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    rank.select(col("node"), col("rank_scaled"),
+      (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
+        .as("rank"))
+  }
+
   /** Hop distance from the source set within `maxHops` rounds:
     * (node, dist), dist ∈ [0, maxHops], unreached nodes absent.
     * `sources` is a one-column (node) frame; edges are treated as

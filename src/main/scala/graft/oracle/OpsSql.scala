@@ -525,6 +525,33 @@ object OpsSql {
        |from deg left join tcount on deg.node = tcount.node""".stripMargin
   }
 
+  /** Mirror Graph.pageRank: the fixed-point integer rounds UNROLLED.
+    * Same constants (scale 1e9, damping 85/100), same integer floor
+    * divisions; DuckDB's BIGINT sum widens to HUGEINT, so every
+    * neighbor sum is cast back before the damping arithmetic. */
+  val copurchasePagerankQ: String = {
+    import graft.operators.Graph.{PageRankScale, PageRankDampingPct}
+    val base = 15L * PageRankScale / 100L
+    val rounds = (1 to graft.Models.PageRankRounds).map { k =>
+      s"""r$k as (
+         |  select d.node, d.degree,
+         |    $base + ($PageRankDampingPct * coalesce(cast(s.in_sum as bigint), 0)) // 100 as rank_scaled
+         |  from deg d left join (
+         |    select sym.dst as node, sum(r.rank_scaled // r.degree) as in_sum
+         |    from r${k - 1} r join sym on r.node = sym.src group by 1
+         |  ) s on d.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseCtes,
+       |sym as (select src, dst from edges union all select dst as src, src as dst from edges),
+       |deg as (select src as node, count(*) as degree from sym group by 1),
+       |r0 as (select node, degree, $PageRankScale as rank_scaled from deg),
+       |$rounds
+       |select node, rank_scaled,
+       |  cast(rank_scaled as double) / cast($PageRankScale as double) as rank
+       |from r${graft.Models.PageRankRounds}""".stripMargin
+  }
+
   /** Mirror Graph.bfsDistances: the k min-relaxation rounds UNROLLED
     * as CTEs (same round count via Models.BfsMaxHops, same integer-min
     * semantics — partition-order independence on the Spark side is

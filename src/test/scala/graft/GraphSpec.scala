@@ -74,6 +74,28 @@ class GraphSpec extends SparkSpec {
       4L -> ((1L, 0L, 0.0))))
   }
 
+  test("pageRank: fixed-point rounds equal a reference integer implementation") {
+    // star 1-{2,3,4} plus edge 2-3: asymmetric degrees
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val got = Graph.pageRank(es.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same integer arithmetic, adjacency in plain Scala
+    val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val S = Graph.PageRankScale
+    var rank = deg.map { case (n, _) => n -> S }
+    for (_ <- 1 to 3) {
+      val in = sym.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / deg(u) }.sum).toMap
+      rank = deg.map { case (n, _) =>
+        n -> (15L * S / 100L + 85L * in.getOrElse(n, 0L) / 100L) }
+    }
+    assert(got === rank)
+    // higher-degree hub outranks the pendant
+    assert(got(1L) > got(4L))
+  }
+
   test("min-relaxation keeps the SHORTEST hop count under multiple paths") {
     // 1-2, 2-3, 1-3: node 3 is reachable in 2 hops via 2 but in 1 hop directly
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
