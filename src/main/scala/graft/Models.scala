@@ -574,12 +574,23 @@ object Models {
     * shingle barrier (production ingest computes the batch's shingles
     * once; nothing text-level runs twice), the rest come from the
     * materialized signature barrier, never re-hashed. */
+  /** The stored LSH band index of the EXISTING corpus (doc_id % 5 != 0
+    * — the demo's standing/new split): Mat'd like the other index
+    * barriers, so the per-batch incremental run reads the band table a
+    * production pipeline maintains instead of re-deriving corpus band
+    * keys per execution. */
+  private def minhashBandsExisting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Mat.table(s, d, "minhash_bands_existing")(
+      llm.Dedup.bandTable(
+        minhashSignatures(s, d).filter(col("doc_id") % 5 =!= 0)))
+  }
   def dedupIncrementalPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val existing = minhashSignatures(s, d).filter(col("doc_id") % 5 =!= 0)
     val newSigs = llm.Dedup.minhashSignatures(
       docShingles(s, d).filter(col("doc_id") % 5 === 0))
-    llm.Dedup.incrementalMinhashPairs(existing, newSigs)
+    llm.Dedup.incrementalMinhashPairsFromBands(
+      minhashBandsExisting(s, d), newSigs)
   }
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
@@ -690,7 +701,8 @@ object Models {
       // transitively builds the copurchase_edges barrier first
       "copurchase_distances" -> (productCopurchaseDistances _),
       "copurchase_strong_edges" -> (copurchaseStrongEdges _),
-      "copurchase_pagerank" -> (copurchasePagerank _))
+      "copurchase_pagerank" -> (copurchasePagerank _),
+      "minhash_bands_existing" -> (minhashBandsExisting _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -145,6 +145,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Public band-index derivation for materialization at the Models
+    * layer ([[incrementalMinhashPairsFromBands]] reads the stored
+    * table). */
+  def bandTable(sigs: DataFrame): DataFrame = bandRows(sigs)
+
   /** (doc_id, band, v) rows — one per LSH band per signature row. */
   private def bandRows(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until MinhashPairBands).map(b =>
@@ -169,10 +174,20 @@ object Dedup {
     * the cap decision — matches the full recompute's, and old-old
     * pairs are exactly the ones the full run produces that the filter
     * drops. */
-  def incrementalMinhashPairs(existingSigs: DataFrame, newSigs: DataFrame): DataFrame = {
+  def incrementalMinhashPairs(existingSigs: DataFrame, newSigs: DataFrame): DataFrame =
+    incrementalMinhashPairsFromBands(bandRows(existingSigs), newSigs)
+
+  /** [[incrementalMinhashPairs]] against a STORED band index — the
+    * shape a production pipeline actually maintains: the corpus's
+    * (doc_id, band, v) rows are a materialized table (8-byte keys,
+    * 8 rows/doc) appended per ingest batch, so the per-batch cost is
+    * new-batch hashing + a semi-join against the stored index, with
+    * zero re-derivation of corpus band keys per run. */
+  def incrementalMinhashPairsFromBands(existingBands: DataFrame,
+                                       newSigs: DataFrame): DataFrame = {
     val newBands = bandRows(newSigs)
     val touched = newBands.select("band", "v").distinct()
-    val oldBands = bandRows(existingSigs)
+    val oldBands = existingBands
       .join(touched, Seq("band", "v"), "left_semi")
     val bands = oldBands.withColumn("is_new", lit(false))
       .unionByName(newBands.withColumn("is_new", lit(true)))
