@@ -57,17 +57,46 @@ object Graph {
       .select(col("src"), col("dst"), col("weight"))
   }
 
-  /** Per-node triangle participation counts over an id-oriented edge
-    * set (src < dst — [[coOccurrenceEdges]]' invariant): the ordered
-    * wedge join (a<b<c) meets each triangle exactly once, so no
-    * divide-by-symmetry step. Counts are integers — deterministic.
-    * Scale: wedge fan-out is Σ out-degree² of the ORIENTED graph; run
-    * it on a thresholded edge set ([[strongCoOccurrenceEdges]]) or
-    * re-orient by degree (low→high) first for power-law graphs —
-    * id-orientation is the demo simplification, the join shapes are
-    * identical. Nodes in no triangle are absent. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Re-orient an undirected edge set (one row per unordered pair,
+    * any orientation) by (degree, id): the endpoint LOWER in that
+    * total order becomes src. Every node's out-neighbors then have
+    * degree ≥ its own, which bounds out-degree by √(2E) — if
+    * deg(v) > √(2E) its out-neighbors each carry ≥ deg(v) half-edges,
+    * so there are at most 2E/deg(v) < √(2E) of them. This is the
+    * standard device that makes wedge enumeration O(E^1.5) total on
+    * ANY graph, power-law hubs included: a hub's edges all point INTO
+    * it, so the hub centers no wedges. Ids are distinct, so the order
+    * is total and each triangle keeps exactly one a<b<c form. */
+  def degreeOrientedEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val srcFirst = col("src_deg") < col("dst_deg") ||
+      (col("src_deg") === col("dst_deg") && col("src") < col("dst"))
+    e.join(deg.select(col("node").as("src"), col("degree").as("src_deg")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("dst_deg")), Seq("dst"))
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("o_src"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("o_dst"))
+      .select(col("o_src").as("src"), col("o_dst").as("dst"))
+  }
+
+  /** Per-node triangle participation counts. Input is an undirected
+    * edge set with one row per unordered pair ([[coOccurrenceEdges]]'
+    * invariant); edges are first re-oriented by (degree, id) —
+    * [[degreeOrientedEdges]] — so the ordered wedge join (a<b<c under
+    * that total order) meets each triangle exactly once AND wedge
+    * fan-out is bounded: the path join's candidates are
+    * Σ_b indeg(b)·outdeg(b) ≤ √(2E)·E = O(E^1.5) on any graph,
+    * because degree orientation caps every out-degree at √(2E). An
+    * id-oriented join has no such bound — one power-law hub with 10⁶
+    * strong neighbors would alone produce 10¹² wedges. Triangle sets
+    * are orientation-invariant, so results are identical to the
+    * id-oriented form. Counts are integers — deterministic. Nodes in
+    * no triangle are absent. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = degreeOrientedEdges(edges)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .join(e.as("e3"),

@@ -61,6 +61,41 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 8L -> 1L))
   }
 
+  test("degree orientation: a mid-id hub centers no wedges (id orientation explodes)") {
+    // hub 50 with 40 lower-id and 40 higher-id degree-1 neighbors: the
+    // id-oriented path join centers 40*40 = 1600 wedge candidates on
+    // the hub; degree orientation points every edge INTO the hub, so
+    // the oriented graph has zero wedges at all.
+    val hub = 50L
+    val es = ((1L to 40L).map(i => (i, hub)) ++ (61L to 100L).map(j => (hub, j)))
+      .toDF("src", "dst")
+    val idWedges = es.as("e1")
+      .join(es.as("e2"), col("e1.dst") === col("e2.src")).count()
+    assert(idWedges === 1600L)
+    val d = Graph.degreeOrientedEdges(es)
+    val degWedges = d.as("e1")
+      .join(d.as("e2"), col("e1.dst") === col("e2.src")).count()
+    assert(degWedges === 0L)
+    assert(Graph.triangleCounts(es).count() === 0L)
+  }
+
+  test("degree orientation preserves the edge set and triangle counts") {
+    // hub star plus one leaf-leaf edge -> exactly triangle {1,2,50}
+    val hub = 50L
+    val es = (((1L to 40L).map(i => (i, hub)) ++ (61L to 100L).map(j => (hub, j)))
+      :+ ((1L, 2L))).toDF("src", "dst")
+    val d = Graph.degreeOrientedEdges(es)
+    // same unordered pairs, each exactly once
+    val want = es.select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = d.select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === want.size && got.toSet === want)
+    val tc = Graph.triangleCounts(es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc === Map(1L -> 1L, 2L -> 1L, hub -> 1L))
+  }
+
   test("clusteringCoefficients: 2T/d(d-1) with degree-1 zeros") {
     // triangle {1,2,3} plus pendant 4 attached to 1
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
