@@ -22,15 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong,
-    * so ts arrives as nanosecond longs and is converted here with exact
-    * integer division (matching DuckDB's ns→µs truncation). */
+  /** events.parquet has shipped `ts` in two physical shapes so far:
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects unless
+    * spark.sql.legacy.parquet.nanosAsLong makes it arrive as nanosecond
+    * longs (converted here with exact integer division, matching
+    * DuckDB's ns→µs truncation), and plain timestamp[us] without a tz
+    * annotation, which arrives as TimestampNTZ. Both are normalized to
+    * session-tz TimestampType micros — sessions pin UTC, so the NTZ
+    * cast is value-preserving and every downstream consumer (typed
+    * Datasets with java.sql.Timestamp fields, stream/batch exceptAll
+    * twins) sees ONE ts type regardless of which file shape the
+    * testdata generator produced. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = read(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

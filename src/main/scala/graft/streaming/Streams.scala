@@ -113,6 +113,52 @@ object Streams {
       .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
       .parquet(dir)
 
+  /** Adaptive events FILE-stream reader — the streaming twin of
+    * [[graft.Tables.events]]. The driver's events.parquet has shipped
+    * `ts` as TIMESTAMP(NANOS) (arrives as nanos longs under
+    * spark.sql.legacy.parquet.nanosAsLong) and as plain timestamp[us]
+    * (arrives as TimestampNTZ); a stream schema hard-coding one shape
+    * silently misreads the other — r9 lost all 9 streaming oracles to
+    * exactly that (micros divided by 1000 collapsed every timestamp
+    * ~1000× toward epoch). So: batch-peek the footer's actual ts type,
+    * declare the stream schema with THAT type (no reader-side
+    * conversion to go wrong), and normalize in the plan to session-tz
+    * TimestampType micros (sessions pin UTC → the NTZ cast is
+    * value-preserving; the nanos division truncates, matching DuckDB).
+    *
+    * The file-stream source requires a DIRECTORY; the events table is
+    * a single file inside the dataset dir, so callers streaming the
+    * shared dir pass `globFilter=Some("events.parquet")`, while the
+    * staged-ingest one-shots stream their scratch dir unfiltered. */
+  def adaptiveEventsStream(spark: SparkSession, dir: String,
+                           globFilter: Option[String] = Some("events.parquet"),
+                           extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val peek = {
+      val r = spark.read
+      globFilter.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(dir)
+    }
+    val tsType = peek.schema("ts").dataType
+    val tsDdl = tsType match {
+      case LongType         => "long"
+      case TimestampNTZType => "timestamp_ntz"
+      case TimestampType    => "timestamp"
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend adaptiveEventsStream")
+    }
+    val reader = spark.readStream
+      .schema(s"event_id long, ts $tsDdl, user_id long, event_type string, value double, props string")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    extraOptions.foreach { case (k, v) => reader.option(k, v) }
+    val raw = reader.parquet(dir)
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
+
   /** Watermarked tumbling-window counts per event type: late data past
     * 1 hour is dropped, bounding the state store. The value total sums
     * exact decimals (scale 6 — same rationale as Sessions.sessionize)
@@ -134,18 +180,10 @@ object Streams {
     * complete-mode in-memory sink, and returns the final sink table.
     * Over a bounded input this equals the batch groupBy twin, so the
     * same DuckDB oracle gates the whole readStream→writeStream path.
-    * The events parquet stores ts as TIMESTAMP(NANOS) which arrives as
-    * nanosecond longs under spark.sql.legacy.parquet.nanosAsLong (see
-    * Tables.events) — the stream schema mirrors that and converts. */
+    * The ts physical type is adapted per-file by
+    * [[adaptiveEventsStream]]. */
   def windowedEventCountsOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
-    // the file stream source requires a DIRECTORY; the events table is
-    // a single file inside the dataset dir, so stream the dir with a
-    // filename filter.
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = adaptiveEventsStream(spark, sfDir)
     val name = "stream_wec_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val q = windowedEventCounts(events).writeStream
       .format("memory").queryName(name)
@@ -227,12 +265,8 @@ object Streams {
     * list_reduce rather than a decimal sum. */
   def sessionsOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
     import spark.implicits._
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = raw.select(
-      col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val events = adaptiveEventsStream(spark, sfDir).select(
+      col("event_id"), col("ts"),
       col("user_id"), col("event_type"), col("value")).as[Event]
     val name = "stream_sessions_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val q = sessionize(events).writeStream
@@ -298,11 +332,7 @@ object Streams {
     * other one-shots, gated by the batch-equivalent oracle. */
   def segmentCountsOnce(spark: SparkSession, sfDir: String,
                         customers: DataFrame): DataFrame = withStreamPartitions(spark) {
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = adaptiveEventsStream(spark, sfDir)
     val name = "stream_segments_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val q = segmentCounts(events, customers).writeStream
       .format("memory").queryName(name)
@@ -365,12 +395,9 @@ object Streams {
     Seq("delivery1.parquet", "delivery2.parquet").foreach { f =>
       Files.copy(src, ingest.resolve(f), StandardCopyOption.REPLACE_EXISTING)
     }
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(ingest.toString)
-    val events = raw.select(
-      col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-      col("user_id"), col("event_type"), col("value"))
+    val events = adaptiveEventsStream(spark, ingest.toString, globFilter = None)
+      .select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
     val name = "stream_dedup_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val q = ingestDedup(events, "31 days").writeStream
       .format("memory").queryName(name)
@@ -421,13 +448,9 @@ object Streams {
     * oracle is the batch interval self-join twin. */
   def clickAttributionOnce(spark: SparkSession, sfDir: String): DataFrame = {
     def side(eventType: String): DataFrame =
-      spark.readStream
-        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      adaptiveEventsStream(spark, sfDir)
         .filter(col("event_type") === eventType)
-        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("user_id"), col("value"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val name = "stream_attr_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     // a stream-stream join maintains FOUR state-store families per
     // shuffle partition (key/index per side), and every micro-batch
@@ -478,13 +501,9 @@ object Streams {
   /** One-shot driver-verifiable run of the left-outer variant. */
   def clickAttributionOuterOnce(spark: SparkSession, sfDir: String): DataFrame = {
     def side(eventType: String): DataFrame =
-      spark.readStream
-        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      adaptiveEventsStream(spark, sfDir)
         .filter(col("event_type") === eventType)
-        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("user_id"), col("value"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val name = "stream_attr_outer_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     withStreamPartitions(spark, JoinShufflePartitions) {
       val q = clickAttributionOuter(side("click"), side("purchase")).writeStream
@@ -582,14 +601,9 @@ object Streams {
       spark.sparkContext.applicationId,
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     val out = scratch.resolve("out").toString
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val purchases = raw
+    val purchases = adaptiveEventsStream(spark, sfDir)
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val q = toParquetSink(purchases, out, scratch.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -682,14 +696,10 @@ object Streams {
     Seq("delivery1.parquet", "delivery2.parquet").foreach { f =>
       Files.copy(src, ingest.resolve(f), StandardCopyOption.REPLACE_EXISTING)
     }
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("maxFilesPerTrigger", "1") // force batch + replayed batch
-      .parquet(ingest.toString)
-    val keyed = raw.select(
-      col("user_id"), col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      col("event_type"), col("value"))
+    val keyed = adaptiveEventsStream(spark, ingest.toString, globFilter = None,
+        extraOptions = Map("maxFilesPerTrigger" -> "1")) // force batch + replayed batch
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
     val q = mergeSink(keyed, sfDir, name, "user_id", "ts",
         scratch.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
@@ -792,13 +802,10 @@ object Streams {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val raw = spark.readStream
-        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-      val keyed = raw.select(col("event_id"),
-        expr("ts div 1000").as("ts_micros"),
-        col("user_id"), col("value")).as[KeyedEvent]
+      val keyed = adaptiveEventsStream(spark, sfDir)
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("ts_micros"),
+          col("user_id"), col("value")).as[KeyedEvent]
       val name = "stream_user_rollup_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val q = userRollupState(keyed).toDF().writeStream
         .format("memory").queryName(name)

@@ -16,10 +16,7 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-eos").toString
     val out = s"$tmp/out"
     val ckpt = s"$tmp/ckpt"
-    val src = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
+    val src = Streams.adaptiveEventsStream(spark, sf)
       .select("event_id", "user_id", "event_type")
     def runOnce(): Unit = {
       val q = Streams.exactlyOnceParquetSink(src, out, ckpt)

@@ -84,21 +84,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
-  test("events ts nanos→micros conversion TRUNCATES (oracle contract)") {
-    // the raw parquet TIMESTAMP(NANOS) values DO carry sub-microsecond
-    // components; the engines agree because BOTH truncate them — DuckDB
-    // 1.0 reads the column as microsecond TIMESTAMP (nanos dropped) and
-    // Tables.events floors with `ts div 1000`. Pin the Spark side as
-    // truncating: "fixing" it to round-to-nearest would silently break
-    // every session/window oracle on ns-carrying rows.
-    val raw = Tables.read(spark, sf, "events")
-    assume(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-    assert(raw.filter(col("ts") % 1000 =!= 0).count() > 0) // data really has nanos
-    val diverged = Tables.events(spark, sf)
-      .withColumnRenamed("ts", "converted")
-      .join(raw.select(col("event_id"), col("ts").as("nanos")), Seq("event_id"))
-      .filter(unix_micros(col("converted")) =!= expr("nanos div 1000"))
-    assert(diverged.count() === 0)
+  test("events ts contract: batch AND stream readers adapt to every shipped ts shape") {
+    // The driver's testdata generator has shipped events.ts as
+    // TIMESTAMP(NANOS)-as-long (r1–r8) and as tz-less timestamp[us]
+    // (r9) — and r9's streams hard-coded the long shape, silently
+    // collapsing every timestamp ~1000× (9 red oracles). This test
+    // replaced a canary that CANCELED on the type flip; it now
+    // synthesizes every shape and asserts both reader seams
+    // (Tables.events, Streams.adaptiveEventsStream) normalize each to
+    // the same TimestampType instants — truncating sub-µs nanos, the
+    // DuckDB contract — so the next type flip fails the suite loudly.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tscontract").toFile.getAbsolutePath
+    val micros = Seq(1000000L, 2500000L, 3000000L)
+    def baseDf = micros.zipWithIndex.map { case (m, i) =>
+      (i.toLong, m, i.toLong, "click", 1.0, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val shapes = Map(
+      // nanos-as-long with a sub-µs tail that must TRUNCATE, not round
+      "long" -> baseDf.withColumn("ts", expr("us * 1000 + 500")),
+      // tz-less timestamp[us] → arrives as TimestampNTZ
+      "ntz" -> baseDf.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz")),
+      // tz-adjusted timestamp → arrives as TimestampType
+      "ltz" -> baseDf.withColumn("ts", timestamp_micros(col("us"))))
+    shapes.foreach { case (name, df) =>
+      df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/$name/events.parquet")
+    }
+    shapes.keys.foreach { name =>
+      val batchGot = Tables.events(spark, s"$base/$name")
+        .select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+      assert(batchGot === micros, s"batch reader mishandled ts shape '$name'")
+      val q = Streams.adaptiveEventsStream(
+          spark, s"$base/$name/events.parquet", globFilter = None)
+        .select(unix_micros(col("ts")).as("us"))
+        .writeStream.format("memory").queryName(s"tscontract_$name")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamGot = spark.table(s"tscontract_$name")
+        .select("us").as[Long].collect().sorted.toSeq
+      assert(streamGot === micros, s"stream reader mishandled ts shape '$name'")
+    }
   }
 
   test("batch sessionize: sequential sessions reconstruct per-user event counts") {
