@@ -356,7 +356,7 @@ object Models {
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
   def mediaResized(s: SparkSession, d: String): DataFrame =
-    llm.Multimodal.mediaResized(Tables.documents(s, d))
+    llm.Multimodal.mediaResized(s, Tables.documents(s, d))
   def mediaFrames(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFrames(Tables.documents(s, d))
   def datasetSplits(s: SparkSession, d: String): DataFrame =

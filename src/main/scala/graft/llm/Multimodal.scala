@@ -1,34 +1,56 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: media as opaque `binary` content + typed
-  * metadata, decoded in BATCHES inside `mapPartitions` — the Spark-side
-  * shape (schema, partitioning, batched decoder signature) is real and
-  * oracle-verified; only the codec itself is a STUB (this container has
-  * no image/audio libraries), marked below.
+  * metadata, decoded in BATCHES inside `mapPartitions`.
   *
-  * The stub decoder derives features purely from the content bytes, so
-  * the DuckDB oracle reproduces it from the same md5 hex — the
-  * plumbing's determinism is driver-verified even though the codec is
-  * fake.
+  * The IMAGE modality is fully real end-to-end: content bytes are
+  * genuine PNG files (synthesized deterministically from each doc's
+  * md5 digest, encoded with the JDK's `javax.imageio` PNG writer on
+  * executors) and every emitted feature is computed from pixels
+  * recovered by `ImageIO.read` — width/height from the decoded image,
+  * brightness as the mean over all decoded samples, and the feature
+  * hash from decoded pixel values. Because the generator's parameters
+  * (dimensions, the two stripe gray levels) are digest-derived, the
+  * DuckDB oracle predicts the decoded features from `md5(text)` without
+  * needing a PNG codec of its own — the differential test is
+  * generator-vs-decoder, which is exactly what gates a codec.
+  *
+  * AUDIO and VIDEO remain stubbed (this container has no audio/video
+  * libraries): features derive from the content digest bytes, with the
+  * batched-decode seam shaped like the real thing.
   *
   * At 100 TB: content bytes stay columnar until the decode stage;
   * `repartition` spreads decode work; each partition decodes in
   * fixed-size batches exactly like a vectorized (Arrow/pandas-style)
-  * UDF would receive them.
+  * UDF would receive them, and the codec runs on executors with no
+  * driver round-trip.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte], duration_ms: Long)
   case class MediaFeatures(doc_id: Long, media_type: String, width: Int, height: Int,
                            brightness: Double, n_frames: Int, feature_hash: Long)
+  case class MediaThumb(doc_id: Long, media_type: String, width: Int, height: Int,
+                        content_hash: String)
 
   val DecodeBatchSize = 64
 
-  /** Synthesized media table over documents: 16 "media bytes" per doc
-    * (md5 digest), a modality by doc_id, and duration metadata. */
+  // ImageIO's default disk-backed stream cache writes temp files per
+  // encode/decode — pure overhead for in-memory byte arrays on
+  // executors.
+  ImageIO.setUseCache(false)
+
+  /** Synthesized media catalog over documents: 16 "media bytes" per doc
+    * (md5 digest — the image codec swaps these for real PNG bytes, see
+    * [[withImageContent]]), a modality by doc_id, and duration
+    * metadata. */
   def mediaTable(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
@@ -37,31 +59,97 @@ object Multimodal {
       unhex(md5(col("text"))).as("content"),
       (col("n_chars") * 10).as("duration_ms"))
 
-  /** STUB codec: a real implementation would call an image/audio/video
-    * library here (absent in this container). Features are derived
-    * deterministically from the content bytes so the whole pipeline
-    * stays verifiable. Signature is batch-shaped: Seq[MediaRow] →
-    * Seq[MediaFeatures], like a vectorized decode UDF.
-    */
-  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-    batch.map { m =>
-      def b(i: Int): Int = m.content(i) & 0xff
-      val nFrames = if (m.media_type == "video") 1 + (b(3) >> 4) else 1
-      MediaFeatures(
-        doc_id = m.doc_id,
-        media_type = m.media_type,
-        width = 64 + b(0),
-        height = 64 + b(1),
-        brightness = b(2).toDouble / 255.0,
-        n_frames = nFrames,
-        feature_hash = ((b(4).toLong << 24) | (b(5).toLong << 16) |
-          (b(6).toLong << 8) | b(7).toLong))
+  /** Deterministic PNG synthesis from a 16-byte digest: an 8-bit
+    * grayscale image of (64+b0) × (64+b1) with vertical stripes — even
+    * columns at gray level b2, odd columns at b4. Real PNG encode via
+    * the JDK writer; the striping means a decoder must actually
+    * reconstruct the raster (not just parse the IHDR header) to
+    * reproduce the brightness and feature-hash formulas. */
+  private[graft] def synthesizePng(digest: Array[Byte]): Array[Byte] = {
+    def b(i: Int): Int = digest(i) & 0xff
+    val w = 64 + b(0); val h = 64 + b(1)
+    val even = b(2); val odd = b(4)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, if (x % 2 == 0) even else odd)
+        x += 1
+      }
+      y += 1
     }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
-  /** Decode pipeline: partition → batch → (stub) decode. */
+  /** Swap image rows' digest placeholder for real PNG bytes (executor-
+    * side, batched by partition). Audio/video rows pass through. */
+  def withImageContent(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(documents).as[MediaRow].mapPartitions(_.map { m =>
+      if (m.media_type == "image") m.copy(content = synthesizePng(m.content)) else m
+    })
+  }
+
+  /** REAL image decode: parse the PNG with `ImageIO.read`, then compute
+    * every feature from the decoded raster — dimensions from the image,
+    * brightness as the exact mean of all samples (integer sum, then the
+    * same two divisions the oracle performs), and the feature hash from
+    * the two stripe levels read back out of pixels (0,0) and (1,0). */
+  private def decodeImage(m: MediaRow): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.content))
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    val even = raster.getSample(0, 0, 0)
+    val odd = raster.getSample(1, 0, 0)
+    MediaFeatures(
+      doc_id = m.doc_id,
+      media_type = m.media_type,
+      width = w,
+      height = h,
+      brightness = sum.toDouble / (w.toLong * h) / 255.0,
+      n_frames = 1,
+      feature_hash = ((w - 64).toLong << 24) | ((h - 64).toLong << 16) |
+        (even.toLong << 8) | odd.toLong)
+  }
+
+  /** STUB codec for audio/video (no codec libraries in this container):
+    * features derive deterministically from the content digest bytes so
+    * the pipeline stays verifiable. */
+  private def decodeStub(m: MediaRow): MediaFeatures = {
+    def b(i: Int): Int = m.content(i) & 0xff
+    val nFrames = if (m.media_type == "video") 1 + (b(3) >> 4) else 1
+    MediaFeatures(
+      doc_id = m.doc_id,
+      media_type = m.media_type,
+      width = 64 + b(0),
+      height = 64 + b(1),
+      brightness = b(2).toDouble / 255.0,
+      n_frames = nFrames,
+      feature_hash = ((b(4).toLong << 24) | (b(5).toLong << 16) |
+        (b(6).toLong << 8) | b(7).toLong))
+  }
+
+  /** Batched decode: Seq[MediaRow] → Seq[MediaFeatures], like a
+    * vectorized decode UDF — images through the real PNG decoder,
+    * audio/video through the stub. */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map(m => if (m.media_type == "image") decodeImage(m) else decodeStub(m))
+
+  /** Decode pipeline: partition → batch → decode (real for images). */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    mediaTable(documents).as[MediaRow]
+    withImageContent(spark, documents)
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
       .toDF()
   }
@@ -69,22 +157,68 @@ object Multimodal {
   val ThumbW = 64
   val ThumbH = 64
 
-  /** Resize-to-thumbnail plumbing (STUB codec, real dataflow): the
-    * "resized" content is a deterministic digest of (content, target
-    * dims) — a real codec would decode, scale, and re-encode here; the
-    * column shapes, the binary-in/binary-out contract, and the
-    * determinism the oracle checks are the production ones. The output
-    * carries the content digest (hex) rather than the bytes so the
-    * driver's hash gate can compare it to SQL. */
-  def mediaResized(documents: DataFrame): DataFrame =
-    mediaTable(documents).select(
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** REAL image resize: decode the source PNG, nearest-neighbor
+    * downsample with exact integer source mapping (src_x = x·W / 64,
+    * floor — deterministic, replicated by the oracle's SQL), re-encode
+    * the thumbnail as PNG with the JDK writer, decode it AGAIN, and
+    * hash the round-tripped raster (2 lowercase hex chars per pixel,
+    * row-major). The emitted hash therefore gates decode → resize →
+    * encode → decode, the full thumbnail pipeline. */
+  private def resizeImage(m: MediaRow): MediaThumb = {
+    val src = ImageIO.read(new ByteArrayInputStream(m.content))
+    val w = src.getWidth; val h = src.getHeight
+    val srcRaster = src.getRaster
+    val thumb = new BufferedImage(ThumbW, ThumbH, BufferedImage.TYPE_BYTE_GRAY)
+    val thumbRaster = thumb.getRaster
+    var y = 0
+    while (y < ThumbH) {
+      var x = 0
+      while (x < ThumbW) {
+        thumbRaster.setSample(x, y, 0,
+          srcRaster.getSample(x * w / ThumbW, y * h / ThumbH, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(thumb, "png", out)
+    val round = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+    val roundRaster = round.getRaster
+    val hex = new StringBuilder(ThumbW * ThumbH * 2)
+    y = 0
+    while (y < ThumbH) {
+      var x = 0
+      while (x < ThumbW) {
+        hex.append("%02x".format(roundRaster.getSample(x, y, 0)))
+        x += 1
+      }
+      y += 1
+    }
+    MediaThumb(m.doc_id, m.media_type, ThumbW, ThumbH, md5Hex(hex.toString))
+  }
+
+  /** Resize-to-thumbnail: image rows through the real decode/resize/
+    * re-encode round trip; audio/video rows keep the stub digest
+    * contract (a deterministic hash of (content hex, target dims) —
+    * DuckDB's md5 is varchar-only, so both engines hash the same UTF-8
+    * string). */
+  def mediaResized(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(documents)
+    val images = media.filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions(_.map(m => resizeImage(m.copy(content = synthesizePng(m.content)))))
+      .toDF()
+    val others = media.filter(col("media_type") =!= "image").select(
       col("doc_id"), col("media_type"),
       lit(ThumbW).as("width"), lit(ThumbH).as("height"),
-      // digest over the content's hex form + dims: DuckDB's md5 is
-      // varchar-only, so the stub hashes the same UTF-8 string in
-      // both engines (a real codec outputs bytes, not a digest)
       md5(concat(lower(hex(col("content"))), lit(s"${ThumbW}x$ThumbH")))
         .as("content_hash"))
+    others.unionByName(images)
+  }
 
   val FrameSampleMax = 4
 
@@ -97,7 +231,7 @@ object Multimodal {
   def mediaFrames(documents: DataFrame): DataFrame = {
     val media = mediaTable(documents).filter(col("media_type") === "video")
       // stub n_frames: high nibble of content byte 3 (= hex digit 7 of
-      // the digest), as in decodeBatch / the mediaFeatures oracle
+      // the digest), as in decodeStub / the mediaFeatures oracle
       .withColumn("n_frames",
         (lit(1) + conv(substring(hex(col("content")), 7, 1), 16, 10).cast("int"))
           .cast("int"))

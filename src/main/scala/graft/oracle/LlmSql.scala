@@ -981,19 +981,42 @@ object LlmSql {
        |from documents""".stripMargin
   }
 
-  /** Mirror Multimodal.mediaResized: the content's hex form is
-    * md5(text), so the "resized" digest is md5(md5(text) || "WxH") —
-    * the same UTF-8 string both engines hash (DuckDB md5 is
-    * varchar-only). */
+  /** Mirror Multimodal.mediaResized. IMAGE rows now go through a real
+    * JDK PNG decode → nearest-neighbor resize → PNG re-encode → decode
+    * round trip on the Spark side; the oracle predicts the decoded
+    * 64×64 raster from the digest-derived generator parameters (width
+    * 64+b0, vertical stripes b2/b4) and the decoder's exact integer
+    * source mapping src_x = x·W // 64 — all 64 thumbnail rows are
+    * identical because the stripes are vertical, so the raster hex is
+    * repeat(row_hex, 64). Audio/video rows keep the stub digest
+    * contract md5(md5(text) || "WxH"). */
   val mediaResizedQ: String = {
     import graft.llm.Multimodal.{ThumbW, ThumbH}
-    s"""select doc_id,
-       |  case when doc_id % 3 = 0 then 'image'
-       |       when doc_id % 3 = 1 then 'audio'
-       |       else 'video' end as media_type,
+    s"""with m as (
+       |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
+       |),
+       |img as (
+       |  select doc_id, 64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
+       |    substr(dg, 5, 2) as even_hex, substr(dg, 9, 2) as odd_hex
+       |  from m where mt = 0
+       |),
+       |rowhex as (
+       |  select doc_id,
+       |    string_agg(case when (x * w // $ThumbW) % 2 = 0
+       |                    then even_hex else odd_hex end, '' order by x) as rh
+       |  from img cross join (select unnest(generate_series(0, ${ThumbW - 1})) as x) xs
+       |  group by doc_id, w, even_hex, odd_hex
+       |)
+       |select doc_id, 'image' as media_type,
        |  $ThumbW as width, $ThumbH as height,
-       |  md5(md5(text) || '${ThumbW}x$ThumbH') as content_hash
-       |from documents""".stripMargin
+       |  md5(repeat(rh, $ThumbH)) as content_hash
+       |from rowhex
+       |union all
+       |select doc_id,
+       |  case when mt = 1 then 'audio' else 'video' end as media_type,
+       |  $ThumbW as width, $ThumbH as height,
+       |  md5(dg || '${ThumbW}x$ThumbH') as content_hash
+       |from m where mt <> 0""".stripMargin
   }
 
   /** Mirror Multimodal.mediaFrames: video rows only, stub n_frames from
@@ -1019,19 +1042,43 @@ object LlmSql {
        |from mf""".stripMargin
   }
 
+  /** Mirror Multimodal.mediaFeatures. IMAGE rows are decoded by a real
+    * `ImageIO.read` on the Spark side; the oracle predicts what the
+    * decoder must recover from the synthesized PNG: dimensions
+    * (64+b0)×(64+b1), brightness = exact mean of the striped raster
+    * (⌈w/2⌉ even columns at b2, ⌊w/2⌋ odd columns at b4 — the same
+    * integer sum then the same two double divisions), and the feature
+    * hash packed from decoded (w−64, h−64, stripe levels). Audio/video
+    * keep the stub digest formulas. */
   val mediaFeaturesQ: String =
-    """select doc_id,
-      |  case when doc_id % 3 = 0 then 'image'
-      |       when doc_id % 3 = 1 then 'audio'
+    """with m as (
+      |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
+      |),
+      |p as (
+      |  select doc_id, mt,
+      |    64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
+      |    64 + cast(('0x' || substr(dg, 3, 2)) as int) as h,
+      |    cast(('0x' || substr(dg, 5, 2)) as int) as b2,
+      |    cast(('0x' || substr(dg, 7, 1)) as int) as b3hi,
+      |    cast(('0x' || substr(dg, 9, 2)) as int) as b4,
+      |    cast(('0x' || substr(dg, 9, 8)) as bigint) as fh
+      |  from m
+      |)
+      |select doc_id,
+      |  case when mt = 0 then 'image'
+      |       when mt = 1 then 'audio'
       |       else 'video' end as media_type,
-      |  64 + cast(('0x' || substr(md5(text), 1, 2)) as int) as width,
-      |  64 + cast(('0x' || substr(md5(text), 3, 2)) as int) as height,
-      |  cast(cast(('0x' || substr(md5(text), 5, 2)) as int) as double) / 255.0 as brightness,
-      |  case when doc_id % 3 = 2
-      |    then 1 + cast(('0x' || substr(md5(text), 7, 1)) as int)
-      |    else 1 end as n_frames,
-      |  cast(('0x' || substr(md5(text), 9, 8)) as bigint) as feature_hash
-      |from documents""".stripMargin
+      |  w as width, h as height,
+      |  case when mt = 0
+      |    then cast(((w + 1) // 2 * b2 + w // 2 * b4) * h as double)
+      |         / (w * h) / 255.0
+      |    else cast(b2 as double) / 255.0 end as brightness,
+      |  cast(case when mt = 2 then 1 + b3hi else 1 end as int) as n_frames,
+      |  cast(case when mt = 0
+      |    then cast(w - 64 as bigint) * 16777216
+      |         + cast(h - 64 as bigint) * 65536 + b2 * 256 + b4
+      |    else fh end as bigint) as feature_hash
+      |from p""".stripMargin
 
   /** Mirror TextStats.topDocsPerLang: the bounded-heap top_k aggregate
     * is row-equal to the row_number window with the SAME total order

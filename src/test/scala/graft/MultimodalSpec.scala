@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+/** The image modality's codec is REAL (JDK ImageIO PNG encode/decode);
+  * these tests pin the generator↔decoder contract independently of the
+  * DuckDB oracle: a hand-computed digest drives the PNG synthesis and
+  * the expected decoded features/raster hashes are derived here from
+  * the generator parameters alone — if the codec stopped actually
+  * decoding pixels (or PNG round trips stopped being lossless), these
+  * fail. */
+class MultimodalSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("synthesizePng → ImageIO round trip recovers dims and stripe levels losslessly") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("jaffle".getBytes("UTF-8"))
+    def b(i: Int): Int = digest(i) & 0xff
+    val png = Multimodal.synthesizePng(digest)
+    // PNG magic — the bytes really are a PNG file, not a digest blob
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 64 + b(0) && img.getHeight === 64 + b(1))
+    val r = img.getRaster
+    for (y <- Seq(0, img.getHeight - 1); x <- 0 until math.min(img.getWidth, 8))
+      assert(r.getSample(x, y, 0) === (if (x % 2 == 0) b(2) else b(4)),
+        s"pixel ($x,$y)")
+  }
+
+  test("mediaFeatures image rows: decoded features equal generator-parameter formulas") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.mediaFeatures(spark, docs)
+      .filter(col("media_type") === "image")
+    val expected = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0); val h = 64 + b(1)
+        val sum = ((w + 1) / 2 * b(2).toLong + w / 2 * b(4)) * h
+        (id, w, h, sum.toDouble / (w.toLong * h) / 255.0,
+          ((w - 64).toLong << 24) | ((h - 64).toLong << 16) |
+            (b(2).toLong << 8) | b(4).toLong)
+      }.toSeq.toDF("doc_id", "width", "height", "brightness", "feature_hash")
+    val got = feats.select("doc_id", "width", "height", "brightness", "feature_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaResized image rows: NN-resize round trip hashes the predicted 64×64 raster") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val thumbs = Multimodal.mediaResized(spark, docs)
+      .filter(col("media_type") === "image")
+    val expected = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0)
+        val rowHex = (0 until Multimodal.ThumbW).map { x =>
+          if ((x * w / Multimodal.ThumbW) % 2 == 0) dg.substring(4, 6)
+          else dg.substring(8, 10)
+        }.mkString
+        (id, md5Hex(rowHex * Multimodal.ThumbH))
+      }.toSeq.toDF("doc_id", "content_hash")
+    val got = thumbs.select("doc_id", "content_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaResized audio/video rows keep the stub digest contract") {
+    val docs = Tables.documents(spark, sf)
+    val others = Multimodal.mediaResized(spark, docs)
+      .filter(col("media_type") =!= "image")
+    val expected = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        md5(concat(md5(col("text")),
+          lit(s"${Multimodal.ThumbW}x${Multimodal.ThumbH}"))).as("content_hash"))
+    assert(others.select("doc_id", "content_hash").exceptAll(expected).count() === 0)
+  }
+}
