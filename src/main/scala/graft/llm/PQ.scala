@@ -103,4 +103,46 @@ object PQ {
   def annPqAdcTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
     Similarity.annCosineTopKAsym(
       reconstructed(embeddingsRaw, books), embeddingsRaw)
+
+  /** Candidates the ADC stage hands to the exact re-rank — 4× the
+    * final k, the standard refinement ratio. */
+  val RerankCandidates: Int = 4 * Similarity.TopK
+
+  /** ADC + EXACT RE-RANK — the standard two-stage vector-store search
+    * (FAISS's IndexRefineFlat shape): the compressed scan proposes
+    * [[RerankCandidates]] candidates per query cheaply, then ONLY those
+    * candidates are re-scored against the full-precision corpus and the
+    * true top-k of the re-scored set is returned. Recall is bounded by
+    * the candidate stage only (a true neighbor ADC ranks below C is
+    * still lost) — strictly ≥ pure-ADC top-k, which additionally
+    * mis-orders within the top k.
+    *
+    * Scale (100 TB): stage 1 scans codes, never raw floats; stage 2
+    * touches |queries|·C full-precision rows fetched by id — the
+    * candidate list is broadcast, so the re-rank is a corpus-side
+    * semi-join plus a bounded-heap top-k, never a second corpus scan
+    * ranking. */
+  def annPqRerankTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame = {
+    val cand = Similarity.annCosineTopKAsym(
+        reconstructed(embeddingsRaw, books), embeddingsRaw, RerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = embeddingsRaw.select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val queries = base.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    base
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("embedding"), col("q_emb"))
+          / (sqrt(col("nrm")) * sqrt(col("q_nrm")))).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("cosine"), col("neighbor_id"), Similarity.TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
+  }
 }

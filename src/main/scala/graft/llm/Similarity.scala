@@ -43,7 +43,8 @@ object Similarity {
     * — full-precision queries against the compressed corpus — and the
     * symmetric [[annCosineTopK]] is the special case corpus == query
     * source. */
-  def annCosineTopKAsym(corpusRaw: DataFrame, queryRaw: DataFrame): DataFrame = {
+  def annCosineTopKAsym(corpusRaw: DataFrame, queryRaw: DataFrame,
+                        k: Int = TopK): DataFrame = {
     val embeddings = corpusRaw.repartition(col("vec_id"))
     val norms = embeddings.select(
       col("vec_id"), col("embedding"),
@@ -68,7 +69,7 @@ object Similarity {
     // gates the window equivalence).
     scored.groupBy(col("query_id"))
       .agg(graft.expressions.TopKAggregate
-        .top_k(col("cosine"), col("neighbor_id"), TopK).as("tk"))
+        .top_k(col("cosine"), col("neighbor_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.payload").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))

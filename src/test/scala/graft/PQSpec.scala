@@ -52,4 +52,20 @@ class PQSpec extends SparkSpec {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(recall > 0.15, s"mean ADC recall@5 $recall")
   }
+
+  test("exact re-rank never loses recall vs pure ADC, per query") {
+    val exact = Similarity.annCosineTopK(emb).localCheckpoint()
+    val adc = Similarity.annRecall(exact, PQ.annPqAdcTopK(emb, books))
+      .select(col("query_id"), col("recall").as("adc_recall"))
+    val rr = Similarity.annRecall(exact, PQ.annPqRerankTopK(emb, books))
+      .select(col("query_id"), col("recall").as("rr_recall"))
+    // re-rank recall is bounded by the candidate stage only; ADC top-k
+    // additionally mis-orders within k — so per query rr >= adc
+    assert(adc.join(rr, Seq("query_id"))
+      .filter(col("rr_recall") < col("adc_recall")).count() === 0L)
+    // and the refinement returns a full top-k per query
+    val perQuery = PQ.annPqRerankTopK(emb, books)
+      .groupBy("query_id").count()
+    assert(perQuery.filter(col("count") =!= Similarity.TopK).count() === 0L)
+  }
 }
