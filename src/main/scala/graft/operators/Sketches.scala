@@ -40,10 +40,11 @@ object Sketches {
   /** Bias correction alpha_64 (standard constant for m = 64). */
   val HllAlpha = 0.709
 
-  /** Per-group HLL distinct estimate of `keyExpr` (a string column),
-    * alongside the exact count for reference. Output columns:
-    * groupCols ++ (n_exact, hll_estimate). */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyExpr: Column): DataFrame = {
+  /** Per-group HLL estimate ONLY — the corpus-grain path (no exact
+    * countDistinct rides along, so no per-value shuffle and no Expand):
+    * groupCols ++ (hll_estimate). The shuffle carries ≤ m register
+    * rows per group. */
+  def hllEstimateByGroup(df: DataFrame, groupCols: Seq[String], keyExpr: Column): DataFrame = {
     val h = graft.llm.Dedup.hex60(keyExpr)
     val gs = groupCols.map(col)
     // index = low P bits, word = the rest — integer ops only (a double
@@ -66,13 +67,22 @@ object Sketches {
     // ln through a decimal quantization so both engines' libm agree
     val linEst = (log(lit(HllM.toDouble) / zeros.cast("double")) * lit(HllM.toDouble))
       .cast(DecimalType(18, 9)).cast("double")
-    val est = summed.withColumn("__scaled", scaled)
+    summed.withColumn("__scaled", scaled)
       .withColumn("__raw", rawEst)
       .withColumn("hll_estimate",
         when(zeros > 0 && col("__raw") <= lit(2.5 * HllM), linEst)
           .otherwise(col("__raw")))
       .select(gs :+ col("hll_estimate"): _*)
-    val exact = df.groupBy(gs: _*)
+  }
+
+  /** Per-group HLL distinct estimate of `keyExpr` (a string column),
+    * alongside the exact count for reference (audit grain — the exact
+    * side shuffles values; at corpus grain use
+    * [[hllEstimateByGroup]] alone). Output columns:
+    * groupCols ++ (n_exact, hll_estimate). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyExpr: Column): DataFrame = {
+    val est = hllEstimateByGroup(df, groupCols, keyExpr)
+    val exact = df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(keyExpr).as("n_exact"))
     exact.join(est, groupCols)
   }

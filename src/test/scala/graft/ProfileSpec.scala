@@ -39,4 +39,33 @@ class ProfileSpec extends SparkSpec {
       assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("profileApprox: no Expand, counts exact, estimate within HLL error of truth") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = Tables.documents(spark, sf)
+      val approx = Profile.profileApprox(docs, Models.DocumentsProfileCols)
+      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(all)
+      // the corpus-grain point: NO Expand anywhere in the plan
+      assert(!all(approx.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]))
+      val got = approx.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val nDocs = docs.count()
+      assert(got.keySet === Models.DocumentsProfileCols.toSet)
+      // exact side: counters are exact even at corpus grain
+      assert(got.values.forall { case (rows, nulls, _) => rows === nDocs && nulls === 0L })
+      // sketch side: m=64 registers → ±13% standard error; allow 3σ
+      // against the exact distinct (cast-to-string semantics, as the
+      // operator hashes)
+      Models.DocumentsProfileCols.foreach { c =>
+        val exact = docs.select(col(c).cast("string")).distinct().count().toDouble
+        val est = got(c)._3
+        assert(math.abs(est - exact) <= 0.4 * exact + 3.0,
+          s"$c: estimate $est vs exact $exact")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
