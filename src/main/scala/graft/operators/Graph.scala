@@ -57,21 +57,44 @@ object Graph {
       .select(col("src"), col("dst"), col("weight"))
   }
 
-  /** Re-orient an undirected edge set (one row per unordered pair,
-    * any orientation) by (degree, id): the endpoint LOWER in that
-    * total order becomes src. Every node's out-neighbors then have
-    * degree ≥ its own, which bounds out-degree by √(2E) — if
+  /** Undirected degree (node, degree) from a one-row-per-unordered-pair
+    * edge set — shared by orientation and clustering coefficients so
+    * consumers pass ONE frame and exchange reuse eliminates the
+    * duplicate shuffle. */
+  def undirectedDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Re-orient an undirected edge set by (degree, id): the endpoint
+    * LOWER in that total order becomes src. Every node's out-neighbors
+    * then have degree ≥ its own, which bounds out-degree by √(2E) — if
     * deg(v) > √(2E) its out-neighbors each carry ≥ deg(v) half-edges,
     * so there are at most 2E/deg(v) < √(2E) of them. This is the
     * standard device that makes wedge enumeration O(E^1.5) total on
     * ANY graph, power-law hubs included: a hub's edges all point INTO
     * it, so the hub centers no wedges. Ids are distinct, so the order
-    * is total and each triangle keeps exactly one a<b<c form. */
+    * is total and each triangle keeps exactly one a<b<c form.
+    *
+    * INPUT INVARIANT (caller's contract, not checked here): exactly
+    * one row per unordered pair. Duplicate or bidirectional rows
+    * inflate the computed degrees AND yield duplicate oriented edges
+    * — the failure mode downstream is SILENT triangle overcounting,
+    * not an error. The in-repo producers ([[coOccurrenceEdges]],
+    * [[strongCoOccurrenceEdges]]) guarantee the invariant
+    * structurally (distinct / grouped src<dst pairs); a defensive
+    * least/greatest + distinct here would bill every 100 TB run one
+    * full edge shuffle for a contract our producers already hold. */
   def degreeOrientedEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+    degreeOrientedEdges(e, undirectedDegrees(e))
+  }
+
+  /** [[degreeOrientedEdges]] reusing a precomputed (node, degree)
+    * frame — pass the SAME frame the caller aggregates elsewhere and
+    * Spark's exchange reuse computes the degree shuffle once. */
+  def degreeOrientedEdges(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
     val srcFirst = col("src_deg") < col("dst_deg") ||
       (col("src_deg") === col("dst_deg") && col("src") < col("dst"))
     e.join(deg.select(col("node").as("src"), col("degree").as("src_deg")), Seq("src"))
@@ -95,8 +118,11 @@ object Graph {
     * are orientation-invariant, so results are identical to the
     * id-oriented form. Counts are integers — deterministic. Nodes in
     * no triangle are absent. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = degreeOrientedEdges(edges)
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOriented(degreeOrientedEdges(edges))
+
+  /** The wedge join over an ALREADY degree-oriented edge set. */
+  private def triangleCountsOriented(e: DataFrame): DataFrame = {
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .join(e.as("e3"),
@@ -114,10 +140,13 @@ object Graph {
     * signal next to raw triangle counts). One double division of
     * exact integers at the output boundary; degree-1 nodes get 0. */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(edges)
+    val e = edges.select(col("src"), col("dst"))
+    // ONE degree frame feeds both the coefficient denominator and the
+    // orientation step — identical subplans, so exchange reuse runs
+    // the degree shuffle once (ADVICE r9: the previous form aggregated
+    // degrees twice over the full edge set)
+    val deg = undirectedDegrees(e)
+    val tri = triangleCountsOriented(degreeOrientedEdges(e, deg))
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
@@ -168,6 +197,54 @@ object Graph {
       graft.plans.Checkpoints.free(prev)
     }
     rank.select(col("node"), col("rank_scaled"),
+      (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
+        .as("rank"))
+  }
+
+  /** DIRECTED PageRank with DANGLING-MASS redistribution — the form a
+    * real link graph needs (the symmetrized [[pageRank]] can't have
+    * dangling nodes by construction; a crawl graph is full of them).
+    * Edges are followed src→dst only. Each round, every node with
+    * out-edges distributes `rank div out_degree` along them; the
+    * summed rank of dangling nodes (out-degree 0) is redistributed
+    * uniformly — `D div N` to every node — before damping, the
+    * standard correction that conserves mass instead of letting it
+    * drain. Same fixed-point integer arithmetic as [[pageRank]]
+    * (deterministic under any partitioning, mirrored by an unrolled
+    * SQL oracle): `new = (15·SCALE) div 100 + (85·(in + D div N)) div
+    * 100`. The dangling total and node count ride a broadcast
+    * single-row frame — no driver-side collect; per-round cost is one
+    * rank⨝edges shuffle plus an O(dangling) single-row aggregate. */
+  def pageRankDirected(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val base = nodes
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    var rank = base.withColumn("rank_scaled", lit(PageRankScale))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = rank
+      val contrib = rank.filter(col("out_degree") > 0)
+        .select(col("node"), expr("rank_scaled div out_degree").as("c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
+      val dangling = rank.filter(col("out_degree") === 0)
+        .agg(coalesce(sum(col("rank_scaled")), lit(0L)).as("d_total"))
+      rank = base.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling.crossJoin(nNodes)))
+        .select(col("node"), col("out_degree"),
+          (lit(15L * PageRankScale / 100L) +
+            expr(s"$PageRankDampingPct * (coalesce(in_sum, 0L) + d_total div n_nodes) div 100"))
+            .as("rank_scaled"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    rank.select(col("node"), col("out_degree"), col("rank_scaled"),
       (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
         .as("rank"))
   }

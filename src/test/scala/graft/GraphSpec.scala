@@ -131,6 +131,34 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > got(4L))
   }
 
+  test("pageRankDirected: dangling mass redistributes; equals a reference implementation") {
+    // 1→2, 1→3, 2→3, 4→1: node 3 is a dangling sink (no out-edges)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val rounds = 3
+    val got = Graph.pageRankDirected(es.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val outDeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val S = Graph.PageRankScale
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> S).toMap
+    for (_ <- 1 to rounds) {
+      val in = es.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+      val dangling = nodes.filterNot(outDeg.contains).map(rank).sum
+      rank = nodes.map { n0 =>
+        n0 -> (15L * S / 100L +
+          85L * (in.getOrElse(n0, 0L) + dangling / n) / 100L)
+      }.toMap
+    }
+    assert(got === rank)
+    // the sink accumulates the most rank; its mass flows back to all
+    // nodes rather than draining — node 4 (no in-edges) still holds
+    // more than the teleport floor
+    assert(got(3L) > got(1L))
+    assert(got(4L) > 15L * S / 100L)
+  }
+
   test("min-relaxation keeps the SHORTEST hop count under multiple paths") {
     // 1-2, 2-3, 1-3: node 3 is reachable in 2 hops via 2 but in 1 hop directly
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
