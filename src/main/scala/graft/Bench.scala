@@ -13,21 +13,25 @@ import org.apache.spark.sql.functions.{col, xxhash64, bit_xor}
   */
 object Bench {
 
-  /** Per-query min across the two passes — the headline estimator
-    * (VERDICT r6 #2: a one-pass headline lets a single contention/GC
-    * window own the round's number). GUARDED (VERDICT r7 #7): both
-    * passes must cover exactly the same full query set, name-aligned,
-    * else a pass that died mid-run would silently shrink the min dict
-    * and masquerade as a speedup. Throws on any drift; BenchSpec
-    * exercises both arms.
+  /** Per-query min across N passes — the headline estimator (VERDICT
+    * r6 #2: a one-pass headline lets a single contention/GC window own
+    * the round's number; VERDICT r9 #5: two passes can't distinguish
+    * noise from drift when min-of-2 swings 2× on unchanged code, so
+    * r10 runs three). GUARDED (VERDICT r7 #7): every pass must cover
+    * exactly the same full query set, name-aligned, else a pass that
+    * died mid-run would silently shrink the min dict and masquerade as
+    * a speedup. Throws on any drift; BenchSpec exercises both arms.
     */
-  def minResults(cold: Seq[(String, Double)], warm: Seq[(String, Double)],
+  def minResults(passes: Seq[Seq[(String, Double)]],
                  expected: Int): Seq[(String, Double)] = {
-    require(cold.size == expected && warm.size == expected,
-      s"bench pass incomplete: cold=${cold.size} warm=${warm.size} expected=$expected")
-    require(cold.map(_._1) == warm.map(_._1),
+    require(passes.nonEmpty, "minResults needs at least one pass")
+    passes.foreach(p => require(p.size == expected,
+      s"bench pass incomplete: got=${p.size} expected=$expected"))
+    require(passes.forall(_.map(_._1) == passes.head.map(_._1)),
       "bench passes cover different query sets")
-    cold.zip(warm).map { case ((name, c), (_, w)) => name -> math.min(c, w) }
+    passes.head.indices.map { i =>
+      passes.head(i)._1 -> passes.map(_(i)._2).min
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,10 +99,12 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    // Two timed passes; the HEADLINE per-query number is the MIN of a
-    // query's passes (VERDICT r6 #2; see minResults). Both raw passes
-    // stay in the JSON (`cold`, `warm`) so I/O-inclusive and
-    // steady-state numbers remain visible.
+    // THREE timed passes; the HEADLINE per-query number is the MIN of
+    // a query's passes (VERDICT r6 #2, widened to 3 by r9 #5: with two
+    // passes a single loaded window makes noise and drift
+    // indistinguishable). All raw passes stay in the JSON (`cold`,
+    // `warm`, `warm2`) so I/O-inclusive and steady-state numbers
+    // remain visible.
     def storageLine(tag: String): (Int, Double, Double) = {
       val s = storage()
       System.err.println(s"[bench] rdd-storage $tag: n=${s._1} " +
@@ -115,12 +121,16 @@ object Bench {
     val warm = timedPass()
     val stWarm = storageLine("post-warm")
     val gcWarmPass = gcMs() - gc2
-    val results = minResults(cold, warm, SparkEntry.queries.size)
+    val gc3 = gcMs()
+    val warm2 = timedPass()
+    val gcWarm2Pass = gcMs() - gc3
+    val results = minResults(Seq(cold, warm, warm2), SparkEntry.queries.size)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val warm2Total = warm2.map(_._2).sum
     // failed queries are listed explicitly so a failing run can never
     // masquerade as a healthy one to a JSON consumer (ADVICE r2);
     // prebuild failures likewise (ADVICE r3 #5) — a query timed against
@@ -139,7 +149,7 @@ object Bench {
     // bench_schema (ADVICE r7 #4): 1 = "value" was the warm-pass total
     // (r1-r6); 2 = "value" is the sum of per-query mins across passes
     // (r7+). Historical totals must not be compared 1:1 across schemas.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 2 passes","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT
@@ -152,7 +162,7 @@ object Bench {
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.sortBy(-_._2).take(10)
-    println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass},"min_top10":${qjson(top10)}}""")
+    println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"min_top10":${qjson(top10)}}""")
     spark.stop()
   }
 }

@@ -36,6 +36,11 @@ object Models {
     "order_cost", "count_promo_items", "count_returned_items",
     "is_promo_order", "has_returned_item", "customer_order_number")
 
+  /** The documents-table columns the corpus-grain profiler sketches;
+    * shared with the oracle's generated UNION ALL melt. */
+  val DocumentsProfileCols: Seq[String] = Seq(
+    "doc_id", "text", "lang", "source", "n_chars")
+
   /** The daily mart's metric columns in melt order; shared with the
     * oracle's UNION ALL mirror. */
   val DailyMeltMetrics: Seq[String] = Seq(
@@ -297,7 +302,8 @@ object Models {
       "ivf_kmeans" -> annIvfKmeansTopK(s, d),
       "sq8" -> annSq8TopK(s, d),
       "pq" -> annPqTopK(s, d),
-      "pq_adc" -> annPqAdcTopK(s, d))
+      "pq_adc" -> annPqAdcTopK(s, d),
+      "pq_rerank" -> annPqRerankTopK(s, d))
       .map { case (m, approx) =>
         llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
       .reduce(_ union _)
@@ -395,6 +401,10 @@ object Models {
     llm.PQ.annPqTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
   def annPqAdcTopK(s: SparkSession, d: String): DataFrame =
     llm.PQ.annPqAdcTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
+  /** ADC top-C candidates exact-rescored against the raw corpus — the
+    * two-stage refine search; reads the same Mat'd codebooks. */
+  def annPqRerankTopK(s: SparkSession, d: String): DataFrame =
+    llm.PQ.annPqRerankTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
   def bm25Scores(s: SparkSession, d: String): DataFrame =
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
@@ -505,10 +515,22 @@ object Models {
   def copurchasePagerank(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "copurchase_pagerank")(
       operators.Graph.pageRank(copurchaseEdges(s, d), Models.PageRankRounds))
+  /** DIRECTED PageRank (low→high co-purchase orientation) with
+    * dangling-mass redistribution — nodes with no larger co-purchased
+    * neighbor are genuine dangling sinks here. */
+  def copurchasePagerankDirected(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_pagerank_directed")(
+      operators.Graph.pageRankDirected(copurchaseEdges(s, d), Models.PageRankRounds))
 
   /** Exact column profile of the orders mart (catalog/dq audit). */
   def ordersProfile(s: SparkSession, d: String): DataFrame =
     operators.Profile.profile(orders(s, d), Models.OrdersProfileCols)
+  /** CORPUS-grain profile of the documents table — the HLL-swap
+    * variant: distinct counts are sketch estimates, no Expand, the
+    * shuffle carries registers instead of values. */
+  def documentsProfile(s: SparkSession, d: String): DataFrame =
+    operators.Profile.profileApprox(
+      Tables.documents(s, d), Models.DocumentsProfileCols)
   /** BFS hop distances from the smallest connected product id —
     * deterministic (integer-min relaxation; the source definition is
     * mirrored in the oracle). Mat'd: the iterative rounds run ONCE

@@ -101,6 +101,7 @@ object SparkEntry {
     "pq_codes" -> out(Models.pqCodes),
     "ann_pq_topk" -> out(Models.annPqTopK),
     "ann_pq_adc_topk" -> out(Models.annPqAdcTopK),
+    "ann_pq_rerank_topk" -> out(Models.annPqRerankTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -183,8 +184,10 @@ object SparkEntry {
     "copurchase_triangles" -> out(Models.copurchaseTriangles),
     "copurchase_clustering" -> out(Models.copurchaseClustering),
     "copurchase_pagerank" -> out(Models.copurchasePagerank),
+    "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // one-pass exact column profile (catalog/dq audit surface)
     "orders_profile" -> out(Models.ordersProfile),
+    "documents_profile" -> out(Models.documentsProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
@@ -282,6 +285,7 @@ object SparkEntry {
     "pq_codes" -> LlmSql.pqCodesQ,
     "ann_pq_topk" -> LlmSql.annPqTopKQ,
     "ann_pq_adc_topk" -> LlmSql.annPqAdcTopKQ,
+    "ann_pq_rerank_topk" -> LlmSql.annPqRerankTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
@@ -335,7 +339,9 @@ object SparkEntry {
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
+    "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "orders_profile" -> Sql.ordersProfileQ,
+    "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,

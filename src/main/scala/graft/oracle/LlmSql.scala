@@ -755,6 +755,49 @@ object LlmSql {
     s"""with $pqRecCtes,
        |${annCosineTopKAsymOver("pq_rec", "embeddings")}""".stripMargin
 
+  /** Mirror PQ.annPqRerankTopK: ADC top-C candidates (same scored set
+    * as the ADC oracle, ranked to RerankCandidates), exact-rescored
+    * against the raw corpus, final top-k with the same (cosine desc,
+    * neighbor_id) total order. */
+  val annPqRerankTopKQ: String = {
+    import graft.llm.{PQ, Similarity}
+    s"""with $pqRecCtes,
+       |rr_rec as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from pq_rec
+       |),
+       |rr_raw as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |rr_q as (
+       |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm
+       |  from rr_raw where nrm > 0 and vec_id < ${Similarity.NQueries}
+       |),
+       |rr_cand as (
+       |  select query_id, neighbor_id from (
+       |    select q.query_id, e.vec_id as neighbor_id,
+       |      row_number() over (partition by q.query_id order by
+       |        ${dotSql("e.embedding", "q.q_emb")} / (sqrt(e.nrm) * sqrt(q.q_nrm))
+       |          desc nulls last, e.vec_id) as rn
+       |    from (select * from rr_rec where nrm > 0) e cross join rr_q q
+       |    where e.vec_id != q.query_id
+       |  ) t where rn <= ${PQ.RerankCandidates}
+       |),
+       |rr_exact as (
+       |  select c.query_id, c.neighbor_id,
+       |    ${dotSql("n.embedding", "q.q_emb")} / (sqrt(n.nrm) * sqrt(q.q_nrm)) as cosine
+       |  from rr_cand c
+       |  join (select * from rr_raw where nrm > 0) n on n.vec_id = c.neighbor_id
+       |  join rr_q q on q.query_id = c.query_id
+       |)
+       |select query_id, neighbor_id, rank, cosine from (
+       |  select *, row_number() over (
+       |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
+       |  from rr_exact
+       |) t where rank <= ${Similarity.TopK}""".stripMargin
+  }
+
   /** Mirror Similarity.annRecall: recall of `approxQ` against the
     * exact top-k — pure composition, zero new arithmetic. `methodCol`
     * optionally prefixes a method label column. */
@@ -777,9 +820,68 @@ object LlmSql {
       "ivf_kmeans" -> annIvfKmeansTopKQ,
       "sq8" -> annSq8TopKQ,
       "pq" -> annPqTopKQ,
-      "pq_adc" -> annPqAdcTopKQ)
+      "pq_adc" -> annPqAdcTopKQ,
+      "pq_rerank" -> annPqRerankTopKQ)
       .map { case (m, q) => annRecallOver(q, s"'$m' as method,") }
       .mkString("\nunion all\n")
+
+  /** Mirror Profile.profileApprox over documents: the same UNION melt
+    * (every column cast to varchar), the same null/row counters, and
+    * the same integer HLL pipeline as the hll_user_counts oracle
+    * (md5-60 hash of 'hll|'||value, low-P-bit register, leading-1 via
+    * binary string length, exact scaled harmonic sum), grouped by
+    * column_name. */
+  val documentsProfileQ: String = {
+    import graft.operators.Sketches.{HllAlpha, HllM, HllP, HllW}
+    val w1 = HllW + 1
+    val arms = graft.Models.DocumentsProfileCols.map(c =>
+      s"select '$c' as column_name, cast($c as varchar) as value from documents")
+      .mkString("\n  union all ")
+    s"""with v as (
+       |  $arms
+       |),
+       |counts as (
+       |  select column_name, count(*) as n_rows,
+       |    count(*) - count(value) as n_nulls
+       |  from v group by 1
+       |),
+       |h as (
+       |  select column_name,
+       |    cast(('0x' || substr(md5('hll|' || value),1,15)) as bigint) as h
+       |  from v where value is not null
+       |),
+       |r as (select column_name, h % $HllM as reg, h >> $HllP as w from h),
+       |rr as (
+       |  select column_name, reg,
+       |    case when w = 0 then $w1 else $w1 - length(bin(w)) end as rho
+       |  from r
+       |),
+       |mj as (select column_name, reg, max(rho) as m_j from rr group by 1, 2),
+       |s as (
+       |  select column_name,
+       |    sum(cast(1 as bigint) << ($w1 - m_j)) as ssum,
+       |    count(*) as nreg
+       |  from mj group by 1
+       |),
+       |e as (
+       |  select column_name,
+       |    cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as scaled,
+       |    $HllM - nreg as zeros
+       |  from s
+       |),
+       |est as (
+       |  select column_name, zeros,
+       |    ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |      / scaled as raw
+       |  from e
+       |)
+       |select c.column_name, c.n_rows, c.n_nulls,
+       |  coalesce(case when zeros > 0 and raw <= ${2.5 * HllM}
+       |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+       |           as decimal(18,9)) as double)
+       |    else raw end, 0.0) as n_distinct_est
+       |from counts c left join est using (column_name)""".stripMargin
+  }
 
   /** Mirror GlobalIndex.epochShuffle: the oracle IS the naive global
     * row_number the operator decomposes into bucket ranks + offsets. */

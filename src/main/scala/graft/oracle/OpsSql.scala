@@ -552,6 +552,56 @@ object OpsSql {
        |from r${graft.Models.PageRankRounds}""".stripMargin
   }
 
+  /** Mirror Graph.pageRankDirected over the low→high-directed
+    * co-purchase edges: the same unrolled fixed-point rounds as
+    * [[copurchasePagerankQ]] plus the dangling-mass term — each round
+    * cross-joins the previous round's dangling rank total and the node
+    * count, adding `D div N` to every node's in-sum before damping.
+    * DuckDB's bigint sums widen to hugeint, so every sum is cast back
+    * before the integer floor divisions. */
+  val copurchasePagerankDirectedQ: String = {
+    import graft.operators.Graph.{PageRankDampingPct, PageRankScale}
+    val base = 15L * PageRankScale / 100L
+    val rounds = (1 to graft.Models.PageRankRounds).map { k =>
+      s"""pd$k as (
+         |  select b.node, b.out_degree,
+         |    $base + ($PageRankDampingPct * (coalesce(cast(s.in_sum as bigint), 0)
+         |      + cast(d.d_total as bigint) // nn.n_nodes)) // 100 as rank_scaled
+         |  from pbase b
+         |  left join (
+         |    select de.dst as node, sum(r.rank_scaled // r.out_degree) as in_sum
+         |    from pd${k - 1} r join de on r.node = de.src
+         |    where r.out_degree > 0
+         |    group by 1
+         |  ) s on b.node = s.node
+         |  cross join (
+         |    select coalesce(sum(rank_scaled), 0) as d_total
+         |    from pd${k - 1} where out_degree = 0
+         |  ) d
+         |  cross join nn
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseCtes,
+       |de as (select src, dst from edges),
+       |pnodes as (
+       |  select distinct node from (
+       |    select src as node from de union all select dst as node from de
+       |  ) u
+       |),
+       |pbase as (
+       |  select n.node, coalesce(o.out_degree, 0) as out_degree
+       |  from pnodes n left join (
+       |    select src as node, count(*) as out_degree from de group by 1
+       |  ) o on n.node = o.node
+       |),
+       |nn as (select count(*) as n_nodes from pnodes),
+       |pd0 as (select node, out_degree, $PageRankScale as rank_scaled from pbase),
+       |$rounds
+       |select node, out_degree, rank_scaled,
+       |  cast(rank_scaled as double) / cast($PageRankScale as double) as rank
+       |from pd${graft.Models.PageRankRounds}""".stripMargin
+  }
+
   /** Mirror Graph.bfsDistances: the k min-relaxation rounds UNROLLED
     * as CTEs (same round count via Models.BfsMaxHops, same integer-min
     * semantics — partition-order independence on the Spark side is
