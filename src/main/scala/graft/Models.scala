@@ -257,6 +257,13 @@ object Models {
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
       Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
+  /** The composed IVF+PQ index: Mat'd kmeans coarse quantizer + PQ
+    * reconstruction off the Mat'd codebooks — both index halves build
+    * once per session; the query probes lists and scans codes. */
+  def annIvfPqTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annIvfPqTopK(Tables.embeddings(s, d),
+      llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)),
+      llm.PQ.reconstructed(Tables.embeddings(s, d), pqCodebooks(s, d)))
   /** Int8 scalar-quantized embeddings, exploded to (vec_id, pos, q,
     * scale) rows so the differential harness can sort the output (its
     * pandas-side comparison cannot sort an array column — the array
@@ -303,7 +310,8 @@ object Models {
       "sq8" -> annSq8TopK(s, d),
       "pq" -> annPqTopK(s, d),
       "pq_adc" -> annPqAdcTopK(s, d),
-      "pq_rerank" -> annPqRerankTopK(s, d))
+      "pq_rerank" -> annPqRerankTopK(s, d),
+      "ivfpq" -> annIvfPqTopK(s, d))
       .map { case (m, approx) =>
         llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
       .reduce(_ union _)

@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_pq_topk" -> out(Models.annPqTopK),
     "ann_pq_adc_topk" -> out(Models.annPqAdcTopK),
     "ann_pq_rerank_topk" -> out(Models.annPqRerankTopK),
+    "ann_ivfpq_topk" -> out(Models.annIvfPqTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -286,6 +287,7 @@ object SparkEntry {
     "ann_pq_topk" -> LlmSql.annPqTopKQ,
     "ann_pq_adc_topk" -> LlmSql.annPqAdcTopKQ,
     "ann_pq_rerank_topk" -> LlmSql.annPqRerankTopKQ,
+    "ann_ivfpq_topk" -> LlmSql.annIvfPqTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,

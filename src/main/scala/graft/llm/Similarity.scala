@@ -188,8 +188,15 @@ object Similarity {
   /** The IVF search itself, independent of how the coarse quantizer
     * was trained: assign every vector to its nearest centroid (its
     * inverted list), then each query probes its top-[[IvfNProbe]]
-    * centroids' lists. `centroids`: (centroid_id, centroid). */
-  private def ivfProbe(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    * centroids' lists. `centroids`: (centroid_id, centroid).
+    * `scoringCorpus`: when set, candidates are SCORED against this
+    * relation's vectors (matched by vec_id) instead of the assignment
+    * corpus — the IVF+PQ composition passes the PQ-reconstructed
+    * corpus here, so list assignment and the query side stay
+    * full-precision while the in-list scan reads compressed codes
+    * (exactly FAISS's IndexIVFPQ shape). */
+  private def ivfProbe(embeddings: DataFrame, centroids: DataFrame,
+                       scoringCorpus: Option[DataFrame] = None): DataFrame = {
     val withNorm = embeddings.select(
         col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm"))
@@ -198,14 +205,24 @@ object Similarity {
     // centroid ranking per vector: rank 1 is the vector's inverted
     // list; ranks <= IvfNProbe are the lists a QUERY probes
     val ranked = centroidRanked(withNorm, centroids)
-    val assigned = ranked.filter(col("rn") === 1)
+    val assignedFull = ranked.filter(col("rn") === 1)
       .select("vec_id", "embedding", "nrm", "centroid_id")
+    // swap in the scoring corpus's vectors (PQ-reconstructed) when the
+    // caller separates the assignment and scan representations
+    val assigned = scoringCorpus.fold(assignedFull) { sc =>
+      assignedFull.select("vec_id", "centroid_id")
+        .join(sc.select(col("vec_id"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0), Seq("vec_id"))
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+    }
 
     // probe: each query searches its top-IvfNProbe centroids' lists
     val probes = ranked
       .filter(col("vec_id") < NQueries && col("rn") <= IvfNProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("q_centroid"))
-    val qs = assigned.filter(col("vec_id") < NQueries).select(
+    // queries are always full-precision (the assignment corpus)
+    val qs = assignedFull.filter(col("vec_id") < NQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     assigned.join(broadcast(probes.join(qs, Seq("query_id"))),
         col("centroid_id") === col("q_centroid") && col("vec_id") =!= col("query_id"))
@@ -259,6 +276,22 @@ object Similarity {
                        centroidVectors: Option[DataFrame] = None): DataFrame = {
     val embeddings = embeddingsRaw.repartition(col("vec_id"))
     ivfProbe(embeddings, centroidVectors.getOrElse(Kmeans.centroidVectors(embeddings)))
+  }
+
+  /** IVF + PQ — the composed index a production vector store actually
+    * deploys at 100 TB (FAISS IndexIVFPQ): the kmeans-trained coarse
+    * quantizer partitions the corpus into inverted lists (assignment
+    * on full-precision vectors, at index-build time), and the in-list
+    * scan reads only the PQ-compressed representation — queries stay
+    * full-precision (ADC). Probe cost scales with nprobe × list size;
+    * scan bytes shrink by the PQ compression ratio; neither ever
+    * touches corpus × corpus. `centroidVectors`/`reconstructed`: pass
+    * the Mat'd quantizer and the reconstruction off the Mat'd
+    * codebooks so both index halves build once. */
+  def annIvfPqTopK(embeddingsRaw: DataFrame, centroidVectors: DataFrame,
+                   reconstructed: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    ivfProbe(embeddings, centroidVectors, Some(reconstructed))
   }
 
   /** Recall@k of an approximate ANN result against the exact

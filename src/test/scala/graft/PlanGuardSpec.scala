@@ -22,6 +22,8 @@ class PlanGuardSpec extends SparkSpec {
     // ADC candidate stage composes annCosineTopKAsym's bounded
     // broadcast query set; the re-rank joins are broadcast HASH joins
     "ann_pq_rerank_topk",
+    // centroidRanked crossJoins the bounded broadcast centroid set
+    "ann_ivfpq_topk",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
     // three one-row aggregates cross-joined
