@@ -732,6 +732,7 @@ object Models {
       "copurchase_distances" -> (productCopurchaseDistances _),
       "copurchase_strong_edges" -> (copurchaseStrongEdges _),
       "copurchase_pagerank" -> (copurchasePagerank _),
+      "copurchase_pagerank_directed" -> (copurchasePagerankDirected _),
       "minhash_bands_existing" -> (minhashBandsExisting _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
