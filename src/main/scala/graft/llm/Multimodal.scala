@@ -70,16 +70,14 @@ object Multimodal {
     val w = 64 + b(0); val h = 64 + b(1)
     val even = b(2); val odd = b(4)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    // every row is the same stripe pattern — build it once and bulk-set
+    // (per-pixel setSample was the bench's slowest-query hotspot)
+    val row = new Array[Int](w)
+    var x = 0
+    while (x < w) { row(x) = if (x % 2 == 0) even else odd; x += 1 }
     val raster = img.getRaster
     var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        raster.setSample(x, y, 0, if (x % 2 == 0) even else odd)
-        x += 1
-      }
-      y += 1
-    }
+    while (y < h) { raster.setSamples(0, y, w, 1, 0, row); y += 1 }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -103,15 +101,14 @@ object Multimodal {
     val img = ImageIO.read(new ByteArrayInputStream(m.content))
     val w = img.getWidth; val h = img.getHeight
     val raster = img.getRaster
+    // bulk sample extraction: one array copy instead of w×h virtual
+    // getSample calls
+    val samples = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
     var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-      y += 1
-    }
-    val even = raster.getSample(0, 0, 0)
-    val odd = raster.getSample(1, 0, 0)
+    var i = 0
+    while (i < samples.length) { sum += samples(i); i += 1 }
+    val even = samples(0)
+    val odd = samples(1)
     MediaFeatures(
       doc_id = m.doc_id,
       media_type = m.media_type,
@@ -168,36 +165,35 @@ object Multimodal {
     * hash the round-tripped raster (2 lowercase hex chars per pixel,
     * row-major). The emitted hash therefore gates decode → resize →
     * encode → decode, the full thumbnail pipeline. */
+  private val HexByte: Array[String] =
+    (0 until 256).map(v => f"$v%02x").toArray
+
   private def resizeImage(m: MediaRow): MediaThumb = {
     val src = ImageIO.read(new ByteArrayInputStream(m.content))
     val w = src.getWidth; val h = src.getHeight
-    val srcRaster = src.getRaster
+    val srcSamples = src.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
     val thumb = new BufferedImage(ThumbW, ThumbH, BufferedImage.TYPE_BYTE_GRAY)
+    val thumbRow = new Array[Int](ThumbW)
     val thumbRaster = thumb.getRaster
     var y = 0
     while (y < ThumbH) {
+      val srcY = y * h / ThumbH
       var x = 0
       while (x < ThumbW) {
-        thumbRaster.setSample(x, y, 0,
-          srcRaster.getSample(x * w / ThumbW, y * h / ThumbH, 0))
+        thumbRow(x) = srcSamples(srcY * w + x * w / ThumbW)
         x += 1
       }
+      thumbRaster.setSamples(0, y, ThumbW, 1, 0, thumbRow)
       y += 1
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(thumb, "png", out)
     val round = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
-    val roundRaster = round.getRaster
+    val roundSamples = round.getRaster
+      .getSamples(0, 0, ThumbW, ThumbH, 0, new Array[Int](ThumbW * ThumbH))
     val hex = new StringBuilder(ThumbW * ThumbH * 2)
-    y = 0
-    while (y < ThumbH) {
-      var x = 0
-      while (x < ThumbW) {
-        hex.append("%02x".format(roundRaster.getSample(x, y, 0)))
-        x += 1
-      }
-      y += 1
-    }
+    var i = 0
+    while (i < roundSamples.length) { hex.append(HexByte(roundSamples(i))); i += 1 }
     MediaThumb(m.doc_id, m.media_type, ThumbW, ThumbH, md5Hex(hex.toString))
   }
 
