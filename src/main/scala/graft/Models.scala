@@ -263,7 +263,7 @@ object Models {
   def annIvfPqTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfPqTopK(Tables.embeddings(s, d),
       llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)),
-      llm.PQ.reconstructed(Tables.embeddings(s, d), pqCodebooks(s, d)))
+      pqReconstructed(s, d))
   /** Int8 scalar-quantized embeddings, exploded to (vec_id, pos, q,
     * scale) rows so the differential harness can sort the output (its
     * pandas-side comparison cannot sort an array column — the array
@@ -405,14 +405,23 @@ object Models {
     Mat.table(s, d, "pq_codebooks")(llm.PQ.codebooks(Tables.embeddings(s, d)))
   def pqCodes(s: SparkSession, d: String): DataFrame =
     llm.PQ.codes(Tables.embeddings(s, d), pqCodebooks(s, d))
+  /** The PQ-reconstructed corpus as a Mat barrier — THE index artifact
+    * every PQ-family search scans. At 100 TB the compressed corpus is
+    * built once at index time and persisted; rebuilding it inside each
+    * query (codes join + per-vector reassembly) was the dominant cost
+    * of all four PQ searches. Parquet float roundtrip is bit-exact
+    * (the sq8_corpus precedent), so the oracle contract is unchanged. */
+  private def pqReconstructed(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "pq_reconstructed")(
+      llm.PQ.reconstructed(Tables.embeddings(s, d), pqCodebooks(s, d)))
   def annPqTopK(s: SparkSession, d: String): DataFrame =
-    llm.PQ.annPqTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
+    llm.Similarity.annCosineTopK(pqReconstructed(s, d))
   def annPqAdcTopK(s: SparkSession, d: String): DataFrame =
-    llm.PQ.annPqAdcTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
+    llm.Similarity.annCosineTopKAsym(pqReconstructed(s, d), Tables.embeddings(s, d))
   /** ADC top-C candidates exact-rescored against the raw corpus — the
-    * two-stage refine search; reads the same Mat'd codebooks. */
+    * two-stage refine search over the same Mat'd reconstruction. */
   def annPqRerankTopK(s: SparkSession, d: String): DataFrame =
-    llm.PQ.annPqRerankTopK(Tables.embeddings(s, d), pqCodebooks(s, d))
+    llm.PQ.rerankFromReconstructed(pqReconstructed(s, d), Tables.embeddings(s, d))
   def bm25Scores(s: SparkSession, d: String): DataFrame =
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =
@@ -715,6 +724,8 @@ object Models {
       "dedup_clusters" -> (dedupClusters _),
       "kmeans_centroids" -> (kmeansCentroids _),
       "pq_codebooks" -> (pqCodebooks _),
+      // transitively builds the pq_codebooks barrier first
+      "pq_reconstructed" -> (pqReconstructed _),
       "embedding_dedup_clusters" -> (embeddingDedupClusters _),
       "substring_dedup" -> (substringDedup _),
       "bpe_merges" -> (bpeMerges _),

@@ -122,9 +122,15 @@ object PQ {
     * candidate list is broadcast, so the re-rank is a corpus-side
     * semi-join plus a bounded-heap top-k, never a second corpus scan
     * ranking. */
-  def annPqRerankTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame = {
-    val cand = Similarity.annCosineTopKAsym(
-        reconstructed(embeddingsRaw, books), embeddingsRaw, RerankCandidates)
+  def annPqRerankTopK(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
+    rerankFromReconstructed(reconstructed(embeddingsRaw, books), embeddingsRaw)
+
+  /** The re-rank over an ALREADY-built reconstruction — pass the Mat'd
+    * compressed corpus so the search scans the index artifact instead
+    * of re-deriving it (the deployment shape; [[annPqRerankTopK]]
+    * builds inline for specs). */
+  def rerankFromReconstructed(rec: DataFrame, embeddingsRaw: DataFrame): DataFrame = {
+    val cand = Similarity.annCosineTopKAsym(rec, embeddingsRaw, RerankCandidates)
       .select(col("query_id"), col("neighbor_id"))
     val base = embeddingsRaw.select(col("vec_id"), col("embedding"),
         Similarity.dot(col("embedding"), col("embedding")).as("nrm"))
