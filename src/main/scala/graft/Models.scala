@@ -631,6 +631,11 @@ object Models {
     llm.Dedup.incrementalMinhashPairsFromBands(
       minhashBandsExisting(s, d), newSigs)
   }
+  /** Streaming twin of [[dedupIncrementalPairs]]: the same new-batch
+    * vs stored-band-index maintenance, run through readStream →
+    * foreachBatch → parquet sink (same oracle). */
+  def streamNeardupPairs(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.incrementalDedupStreamOnce(s, d, minhashBandsExisting(s, d))
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
   /** Blocked edit-distance nearest-name match over the product catalog

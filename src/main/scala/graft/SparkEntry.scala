@@ -148,6 +148,9 @@ object SparkEntry {
     "stream_sink_merge" -> out(Models.streamSinkMerge),
     // transformWithState (Spark 4 typed-state API): per-user rollup
     "stream_user_rollup" -> out(Models.streamUserRollup),
+    // foreachBatch maintenance job: new-doc batches banded against the
+    // stored LSH index (the streaming twin of dedup_incremental_pairs)
+    "stream_neardup_pairs" -> out(Models.streamNeardupPairs),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -315,6 +318,7 @@ object SparkEntry {
     "stream_attribution" -> graft.streaming.Streams.clickAttributionOracleSql,
     "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
+    "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

@@ -36,4 +36,22 @@ class IncrementalDedupSpec extends SparkSpec {
     val empty = allSigs.filter(lit(false))
     assert(Dedup.incrementalMinhashPairs(allSigs, empty).count() === 0)
   }
+
+  test("streaming foreachBatch maintenance equals the batch incremental run") {
+    val docs = Tables.documents(spark, sf)
+    // the registered demo split: % 5 == 0 arrives, the rest stand
+    val existingBands = Dedup.bandTable(
+      Dedup.minhashSignatures(Dedup.docShingles(docs))
+        .filter(col("doc_id") % 5 =!= 0))
+    val batchTwin = Dedup.incrementalMinhashPairsFromBands(existingBands,
+      Dedup.minhashSignatures(Dedup.docShingles(docs.filter(col("doc_id") % 5 === 0))))
+    val streamed = graft.streaming.Streams
+      .incrementalDedupStreamOnce(spark, sf, existingBands)
+    assert(streamed.exceptAll(batchTwin).count() === 0)
+    assert(batchTwin.exceptAll(streamed).count() === 0)
+    // idempotence: a same-session re-run replays no batch, sink unchanged
+    val again = graft.streaming.Streams
+      .incrementalDedupStreamOnce(spark, sf, existingBands)
+    assert(again.count() === streamed.count())
+  }
 }

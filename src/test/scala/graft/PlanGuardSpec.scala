@@ -63,7 +63,7 @@ class PlanGuardSpec extends SparkSpec {
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
-    "stream_user_rollup",
+    "stream_user_rollup", "stream_neardup_pairs",
     "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
