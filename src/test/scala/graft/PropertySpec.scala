@@ -75,6 +75,50 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("degree-oriented triangle counts equal brute-force enumeration on random graphs") {
+    import spark.implicits._
+    val n = 8
+    val pairGen = Gen.listOf(Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+      .map(_.collect { case (a, b) if a != b =>
+        (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
+      .suchThat(_.nonEmpty)
+    check("triangles", Prop.forAll(pairGen) { edges =>
+      val got = operators.Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val eset = edges.toSet
+      def conn(a: Long, b: Long) = eset.contains((math.min(a, b), math.max(a, b)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        val others = nodes.filter(_ != v)
+        v -> (for (i <- others; j <- others
+          if i < j && conn(v, i) && conn(v, j) && conn(i, j)) yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      got == expected
+    }, cases = 12)
+  }
+
+  test("bounded-heap top_k equals the window ranking under score ties") {
+    import spark.implicits._
+    val k = 3
+    // narrow score range → dense ties; the payload tiebreak must decide
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 4), Gen.chooseNum(0L, 50L))
+    check("topk ties", Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows0 =>
+      val rows = rows0.map { case (q, s, p) => (q.toLong, s.toDouble, p) }
+        .distinctBy(r => (r._1, r._3)) // unique payload per group = total order
+      val df = rows.toDF("q", "score", "p")
+      val heap = df.groupBy("q")
+        .agg(graft.expressions.TopKAggregate.top_k(col("score"), col("p"), k).as("tk"))
+        .select(col("q"), posexplode(col("tk")))
+        .select(col("q"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").as("p"), col("col.score").as("score"))
+      val win = df.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q")
+            .orderBy(col("score").desc_nulls_last, col("p"))))
+        .filter(col("rank") <= k).select("q", "rank", "p", "score")
+      heap.exceptAll(win).count() == 0 && win.exceptAll(heap).count() == 0
+    }, cases = 12)
+  }
+
   test("global index is a 0..n-1 permutation for arbitrary id sets") {
     import spark.implicits._
     val idsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L)).map(_.distinct)
