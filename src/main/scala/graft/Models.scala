@@ -260,10 +260,26 @@ object Models {
   /** The composed IVF+PQ index: Mat'd kmeans coarse quantizer + PQ
     * reconstruction off the Mat'd codebooks — both index halves build
     * once per session; the query probes lists and scans codes. */
+  private def kmeansCoarse(s: SparkSession, d: String): DataFrame =
+    llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))
   def annIvfPqTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfPqTopK(Tables.embeddings(s, d),
-      llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)),
-      pqReconstructed(s, d))
+      kmeansCoarse(s, d), pqReconstructed(s, d))
+  /** PQ codebooks trained on the RESIDUALS from the kmeans coarse
+    * quantizer (true IndexIVFPQ encoding), Mat'd like pq_codebooks. */
+  private def rpqCodebooks(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "rpq_codebooks")(
+      llm.PQ.residualCodebooks(Tables.embeddings(s, d), kmeansCoarse(s, d)))
+  /** The residual-encoded corpus v̂ = c(v) + dequant(codes(v − c(v))),
+    * Mat'd — the IndexIVFPQ scan artifact. */
+  private def rpqReconstructed(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "rpq_reconstructed")(
+      llm.PQ.residualReconstructed(Tables.embeddings(s, d),
+        kmeansCoarse(s, d), rpqCodebooks(s, d)))
+  /** IVF+PQ over the residual encoding — the full IndexIVFPQ. */
+  def annIvfPqResidualTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annIvfPqTopK(Tables.embeddings(s, d),
+      kmeansCoarse(s, d), rpqReconstructed(s, d))
   /** Int8 scalar-quantized embeddings, exploded to (vec_id, pos, q,
     * scale) rows so the differential harness can sort the output (its
     * pandas-side comparison cannot sort an array column — the array
@@ -311,7 +327,8 @@ object Models {
       "pq" -> annPqTopK(s, d),
       "pq_adc" -> annPqAdcTopK(s, d),
       "pq_rerank" -> annPqRerankTopK(s, d),
-      "ivfpq" -> annIvfPqTopK(s, d))
+      "ivfpq" -> annIvfPqTopK(s, d),
+      "ivfpq_residual" -> annIvfPqResidualTopK(s, d))
       .map { case (m, approx) =>
         llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
       .reduce(_ union _)
@@ -731,6 +748,8 @@ object Models {
       "pq_codebooks" -> (pqCodebooks _),
       // transitively builds the pq_codebooks barrier first
       "pq_reconstructed" -> (pqReconstructed _),
+      // transitively builds kmeans_centroids + rpq_codebooks first
+      "rpq_reconstructed" -> (rpqReconstructed _),
       "embedding_dedup_clusters" -> (embeddingDedupClusters _),
       "substring_dedup" -> (substringDedup _),
       "bpe_merges" -> (bpeMerges _),

@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_pq_adc_topk" -> out(Models.annPqAdcTopK),
     "ann_pq_rerank_topk" -> out(Models.annPqRerankTopK),
     "ann_ivfpq_topk" -> out(Models.annIvfPqTopK),
+    "ann_ivfpq_residual_topk" -> out(Models.annIvfPqResidualTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
     "media_features" -> out(Models.mediaFeatures),
@@ -291,6 +292,7 @@ object SparkEntry {
     "ann_pq_adc_topk" -> LlmSql.annPqAdcTopKQ,
     "ann_pq_rerank_topk" -> LlmSql.annPqRerankTopKQ,
     "ann_ivfpq_topk" -> LlmSql.annIvfPqTopKQ,
+    "ann_ivfpq_residual_topk" -> LlmSql.annIvfPqResidualTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "media_features" -> LlmSql.mediaFeaturesQ,

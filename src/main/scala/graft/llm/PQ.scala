@@ -104,6 +104,58 @@ object PQ {
     Similarity.annCosineTopKAsym(
       reconstructed(embeddingsRaw, books), embeddingsRaw)
 
+  /** Coarse assignment of every (nonzero) vector to its nearest
+    * centroid, with the centroid vector attached: (vec_id, embedding,
+    * centroid_id, centroid). The cosine ranking + centroid_id tiebreak
+    * is the shared [[Similarity.centroidRanked]] recipe, so assignment
+    * here is bit-identical to the IVF probe's. */
+  private def coarseAssigned(embeddingsRaw: DataFrame, coarse: DataFrame): DataFrame = {
+    val withNorm = embeddingsRaw.select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    Similarity.centroidRanked(withNorm, coarse).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .join(broadcast(coarse.select(col("centroid_id"), col("centroid"))),
+        Seq("centroid_id"))
+  }
+
+  /** RESIDUAL vectors r = v − c(v): what real IVFPQ quantizes —
+    * residuals from the coarse centroid are much smaller in magnitude
+    * than raw vectors, so the same code budget spends its resolution
+    * on the part the coarse quantizer didn't explain. Element
+    * arithmetic is float→double subtract→float, mirrored exactly by
+    * the oracle's list_transform. Shaped like the raw table so the
+    * whole PQ training/encoding chain runs on it unchanged. */
+  def residualTable(embeddingsRaw: DataFrame, coarse: DataFrame): DataFrame =
+    coarseAssigned(embeddingsRaw, coarse).select(col("vec_id"),
+      zip_with(col("embedding"), col("centroid"),
+        (v, c) => (v.cast("double") - c.cast("double")).cast("float"))
+        .as("embedding"))
+
+  /** Per-subspace codebooks trained on the RESIDUALS. */
+  def residualCodebooks(embeddingsRaw: DataFrame, coarse: DataFrame): DataFrame =
+    codebooks(residualTable(embeddingsRaw, coarse))
+
+  /** The residual-encoded reconstruction v̂ = c(v) + dequant(codes(r)):
+    * the PQ chain reconstructs the residual, then the coarse centroid
+    * is added back element-wise. Pass Mat'd `coarse`/`booksR` so both
+    * trained halves build once. */
+  def residualReconstructed(embeddingsRaw: DataFrame, coarse: DataFrame,
+                            booksR: DataFrame): DataFrame = {
+    val assigned = coarseAssigned(embeddingsRaw, coarse)
+    val res = assigned.select(col("vec_id"),
+      zip_with(col("embedding"), col("centroid"),
+        (v, c) => (v.cast("double") - c.cast("double")).cast("float"))
+        .as("embedding"))
+    reconstructed(res, booksR)
+      .withColumnRenamed("embedding", "r_hat")
+      .join(assigned.select(col("vec_id"), col("centroid")), Seq("vec_id"))
+      .select(col("vec_id"),
+        zip_with(col("r_hat"), col("centroid"),
+          (r, c) => (r.cast("double") + c.cast("double")).cast("float"))
+          .as("embedding"))
+  }
+
   /** Candidates the ADC stage hands to the exact re-rank — 4× the
     * final k, the standard refinement ratio. */
   val RerankCandidates: Int = 4 * Similarity.TopK

@@ -833,6 +833,92 @@ object LlmSql {
        |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}", Some("pq_rec"))}
        |$ivfSelect""".stripMargin
 
+  /** Mirror PQ.residualReconstructed: coarse-assign every nonzero
+    * vector against the kmeans centroids (the centroidRanked recipe —
+    * cosine desc, centroid_id tiebreak), subtract the centroid
+    * element-wise (float→double→float), train the SAME unrolled-Lloyd
+    * chain per subspace ON THE RESIDUALS, assign codes, reconstruct
+    * the residual from codewords, and add the coarse centroid back.
+    * `rpq_rec` is the residual-encoded corpus. Requires kmCtes in
+    * scope. */
+  private val rpqCtes: String = {
+    import graft.llm.{Kmeans, PQ}
+    val subs = (0 until PQ.SubSpaces).map { s =>
+      val lo = s * PQ.SubDim + 1
+      val hi = (s + 1) * PQ.SubDim
+      s"""rpq${s}_sub as materialized (
+         |  select vec_id, list_slice(embedding, $lo, $hi) as embedding from rpq_res
+         |),
+         |${kmCtesOver(s"rpq$s", s"rpq${s}_sub")}""".stripMargin
+    }.mkString(",\n")
+    val fins = (0 until PQ.SubSpaces).map { s =>
+      s"""rpq${s}_fin as materialized (
+         |  select vec_id, centroid_id as code from (
+         |    select e.vec_id, c.centroid_id,
+         |      row_number() over (partition by e.vec_id order by
+         |        (${dotSql("e.embedding", "e.embedding")}
+         |          - 2.0 * ${dotSql("e.embedding", "c.centroid")}
+         |          + ${dotSql("c.centroid", "c.centroid")}) asc nulls last,
+         |        c.centroid_id) as rn
+         |    from rpq${s}_sub e cross join rpq${s}_cent${Kmeans.Iters} c
+         |  ) t where rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until PQ.SubSpaces)
+      .map(s => s"select vec_id, $s as subspace, code from rpq${s}_fin")
+      .mkString(" union all ")
+    val centsUnion = (0 until PQ.SubSpaces)
+      .map(s => s"select $s as subspace, centroid_id, centroid from rpq${s}_cent${Kmeans.Iters}")
+      .mkString(" union all ")
+    s"""rpq_emb as materialized (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings where ${dotSql("embedding", "embedding")} > 0
+       |),
+       |rpq_centn as materialized (
+       |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm
+       |  from km_cent${Kmeans.Iters}
+       |),
+       |rpq_assign as materialized (
+       |  select vec_id, embedding, centroid_id, centroid from (
+       |    select e.vec_id, e.embedding, c.centroid_id, c.centroid,
+       |      row_number() over (partition by e.vec_id order by
+       |        ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm))
+       |          desc nulls last, c.centroid_id) as rn
+       |    from rpq_emb e cross join rpq_centn c
+       |  ) t where rn = 1
+       |),
+       |rpq_res as materialized (
+       |  select vec_id,
+       |    list_transform(generate_series(1, len(embedding)),
+       |      i -> cast(cast(embedding[i] as double) - cast(centroid[i] as double) as float)) as embedding
+       |  from rpq_assign
+       |),
+       |$subs,
+       |$fins,
+       |rpq_codes as ($codesUnion),
+       |rpq_cents as ($centsUnion),
+       |rpq_rec0 as (
+       |  select j.vec_id, flatten(list(c.centroid order by c.subspace)) as embedding
+       |  from rpq_codes j
+       |  join rpq_cents c on j.subspace = c.subspace and j.code = c.centroid_id
+       |  group by j.vec_id
+       |),
+       |rpq_rec as (
+       |  select r.vec_id,
+       |    list_transform(generate_series(1, len(r.embedding)),
+       |      i -> cast(cast(r.embedding[i] as double) + cast(a.centroid[i] as double) as float)) as embedding
+       |  from rpq_rec0 r join rpq_assign a using (vec_id)
+       |)""".stripMargin
+  }
+
+  /** Mirror Similarity.annIvfPqTopK over the RESIDUAL encoding (true
+    * IndexIVFPQ): same probe, lists scored against rpq_rec. */
+  val annIvfPqResidualTopKQ: String =
+    s"""with $kmCtes,
+       |$rpqCtes,
+       |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}", Some("rpq_rec"))}
+       |$ivfSelect""".stripMargin
+
   /** Mirror Similarity.annRecall: recall of `approxQ` against the
     * exact top-k — pure composition, zero new arithmetic. `methodCol`
     * optionally prefixes a method label column. */
@@ -857,7 +943,8 @@ object LlmSql {
       "pq" -> annPqTopKQ,
       "pq_adc" -> annPqAdcTopKQ,
       "pq_rerank" -> annPqRerankTopKQ,
-      "ivfpq" -> annIvfPqTopKQ)
+      "ivfpq" -> annIvfPqTopKQ,
+      "ivfpq_residual" -> annIvfPqResidualTopKQ)
       .map { case (m, q) => annRecallOver(q, s"'$m' as method,") }
       .mkString("\nunion all\n")
 

@@ -67,6 +67,35 @@ class PQSpec extends SparkSpec {
     assert(recall > 0.15, s"mean IVF+PQ recall@5 $recall")
   }
 
+  test("residual encoding reconstructs with lower total error than raw PQ") {
+    import spark.implicits._
+    import graft.llm.Kmeans
+    val cents = Kmeans.centroidVectors(emb).localCheckpoint()
+    val rawRec = PQ.reconstructed(emb, books)
+    val resRec = PQ.residualReconstructed(emb, cents,
+      PQ.residualCodebooks(emb, cents).localCheckpoint())
+    def totalErr(rec: org.apache.spark.sql.DataFrame): Double =
+      emb.join(rec.withColumnRenamed("embedding", "rec"), Seq("vec_id"))
+        .select(aggregate(zip_with(col("embedding"), col("rec"),
+          (a, b) => (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("e2"))
+        .agg(sum(col("e2"))).head().getDouble(0)
+    val rawErr = totalErr(rawRec)
+    val resErr = totalErr(resRec)
+    // residuals are smaller in magnitude than raw vectors, so the same
+    // 4×3-bit code budget explains more — the whole point of IndexIVFPQ
+    assert(resErr < rawErr, s"residual err $resErr !< raw err $rawErr")
+    // and the residual search is still a working index: well above the
+    // ~0.05 random floor (the spec corpus is ~10² vectors, where the
+    // 2-list probe loses a bit more than raw IVF+PQ despite the better
+    // reconstruction — at real corpus sizes the probe loss amortizes)
+    val recall = Similarity.annRecall(Similarity.annCosineTopK(emb),
+        Similarity.annIvfPqTopK(emb, cents, resRec))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.1, s"mean residual-IVFPQ recall@5 $recall")
+  }
+
   test("exact re-rank never loses recall vs pure ADC, per query") {
     val exact = Similarity.annCosineTopK(emb).localCheckpoint()
     val adc = Similarity.annRecall(exact, PQ.annPqAdcTopK(emb, books))
