@@ -71,4 +71,25 @@ class ScanPruningSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.forall(_.subsetOf(Set("doc_id", "text"))),
       scans.toString)
   }
+
+  test("media pipeline prunes the documents scan to (doc_id, text, n_chars)") {
+    // the media catalog derives modality from doc_id, content from
+    // md5(text), duration from n_chars — lang/source must not ship
+    // through the decode stage at corpus scale. The decode runs
+    // through a typed mapPartitions (a plan barrier), but the scan
+    // below it must still be pruned by the mediaTable projection.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq(
+        llm.Multimodal.mediaFeatures(spark, Tables.documents(spark, sf)),
+        llm.Multimodal.mediaResized(spark, Tables.documents(spark, sf)),
+        llm.Multimodal.mediaFrames(Tables.documents(spark, sf)))
+        .flatMap(_.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+        })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(scans.nonEmpty &&
+      scans.forall(_.subsetOf(Set("doc_id", "text", "n_chars"))), scans.toString)
+  }
 }
