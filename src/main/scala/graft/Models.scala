@@ -453,6 +453,10 @@ object Models {
     * distinct-user estimate (sketch mergeability, oracle-gated). */
   def hllMergedUsers(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.hllMergedUsers(Tables.events(s, d))
+  /** Sketch set algebra: estimated click∩purchase user overlap by
+    * inclusion-exclusion over three deterministic HLLs. */
+  def hllOverlapUsers(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hllOverlapUsers(Tables.events(s, d))
   /** The persisted daily register table (the sketch mart). */
   private def hllDayRegisters(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "hll_day_registers")(

@@ -120,6 +120,7 @@ object SparkEntry {
     "hll_user_counts" -> out(Models.hllUserCounts),
     // per-partition sketches merged register-wise (mergeability gate)
     "hll_merged_users" -> out(Models.hllMergedUsers),
+    "hll_overlap_users" -> out(Models.hllOverlapUsers),
     // date-range distinct via the persisted daily sketch mart
     "hll_range_users" -> out(Models.hllRangeUsers),
     "value_percentiles" -> out(Models.valuePercentiles),
@@ -306,6 +307,7 @@ object SparkEntry {
     "value_band_stats" -> OpsSql.valueBandStatsQ,
     "hll_user_counts" -> OpsSql.hllUserCountsQ,
     "hll_merged_users" -> OpsSql.hllMergedUsersQ,
+    "hll_overlap_users" -> OpsSql.hllOverlapUsersQ,
     "hll_range_users" -> OpsSql.hllRangeUsersQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,

@@ -91,6 +91,46 @@ object EventMarts {
       .crossJoin(Sketches.hllEstimateFromRegisters(merged))
   }
 
+  /** The overlap demo's two event types. */
+  val HllOverlapA = "click"
+  val HllOverlapB = "purchase"
+
+  /** Sketch SET ALGEBRA: the estimated number of users who BOTH
+    * clicked AND purchased, by inclusion-exclusion over three
+    * deterministic HLLs — est(A) + est(B) − est(A∪B) — built from the
+    * same per-type stored registers (the union sketch is the
+    * register-wise max of A's and B's, the merge property again). The
+    * audience-overlap question every event platform answers from
+    * sketches, because exact intersection needs both raw user sets.
+    * The exact overlap rides along for error accounting; intersection
+    * error compounds (three ±13% estimates difference), which is the
+    * honest trade the output exposes. One pass over the filtered
+    * events builds all registers; estimates read ≤ 3m register rows. */
+  def hllOverlapUsers(events: DataFrame): DataFrame = {
+    val both = events
+      .filter(col("event_type").isin(HllOverlapA, HllOverlapB))
+    val regs = both
+      .select(col("event_type"), col("user_id"))
+      .transform(df => Sketches.hllRegisters(df, col("event_type"), "etype", hllKey))
+    val estA = Sketches.hllEstimateFromRegisters(
+        regs.filter(col("etype") === HllOverlapA))
+      .withColumnRenamed("hll_estimate", "est_a")
+    val estB = Sketches.hllEstimateFromRegisters(
+        regs.filter(col("etype") === HllOverlapB))
+      .withColumnRenamed("hll_estimate", "est_b")
+    val estUnion = Sketches.hllEstimateFromRegisters(
+        regs.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj")))
+      .withColumnRenamed("hll_estimate", "est_union")
+    val exact = both
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+      .agg(count(when(col("n_types") === 2, 1)).as("n_exact_overlap"))
+    exact.crossJoin(estA).crossJoin(estB).crossJoin(estUnion)
+      .select(col("n_exact_overlap"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+  }
+
   /** Stratum → keep-percentage for the stratified-sample demo:
     * downsample the high-volume interaction types, keep signups. */
   val SampleFractions: Seq[(String, Int)] = Seq(

@@ -292,6 +292,56 @@ object OpsSql {
        |from ex join est using (event_type)""".stripMargin
   }
 
+  /** Mirror EventMarts.hllOverlapUsers: inclusion-exclusion over three
+    * HLLs built by the same integer pipeline as [[hllUserCountsQ]] —
+    * est(A), est(B), and est(A∪B) from the register-wise max across
+    * both types — plus the exact both-types user count. */
+  val hllOverlapUsersQ: String = {
+    import Sketches.{HllAlpha, HllM, HllP, HllW}
+    import graft.marts.EventMarts.{HllOverlapA, HllOverlapB}
+    val w1 = HllW + 1
+    def estCtes(p: String, filter: String): String =
+      s"""${p}_h as (
+         |  select cast(('0x' || substr(md5('hll|' || cast(user_id as varchar)),1,15)) as bigint) as h
+         |  from events where $filter
+         |),
+         |${p}_r as (select h % $HllM as reg, h >> $HllP as w from ${p}_h),
+         |${p}_mj as (
+         |  select reg, max(case when w = 0 then $w1 else $w1 - length(bin(w)) end) as m_j
+         |  from ${p}_r group by 1
+         |),
+         |${p}_s as (
+         |  select sum(cast(1 as bigint) << ($w1 - m_j)) as ssum, count(*) as nreg
+         |  from ${p}_mj
+         |),
+         |${p}_est as (
+         |  select case when zeros > 0 and raw <= ${2.5 * HllM}
+         |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+         |           as decimal(18,9)) as double)
+         |    else raw end as est
+         |  from (
+         |    select $HllM - nreg as zeros,
+         |      ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+         |        / cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as raw
+         |    from ${p}_s
+         |  ) t
+         |)""".stripMargin
+    s"""with ${estCtes("ha", s"event_type = '$HllOverlapA'")},
+       |${estCtes("hb", s"event_type = '$HllOverlapB'")},
+       |${estCtes("hu", s"event_type in ('$HllOverlapA', '$HllOverlapB')")},
+       |ex as (
+       |  select count(*) as n_exact_overlap from (
+       |    select user_id from events
+       |    where event_type in ('$HllOverlapA', '$HllOverlapB')
+       |    group by user_id having count(distinct event_type) = 2
+       |  ) t
+       |)
+       |select ex.n_exact_overlap, ha_est.est as est_a, hb_est.est as est_b,
+       |  hu_est.est as est_union,
+       |  ha_est.est + hb_est.est - hu_est.est as est_overlap
+       |from ex cross join ha_est cross join hb_est cross join hu_est""".stripMargin
+  }
+
   /** Mirror EventMarts.hllMergedUsers: max is associative, so the
     * register-wise merge of per-type sketches equals the directly-built
     * global sketch — the oracle builds the global sketch (same integer

@@ -38,6 +38,8 @@ class PlanGuardSpec extends SparkSpec {
     "event_funnel",
     // ONE exact-counts row × ONE merged-estimate row
     "hll_merged_users",
+    // ONE exact-overlap row × THREE one-row sketch estimates
+    "hll_overlap_users",
     // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
     "curriculum_bins",
     // ONE day-count row × ONE exact row × ONE estimate row

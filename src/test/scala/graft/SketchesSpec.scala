@@ -99,4 +99,23 @@ class SketchesSpec extends SparkSpec {
     assert(merged.getLong(1) === direct.getLong(1))        // n_exact
     assert(merged.getDouble(2) === direct.getDouble(2))    // bit-equal estimate
   }
+
+  test("inclusion-exclusion overlap estimate tracks the exact intersection") {
+    // click users 0..599, purchase users 400..999 → overlap 200 of
+    // 1000; intersection error compounds three ±13% sketches, so the
+    // tolerance is wide but the estimate must clearly beat both the
+    // zero-overlap and full-overlap hypotheses
+    val rows = (0 until 600).map(u => ("click", u.toLong)) ++
+      (400 until 1000).map(u => ("purchase", u.toLong))
+    val events = rows.toDF("event_type", "user_id")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val r = graft.marts.EventMarts.hllOverlapUsers(events).collect()(0)
+    assert(r.getLong(0) === 200L) // exact both-types users
+    val est = r.getDouble(4)
+    assert(est > 50 && est < 400, s"overlap estimate $est too far from 200")
+    // union estimate is bounded by the singles (register max dominance)
+    assert(r.getDouble(3) >= math.max(r.getDouble(1), r.getDouble(2)) * 0.99)
+  }
 }
