@@ -1,49 +1,32 @@
 package graft
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
 
-/** dbt model contracts on Mat materializations: schema deviations
-  * fail before anything is published; null-constraint violations kill
-  * the write job itself with a named-column error.
-  */
-class ContractSpec extends SparkSpec {
+/** Driver-contract guards: a new query registered WITHOUT an oracle
+  * silently downgrades the driver's correctness gate for it to
+  * rows-only — the strongest check in the project becomes the weakest
+  * without anyone noticing. Pin the key sets equal so an omission is a
+  * deliberate, reviewed act (delete the assertion entry), never an
+  * accident. */
+class ContractSpec extends AnyFunSuite {
 
-  import spark.implicits._
-
-  private val contract = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("name", StringType, nullable = true)))
-
-  test("a conforming build publishes; the table matches the contract") {
-    val out = Mat.table(spark, sf, "contract_ok_spec", contract = Some(contract))(
-      Seq((1L, "a"), (2L, null)).toDF("id", "name"))
-    assert(out.count() === 2)
+  test("every registered query has a DuckDB oracle, and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
-  test("schema deviations fail before publish, naming the difference") {
-    val mistyped = intercept[Exception] {
-      Mat.table(spark, sf, "contract_bad_type_spec", contract = Some(contract))(
-        Seq((1, "a")).toDF("id", "name")) // id is int, contract says bigint
+  test("no oracle SQL interpolated a null (object val declaration order)") {
+    // a val referencing a LATER-declared val in the oracle objects
+    // interpolates the string "null" into the SQL at object init —
+    // DuckDB then fails with a confusing parse error at driver time.
+    // An interpolated null lands as "with null" or after a CTE comma;
+    // legitimate SQL ("is null", "nulls last") matches neither shape.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql != null && sql.trim.nonEmpty, s"$name: empty oracle")
+      assert(!sql.contains("with null") && !sql.contains(",\nnull"),
+        s"$name: oracle SQL contains an interpolated null — check val declaration order")
     }
-    assert(mistyped.getMessage.contains("mistyped") ||
-      mistyped.getCause != null && mistyped.getCause.getMessage.contains("mistyped"))
-    val extra = intercept[Exception] {
-      Mat.table(spark, sf, "contract_extra_spec", contract = Some(contract))(
-        Seq((1L, "a", 5.0)).toDF("id", "name", "oops"))
-    }
-    assert(extra.getMessage.contains("undeclared") ||
-      extra.getCause != null && extra.getCause.getMessage.contains("undeclared"))
-  }
-
-  test("a null in a NOT NULL column kills the write with a named error") {
-    val e = intercept[Exception] {
-      Mat.table(spark, sf, "contract_null_spec", contract = Some(contract))(
-        Seq((Some(1L), "a"), (None, "b")).toDF("id", "name"))
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("id is NOT NULL")),
-      s"expected named null-constraint error, got: ${messages(e).mkString(" | ")}")
   }
 }
