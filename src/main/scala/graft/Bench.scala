@@ -45,10 +45,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    // Measured shuffle bytes of an EXECUTED plan (final AQE plan, reused
+    // exchanges counted once) — the per-query artifact that answers "is
+    // there a shuffle here that becomes the bottleneck at scale" with a
+    // measurement instead of a guess. Streaming one-shots and Mat-barrier
+    // builds run their jobs outside the returned plan, so they report ~0
+    // (their costs are in stream_progress / prebuild).
+    def shuffleBytesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case _ => p.children
+        }
+        p +: (kids ++ p.subqueries).flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec =>
+          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) }
+        .sum
+    }
+    val shuffleMb = scala.collection.mutable.Map[String, Double]()
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            name: String = ""): Unit = {
       val df = fn(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
-        .agg(bit_xor(col("h"))).collect()
+      val agged = df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+        .agg(bit_xor(col("h")))
+      agged.collect()
+      if (name.nonEmpty)
+        try shuffleMb(name) = shuffleBytesOf(agged) / 1e6
+        catch { case _: Throwable => () }
     }
     // ---- session-drift instrumentation (VERDICT r7 #3): the r7 round
     // lost ~41 s to unchanged queries with no named cause. Per-phase
@@ -93,7 +122,7 @@ object Bench {
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case e: Throwable =>
+        try run(fn, name) catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           if (!failed.contains(name)) failed += name
         }
@@ -149,7 +178,9 @@ object Bench {
     // bench_schema (ADVICE r7 #4): 1 = "value" was the warm-pass total
     // (r1-r6); 2 = "value" is the sum of per-query mins across passes
     // (r7+). Historical totals must not be compared 1:1 across schemas.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","sf":"$sfDir"}"""
+    val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT
