@@ -65,8 +65,47 @@ import org.apache.spark.sql.types.DateType
   * Cache key includes the Spark applicationId so a new session never
   * reads a stale dump; the path segment is md5(sfDir) — collision-
   * resistant where `hashCode` was not (ADVICE r2).
+  *
+  * == Durable mode: the [[MatLog]] transaction log ==
+  *
+  * (VERDICT r10 #1.) With `spark.graft.mat.logRoot` set, marts become
+  * DURABLE across JVM restarts — the warehouse semantics of the
+  * reference's `table` materialization (`dbt_project.yml:35-36`
+  * survives the warehouse restarting; an in-memory registry does not):
+  *
+  *  - the base directory drops the applicationId (versions live at
+  *    `<logRoot>/<md5(sfDir)>/<name>/v=N` for every session);
+  *  - version slots are reserved cross-process and committed through
+  *    atomic `_log/N.json` renames ([[MatLog]]) — the commit record
+  *    carries schema DDL, bucket spec, and month-pruning properties;
+  *  - a fresh session ADOPTS the last committed version on first
+  *    touch: re-registers the external table + stable view from the
+  *    commit record and serves it WITHOUT rebuilding ([[table]] with a
+  *    committed log entry never invokes its build thunk — warehouse
+  *    semantics: the table persists until the next `dbt run` rebuilds
+  *    it via [[refresh]]). This closes the crash-recovery hole in
+  *    [[streaming.Streams.mergeSink]]: a durable streaming checkpoint
+  *    skips committed batches AND the mart they built is still there.
+  *
+  * Without the conf (the default), behavior is unchanged — hermetic
+  * per-session builds, which is what the differential-testing gate
+  * wants (every round must rebuild marts from the CURRENT code).
+  * In-place partition maintenance ([[operators.Incremental]]) and
+  * [[operators.Compaction]] mutate the current version's directory
+  * without a new commit — log-invisible maintenance, same caveat as
+  * their in-session contract.
   */
 object Mat {
+
+  /** Runtime conf key enabling durable (cross-JVM) mart versioning. */
+  val LogRootConf = "spark.graft.mat.logRoot"
+
+  private def durableRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption(LogRootConf).filter(_.nonEmpty)
+
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
   private sealed trait Stored
   private case class Registered(table: String, cols: Seq[String]) extends Stored
@@ -110,13 +149,88 @@ object Mat {
   def schemaFor(sfDir: String): String = s"graft_${md5hex(sfDir).take(12)}"
 
   private def baseFor(spark: SparkSession, sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-marts/" +
-      s"${spark.sparkContext.applicationId}/${md5hex(sfDir).take(12)}"
+    durableRoot(spark) match {
+      case Some(root) => s"$root/${md5hex(sfDir).take(12)}"
+      case None =>
+        s"${System.getProperty("java.io.tmpdir")}/graft-marts/" +
+          s"${spark.sparkContext.applicationId}/${md5hex(sfDir).take(12)}"
+    }
 
-  /** The mart's current version number (0 = not built yet). */
+  /** The mart's current version number (0 = not built yet). In durable
+    * mode a version committed by ANOTHER session counts: first touch
+    * adopts it into this session's catalog. */
   def currentVersion(spark: SparkSession, sfDir: String, name: String): Int =
     Option(versions.get((spark.sparkContext.applicationId, sfDir, name)))
-      .fold(0)(_.intValue)
+      .fold(adoptIfCommitted(spark, sfDir, name))(_.intValue)
+
+  /** Register version `c` as its external table in THIS session's
+    * catalog (no view repoint) — idempotent. The commit record has the
+    * full DDL: schema incl. `__p_month`, bucket spec, and the
+    * month-pruning properties with the WRITER's zone. */
+  private def registerVersionTable(spark: SparkSession, sfDir: String,
+                                   name: String, c: MatLog.Commit): String = {
+    val db = schemaFor(sfDir)
+    val base = baseFor(spark, sfDir)
+    val vt = s"$db.${name}__v${c.version}"
+    ddlLock.synchronized {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/_catalog'")
+      if (!spark.catalog.tableExists(vt)) {
+        val partClause = c.timeKey.fold("")(_ => " PARTITIONED BY (__p_month)")
+        val bucketClause = (c.bucketCol, c.bucketN) match {
+          case (Some(k), Some(b)) => s" CLUSTERED BY ($k) SORTED BY ($k) INTO $b BUCKETS"
+          case _ => ""
+        }
+        spark.sql(s"CREATE TABLE $vt (${c.schemaDdl}) USING parquet" +
+          partClause + bucketClause + s" LOCATION '${c.path}'")
+        if (c.timeKey.isDefined) {
+          // partitioned external table: partitions must be recovered
+          // into the catalog before any read sees data
+          spark.sql(s"MSCK REPAIR TABLE $vt")
+          spark.sql(s"ALTER TABLE $vt SET TBLPROPERTIES " +
+            s"('${plans.MonthPruning.TimeKeyProp}'='${c.timeKey.get}', " +
+            s"'${plans.MonthPruning.TimeZoneProp}'=" +
+            s"'${c.timeZone.getOrElse(spark.sessionState.conf.sessionLocalTimeZone)}')")
+        }
+      }
+    }
+    vt
+  }
+
+  /** Durable mode only: if the log has a committed version this
+    * session hasn't seen, adopt it (register table + stable view, fill
+    * the in-memory caches) and return it; else 0. */
+  private def adoptIfCommitted(spark: SparkSession, sfDir: String,
+                               name: String): Int =
+    durableRoot(spark) match {
+      case None => 0
+      case Some(_) =>
+        val key = (spark.sparkContext.applicationId, sfDir, name)
+        buildLock(key).synchronized {
+          Option(versions.get(key)).map(_.intValue).getOrElse {
+            val base = baseFor(spark, sfDir)
+            val ld = MatLog.logDir(base, name)
+            val fs = fsOf(spark, base)
+            val v = MatLog.lastCommittedVersion(fs, ld)
+            MatLog.readCommit(fs, ld, v).fold(0) { c =>
+              plans.MonthPruning.install(spark)
+              val stored: Stored =
+                if (!c.registered) PathOnly(c.path, c.cols)
+                else {
+                  val vt = registerVersionTable(spark, sfDir, name, c)
+                  val db = schemaFor(sfDir)
+                  ddlLock.synchronized {
+                    spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS " +
+                      s"SELECT * FROM $vt")
+                  }
+                  Registered(s"$db.$name", c.cols)
+                }
+              versions.put(key, Integer.valueOf(v))
+              built.put(key, Future.successful(stored))
+              v
+            }
+          }
+        }
+    }
 
   /** The PHYSICAL table backing the mart's current version — the
     * target for in-place partition maintenance (Incremental), which
@@ -139,8 +253,21 @@ object Mat {
     val base = baseFor(spark, sfDir)
     val db = schemaFor(sfDir)
     val key = (spark.sparkContext.applicationId, sfDir, name)
+    val durable = durableRoot(spark)
     buildLock(key).synchronized {
-    val n = versions.merge(key, 1, (a, _) => a + 1).intValue
+    // all writers of this key hold buildLock, so plain get/put is
+    // race-free in-session; durable mode additionally reserves the
+    // slot cross-process through the log (atomic create-if-absent)
+    val prev = Option(versions.get(key)).fold(0)(_.intValue)
+    val n = durable match {
+      case Some(_) =>
+        val fs = fsOf(spark, base)
+        val ld = MatLog.logDir(base, name)
+        MatLog.reserveSlot(fs, ld,
+          math.max(prev, MatLog.lastCommittedVersion(fs, ld)) + 1)
+      case None => prev + 1
+    }
+    versions.put(key, Integer.valueOf(n)): Unit
     val path = s"$base/$name/v=$n"
     // writer construction is a FUNCTION, not a shared value:
     // DataFrameWriter is mutable, so the primary attempt's
@@ -217,8 +344,13 @@ object Mat {
             // prune (n+1 - KeepVersions) delete the version the view
             // is still serving. Safe ONLY because writeVersion is
             // serialized per mart by buildLock: no concurrent build of
-            // this mart can have reserved a higher slot.
-            versions.merge(key, 0, (a, _) => Integer.valueOf(a.intValue - 1)): Unit
+            // this mart can have reserved a higher slot IN-SESSION
+            // (durable mode releases the log reservation too, so the
+            // slot is reusable cross-process — nothing was committed).
+            versions.put(key, Integer.valueOf(prev)): Unit
+            durable.foreach { _ =>
+              MatLog.releaseSlot(fsOf(spark, base), MatLog.logDir(base, name), n)
+            }
           }
           // a contract violation is bad DATA, not a broken catalog —
           // it must fail the build, never degrade to a path-only
@@ -257,26 +389,57 @@ object Mat {
               throw e2
           }
       }
+    // durable mode: the version is LIVE in-session either way (table
+    // or path-only fallback); the log commit is what makes it visible
+    // to other sessions. A commit failure must surface — a durable-
+    // mode caller is relying on exactly that property.
+    durable.foreach { _ =>
+      val fullSchema = timeKey.fold(df.schema)(_ =>
+        df.schema.add("__p_month", DateType))
+      MatLog.writeCommit(fsOf(spark, base), MatLog.logDir(base, name),
+        MatLog.Commit(
+          version = n,
+          registered = stored.isInstanceOf[Registered],
+          path = path,
+          cols = cols,
+          schemaDdl = fullSchema.toDDL,
+          timeKey = timeKey,
+          timeZone = timeKey.map(_ => spark.sessionState.conf.sessionLocalTimeZone),
+          bucketCol = bucketBy.map(_._1),
+          bucketN = bucketBy.map(_._2)))
+    }
     // best-effort retention prune, AFTER publication and outside its
     // try: a transient drop/delete failure must never downgrade or
     // rewrite an already-published version.
     try {
-      val old = n - KeepVersions
-      // belt-and-braces: never prune a version the stable view still
-      // references (reachable only through failure-path version gaps,
-      // but deleting the live version is the one unrecoverable outcome)
-      val viewStillServesOld =
-        try spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db)))
-          .viewText.exists(_.contains(s"__v$old"))
-        catch { case NonFatal(_) => false }
-      if (old >= 1 && !viewStillServesOld) {
-        ddlLock.synchronized {
-          spark.sql(s"DROP TABLE IF EXISTS $db.${name}__v$old")
+      // durable logs can have slot gaps (failed reservations), so the
+      // prune set comes from the log; in-session it is exactly one.
+      val pruneSet: Seq[Int] = durable match {
+        case Some(_) =>
+          val fs = fsOf(spark, base)
+          MatLog.committedVersions(fs, MatLog.logDir(base, name))
+            .filter(_ <= n - KeepVersions)
+        case None => Seq(n - KeepVersions).filter(_ >= 1)
+      }
+      pruneSet.foreach { old =>
+        // belt-and-braces: never prune a version the stable view still
+        // references (reachable only through failure-path version gaps,
+        // but deleting the live version is the one unrecoverable outcome)
+        val viewStillServesOld =
+          try spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db)))
+            .viewText.exists(_.contains(s"__v$old"))
+          catch { case NonFatal(_) => false }
+        if (!viewStillServesOld) {
+          ddlLock.synchronized {
+            spark.sql(s"DROP TABLE IF EXISTS $db.${name}__v$old")
+          }
+          val p = new org.apache.hadoop.fs.Path(s"$base/$name/v=$old")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.delete(p, true): Unit
+          durable.foreach(_ =>
+            MatLog.deleteEntry(fsOf(spark, base), MatLog.logDir(base, name), old))
         }
-        val p = new org.apache.hadoop.fs.Path(s"$base/$name/v=$old")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(p, true): Unit
       }
     } catch {
       case NonFatal(e) =>
@@ -303,6 +466,11 @@ object Mat {
            (build: => DataFrame): DataFrame = {
     plans.MonthPruning.install(spark)
     val key = (spark.sparkContext.applicationId, sfDir, name)
+    // durable mode: a version committed by a PREVIOUS session is the
+    // mart — adopt it instead of rebuilding (the build thunk is never
+    // forced). adoptIfCommitted fills `built`, so computeIfAbsent
+    // below finds the adopted Stored.
+    if (!built.containsKey(key)) adoptIfCommitted(spark, sfDir, name): Unit
     val fut = built.computeIfAbsent(key, _ =>
       Future(writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)))
     fut.failed.foreach(_ => built.remove(key, fut))
@@ -321,7 +489,16 @@ object Mat {
       s"$name version $version out of range 1..$cur")
     require(version > cur - KeepVersions,
       s"$name version $version was pruned (retained: ${math.max(1, cur - KeepVersions + 1)}..$cur)")
-    spark.table(s"${schemaFor(sfDir)}.${name}__v$version")
+    val vt = s"${schemaFor(sfDir)}.${name}__v$version"
+    // durable mode: a retained-but-unregistered version (committed by
+    // a previous session; only the latest is adopted eagerly) is
+    // registered on demand from its commit record.
+    if (durableRoot(spark).isDefined && !spark.catalog.tableExists(vt)) {
+      val base = baseFor(spark, sfDir)
+      MatLog.readCommit(fsOf(spark, base), MatLog.logDir(base, name), version)
+        .foreach(c => registerVersionTable(spark, sfDir, name, c): Unit)
+    }
+    spark.table(vt)
   }
 
   /** Full rebuild as a NEW version + atomic view repoint: in-flight

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal parquet TRANSACTION LOG for [[Mat]]'s versioned marts — the
+  * durable half of what Delta/Iceberg provide, on plain files (VERDICT
+  * r10 #1; the north-star "Spark SQL + Delta/Iceberg for transforms").
+  *
+  * Layout, per mart: `<base>/<name>/_log/<v>.json` is the COMMIT record
+  * of version v (written temp-file-then-atomic-rename, so a reader
+  * never observes a torn commit), and `<v>.reserve` is a cross-process
+  * slot reservation (created with `overwrite=false`, which is atomic
+  * create-if-absent on HDFS and local FS — two writers can never both
+  * hold slot v; on S3-like stores without atomic create, swap this for
+  * a conditional PUT). The mart's current version is simply the
+  * highest committed `<v>.json`; a crash between reserve and commit
+  * leaves an orphan reserve whose slot is skipped forever — a gap, not
+  * a corruption (exactly Delta's failed-transaction semantics).
+  *
+  * The commit record carries everything a FRESH SparkSession needs to
+  * serve the version without rebuilding: the storage path, the reader
+  * column list, the full table schema as DDL (incl. the `__p_month`
+  * partition column), bucket spec, and the month-pruning table
+  * properties ([[plans.MonthPruning]]) with the WRITER's session zone.
+  * [[Mat]] "adopts" a committed version by re-registering the external
+  * table + stable view in the new session's catalog from this record —
+  * which is how a mart survives the JVM restarting while a streaming
+  * checkpoint (durable on disk) skips its committed batches
+  * (the crash-recovery hole `Streams.mergeSink` documents).
+  */
+object MatLog {
+
+  /** Everything needed to re-serve a committed version from a fresh
+    * session. `registered=false` records a catalog-registration
+    * fallback (path-only parquet) — adopted as a plain path read. */
+  final case class Commit(
+      version: Int,
+      registered: Boolean,
+      path: String,
+      cols: Seq[String],
+      schemaDdl: String,
+      timeKey: Option[String],
+      timeZone: Option[String],
+      bucketCol: Option[String],
+      bucketN: Option[Int])
+
+  def logDir(base: String, name: String): String = s"$base/$name/_log"
+
+  private val CommitName = """(\d+)\.json""".r
+
+  /** Highest committed version in the log, 0 if none (missing dir = 0:
+    * the mart has never been built durably). */
+  def lastCommittedVersion(fs: FileSystem, dir: String): Int = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).iterator.map(_.getPath.getName).collect {
+      case CommitName(v) => v.toInt
+    }.foldLeft(0)(math.max)
+  }
+
+  /** All committed versions, ascending (for retention pruning). */
+  def committedVersions(fs: FileSystem, dir: String): Seq[Int] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName).collect {
+      case CommitName(v) => v.toInt
+    }.toSeq.sorted
+  }
+
+  /** Read + parse the commit record of version v (None if absent). */
+  def readCommit(fs: FileSystem, dir: String, v: Int): Option[Commit] = {
+    val p = new Path(dir, s"$v.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val j = JsonMethods.parse(txt)
+      implicit val fmt: Formats = DefaultFormats
+      def optStr(f: String): Option[String] =
+        (j \ f) match { case JString(s) => Some(s); case _ => None }
+      Some(Commit(
+        version = (j \ "version").extract[Int],
+        registered = (j \ "registered").extract[Boolean],
+        path = (j \ "path").extract[String],
+        cols = (j \ "cols").extract[Seq[String]],
+        schemaDdl = (j \ "schemaDdl").extract[String],
+        timeKey = optStr("timeKey"),
+        timeZone = optStr("timeZone"),
+        bucketCol = optStr("bucketCol"),
+        bucketN = (j \ "bucketN") match { case JInt(n) => Some(n.toInt); case _ => None }))
+    }
+  }
+
+  /** Reserve the lowest free slot >= `from`: atomic create-if-absent of
+    * `<v>.reserve`. Returns the reserved version. Bounded scan so an
+    * unwritable log surfaces as an error, not an infinite loop. */
+  def reserveSlot(fs: FileSystem, dir: String, from: Int): Int = {
+    fs.mkdirs(new Path(dir)): Unit
+    var v = from
+    var attempts = 0
+    while (attempts < 10000) {
+      val r = new Path(dir, s"$v.reserve")
+      val taken = fs.exists(r) || fs.exists(new Path(dir, s"$v.json")) || {
+        try { fs.create(r, false).close(); false }
+        catch { case _: java.io.IOException => true }
+      }
+      if (!taken) return v
+      v += 1; attempts += 1
+    }
+    throw new IllegalStateException(
+      s"MatLog: could not reserve a version slot under $dir after 10000 attempts")
+  }
+
+  /** Release an unused reservation (build failed before commit) so a
+    * retry can reuse the slot. Best-effort: an orphan reserve only
+    * costs a version-number gap. */
+  def releaseSlot(fs: FileSystem, dir: String, v: Int): Unit =
+    try fs.delete(new Path(dir, s"$v.reserve"), false): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Durably commit version v: serialize, write to `<v>.json.tmp`,
+    * atomic-rename to `<v>.json`. The rename IS the commit point. */
+  def writeCommit(fs: FileSystem, dir: String, c: Commit): Unit = {
+    val json: JObject =
+      ("version" -> c.version) ~
+      ("registered" -> c.registered) ~
+      ("path" -> c.path) ~
+      ("cols" -> c.cols) ~
+      ("schemaDdl" -> c.schemaDdl) ~
+      ("timeKey" -> c.timeKey) ~
+      ("timeZone" -> c.timeZone) ~
+      ("bucketCol" -> c.bucketCol) ~
+      ("bucketN" -> c.bucketN)
+    val tmp = new Path(dir, s"${c.version}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"${c.version}.json")))
+      throw new IllegalStateException(
+        s"MatLog: commit rename failed for version ${c.version} under $dir")
+  }
+
+  /** Drop a pruned version's log entries (commit + reserve). */
+  def deleteEntry(fs: FileSystem, dir: String, v: Int): Unit = {
+    fs.delete(new Path(dir, s"$v.json"), false): Unit
+    fs.delete(new Path(dir, s"$v.reserve"), false): Unit
+  }
+}

@@ -687,14 +687,18 @@ object Streams {
     * query restart replays the last uncommitted batch and
     * re-upserting the same rows is IDEMPOTENT (same keys, same
     * values), so foreachBatch's at-least-once is effectively
-    * exactly-once. Across a JVM crash this does NOT hold: Mat's
-    * versions are session-scoped (in-memory registry + per-appId
-    * location), so a restarted process sees an empty mart while the
-    * durable checkpoint skips committed batches — recover by
-    * replaying the source from scratch (fresh checkpoint) or switch
-    * Mat's writer to a durable table format. A replay can also
-    * publish two versions for one logical batch (apply committed,
-    * checkpoint not), so versions do not map 1:1 to batches. */
+    * exactly-once. Across a JVM crash the same holds IF Mat runs in
+    * durable mode (`spark.graft.mat.logRoot` set — the [[graft.MatLog]]
+    * transaction log): the restarted process adopts the last committed
+    * mart version while the durable checkpoint skips committed
+    * batches, and upserting resumes where it left off
+    * (MatDurableSpec's merge-restart subprocess test). With the
+    * default in-memory registry a restarted process sees an empty
+    * mart — recover by replaying the source from scratch (fresh
+    * checkpoint) or set the log root. A replay can still publish two
+    * versions for one logical batch (apply committed, checkpoint
+    * not — the upsert is idempotent so the SNAPSHOT is right), so
+    * versions do not map 1:1 to batches. */
   def mergeSink(df: DataFrame, sfDir: String, name: String,
                 uniqueKey: String, orderCol: String,
                 checkpointDir: String) =
