@@ -184,8 +184,15 @@ object Dedup {
     * new-batch hashing + a semi-join against the stored index, with
     * zero re-derivation of corpus band keys per run. */
   def incrementalMinhashPairsFromBands(existingBands: DataFrame,
-                                       newSigs: DataFrame): DataFrame = {
-    val newBands = bandRows(newSigs)
+                                       newSigs: DataFrame): DataFrame =
+    incrementalMinhashPairsFromBandRows(existingBands, bandRows(newSigs))
+
+  /** Same, with the new batch's band rows ALREADY derived — the entry
+    * the streaming loop uses so one cached band table feeds both the
+    * pair join and the index self-append (one text→shingle→minhash
+    * pass per batch, not one per sink). */
+  def incrementalMinhashPairsFromBandRows(existingBands: DataFrame,
+                                          newBands: DataFrame): DataFrame = {
     val touched = newBands.select("band", "v").distinct()
     val oldBands = existingBands
       .join(touched, Seq("band", "v"), "left_semi")

@@ -638,35 +638,99 @@ object Streams {
     *
     * At 100 TB: per-batch cost is new-batch hashing plus a band
     * semi-join touching only buckets a new doc lands in — the corpus
-    * is never re-hashed; appending the batch's own band rows to the
-    * index (not done in this bounded demo) closes the production
-    * loop. */
+    * is never re-hashed. The batch's own band rows are APPENDED to
+    * the standing index (batchId-keyed, see
+    * [[incrementalDedupStream]]), so docs arriving in DIFFERENT
+    * batches still find each other — the closed production loop. */
   def incrementalDedupStreamOnce(spark: SparkSession, sfDir: String,
-                                 existingBands: DataFrame): DataFrame = withStreamPartitions(spark) {
+                                 existingBands: DataFrame): DataFrame = {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-sneardup",
       spark.sparkContext.applicationId,
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    val out = scratch.resolve("out").toString
     val newDocs = spark.readStream
       .schema("doc_id long, text string, lang string, source string, n_chars long")
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .filter(col("doc_id") % 5 === 0)
+    incrementalDedupStream(spark, newDocs, scratch.toString, existingBands,
+      "stream_neardup_pairs")
+  }
+
+  /** Core of the streaming near-dup maintenance loop, shared by the
+    * registered query and the multi-batch spec. Per micro-batch:
+    * shingle + MinHash-sign the batch, band it against the standing
+    * index — the caller's materialized corpus bands UNION every
+    * PRIOR batch's self-appended bands — then durably append this
+    * batch's band rows to the index. Both writes are EXACTLY-ONCE by
+    * construction (ADVICE r10): each goes to a `batch=<id>` keyed
+    * subdirectory in overwrite mode, so a crash-replay of an
+    * uncommitted batch rewrites identical content instead of
+    * double-appending, and the standing-index read takes only
+    * batches `< batchId` with a `_SUCCESS` marker — a replayed
+    * batch recomputes against exactly the index it saw first.
+    *
+    * Cross-batch cap semantics are prefix-consistent: the per-bucket
+    * occupancy cap ([[graft.llm.Dedup.MinhashBucketCap]]) is evaluated
+    * against the index AS OF each batch, so a bucket that fills up
+    * later stops producing pairs from then on while earlier emissions
+    * stand — the only causal option in a stream (emitted pairs cannot
+    * be retracted), and still never all-pairs. */
+  def incrementalDedupStream(spark: SparkSession, newDocs: DataFrame,
+                             scratchDir: String, existingBands: DataFrame,
+                             progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    val out = s"$scratchDir/out"
+    val bandsDir = s"$scratchDir/bands"
+    def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           ltBatch: Long): Seq[String] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath).filter { d =>
+        d.getName.startsWith("batch=") &&
+          scala.util.Try(d.getName.stripPrefix("batch=").toLong).toOption
+            .exists(_ < ltBatch) &&
+          fs.exists(new Path(d, "_SUCCESS"))
+      }.map(_.toString)
+    }
     val q = newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sigs = graft.llm.Dedup.minhashSignatures(
-          graft.llm.Dedup.docShingles(batch))
-        graft.llm.Dedup.incrementalMinhashPairsFromBands(existingBands, sigs)
-          .write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val fs = new Path(bandsDir).getFileSystem(s2.sessionState.newHadoopConf())
+        // cached: the band table feeds BOTH sinks (pair join + index
+        // self-append); without it each write re-runs the batch's
+        // whole text→shingle→minhash pipeline
+        val newBands = graft.llm.Dedup.bandTable(
+          graft.llm.Dedup.minhashSignatures(
+            graft.llm.Dedup.docShingles(batch))).persist()
+        try {
+          val prior = committedBatchDirs(fs, bandsDir, batchId)
+          val standing =
+            if (prior.isEmpty) existingBands
+            else existingBands.unionByName(
+              s2.read.parquet(prior: _*).select("doc_id", "band", "v"))
+          graft.llm.Dedup.incrementalMinhashPairsFromBandRows(standing, newBands)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          // self-append AFTER the pairs write: a crash between the two
+          // replays the batch, which overwrites both keyed dirs with
+          // identical content (the index read above excludes this batch)
+          newBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        } finally newBands.unpersist(): Unit
         ()
       }
-      .option("checkpointLocation", scratch.resolve("ckpt").toString)
+      .option("checkpointLocation", s"$scratchDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    logProgress("stream_neardup_pairs", q)
-    spark.read.schema("doc_a long, doc_b long, n_shared_bands long").parquet(out)
+    logProgress(progressName, q)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedBatchDirs(fs, out, Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_a long, doc_b long, n_shared_bands long"))
+    else spark.read.parquet(dirs: _*).select("doc_a", "doc_b", "n_shared_bands")
   }
 
   /** Streaming UPSERT into a versioned mart — the table-format
