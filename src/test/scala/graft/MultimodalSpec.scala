@@ -73,11 +73,72 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() === 0)
   }
 
-  test("mediaResized audio/video rows keep the stub digest contract") {
+  test("synthesizeWav → AudioSystem round trip recovers rate, length, and levels") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("jaffle".getBytes("UTF-8"))
+    def b(i: Int): Int = digest(i) & 0xff
+    val wav = Multimodal.synthesizeWav(digest)
+    // RIFF/WAVE magic — the bytes really are a WAV container
+    assert(wav(0) === 'R'.toByte && wav(1) === 'I'.toByte &&
+      wav(2) === 'F'.toByte && wav(3) === 'F'.toByte &&
+      wav(8) === 'W'.toByte && wav(9) === 'A'.toByte)
+    val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ain.getFormat
+    assert(fmt.getSampleRate.toInt === 8000 + 100 * b(0))
+    val raw = ain.readAllBytes()
+    ain.close()
+    assert(raw.length === 256 + 4 * b(1))
+    for (i <- 0 until 8)
+      assert((raw(i) & 0xff) === (if (i % 2 == 0) b(2) else b(4)), s"sample $i")
+  }
+
+  test("mediaFeatures audio rows: decoded features equal generator-parameter formulas") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.mediaFeatures(spark, docs)
+      .filter(col("media_type") === "audio")
+    val expected = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val rate = 8000 + 100 * b(0); val n = 256 + 4 * b(1)
+        val sum = (n + 1) / 2 * b(2).toLong + n / 2 * b(4)
+        (id, rate, n, sum.toDouble / n / 255.0,
+          (b(0).toLong << 24) | (b(1).toLong << 16) |
+            (b(2).toLong << 8) | b(4).toLong)
+      }.toSeq.toDF("doc_id", "width", "height", "brightness", "feature_hash")
+    val got = feats.select("doc_id", "width", "height", "brightness", "feature_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaResized audio rows: WAV downsample round trip hashes the predicted samples") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val thumbs = Multimodal.mediaResized(spark, docs)
+      .filter(col("media_type") === "audio")
+    val expected = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val n = 256 + 4 * b(1)
+        val hex = (0 until Multimodal.ThumbW).map { i =>
+          if ((i * n / Multimodal.ThumbW) % 2 == 0) dg.substring(4, 6)
+          else dg.substring(8, 10)
+        }.mkString
+        (id, md5Hex(hex))
+      }.toSeq.toDF("doc_id", "content_hash")
+    val got = thumbs.select("doc_id", "content_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaResized video rows keep the stub digest contract") {
     val docs = Tables.documents(spark, sf)
     val others = Multimodal.mediaResized(spark, docs)
-      .filter(col("media_type") =!= "image")
-    val expected = docs.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("media_type") === "video")
+    val expected = docs.filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"),
         md5(concat(md5(col("text")),
           lit(s"${Multimodal.ThumbW}x${Multimodal.ThumbH}"))).as("content_hash"))
