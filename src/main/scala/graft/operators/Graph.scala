@@ -169,7 +169,18 @@ object Graph {
     * serves. Rounds are checkpoint-bounded like [[bfsDistances]];
     * per-round cost is one rank⨝edges shuffle, state is |V| rows of
     * two longs. Symmetrizes the oriented input; every node of the
-    * edge set has degree ≥ 1, so there are no dangling nodes. */
+    * edge set has degree ≥ 1, so there are no dangling nodes.
+    *
+    * Overflow bound (ADVICE r10): total mass is conserved at
+    * ~|V|·SCALE, and the damping step computes `85·Σcontrib` BEFORE
+    * its div, so the per-node Long peak is ≤ 85·|V|·SCALE. With
+    * SCALE = 1e9 that caps |V| at Long.MaxValue/(100·SCALE) ≈ 9.2e7
+    * nodes; beyond it Spark's non-ANSI sum would wrap SILENTLY while
+    * the DuckDB oracle's hugeint math errors loudly — a
+    * silent-divergence asymmetry. [[pageRankDirected]] asserts the
+    * headroom at runtime (its node count is already computed); this
+    * symmetric variant documents it instead of paying an extra
+    * count job. */
   val PageRankScale = 1000000000L
   val PageRankDampingPct = 85L
 
@@ -214,7 +225,16 @@ object Graph {
     * SQL oracle): `new = (15·SCALE) div 100 + (85·(in + D div N)) div
     * 100`. The dangling total and node count ride a broadcast
     * single-row frame — no driver-side collect; per-round cost is one
-    * rank⨝edges shuffle plus an O(dangling) single-row aggregate. */
+    * rank⨝edges shuffle plus an O(dangling) single-row aggregate.
+    *
+    * Overflow headroom (ADVICE r10): mass conservation bounds every
+    * Long sum (in_sum, d_total) by the total mass ~|V|·SCALE, and the
+    * damping multiply peaks at 85·mass — so |V| must stay under
+    * Long.MaxValue/(100·SCALE) ≈ 9.2e7. The bound is ASSERTED once
+    * per run, woven into the n_nodes broadcast frame the rounds
+    * already carry (un-prunable — it feeds the n_nodes value itself),
+    * because past it Spark's non-ANSI sum wraps silently while the
+    * oracle's hugeint errors loudly. */
   def pageRankDirected(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"))
@@ -224,7 +244,13 @@ object Graph {
       .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+    val maxNodes = Long.MaxValue / (100L * PageRankScale)
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+      .select(
+        when(assert_true(col("n_nodes") <= lit(maxNodes),
+          lit(s"pageRankDirected overflow headroom: n_nodes exceeds $maxNodes " +
+            s"(85*mass would overflow Long at PageRankScale=$PageRankScale)")).isNull,
+          col("n_nodes")).as("n_nodes"))
     var rank = base.withColumn("rank_scaled", lit(PageRankScale))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
