@@ -51,23 +51,8 @@ object Bench {
     // measurement instead of a guess. Streaming one-shots and Mat-barrier
     // builds run their jobs outside the returned plan, so they report ~0
     // (their costs are in stream_progress / prebuild).
-    def shuffleBytesOf(df: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      def walk(p: SparkPlan): Seq[SparkPlan] = {
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case s: QueryStageExec => Seq(s.plan)
-          case _ => p.children
-        }
-        p +: (kids ++ p.subqueries).flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan)
-        .collect { case e: ShuffleExchangeExec =>
-          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) }
-        .sum
-    }
+    def shuffleBytesOf(df: org.apache.spark.sql.DataFrame): Long =
+      tools.PlanMetrics.shuffleBytesOf(df)
     val shuffleMb = scala.collection.mutable.Map[String, Double]()
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
             name: String = ""): Unit = {

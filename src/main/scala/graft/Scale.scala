@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe (VERDICT r10 #5): MEASURE the 100 TB scaling claims
+  * instead of arguing them from code. The dedup/ANN/graph/profile
+  * family's design notes promise bounded buckets and no all-pairs —
+  * i.e. ≲linear cost in corpus size — but until this probe they were
+  * only ever timed at one size. The probe synthesizes factor-f
+  * replicas of sf0.1's `documents`/`embeddings`/`events` (and of the
+  * co-purchase edge table for the graph operators) into tmp, runs the
+  * family at 1× and 8× through the bench's full-materialization
+  * harness, and emits per-query wall-seconds + measured shuffle bytes
+  * at both sizes, flagging anything whose time grows super-linearly
+  * by more than 2× (ratio > 2·f).
+  *
+  * Replication is NOT naive row copying — naive copies would make
+  * every doc an 8-way exact duplicate and every vector an 8-way
+  * near-dup, which inflates candidate-pair output quadratically
+  * inside each LSH bucket and measures a DIFFERENT workload, not a
+  * bigger one. Each replica instead models independent new data with
+  * the same statistics:
+  *  - documents: ids shift by a disjoint stride; replica r>0 word-sorts
+  *    each text by a replica-seeded hash order. Length, token counts,
+  *    and language stats are preserved (same multiset of words), but
+  *    shingle sets diverge across replicas, so no cross-replica
+  *    near-dups. Within a replica all docs shuffle under the SAME
+  *    word order, so planted near-dup pairs (docs differing in a few
+  *    words) remain near-dups — per-replica dup structure, and hence
+  *    pair counts, scale linearly by construction.
+  *  - embeddings: ids shift; replica r>0 vectors are hash-derived
+  *    uniform [-1,1) points — same dimensionality and spread, no
+  *    cross-replica duplicates.
+  *  - events: event and user ids shift by disjoint strides — user
+  *    count scales with data, events-per-user and the time range stay
+  *    constant (the "more traffic" model).
+  *  - graph: the strong co-purchase edge table replicates as f
+  *    disjoint components (node ids shift) — edge count scales f×,
+  *    degree distribution unchanged.
+  */
+object Scale {
+
+  val DocStride = 1000000L // divisible by 5: doc_id%5 partitions survive
+  val VecStride = 1000000L
+  val EventStride = 10000000L
+  val UserStride = 1000000L
+  val NodeStride = 10000000L
+
+  /** Word-sort `text` by a replica-seeded hash of each word. The
+    * comparator depends only on (word, seed) — NOT the doc — so two
+    * near-identical docs in the same replica sort near-identically
+    * and stay near-dups, while different seeds produce unrelated
+    * shingle streams across replicas. */
+  private def seededWordSort(text: org.apache.spark.sql.Column, seed: Int) =
+    array_join(
+      array_sort(split(text, " "), (l, r) =>
+        when(xxhash64(l, lit(seed)) < xxhash64(r, lit(seed)), lit(-1))
+          .when(xxhash64(l, lit(seed)) > xxhash64(r, lit(seed)), lit(1))
+          .when(l < r, lit(-1)).when(l > r, lit(1)).otherwise(lit(0))),
+      " ")
+
+  def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) df
+      else {
+        val shuffled = seededWordSort(col("text"), r)
+        df.select(
+          (col("doc_id") + lit(r * DocStride)).as("doc_id"),
+          shuffled.as("text"),
+          col("lang"), col("source"),
+          coalesce(length(shuffled).cast("long"), col("n_chars")).as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+
+  def scaleEmbeddings(df: DataFrame, factor: Int, dim: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) df
+      else df.select(
+        (col("vec_id") + lit(r * VecStride)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(col("vec_id"), lit(r), i), lit(2000L)).cast("double")
+            / 1000.0 - 1.0).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  /** Raw replication — `ts` keeps whatever physical type the source
+    * file shipped (nanos-as-long or NTZ); [[Tables.events]] normalizes
+    * at read time exactly as it does for the driver's files. */
+  def scaleEvents(df: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) df
+      else df
+        .withColumn("event_id", col("event_id") + lit(r * EventStride))
+        .withColumn("user_id", col("user_id") + lit(r * UserStride))
+    }.reduce(_ unionByName _)
+
+  def scaleEdges(df: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) df
+      else df
+        .withColumn("src", col("src") + lit(r * NodeStride))
+        .withColumn("dst", col("dst") + lit(r * NodeStride))
+    }.reduce(_ unionByName _)
+
+  /** The probed family: every registered query that reads ONLY the
+    * scaled tables. Queries wired to the star schema (marts, staging)
+    * are out of scope — their inputs don't scale here. */
+  val probeQueryNames: Seq[String] = Seq(
+    // dedup over documents
+    "dedup_exact", "dedup_normalized", "minhash_signatures", "minhash_pairs",
+    "dedup_clusters", "dedup_incremental_pairs", "simhash_signatures",
+    "simhash_pairs", "ngram_jaccard_pairs", "substring_dedup",
+    "source_dup_matrix", "doc_shared_ngrams",
+    // text analysis / relevance / tokenization
+    "text_stats", "lang_confusion", "top_docs_per_lang", "bm25_scores",
+    "tfidf_top_terms", "doc_surprisal", "bigram_surprisal", "vocab_coverage",
+    "bpe_merges", "bpe_token_counts", "doc_chunks", "doc_repetition",
+    "pack_sequences", "documents_profile", "corpus_curation",
+    "training_corpus", "decontamination", "dataset_splits", "epoch_shuffle",
+    "weighted_sample",
+    // ANN over embeddings
+    "ann_cosine_topk", "ann_filtered_topk", "ann_ivf_topk",
+    "ann_ivf_kmeans_topk", "ann_lsh_buckets", "pq_codes", "ann_pq_topk",
+    "ann_pq_adc_topk", "ann_pq_rerank_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk", "ann_sq8_topk", "kmeans_centroids",
+    "embedding_dedup_pairs", "embedding_dedup_clusters",
+    "embedding_quantization",
+    // events: sketches, sessions, as-of
+    "hll_user_counts", "hll_merged_users", "hll_range_users",
+    "hll_overlap_users", "cms_heavy_hitters", "sessionize",
+    "session_window_agg", "event_funnel", "events_asof_purchase",
+    "events_asof_next_purchase", "event_props_stats", "hist_quantiles",
+    "value_percentiles", "value_band_stats", "stratified_sample")
+
+  private def edgesOf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/edges.parquet")
+
+  /** Graph operators probed DIRECTLY on the replicated edge table:
+    * the registered copurchase_* queries are wired to the staging
+    * chain, whose inputs (orders/lineitem) this probe doesn't scale. */
+  val graphProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graph_triangles" -> ((s: SparkSession, d: String) =>
+      operators.Graph.triangleCounts(edgesOf(s, d).select("src", "dst"))),
+    "graph_clustering" -> ((s: SparkSession, d: String) =>
+      operators.Graph.clusteringCoefficients(edgesOf(s, d).select("src", "dst"))),
+    "graph_pagerank" -> ((s: SparkSession, d: String) =>
+      operators.Graph.pageRank(edgesOf(s, d).select("src", "dst"), 5)),
+    "graph_pagerank_directed" -> ((s: SparkSession, d: String) =>
+      operators.Graph.pageRankDirected(edgesOf(s, d).select("src", "dst"), 5)))
+
+  /** Write the factor-f replica dir (documents/embeddings/events +
+    * the graph edge table). File count scales with the factor so read
+    * parallelism mirrors real growth instead of funneling 8× data
+    * through the 1× layout. */
+  def writeScaledDir(spark: SparkSession, baseDir: String, outDir: String,
+                     factor: Int, baseEdges: DataFrame): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val dim = 64
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val evts = spark.read.parquet(s"$baseDir/events.parquet")
+    scaleDocuments(docs, factor).repartition(2 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(embs, factor, dim).repartition(2 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaleEvents(evts, factor).repartition(4 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    scaleEdges(baseEdges, factor).repartition(2 * factor)
+      .write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-scale/" +
+      spark.sparkContext.applicationId
+    // base edge table once, from the REAL base dir's staging chain
+    val baseEdges = Models.productCopurchaseEdges(spark, baseDir)
+      .select("src", "dst").persist()
+    val dirs = factors.map { f =>
+      val d = s"$root/f${f}x"
+      writeScaledDir(spark, baseDir, d, f, baseEdges)
+      f -> d
+    }
+    baseEdges.unpersist()
+
+    val registered = SparkEntry.queries
+    probeQueryNames.foreach(n => require(registered.contains(n),
+      s"scale probe names unregistered query: $n"))
+    val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] =
+      probeQueryNames.map(n => n -> registered(n)) ++ graphProbes
+
+    val skipped = scala.collection.mutable.LinkedHashMap[String, String]()
+    // secs(name) and shuffle(name) indexed like `factors`
+    val secs = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    val shuf = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+
+    dirs.zipWithIndex.foreach { case ((f, dir), fi) =>
+      // untimed warm-up pass per dir: parquet footers, codegen, Mat
+      // barriers land here, not on whichever query runs first
+      allProbes.foreach { case (name, fn) =>
+        if (!skipped.contains(name))
+          try { fn(spark, dir).limit(1).collect(); () }
+          catch { case scala.util.control.NonFatal(e) =>
+            skipped(name) = s"factor ${f}x: ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)
+          }
+      }
+      for (p <- 1 to passes) {
+        // Fresh symlink alias per timed pass: Mat keys barriers by the
+        // sfDir STRING, so a new alias forces every Mat build to run
+        // inside the timed pass — the build cost is the thing whose
+        // scaling this probe exists to measure. (With the plain dir,
+        // barriers land in the untimed warm-up and the timed pass
+        // measures only reading the materialized result.) A query
+        // whose chain shares a barrier with an earlier probe pays it
+        // in whichever probe runs first — order is deterministic and
+        // identical across factors, so per-query RATIOS stay fair.
+        val alias = s"$root/f${f}x_p$p"
+        val ap = java.nio.file.Paths.get(alias)
+        if (!java.nio.file.Files.exists(ap))
+          java.nio.file.Files.createSymbolicLink(ap, java.nio.file.Paths.get(dir))
+        allProbes.foreach { case (name, fn) =>
+          if (!skipped.contains(name)) {
+            val t0 = System.nanoTime()
+            try {
+              val df = fn(spark, alias)
+              val agged = df
+                .select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+                .agg(bit_xor(col("h")))
+              agged.collect()
+              val sec = (System.nanoTime() - t0) / 1e9
+              val mb = tools.PlanMetrics.shuffleBytesOf(agged) / 1e6
+              val sa = secs.getOrElseUpdate(name, Array.fill(factors.size)(Double.MaxValue))
+              val ma = shuf.getOrElseUpdate(name, Array.fill(factors.size)(0.0))
+              if (sec < sa(fi)) { sa(fi) = sec; ma(fi) = mb }
+            } catch { case scala.util.control.NonFatal(e) =>
+              skipped(name) = s"factor ${f}x timed pass: ${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(200)
+            }
+          }
+        }
+      }
+      System.err.println(s"[scale] factor ${f}x done (${skipped.size} skipped so far)")
+    }
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val fMax = factors.max.toDouble / factors.min
+    val rows = (probeQueryNames ++ graphProbes.map(_._1))
+      .filterNot(skipped.contains).filter(secs.contains)
+    val superlinear = rows.filter { n =>
+      val s = secs(n)
+      // sub-100ms baselines are pure noise at this granularity
+      s.head >= 0.1 && s.last / s.head > 2.0 * fMax
+    }
+    val tableCounts = Seq("documents", "embeddings", "events", "edges").map { t =>
+      val ns = dirs.map { case (f, d) =>
+        s""""${f}x":${spark.read.parquet(s"$d/$t.parquet").count()}"""
+      }.mkString(",")
+      s""""$t":{$ns}"""
+    }.mkString(",")
+    val qjson = rows.map { n =>
+      val s = secs(n); val m = shuf(n)
+      s""""$n":{"sec":[${s.map(fmt).mkString(",")}],"shuffle_mb":[${m.map(fmt).mkString(",")}],"time_ratio":${fmt(s.last / math.max(s.head, 1e-9))},"shuffle_ratio":${fmt(if (m.head > 1e-9) m.last / m.head else 0.0)}}"""
+    }.mkString("{", ",", "}")
+    val skjson = skipped.map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}""""
+    }.mkString("{", ",", "}")
+    val out = s"""{"metric":"scale_probe","base_dir":"$baseDir","factors":[${factors.mkString(",")}],"passes":$passes,"tables":{$tableCounts},"n_probed":${rows.size},"n_skipped":${skipped.size},"superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],"skipped":$skjson,"queries":$qjson}"""
+    println(out)
+    try {
+      val p = java.nio.file.Paths.get(System.getProperty("user.dir"), "SCALE_LOCAL.json")
+      java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[scale] SCALE_LOCAL.json write failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}
