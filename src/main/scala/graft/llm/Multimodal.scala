@@ -34,10 +34,21 @@ import org.apache.spark.sql.functions._
   * levels — so the oracle again predicts decoder OUTPUT from generator
   * parameters, gating a real codec round trip.
   *
-  * VIDEO remains stubbed (the JDK ships no container/video codec and
-  * this container has no media libraries): features derive from the
-  * content digest bytes, with the batched-decode seam shaped like the
-  * real thing.
+  * The VIDEO modality is real too (r11): the JDK DOES ship a
+  * multi-frame container codec — animated GIF, through the same
+  * `javax.imageio` registry (`writeToSequence` / `getNumImages`).
+  * Content bytes are genuine animated GIFs — 1+hi(b3) frames of
+  * (64+b0)×(64+b1) vertical stripes whose per-frame levels walk
+  * `(b2+17f) mod 256` / `(b4+17f) mod 256` — written frame-by-frame
+  * with an EXPLICIT 256-entry grayscale palette (GIF is an indexed
+  * format; an explicit palette keeps the levels exact instead of
+  * trusting the writer's quantizer). Every emitted feature comes
+  * from DECODED frames: dimensions and stripe levels from frame 0's
+  * recovered raster, `n_frames` from the reader's own frame count,
+  * brightness as the exact mean over ALL decoded frames. Frame
+  * sampling ([[mediaFrames]]) decodes the sampled frames for real
+  * and hashes an 8×8 nearest-neighbor grid of each — the oracle
+  * predicts each grid from the generator's per-frame levels.
   *
   * At 100 TB: content bytes stay columnar until the decode stage;
   * `repartition` spreads decode work; each partition decodes in
@@ -122,6 +133,85 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Per-frame stripe step: frame f's levels are (b2+17f)%256 and
+    * (b4+17f)%256 — co-prime-ish drift so frames differ and the
+    * decoder can't fake frame extraction by replaying frame 0. */
+  val FrameLevelStep = 17
+
+  // 256-entry grayscale palette: GIF is indexed, and handing the
+  // writer pre-indexed rasters over an explicit identity-gray palette
+  // keeps every level EXACT (the writer's own quantizer for
+  // non-indexed input makes no such promise).
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  private def stripeFrame(w: Int, h: Int, even: Int, odd: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val row = new Array[Int](w)
+    var x = 0
+    while (x < w) { row(x) = if (x % 2 == 0) even else odd; x += 1 }
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) { raster.setSamples(0, y, w, 1, 0, row); y += 1 }
+    img
+  }
+
+  /** Deterministic animated-GIF synthesis from a 16-byte digest:
+    * 1+hi(b3) frames of (64+b0)×(64+b1) vertical stripes, frame f at
+    * levels (b2+17f)%256 / (b4+17f)%256, written with the JDK GIF
+    * writer's multi-frame sequence API over the explicit gray
+    * palette. */
+  private[graft] def synthesizeGif(digest: Array[Byte]): Array[Byte] = {
+    def b(i: Int): Int = digest(i) & 0xff
+    val w = 64 + b(0); val h = 64 + b(1)
+    val nFrames = 1 + (b(3) >> 4)
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val even = (b(2) + FrameLevelStep * f) & 0xff
+        val odd = (b(4) + FrameLevelStep * f) & 0xff
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(stripeFrame(w, h, even, odd), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** Real animated-GIF decode: container parse + per-frame raster
+    * recovery through the ImageIO GIF reader. */
+  private def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+    val reader = ImageIO.getImageReadersBySuffix("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally { iis.close(); reader.dispose() }
+  }
+
+  /** Gray samples of a decoded frame, row-major. Indexed frames (the
+    * GIF path) map palette indices through the color model ONCE (a
+    * ≤256-entry LUT), so bulk extraction stays array-speed. */
+  private def graySamples(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val samples = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val lut = Array.tabulate(icm.getMapSize)(i => icm.getRGB(i) & 0xff)
+        samples.map(lut)
+      case _ => samples
+    }
+  }
+
   /** Real WAV decode: container parse + raw PCM read through
     * `AudioSystem`. Returns (sampleRate, unsigned 8-bit samples). */
   private def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Int]) = {
@@ -144,6 +234,7 @@ object Multimodal {
       m.media_type match {
         case "image" => m.copy(content = synthesizePng(m.content))
         case "audio" => m.copy(content = synthesizeWav(m.content))
+        case "video" => m.copy(content = synthesizeGif(m.content))
         case _ => m
       }
     })
@@ -202,35 +293,46 @@ object Multimodal {
         (samples(0).toLong << 8) | samples(1).toLong)
   }
 
-  /** STUB codec for video (the JDK has no container/video codec):
-    * features derive deterministically from the content digest bytes so
-    * the pipeline stays verifiable. */
-  private def decodeStub(m: MediaRow): MediaFeatures = {
-    def b(i: Int): Int = m.content(i) & 0xff
-    val nFrames = if (m.media_type == "video") 1 + (b(3) >> 4) else 1
+  /** REAL video decode: parse the animated GIF, recover EVERY frame's
+    * raster, and compute features from decoded data — dimensions and
+    * the two stripe levels from frame 0, `n_frames` from the reader's
+    * frame count, brightness as the exact mean over all frames' pixels
+    * (integer sum then the same two double divisions as the oracle),
+    * feature hash packed like the image's from decoded
+    * (w−64, h−64, frame-0 levels). */
+  private def decodeVideo(m: MediaRow): MediaFeatures = {
+    val frames = decodeGifFrames(m.content)
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    var sum = 0L
+    frames.foreach { fr =>
+      val s = graySamples(fr)
+      var i = 0
+      while (i < s.length) { sum += s(i); i += 1 }
+    }
+    val f0 = graySamples(frames.head)
     MediaFeatures(
       doc_id = m.doc_id,
       media_type = m.media_type,
-      width = 64 + b(0),
-      height = 64 + b(1),
-      brightness = b(2).toDouble / 255.0,
-      n_frames = nFrames,
-      feature_hash = ((b(4).toLong << 24) | (b(5).toLong << 16) |
-        (b(6).toLong << 8) | b(7).toLong))
+      width = w,
+      height = h,
+      brightness = sum.toDouble / (frames.length.toLong * w * h) / 255.0,
+      n_frames = frames.length,
+      feature_hash = ((w - 64).toLong << 24) | ((h - 64).toLong << 16) |
+        (f0(0).toLong << 8) | f0(1).toLong)
   }
 
   /** Batched decode: Seq[MediaRow] → Seq[MediaFeatures], like a
-    * vectorized decode UDF — images through the real PNG decoder,
-    * audio through the real WAV decoder, video through the stub. */
+    * vectorized decode UDF — every modality through a REAL JDK codec:
+    * PNG (images), WAV (audio), animated GIF (video). */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map(m => m.media_type match {
       case "image" => decodeImage(m)
       case "audio" => decodeAudio(m)
-      case _ => decodeStub(m)
+      case _ => decodeVideo(m)
     })
 
-  /** Decode pipeline: partition → batch → decode (real for images and
-    * audio). */
+  /** Decode pipeline: partition → batch → decode (real for all three
+    * modalities). */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     withRealContent(spark, documents)
@@ -303,12 +405,44 @@ object Multimodal {
     MediaThumb(m.doc_id, m.media_type, ThumbW, 1, md5Hex(hex.toString))
   }
 
-  /** Resize-to-thumbnail: image rows through the real decode/resize/
-    * re-encode round trip; audio rows through the real decode/
-    * downsample/re-encode round trip ([[resampleAudio]], emitted as
-    * 64×1); video rows keep the stub digest contract (a deterministic
-    * hash of (content hex, target dims) — DuckDB's md5 is
-    * varchar-only, so both engines hash the same UTF-8 string). */
+  /** REAL video "resize" — decode the animated GIF, nearest-neighbor
+    * downsample FRAME 0 to the thumbnail dims (the poster-frame
+    * thumbnail a video pipeline extracts), re-encode as a single-frame
+    * GIF over the same explicit palette, decode AGAIN, and hash the
+    * round-tripped raster. Gates container parse → frame recovery →
+    * resize → encode → decode. */
+  private def resizeVideo(m: MediaRow): MediaThumb = {
+    val f0 = decodeGifFrames(m.content).head
+    val w = f0.getWidth; val h = f0.getHeight
+    val srcSamples = graySamples(f0)
+    val thumb = new BufferedImage(ThumbW, ThumbH, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val thumbRow = new Array[Int](ThumbW)
+    val thumbRaster = thumb.getRaster
+    var y = 0
+    while (y < ThumbH) {
+      val srcY = y * h / ThumbH
+      var x = 0
+      while (x < ThumbW) {
+        thumbRow(x) = srcSamples(srcY * w + x * w / ThumbW)
+        x += 1
+      }
+      thumbRaster.setSamples(0, y, ThumbW, 1, 0, thumbRow)
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(thumb, "gif", out)
+    val roundSamples = graySamples(decodeGifFrames(out.toByteArray).head)
+    val hex = new StringBuilder(ThumbW * ThumbH * 2)
+    var i = 0
+    while (i < roundSamples.length) { hex.append(HexByte(roundSamples(i))); i += 1 }
+    MediaThumb(m.doc_id, m.media_type, ThumbW, ThumbH, md5Hex(hex.toString))
+  }
+
+  /** Resize-to-thumbnail: image rows through the real PNG decode/
+    * resize/re-encode round trip; audio rows through the real WAV
+    * decode/downsample/re-encode round trip ([[resampleAudio]],
+    * emitted as 64×1); video rows through the real GIF decode/
+    * poster-frame-resize/re-encode round trip ([[resizeVideo]]). */
   def mediaResized(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val media = mediaTable(documents)
@@ -318,38 +452,53 @@ object Multimodal {
     val audio = media.filter(col("media_type") === "audio").as[MediaRow]
       .mapPartitions(_.map(m => resampleAudio(m.copy(content = synthesizeWav(m.content)))))
       .toDF()
-    val others = media.filter(col("media_type") === "video").select(
-      col("doc_id"), col("media_type"),
-      lit(ThumbW).as("width"), lit(ThumbH).as("height"),
-      md5(concat(lower(hex(col("content"))), lit(s"${ThumbW}x$ThumbH")))
-        .as("content_hash"))
-    others.unionByName(images).unionByName(audio)
+    val video = media.filter(col("media_type") === "video").as[MediaRow]
+      .mapPartitions(_.map(m => resizeVideo(m.copy(content = synthesizeGif(m.content)))))
+      .toDF()
+    video.unionByName(images).unionByName(audio)
   }
 
   val FrameSampleMax = 4
+  /** Side of the per-frame fingerprint grid: each sampled frame is
+    * nearest-neighbor downsampled to GridN×GridN before hashing, so
+    * the per-frame hash stays O(1) while still requiring the decoder
+    * to recover that frame's actual raster. */
+  val FrameGridN = 8
 
-  /** Frame sampling for video rows: up to [[FrameSampleMax]] evenly
-    * strided frame indices from the stub decoder's n_frames, each with
-    * its timestamp offset and a deterministic per-frame content digest.
-    * The explode is a Catalyst Generator — one scan, distributed, no
-    * per-row driver logic; a real codec would replace the digest with
-    * the extracted frame bytes. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long, frame_hash: String)
+
+  /** REAL frame sampling for video rows: decode the animated GIF,
+    * take up to [[FrameSampleMax]] evenly strided frames from the
+    * reader's own frame count, and fingerprint each sampled frame's
+    * DECODED raster via an 8×8 nearest-neighbor grid (the image
+    * resize's exact integer source mapping) hashed as 2 lowercase hex
+    * chars per sample. The decode runs batched on executors like the
+    * feature pipeline; timestamps use exact integer floor division,
+    * matching the oracle's `//`. */
   def mediaFrames(documents: DataFrame): DataFrame = {
-    val media = mediaTable(documents).filter(col("media_type") === "video")
-      // stub n_frames: high nibble of content byte 3 (= hex digit 7 of
-      // the digest), as in decodeStub / the mediaFeatures oracle
-      .withColumn("n_frames",
-        (lit(1) + conv(substring(hex(col("content")), 7, 1), 16, 10).cast("int"))
-          .cast("int"))
-    val stride = ((col("n_frames") + FrameSampleMax - 1) / FrameSampleMax).cast("int")
-    media
-      .select(col("doc_id"), col("content"), col("duration_ms"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_idx"))
-      .select(
-        col("doc_id"), col("frame_idx"),
-        (col("duration_ms") * col("frame_idx") / col("n_frames")).cast("long")
-          .as("frame_ts_ms"),
-        md5(concat(lower(hex(col("content"))), col("frame_idx").cast("string")))
-          .as("frame_hash"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaTable(documents).filter(col("media_type") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        val frames = decodeGifFrames(synthesizeGif(m.content))
+        val n = frames.length
+        val stride = (n + FrameSampleMax - 1) / FrameSampleMax
+        (0 until n by stride).map { f =>
+          val img = frames(f)
+          val w = img.getWidth; val h = img.getHeight
+          val s = graySamples(img)
+          val hex = new StringBuilder(FrameGridN * FrameGridN * 2)
+          var y = 0
+          while (y < FrameGridN) {
+            var x = 0
+            while (x < FrameGridN) {
+              hex.append(HexByte(s((y * h / FrameGridN) * w + x * w / FrameGridN)))
+              x += 1
+            }
+            y += 1
+          }
+          FrameRow(m.doc_id, f, m.duration_ms * f / n, md5Hex(hex.toString))
+        }
+      }).toDF()
   }
 }

@@ -1206,31 +1206,32 @@ object LlmSql {
        |from documents""".stripMargin
   }
 
-  /** Mirror Multimodal.mediaResized. IMAGE rows now go through a real
-    * JDK PNG decode → nearest-neighbor resize → PNG re-encode → decode
-    * round trip on the Spark side; the oracle predicts the decoded
-    * 64×64 raster from the digest-derived generator parameters (width
-    * 64+b0, vertical stripes b2/b4) and the decoder's exact integer
-    * source mapping src_x = x·W // 64 — all 64 thumbnail rows are
-    * identical because the stripes are vertical, so the raster hex is
-    * repeat(row_hex, 64). Audio/video rows keep the stub digest
-    * contract md5(md5(text) || "WxH"). */
+  /** Mirror Multimodal.mediaResized. IMAGE rows go through a real JDK
+    * PNG decode → nearest-neighbor resize → PNG re-encode → decode
+    * round trip on the Spark side; VIDEO rows (r11) through a real
+    * animated-GIF decode → poster-frame (frame 0) resize → GIF
+    * re-encode → decode round trip. Both thumbnails share the SAME
+    * predicted raster: width 64+b0, vertical stripes b2/b4 (frame 0's
+    * levels ARE b2/b4), decoder source mapping src_x = x·W // 64 —
+    * all 64 thumbnail rows are identical because the stripes are
+    * vertical, so the raster hex is repeat(row_hex, 64). Audio rows:
+    * real WAV decode → stride-downsample → re-encode round trip. */
   val mediaResizedQ: String = {
     import graft.llm.Multimodal.{ThumbW, ThumbH}
     s"""with m as (
        |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
        |),
        |img as (
-       |  select doc_id, 64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
+       |  select doc_id, mt, 64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
        |    substr(dg, 5, 2) as even_hex, substr(dg, 9, 2) as odd_hex
-       |  from m where mt = 0
+       |  from m where mt in (0, 2)
        |),
        |rowhex as (
-       |  select doc_id,
+       |  select doc_id, mt,
        |    string_agg(case when (x * w // $ThumbW) % 2 = 0
        |                    then even_hex else odd_hex end, '' order by x) as rh
        |  from img cross join (select unnest(generate_series(0, ${ThumbW - 1})) as x) xs
-       |  group by doc_id, w, even_hex, odd_hex
+       |  group by doc_id, mt, w, even_hex, odd_hex
        |),
        |aud as (
        |  select doc_id, 256 + 4 * cast(('0x' || substr(dg, 3, 2)) as int) as n,
@@ -1246,7 +1247,7 @@ object LlmSql {
        |  from aud cross join (select unnest(generate_series(0, ${ThumbW - 1})) as i) ii
        |  group by doc_id, n, even_hex, odd_hex
        |)
-       |select doc_id, 'image' as media_type,
+       |select doc_id, case when mt = 0 then 'image' else 'video' end as media_type,
        |  $ThumbW as width, $ThumbH as height,
        |  md5(repeat(rh, $ThumbH)) as content_hash
        |from rowhex
@@ -1254,35 +1255,48 @@ object LlmSql {
        |select doc_id, 'audio' as media_type,
        |  $ThumbW as width, 1 as height,
        |  md5(ah) as content_hash
-       |from audhex
-       |union all
-       |select doc_id, 'video' as media_type,
-       |  $ThumbW as width, $ThumbH as height,
-       |  md5(dg || '${ThumbW}x$ThumbH') as content_hash
-       |from m where mt = 2""".stripMargin
+       |from audhex""".stripMargin
   }
 
-  /** Mirror Multimodal.mediaFrames: video rows only, stub n_frames from
-    * hex digit 7, evenly strided sample of up to FrameSampleMax frame
-    * indices, per-frame digest of content || index. */
+  /** Mirror Multimodal.mediaFrames (REAL since r11): the Spark side
+    * decodes the animated GIF and fingerprints each sampled frame's
+    * recovered raster via an 8×8 nearest-neighbor grid. The oracle
+    * predicts that grid from the generator parameters: frame f's
+    * stripe levels are (b2+17f)%256 / (b4+17f)%256, grid cell (x,y)
+    * samples source column x·w//8 whose parity picks the level, and
+    * all 8 grid rows are identical (vertical stripes) — so the hex
+    * dump is repeat(row8, 8). n_frames = 1 + hi(b3) is what the GIF
+    * reader must count back; timestamps are exact floor division. */
   val mediaFramesQ: String = {
-    import graft.llm.Multimodal.FrameSampleMax
+    import graft.llm.Multimodal.{FrameSampleMax, FrameGridN, FrameLevelStep}
     s"""with mm as (
-       |  select doc_id, md5(text) as content_hex,
-       |    n_chars * 10 as duration_ms,
+       |  select doc_id, n_chars * 10 as duration_ms,
+       |    64 + cast(('0x' || substr(md5(text), 1, 2)) as int) as w,
+       |    cast(('0x' || substr(md5(text), 5, 2)) as int) as b2,
+       |    cast(('0x' || substr(md5(text), 9, 2)) as int) as b4,
        |    1 + cast(('0x' || substr(md5(text), 7, 1)) as int) as n_frames
        |  from documents where doc_id % 3 = 2
        |),
        |mf as (
-       |  select doc_id, content_hex, duration_ms, n_frames,
+       |  select doc_id, duration_ms, w, b2, b4, n_frames,
        |    unnest(generate_series(0, n_frames - 1,
        |      cast((n_frames + $FrameSampleMax - 1) // $FrameSampleMax as int))) as frame_idx
        |  from mm
+       |),
+       |grid as (
+       |  select doc_id, duration_ms, n_frames, frame_idx,
+       |    string_agg(lpad(lower(hex(
+       |      case when (x * w // $FrameGridN) % 2 = 0
+       |           then (b2 + $FrameLevelStep * frame_idx) % 256
+       |           else (b4 + $FrameLevelStep * frame_idx) % 256 end)), 2, '0'),
+       |      '' order by x) as row8
+       |  from mf cross join (select unnest(generate_series(0, ${FrameGridN - 1})) as x) xs
+       |  group by doc_id, duration_ms, n_frames, frame_idx
        |)
        |select doc_id, cast(frame_idx as int) as frame_idx,
        |  cast(duration_ms * frame_idx // n_frames as bigint) as frame_ts_ms,
-       |  md5(content_hex || cast(frame_idx as varchar)) as frame_hash
-       |from mf""".stripMargin
+       |  md5(repeat(row8, $FrameGridN)) as frame_hash
+       |from grid""".stripMargin
   }
 
   /** Mirror Multimodal.mediaFeatures. IMAGE rows are decoded by a real
@@ -1295,10 +1309,16 @@ object LlmSql {
     * are decoded by a real `javax.sound.sampled` WAV read; the oracle
     * predicts the decoded sample rate (8000+100·b0 → width), frame
     * count (256+4·b1 → height), mean amplitude of the b2/b4 square
-    * wave, and the rate/length/level feature-hash pack. Video keeps
-    * the stub digest formulas. */
-  val mediaFeaturesQ: String =
-    """with m as (
+    * wave, and the rate/length/level feature-hash pack. VIDEO rows
+    * (r11) are decoded by a real animated-GIF read: the oracle
+    * predicts the reader's frame count (1+hi(b3)), frame-0 stripe
+    * levels (b2/b4 → the image-style feature-hash pack), and the
+    * mean over ALL frames, where frame f's levels walk
+    * (b2+17f)%256 / (b4+17f)%256 — summed per doc over an unnested
+    * frame series exactly as the Spark side sums decoded rasters. */
+  val mediaFeaturesQ: String = {
+    import graft.llm.Multimodal.FrameLevelStep
+    s"""with m as (
       |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
       |),
       |p as (
@@ -1307,18 +1327,25 @@ object LlmSql {
       |    cast(('0x' || substr(dg, 3, 2)) as int) as b1,
       |    cast(('0x' || substr(dg, 5, 2)) as int) as b2,
       |    cast(('0x' || substr(dg, 7, 1)) as int) as b3hi,
-      |    cast(('0x' || substr(dg, 9, 2)) as int) as b4,
-      |    cast(('0x' || substr(dg, 9, 8)) as bigint) as fh
+      |    cast(('0x' || substr(dg, 9, 2)) as int) as b4
       |  from m
       |),
       |-- image: w×h striped raster; audio: REAL WAV round trip — rate
-      |-- 8000+100·b0, n = 256+4·b1 samples alternating b2/b4, features
-      |-- predicted from generator params but computed Spark-side from
-      |-- the DECODED stream; video: digest stub
+      |-- 8000+100·b0, n = 256+4·b1 samples alternating b2/b4; video:
+      |-- REAL animated-GIF round trip — 1+b3hi striped frames
       |q as (
       |  select *, 64 + b0 as w, 64 + b1 as h,
       |    8000 + 100 * b0 as rate, 256 + 4 * b1 as n
       |  from p
+      |),
+      |-- per-video pixel sum over every frame's raster
+      |vb as (
+      |  select doc_id,
+      |    sum(((w + 1) // 2 * ((b2 + $FrameLevelStep * f) % 256)
+      |       + w // 2 * ((b4 + $FrameLevelStep * f) % 256)) * h) as vsum
+      |  from q cross join (select unnest(generate_series(0, 15)) as f) fs
+      |  where mt = 2 and f <= b3hi
+      |  group by doc_id
       |)
       |select doc_id,
       |  case when mt = 0 then 'image'
@@ -1331,16 +1358,17 @@ object LlmSql {
       |         / (w * h) / 255.0
       |  when mt = 1
       |    then cast((n + 1) // 2 * b2 + n // 2 * b4 as double) / n / 255.0
-      |  else cast(b2 as double) / 255.0 end as brightness,
+      |  else cast(vsum as double) / (cast(1 + b3hi as bigint) * w * h) / 255.0
+      |  end as brightness,
       |  cast(case when mt = 2 then 1 + b3hi else 1 end as int) as n_frames,
-      |  cast(case when mt = 0
-      |    then cast(w - 64 as bigint) * 16777216
-      |         + cast(h - 64 as bigint) * 65536 + b2 * 256 + b4
-      |  when mt = 1
+      |  cast(case when mt = 1
       |    then cast(b0 as bigint) * 16777216
       |         + cast(b1 as bigint) * 65536 + b2 * 256 + b4
-      |  else fh end as bigint) as feature_hash
-      |from q""".stripMargin
+      |  else cast(w - 64 as bigint) * 16777216
+      |       + cast(h - 64 as bigint) * 65536 + b2 * 256 + b4
+      |  end as bigint) as feature_hash
+      |from q left join vb using (doc_id)""".stripMargin
+  }
 
   /** Mirror TextStats.topDocsPerLang: the bounded-heap top_k aggregate
     * is row-equal to the row_number window with the SAME total order

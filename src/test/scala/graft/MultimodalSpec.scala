@@ -134,14 +134,100 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() === 0)
   }
 
-  test("mediaResized video rows keep the stub digest contract") {
+  test("synthesizeGif → ImageIO round trip recovers frame count, dims, per-frame levels") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("jaffle".getBytes("UTF-8"))
+    def b(i: Int): Int = digest(i) & 0xff
+    val gif = Multimodal.synthesizeGif(digest)
+    // GIF magic — the bytes really are a GIF container
+    assert(gif(0) === 'G'.toByte && gif(1) === 'I'.toByte && gif(2) === 'F'.toByte)
+    val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis, false)
+    val n = reader.getNumImages(true)
+    assert(n === 1 + (b(3) >> 4), "frame count survives the container round trip")
+    for (f <- 0 until n) {
+      val img = reader.read(f)
+      assert(img.getWidth === 64 + b(0) && img.getHeight === 64 + b(1), s"frame $f dims")
+      val even = (b(2) + Multimodal.FrameLevelStep * f) & 0xff
+      val odd = (b(4) + Multimodal.FrameLevelStep * f) & 0xff
+      for (y <- Seq(0, img.getHeight - 1); x <- 0 until math.min(img.getWidth, 8))
+        assert((img.getRGB(x, y) & 0xff) === (if (x % 2 == 0) even else odd),
+          s"frame $f pixel ($x,$y)")
+    }
+    iis.close(); reader.dispose()
+  }
+
+  test("mediaFeatures video rows: decoded all-frame features equal generator formulas") {
+    import spark.implicits._
     val docs = Tables.documents(spark, sf)
-    val others = Multimodal.mediaResized(spark, docs)
+    val feats = Multimodal.mediaFeatures(spark, docs)
       .filter(col("media_type") === "video")
     val expected = docs.filter(col("doc_id") % 3 === 2)
-      .select(col("doc_id"),
-        md5(concat(md5(col("text")),
-          lit(s"${Multimodal.ThumbW}x${Multimodal.ThumbH}"))).as("content_hash"))
-    assert(others.select("doc_id", "content_hash").exceptAll(expected).count() === 0)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0); val h = 64 + b(1)
+        val nF = 1 + (b(3) >> 4)
+        val sum = (0 until nF).map { f =>
+          val even = (b(2) + Multimodal.FrameLevelStep * f) & 0xff
+          val odd = (b(4) + Multimodal.FrameLevelStep * f) & 0xff
+          ((w + 1) / 2 * even.toLong + w / 2 * odd) * h
+        }.sum
+        (id, w, h, sum.toDouble / (nF.toLong * w * h) / 255.0, nF,
+          ((w - 64).toLong << 24) | ((h - 64).toLong << 16) |
+            (b(2).toLong << 8) | b(4).toLong)
+      }.toSeq.toDF("doc_id", "width", "height", "brightness", "n_frames", "feature_hash")
+    val got = feats.select("doc_id", "width", "height", "brightness", "n_frames",
+      "feature_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaResized video rows: GIF poster-frame round trip hashes the predicted raster") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val thumbs = Multimodal.mediaResized(spark, docs)
+      .filter(col("media_type") === "video")
+    val expected = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0)
+        val rowHex = (0 until Multimodal.ThumbW).map { x =>
+          if ((x * w / Multimodal.ThumbW) % 2 == 0) dg.substring(4, 6)
+          else dg.substring(8, 10)
+        }.mkString
+        (id, md5Hex(rowHex * Multimodal.ThumbH))
+      }.toSeq.toDF("doc_id", "content_hash")
+    val got = thumbs.select("doc_id", "content_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("mediaFrames: sampled frames hash the decoded per-frame 8x8 grid") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.mediaFrames(docs)
+      .select("doc_id", "frame_idx", "frame_ts_ms", "frame_hash")
+    val expected = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), md5(col("text")).as("dg"), col("n_chars"))
+      .as[(Long, String, Long)].collect().flatMap { case (id, dg, nChars) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0)
+        val nF = 1 + (b(3) >> 4)
+        val stride = (nF + Multimodal.FrameSampleMax - 1) / Multimodal.FrameSampleMax
+        (0 until nF by stride).map { f =>
+          val even = (b(2) + Multimodal.FrameLevelStep * f) & 0xff
+          val odd = (b(4) + Multimodal.FrameLevelStep * f) & 0xff
+          val row8 = (0 until Multimodal.FrameGridN).map { x =>
+            f"${if ((x * w / Multimodal.FrameGridN) % 2 == 0) even else odd}%02x"
+          }.mkString
+          (id, f, nChars * 10 * f / nF, md5Hex(row8 * Multimodal.FrameGridN))
+        }
+      }.toSeq.toDF("doc_id", "frame_idx", "frame_ts_ms", "frame_hash")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
   }
 }
