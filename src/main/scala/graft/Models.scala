@@ -476,6 +476,12 @@ object Models {
   }
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
+  /** Feature-hashed document embeddings (long format). */
+  def hashedEmbeddings(s: SparkSession, d: String): DataFrame =
+    llm.HashEmbed.hashedEmbeddings(Tables.documents(s, d))
+  /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF. */
+  def hybridSearch(s: SparkSession, d: String): DataFrame =
+    llm.HashEmbed.hybridSearch(Tables.documents(s, d))
   /** Mat'd: read by its own query AND the curriculum binning. */
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(

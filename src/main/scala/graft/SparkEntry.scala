@@ -125,6 +125,9 @@ object SparkEntry {
     "hll_range_users" -> out(Models.hllRangeUsers),
     "value_percentiles" -> out(Models.valuePercentiles),
     "tfidf_top_terms" -> out(Models.tfidfTopTerms),
+    // feature-hashed embeddings + hybrid BM25⊕cosine RRF retrieval
+    "doc_embeddings" -> out(Models.hashedEmbeddings),
+    "hybrid_search" -> out(Models.hybridSearch),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
     // difficulty quartile per doc (curriculum order, sketch thresholds)
@@ -311,6 +314,8 @@ object SparkEntry {
     "hll_range_users" -> OpsSql.hllRangeUsersQ,
     "value_percentiles" -> OpsSql.valuePercentilesQ,
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
+    "doc_embeddings" -> LlmSql.hashedEmbeddingsQ,
+    "hybrid_search" -> LlmSql.hybridSearchQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,

@@ -1692,4 +1692,114 @@ object LlmSql {
        |from vc_toks t left join vc_vocab v on t.term = v.term
        |group by 1""".stripMargin
   }
+
+  /** Mirror HashEmbed.hashedEmbeddings: bucket = md5-60(term) mod Dim,
+    * sign from hash bit 4, exact integer sums per (doc, bucket). */
+  val hashedEmbeddingsQ: String = {
+    import graft.llm.HashEmbed.Dim
+    s"""with $textCtes,
+       |he_tok as (select doc_id, unnest(w) as term from doc_words),
+       |he_b as (
+       |  select doc_id, (${hex60("term")}) % $Dim as bucket,
+       |    case when ((${hex60("term")}) >> 4) % 2 = 0 then 1 else -1 end as sgn
+       |  from he_tok
+       |)
+       |select doc_id, cast(bucket as int) as bucket,
+       |  count(*) as n_terms, cast(sum(sgn) as bigint) as v
+       |from he_b group by 1, 2""".stripMargin
+  }
+
+  /** Mirror HashEmbed.hybridSearch: the BM25 arm re-uses the gated
+    * tf-idf query verbatim for query-term selection and adds its ≤3
+    * per-candidate term scores in FIXED rank order (the bm25
+    * literal-pivot device keyed by tf-idf rank); the semantic arm's
+    * dot products are exact integer sums over shared hash buckets
+    * (absent pairs coalesce to 0 — identical to the engine's dense
+    * zip_with fold, where absent buckets hold 0); both rank lists
+    * tie-break by doc_id; RRF adds its two 1/(60+rank) terms in fixed
+    * order. */
+  val hybridSearchQ: String = {
+    import graft.llm.HashEmbed.{Dim, TopK, HybridTopK, RrfC}
+    import graft.llm.Relevance.{K1, B, TfidfTopK}
+    val lexSum = (1 to TfidfTopK)
+      .map(r => s"coalesce(max(case when rank = $r then s end), 0.0)")
+      .mkString("\n    + ")
+    s"""with $textCtes,
+       |hq as (select doc_id as query_doc_id, term, rank
+       |       from ($tfidfTopTermsQ) t where doc_id % 29 = 3),
+       |hdl as (select doc_id, cast(len(w) as bigint) as dl from doc_words),
+       |hcorp as (select count(*) as n_docs, sum(dl) as total_len from hdl),
+       |htf as (
+       |  select doc_id, dl, w as term, count(*) as tf from (
+       |    select doc_id, dl, unnest(w) as w
+       |    from doc_words join hdl using (doc_id)
+       |  ) t where w in (select term from hq) group by 1, 2, 3
+       |),
+       |hdf as (select term, count(*) as df from htf group by 1),
+       |hsc as (
+       |  select doc_id, term,
+       |    cast(cast(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) as decimal(18,9)) as double)
+       |      * tf * ($K1 + 1) /
+       |      (tf + $K1 * (1.0 - $B + $B * cast(dl as double)
+       |        / (cast(total_len as double) / cast(n_docs as double)))) as s
+       |  from htf join hdf using (term) cross join hcorp
+       |),
+       |hlex as (
+       |  select query_doc_id, doc_id,
+       |    $lexSum as lex_score
+       |  from hsc join hq using (term)
+       |  where doc_id != query_doc_id
+       |  group by 1, 2
+       |),
+       |hlextop as (
+       |  select query_doc_id, doc_id, cast(rn as int) as lex_rank from (
+       |    select query_doc_id, doc_id,
+       |      row_number() over (partition by query_doc_id
+       |                         order by lex_score desc, doc_id) as rn
+       |    from hlex) t where rn <= $TopK
+       |),
+       |hv as (
+       |  select doc_id, (${hex60("term")}) % $Dim as bucket,
+       |    sum(case when ((${hex60("term")}) >> 4) % 2 = 0 then 1 else -1 end) as v
+       |  from (select doc_id, unnest(w) as term from doc_words) t
+       |  group by 1, 2
+       |),
+       |hnrm as (select doc_id, sum(v * v) as nrm from hv group by 1
+       |         having sum(v * v) > 0),
+       |hdot as (
+       |  select a.doc_id as query_doc_id, b.doc_id as doc_id,
+       |    sum(a.v * b.v) as dot
+       |  from hv a join hv b on a.bucket = b.bucket
+       |  where a.doc_id % 29 = 3 and b.doc_id != a.doc_id
+       |  group by 1, 2
+       |),
+       |hsem as (
+       |  select q.doc_id as query_doc_id, c.doc_id,
+       |    cast(coalesce(dot, 0) as double)
+       |      / (sqrt(cast(c.nrm as double)) * sqrt(cast(q.nrm as double))) as cos
+       |  from hnrm q join hnrm c on c.doc_id != q.doc_id
+       |  left join hdot d on d.query_doc_id = q.doc_id and d.doc_id = c.doc_id
+       |  where q.doc_id % 29 = 3
+       |),
+       |hsemtop as (
+       |  select query_doc_id, doc_id, cast(rn as int) as sem_rank from (
+       |    select query_doc_id, doc_id,
+       |      row_number() over (partition by query_doc_id
+       |                         order by cos desc, doc_id) as rn
+       |    from hsem) t where rn <= $TopK
+       |),
+       |hfused as (
+       |  select coalesce(l.query_doc_id, s.query_doc_id) as query_doc_id,
+       |    coalesce(l.doc_id, s.doc_id) as doc_id, l.lex_rank, s.sem_rank,
+       |    coalesce(cast(1 as double) / ($RrfC + l.lex_rank), 0.0)
+       |      + coalesce(cast(1 as double) / ($RrfC + s.sem_rank), 0.0) as rrf_score
+       |  from hlextop l full outer join hsemtop s
+       |    on l.query_doc_id = s.query_doc_id and l.doc_id = s.doc_id
+       |)
+       |select query_doc_id, cast(rank as int) as rank, doc_id,
+       |  lex_rank, sem_rank, rrf_score from (
+       |  select *, row_number() over (partition by query_doc_id
+       |    order by rrf_score desc, doc_id) as rank
+       |  from hfused) t where rank <= $HybridTopK""".stripMargin
+  }
 }

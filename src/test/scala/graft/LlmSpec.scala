@@ -167,14 +167,20 @@ class LlmSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
-  test("multimodal: batched stub decode is deterministic and schema-complete") {
+  test("multimodal: batched real decode is deterministic and schema-complete") {
     val m = Models.mediaFeatures(spark, sf)
     assert(m.count() === Tables.documents(spark, sf).count())
     assert(acceptedValues(m, "media_type", Seq("image", "audio", "video")) === 0)
+    // per-modality decoded bounds: image/video report pixel dims
+    // (64+b0 × 64+b1); audio reports sample rate (8000+100·b0) and
+    // frame count (256+4·b1)
     assert(expressionIsTrue(m,
-      col("width").between(64, 319) && col("height").between(64, 319) &&
+      when(col("media_type") === "audio",
+        col("width").between(8000, 33500) && col("height").between(256, 1276))
+        .otherwise(col("width").between(64, 319) && col("height").between(64, 319)) &&
         col("brightness").between(0.0, 1.0) && col("n_frames") >= 1) === 0)
-    // images/audio sample exactly one frame; video up to 16
+    // images/audio sample exactly one frame; video up to 16 decoded frames
     assert(m.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() === 0)
+    assert(m.filter(col("media_type") === "video" && col("n_frames") > 16).count() === 0)
   }
 }

@@ -42,6 +42,9 @@ class PlanGuardSpec extends SparkSpec {
     "hll_overlap_users",
     // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
     "curriculum_bins",
+    // corpus stats row (BM25 arm) + corpus × the ≤|Q| broadcast query
+    // vectors (the annCosineTopK pattern for the semantic arm)
+    "hybrid_search",
     // ONE day-count row × ONE exact row × ONE estimate row
     "hll_range_users",
     // Ranks.globalRank offset join: |shuffle partitions| count rows ×
