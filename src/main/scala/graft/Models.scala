@@ -479,6 +479,17 @@ object Models {
   /** Feature-hashed document embeddings (long format). */
   def hashedEmbeddings(s: SparkSession, d: String): DataFrame =
     llm.HashEmbed.hashedEmbeddings(Tables.documents(s, d))
+  /** Trained quality-classifier weight trajectory — Mat'd: training
+    * (3 full-batch rounds over the corpus) runs once per session, the
+    * prediction query reads the barrier (the kmeans/PQ index-build
+    * convention). */
+  def qualityWeights(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "quality_weights")(
+      llm.QualityModel.trainedWeights(s, Tables.documents(s, d), textStats(s, d)))
+  /** Corpus scored by the trained model's final round. */
+  def qualityPredictions(s: SparkSession, d: String): DataFrame =
+    llm.QualityModel.predictions(Tables.documents(s, d), textStats(s, d),
+      qualityWeights(s, d))
   /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF. */
   def hybridSearch(s: SparkSession, d: String): DataFrame =
     llm.HashEmbed.hybridSearch(Tables.documents(s, d))

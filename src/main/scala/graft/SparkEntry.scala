@@ -128,6 +128,10 @@ object SparkEntry {
     // feature-hashed embeddings + hybrid BM25⊕cosine RRF retrieval
     "doc_embeddings" -> out(Models.hashedEmbeddings),
     "hybrid_search" -> out(Models.hybridSearch),
+    // trained quality classifier: full-batch perceptron over hashed
+    // features (weights broadcast out, integer gradients aggregated in)
+    "quality_weights" -> out(Models.qualityWeights),
+    "quality_predictions" -> out(Models.qualityPredictions),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
     // difficulty quartile per doc (curriculum order, sketch thresholds)
@@ -316,6 +320,8 @@ object SparkEntry {
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "doc_embeddings" -> LlmSql.hashedEmbeddingsQ,
     "hybrid_search" -> LlmSql.hybridSearchQ,
+    "quality_weights" -> LlmSql.qualityWeightsQ,
+    "quality_predictions" -> LlmSql.qualityPredictionsQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * multi-frame container codec — animated GIF, through the same
   * `javax.imageio` registry (`writeToSequence` / `getNumImages`).
   * Content bytes are genuine animated GIFs — 1+hi(b3) frames of
-  * (64+b0)×(64+b1) vertical stripes whose per-frame levels walk
+  * (64+b0%64)×(64+b1%64) vertical stripes whose per-frame levels walk
   * `(b2+17f) mod 256` / `(b4+17f) mod 256` — written frame-by-frame
   * with an EXPLICIT 256-entry grayscale palette (GIF is an indexed
   * format; an explicit palette keeps the levels exact instead of
@@ -159,13 +159,16 @@ object Multimodal {
   }
 
   /** Deterministic animated-GIF synthesis from a 16-byte digest:
-    * 1+hi(b3) frames of (64+b0)×(64+b1) vertical stripes, frame f at
-    * levels (b2+17f)%256 / (b4+17f)%256, written with the JDK GIF
-    * writer's multi-frame sequence API over the explicit gray
-    * palette. */
+    * 1+hi(b3) frames of (64+b0%64)×(64+b1%64) vertical stripes, frame
+    * f at levels (b2+17f)%256 / (b4+17f)%256, written with the JDK
+    * GIF writer's multi-frame sequence API over the explicit gray
+    * palette. Video frames are capped at 127px a side (images go to
+    * 319): a video row carries up to 16 frames, and the uncapped dims
+    * made the three media queries the bench's top-3 costs (~39 s of
+    * pure LZW at sf0.1) for no extra codec coverage. */
   private[graft] def synthesizeGif(digest: Array[Byte]): Array[Byte] = {
     def b(i: Int): Int = digest(i) & 0xff
-    val w = 64 + b(0); val h = 64 + b(1)
+    val w = 64 + b(0) % 64; val h = 64 + b(1) % 64
     val nFrames = 1 + (b(3) >> 4)
     val out = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersBySuffix("gif").next()
@@ -186,17 +189,21 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Real animated-GIF decode: container parse + per-frame raster
-    * recovery through the ImageIO GIF reader. */
-  private def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+  /** Real animated-GIF decode scope: `f` gets the open reader (frame
+    * count via `getNumImages(true)`, random-access `read(idx)`) —
+    * callers decode exactly the frames they need (all for features,
+    * frame 0 for the thumbnail, the sampled stride for frames). */
+  private def withGifReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): T = {
     val reader = ImageIO.getImageReadersBySuffix("gif").next()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, false)
-      val n = reader.getNumImages(true)
-      (0 until n).map(reader.read)
+      f(reader)
     } finally { iis.close(); reader.dispose() }
   }
+
+  private def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] =
+    withGifReader(bytes) { r => (0 until r.getNumImages(true)).map(r.read) }
 
   /** Gray samples of a decoded frame, row-major. Indexed frames (the
     * GIF path) map palette indices through the color model ONCE (a
@@ -412,7 +419,7 @@ object Multimodal {
     * round-tripped raster. Gates container parse → frame recovery →
     * resize → encode → decode. */
   private def resizeVideo(m: MediaRow): MediaThumb = {
-    val f0 = decodeGifFrames(m.content).head
+    val f0 = withGifReader(m.content)(_.read(0))
     val w = f0.getWidth; val h = f0.getHeight
     val srcSamples = graySamples(f0)
     val thumb = new BufferedImage(ThumbW, ThumbH, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
@@ -480,11 +487,11 @@ object Multimodal {
     import spark.implicits._
     mediaTable(documents).filter(col("media_type") === "video").as[MediaRow]
       .mapPartitions(_.flatMap { m =>
-        val frames = decodeGifFrames(synthesizeGif(m.content))
-        val n = frames.length
+        withGifReader(synthesizeGif(m.content)) { reader =>
+        val n = reader.getNumImages(true)
         val stride = (n + FrameSampleMax - 1) / FrameSampleMax
         (0 until n by stride).map { f =>
-          val img = frames(f)
+          val img = reader.read(f)
           val w = img.getWidth; val h = img.getHeight
           val s = graySamples(img)
           val hex = new StringBuilder(FrameGridN * FrameGridN * 2)
@@ -498,6 +505,7 @@ object Multimodal {
             y += 1
           }
           FrameRow(m.doc_id, f, m.duration_ms * f / n, md5Hex(hex.toString))
+        }
         }
       }).toDF()
   }

@@ -1222,7 +1222,11 @@ object LlmSql {
        |  select doc_id, md5(text) as dg, doc_id % 3 as mt from documents
        |),
        |img as (
-       |  select doc_id, mt, 64 + cast(('0x' || substr(dg, 1, 2)) as int) as w,
+       |  -- video frames are dim-capped (64+b0%64, see synthesizeGif);
+       |  -- images use the full 64+b0
+       |  select doc_id, mt,
+       |    64 + case when mt = 2 then cast(('0x' || substr(dg, 1, 2)) as int) % 64
+       |              else cast(('0x' || substr(dg, 1, 2)) as int) end as w,
        |    substr(dg, 5, 2) as even_hex, substr(dg, 9, 2) as odd_hex
        |  from m where mt in (0, 2)
        |),
@@ -1271,7 +1275,7 @@ object LlmSql {
     import graft.llm.Multimodal.{FrameSampleMax, FrameGridN, FrameLevelStep}
     s"""with mm as (
        |  select doc_id, n_chars * 10 as duration_ms,
-       |    64 + cast(('0x' || substr(md5(text), 1, 2)) as int) as w,
+       |    64 + cast(('0x' || substr(md5(text), 1, 2)) as int) % 64 as w,
        |    cast(('0x' || substr(md5(text), 5, 2)) as int) as b2,
        |    cast(('0x' || substr(md5(text), 9, 2)) as int) as b4,
        |    1 + cast(('0x' || substr(md5(text), 7, 1)) as int) as n_frames
@@ -1335,14 +1339,16 @@ object LlmSql {
       |-- REAL animated-GIF round trip — 1+b3hi striped frames
       |q as (
       |  select *, 64 + b0 as w, 64 + b1 as h,
+      |    64 + b0 % 64 as vw, 64 + b1 % 64 as vh,
       |    8000 + 100 * b0 as rate, 256 + 4 * b1 as n
       |  from p
       |),
-      |-- per-video pixel sum over every frame's raster
+      |-- per-video pixel sum over every frame's raster (video frames
+      |-- are dim-capped at 64+b%64 — see synthesizeGif)
       |vb as (
       |  select doc_id,
-      |    sum(((w + 1) // 2 * ((b2 + $FrameLevelStep * f) % 256)
-      |       + w // 2 * ((b4 + $FrameLevelStep * f) % 256)) * h) as vsum
+      |    sum(((vw + 1) // 2 * ((b2 + $FrameLevelStep * f) % 256)
+      |       + vw // 2 * ((b4 + $FrameLevelStep * f) % 256)) * vh) as vsum
       |  from q cross join (select unnest(generate_series(0, 15)) as f) fs
       |  where mt = 2 and f <= b3hi
       |  group by doc_id
@@ -1351,19 +1357,22 @@ object LlmSql {
       |  case when mt = 0 then 'image'
       |       when mt = 1 then 'audio'
       |       else 'video' end as media_type,
-      |  cast(case when mt = 1 then rate else w end as int) as width,
-      |  cast(case when mt = 1 then n else h end as int) as height,
+      |  cast(case when mt = 1 then rate when mt = 2 then vw else w end as int) as width,
+      |  cast(case when mt = 1 then n when mt = 2 then vh else h end as int) as height,
       |  case when mt = 0
       |    then cast(((w + 1) // 2 * b2 + w // 2 * b4) * h as double)
       |         / (w * h) / 255.0
       |  when mt = 1
       |    then cast((n + 1) // 2 * b2 + n // 2 * b4 as double) / n / 255.0
-      |  else cast(vsum as double) / (cast(1 + b3hi as bigint) * w * h) / 255.0
+      |  else cast(vsum as double) / (cast(1 + b3hi as bigint) * vw * vh) / 255.0
       |  end as brightness,
       |  cast(case when mt = 2 then 1 + b3hi else 1 end as int) as n_frames,
       |  cast(case when mt = 1
       |    then cast(b0 as bigint) * 16777216
       |         + cast(b1 as bigint) * 65536 + b2 * 256 + b4
+      |  when mt = 2
+      |    then cast(vw - 64 as bigint) * 16777216
+      |         + cast(vh - 64 as bigint) * 65536 + b2 * 256 + b4
       |  else cast(w - 64 as bigint) * 16777216
       |       + cast(h - 64 as bigint) * 65536 + b2 * 256 + b4
       |  end as bigint) as feature_hash
@@ -1801,5 +1810,77 @@ object LlmSql {
        |  select *, row_number() over (partition by query_doc_id
        |    order by rrf_score desc, doc_id) as rank
        |  from hfused) t where rank <= $HybridTopK""".stripMargin
+  }
+
+  /** Shared CTE chain for the perceptron quality model (mirror
+    * QualityModel.trainedWeights): features = the gated hashed
+    * embeddings plus a bias dimension, labels = the gated text-stats
+    * quality rule, then [[graft.llm.QualityModel.Rounds]] unrolled
+    * full-batch rounds of margin → error → integer gradient → weight
+    * update (the kmeans/BPE/PageRank unrolled-training recipe — all
+    * exact integer arithmetic). Final weights: `qm_w<Rounds>`. */
+  private def qmCtes: String = {
+    import graft.llm.QualityModel.{Rounds, BiasDim}
+    import graft.llm.Curation.MinQuality
+    val rounds = (1 to Rounds).map { t =>
+      s"""qm_m$t as materialized (
+         |  select doc_id, sum(v * weight) as m
+         |  from qm_x join qm_w${t - 1} on bucket = dim group by 1
+         |),
+         |qm_e$t as materialized (
+         |  select doc_id, y - (case when m > 0 then 1 else 0 end) as e
+         |  from qm_y join qm_m$t using (doc_id)
+         |),
+         |qm_g$t as materialized (
+         |  select bucket as dim, sum(v * e) as g
+         |  from qm_x join qm_e$t using (doc_id) group by 1
+         |),
+         |qm_w$t as materialized (
+         |  select dim, weight + coalesce(g, 0) as weight
+         |  from qm_w${t - 1} left join qm_g$t using (dim)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""qm_x as materialized (
+       |  select doc_id, cast(bucket as bigint) as bucket, v
+       |  from ($hashedEmbeddingsQ) t
+       |  union all
+       |  select doc_id, $BiasDim as bucket, cast(1 as bigint) as v from documents
+       |),
+       |qm_y as materialized (
+       |  select doc_id,
+       |    case when quality_score >= $MinQuality then 1 else 0 end as y
+       |  from ($textStatsQ) t
+       |),
+       |qm_w0 as (
+       |  select cast(unnest(generate_series(0, $BiasDim)) as bigint) as dim,
+       |    cast(0 as bigint) as weight
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Mirror QualityModel.trainedWeights: the full trajectory, one row
+    * per (round, dim). */
+  val qualityWeightsQ: String = {
+    import graft.llm.QualityModel.Rounds
+    val sel = (1 to Rounds).map(t =>
+      s"""select $t as round, cast(dim as int) as dim,
+         |  cast(weight as bigint) as weight from qm_w$t""".stripMargin)
+      .mkString("\nunion all\n")
+    s"with $qmCtes\n$sel"
+  }
+
+  /** Mirror QualityModel.predictions: final-round weights score every
+    * doc — exact integer margin, hard threshold, weak label. */
+  val qualityPredictionsQ: String = {
+    import graft.llm.QualityModel.Rounds
+    s"""with $qmCtes,
+       |qm_fm as (
+       |  select doc_id, sum(v * weight) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |)
+       |select doc_id, cast(y as int) as label,
+       |  cast(margin as bigint) as margin,
+       |  cast(case when margin > 0 then 1 else 0 end as int) as predicted
+       |from qm_y join qm_fm using (doc_id)""".stripMargin
   }
 }

@@ -149,7 +149,7 @@ class MultimodalSpec extends SparkSpec {
     assert(n === 1 + (b(3) >> 4), "frame count survives the container round trip")
     for (f <- 0 until n) {
       val img = reader.read(f)
-      assert(img.getWidth === 64 + b(0) && img.getHeight === 64 + b(1), s"frame $f dims")
+      assert(img.getWidth === 64 + b(0) % 64 && img.getHeight === 64 + b(1) % 64, s"frame $f dims")
       val even = (b(2) + Multimodal.FrameLevelStep * f) & 0xff
       val odd = (b(4) + Multimodal.FrameLevelStep * f) & 0xff
       for (y <- Seq(0, img.getHeight - 1); x <- 0 until math.min(img.getWidth, 8))
@@ -168,7 +168,7 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), md5(col("text")).as("dg"))
       .as[(Long, String)].collect().map { case (id, dg) =>
         def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
-        val w = 64 + b(0); val h = 64 + b(1)
+        val w = 64 + b(0) % 64; val h = 64 + b(1) % 64
         val nF = 1 + (b(3) >> 4)
         val sum = (0 until nF).map { f =>
           val even = (b(2) + Multimodal.FrameLevelStep * f) & 0xff
@@ -194,7 +194,7 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), md5(col("text")).as("dg"))
       .as[(Long, String)].collect().map { case (id, dg) =>
         def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
-        val w = 64 + b(0)
+        val w = 64 + b(0) % 64
         val rowHex = (0 until Multimodal.ThumbW).map { x =>
           if ((x * w / Multimodal.ThumbW) % 2 == 0) dg.substring(4, 6)
           else dg.substring(8, 10)
@@ -215,7 +215,7 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), md5(col("text")).as("dg"), col("n_chars"))
       .as[(Long, String, Long)].collect().flatMap { case (id, dg, nChars) =>
         def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
-        val w = 64 + b(0)
+        val w = 64 + b(0) % 64
         val nF = 1 + (b(3) >> 4)
         val stride = (nF + Multimodal.FrameSampleMax - 1) / Multimodal.FrameSampleMax
         (0 until nF by stride).map { f =>
