@@ -27,6 +27,10 @@ object Models {
     * mirror. */
   val PageRankRounds = 4
 
+  /** Synchronous label-propagation rounds; shared with the oracle's
+    * unrolled mirror. */
+  val LpaRounds = 4
+
   /** Orders-mart columns the profile query audits; shared with the
     * oracle's generated per-column arms. */
   val OrdersProfileCols: Seq[String] = Seq(
@@ -490,6 +494,10 @@ object Models {
   def qualityPredictions(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.predictions(Tables.documents(s, d), textStats(s, d),
       qualityWeights(s, d))
+  /** One-row model card for the trained classifier: confusion counts,
+    * accuracy/precision/recall/F1, exact-rank-sum ROC-AUC. */
+  def qualityEval(s: SparkSession, d: String): DataFrame =
+    llm.QualityModel.evaluation(qualityPredictions(s, d))
   /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF. */
   def hybridSearch(s: SparkSession, d: String): DataFrame =
     llm.HashEmbed.hybridSearch(Tables.documents(s, d))
@@ -576,6 +584,14 @@ object Models {
   def copurchasePagerankDirected(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "copurchase_pagerank_directed")(
       operators.Graph.pageRankDirected(copurchaseEdges(s, d), Models.PageRankRounds))
+  /** Label-propagation communities on the STRONG-edge affinity graph
+    * (the full graph is near-one-component; communities only mean
+    * something after thresholding) — Mat'd iterative build. */
+  def copurchaseCommunities(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_communities")(
+      operators.Graph.labelPropagationWithSizes(
+        copurchaseStrongEdges(s, d).select("src", "dst"),
+        Models.LpaRounds))
 
   /** Exact column profile of the orders mart (catalog/dq audit). */
   def ordersProfile(s: SparkSession, d: String): DataFrame =

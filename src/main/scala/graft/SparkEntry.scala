@@ -132,6 +132,8 @@ object SparkEntry {
     // features (weights broadcast out, integer gradients aggregated in)
     "quality_weights" -> out(Models.qualityWeights),
     "quality_predictions" -> out(Models.qualityPredictions),
+    // one-row model card: confusion counts + exact-rank-sum ROC-AUC
+    "quality_eval" -> out(Models.qualityEval),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
     // difficulty quartile per doc (curriculum order, sketch thresholds)
@@ -198,6 +200,8 @@ object SparkEntry {
     "copurchase_clustering" -> out(Models.copurchaseClustering),
     "copurchase_pagerank" -> out(Models.copurchasePagerank),
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
+    // synchronous label-propagation communities (strong-edge graph)
+    "copurchase_communities" -> out(Models.copurchaseCommunities),
     // one-pass exact column profile (catalog/dq audit surface)
     "orders_profile" -> out(Models.ordersProfile),
     "documents_profile" -> out(Models.documentsProfile),
@@ -322,6 +326,7 @@ object SparkEntry {
     "hybrid_search" -> LlmSql.hybridSearchQ,
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
+    "quality_eval" -> LlmSql.qualityEvalQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,
@@ -361,6 +366,7 @@ object SparkEntry {
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
+    "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,

@@ -66,6 +66,18 @@ object Multimodal {
 
   val DecodeBatchSize = 64
 
+  /** Spread codec work across every core BEFORE synthesis/decode. The
+    * media table's pre-synthesis rows are tiny (a 16-byte digest plus
+    * ids), but the documents scan behind them is often a single small
+    * parquet split — without an explicit repartition the whole
+    * CPU-bound codec stage runs on ONE core while the rest of the
+    * cluster idles (measured: the three media queries were 3 of the
+    * bench's top 4 at 38.8 s combined, almost all of it single-threaded
+    * LZW/deflate). Decode width = total cores is exactly what a 100 TB
+    * decode stage wants too; the shuffle moves only digests. */
+  private def spread[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+
   // ImageIO's default disk-backed stream cache writes temp files per
   // encode/decode — pure overhead for in-memory byte arrays on
   // executors.
@@ -237,7 +249,7 @@ object Multimodal {
     * (executor-side, batched by partition). Video rows pass through. */
   def withRealContent(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    mediaTable(documents).as[MediaRow].mapPartitions(_.map { m =>
+    spread(mediaTable(documents).as[MediaRow]).mapPartitions(_.map { m =>
       m.media_type match {
         case "image" => m.copy(content = synthesizePng(m.content))
         case "audio" => m.copy(content = synthesizeWav(m.content))
@@ -453,13 +465,13 @@ object Multimodal {
   def mediaResized(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val media = mediaTable(documents)
-    val images = media.filter(col("media_type") === "image").as[MediaRow]
+    val images = spread(media.filter(col("media_type") === "image").as[MediaRow])
       .mapPartitions(_.map(m => resizeImage(m.copy(content = synthesizePng(m.content)))))
       .toDF()
-    val audio = media.filter(col("media_type") === "audio").as[MediaRow]
+    val audio = spread(media.filter(col("media_type") === "audio").as[MediaRow])
       .mapPartitions(_.map(m => resampleAudio(m.copy(content = synthesizeWav(m.content)))))
       .toDF()
-    val video = media.filter(col("media_type") === "video").as[MediaRow]
+    val video = spread(media.filter(col("media_type") === "video").as[MediaRow])
       .mapPartitions(_.map(m => resizeVideo(m.copy(content = synthesizeGif(m.content)))))
       .toDF()
     video.unionByName(images).unionByName(audio)
@@ -485,7 +497,7 @@ object Multimodal {
   def mediaFrames(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    mediaTable(documents).filter(col("media_type") === "video").as[MediaRow]
+    spread(mediaTable(documents).filter(col("media_type") === "video").as[MediaRow])
       .mapPartitions(_.flatMap { m =>
         withGifReader(synthesizeGif(m.content)) { reader =>
         val n = reader.getNumImages(true)

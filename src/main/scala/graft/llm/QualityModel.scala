@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A TRAINED text-quality classifier — the fasttext-style linear
@@ -98,5 +99,56 @@ object QualityModel {
       .select(col("doc_id"), col("y").cast("int").as("label"),
         col("margin"),
         when(col("margin") > 0, 1).otherwise(0).cast("int").as("predicted"))
+  }
+
+  /** Classifier evaluation over [[predictions]] — the model card a
+    * quality filter ships with before it gates a corpus: confusion
+    * counts, accuracy/precision/recall/F1, and ROC-AUC.
+    *
+    * AUC is the Mann-Whitney U statistic with AVERAGE ranks for ties
+    * (integer margins tie constantly), kept EXACT until the final
+    * division: with per-distinct-margin group stats (n docs, np
+    * positives) and `before` = docs with strictly smaller margin,
+    * twice the positives' rank sum is the integer
+    * Σ np·(2·before + n + 1), and
+    * AUC = (2·Σranks − 2·npos·(npos+1)/2) / (2·npos·nneg) — one double
+    * division of exact longs, so both engines agree bit-for-bit (a
+    * floating rank sum would be partition-order dependent). All other
+    * ratios are likewise single divisions of exact counts.
+    *
+    * Scale: the confusion row is one map-side-combined aggregate over
+    * the predictions; the rank sum runs over DISTINCT margins — the
+    * global-order window is a single-partition sort of at most
+    * |distinct integer margins| rows (≪ corpus; bounded by the weight
+    * table's magnitude range), the same deliberate trade the two-phase
+    * global rank makes for its tiny phase-1 table. */
+  def evaluation(pred: DataFrame): DataFrame = {
+    val byMargin = pred.groupBy("margin")
+      .agg(count(lit(1)).as("n"), sum("label").as("np"))
+    val before = coalesce(
+      sum(col("n")).over(
+        Window.orderBy("margin").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val rankSum2 = byMargin.withColumn("before", before)
+      .agg(sum(col("np") * (lit(2L) * col("before") + col("n") + lit(1L)))
+        .as("pos_rank_sum_2"))
+    val confusion = pred.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("label")).as("n_pos"),
+      sum(lit(1L) - col("label")).as("n_neg"),
+      sum(when(col("label") === 1 && col("predicted") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0 && col("predicted") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") === 1 && col("predicted") === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("label") === 0 && col("predicted") === 0, 1L).otherwise(0L)).as("tn"))
+    confusion.crossJoin(broadcast(rankSum2))
+      .select(col("n_docs"), col("n_pos"), col("n_neg"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") / col("n_docs")).as("accuracy"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        ((lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        ((col("pos_rank_sum_2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 }

@@ -275,6 +275,57 @@ object Graph {
         .as("rank"))
   }
 
+  /** SYNCHRONOUS label propagation (community detection) — the cheap
+    * linear-time communities a curation pipeline runs over an affinity
+    * graph where connected components are too coarse (one giant
+    * component) and modularity methods too expensive. Every node
+    * starts labeled with its own id; each round every node adopts the
+    * label that is most frequent among its neighbors, ties broken by
+    * the SMALLEST label — a total order, so the fixed-round result is
+    * deterministic under any partitioning and an unrolled SQL oracle
+    * mirrors it exactly (the floating "async, random order" textbook
+    * LPA is neither). Fixed `rounds`, not convergence detection:
+    * synchronous LPA can 2-cycle on bipartite structure, so a bounded
+    * round count is the principled stop (and the oracle's).
+    *
+    * Scale: per round one label⨝edges shuffle (|E| rows of two longs)
+    * into a per-(node, label) count and a per-node window pick —
+    * state is |V| rows; rounds are checkpoint-bounded like
+    * [[pageRank]]. Nothing is collected, nothing is all-pairs. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = lab
+      val counts = lab.join(sym, lab("node") === sym("src"))
+        .groupBy(sym("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val pick = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("n").desc, col("label").asc)
+      lab = counts
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    lab
+  }
+
+  /** [[labelPropagation]] plus the community size each node landed in
+    * (one extra self-aggregate + broadcast-scale join on the |V|-row
+    * result). */
+  def labelPropagationWithSizes(edges: DataFrame, rounds: Int): DataFrame = {
+    val lab = labelPropagation(edges, rounds)
+    lab.join(lab.groupBy("label").agg(count(lit(1)).as("community_size")),
+        Seq("label"))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+  }
+
   /** Hop distance from the source set within `maxHops` rounds:
     * (node, dist), dist ∈ [0, maxHops], unreached nodes absent.
     * `sources` is a one-column (node) frame; edges are treated as

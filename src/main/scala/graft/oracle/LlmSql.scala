@@ -1883,4 +1883,56 @@ object LlmSql {
        |  cast(case when margin > 0 then 1 else 0 end as int) as predicted
        |from qm_y join qm_fm using (doc_id)""".stripMargin
   }
+
+  /** Mirror QualityModel.evaluation: confusion counts plus exact-
+    * arithmetic Mann-Whitney AUC — per-distinct-margin group stats,
+    * `before` = docs strictly below, twice the positive rank sum as
+    * the integer Σ np·(2·before + n + 1), and every ratio a single
+    * double division of exact bigints (DuckDB's hugeint sums cast
+    * back before the divisions, like the PageRank mirror). */
+  val qualityEvalQ: String = {
+    import graft.llm.QualityModel.Rounds
+    s"""with $qmCtes,
+       |qm_fm as (
+       |  select doc_id, sum(v * weight) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |),
+       |qp as (
+       |  select y as label, cast(margin as bigint) as margin,
+       |    case when margin > 0 then 1 else 0 end as predicted
+       |  from qm_y join qm_fm using (doc_id)
+       |),
+       |ms as (
+       |  select margin, count(*) as n, cast(sum(label) as bigint) as np
+       |  from qp group by 1
+       |),
+       |cum as (
+       |  select np, n, coalesce(sum(n) over (
+       |    order by margin rows between unbounded preceding and 1 preceding),
+       |    0) as before_n
+       |  from ms
+       |),
+       |rs as (
+       |  select cast(sum(np * (2 * before_n + n + 1)) as bigint)
+       |    as pos_rank_sum_2 from cum
+       |),
+       |conf as (
+       |  select count(*) as n_docs,
+       |    cast(sum(label) as bigint) as n_pos,
+       |    cast(sum(1 - label) as bigint) as n_neg,
+       |    cast(sum(case when label = 1 and predicted = 1 then 1 else 0 end) as bigint) as tp,
+       |    cast(sum(case when label = 0 and predicted = 1 then 1 else 0 end) as bigint) as fp,
+       |    cast(sum(case when label = 1 and predicted = 0 then 1 else 0 end) as bigint) as fn,
+       |    cast(sum(case when label = 0 and predicted = 0 then 1 else 0 end) as bigint) as tn
+       |  from qp
+       |)
+       |select n_docs, n_pos, n_neg, tp, fp, fn, tn,
+       |  cast(tp + tn as double) / n_docs as accuracy,
+       |  cast(tp as double) / (tp + fp) as "precision",
+       |  cast(tp as double) / (tp + fn) as recall,
+       |  cast(2 * tp as double) / (2 * tp + fp + fn) as f1,
+       |  cast(pos_rank_sum_2 - n_pos * (n_pos + 1) as double)
+       |    / cast(2 * n_pos * n_neg as double) as auc
+       |from conf, rs""".stripMargin
+  }
 }

@@ -676,4 +676,43 @@ object OpsSql {
        |$rounds
        |select node, dist from d$k""".stripMargin
   }
+
+  /** Mirror Graph.labelPropagationWithSizes over the strong-edge
+    * affinity graph: Models.LpaRounds synchronous rounds UNROLLED —
+    * per round, neighbor-label counts then the deterministic pick
+    * (count desc, label asc) via row_number — plus the final
+    * community-size join. Same thresholded edge set as the triangle
+    * queries. */
+  val copurchaseCommunitiesQ: String = {
+    val rounds = (1 to graft.Models.LpaRounds).map { t =>
+      s"""lpc$t as (
+         |  select s.dst as node, l.label, count(*) as n
+         |  from lp${t - 1} l join lsym s on l.node = s.src
+         |  group by 1, 2
+         |),
+         |lp$t as (
+         |  select node, label from (
+         |    select node, label,
+         |      row_number() over (partition by node order by n desc, label) as rn
+         |    from lpc$t) t where rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"lp${graft.Models.LpaRounds}"
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= ${graft.Models.CoPurchaseMinWeight}
+       |),
+       |lsym as (select src, dst from se union all select dst as src, src as dst from se),
+       |lp0 as (
+       |  select node, node as label from (select distinct src as node from lsym) n
+       |),
+       |$rounds
+       |select l.node, l.label as community, cs.community_size
+       |from $last l join (
+       |  select label, count(*) as community_size from $last group by 1
+       |) cs on l.label = cs.label""".stripMargin
+  }
 }

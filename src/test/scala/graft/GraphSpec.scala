@@ -166,4 +166,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
+
+  test("labelPropagation: synchronous rounds equal a reference implementation") {
+    // two triangles {1,2,3}, {4,5,6} joined by the bridge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = pairs.toDF("src", "dst")
+    // reference: synchronous most-frequent-neighbor-label with
+    // (count desc, label asc) pick, in plain Scala
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (rounds <- Seq(0, 1, 2, 4)) {
+      var want = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        val prev = want
+        want = adj.keySet.map { n =>
+          val counts = adj(n).map(prev).groupBy(identity).view.mapValues(_.size)
+          n -> counts.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+        }.toMap
+      }
+      val got = Graph.labelPropagation(edges, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"rounds=$rounds")
+    }
+    // at 4 rounds the two triangles settle into distinct communities
+    val sized = Graph.labelPropagationWithSizes(edges, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCommunity = sized.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCommunity.values.toSet === Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+    assert(sized.forall(_._3 === 3L))
+  }
 }

@@ -44,6 +44,40 @@ class QualityModelSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("evaluation: hand-computed confusion + tie-averaged AUC on a fixture") {
+    import spark.implicits._
+    // margins sorted: -1(neg, rank 1), 2&2 (one pos one neg, avg rank
+    // 2.5), 3(pos, rank 4) → pos rank sum 6.5, AUC = (6.5-3)/(2·2)
+    val pred = Seq(
+      (1L, 1, 3L, 1), (2L, 0, 2L, 1), (3L, 1, 2L, 1), (4L, 0, -1L, 0))
+      .toDF("doc_id", "label", "margin", "predicted")
+    val r = QualityModel.evaluation(pred).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L &&
+      r.getAs[Long]("fn") === 0L && r.getAs[Long]("tn") === 1L)
+    assert(r.getAs[Double]("accuracy") === 0.75)
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Double]("f1") === 0.8)
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
+  test("evaluation on the trained corpus model: one coherent row") {
+    val p = QualityModel.predictions(docs, stats,
+      QualityModel.trainedWeights(spark, docs, stats))
+    val rows = QualityModel.evaluation(p).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") === docs.count())
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn") === r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // a trained model must beat coin-flip ranking on its own corpus
+    assert(auc > 0.5)
+  }
+
   test("training moves weights after round 1 on this corpus") {
     val w = QualityModel.trainedWeights(spark, docs, stats)
     // a fixed point after one round would mean the zero-init model
