@@ -478,29 +478,39 @@ object Models {
     operators.Sketches.histogramQuantiles(
       Tables.events(s, d), Seq("event_type"), col("value"))
   }
+  /** Top-3 tf-idf terms per doc — Mat'd: read by its own query AND
+    * hybrid_search's lexical arm (two consumers, one tokenization). */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
-    llm.Relevance.tfidfTopTerms(Tables.documents(s, d))
-  /** Feature-hashed document embeddings (long format). */
+    Mat.table(s, d, "tfidf_top_terms")(
+      llm.Relevance.tfidfTopTerms(Tables.documents(s, d)))
+  /** Feature-hashed document embeddings (long format) — Mat'd: read
+    * by its own query, the quality classifier (training AND scoring),
+    * and hybrid_search's semantic arm; without the barrier each
+    * consumer re-tokenizes the corpus. */
   def hashedEmbeddings(s: SparkSession, d: String): DataFrame =
-    llm.HashEmbed.hashedEmbeddings(Tables.documents(s, d))
+    Mat.table(s, d, "doc_embeddings")(
+      llm.HashEmbed.hashedEmbeddings(Tables.documents(s, d)))
   /** Trained quality-classifier weight trajectory — Mat'd: training
     * (3 full-batch rounds over the corpus) runs once per session, the
     * prediction query reads the barrier (the kmeans/PQ index-build
     * convention). */
   def qualityWeights(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "quality_weights")(
-      llm.QualityModel.trainedWeights(s, Tables.documents(s, d), textStats(s, d)))
+      llm.QualityModel.trainedWeights(s, Tables.documents(s, d), textStats(s, d),
+        hashedEmbeddings(s, d)))
   /** Corpus scored by the trained model's final round. */
   def qualityPredictions(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.predictions(Tables.documents(s, d), textStats(s, d),
-      qualityWeights(s, d))
+      qualityWeights(s, d), hashedEmbeddings(s, d))
   /** One-row model card for the trained classifier: confusion counts,
     * accuracy/precision/recall/F1, exact-rank-sum ROC-AUC. */
   def qualityEval(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.evaluation(qualityPredictions(s, d))
-  /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF. */
+  /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF, over the
+    * Mat'd term/embedding tables. */
   def hybridSearch(s: SparkSession, d: String): DataFrame =
-    llm.HashEmbed.hybridSearch(Tables.documents(s, d))
+    llm.HashEmbed.hybridSearch(Tables.documents(s, d),
+      hashedEmbeddings(s, d), tfidfTopTerms(s, d))
   /** Mat'd: read by its own query AND the curriculum binning. */
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(
@@ -805,7 +815,11 @@ object Models {
       "copurchase_strong_edges" -> (copurchaseStrongEdges _),
       "copurchase_pagerank" -> (copurchasePagerank _),
       "copurchase_pagerank_directed" -> (copurchasePagerankDirected _),
-      "minhash_bands_existing" -> (minhashBandsExisting _))
+      "minhash_bands_existing" -> (minhashBandsExisting _),
+      // transitively builds the doc_embeddings barrier first
+      "quality_weights" -> (qualityWeights _),
+      "tfidf_top_terms" -> (tfidfTopTerms _),
+      "copurchase_communities" -> (copurchaseCommunities _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

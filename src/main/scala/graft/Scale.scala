@@ -119,6 +119,11 @@ object Scale {
     "pack_sequences", "documents_profile", "corpus_curation",
     "training_corpus", "decontamination", "dataset_splits", "epoch_shuffle",
     "weighted_sample",
+    // retrieval + trained-classifier stack (r11)
+    "doc_embeddings", "hybrid_search", "quality_weights",
+    "quality_predictions", "quality_eval",
+    // multimodal codec pipeline (CPU-bound decode spread)
+    "media_features", "media_resized", "media_frames",
     // ANN over embeddings
     "ann_cosine_topk", "ann_filtered_topk", "ann_ivf_topk",
     "ann_ivf_kmeans_topk", "ann_lsh_buckets", "pq_codes", "ann_pq_topk",
@@ -147,7 +152,10 @@ object Scale {
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       operators.Graph.pageRank(edgesOf(s, d).select("src", "dst"), 5)),
     "graph_pagerank_directed" -> ((s: SparkSession, d: String) =>
-      operators.Graph.pageRankDirected(edgesOf(s, d).select("src", "dst"), 5)))
+      operators.Graph.pageRankDirected(edgesOf(s, d).select("src", "dst"), 5)),
+    "graph_communities" -> ((s: SparkSession, d: String) =>
+      operators.Graph.labelPropagationWithSizes(
+        edgesOf(s, d).select("src", "dst"), 4)))
 
   /** Write the factor-f replica dir (documents/embeddings/events +
     * the graph edge table). File count scales with the factor so read

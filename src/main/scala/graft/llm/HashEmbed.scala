@@ -73,8 +73,8 @@ object HashEmbed {
   /** (doc_id, vec: array[Dim] of long, norm_sq) from the long table;
     * zero-norm docs (all signs cancelled) are dropped — they have no
     * cosine direction, mirrored by the oracle's nrm > 0 filter. */
-  private def vectors(documents: DataFrame): DataFrame =
-    hashedEmbeddings(documents)
+  private def vectors(emb: DataFrame): DataFrame =
+    emb
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
       .select(col("doc_id"),
@@ -89,12 +89,21 @@ object HashEmbed {
     * list over the hashed embeddings via reciprocal-rank fusion
     * score = Σ 1/(60+rank). Output: HybridTopK fused results per
     * query with both source ranks (null where a list missed). */
-  def hybridSearch(documents: DataFrame): DataFrame = {
+  def hybridSearch(documents: DataFrame): DataFrame =
+    hybridSearch(documents, hashedEmbeddings(documents),
+      Relevance.tfidfTopTerms(documents))
+
+  /** [[hybridSearch]] over PRECOMPUTED inputs — callers with Mat
+    * barriers for the hashed-embedding long table and the tf-idf top
+    * terms (both are read by their own queries too) pass them here so
+    * the corpus is tokenized once per session, not once per consumer. */
+  def hybridSearch(documents: DataFrame, emb: DataFrame,
+                   topTerms: DataFrame): DataFrame = {
     import graft.llm.Relevance.{K1, B}
     // query terms: the query docs' top-3 tf-idf terms, keyed by RANK
     // (unique per query) so per-candidate scores can add in fixed
     // rank order
-    val qt = Relevance.tfidfTopTerms(documents)
+    val qt = topTerms
       .filter(querySel(col("doc_id")))
       .select(col("doc_id").as("query_doc_id"), col("term"), col("rank"))
     // ---- lexical list: BM25 over the dynamic query terms ----
@@ -136,7 +145,7 @@ object HashEmbed {
       .select(col("query_doc_id"), col("col.payload").as("doc_id"),
         (col("pos") + 1).cast("int").as("lex_rank"))
     // ---- semantic list: cosine over the hashed embeddings ----
-    val vecs = vectors(documents)
+    val vecs = vectors(emb)
     val qv = vecs.filter(querySel(col("doc_id")))
       .select(col("doc_id").as("query_doc_id"), col("vec").as("qvec"),
         col("norm_sq").as("qn"))

@@ -46,7 +46,13 @@ object QualityModel {
   /** Long-format features: the hashed-embedding buckets plus the
     * bias dimension (bucket [[BiasDim]], v = 1) for every doc. */
   def features(documents: DataFrame): DataFrame =
-    HashEmbed.hashedEmbeddings(documents).select("doc_id", "bucket", "v")
+    features(documents, HashEmbed.hashedEmbeddings(documents))
+
+  /** [[features]] over a PRECOMPUTED hashed-embedding long table —
+    * callers with a Mat barrier for it pass it here so the corpus is
+    * tokenized once per session, not once per consumer. */
+  def features(documents: DataFrame, emb: DataFrame): DataFrame =
+    emb.select("doc_id", "bucket", "v")
       .unionByName(documents.select(col("doc_id"),
         lit(BiasDim).as("bucket"), lit(1L).as("v")))
 
@@ -59,8 +65,13 @@ object QualityModel {
     * 1..[[Rounds]], dims 0..[[BiasDim]]. Round t's weights are the
     * state AFTER t full-batch updates from zero initialization. */
   def trainedWeights(spark: SparkSession, documents: DataFrame,
-                     stats: DataFrame): DataFrame = {
-    val x = features(documents)
+                     stats: DataFrame): DataFrame =
+    trainedWeights(spark, documents, stats, HashEmbed.hashedEmbeddings(documents))
+
+  /** [[trainedWeights]] over a precomputed hashed-embedding table. */
+  def trainedWeights(spark: SparkSession, documents: DataFrame,
+                     stats: DataFrame, emb: DataFrame): DataFrame = {
+    val x = features(documents, emb)
     val y = labels(stats)
     var w = spark.range(BiasDim + 1)
       .select(col("id").cast("int").as("dim"), lit(0L).as("weight"))
@@ -89,10 +100,15 @@ object QualityModel {
     * materialized trajectory): exact integer margin, hard prediction,
     * and the weak label for agreement auditing. */
   def predictions(documents: DataFrame, stats: DataFrame,
-                  weights: DataFrame): DataFrame = {
+                  weights: DataFrame): DataFrame =
+    predictions(documents, stats, weights, HashEmbed.hashedEmbeddings(documents))
+
+  /** [[predictions]] over a precomputed hashed-embedding table. */
+  def predictions(documents: DataFrame, stats: DataFrame,
+                  weights: DataFrame, emb: DataFrame): DataFrame = {
     val wFinal = weights.filter(col("round") === Rounds)
       .select(col("dim").as("bucket"), col("weight"))
-    val margins = features(documents)
+    val margins = features(documents, emb)
       .join(broadcast(wFinal), Seq("bucket"))
       .groupBy("doc_id").agg(sum(col("v") * col("weight")).as("margin"))
     labels(stats).join(margins, Seq("doc_id"))

@@ -57,7 +57,10 @@ class PlanGuardSpec extends SparkSpec {
     "customer_value_deciles",
     // truth-side counts row × ONE broadcast candidate-count row
     // (Dedup.lshRecallStats)
-    "dedup_lsh_recall")
+    "dedup_lsh_recall",
+    // ONE confusion row × ONE broadcast rank-sum row
+    // (QualityModel.evaluation)
+    "quality_eval")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
@@ -95,7 +98,12 @@ class PlanGuardSpec extends SparkSpec {
     // histogram cum-count over ≤ HistBins rows: the constant "all"
     // partition key is constant-folded away, leaving an empty
     // partitionSpec over a schema-bounded 64-row table
-    "curriculum_bins")
+    "curriculum_bins",
+    // AUC rank-sum prefix over DISTINCT integer margins — cardinality
+    // bounded by the classifier's weight·feature magnitude range,
+    // ≪ corpus rows (the Mann-Whitney reduction's deliberate trade,
+    // documented in QualityModel.evaluation)
+    "quality_eval")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
