@@ -506,6 +506,10 @@ object Models {
     * accuracy/precision/recall/F1, exact-rank-sum ROC-AUC. */
   def qualityEval(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.evaluation(qualityPredictions(s, d))
+  /** STREAMING inference: new-doc batches scored per micro-batch
+    * against the standing trained-weights mart. */
+  def streamQualityScores(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.qualityScoreStreamOnce(s, d, qualityWeights(s, d))
   /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF, over the
     * Mat'd term/embedding tables. */
   def hybridSearch(s: SparkSession, d: String): DataFrame =

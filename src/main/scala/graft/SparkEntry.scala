@@ -162,6 +162,9 @@ object SparkEntry {
     // foreachBatch maintenance job: new-doc batches banded against the
     // stored LSH index (the streaming twin of dedup_incremental_pairs)
     "stream_neardup_pairs" -> out(Models.streamNeardupPairs),
+    // streaming inference: new-doc batches scored per micro-batch
+    // against the standing trained-weights mart
+    "stream_quality_scores" -> out(Models.streamQualityScores),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -339,6 +342,7 @@ object SparkEntry {
     "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
     "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
+    "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

@@ -117,6 +117,21 @@ object QualityModel {
         when(col("margin") > 0, 1).otherwise(0).cast("int").as("predicted"))
   }
 
+  /** LABEL-FREE scoring with the final round's weights — the
+    * production inference shape (new docs have no weak label yet):
+    * exact integer margin + hard prediction per doc. Batch-local
+    * work only (features are per-doc), so it drops into a streaming
+    * foreachBatch unchanged. */
+  def score(documents: DataFrame, weights: DataFrame): DataFrame = {
+    val wFinal = weights.filter(col("round") === Rounds)
+      .select(col("dim").as("bucket"), col("weight"))
+    features(documents)
+      .join(broadcast(wFinal), Seq("bucket"))
+      .groupBy("doc_id").agg(sum(col("v") * col("weight")).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1).otherwise(0).cast("int").as("predicted"))
+  }
+
   /** Classifier evaluation over [[predictions]] — the model card a
     * quality filter ships with before it gates a corpus: confusion
     * counts, accuracy/precision/recall/F1, and ROC-AUC.

@@ -1884,6 +1884,23 @@ object LlmSql {
        |from qm_y join qm_fm using (doc_id)""".stripMargin
   }
 
+  /** Mirror the STREAMING quality scorer
+    * (Streams.qualityScoreStreamOnce): train on the full corpus (the
+    * unrolled qm CTEs), then score only the new-docs stream slice
+    * (doc_id % 5 = 0) — margins depend on each doc's own features
+    * plus the weights, so the batch twin is a WHERE clause. */
+  val qualityStreamScoresQ: String = {
+    import graft.llm.QualityModel.Rounds
+    s"""with $qmCtes,
+       |qm_fm as (
+       |  select doc_id, sum(v * weight) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |)
+       |select doc_id, cast(margin as bigint) as margin,
+       |  cast(case when margin > 0 then 1 else 0 end as int) as predicted
+       |from qm_fm where doc_id % 5 = 0""".stripMargin
+  }
+
   /** Mirror QualityModel.evaluation: confusion counts plus exact-
     * arithmetic Mann-Whitney AUC — per-distinct-margin group stats,
     * `before` = docs strictly below, twice the positive rank sum as

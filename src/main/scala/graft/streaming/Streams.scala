@@ -750,6 +750,63 @@ object Streams {
     else spark.read.parquet(dirs: _*).select("doc_a", "doc_b", "n_shared_bands")
   }
 
+  /** STREAMING model inference — scoring arriving documents with the
+    * TRAINED quality classifier (the production deploy shape: train
+    * once on the standing corpus, score forever as data lands): each
+    * micro-batch of new docs is feature-hashed fresh (batch-local
+    * explode + groupBy only) and scored against the caller's standing
+    * weights mart — the [[graft.Mat]] barrier `quality_weights`
+    * builds — via one broadcast of the Dim+1 weight rows inside
+    * `foreachBatch`; (doc_id, margin, predicted) rows land in a
+    * batchId-keyed parquet sink (overwrite per key = exactly-once
+    * under crash-replay, the incrementalDedupStream convention).
+    * Scoring is exact integer arithmetic end to end, so the DuckDB
+    * oracle replays training AND scores the same slice — the whole
+    * readStream → broadcast-scoring → sink path is hash-gated.
+    *
+    * At 100 TB: per-batch cost is batch tokenization plus a
+    * broadcast hash join — no corpus re-read, no state store, and
+    * the model rides one tiny broadcast per batch. */
+  def qualityScoreStreamOnce(spark: SparkSession, sfDir: String,
+                             weights: DataFrame): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-squality",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val out = scratch.resolve("out").toString
+    val newDocs = spark.readStream
+      .schema("doc_id long, text string, lang string, source string, n_chars long")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 5 === 0)
+    val q = newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.QualityModel.score(batch, weights)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", scratch.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress("stream_quality_scores", q)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(out)
+    val dirs =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(d => d.getName.startsWith("batch=") &&
+          fs.exists(new Path(d, "_SUCCESS")))
+        .map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id long, margin long, predicted int"))
+    else spark.read.parquet(dirs: _*).select("doc_id", "margin", "predicted")
+  }
+
   /** Streaming UPSERT into a versioned mart — the table-format
     * "streaming MERGE" pattern on plain parquet: each micro-batch is
     * applied through [[graft.operators.Merge.upsert]], so the mart

@@ -71,7 +71,7 @@ class PlanGuardSpec extends SparkSpec {
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
-    "stream_user_rollup", "stream_neardup_pairs",
+    "stream_user_rollup", "stream_neardup_pairs", "stream_quality_scores",
     "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side

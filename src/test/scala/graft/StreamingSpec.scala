@@ -140,4 +140,16 @@ class StreamingSpec extends SparkSpec {
       .filter(col("mn") =!= 1 || col("mx") =!= col("n")).count()
     assert(bad === 0)
   }
+
+  test("streaming quality scorer equals the batch scorer; re-run is idempotent") {
+    val weights = Models.qualityWeights(spark, sf)
+    val got = Streams.qualityScoreStreamOnce(spark, sf, weights)
+    val want = graft.llm.QualityModel.score(
+      Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0), weights)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // same session, same checkpoint: replays nothing, returns the same sink
+    val again = Streams.qualityScoreStreamOnce(spark, sf, weights)
+    assert(again.exceptAll(got).count() === 0 && got.exceptAll(again).count() === 0)
+  }
 }
