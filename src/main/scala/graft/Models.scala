@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import graft.staging.Staging
 import graft.marts.{AnalyticsMarts, CoreMarts, SegmentationMart, TimeMarts}
 
@@ -78,6 +79,35 @@ object Models {
   def customers(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "customers")(
       CoreMarts.customers(stgCustomers(s, d), orders(s, d)))
+
+  /** CHANGE DATA FEED between two retained versions of a bucketed
+    * customers snapshot mart ([[operators.Cdc]]). v1 is "yesterday's
+    * load": orders before the cutoff, minus a late-registration slice
+    * of the dim (→ inserts); v2 is today's full rebuild minus an
+    * erasure slice (→ deletes); customers whose lifetime aggregates
+    * moved across the cutoff emit pre+post images. Both snapshots are
+    * versions of ONE mart hash-bucketed on customer_id, so the diff's
+    * full-outer join is shuffle-free (CdcSpec asserts the plan). */
+  def martChanges(s: SparkSession, d: String): DataFrame = {
+    val name = "customers_snap"
+    val bkt = Some(("customer_id", 8))
+    Mat.table(s, d, name, bucketBy = bkt)(
+      CoreMarts.customers(
+        stgCustomers(s, d).filter(col("customer_id") % 17 =!= 3),
+        orders(s, d).filter(col("ordered_at") < lit("2000-01-01").cast("timestamp"))))
+    // second build = the refreshed snapshot; guarded so repeat calls
+    // (bench min-of-3) keep diffing exactly v1 vs v2
+    if (Mat.currentVersion(s, d, name) < 2)
+      Mat.refresh(s, d, name, bucketBy = bkt)(
+        CoreMarts.customers(
+          stgCustomers(s, d).filter(col("customer_id") % 101 =!= 7),
+          orders(s, d)))
+    val cur = Mat.currentVersion(s, d, name)
+    operators.Cdc.changes(
+      Mat.tableVersion(s, d, name, cur - 1),
+      Mat.tableVersion(s, d, name, cur),
+      Seq("customer_id"))
+  }
 
   // ---- analytics marts (dbt `table`s: materialized — each is read by
   // its own registered query AND its semantic-layer saved query) ----

@@ -30,6 +30,9 @@ object SparkEntry {
     "order_items" -> out(Models.orderItems),
     "orders" -> out(Models.orders),
     "customers" -> out(Models.customers),
+    // change data feed between two retained versions of a bucketed
+    // snapshot mart (Delta table_changes shape; shuffle-free diff)
+    "mart_cdc" -> out(Models.martChanges),
     // analytics marts (A12-A18, W2-W4, J8-J16)
     "products" -> out(Models.products),
     "locations" -> out(Models.locations),
@@ -255,6 +258,7 @@ object SparkEntry {
     "order_items" -> Sql.orderItemsQ,
     "orders" -> Sql.ordersQ,
     "customers" -> Sql.customersQ,
+    "mart_cdc" -> Sql.martCdcQ,
     "products" -> Sql.productsQ,
     "locations" -> Sql.locationsQ,
     "supplies" -> Sql.suppliesQ,

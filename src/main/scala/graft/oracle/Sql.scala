@@ -142,8 +142,10 @@ object Sql {
       |  from order_items group by 1
       |) s using (order_id)""".stripMargin
 
-  val customersBody: String =
-    """select c.customer_id, c.customer_name, c.location_id,
+  /** customers mart body over pluggable dim/fact relations — the CDC
+    * oracle diffs two snapshot variants of the same body. */
+  def customersBodyFrom(custRel: String, ordersRel: String): String =
+    s"""select c.customer_id, c.customer_name, c.location_id,
       |  c.account_balance, c.market_segment,
       |  coalesce(s.count_lifetime_orders, 0) as count_lifetime_orders,
       |  s.first_ordered_at, s.last_ordered_at,
@@ -153,7 +155,7 @@ object Sql {
       |  cast(coalesce(s.lifetime_cost, 0) as decimal(18,2)) as lifetime_cost,
       |  case when coalesce(s.count_lifetime_orders, 0) > 1 then 'returning'
       |       else 'new' end as customer_type
-      |from stg_customers c
+      |from $custRel c
       |left join (
       |  select customer_id,
       |    count(distinct order_id) as count_lifetime_orders,
@@ -163,8 +165,10 @@ object Sql {
       |    cast(sum(tax_paid) as decimal(18,2)) as lifetime_tax_paid,
       |    cast(sum(order_total) as decimal(18,2)) as lifetime_spend,
       |    cast(sum(order_cost) as decimal(18,2)) as lifetime_cost
-      |  from orders_mart group by 1
+      |  from $ordersRel group by 1
       |) s using (customer_id)""".stripMargin
+
+  val customersBody: String = customersBodyFrom("stg_customers", "orders_mart")
 
   /** Mart-level WITH prefix: staging + the three core marts. */
   val coreCtes: String =
@@ -712,6 +716,46 @@ object Sql {
   val customersQ = s"$coreCtes ${asDouble("customers_mart",
     "account_balance", "lifetime_spend_pretax", "lifetime_tax_paid",
     "lifetime_spend", "lifetime_cost")}"
+
+  /** Mirror Models.martChanges / operators.Cdc: two customers-snapshot
+    * variants (v1 = pre-cutoff orders minus the late-registration dim
+    * slice; v2 = full orders minus the erasure slice), then the CDF
+    * row set — insert / delete / update_preimage / update_postimage —
+    * via per-column IS DISTINCT FROM (the oracle twin of Spark's
+    * null-safe `<=>`). */
+  val martCdcQ: String = {
+    val nonKeys = Seq("customer_name", "location_id", "account_balance",
+      "market_segment", "count_lifetime_orders", "first_ordered_at",
+      "last_ordered_at", "lifetime_spend_pretax", "lifetime_tax_paid",
+      "lifetime_spend", "lifetime_cost", "customer_type")
+    val differs = nonKeys.map(c => s"b.$c is distinct from a.$c").mkString(" or ")
+    s"""$coreCtes,
+       |cust_v1 as (${customersBodyFrom(
+        "(select * from stg_customers where customer_id % 17 <> 3)",
+        "(select * from orders_mart where ordered_at < timestamp '2000-01-01')")}),
+       |cust_v2 as (${customersBodyFrom(
+        "(select * from stg_customers where customer_id % 101 <> 7)",
+        "orders_mart")}),
+       |cdc as (
+       |  select a.*, 'insert' as _change_type
+       |  from cust_v2 a left join cust_v1 b on a.customer_id = b.customer_id
+       |  where b.customer_id is null
+       |  union all
+       |  select b.*, 'delete' as _change_type
+       |  from cust_v1 b left join cust_v2 a on a.customer_id = b.customer_id
+       |  where a.customer_id is null
+       |  union all
+       |  select b.*, 'update_preimage' as _change_type
+       |  from cust_v1 b join cust_v2 a on a.customer_id = b.customer_id
+       |  where $differs
+       |  union all
+       |  select a.*, 'update_postimage' as _change_type
+       |  from cust_v1 b join cust_v2 a on a.customer_id = b.customer_id
+       |  where $differs
+       |)
+       |${asDouble("cdc", "account_balance", "lifetime_spend_pretax",
+        "lifetime_tax_paid", "lifetime_spend", "lifetime_cost")}""".stripMargin
+  }
 
   /** Mirror operators/Quantiles.exactBuckets(customers,
     * lifetime_spend, 10): the REAL SQL window functions over the same
