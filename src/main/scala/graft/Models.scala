@@ -109,6 +109,24 @@ object Models {
       Seq("customer_id"))
   }
 
+  /** Incremental view maintenance over the change feed: the
+    * per-customer-type (count, lifetime-spend) aggregate of snapshot
+    * v2, computed as v1's MATERIALIZED aggregate ⊕ the Δ-sized feed —
+    * never re-aggregating the after-snapshot ([[operators.Cdc.maintainAgg]]).
+    * The oracle recomputes from v2 directly, so the hash gate IS the
+    * maintained==recomputed invariant. */
+  def cdcIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cdc = martChanges(s, d) // also guarantees v1/v2 exist
+    val baseAgg = Mat.table(s, d, "customers_snap_agg")(
+      Mat.tableVersion(s, d, "customers_snap", 1)
+        .groupBy("customer_type")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("lifetime_spend")).as("total")))
+    operators.Cdc.maintainAgg(baseAgg, cdc, "customer_type", "lifetime_spend")
+      .withColumnRenamed("n", "n_customers")
+      .withColumnRenamed("total", "total_lifetime_spend")
+  }
+
   // ---- analytics marts (dbt `table`s: materialized — each is read by
   // its own registered query AND its semantic-layer saved query) ----
 

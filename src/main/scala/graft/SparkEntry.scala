@@ -33,6 +33,9 @@ object SparkEntry {
     // change data feed between two retained versions of a bucketed
     // snapshot mart (Delta table_changes shape; shuffle-free diff)
     "mart_cdc" -> out(Models.martChanges),
+    // incremental view maintenance: v1's stored aggregate + the
+    // Δ-sized feed == v2's aggregate, never a full re-aggregation
+    "cdc_incremental_agg" -> out(Models.cdcIncrementalAgg),
     // analytics marts (A12-A18, W2-W4, J8-J16)
     "products" -> out(Models.products),
     "locations" -> out(Models.locations),
@@ -259,6 +262,7 @@ object SparkEntry {
     "orders" -> Sql.ordersQ,
     "customers" -> Sql.customersQ,
     "mart_cdc" -> Sql.martCdcQ,
+    "cdc_incremental_agg" -> Sql.cdcIncrementalAggQ,
     "products" -> Sql.productsQ,
     "locations" -> Sql.locationsQ,
     "supplies" -> Sql.suppliesQ,

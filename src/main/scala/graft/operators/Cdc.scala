@@ -65,4 +65,35 @@ object Cdc {
             struct(lit("update_postimage").as("_change_type"), aRow.as("r"))))).as("c"))
       .select(cols.map(c => col(s"c.r.$c").as(c)) :+ col("c._change_type"): _*)
   }
+
+  /** INCREMENTAL VIEW MAINTENANCE from a change feed — the reason a
+    * CDF exists: a grouped aggregate over the new snapshot computed as
+    * `stored aggregate of the old snapshot ⊕ Δ-sized merge`, never a
+    * full re-aggregation. Each change row carries weight +1 (insert /
+    * update_postimage) or −1 (delete / update_preimage), so per group
+    * the count moves by Σw and the sum by Σ(value·w); groups whose
+    * maintained count reaches 0 disappear (multiset semantics — the
+    * classic delta-rule for SUM/COUNT aggregates).
+    *
+    * `baseAgg` must be the (groupKey, n, total) aggregate of the
+    * BEFORE snapshot — at 100 TB that's a tiny materialized table
+    * ([[graft.Mat]] barrier), and this merge touches only it plus the
+    * feed: cost O(|groups| + |Δ|), independent of snapshot size.
+    * CdcSpec asserts maintained == recomputed-from-after equality. */
+  def maintainAgg(baseAgg: DataFrame, cdc: DataFrame,
+                  groupKey: String, valueCol: String): DataFrame = {
+    val w = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+      .otherwise(lit(-1))
+    val deltaAgg = cdc
+      .select(col(groupKey), w.as("w"), col(valueCol))
+      .groupBy(groupKey)
+      .agg(sum(col("w")).as("dn"),
+        sum(col(valueCol) * col("w")).as("ds"))
+    baseAgg.join(deltaAgg, Seq(groupKey), "full_outer")
+      .select(col(groupKey),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("ds"), lit(0).cast("decimal(18,2)"))).as("total"))
+      .filter(col("n") > 0)
+  }
 }

@@ -717,11 +717,20 @@ object Sql {
     "account_balance", "lifetime_spend_pretax", "lifetime_tax_paid",
     "lifetime_spend", "lifetime_cost")}"
 
-  /** Mirror Models.martChanges / operators.Cdc: two customers-snapshot
-    * variants (v1 = pre-cutoff orders minus the late-registration dim
-    * slice; v2 = full orders minus the erasure slice), then the CDF
-    * row set — insert / delete / update_preimage / update_postimage —
-    * via per-column IS DISTINCT FROM (the oracle twin of Spark's
+  /** The two customers-snapshot variants of Models.martChanges:
+    * v1 = pre-cutoff orders minus the late-registration dim slice;
+    * v2 = full orders minus the erasure slice. */
+  private val snapshotCtes: String =
+    s"""cust_v1 as (${customersBodyFrom(
+        "(select * from stg_customers where customer_id % 17 <> 3)",
+        "(select * from orders_mart where ordered_at < timestamp '2000-01-01')")}),
+       |cust_v2 as (${customersBodyFrom(
+        "(select * from stg_customers where customer_id % 101 <> 7)",
+        "orders_mart")})""".stripMargin
+
+  /** Mirror Models.martChanges / operators.Cdc: the CDF row set —
+    * insert / delete / update_preimage / update_postimage — via
+    * per-column IS DISTINCT FROM (the oracle twin of Spark's
     * null-safe `<=>`). */
   val martCdcQ: String = {
     val nonKeys = Seq("customer_name", "location_id", "account_balance",
@@ -730,12 +739,7 @@ object Sql {
       "lifetime_spend", "lifetime_cost", "customer_type")
     val differs = nonKeys.map(c => s"b.$c is distinct from a.$c").mkString(" or ")
     s"""$coreCtes,
-       |cust_v1 as (${customersBodyFrom(
-        "(select * from stg_customers where customer_id % 17 <> 3)",
-        "(select * from orders_mart where ordered_at < timestamp '2000-01-01')")}),
-       |cust_v2 as (${customersBodyFrom(
-        "(select * from stg_customers where customer_id % 101 <> 7)",
-        "orders_mart")}),
+       |$snapshotCtes,
        |cdc as (
        |  select a.*, 'insert' as _change_type
        |  from cust_v2 a left join cust_v1 b on a.customer_id = b.customer_id
@@ -756,6 +760,16 @@ object Sql {
        |${asDouble("cdc", "account_balance", "lifetime_spend_pretax",
         "lifetime_tax_paid", "lifetime_spend", "lifetime_cost")}""".stripMargin
   }
+
+  /** Mirror Models.cdcIncrementalAgg: the maintained aggregate must
+    * equal a straight re-aggregation of the AFTER snapshot — the IVM
+    * invariant, enforced by the hash gate itself. */
+  val cdcIncrementalAggQ: String =
+    s"""$coreCtes,
+       |$snapshotCtes
+       |select customer_type, count(*) as n_customers,
+       |  cast(sum(lifetime_spend) as double) as total_lifetime_spend
+       |from cust_v2 group by 1""".stripMargin
 
   /** Mirror operators/Quantiles.exactBuckets(customers,
     * lifetime_spend, 10): the REAL SQL window functions over the same

@@ -69,6 +69,27 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("maintained aggregate equals a full re-aggregation of the after snapshot") {
+    val maintained = Models.cdcIncrementalAgg(spark, sf)
+      .select(col("customer_type"), col("n_customers"),
+        col("total_lifetime_spend").cast("decimal(18,2)").as("t"))
+    val recomputed = Mat.tableVersion(spark, sf, "customers_snap", 2)
+      .groupBy("customer_type")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("lifetime_spend")).cast("decimal(18,2)").as("t"))
+    assert(maintained.exceptAll(recomputed).count() === 0 &&
+      recomputed.exceptAll(maintained).count() === 0)
+    // a vanished group must disappear: feed that deletes every member
+    val base = Seq(("x", 2L, BigDecimal("10.00")), ("y", 1L, BigDecimal("5.00")))
+      .toDF("k", "n", "total")
+    val feed = Seq(("x", BigDecimal("4.00"), "delete"), ("x", BigDecimal("6.00"), "delete"))
+      .toDF("k", "v", "_change_type")
+    val after = operators.Cdc.maintainAgg(base, feed, "k", "v")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map { case (k, n, t) => k -> ((n, BigDecimal(t))) }.toMap
+    assert(after === Map("y" -> ((1L, BigDecimal("5.00")))))
+  }
+
   test("identical snapshots produce an empty feed") {
     val s1 = snap((1L, "a", 1L), (2L, "b", 2L))
     assert(operators.Cdc.changes(s1, s1, Seq("id")).count() === 0)
