@@ -127,6 +127,26 @@ object Models {
       .withColumnRenamed("total", "total_lifetime_spend")
   }
 
+  /** STREAMING incremental view maintenance ([[streaming.Streams.ivmAggStream]]):
+    * the per-event-type aggregate served as a batch-built base (events
+    * before [[streaming.Streams.IvmCutoff]], a Mat barrier) maintained
+    * forward by the streamed post-cutoff feed via the CDC delta rule —
+    * each micro-batch costs O(|groups| + |batch|), never a re-read of
+    * the base. The oracle re-aggregates the whole table, so the hash
+    * gate enforces the maintained == recomputed IVM invariant. */
+  def streamIvmAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val baseAgg = Mat.table(s, d, "events_ivm_base")(
+      Tables.events(s, d)
+        .filter(col("ts") <
+          lit(streaming.Streams.IvmCutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("total")))
+    streaming.Streams.ivmAggStreamOnce(s, d, baseAgg)
+  }
+
   // ---- analytics marts (dbt `table`s: materialized — each is read by
   // its own registered query AND its semantic-layer saved query) ----
 

@@ -171,6 +171,10 @@ object SparkEntry {
     // streaming inference: new-doc batches scored per micro-batch
     // against the standing trained-weights mart
     "stream_quality_scores" -> out(Models.streamQualityScores),
+    // streaming incremental view maintenance: a standing aggregate
+    // maintained per micro-batch by the CDC delta rule; the oracle
+    // re-aggregates from scratch (maintained == recomputed gate)
+    "stream_ivm_agg" -> out(Models.streamIvmAgg),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -351,6 +355,7 @@ object SparkEntry {
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
     "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
+    "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

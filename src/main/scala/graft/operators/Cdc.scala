@@ -82,6 +82,9 @@ object Cdc {
     * CdcSpec asserts maintained == recomputed-from-after equality. */
   def maintainAgg(baseAgg: DataFrame, cdc: DataFrame,
                   groupKey: String, valueCol: String): DataFrame = {
+    // zero literals take the stored aggregate's own exact type, so the
+    // merge is scale-preserving for any decimal the caller sums
+    val totType = baseAgg.schema("total").dataType
     val w = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
       .otherwise(lit(-1))
     val deltaAgg = cdc
@@ -92,8 +95,8 @@ object Cdc {
     baseAgg.join(deltaAgg, Seq(groupKey), "full_outer")
       .select(col(groupKey),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
-          coalesce(col("ds"), lit(0).cast("decimal(18,2)"))).as("total"))
+        (coalesce(col("total"), lit(0).cast(totType)) +
+          coalesce(col("ds"), lit(0).cast(totType))).as("total"))
       .filter(col("n") > 0)
   }
 }

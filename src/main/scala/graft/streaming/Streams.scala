@@ -1033,4 +1033,112 @@ object Streams {
       |)
       |select a.user_id, a.n_events, a.total_value, l.last_ts, l.last_event_id
       |from agg a join last l on a.user_id = l.user_id""".stripMargin
+
+  /** Committed `batch=<id>` subdirectories of `dir` with id < ltBatch
+    * (a `_SUCCESS` marker = the write finished) — the exactly-once
+    * keyed-sink read path shared by the stateful foreachBatch loops. */
+  private def committedKeyedDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, ltBatch: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath).filter { d =>
+      d.getName.startsWith("batch=") &&
+        scala.util.Try(d.getName.stripPrefix("batch=").toLong).toOption
+          .exists(_ < ltBatch) &&
+        fs.exists(new Path(d, "_SUCCESS"))
+    }.map(_.toString)
+  }
+
+  /** Boundary between the batch-built base aggregate and the streamed
+    * feed for the one-shot IVM run — mid-range of the events table's
+    * January window, so both sides carry real mass. */
+  val IvmCutoff = "2024-01-15 00:00:00"
+
+  /** STREAMING INCREMENTAL VIEW MAINTENANCE — the materialized-view
+    * half of the CDC story ([[graft.operators.Cdc.maintainAgg]]) run
+    * as data ARRIVES (the Delta Live Tables / continuous-aggregate
+    * shape): a standing grouped aggregate is maintained per
+    * micro-batch by the delta rule, so each batch costs
+    * O(|groups| + |batch|) — the base data is NEVER re-aggregated.
+    *
+    * State lives in an exactly-once keyed parquet sink: batch b reads
+    * the latest committed `agg/batch=<id < b>` snapshot (falling
+    * back to the caller's base aggregate), merges its own rows as
+    * +1-weighted inserts, and overwrites `agg/batch=b` — a
+    * crash-replayed batch reads exactly the state it saw first and
+    * rewrites identical content (the [[incrementalDedupStream]]
+    * convention). The maintained total is cast back to the base
+    * aggregate's decimal type after each merge so the state schema is
+    * stable across arbitrarily many batches.
+    *
+    * At 100 TB: the maintained aggregate is |groups|-sized (tiny next
+    * to the fact stream), each batch's merge is one full-outer join of
+    * two small tables, and the exact-decimal arithmetic makes
+    * maintained == full-recompute BIT-IDENTICAL — which is exactly
+    * what the registered query's oracle asserts (it re-aggregates
+    * everything from scratch; the hash gate IS the IVM invariant). */
+  def ivmAggStream(spark: SparkSession, inserts: DataFrame,
+                   scratchDir: String, baseAgg: DataFrame,
+                   groupKey: String, valueCol: String,
+                   progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    val aggDir = s"$scratchDir/agg"
+    val totType = baseAgg.schema("total").dataType
+    def latestState(s2: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                    ltBatch: Long): DataFrame = {
+      val prior = committedKeyedDirs(fs, aggDir, ltBatch)
+      if (prior.isEmpty) baseAgg
+      else s2.read.parquet(prior.maxBy(_.split("batch=").last.toLong))
+    }
+    val q = inserts.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val fs = new Path(aggDir).getFileSystem(s2.sessionState.newHadoopConf())
+        val cdc = batch.select(col(groupKey), col(valueCol))
+          .withColumn("_change_type", lit("insert"))
+        graft.operators.Cdc.maintainAgg(latestState(s2, fs, batchId), cdc,
+            groupKey, valueCol)
+          .select(col(groupKey), col("n"), col("total").cast(totType).as("total"))
+          .coalesce(1) // |groups| rows — one state file per version
+          .write.mode("overwrite").parquet(s"$aggDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val fs = new Path(aggDir).getFileSystem(spark.sessionState.newHadoopConf())
+    latestState(spark, fs, Long.MaxValue)
+  }
+
+  /** One-shot driver-verifiable run of [[ivmAggStream]]: the
+    * per-event-type (count, exact-decimal value total) aggregate of
+    * the WHOLE events table, served as `base (ts < IvmCutoff, built
+    * batch) ⊕ streamed feed (ts >= IvmCutoff)` — the oracle
+    * re-aggregates everything, so the hash gate enforces
+    * maintained == recomputed. */
+  def ivmAggStreamOnce(spark: SparkSession, sfDir: String,
+                       baseAgg: DataFrame): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sivm",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val feed = adaptiveEventsStream(spark, sfDir)
+      .filter(col("ts") >= lit(IvmCutoff).cast("timestamp"))
+      .select(col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("value"))
+    ivmAggStream(spark, feed, scratch.toString, baseAgg,
+        "event_type", "value", "stream_ivm_agg")
+      .select(col("event_type"), col("n").as("n_events"),
+        col("total").cast("double").as("total_value"))
+  }
+
+  /** DuckDB oracle for the streaming IVM aggregate: the full
+    * re-aggregation the maintained view must equal bit-for-bit. */
+  val ivmAggOracleSql: String =
+    """select event_type, count(*) as n_events,
+      |  cast(sum(cast(value as decimal(18,6))) as double) as total_value
+      |from events group by 1""".stripMargin
 }

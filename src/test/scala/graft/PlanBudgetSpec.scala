@@ -39,7 +39,7 @@ class PlanBudgetSpec extends SparkSpec {
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
     "stream_sink_parquet", "stream_sink_merge", "stream_user_rollup",
-    "stream_neardup_pairs", "stream_quality_scores",
+    "stream_neardup_pairs", "stream_quality_scores", "stream_ivm_agg",
     "dq_summary")
 
   private def exchangeCounts(plan: SparkPlan): (Int, Int) = {
