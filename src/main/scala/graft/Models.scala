@@ -476,6 +476,10 @@ object Models {
     llm.Repetition.repetitionStats(Tables.documents(s, d), docShingles(s, d))
   def domainMixture(s: SparkSession, d: String): DataFrame =
     llm.Mixture.domainMixture(Tables.documents(s, d))
+  /** T=2 temperature mixture: targets derived from the observed
+    * distribution (share ∝ sqrt(n)), exact integer arithmetic. */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame =
+    llm.Mixture.mixtureTemperature(Tables.documents(s, d))
   def docChunks(s: SparkSession, d: String): DataFrame =
     llm.Chunking.chunks(Tables.documents(s, d))
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
@@ -566,14 +570,22 @@ object Models {
     Mat.table(s, d, "quality_weights")(
       llm.QualityModel.trainedWeights(s, Tables.documents(s, d), textStats(s, d),
         hashedEmbeddings(s, d)))
-  /** Corpus scored by the trained model's final round. */
+  /** Corpus scored by the trained model's final round — Mat'd: read by
+    * its own query, the model card (quality_eval), and the calibration
+    * table, and the calibration's bucket self-join would otherwise run
+    * the margin pipeline twice. */
   def qualityPredictions(s: SparkSession, d: String): DataFrame =
-    llm.QualityModel.predictions(Tables.documents(s, d), textStats(s, d),
-      qualityWeights(s, d), hashedEmbeddings(s, d))
+    Mat.table(s, d, "quality_predictions")(
+      llm.QualityModel.predictions(Tables.documents(s, d), textStats(s, d),
+        qualityWeights(s, d), hashedEmbeddings(s, d)))
   /** One-row model card for the trained classifier: confusion counts,
     * accuracy/precision/recall/F1, exact-rank-sum ROC-AUC. */
   def qualityEval(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.evaluation(qualityPredictions(s, d))
+  /** Reliability table: margin-decile buckets vs empirical positive
+    * rate (the calibration check behind any keep/drop threshold). */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame =
+    llm.QualityModel.calibration(qualityPredictions(s, d))
   /** STREAMING inference: new-doc batches scored per micro-batch
     * against the standing trained-weights mart. */
   def streamQualityScores(s: SparkSession, d: String): DataFrame =

@@ -140,6 +140,8 @@ object SparkEntry {
     "quality_predictions" -> out(Models.qualityPredictions),
     // one-row model card: confusion counts + exact-rank-sum ROC-AUC
     "quality_eval" -> out(Models.qualityEval),
+    // reliability table: margin deciles vs empirical positive rate
+    "quality_calibration" -> out(Models.qualityCalibration),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
     // difficulty quartile per doc (curriculum order, sketch thresholds)
@@ -188,6 +190,8 @@ object SparkEntry {
     "decontamination" -> out(Models.decontamination),
     "doc_repetition" -> out(Models.docRepetition),
     "domain_mixture" -> out(Models.domainMixture),
+    // T=2 temperature mixture: targets ∝ sqrt(observed), exact-integer
+    "mixture_temperature" -> out(Models.mixtureTemperature),
     "doc_chunks" -> out(Models.docChunks),
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
@@ -342,6 +346,7 @@ object SparkEntry {
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
     "quality_eval" -> LlmSql.qualityEvalQ,
+    "quality_calibration" -> LlmSql.qualityCalibrationQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,
@@ -366,6 +371,7 @@ object SparkEntry {
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,
+    "mixture_temperature" -> CurateSql.mixtureTemperatureQ,
     "doc_chunks" -> CurateSql.docChunksQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,

@@ -70,4 +70,53 @@ object Mixture {
     * `lang`. */
   def domainMixture(documents: DataFrame): DataFrame =
     rebalance(documents, "doc_id", "lang", QueryTargetBp)
+
+  val TempSalt = "mixT|"
+
+  /** Exact integer sqrt of a non-negative bigint column:
+    * floor(sqrt(n)) via the correctly-rounded double sqrt plus a ±1
+    * boundary correction, so the result is the true isqrt in BOTH
+    * engines regardless of float rounding at perfect squares (n < 2^53
+    * converts to double exactly; IEEE sqrt is correctly rounded — the
+    * correction is belt-and-braces for anything larger). */
+  private def isqrt(n: org.apache.spark.sql.Column) = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when(s0 * s0 > n, s0 - 1)
+      .when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .otherwise(s0)
+  }
+
+  /** TEMPERATURE-scaled mixture (T = 2, the mT5/data-mixing recipe):
+    * instead of a hand-written target map, target shares are derived
+    * FROM the observed distribution — share_d ∝ n_d^(1/T) — which
+    * flattens head domains and boosts the tail without inverting the
+    * order. T = 2 makes the weight an integer sqrt, so the whole
+    * derivation (weights, shares, keep thresholds) stays in exact
+    * integer arithmetic and cross-engine keep decisions cannot drift
+    * at bucket boundaries. No upsampling, same as [[rebalance]]: a
+    * tail domain whose boosted share exceeds its mass is kept whole.
+    *
+    * Same 100 TB shape as rebalance: one |domains|-row aggregate
+    * broadcast back onto a single corpus scan. */
+  def temperatureRebalance(df: DataFrame, idCol: String,
+                           domainCol: String): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    val w = counts.withColumn("__w", isqrt(col("__n")))
+    val tot = w.agg(sum("__w").as("__wtot"), sum("__n").as("__total"))
+    val keep = w.crossJoin(broadcast(tot))
+      .selectExpr(domainCol,
+        "(10000L * __w) div __wtot as target_bp",
+        "least(10000L, (((10000L * __w) div __wtot) * __total) div __n) as keep_bp")
+    df.select(col(idCol), col(domainCol),
+        Splits.saltedBucket(TempSalt, col(idCol), 10000L).as("mix_bucket"))
+      .join(broadcast(keep), domainCol)
+      .filter(col("mix_bucket") < col("keep_bp"))
+      .select(col(idCol), col(domainCol), col("target_bp"),
+        col("mix_bucket"), col("keep_bp"))
+  }
+
+  /** Driver query: documents rebalanced to the T=2 temperature mixture
+    * over `lang`. */
+  def mixtureTemperature(documents: DataFrame): DataFrame =
+    temperatureRebalance(documents, "doc_id", "lang")
 }

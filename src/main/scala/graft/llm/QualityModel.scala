@@ -182,4 +182,32 @@ object QualityModel {
         ((col("pos_rank_sum_2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
           / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** CALIBRATION reliability table over [[predictions]] — the check a
+    * score needs before it becomes a keep/drop threshold: docs
+    * decile-bucketed by exact margin (the two-phase global rank's
+    * ntile, margin desc with doc_id tiebreak — deterministic under
+    * constant integer-margin ties), and per bucket the empirical
+    * positive rate vs the bucket's average margin. A well-calibrated
+    * score shows pos_rate falling monotonically with the bucket index;
+    * a flat tail says the threshold carries no signal there.
+    *
+    * Exactness: counts and margin sums are integers; the two ratios
+    * are single double divisions of exact longs — bit-identical across
+    * engines. Scale: the bucket assignment is [[graft.operators.Quantiles.exactBuckets]]
+    * (range-partitioned two-phase rank, no single-partition window);
+    * the rollup is a 10-row aggregate. */
+  def calibration(pred: DataFrame): DataFrame = {
+    val b = graft.operators.Quantiles
+      .exactBuckets(pred.select("doc_id", "margin"), "doc_id", col("margin"), 10)
+      .select(col("doc_id"), col("bucket"))
+    pred.join(b, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        sum(col("margin")).as("__sm"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double")).as("pos_rate"),
+        (col("__sm").cast("double") / col("n_docs").cast("double")).as("avg_margin"))
+  }
 }

@@ -114,6 +114,34 @@ object CurateSql {
        |where ${hex60(s"'${Mixture.MixSalt}' || cast(doc_id as varchar)")} % 10000 < keep_bp""".stripMargin
   }
 
+  /** Mirror Mixture.temperatureRebalance (T=2): the same exact-integer
+    * derivation — isqrt weights with the ±1 boundary correction,
+    * integer-division shares and keep thresholds — so keep decisions
+    * cannot drift at bucket boundaries between engines. */
+  val mixtureTemperatureQ: String = {
+    val b = hex60(s"'${Mixture.TempSalt}' || cast(doc_id as varchar)") + " % 10000"
+    s"""with counts as (select lang, count(*) as n from documents group by 1),
+       |w as (
+       |  select lang, n,
+       |    case when s0*s0 > n then s0-1
+       |         when (s0+1)*(s0+1) <= n then s0+1 else s0 end as w
+       |  from (select lang, n,
+       |          cast(floor(sqrt(cast(n as double))) as bigint) as s0
+       |        from counts)
+       |),
+       |tot as (select cast(sum(w) as bigint) as wtot,
+       |               cast(sum(n) as bigint) as total from w),
+       |keep as (
+       |  select w.lang,
+       |    (10000 * w) // wtot as target_bp,
+       |    least(10000, (((10000 * w) // wtot) * total) // n) as keep_bp
+       |  from w cross join tot
+       |)
+       |select d.doc_id, d.lang, target_bp, $b as mix_bucket, keep_bp
+       |from documents d join keep using (lang)
+       |where $b < keep_bp""".stripMargin
+  }
+
   val docChunksQ: String = {
     val w = graft.llm.Chunking.ChunkWords
     s"""with $textCtes,

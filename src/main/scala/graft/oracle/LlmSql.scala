@@ -1952,4 +1952,31 @@ object LlmSql {
        |    / cast(2 * n_pos * n_neg as double) as auc
        |from conf, rs""".stripMargin
   }
+
+  /** Mirror QualityModel.calibration: ntile(10) over (margin desc,
+    * doc_id) — byte-identical to the engine's two-phase exactBuckets
+    * decile — then per-bucket counts with single-double-division
+    * ratios of exact integer sums. */
+  val qualityCalibrationQ: String = {
+    import graft.llm.QualityModel.Rounds
+    s"""with $qmCtes,
+       |qm_fm as (
+       |  select doc_id, sum(v * weight) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |),
+       |pred as (
+       |  select doc_id, cast(y as bigint) as label,
+       |    cast(margin as bigint) as margin
+       |  from qm_y join qm_fm using (doc_id)
+       |),
+       |bkt as (
+       |  select label, margin,
+       |    cast(ntile(10) over (order by margin desc, doc_id) as int) as bucket
+       |  from pred
+       |)
+       |select bucket, count(*) as n_docs, cast(sum(label) as bigint) as n_pos,
+       |  cast(sum(label) as double) / count(*) as pos_rate,
+       |  cast(sum(margin) as double) / count(*) as avg_margin
+       |from bkt group by 1""".stripMargin
+  }
 }

@@ -115,6 +115,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).sorted.toSeq === again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("temperature mixture (T=2) flattens the head, keeps the tail whole, exact thresholds") {
+    // 900 big + 100 small: weights isqrt → 30 and 10, shares 7500/2500 bp
+    // big keep_bp  = min(10000, 7500*1000/900)  = 8333  (downsampled)
+    // small keep_bp = min(10000, 2500*1000/100) = 10000 (kept whole)
+    val rows = (1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))
+    val out = Mixture.temperatureRebalance(
+      rows.toDF("doc_id", "lang"), "doc_id", "lang").collect()
+    val byLang = out.groupBy(_.getString(1))
+    assert(byLang("big").forall(r => r.getLong(2) === 7500L && r.getLong(4) === 8333L))
+    assert(byLang("small").forall(r => r.getLong(2) === 2500L && r.getLong(4) === 10000L))
+    assert(byLang("small").length === 100)
+    val kept = byLang("big").length
+    assert(kept > 700 && kept < 800, s"kept $kept of 900") // ~750 expected
+  }
+
   test("chunking tiles each document exactly; the last chunk is short, not padded") {
     val df = Seq(
       (1L, (1 to 70).map(i => s"w$i").mkString(" ")), // 70 words, W=32 → 3 chunks

@@ -62,6 +62,24 @@ class QualityModelSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") === 0.875)
   }
 
+  test("calibration: hand-computed decile reliability on a fixture") {
+    import spark.implicits._
+    // 20 docs, margin = 21 - doc_id (so doc 1 ranks first); label = 1
+    // for the top 6 margins and doc 15 (a miscalibrated straggler)
+    val pred = (1L to 20L).map { i =>
+      (i, if (i <= 6 || i == 15) 1 else 0, 21L - i, if (21L - i > 0) 1 else 0)
+    }.toDF("doc_id", "label", "margin", "predicted")
+    val got = QualityModel.calibration(pred).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == (1 to 10).toSet) // 10 buckets of 2
+    assert(got(1) == ((2L, 2L, 1.0, 19.5)))   // docs 1,2: margins 20,19
+    assert(got(3) == ((2L, 2L, 1.0, 15.5)))   // docs 5,6 — both positive
+    assert(got(8) == ((2L, 1L, 0.5, 5.5)))    // docs 15,16 — the straggler
+    assert(got(10) == ((2L, 0L, 0.0, 1.5)))   // docs 19,20
+    assert(got.values.map(_._1).sum == 20L)
+  }
+
   test("evaluation on the trained corpus model: one coherent row") {
     val p = QualityModel.predictions(docs, stats,
       QualityModel.trainedWeights(spark, docs, stats))
