@@ -642,6 +642,9 @@ object Models {
     marts.EventMarts.bloomPrunedStats(Tables.events(s, d), eventPurchasers(s, d))
   def zorderKeys(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.zorderKeys(Tables.events(s, d))
+  /** Per-file min/max stats catalog of the zkey-sorted layout. */
+  def zorderZonemaps(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.zorderZonemaps(Tables.events(s, d))
 
   /** Distinct product pairs co-purchased in some order — the edge
     * table of the co-purchase graph, Mat'd: the group self-join runs
@@ -714,6 +717,10 @@ object Models {
     llm.Splits.weightedSample(Tables.documents(s, d))
   def packSequences(s: SparkSession, d: String): DataFrame =
     llm.Packing.packSequences(Tables.documents(s, d))
+  /** Padded-batch construction: power-of-two length buckets, longest-
+    * first batches of 16, per-batch padding efficiency. */
+  def lengthBucketedBatches(s: SparkSession, d: String): DataFrame =
+    llm.Packing.lengthBucketedBatches(Tables.documents(s, d))
   /** The end-to-end training-corpus build: curation-kept ∩ train-split
     * documents, sequence-packed into token budgets — each stage is the
     * SAME (Mat-shared) component its standalone query gates. */

@@ -210,6 +210,8 @@ object SparkEntry {
     "events_asof_next_purchase" -> out(Models.eventsAsofNextPurchase),
     // Z-order (Morton) layout keys for two-dimensional data skipping
     "zorder_keys" -> out(Models.zorderKeys),
+    // per-file min/max stats of the zkey-sorted layout (data skipping)
+    "zorder_zonemaps" -> out(Models.zorderZonemaps),
     // co-purchase graph: bounded-group edge derivation + k-round BFS
     "copurchase_edges" -> out(Models.productCopurchaseEdges),
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
@@ -226,6 +228,8 @@ object SparkEntry {
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
     "pack_sequences" -> out(Models.packSequences),
+    // padded-batch twin: length buckets → longest-first batches of 16
+    "length_bucketed_batches" -> out(Models.lengthBucketedBatches),
     // per-ingest-batch incremental near-dup candidates (no re-hash)
     "dedup_incremental_pairs" -> out(Models.dedupIncrementalPairs),
     // end-to-end: curation ∩ train split → packed training sequences
@@ -383,6 +387,7 @@ object SparkEntry {
     "bloom_pruned_stats" -> OpsSql.bloomPrunedStatsQ,
     "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,
+    "zorder_zonemaps" -> OpsSql.zorderZonemapsQ,
     "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
@@ -394,6 +399,7 @@ object SparkEntry {
     "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
+    "length_bucketed_batches" -> LlmSql.lengthBucketedBatchesQ,
     "dedup_incremental_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "training_corpus" -> LlmSql.trainingCorpusQ,
     "training_shards" -> LlmSql.trainingShardsQ,

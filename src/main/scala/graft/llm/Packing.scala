@@ -48,6 +48,50 @@ object Packing {
           .as("offset_in_seq"))
   }
 
+  val BatchSize = 16L
+  val LenSalt = "lenb|"
+  val LenSubBuckets = 4L
+
+  /** Power-of-two length-bucket boundary (estimated tokens) — the
+    * fixed ladder a padded-batch loader buckets by. */
+  private def lenBucket(n: Column): Column =
+    when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+      .when(n <= 512, 512L).when(n <= 1024, 1024L).otherwise(4096L)
+
+  /** LENGTH-BUCKETED BATCH construction — the padded-batch alternative
+    * to [[packSequences]] (SFT/eval loaders pad to the batch max
+    * instead of concatenating): documents are bucketed by a fixed
+    * power-of-two token-length ladder, ordered longest-first within
+    * (bucket, salted sub-bucket), and cut into consecutive batches of
+    * [[BatchSize]]; each batch row reports its padding efficiency
+    * (Σtokens / (n·max) — 1.0 means zero waste). Longest-first keeps
+    * near-equal lengths adjacent, which is what makes the padding
+    * efficient; the salted sub-bucket bounds the window sort group
+    * exactly like [[PackBuckets]] does for packing — scale shape:
+    * corpus / (ladder × [[LenSubBuckets]]) per sort group, one
+    * aggregation on top. Token counts come from `n_chars`; the scan
+    * never reads `text`. */
+  def lengthBucketedBatches(documents: DataFrame,
+                            batchSize: Long = BatchSize): DataFrame = {
+    val base = documents.select(col("doc_id"),
+        TextStats.nTokensEst(col("n_chars")).as("n_tokens"),
+        Splits.saltedBucket(LenSalt, col("doc_id"), LenSubBuckets).as("sub"))
+      .withColumn("len_bucket", lenBucket(col("n_tokens")))
+    val w = Window.partitionBy(col("len_bucket"), col("sub"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(rn - 1) div ${batchSize}L"))
+      .groupBy("len_bucket", "sub", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("len_bucket"), col("sub"), col("batch_idx"),
+        col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"))
+          .as("pad_efficiency"))
+  }
+
   val ShardSalt = "shard|"
   val NShards = 16L
 

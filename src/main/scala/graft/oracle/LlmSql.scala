@@ -1431,6 +1431,38 @@ object LlmSql {
 
   val packSequencesQ: String = packSequencesOver("documents")
 
+  /** Mirror Packing.lengthBucketedBatches: the same power-of-two
+    * ladder (bigint-cast labels — Spark's are long), the same salted
+    * sub-bucket, the same longest-first row_number batching, and the
+    * efficiency ratio as one double division of exact integer sums. */
+  val lengthBucketedBatchesQ: String = {
+    import graft.llm.Packing.{BatchSize, LenSalt, LenSubBuckets}
+    s"""with lb as (
+       |  select doc_id,
+       |    ${graft.llm.TextStats.nTokensEstSql("n_chars")} as n_tokens,
+       |    ${hex60(s"'$LenSalt' || cast(doc_id as varchar)")} % $LenSubBuckets as sub
+       |  from documents
+       |),
+       |lb2 as (
+       |  select doc_id, n_tokens, sub,
+       |    cast(case when n_tokens <= 64 then 64 when n_tokens <= 128 then 128
+       |      when n_tokens <= 256 then 256 when n_tokens <= 512 then 512
+       |      when n_tokens <= 1024 then 1024 else 4096 end as bigint) as len_bucket
+       |  from lb
+       |),
+       |r as (
+       |  select len_bucket, sub, n_tokens,
+       |    row_number() over (partition by len_bucket, sub
+       |      order by n_tokens desc, doc_id) as rn
+       |  from lb2
+       |)
+       |select len_bucket, sub, (rn - 1) // $BatchSize as batch_idx,
+       |  count(*) as n_docs, max(n_tokens) as max_tokens,
+       |  cast(sum(n_tokens) as bigint) as sum_tokens,
+       |  cast(sum(n_tokens) as double) / (count(*) * max(n_tokens)) as pad_efficiency
+       |from r group by 1, 2, 3""".stripMargin
+  }
+
   /** Mirror Models.trainingCorpus — the end-to-end composition: the
     * curation verdicts, the split assignment, and the packing window
     * are the SAME subqueries as their standalone oracles, so the

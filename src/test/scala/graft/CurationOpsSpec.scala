@@ -131,6 +131,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept > 700 && kept < 800, s"kept $kept of 900") // ~750 expected
   }
 
+  test("length-bucketed batches: longest-first cuts of 16, exact padding efficiency") {
+    import graft.llm.Packing
+    // expectations derive from the op's grouping invariants, which
+    // hold for ANY salted sub-bucket assignment
+    val docs = (1L to 100L).map(i => (i, 4L * (50 + i))) // 51..150 est tokens
+      .toDF("doc_id", "n_chars")
+    val out = Packing.lengthBucketedBatches(docs).collect()
+    // every doc accounted for exactly once
+    assert(out.map(_.getLong(3)).sum === 100L)
+    // batches are ≤ 16 docs, and within a (bucket, sub) cell only the
+    // LAST batch may be short
+    val cells = out.groupBy(r => (r.getLong(0), r.getLong(1)))
+    cells.values.foreach { rs =>
+      val byIdx = rs.sortBy(_.getLong(2))
+      byIdx.init.foreach(r => assert(r.getLong(3) === 16L))
+      assert(byIdx.last.getLong(3) <= 16L)
+    }
+    // efficiency is exactly sum/(n*max) and within (0, 1]
+    out.foreach { r =>
+      val (n, mx, sm, eff) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(eff === sm.toDouble / (n * mx).toDouble)
+      assert(eff > 0.0 && eff <= 1.0)
+      assert(mx <= r.getLong(0)) // bucket label is an upper bound on lengths
+    }
+  }
+
   test("chunking tiles each document exactly; the last chunk is short, not padded") {
     val df = Seq(
       (1L, (1 to 70).map(i => s"w$i").mkString(" ")), // 70 words, W=32 → 3 chunks
