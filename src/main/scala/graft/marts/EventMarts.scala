@@ -267,4 +267,34 @@ object EventMarts {
       y.as("day_bucket"),
       zorder_key(x, y).as("zkey"))
   }
+
+  val ZonemapFiles = 64
+
+  /** ZONE MAPS of the Z-ordered layout — the per-file min/max stats
+    * catalog a scan planner prunes with (Delta/Iceberg file stats,
+    * ORC/parquet row-group indexes): rows are cut into
+    * [[ZonemapFiles]] equal "files" in zkey order (exactly what a
+    * zkey-sorted write produces — the two-phase [[graft.operators.Quantiles.exactBuckets]]
+    * rank, no single-partition window) and each file row carries its
+    * min/max on BOTH laid-out dimensions plus the zkey range. Because
+    * the layout is Morton order, BOTH per-file spans are narrow — a
+    * range predicate on either column prunes most files, which is the
+    * entire point of Z-ordering at 100 TB (ZOrderSpec proves the span
+    * contraction property; this query gates the catalog itself). */
+  def zorderZonemaps(events: DataFrame): DataFrame = {
+    val zk = zorderKeys(events)
+    val f = graft.operators.Quantiles
+      .exactBuckets(zk.select("event_id", "zkey"), "event_id", col("zkey"),
+        ZonemapFiles)
+      .select(col("event_id"), col("bucket").as("file_id"))
+    zk.join(f, Seq("event_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value_bucket").as("min_value_bucket"),
+        max("value_bucket").as("max_value_bucket"),
+        min("day_bucket").as("min_day_bucket"),
+        max("day_bucket").as("max_day_bucket"),
+        min("zkey").as("min_zkey"),
+        max("zkey").as("max_zkey"))
+  }
 }

@@ -497,6 +497,27 @@ object OpsSql {
        |from zb""".stripMargin
   }
 
+  /** Mirror EventMarts.zorderZonemaps: the same zkey derivation, then
+    * ntile([[graft.marts.EventMarts.ZonemapFiles]]) over (zkey desc,
+    * event_id) — byte-identical to the engine's two-phase exactBuckets
+    * file cut — and per-file min/max on both dimensions. */
+  val zorderZonemapsQ: String = {
+    import graft.marts.EventMarts.ZonemapFiles
+    s"""with zk as ($zorderKeysQ),
+       |f as (
+       |  select *, cast(ntile($ZonemapFiles)
+       |    over (order by zkey desc, event_id) as int) as file_id
+       |  from zk
+       |)
+       |select file_id, count(*) as n_rows,
+       |  min(value_bucket) as min_value_bucket,
+       |  max(value_bucket) as max_value_bucket,
+       |  min(day_bucket) as min_day_bucket,
+       |  max(day_bucket) as max_day_bucket,
+       |  min(zkey) as min_zkey, max(zkey) as max_zkey
+       |from f group by 1""".stripMargin
+  }
+
   /** Shared co-purchase edge CTEs (mirror operators/Graph
     * .coOccurrenceEdges over stg_order_items): distinct (order,
     * product) rows, then the strictly-ordered within-group self-join. */

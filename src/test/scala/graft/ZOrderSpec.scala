@@ -77,6 +77,35 @@ class ZOrderSpec extends SparkSpec {
     assert(perFile.getDouble(1) < 0.5 * 127, s"y file spans too wide: $perFile")
   }
 
+  test("zonemap catalog: every row in exactly one file, balanced cuts, sane ranges") {
+    import spark.implicits._
+    val events = (1L to 1000L).map { i =>
+      (i, new java.sql.Timestamp(86400000L * (i % 30)), i % 7,
+        "click", (i % 300).toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val zm = marts.EventMarts.zorderZonemaps(events).collect()
+    assert(zm.length === marts.EventMarts.ZonemapFiles)
+    assert(zm.map(_.getLong(1)).sum === 1000L)
+    // ntile balance: file sizes differ by at most 1
+    val sizes = zm.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    zm.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // value min <= max
+      assert(r.getLong(4) <= r.getLong(5)) // day   min <= max
+      assert(r.getLong(6) <= r.getLong(7)) // zkey  min <= max
+    }
+    // files are zkey-ordered: file 1 holds the highest keys; a tied
+    // zkey may straddle a boundary (rank tiebreak is event_id) but
+    // ranges never invert
+    val byId = zm.sortBy(_.getInt(0))
+    byId.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getLong(6) >= lo.getLong(7),
+          s"zkey ranges invert between files ${hi.getInt(0)} and ${lo.getInt(0)}")
+      case _ => ()
+    }
+  }
+
   test("weightedSample is deterministic, bounded, and a subset") {
     val docs = Tables.documents(spark, sf)
     val a = llm.Splits.weightedSample(docs)
