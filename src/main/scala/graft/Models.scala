@@ -88,20 +88,28 @@ object Models {
     * moved across the cutoff emit pre+post images. Both snapshots are
     * versions of ONE mart hash-bucketed on customer_id, so the diff's
     * full-outer join is shuffle-free (CdcSpec asserts the plan). */
+  /** "Yesterday's load" customer state: orders before the cutoff,
+    * minus a late-registration slice of the dim. Shared by the CDC
+    * and SCD2 snapshot queries. */
+  private def custStateV1(s: SparkSession, d: String): DataFrame =
+    CoreMarts.customers(
+      stgCustomers(s, d).filter(col("customer_id") % 17 =!= 3),
+      orders(s, d).filter(col("ordered_at") < lit("2000-01-01").cast("timestamp")))
+
+  /** "Today's full rebuild" customer state, minus an erasure slice. */
+  private def custStateV2(s: SparkSession, d: String): DataFrame =
+    CoreMarts.customers(
+      stgCustomers(s, d).filter(col("customer_id") % 101 =!= 7),
+      orders(s, d))
+
   def martChanges(s: SparkSession, d: String): DataFrame = {
     val name = "customers_snap"
     val bkt = Some(("customer_id", 8))
-    Mat.table(s, d, name, bucketBy = bkt)(
-      CoreMarts.customers(
-        stgCustomers(s, d).filter(col("customer_id") % 17 =!= 3),
-        orders(s, d).filter(col("ordered_at") < lit("2000-01-01").cast("timestamp"))))
+    Mat.table(s, d, name, bucketBy = bkt)(custStateV1(s, d))
     // second build = the refreshed snapshot; guarded so repeat calls
     // (bench min-of-3) keep diffing exactly v1 vs v2
     if (Mat.currentVersion(s, d, name) < 2)
-      Mat.refresh(s, d, name, bucketBy = bkt)(
-        CoreMarts.customers(
-          stgCustomers(s, d).filter(col("customer_id") % 101 =!= 7),
-          orders(s, d)))
+      Mat.refresh(s, d, name, bucketBy = bkt)(custStateV2(s, d))
     val cur = Mat.currentVersion(s, d, name)
     operators.Cdc.changes(
       Mat.tableVersion(s, d, name, cur - 1),
@@ -125,6 +133,27 @@ object Models {
     operators.Cdc.maintainAgg(baseAgg, cdc, "customer_type", "lifetime_spend")
       .withColumnRenamed("n", "n_customers")
       .withColumnRenamed("total", "total_lifetime_spend")
+  }
+
+  /** SCD TYPE-2 SNAPSHOT over the two customer states
+    * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check
+    * strategy, invalidate_hard_deletes): run 1 initializes every v1
+    * row open at the pinned clock; run 2 diffs v2 against the open
+    * rows a day later — unchanged rows carry through, changed/deleted
+    * rows close at t2, new versions/keys open at t2. The oracle
+    * reconstructs the same open/closed/carried row set with
+    * per-column IS DISTINCT FROM. Timestamps are built as explicit
+    * UTC instants so the literal renders identically under any JVM
+    * default zone (sessions pin UTC). */
+  def customersScd2(s: SparkSession, d: String): DataFrame = {
+    def utcTs(str: String) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(str).toInstant(java.time.ZoneOffset.UTC))
+    val t1 = utcTs("2001-08-15T00:00:00")
+    val t2 = utcTs("2001-08-16T00:00:00")
+    val v1 = custStateV1(s, d)
+    val checkCols = v1.columns.filterNot(_ == "customer_id").toSeq
+    operators.Snapshot.run(operators.Snapshot.init(v1, t1),
+      custStateV2(s, d), "customer_id", checkCols, t2)
   }
 
   /** STREAMING incremental view maintenance ([[streaming.Streams.ivmAggStream]]):

@@ -36,6 +36,9 @@ object SparkEntry {
     // incremental view maintenance: v1's stored aggregate + the
     // Δ-sized feed == v2's aggregate, never a full re-aggregation
     "cdc_incremental_agg" -> out(Models.cdcIncrementalAgg),
+    // SCD2 snapshot (dbt snapshot, check strategy) over the same
+    // two customer states: carried/closed/opened version rows
+    "customers_scd2" -> out(Models.customersScd2),
     // analytics marts (A12-A18, W2-W4, J8-J16)
     "products" -> out(Models.products),
     "locations" -> out(Models.locations),
@@ -275,6 +278,7 @@ object SparkEntry {
     "customers" -> Sql.customersQ,
     "mart_cdc" -> Sql.martCdcQ,
     "cdc_incremental_agg" -> Sql.cdcIncrementalAggQ,
+    "customers_scd2" -> Sql.customersScd2Q,
     "products" -> Sql.productsQ,
     "locations" -> Sql.locationsQ,
     "supplies" -> Sql.suppliesQ,

@@ -761,6 +761,42 @@ object Sql {
         "lifetime_tax_paid", "lifetime_spend", "lifetime_cost")}""".stripMargin
   }
 
+  /** Mirror Models.customersScd2 / operators.Snapshot: init(v1, t1)
+    * then run(v2, t2) — carried rows keep (t1, null), changed/deleted
+    * v1 rows close at t2, new keys and new versions open at t2.
+    * Change detection is the same all-non-key-column null-safe
+    * comparison (IS DISTINCT FROM ≡ Spark's md5-digest inequality). */
+  val customersScd2Q: String = {
+    val nonKeys = Seq("customer_name", "location_id", "account_balance",
+      "market_segment", "count_lifetime_orders", "first_ordered_at",
+      "last_ordered_at", "lifetime_spend_pretax", "lifetime_tax_paid",
+      "lifetime_spend", "lifetime_cost", "customer_type")
+    val differs = nonKeys.map(c => s"b.$c is distinct from a.$c").mkString(" or ")
+    s"""$coreCtes,
+       |$snapshotCtes,
+       |scd2 as (
+       |  -- carried: in both states, unchanged -> still open from t1
+       |  select b.*, timestamp '2001-08-15 00:00:00' as dbt_valid_from,
+       |    cast(null as timestamp) as dbt_valid_to
+       |  from cust_v1 b join cust_v2 a using (customer_id)
+       |  where not ($differs)
+       |  union all
+       |  -- closed: v1 rows whose key changed or vanished
+       |  select b.*, timestamp '2001-08-15 00:00:00' as dbt_valid_from,
+       |    timestamp '2001-08-16 00:00:00' as dbt_valid_to
+       |  from cust_v1 b left join cust_v2 a using (customer_id)
+       |  where a.customer_id is null or $differs
+       |  union all
+       |  -- opened: new keys and new versions of changed keys
+       |  select a.*, timestamp '2001-08-16 00:00:00' as dbt_valid_from,
+       |    cast(null as timestamp) as dbt_valid_to
+       |  from cust_v2 a left join cust_v1 b using (customer_id)
+       |  where b.customer_id is null or $differs
+       |)
+       |${asDouble("scd2", "account_balance", "lifetime_spend_pretax",
+        "lifetime_tax_paid", "lifetime_spend", "lifetime_cost")}""".stripMargin
+  }
+
   /** Mirror Models.cdcIncrementalAgg: the maintained aggregate must
     * equal a straight re-aggregation of the AFTER snapshot — the IVM
     * invariant, enforced by the hash gate itself. */
