@@ -135,6 +135,12 @@ object Models {
       .withColumnRenamed("total", "total_lifetime_spend")
   }
 
+  /** STREAMING sketch maintenance: per-day HLL registers built per
+    * micro-batch, merged register-wise at read (associative — no
+    * state chaining), estimated per day. */
+  def streamHllUsers(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.hllSketchStreamOnce(s, d)
+
   /** SCD TYPE-2 SNAPSHOT over the two customer states
     * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check
     * strategy, invalidate_hard_deletes): run 1 initializes every v1

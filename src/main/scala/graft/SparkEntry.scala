@@ -180,6 +180,9 @@ object SparkEntry {
     // maintained per micro-batch by the CDC delta rule; the oracle
     // re-aggregates from scratch (maintained == recomputed gate)
     "stream_ivm_agg" -> out(Models.streamIvmAgg),
+    // streaming sketch maintenance: per-batch HLL registers merged
+    // register-wise at read; oracle builds each day's sketch directly
+    "stream_hll_users" -> out(Models.streamHllUsers),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -369,6 +372,7 @@ object SparkEntry {
     "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
     "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
+    "stream_hll_users" -> OpsSql.streamHllUsersQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

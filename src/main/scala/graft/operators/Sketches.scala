@@ -56,6 +56,18 @@ object Sketches {
           .otherwise(lit(HllW + 1) - length(bin(col("__w")))))
     val perReg = regs.groupBy(gs :+ col("__reg"): _*)
       .agg(max(col("__rho")).as("__mj"))
+    hllEstimateFromRegistersBy(perReg, groupCols)
+  }
+
+  /** Per-group estimate from a grouped register table
+    * (groupCols ++ (__reg, __mj)) — the read path over STORED /
+    * merged sketches; empty groupCols gives the one-row global
+    * estimate. Same arithmetic as the object doc describes: exact
+    * long harmonic sum, one final double division, quantized-ln
+    * linear-counting branch. */
+  def hllEstimateFromRegistersBy(perReg: DataFrame,
+                                 groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
     // scaled harmonic term 2^(W+1-Mj): exact long arithmetic
     val summed = perReg.groupBy(gs: _*).agg(
       sum(expr(s"shiftleft(1L, ${HllW + 1} - __mj)")).as("__ssum"),
@@ -120,22 +132,8 @@ object Sketches {
   /** One-row estimate from a merged `(__reg, __mj)` register table —
     * the standard HLL estimator with the quantized-ln linear-counting
     * branch (see object doc). */
-  def hllEstimateFromRegisters(merged: DataFrame): DataFrame = {
-    val summed = merged.agg(
-      sum(expr(s"shiftleft(1L, ${HllW + 1} - __mj)")).as("__ssum"),
-      count(lit(1)).as("__nreg"))
-    val zeros = lit(HllM.toLong) - col("__nreg")
-    val rawEst = lit(HllAlpha * HllM * HllM) * lit(math.pow(2.0, HllW + 1)) /
-      (col("__ssum") + zeros * lit(1L << (HllW + 1))).cast("double")
-    val linEst = (log(lit(HllM.toDouble) / zeros.cast("double")) * lit(HllM.toDouble))
-      .cast(DecimalType(18, 9)).cast("double")
-    summed
-      .withColumn("__raw", rawEst)
-      .withColumn("hll_estimate",
-        when(zeros > 0 && col("__raw") <= lit(2.5 * HllM), linEst)
-          .otherwise(col("__raw")))
-      .select(col("hll_estimate"))
-  }
+  def hllEstimateFromRegisters(merged: DataFrame): DataFrame =
+    hllEstimateFromRegistersBy(merged, Seq.empty)
 
   def hllMergedDistinct(df: DataFrame, partCol: String, keyExpr: Column): DataFrame = {
     // the per-partition sketches (≤ m rows each)...

@@ -292,6 +292,43 @@ object OpsSql {
        |from ex join est using (event_type)""".stripMargin
   }
 
+  /** Mirror Streams.hllSketchStreamOnce: per-DAY sketches built
+    * directly from the whole events table — the streaming path's
+    * merged per-batch registers must equal this bit-for-bit (max is
+    * associative/commutative, so batch split points cannot matter). */
+  val streamHllUsersQ: String = {
+    import Sketches.{HllAlpha, HllM, HllP, HllW}
+    val w1 = HllW + 1
+    s"""with h as (
+       |  select cast(ts as date) as day,
+       |    cast(('0x' || substr(md5('hll|' || cast(user_id as varchar)),1,15)) as bigint) as h
+       |  from events
+       |),
+       |r as (select day, h % $HllM as reg, h >> $HllP as w from h),
+       |mj as (
+       |  select day, reg,
+       |    max(case when w = 0 then $w1 else $w1 - length(bin(w)) end) as m_j
+       |  from r group by 1, 2
+       |),
+       |s as (
+       |  select day, sum(cast(1 as bigint) << ($w1 - m_j)) as ssum,
+       |    count(*) as nreg
+       |  from mj group by 1
+       |),
+       |est as (
+       |  select day, $HllM - nreg as zeros,
+       |    ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |      / cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as raw
+       |  from s
+       |)
+       |select day,
+       |  case when zeros > 0 and raw <= ${2.5 * HllM}
+       |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+       |           as decimal(18,9)) as double)
+       |    else raw end as hll_estimate
+       |from est""".stripMargin
+  }
+
   /** Mirror EventMarts.hllOverlapUsers: inclusion-exclusion over three
     * HLLs built by the same integer pipeline as [[hllUserCountsQ]] —
     * est(A), est(B), and est(A∪B) from the register-wise max across

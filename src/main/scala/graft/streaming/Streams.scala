@@ -1141,4 +1141,66 @@ object Streams {
     """select event_type, count(*) as n_events,
       |  cast(sum(cast(value as decimal(18,6))) as double) as total_value
       |from events group by 1""".stripMargin
+
+  /** STREAMING SKETCH MAINTENANCE — per-day HLL distinct users kept
+    * up to date as events ARRIVE: each micro-batch builds its own
+    * (day, register, max-rho) table ([[graft.operators.Sketches.hllRegisters]] —
+    * batch-local work, ≤ m rows per day touched) into a batchId-keyed
+    * exactly-once sink, and the serving read merges every committed
+    * batch's registers by per-register max before estimating. Because
+    * the merge is associative and commutative, batches need NO
+    * sequential state chaining (unlike [[ivmAggStream]]) — a replayed
+    * batch just rewrites identical registers, and the merged sketch
+    * equals the directly-built one bit-for-bit, which is exactly what
+    * the oracle asserts (it builds each day's sketch straight from
+    * the whole events table).
+    *
+    * At 100 TB this is THE streaming-uniques pattern: the state is
+    * days × m longs regardless of traffic, raw values are never
+    * revisited, and any date-range distinct is a register merge over
+    * the stored per-batch sketches ([[graft.marts.EventMarts.hllRangeUsers]]
+    * is the batch read path over the same store). */
+  def hllSketchStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-shll",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    hllSketchStream(spark, adaptiveEventsStream(spark, sfDir),
+      scratch.toString, "stream_hll_users")
+  }
+
+  /** Core of the streaming sketch maintenance, shared by the
+    * registered query and the multi-batch spec. `events` must carry
+    * (ts, user_id). */
+  def hllSketchStream(spark: SparkSession, events: DataFrame,
+                      scratchDir: String,
+                      progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    val regsDir = s"$scratchDir/regs"
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.hllRegisters(batch,
+            to_date(col("ts")), "day",
+            concat(lit("hll|"), col("user_id").cast("string")))
+          .write.mode("overwrite").parquet(s"$regsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val fs = new Path(regsDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedKeyedDirs(fs, regsDir, Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "day date, hll_estimate double"))
+    else {
+      val merged = spark.read.parquet(dirs: _*)
+        .groupBy(col("day"), col("__reg")).agg(max(col("__mj")).as("__mj"))
+      graft.operators.Sketches.hllEstimateFromRegistersBy(merged, Seq("day"))
+    }
+  }
 }

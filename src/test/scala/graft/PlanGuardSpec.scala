@@ -32,6 +32,9 @@ class PlanGuardSpec extends SparkSpec {
     "doc_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
     "domain_mixture",
+    // |domains| isqrt-weight rows × ONE broadcast (wtot, total) row
+    // (Mixture.temperatureRebalance)
+    "mixture_temperature",
     // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
     "hist_quantiles",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
@@ -55,6 +58,8 @@ class PlanGuardSpec extends SparkSpec {
     // live globalRank offset join + corpus × ONE broadcast total row
     // (Quantiles.exactBuckets)
     "customer_value_deciles",
+    // the same live exactBuckets shape over predictions / zorder keys
+    "quality_calibration", "zorder_zonemaps",
     // truth-side counts row × ONE broadcast candidate-count row
     // (Dedup.lshRecallStats)
     "dedup_lsh_recall",
