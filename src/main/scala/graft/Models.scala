@@ -135,6 +135,13 @@ object Models {
       .withColumnRenamed("total", "total_lifetime_spend")
   }
 
+  /** Exact-arithmetic Pearson correlation matrix over the order money
+    * columns ([[operators.Stats.corrMatrix]] — Spark's own `corr` is
+    * partition-order dependent and can't pass a differential gate). */
+  def orderCorrelations(s: SparkSession, d: String): DataFrame =
+    operators.Stats.corrMatrix(stgOrders(s, d),
+      Seq("order_total", "subtotal", "tax_paid"))
+
   /** STREAMING sketch maintenance: per-day HLL registers built per
     * micro-batch, merged register-wise at read (associative — no
     * state chaining), estimated per day. */

@@ -116,12 +116,13 @@ object Scale {
     "text_stats", "lang_confusion", "top_docs_per_lang", "bm25_scores",
     "tfidf_top_terms", "doc_surprisal", "bigram_surprisal", "vocab_coverage",
     "bpe_merges", "bpe_token_counts", "doc_chunks", "doc_repetition",
-    "pack_sequences", "documents_profile", "corpus_curation",
-    "training_corpus", "decontamination", "dataset_splits", "epoch_shuffle",
-    "weighted_sample",
+    "pack_sequences", "length_bucketed_batches", "documents_profile",
+    "corpus_curation", "training_corpus", "decontamination",
+    "dataset_splits", "epoch_shuffle", "weighted_sample",
+    "mixture_temperature",
     // retrieval + trained-classifier stack (r11)
     "doc_embeddings", "hybrid_search", "quality_weights",
-    "quality_predictions", "quality_eval",
+    "quality_predictions", "quality_eval", "quality_calibration",
     // multimodal codec pipeline (CPU-bound decode spread)
     "media_features", "media_resized", "media_frames",
     // ANN over embeddings
@@ -136,7 +137,8 @@ object Scale {
     "hll_overlap_users", "cms_heavy_hitters", "sessionize",
     "session_window_agg", "event_funnel", "events_asof_purchase",
     "events_asof_next_purchase", "event_props_stats", "hist_quantiles",
-    "value_percentiles", "value_band_stats", "stratified_sample")
+    "value_percentiles", "value_band_stats", "stratified_sample",
+    "zorder_keys", "zorder_zonemaps")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

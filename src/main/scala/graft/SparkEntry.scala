@@ -229,6 +229,8 @@ object SparkEntry {
     "copurchase_communities" -> out(Models.copurchaseCommunities),
     // one-pass exact column profile (catalog/dq audit surface)
     "orders_profile" -> out(Models.ordersProfile),
+    // exact-moment Pearson correlation matrix (order-independent)
+    "order_correlations" -> out(Models.orderCorrelations),
     "documents_profile" -> out(Models.documentsProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
@@ -404,6 +406,7 @@ object SparkEntry {
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
     "orders_profile" -> Sql.ordersProfileQ,
+    "order_correlations" -> Sql.orderCorrelationsQ,
     "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,

@@ -761,6 +761,36 @@ object Sql {
         "lifetime_tax_paid", "lifetime_spend", "lifetime_cost")}""".stripMargin
   }
 
+  /** Mirror operators/Stats.corrMatrix over stg_orders' money columns:
+    * exact unscaled cents as HUGEINT (int128 — a width-≤18 decimal
+    * multiply overflows DuckDB's int64 lanes), one-pass exact moments,
+    * and the textbook Pearson identity with the three double casts as
+    * the only floating steps — identical IEEE ops to Spark's. */
+  val orderCorrelationsQ: String = {
+    val cols = Seq("order_total", "subtotal", "tax_paid")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val centSel = cols.map(c => s"cast($c * 100 as hugeint) as $c").mkString(", ")
+    val sums = cols.flatMap(c =>
+      Seq(s"sum($c) as s_$c", s"sum($c * $c) as ss_$c")) ++
+      pairs.map { case (a, b) => s"sum($a * $b) as sp_${a}_$b" }
+    def corr(a: String, b: String) =
+      s"cast(n * sp_${a}_$b - s_$a * s_$b as double) / " +
+        s"sqrt(cast(n * ss_$a - s_$a * s_$a as double) * " +
+        s"cast(n * ss_$b - s_$b * s_$b as double))"
+    val arms = pairs.map { case (a, b) =>
+      s"select '$a' as col_x, '$b' as col_y, n, ${corr(a, b)} as corr from s"
+    }.mkString("\nunion all\n")
+    s"""$stagingCtes,
+       |c as (
+       |  select $centSel from stg_orders
+       |  where ${cols.map(c => s"$c is not null").mkString(" and ")}
+       |),
+       |s as (select count(*) as n, ${sums.mkString(", ")} from c)
+       |$arms""".stripMargin
+  }
+
   /** Mirror Models.customersScd2 / operators.Snapshot: init(v1, t1)
     * then run(v2, t2) — carried rows keep (t1, null), changed/deleted
     * v1 rows close at t2, new keys and new versions open at t2.
