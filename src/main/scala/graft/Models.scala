@@ -142,6 +142,11 @@ object Models {
     operators.Stats.corrMatrix(stgOrders(s, d),
       Seq("order_total", "subtotal", "tax_paid"))
 
+  /** One-row join-key skew profile of events.user_id — the pre-flight
+    * the salted skew join / AQE threshold choice reads. */
+  def eventKeySkew(s: SparkSession, d: String): DataFrame =
+    operators.Stats.keySkewProfile(Tables.events(s, d), "user_id")
+
   /** STREAMING sketch maintenance: per-day HLL registers built per
     * micro-batch, merged register-wise at read (associative — no
     * state chaining), estimated per day. */

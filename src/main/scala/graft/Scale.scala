@@ -138,7 +138,7 @@ object Scale {
     "session_window_agg", "event_funnel", "events_asof_purchase",
     "events_asof_next_purchase", "event_props_stats", "hist_quantiles",
     "value_percentiles", "value_band_stats", "stratified_sample",
-    "zorder_keys", "zorder_zonemaps")
+    "zorder_keys", "zorder_zonemaps", "event_key_skew")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

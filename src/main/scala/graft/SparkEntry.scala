@@ -231,6 +231,8 @@ object SparkEntry {
     "orders_profile" -> out(Models.ordersProfile),
     // exact-moment Pearson correlation matrix (order-independent)
     "order_correlations" -> out(Models.orderCorrelations),
+    // one-row key-skew profile (the salt-or-broadcast pre-flight)
+    "event_key_skew" -> out(Models.eventKeySkew),
     "documents_profile" -> out(Models.documentsProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
@@ -407,6 +409,7 @@ object SparkEntry {
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,
+    "event_key_skew" -> OpsSql.eventKeySkewQ,
     "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Exact-arithmetic Pearson CORRELATION MATRIX over cent-scaled money
   * columns — the numeric-profiling companion to [[Profile]]: which
@@ -61,5 +62,38 @@ object Stats {
       stats.select(lit(a).as("col_x"), lit(b).as("col_y"),
         col("n"), corrOf(a, b).as("corr"))
     }.reduce(_ unionByName _)
+  }
+
+  /** JOIN-KEY SKEW PROFILE — the pre-flight check before choosing a
+    * join/partitioning strategy for a key ([[SkewJoin]] salting, AQE
+    * skew thresholds, bucket counts): per-key row counts reduced to
+    * one row of distribution shape — key/row totals, min/max,
+    * interpolated count percentiles (through the decimal(18,9)
+    * quantization the percentile family uses, absorbing last-ulp
+    * interpolation divergence), and `skew_ratio` = max/mean — 1.0 is
+    * perfectly uniform; the classic salt-or-broadcast trigger is
+    * ratio ≫ 1 with a fat p99.
+    *
+    * Scale: one map-side-combined count per key (the groupBy every
+    * join on this key pays anyway), then a single-row global rollup
+    * over |keys| counts. The global percentile sorts one long per
+    * key — the [[graft.marts.EventMarts.valuePercentiles]] trade,
+    * acceptable because the profile input is already key-grain. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    def q(c: Column) = c.cast(DecimalType(18, 9)).cast("double")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("__c").as("n_rows"),
+        min("__c").as("min_count"),
+        max("__c").as("max_count"),
+        expr("percentile(__c, array(0.5D, 0.9D, 0.99D))").as("__p"))
+      .select(col("n_keys"), col("n_rows").cast("long").as("n_rows"),
+        col("min_count"), col("max_count"),
+        q(element_at(col("__p"), 1)).as("p50_count"),
+        q(element_at(col("__p"), 2)).as("p90_count"),
+        q(element_at(col("__p"), 3)).as("p99_count"),
+        ((col("max_count") * col("n_keys")).cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
   }
 }

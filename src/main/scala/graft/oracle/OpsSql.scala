@@ -292,6 +292,19 @@ object OpsSql {
        |from ex join est using (event_type)""".stripMargin
   }
 
+  /** Mirror operators/Stats.keySkewProfile over events.user_id: the
+    * same per-key counts, exact long totals, quantized interpolated
+    * percentiles, and max/mean as one double division. */
+  val eventKeySkewQ: String =
+    """with c as (select user_id, count(*) as c from events group by 1)
+      |select count(*) as n_keys, cast(sum(c) as bigint) as n_rows,
+      |  min(c) as min_count, max(c) as max_count,
+      |  cast(cast(quantile_cont(c, 0.5) as decimal(18,9)) as double) as p50_count,
+      |  cast(cast(quantile_cont(c, 0.9) as decimal(18,9)) as double) as p90_count,
+      |  cast(cast(quantile_cont(c, 0.99) as decimal(18,9)) as double) as p99_count,
+      |  cast(max(c) * count(*) as double) / cast(sum(c) as double) as skew_ratio
+      |from c""".stripMargin
+
   /** Mirror Streams.hllSketchStreamOnce: per-DAY sketches built
     * directly from the whole events table — the streaming path's
     * merged per-batch registers must equal this bit-for-bit (max is

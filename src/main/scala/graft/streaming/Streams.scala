@@ -1064,8 +1064,10 @@ object Streams {
     *
     * State lives in an exactly-once keyed parquet sink: batch b reads
     * the latest committed `agg/batch=<id < b>` snapshot (falling
-    * back to the caller's base aggregate), merges its own rows as
-    * +1-weighted inserts, and overwrites `agg/batch=b` — a
+    * back to the caller's base aggregate), merges its own rows through
+    * the delta rule (a feed carrying `_change_type` applies as a full
+    * CDC stream — deletes and update pre-images retract; a bare feed
+    * is all-inserts ingest), and overwrites `agg/batch=b` — a
     * crash-replayed batch reads exactly the state it saw first and
     * rewrites identical content (the [[incrementalDedupStream]]
     * convention). The maintained total is cast back to the base
@@ -1095,8 +1097,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s2 = batch.sparkSession
         val fs = new Path(aggDir).getFileSystem(s2.sessionState.newHadoopConf())
-        val cdc = batch.select(col(groupKey), col(valueCol))
-          .withColumn("_change_type", lit("insert"))
+        // a feed already carrying _change_type is a full CDC stream
+        // (inserts, deletes, update pre/post images — the Delta-CDF
+        // apply case); a bare feed is treated as all-inserts ingest
+        val cdc =
+          if (batch.columns.contains("_change_type"))
+            batch.select(col(groupKey), col(valueCol), col("_change_type"))
+          else batch.select(col(groupKey), col(valueCol))
+            .withColumn("_change_type", lit("insert"))
         graft.operators.Cdc.maintainAgg(latestState(s2, fs, batchId), cdc,
             groupKey, valueCol)
           .select(col(groupKey), col("n"), col("total").cast(totType).as("total"))

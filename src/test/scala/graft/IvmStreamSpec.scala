@@ -77,4 +77,53 @@ class IvmStreamSpec extends SparkSpec {
       .toMap
     assert(again == got)
   }
+
+  /** A feed carrying `_change_type` applies as a FULL CDC stream:
+    * deletes and update pre-images retract, groups maintained to
+    * count 0 vanish — the Delta-CDF → materialized-view apply path. */
+  test("a _change_type feed applies deletes and update images through the delta rule") {
+    val dir = Files.createTempDirectory("graft-ivmcdc")
+    val ingest = dir.resolve("in")
+    val scratch = dir.resolve("scratch").toString
+    val t0 = System.currentTimeMillis() - 60000
+    def stageCdc(fileName: String, mtime: Long,
+                 rows: Seq[(String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-ivmcdcstage")
+      rows.toDF("event_type", "value", "_change_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.createDirectories(ingest)
+      val dst = ingest.resolve(fileName)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    // base: click ×2 (3.50), view ×1 (3.25)
+    val base = Seq(("click", 1.5), ("click", 2.0), ("view", 3.25))
+      .toDF("event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("total"))
+    // batch 0: one click's value revised 1.50 -> 1.75 (pre+post pair)
+    stageCdc("f1.parquet", t0, Seq(
+      ("click", 1.5, "update_preimage"), ("click", 1.75, "update_postimage")))
+    // batch 1: the whole view group deleted, a purchase inserted
+    stageCdc("f2.parquet", t0 + 30000, Seq(
+      ("view", 3.25, "delete"), ("purchase", 9.0, "insert")))
+    val feed = spark.readStream
+      .schema("event_type string, value double, _change_type string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+      .select(col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("value"),
+        col("_change_type"))
+    val got = streaming.Streams.ivmAggStream(spark, feed, scratch,
+        base, "event_type", "value", "spec_ivm_cdc")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+      .toMap
+    assert(got == Map(
+      "click" -> ((2L, "3.750000")),    // 1.75 + 2.00 after the revision
+      "purchase" -> ((1L, "9.000000"))))
+    assert(!got.contains("view"))       // maintained count hit 0 -> dropped
+  }
 }

@@ -29,6 +29,21 @@ class StatsSpec extends SparkSpec {
     assert(got(("b", "c")) == ((3L, -1.0)))
   }
 
+  test("key-skew profile: hand-computed shape stats on a skewed fixture") {
+    // keys: a x4, b x2, c x1, d x1 -> counts [1,1,2,4]
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Stats.keySkewProfile(df, "k").head()
+    assert(r.getLong(0) === 4L)        // n_keys
+    assert(r.getLong(1) === 8L)        // n_rows
+    assert(r.getLong(2) === 1L)        // min
+    assert(r.getLong(3) === 4L)        // max
+    assert(r.getDouble(4) === 1.5)     // p50 of [1,1,2,4]
+    assert(r.getDouble(5) === 3.4)     // p90: 2 + 0.7*(4-2)
+    assert(math.abs(r.getDouble(6) - 3.94) < 1e-9) // p99
+    assert(r.getDouble(7) === 2.0)     // skew: max/mean = 4/(8/4)
+  }
+
   test("rows with any null measure are excluded from every moment") {
     val df = Seq(
       (Some(BigDecimal("1.00")), Some(BigDecimal("2.00"))),
