@@ -646,6 +646,10 @@ object Models {
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(
       llm.Relevance.unigramSurprisal(Tables.documents(s, d)))
+  /** Held-out LM eval: Laplace-smoothed unigram model from the train
+    * split scoring the validation split (no leakage by construction). */
+  def heldoutSurprisal(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.heldoutSurprisal(Tables.documents(s, d))
   /** Mat'd: the corpus bigram model re-trained per read otherwise
     * (1.9 s warm in the r6 bench). */
   def bigramSurprisalMat(s: SparkSession, d: String): DataFrame =

@@ -147,6 +147,8 @@ object SparkEntry {
     "quality_calibration" -> out(Models.qualityCalibration),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
+    // held-out LM eval: train-split Laplace model scores validation
+    "heldout_surprisal" -> out(Models.heldoutSurprisal),
     // difficulty quartile per doc (curriculum order, sketch thresholds)
     "curriculum_bins" -> out(Models.curriculumBins),
     "event_props_stats" -> out(Models.eventPropsStats),
@@ -363,6 +365,7 @@ object SparkEntry {
     "quality_eval" -> LlmSql.qualityEvalQ,
     "quality_calibration" -> LlmSql.qualityCalibrationQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
+    "heldout_surprisal" -> LlmSql.heldoutSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,
     "event_props_stats" -> OpsSql.eventPropsStatsQ,
     "session_window_agg" -> OpsSql.sessionWindowAggQ,

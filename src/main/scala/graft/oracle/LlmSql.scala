@@ -1067,6 +1067,44 @@ object LlmSql {
        |    / cast(cast(sum(tf) as bigint) as double) as avg_nll
        |from us_nll group by 1""".stripMargin
 
+  /** Mirror Relevance.heldoutSurprisal: the Laplace-smoothed unigram
+    * model from TRAIN-split counts only, scoring VALIDATION docs —
+    * same salted split buckets, quantized ln, exact decimal sums,
+    * string→double presentation, one IEEE division. */
+  val heldoutSurprisalQ: String = {
+    import graft.llm.Splits.{Salt, TrainPct, ValidationPct}
+    val b = s"${hex60(s"'$Salt' || cast(doc_id as varchar)")} % 100"
+    s"""with $textCtes,
+       |ho_split as (select doc_id, $b as b from documents),
+       |ho_tf as (
+       |  select doc_id, term, count(*) as tf from (
+       |    select doc_id, unnest(w) as term from doc_words
+       |  ) t group by 1, 2
+       |),
+       |ho_cnt as (
+       |  select term, cast(sum(tf) as bigint) as cnt
+       |  from ho_tf join ho_split using (doc_id)
+       |  where b < $TrainPct group by 1
+       |),
+       |ho_stats as (select cast(sum(cnt) as bigint) as tt,
+       |                    count(*) as tv from ho_cnt),
+       |ho_nll as (
+       |  select f.doc_id, f.tf, c.cnt,
+       |    cast(ln(cast(tt + tv + 1 as double)
+       |        / cast(coalesce(cnt, 0) + 1 as double))
+       |      as decimal(18,9)) as nll
+       |  from ho_tf f join ho_split s using (doc_id)
+       |  left join ho_cnt c using (term) cross join ho_stats
+       |  where s.b >= $TrainPct and s.b < ${TrainPct + ValidationPct}
+       |)
+       |select doc_id,
+       |  cast(sum(tf) as bigint) as n_tokens,
+       |  cast(sum(case when cnt is null then tf else 0 end) as bigint) as oov_tokens,
+       |  cast(cast(sum(nll * tf) as varchar) as double)
+       |    / cast(cast(sum(tf) as bigint) as double) as avg_nll
+       |from ho_nll group by 1""".stripMargin
+  }
+
   /** Mirror Models.curriculumBins: the unigram-surprisal oracle as a
     * derived table, the SAME equi-width histogram-quantile machinery
     * as OpsSql.histQuantilesQ (generated from the same HistBins
@@ -1767,7 +1805,8 @@ object LlmSql {
       .mkString("\n    + ")
     s"""with $textCtes,
        |hq as (select doc_id as query_doc_id, term, rank
-       |       from ($tfidfTopTermsQ) t where doc_id % 29 = 3),
+       |       from ($tfidfTopTermsQ) t
+       |       where doc_id % 29 = 3 and doc_id < ${graft.llm.HashEmbed.QueryIdBound}),
        |hdl as (select doc_id, cast(len(w) as bigint) as dl from doc_words),
        |hcorp as (select count(*) as n_docs, sum(dl) as total_len from hdl),
        |htf as (
@@ -1811,7 +1850,7 @@ object LlmSql {
        |  select a.doc_id as query_doc_id, b.doc_id as doc_id,
        |    sum(a.v * b.v) as dot
        |  from hv a join hv b on a.bucket = b.bucket
-       |  where a.doc_id % 29 = 3 and b.doc_id != a.doc_id
+       |  where a.doc_id % 29 = 3 and a.doc_id < ${graft.llm.HashEmbed.QueryIdBound} and b.doc_id != a.doc_id
        |  group by 1, 2
        |),
        |hsem as (
@@ -1820,7 +1859,7 @@ object LlmSql {
        |      / (sqrt(cast(c.nrm as double)) * sqrt(cast(q.nrm as double))) as cos
        |  from hnrm q join hnrm c on c.doc_id != q.doc_id
        |  left join hdot d on d.query_doc_id = q.doc_id and d.doc_id = c.doc_id
-       |  where q.doc_id % 29 = 3
+       |  where q.doc_id % 29 = 3 and q.doc_id < ${graft.llm.HashEmbed.QueryIdBound}
        |),
        |hsemtop as (
        |  select query_doc_id, doc_id, cast(rn as int) as sem_rank from (

@@ -67,6 +67,40 @@ class LlmSpec extends SparkSpec {
     assert(full.filter(col("split") === "validation").count() > 0)
   }
 
+  test("heldout surprisal: validation-only output, exact OOV floor, no leakage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // split assignment is the salted hash — discover which ids land
+    // where, then plant controlled docs on discovered ids
+    val ids = (1L to 400L).toDF("doc_id")
+    val assigned = llm.Splits.assign(ids).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainIds = assigned.filter(_._2 == "train").keys.take(3).toSeq
+    val valIds = assigned.filter(_._2 == "validation").keys.take(2).toSeq
+    assume(trainIds.size == 3 && valIds.size == 2)
+    val docs = (
+      trainIds.map(i => (i, "alpha beta gamma")) :+
+        (valIds(0), "alpha beta") :+          // fully in-vocab
+        (valIds(1), "zeta zeta")              // fully OOV
+      ).map { case (i, t) => (i, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = llm.Relevance.heldoutSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == valIds.toSet) // train/test docs never scored
+    // train model: T = 9 tokens, V = 3 terms, each cnt = 3
+    val inNll = BigDecimal(math.log((9 + 3 + 1).toDouble / 4.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oovNll = BigDecimal(math.log(13.0 / 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (n0, oov0, nll0) = got(valIds(0))
+    assert(n0 == 2L && oov0 == 0L)
+    assert(math.abs(nll0 - inNll) < 1e-12)
+    val (n1, oov1, nll1) = got(valIds(1))
+    assert(n1 == 2L && oov1 == 2L) // every token unseen
+    assert(math.abs(nll1 - oovNll) < 1e-12)
+  }
+
   test("bm25: positive bounded scores, only term-matching docs emitted") {
     val s = Models.bm25Scores(spark, sf)
     assert(s.count() > 0)

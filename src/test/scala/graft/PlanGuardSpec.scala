@@ -30,6 +30,8 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_datasheet",
     // |vocab-join rows| × ONE broadcast corpus-total row
     "doc_surprisal",
+    // validation tf rows × ONE broadcast train-stats row
+    "heldout_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
     "domain_mixture",
     // |domains| isqrt-weight rows × ONE broadcast (wtot, total) row
