@@ -646,6 +646,9 @@ object Models {
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(
       llm.Relevance.unigramSurprisal(Tables.documents(s, d)))
+  /** Heaps'-law vocabulary growth by corpus decile. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.vocabGrowth(Tables.documents(s, d))
   /** Held-out LM eval: Laplace-smoothed unigram model from the train
     * split scoring the validation split (no leakage by construction). */
   def heldoutSurprisal(s: SparkSession, d: String): DataFrame =

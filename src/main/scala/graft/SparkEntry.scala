@@ -258,6 +258,8 @@ object SparkEntry {
     "bigram_surprisal" -> out(Models.bigramSurprisalMat),
     // per-doc OOV rate vs the deterministic top-K corpus vocabulary
     "vocab_coverage" -> out(Models.vocabCoverage),
+    // Heaps'-law vocabulary growth by corpus decile
+    "vocab_growth" -> out(Models.vocabGrowth),
     // the reference's declarative test suite as one audit table
     "dq_summary" -> out(Models.dqSummary),
     // distributed BPE training: learned merges + word segmentation
@@ -425,6 +427,7 @@ object SparkEntry {
     "name_match_clusters" -> LlmSql.nameMatchClustersQ,
     "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
     "vocab_coverage" -> LlmSql.vocabCoverageQ,
+    "vocab_growth" -> LlmSql.vocabGrowthQ,
     "dq_summary" -> Sql.dqSummaryQ,
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,

@@ -177,6 +177,43 @@ object TextStats {
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law profile) — how fast the
+    * distinct-term count grows as the corpus is consumed in doc_id
+    * order, by decile: per decile the doc/token mass, the number of
+    * terms FIRST seen there, and the cumulative vocabulary. The
+    * corpus-planning read: a flattening curve says more data buys
+    * few new types (dedup/crawl-rotation signal); a steep tail says
+    * the vocabulary (and any hash-embedding dimensionality) is not
+    * yet saturated.
+    *
+    * Deciles come from the two-phase [[graft.operators.Quantiles.exactBuckets]]
+    * (metric −doc_id ≡ ascending ntile — byte-identical to the
+    * oracle's window form); first-seen is one min per term (the
+    * vocabulary-bounded aggregate every tf pass pays anyway); the
+    * cumulative sum is a window over exactly 10 rows. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = graft.operators.Quantiles
+      .exactBuckets(documents.select("doc_id"), "doc_id",
+        col("doc_id") * -1, 10)
+      .select(col("doc_id"), col("bucket"))
+    val toks = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .join(buckets, Seq("doc_id"))
+    val newTerms = toks.groupBy("term")
+      .agg(min("bucket").as("first_bucket"))
+      .groupBy("first_bucket").agg(count(lit(1)).as("new_terms"))
+    toks.groupBy("bucket")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+      .join(newTerms, col("bucket") === col("first_bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_terms", sum("new_terms").over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** `stats`: the (Mat'd) [[textStats]] output — passed in so the
     * barrier is shared with every other text_stats consumer. */
   def topDocsPerLang(stats: DataFrame): DataFrame =

@@ -1067,6 +1067,36 @@ object LlmSql {
        |    / cast(cast(sum(tf) as bigint) as double) as avg_nll
        |from us_nll group by 1""".stripMargin
 
+  /** Mirror TextStats.vocabGrowth: ascending ntile(10) deciles of
+    * doc_id (the engine's exactBuckets on −doc_id), first-seen bucket
+    * per term, per-decile mass + new terms, 10-row cumulative sum. */
+  val vocabGrowthQ: String =
+    s"""with $textCtes,
+       |vg_b as (
+       |  select doc_id, cast(ntile(10) over (order by doc_id) as int) as bucket
+       |  from documents
+       |),
+       |vg_t as (
+       |  select t.doc_id, term, bucket
+       |  from (select doc_id, unnest(w) as term from doc_words) t
+       |  join vg_b using (doc_id)
+       |),
+       |vg_new as (
+       |  select first_bucket as bucket, count(*) as new_terms from (
+       |    select term, min(bucket) as first_bucket from vg_t group by 1
+       |  ) t group by 1
+       |),
+       |vg_doc as (
+       |  select bucket, count(distinct doc_id) as n_docs,
+       |    count(*) as n_tokens
+       |  from vg_t group by 1
+       |)
+       |select d.bucket, n_docs, n_tokens,
+       |  coalesce(new_terms, 0) as new_terms,
+       |  cast(sum(coalesce(new_terms, 0)) over (order by d.bucket
+       |    rows between unbounded preceding and current row) as bigint) as cum_terms
+       |from vg_doc d left join vg_new n on d.bucket = n.bucket""".stripMargin
+
   /** Mirror Relevance.heldoutSurprisal: the Laplace-smoothed unigram
     * model from TRAIN-split counts only, scoring VALIDATION docs —
     * same salted split buckets, quantized ln, exact decimal sums,

@@ -67,6 +67,23 @@ class LlmSpec extends SparkSpec {
     assert(full.filter(col("split") === "validation").count() > 0)
   }
 
+  test("vocab growth: first-seen deciles, exact cumulative vocabulary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20 docs -> deciles of 2; each doc brings one unique term plus a
+    // shared one, so bucket 1 coins 3 types and every later bucket 2
+    val docs = (1L to 20L).map(i => (i, s"common t$i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = llm.TextStats.vocabGrowth(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == (1 to 10).toSet)
+    assert(got(1) == ((2L, 4L, 3L, 3L)))
+    (2 to 10).foreach { b =>
+      assert(got(b) == ((2L, 4L, 2L, (3 + 2 * (b - 1)).toLong)), s"bucket $b")
+    }
+  }
+
   test("heldout surprisal: validation-only output, exact OOV floor, no leakage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

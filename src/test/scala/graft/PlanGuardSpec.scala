@@ -61,7 +61,8 @@ class PlanGuardSpec extends SparkSpec {
     // (Quantiles.exactBuckets)
     "customer_value_deciles",
     // the same live exactBuckets shape over predictions / zorder keys
-    "quality_calibration", "zorder_zonemaps",
+    // / the vocab-growth doc deciles
+    "quality_calibration", "zorder_zonemaps", "vocab_growth",
     // truth-side counts row × ONE broadcast candidate-count row
     // (Dedup.lshRecallStats)
     "dedup_lsh_recall",
@@ -110,7 +111,9 @@ class PlanGuardSpec extends SparkSpec {
     // bounded by the classifier's weight·feature magnitude range,
     // ≪ corpus rows (the Mann-Whitney reduction's deliberate trade,
     // documented in QualityModel.evaluation)
-    "quality_eval")
+    "quality_eval",
+    // cumulative-vocabulary window over exactly 10 decile rows
+    "vocab_growth")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
