@@ -314,6 +314,10 @@ object Models {
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "ngram_jaccard_pairs")(
       llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d)))
+  /** Asymmetric containment pairs — the sub-document-duplication
+    * signal symmetric Jaccard hides (short doc inside a long one). */
+  def ngramContainmentPairs(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.ngramContainmentPairs(docShingleKeys(s, d))
   /** LSH banding quality: minhash candidate recall/precision against
     * the exact-Jaccard truth set (both sides read Mat'd pair tables). */
   def dedupLshRecall(s: SparkSession, d: String): DataFrame =

@@ -110,7 +110,8 @@ object Scale {
     // dedup over documents
     "dedup_exact", "dedup_normalized", "minhash_signatures", "minhash_pairs",
     "dedup_clusters", "dedup_incremental_pairs", "simhash_signatures",
-    "simhash_pairs", "ngram_jaccard_pairs", "substring_dedup",
+    "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
+    "substring_dedup",
     "source_dup_matrix", "doc_shared_ngrams",
     // text analysis / relevance / tokenization
     "text_stats", "lang_confusion", "top_docs_per_lang", "bm25_scores",

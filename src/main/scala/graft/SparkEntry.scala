@@ -81,6 +81,8 @@ object SparkEntry {
     "simhash_signatures" -> out(Models.simhashSignatures),
     "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
+    // asymmetric containment: sub-document duplication Jaccard hides
+    "ngram_containment_pairs" -> out(Models.ngramContainmentPairs),
     // LSH banding quality vs the exact-Jaccard truth set
     "dedup_lsh_recall" -> out(Models.dedupLshRecall),
     // cross-doc shared n-gram fraction (boilerplate signal)
@@ -321,6 +323,7 @@ object SparkEntry {
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,
+    "ngram_containment_pairs" -> LlmSql.ngramContainmentPairsQ,
     "dedup_lsh_recall" -> LlmSql.dedupLshRecallQ,
     "doc_shared_ngrams" -> LlmSql.docSharedNgramsQ,
     "substring_dedup" -> LlmSql.substringDedupQ,

@@ -351,7 +351,10 @@ object Dedup {
     * shingles appearing in ≤ cap documents join; the reported value is
     * the blocked-intersection Jaccard estimate. Takes the materialized
     * shingle-KEY table. */
-  def ngramJaccardPairs(docSh: DataFrame): DataFrame = {
+  /** Shared core of the exact-intersection pair family: rare-shingle
+    * blocking, ordered pair intersection counts, and both docs' set
+    * sizes — (doc_a, doc_b, n_shared, size_a, size_b). */
+  private def ngramPairStats(docSh: DataFrame): DataFrame = {
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = docSh.groupBy("shk")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -365,12 +368,41 @@ object Dedup {
       .filter(col("n_shared") >= JaccardMinIntersection)
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), Seq("doc_b"))
+  }
+
+  def ngramJaccardPairs(docSh: DataFrame): DataFrame =
+    ngramPairStats(docSh)
       .select(
         col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"), col("size_b"),
         (col("n_shared").cast("double")
           / (col("size_a") + col("size_b") - col("n_shared")).cast("double"))
           .as("jaccard_est"))
-  }
+
+  /** Containment floor for the registered pair query: a pair reports
+    * when at least [[ContainmentMin]] of the SMALLER doc's shingles
+    * appear in the other. Shared with the oracle. */
+  val ContainmentMin = 0.5
+
+  /** ASYMMETRIC CONTAINMENT pairs — the sub-document-duplication
+    * signal symmetric Jaccard hides: a short doc living verbatim
+    * inside a much longer one scores near-zero Jaccard (the union is
+    * dominated by the long doc) but containment |A∩B|/|A| ≈ 1.
+    * Quote-farm detection, boilerplate-page collapse, and
+    * "article + wrapper" crawls are all this query. Same blocking /
+    * intersection machinery as [[ngramJaccardPairs]] (bounded by the
+    * doc-frequency cap, never all-pairs); the two directional ratios
+    * are single double divisions of exact counts, filtered on the
+    * larger one. */
+  def ngramContainmentPairs(docSh: DataFrame): DataFrame =
+    ngramPairStats(docSh)
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"), col("size_b"),
+        (col("n_shared").cast("double") / col("size_a").cast("double"))
+          .as("containment_a"),
+        (col("n_shared").cast("double") / col("size_b").cast("double"))
+          .as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= ContainmentMin)
 
   /** Truth threshold for [[lshRecallStats]]' registered query: low
     * enough that the synthetic corpus (near-dup tail starts ≈ 0.05,

@@ -189,6 +189,18 @@ object LlmSql {
        |join sh_sizes sa on pairs0.doc_a = sa.doc_id
        |join sh_sizes sb on pairs0.doc_b = sb.doc_id""".stripMargin
 
+  /** Mirror Dedup.ngramContainmentPairs: the Jaccard pair stats
+    * re-projected to the two directional containment ratios, filtered
+    * on the larger one at the shared floor. */
+  val ngramContainmentPairsQ: String =
+    s"""select doc_a, doc_b, n_shared, size_a, size_b,
+       |  cast(n_shared as double) / cast(size_a as double) as containment_a,
+       |  cast(n_shared as double) / cast(size_b as double) as containment_b
+       |from ($ngramJaccardPairsQ) t
+       |where greatest(cast(n_shared as double) / cast(size_a as double),
+       |               cast(n_shared as double) / cast(size_b as double))
+       |      >= ${Dedup.ContainmentMin}""".stripMargin
+
   /** Mirror Dedup.lshRecallStats(ngram_jaccard_pairs, minhash_pairs):
     * the two pair queries as subqueries (both engines filter the truth
     * side at the SAME shared threshold), one summary row with

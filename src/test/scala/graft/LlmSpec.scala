@@ -67,6 +67,33 @@ class LlmSpec extends SparkSpec {
     assert(full.filter(col("split") === "validation").count() > 0)
   }
 
+  test("containment pairs: a short doc inside a long one scores ~1 where Jaccard is small") {
+    import spark.implicits._
+    val core = (1 to 12).map(i => s"word$i").mkString(" ") // 12 words -> 8 5-gram shingles
+    val filler = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                  // the short doc
+      (2L, s"$core $filler"),      // contains it verbatim plus much more
+      (3L, "entirely different content about unrelated things " +
+        "spread over many tokens with no overlap at all here"))
+      .map { case (i, t) => (i, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = llm.Dedup.ngramContainmentPairs(
+      llm.Dedup.docShingleKeys(llm.Dedup.docShingles(docs))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    val (shared, sa, _, ca, cb) = pairs((1L, 2L))
+    assert(shared == sa && ca == 1.0)      // every shingle of doc 1 is in doc 2
+    assert(cb < 0.5)                       // ...while doc 2 is mostly other text
+    // and the symmetric Jaccard on the same pair is far below ca
+    val j = llm.Dedup.ngramJaccardPairs(
+      llm.Dedup.docShingleKeys(llm.Dedup.docShingles(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(j((1L, 2L)) < 0.5)
+  }
+
   test("vocab growth: first-seen deciles, exact cumulative vocabulary") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
