@@ -821,6 +821,9 @@ object Models {
   /** The id-assigned piece vocabulary (serializer lookup table). */
   def bpeVocabIds(s: SparkSession, d: String): DataFrame =
     llm.Bpe.vocabIds(bpeSegmentation(s, d))
+  /** Tokenizer fertility (BPE pieces per word) by language. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame =
+    llm.Bpe.fertilityByLang(Tables.documents(s, d), bpeTokenCounts(s, d))
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

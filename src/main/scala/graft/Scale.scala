@@ -117,7 +117,8 @@ object Scale {
     "text_stats", "lang_confusion", "top_docs_per_lang", "bm25_scores",
     "tfidf_top_terms", "doc_surprisal", "heldout_surprisal",
     "bigram_surprisal", "vocab_coverage", "vocab_growth",
-    "bpe_merges", "bpe_token_counts", "doc_chunks", "doc_repetition",
+    "bpe_merges", "bpe_token_counts", "bpe_fertility", "doc_chunks",
+    "doc_repetition",
     "pack_sequences", "length_bucketed_batches", "documents_profile",
     "corpus_curation", "training_corpus", "decontamination",
     "dataset_splits", "epoch_shuffle", "weighted_sample",

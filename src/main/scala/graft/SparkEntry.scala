@@ -269,6 +269,8 @@ object SparkEntry {
     "bpe_segmentation" -> out(Models.bpeSegmentation),
     // the tokenizer applied: per-doc true BPE token counts
     "bpe_token_counts" -> out(Models.bpeTokenCounts),
+    // tokenizer fertility (pieces per word) by language
+    "bpe_fertility" -> out(Models.bpeFertility),
     // id-assigned piece vocabulary via the two-phase global rank
     "bpe_vocab_ids" -> out(Models.bpeVocabIds),
   ) ++
@@ -435,6 +437,7 @@ object SparkEntry {
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,
     "bpe_token_counts" -> LlmSql.bpeTokenCountsQ,
+    "bpe_fertility" -> LlmSql.bpeFertilityQ,
     "bpe_vocab_ids" -> LlmSql.bpeVocabIdsQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>

@@ -175,4 +175,24 @@ object Bpe {
       .join(broadcast(segmentation.select(col("word"), col("n_pieces"))), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
+
+  /** TOKENIZER FERTILITY by language — BPE pieces per whitespace word,
+    * the number every multilingual token-budget and batch-size plan
+    * is built on (a language at fertility 3 costs 3× the context of
+    * one at 1.2, and a tokenizer trained lopsidedly shows it here).
+    * One |langs|-row rollup over [[tokenCounts]]; the ratio is a
+    * single double division of exact long sums. */
+  def fertilityByLang(documents: DataFrame,
+                      tokenCounts: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"))
+      .join(tokenCounts, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_bpe_tokens").as("total_bpe_tokens"))
+      .select(col("lang"), col("n_docs"),
+        col("total_words").cast("long").as("total_words"),
+        col("total_bpe_tokens").cast("long").as("total_bpe_tokens"),
+        (col("total_bpe_tokens").cast("double")
+          / col("total_words").cast("double")).as("fertility"))
 }

@@ -89,4 +89,47 @@ object Snapshot {
 
     closed.unionByName(carried).unionByName(toClose).unionByName(toOpen)
   }
+
+  /** One snapshot run with dbt's TIMESTAMP strategy: instead of
+    * hashing check-columns, a source row is "changed" iff its
+    * `updatedAtCol` is strictly newer than the open row's — the cheap
+    * strategy when the upstream system stamps mutations (no column
+    * comparison at all, so schema drift in payload columns never
+    * breaks change detection). Deletes still close open rows
+    * (invalidate_hard_deletes), and rows whose stamp did NOT advance
+    * carry through even if payload columns differ — exactly dbt's
+    * documented trade: the stamp is trusted, not audited.
+    *
+    * Same single full-outer-join scale shape as [[run]]. */
+  def runTimestamp(prev: DataFrame, source: DataFrame, key: String,
+                   updatedAtCol: String,
+                   runTs: java.sql.Timestamp): DataFrame = {
+    val dataCols = source.columns.toSeq
+    require(dataCols.contains(key), s"source lacks key column $key")
+    require(dataCols.contains(updatedAtCol),
+      s"source lacks updated-at column $updatedAtCol")
+    val closed = prev.filter(col(ValidTo).isNotNull)
+    val open = prev.filter(col(ValidTo).isNull)
+
+    val srcSel = source.select(col(key).as("__k_src") +:
+      dataCols.filterNot(_ == key).map(c => col(c).as(s"__src_$c")): _*)
+    val joined = open.join(srcSel, col(key) === col("__k_src"), "full_outer")
+    val advanced = col(s"__src_$updatedAtCol") > col(updatedAtCol)
+
+    val carried = joined
+      .filter(col(key).isNotNull && col("__k_src").isNotNull && !advanced)
+      .select(open.columns.map(col): _*)
+    val toClose = joined
+      .filter(col(key).isNotNull && (col("__k_src").isNull || advanced))
+      .select(open.columns.map(col): _*)
+      .withColumn(ValidTo, lit(runTs).cast(TimestampType))
+    val toOpen = joined
+      .filter(col("__k_src").isNotNull && (col(key).isNull || advanced))
+      .select(col("__k_src").as(key) +:
+        dataCols.filterNot(_ == key).map(c => col(s"__src_$c").as(c)): _*)
+      .withColumn(ValidFrom, lit(runTs).cast(TimestampType))
+      .withColumn(ValidTo, lit(null).cast(TimestampType))
+
+    closed.unionByName(carried).unionByName(toClose).unionByName(toOpen)
+  }
 }

@@ -1793,6 +1793,16 @@ object LlmSql {
        |from btc_words join btc_seg using (word)
        |group by 1""".stripMargin
 
+  /** Mirror Bpe.fertilityByLang: the token-counts subquery rolled up
+    * per language, fertility as one double division of exact sums. */
+  val bpeFertilityQ: String =
+    s"""select lang, count(*) as n_docs,
+       |  cast(sum(n_words) as bigint) as total_words,
+       |  cast(sum(n_bpe_tokens) as bigint) as total_bpe_tokens,
+       |  cast(sum(n_bpe_tokens) as double) / cast(sum(n_words) as double) as fertility
+       |from ($bpeTokenCountsQ) t join documents using (doc_id)
+       |group by 1""".stripMargin
+
   /** Mirror TextStats.vocabCoverage: the same (count desc, term asc)
     * deterministic top-K vocabulary cut, the same left-join OOV count,
     * one double division at the boundary. */

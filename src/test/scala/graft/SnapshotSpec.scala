@@ -55,6 +55,32 @@ class SnapshotSpec extends SparkSpec {
     assert(snap3.filter(col(Snapshot.ValidTo) === t2).count() === 2)
   }
 
+  test("timestamp strategy: only an advanced stamp changes; payload drift is trusted, not audited") {
+    val u1 = Timestamp.valueOf("2020-01-15 00:00:00")
+    val u2 = Timestamp.valueOf("2020-01-20 00:00:00")
+    val s1 = Seq((1L, "alice", u1), (2L, "bob", u1), (3L, "carol", u1))
+      .toDF("id", "plan", "updated_at")
+    val snap1 = Snapshot.init(s1, t1)
+    // run 2: bob's stamp advances (new version); alice's PAYLOAD
+    // changes but her stamp does not (carried — dbt's documented
+    // trade); carol vanishes (closed); dave appears (opened)
+    val s2 = Seq((1L, "ALICE-DRIFTED", u1), (2L, "bob", u2), (4L, "dave", u2))
+      .toDF("id", "plan", "updated_at")
+    val snap2 = Snapshot.runTimestamp(snap1, s2, "id", "updated_at", t2)
+    val open = snap2.filter(col(Snapshot.ValidTo).isNull)
+      .select("id", "plan").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // alice keeps her ORIGINAL payload (stamp did not advance)
+    assert(open === Map(1L -> "alice", 2L -> "bob", 4L -> "dave"))
+    val closed = snap2.filter(col(Snapshot.ValidTo).isNotNull)
+      .select("id", Snapshot.ValidTo).collect()
+    assert(closed.map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(closed.forall(_.getTimestamp(1) === t2))
+    // bob's reopened row carries the new stamp and valid_from = t2
+    val bobOpen = snap2.filter(col("id") === 2 && col(Snapshot.ValidTo).isNull).head()
+    assert(bobOpen.getAs[Timestamp]("updated_at") === u2)
+    assert(bobOpen.getAs[Timestamp](Snapshot.ValidFrom) === t2)
+  }
+
   test("null-valued check columns do not collide with empty strings") {
     val a = Seq((1L, Some("x")), (2L, None: Option[String])).toDF("id", "v")
     val snap = Snapshot.init(a, t1)
