@@ -152,6 +152,10 @@ object Models {
     * state chaining), estimated per day. */
   def streamHllUsers(s: SparkSession, d: String): DataFrame =
     streaming.Streams.hllSketchStreamOnce(s, d)
+  /** STREAMING Count-Min: per-batch token counters summed at read —
+    * merged == directly-built exactly, same oracle as the batch CMS. */
+  def streamCmsHeavy(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.cmsSketchStreamOnce(s, d)
 
   /** SCD TYPE-2 SNAPSHOT over the two customer states
     * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check

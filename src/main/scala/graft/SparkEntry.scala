@@ -187,6 +187,9 @@ object SparkEntry {
     // streaming sketch maintenance: per-batch HLL registers merged
     // register-wise at read; oracle builds each day's sketch directly
     "stream_hll_users" -> out(Models.streamHllUsers),
+    // streaming CMS: per-batch counters sum-merged at read; the batch
+    // heavy-hitters oracle gates the identical result
+    "stream_cms_heavy" -> out(Models.streamCmsHeavy),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -387,6 +390,7 @@ object SparkEntry {
     "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
     "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
     "stream_hll_users" -> OpsSql.streamHllUsersQ,
+    "stream_cms_heavy" -> CurateSql.cmsHeavyHittersQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

@@ -177,31 +177,44 @@ object Sketches {
     * Output: (key AS `keyName`, n_exact, cms_estimate) for keys whose
     * ESTIMATE ≥ threshold (the CMS decision rule — no false negatives:
     * est ≥ true count, so every truly-heavy key is reported). */
-  def cmsHeavyHitters(df: DataFrame, keyCol: Column, keyName: String,
-                      threshold: Long): DataFrame = {
-    val keyed = df.select(keyCol.cast("string").as(keyName))
-    def hashRow(r: Int, k: Column): Column =
-      pmod(graft.llm.Dedup.hex60(concat(lit(s"$CmsSalt$r|"), k)), lit(CmsWidth))
-    // one pass: each key contributes to d counters (explode of a
-    // d-element literal-built array, then ONE partial-combined agg)
-    val rowBuckets = keyed.select(col(keyName), explode(array(
-      (0 until CmsD).map(r => struct(lit(r).as("r"),
-        hashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
-    val counters = rowBuckets
+  private def cmsHashRow(r: Int, k: Column): Column =
+    pmod(graft.llm.Dedup.hex60(concat(lit(s"$CmsSalt$r|"), k)), lit(CmsWidth))
+
+  /** The (r, bkt, cnt) counter table of a keyed input — one pass:
+    * each key contributes to d counters (explode of a d-element
+    * literal-built array, then ONE partial-combined agg). Counters
+    * over disjoint inputs MERGE BY ADDITION, so per-batch/per-day
+    * counter tables sum to exactly the directly-built global table —
+    * the CMS mergeability the streaming twin rides. */
+  def cmsCounters(keyed: DataFrame, keyName: String): DataFrame =
+    keyed.select(col(keyName), explode(array(
+        (0 until CmsD).map(r => struct(lit(r).as("r"),
+          cmsHashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
       .agg(count(lit(1)).as("cnt"))
-    // point queries: distinct keys × d rows against the counter table;
-    // the counter side is ≤ d×w rows — broadcast
+
+  /** Point-query the counter table with every distinct key of `keyed`
+    * (exact count riding along for error accounting), keeping keys
+    * whose min-over-rows estimate reaches `threshold`. The counter
+    * side is ≤ d×w rows — broadcast. */
+  def cmsProbeHeavy(keyed: DataFrame, counters: DataFrame,
+                    keyName: String, threshold: Long): DataFrame = {
     val exact = keyed.groupBy(keyName).agg(count(lit(1)).as("n_exact"))
     val probes = exact.select(col(keyName), col("n_exact"), explode(array(
       (0 until CmsD).map(r => struct(lit(r).as("r"),
-        hashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
+        cmsHashRow(r, col(keyName)).as("bkt"))): _*)).as("rb"))
       .select(col(keyName), col("n_exact"),
         col("rb.r").as("r"), col("rb.bkt").as("bkt"))
     probes.join(broadcast(counters), Seq("r", "bkt"))
       .groupBy(col(keyName), col("n_exact"))
       .agg(min("cnt").as("cms_estimate"))
       .filter(col("cms_estimate") >= threshold)
+  }
+
+  def cmsHeavyHitters(df: DataFrame, keyCol: Column, keyName: String,
+                      threshold: Long): DataFrame = {
+    val keyed = df.select(keyCol.cast("string").as(keyName))
+    cmsProbeHeavy(keyed, cmsCounters(keyed, keyName), keyName, threshold)
   }
 
   // ---- Histogram quantile sketch ----

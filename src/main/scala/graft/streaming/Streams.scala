@@ -1177,6 +1177,77 @@ object Streams {
       scratch.toString, "stream_hll_users")
   }
 
+  /** STREAMING Count-Min maintenance — the frequency twin of
+    * [[hllSketchStream]], completing the mergeable-state streaming
+    * trio (HLL merges by MAX, CMS by SUM, the IVM aggregate by the
+    * delta rule): each micro-batch of arriving documents is tokenized
+    * batch-locally and its d×w counter table lands in a batchId-keyed
+    * exactly-once sink; the serving read SUMS every committed batch's
+    * counters per (row, bucket) — addition is associative/commutative,
+    * so the merged table equals the directly-built one EXACTLY, and
+    * the heavy-hitter probe over it returns precisely the batch
+    * query's rows. The SAME DuckDB oracle gates both
+    * (`cms_heavy_hitters`' SQL, building the sketch from the whole
+    * corpus at once).
+    *
+    * At 100 TB: per-batch cost is batch tokenization plus a d×w-row
+    * write; the standing state is d×w longs regardless of traffic;
+    * heavy-hitter serving never rescans history. */
+  def cmsSketchStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scms",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    cmsSketchStream(spark,
+      spark.readStream
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      graft.Tables.documents(spark, sfDir),
+      scratch.toString, "stream_cms_heavy")
+  }
+
+  /** Core of the streaming CMS, shared by the registered query and the
+    * multi-batch spec. `docs` is the streaming document feed;
+    * `probeDocs` the batch-side corpus whose distinct terms are the
+    * point queries (in the one-shot both cover the same rows, so the
+    * result equals the batch heavy-hitters query exactly). */
+  def cmsSketchStream(spark: SparkSession, docs: DataFrame,
+                      probeDocs: DataFrame, scratchDir: String,
+                      progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Sketches
+    val ctrDir = s"$scratchDir/counters"
+    def termsOf(d: DataFrame) =
+      d.select(explode(graft.llm.Dedup.words(col("text"))).as("term"))
+        .select(col("term").cast("string").as("term"))
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.cmsCounters(termsOf(batch), "term")
+          .coalesce(1) // ≤ d×w rows — one state file per batch
+          .write.mode("overwrite").parquet(s"$ctrDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val fs = new Path(ctrDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedKeyedDirs(fs, ctrDir, Long.MaxValue)
+    val merged =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "r int, bkt long, cnt long"))
+      else spark.read.parquet(dirs: _*)
+        .groupBy(col("r"), col("bkt"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+    Sketches.cmsProbeHeavy(termsOf(probeDocs), merged, "term",
+      Sketches.CmsHeavyThreshold)
+  }
+
   /** Core of the streaming sketch maintenance, shared by the
     * registered query and the multi-batch spec. `events` must carry
     * (ts, user_id). */

@@ -40,7 +40,7 @@ class PlanBudgetSpec extends SparkSpec {
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
     "stream_sink_parquet", "stream_sink_merge", "stream_user_rollup",
     "stream_neardup_pairs", "stream_quality_scores", "stream_ivm_agg",
-    "stream_hll_users",
+    "stream_hll_users", "stream_cms_heavy",
     "dq_summary")
 
   private def exchangeCounts(plan: SparkPlan): (Int, Int) = {

@@ -65,4 +65,48 @@ class SketchStreamSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
     assert(again == got)
   }
+
+  private def stageDocs(ingest: Path, fileName: String, mtime: Long,
+                        rows: Seq[(Long, String)]): Unit = {
+    val tmp = Files.createTempDirectory("graft-scmsstage")
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.createDirectories(ingest)
+    val dst = ingest.resolve(fileName)
+    Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    assert(dst.toFile.setLastModified(mtime))
+  }
+
+  test("sum-merged per-batch CMS counters equal the directly-built sketch") {
+    val dir = Files.createTempDirectory("graft-scmsspec")
+    val ingest = dir.resolve("in")
+    val scratch = dir.resolve("scratch").toString
+    val t0 = System.currentTimeMillis() - 60000
+    // "hot" appears across BOTH batches — only the merged counters
+    // see its full count
+    val b1 = Seq(1L -> ("hot " * 300).trim, 2L -> "cold mild warm")
+    val b2 = Seq(3L -> ("hot " * 250).trim, 4L -> "cold breeze")
+    stageDocs(ingest, "f1.parquet", t0, b1)
+    stageDocs(ingest, "f2.parquet", t0 + 30000, b2)
+    val feed = spark.readStream
+      .schema("doc_id long, text string, lang string, source string, n_chars long")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+    val allDocs = (b1 ++ b2)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = streaming.Streams.cmsSketchStream(spark, feed, allDocs,
+        scratch, "spec_scms")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = operators.Sketches.cmsHeavyHitters(
+        allDocs.select(explode(graft.llm.Dedup.words(col("text"))).as("term")),
+        col("term"), "term", operators.Sketches.CmsHeavyThreshold)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == direct)
+    // the cross-batch key is reported with its FULL exact count
+    assert(got.contains("hot") && got("hot")._1 == 550L)
+  }
 }
