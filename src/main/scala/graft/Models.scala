@@ -384,6 +384,11 @@ object Models {
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
       Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
+  /** Cluster-quota diversity sample off the Mat'd kmeans quantizer:
+    * semantic-coverage-preserving downsampling. */
+  def diversitySample(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.diversitySample(Tables.embeddings(s, d),
+      llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)))
   /** The composed IVF+PQ index: Mat'd kmeans coarse quantizer + PQ
     * reconstruction off the Mat'd codebooks — both index halves build
     * once per session; the query probes lists and scans codes. */

@@ -133,6 +133,7 @@ object Scale {
     "ann_ivf_kmeans_topk", "ann_lsh_buckets", "pq_codes", "ann_pq_topk",
     "ann_pq_adc_topk", "ann_pq_rerank_topk", "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk", "ann_sq8_topk", "kmeans_centroids",
+    "diversity_sample",
     "embedding_dedup_pairs", "embedding_dedup_clusters",
     "embedding_quantization",
     // events: sketches, sessions, as-of

@@ -97,6 +97,8 @@ object SparkEntry {
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
     "ann_ivf_kmeans_topk" -> out(Models.annIvfKmeansTopK),
+    // cluster-quota diversity sample (semantic-coverage downsampling)
+    "diversity_sample" -> out(Models.diversitySample),
     // int8 scalar quantization + search over the dequantized corpus
     "embedding_quantization" -> out(Models.embeddingQuantization),
     "ann_sq8_topk" -> out(Models.annSq8TopK),
@@ -339,6 +341,7 @@ object SparkEntry {
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "ann_ivf_kmeans_topk" -> LlmSql.annIvfKmeansTopKQ,
+    "diversity_sample" -> LlmSql.diversitySampleQ,
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,

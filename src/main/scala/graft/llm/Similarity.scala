@@ -185,6 +185,41 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("sim").desc_nulls_last, col("centroid_id"))))
 
+  /** Per-cluster sample quota for the registered diversity-sample
+    * query; shared with the oracle. */
+  val DiversityQuota = 50
+
+  /** CLUSTER-QUOTA DIVERSITY SAMPLE — semantic-coverage-preserving
+    * downsampling (the DsDm/SemDeDup-family curation move): assign
+    * every embedding to its nearest k-means centroid, then keep at
+    * most [[DiversityQuota]] docs per cluster, chosen by a salted
+    * hash order (uniform within the cluster, deterministic across
+    * runs/engines). Uniform random sampling keeps the head's
+    * duplicates and starves tail topics; per-cluster quotas keep
+    * every region of embedding space represented.
+    *
+    * Scale: assignment is one broadcast-centroids scan; the quota is
+    * a per-cluster rank — K bounded partitions, the same
+    * per-bounded-group sort trade as the exact percentile family
+    * (production pre-filters by hash threshold before ranking to
+    * shrink the sort input; the semantics here are the contract). */
+  def diversitySample(embeddingsRaw: DataFrame, centroids: DataFrame,
+                      quota: Int = DiversityQuota): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val assigned = centroidRanked(withNorm, centroids)
+      .filter(col("rn") === 1).select("vec_id", "centroid_id")
+    val h = graft.llm.Dedup.hex60(
+      concat(lit("div|"), col("vec_id").cast("string")))
+    assigned
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("centroid_id").orderBy(h.asc, col("vec_id"))))
+      .filter(col("pick") <= quota)
+      .select(col("vec_id"), col("centroid_id"), col("pick"))
+  }
+
   /** The IVF search itself, independent of how the coarse quantizer
     * was trained: assign every vector to its nearest centroid (its
     * inverted list), then each query probes its top-[[IvfNProbe]]

@@ -725,6 +725,22 @@ object LlmSql {
        |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
        |$ivfSelect""".stripMargin
 
+  /** Mirror Similarity.diversitySample: the kmeans assignment chain's
+    * `ivf_assign`, quota'd per cluster by the salted-hash order. */
+  val diversitySampleQ: String = {
+    import graft.llm.Similarity.DiversityQuota
+    s"""with $kmCtes,
+       |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")}
+       |, div_pick as (
+       |  select vec_id, centroid_id,
+       |    cast(row_number() over (partition by centroid_id
+       |      order by ${hex60("'div|' || cast(vec_id as varchar)")}, vec_id) as int) as pick
+       |  from ivf_assign
+       |)
+       |select vec_id, centroid_id, pick from div_pick
+       |where pick <= $DiversityQuota""".stripMargin
+  }
+
   /** Mirror PQ: per-subspace slices, the SAME unrolled-Lloyd chain per
     * subspace (kmCtesOver), then plain-L2 code assignment of every
     * subvector against its final codebook. */

@@ -67,6 +67,40 @@ class LlmSpec extends SparkSpec {
     assert(full.filter(col("split") === "validation").count() > 0)
   }
 
+  test("diversity sample: per-cluster quota, dense deterministic picks, every cluster kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two tight, well-separated clusters of very different sizes
+    val rows =
+      (1L to 120L).map(i => (i, Array(1.0f + (i % 7) * 0.001f, 0.02f), 0)) ++
+        (201L to 210L).map(i => (i, Array(0.02f, 1.0f + (i % 5) * 0.001f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = llm.Kmeans.centroidVectors(emb.repartition(col("vec_id")))
+    // quota beyond the corpus -> the FULL assignment (nothing cut)
+    val full = llm.Similarity.diversitySample(emb, cents, quota = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(full.map(_._1).distinct.length === 130) // every vec, once
+    val sizes = full.groupBy(_._2).view.mapValues(_.length).toMap
+    // tight quota: clusters above it are cut to EXACTLY the quota,
+    // smaller ones are kept whole, and the kept set is the hash-order
+    // PREFIX of the full assignment's order
+    val out = llm.Similarity.diversitySample(emb, cents, quota = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.keySet == sizes.keySet) // every cluster represented
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length == math.min(5, sizes(c)), s"cluster $c")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+      // prefix property: the quota'd picks are the full run's 1..5
+      val fullPicks = full.filter(t => t._2 == c && t._3 <= 5).map(_._1).toSet
+      assert(rs.map(_._1).toSet == fullPicks)
+    }
+    // deterministic
+    val again = llm.Similarity.diversitySample(emb, cents, quota = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("containment pairs: a short doc inside a long one scores ~1 where Jaccard is small") {
     import spark.implicits._
     val core = (1 to 12).map(i => s"word$i").mkString(" ") // 12 words -> 8 5-gram shingles
