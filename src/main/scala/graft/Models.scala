@@ -142,6 +142,9 @@ object Models {
     operators.Stats.corrMatrix(stgOrders(s, d),
       Seq("order_total", "subtotal", "tax_paid"))
 
+  /** Per-transition funnel latency percentiles (view→click→purchase). */
+  def funnelLatency(s: SparkSession, d: String): DataFrame =
+    operators.Funnel.funnelLatency(Tables.events(s, d))
   /** One-row join-key skew profile of events.user_id — the pre-flight
     * the salted skew join / AQE threshold choice reads. */
   def eventKeySkew(s: SparkSession, d: String): DataFrame =

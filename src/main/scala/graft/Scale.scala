@@ -139,7 +139,8 @@ object Scale {
     // events: sketches, sessions, as-of
     "hll_user_counts", "hll_merged_users", "hll_range_users",
     "hll_overlap_users", "cms_heavy_hitters", "sessionize",
-    "session_window_agg", "event_funnel", "events_asof_purchase",
+    "session_window_agg", "event_funnel", "funnel_latency",
+    "events_asof_purchase",
     "events_asof_next_purchase", "event_props_stats", "hist_quantiles",
     "value_percentiles", "value_band_stats", "stratified_sample",
     "zorder_keys", "zorder_zonemaps", "event_key_skew")

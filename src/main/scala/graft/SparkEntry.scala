@@ -211,6 +211,8 @@ object SparkEntry {
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
     "event_funnel" -> out(Models.eventFunnel),
+    // per-transition funnel latency percentiles
+    "funnel_latency" -> out(Models.funnelLatency),
     // bounded-heap grouped top-k (native TypedImperativeAggregate)
     "top_docs_per_lang" -> out(Models.topDocsPerLang),
     // language-ID confusion matrix vs labels
@@ -409,6 +411,7 @@ object SparkEntry {
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,
     "event_funnel" -> OpsSql.eventFunnelQ,
+    "funnel_latency" -> OpsSql.funnelLatencyQ,
     "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
     "lang_confusion" -> LlmSql.langConfusionQ,
     "split_leakage_audit" -> LlmSql.splitLeakageQ,

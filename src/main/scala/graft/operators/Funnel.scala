@@ -27,23 +27,29 @@ object Funnel {
 
   /** One row per stage: (stage, stage_idx, n_users, conv_from_prev,
     * conv_from_first). `conv_from_prev` is 1.0 for the first stage. */
-  def funnel(events: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+  /** reached(i): (user_id, __t = first time the user completed stages
+    * 0..i) — the per-user completion chain [[funnel]] counts and
+    * [[funnelLatency]] times. */
+  private def reachedChain(events: DataFrame,
+                           stages: Seq[String]): Seq[DataFrame] = {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       "stages must be non-empty and distinct")
-    // reached(i): (user_id, __t = first time the user completed stages 0..i)
-    val reachedPerStage: Seq[DataFrame] =
-      stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
-        case (acc, (stage, i)) =>
-          val typed = events.filter(col("event_type") === stage)
-            .select(col("user_id"), col("ts"))
-          val reached =
-            if (i == 0) typed.groupBy("user_id").agg(min("ts").as("__t"))
-            else typed
-              .join(acc.last.withColumnRenamed("__t", "__prev_t"), "user_id")
-              .filter(col("ts") > col("__prev_t"))
-              .groupBy("user_id").agg(min("ts").as("__t"))
-          acc :+ reached
-      }
+    stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val typed = events.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts"))
+        val reached =
+          if (i == 0) typed.groupBy("user_id").agg(min("ts").as("__t"))
+          else typed
+            .join(acc.last.withColumnRenamed("__t", "__prev_t"), "user_id")
+            .filter(col("ts") > col("__prev_t"))
+            .groupBy("user_id").agg(min("ts").as("__t"))
+        acc :+ reached
+    }
+  }
+
+  def funnel(events: DataFrame, stages: Seq[String] = Stages): DataFrame = {
+    val reachedPerStage = reachedChain(events, stages)
     val counts = stages.zip(reachedPerStage).zipWithIndex
       .map { case ((stage, reached), i) =>
         reached.agg(count(lit(1)).as("n_users"))
@@ -65,5 +71,43 @@ object Funnel {
           .as("conv_from_prev"),
         (col("n_users").cast("double") / col("__n_first").cast("double"))
           .as("conv_from_first"))
+  }
+
+  /** FUNNEL STAGE LATENCY — how long converting users take between
+    * adjacent stages, the number that turns a funnel from counts into
+    * a diagnosis (a 90th-percentile view→click of hours is a product
+    * problem counts can't show). One row per transition with the
+    * converted-user count and interpolated p50/p90/p99 of the
+    * first-completion time delta in MICROSECONDS (exact integer
+    * deltas; the percentile interpolation runs through a decimal
+    * quantization like the rest of the percentile family — scale 9,
+    * widened to precision 28 because month-scale micro deltas
+    * overflow decimal(18,9)'s 10^9 integer room). Deltas are
+    * strictly positive by the funnel's
+    * strictly-after construction. Scale: each transition joins two
+    * (user_id, ts) stage results — timestamps only, never event
+    * payloads; the percentile sorts one long per CONVERTED user. */
+  def funnelLatency(events: DataFrame,
+                    stages: Seq[String] = Stages): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chain = reachedChain(events, stages)
+    def q(c: org.apache.spark.sql.Column) =
+      c.cast(DecimalType(28, 9)).cast("double")
+    (1 until stages.size).map { i =>
+      chain(i).withColumnRenamed("__t", "__t_cur")
+        .join(chain(i - 1).withColumnRenamed("__t", "__t_prev"), "user_id")
+        .select((unix_micros(col("__t_cur")) -
+          unix_micros(col("__t_prev"))).as("__d"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile(__d, array(0.5D, 0.9D, 0.99D))").as("__p"))
+        .select(
+          lit(stages(i - 1)).as("from_stage"),
+          lit(stages(i)).as("to_stage"),
+          lit(i.toLong).as("stage_idx"),
+          col("n_users"),
+          q(element_at(col("__p"), 1)).as("p50_micros"),
+          q(element_at(col("__p"), 2)).as("p90_micros"),
+          q(element_at(col("__p"), 3)).as("p99_micros"))
+    }.reduce(_ unionAll _)
   }
 }

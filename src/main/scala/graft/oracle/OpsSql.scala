@@ -292,6 +292,31 @@ object OpsSql {
        |from ex join est using (event_type)""".stripMargin
   }
 
+  /** Mirror Funnel.funnelLatency: the same per-stage min-after-prev
+    * CTE chain, per-transition epoch-microsecond deltas, quantized
+    * interpolated percentiles. */
+  val funnelLatencyQ: String = {
+    val stages = graft.operators.Funnel.Stages
+    val stageCtes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"s0 as (select user_id, min(ts) as t from events where event_type = '$s' group by 1)"
+      else
+        s"s$i as (select e.user_id, min(e.ts) as t from events e " +
+          s"join s${i - 1} p on e.user_id = p.user_id and e.ts > p.t " +
+          s"where e.event_type = '$s' group by 1)"
+    }.mkString(",\n")
+    def pq(p: Double, name: String) =
+      s"cast(cast(quantile_cont(d, $p) as decimal(28,9)) as double) as $name"
+    val arms = (1 until stages.size).map { i =>
+      s"""select '${stages(i - 1)}' as from_stage, '${stages(i)}' as to_stage,
+         |  cast($i as bigint) as stage_idx, count(*) as n_users,
+         |  ${pq(0.5, "p50_micros")}, ${pq(0.9, "p90_micros")}, ${pq(0.99, "p99_micros")}
+         |from (select epoch_us(c.t) - epoch_us(p.t) as d
+         |      from s$i c join s${i - 1} p using (user_id)) t""".stripMargin
+    }.mkString("\nunion all\n")
+    s"with $stageCtes\n$arms"
+  }
+
   /** Mirror operators/Stats.keySkewProfile over events.user_id: the
     * same per-key counts, exact long totals, quantized interpolated
     * percentiles, and max/mean as one double division. */

@@ -206,6 +206,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("purchase") === ((1L, 0.5))) // user 1 only
   }
 
+  test("funnel latency: exact first-completion deltas per transition") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // user 1: view@1 -> click@3 (2s) -> purchase@4 (1s)
+      (1L, "view", t(1)), (1L, "click", t(3)), (1L, "purchase", t(4)),
+      // user 2: view@1 -> click@5 (4s), never purchases
+      (2L, "view", t(1)), (2L, "click", t(5)),
+      // user 3: purchase precedes view — no transitions at all
+      (3L, "purchase", t(1)), (3L, "view", t(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.Funnel.funnelLatency(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // view->click deltas {2s, 4s}: p50 = 3s, p90 = 3.8s interpolated
+    assert(out(("view", "click")) == ((2L, 3000000.0, 3800000.0)))
+    // click->purchase: one converting user, all percentiles = 1s
+    assert(out(("click", "purchase")) == ((1L, 1000000.0, 1000000.0)))
+  }
+
   test("sequence packing tiles each pack group contiguously in doc_id order") {
     import org.apache.spark.sql.functions._
     val packed = llm.Packing.packSequences(Tables.documents(spark, sf))
