@@ -78,12 +78,19 @@ object Funnel {
     * a diagnosis (a 90th-percentile view→click of hours is a product
     * problem counts can't show). One row per transition with the
     * converted-user count and interpolated p50/p90/p99 of the
-    * first-completion time delta in MICROSECONDS (exact integer
-    * deltas; the percentile interpolation runs through a decimal
-    * quantization like the rest of the percentile family — scale 9,
-    * widened to precision 28 because month-scale micro deltas
-    * overflow decimal(18,9)'s 10^9 integer room). Deltas are
-    * strictly positive by the funnel's
+    * first-completion time delta in SECONDS. The percentile
+    * interpolates over exact integer MICRO deltas, then divides by
+    * 10^6 BEFORE a decimal(18,9) quantization — both halves matter
+    * and both were caught by the differential gate: quantizing raw
+    * micros leaves the engines' last-ulp interpolation divergence
+    * (~1e-4 absolute at 10^12 magnitudes) wider than any usable
+    * decimal step, and quantizing seconds at scale 6 puts the EXACT
+    * values on half-boundaries (p90 of integer micros is a multiple
+    * of 0.1 µs = an odd half of 1e-6 s, where Spark's HALF_UP and
+    * DuckDB's half-even disagree systematically). At scale 9 the
+    * exact values (multiples of 1e-8 s) are a full 5e-10 from every
+    * half-step while the ulp noise is ~1e-10. Deltas are strictly
+    * positive by the funnel's
     * strictly-after construction. Scale: each transition joins two
     * (user_id, ts) stage results — timestamps only, never event
     * payloads; the percentile sorts one long per CONVERTED user. */
@@ -92,7 +99,7 @@ object Funnel {
     import org.apache.spark.sql.types.DecimalType
     val chain = reachedChain(events, stages)
     def q(c: org.apache.spark.sql.Column) =
-      c.cast(DecimalType(28, 9)).cast("double")
+      (c / lit(1000000.0)).cast(DecimalType(18, 9)).cast("double")
     (1 until stages.size).map { i =>
       chain(i).withColumnRenamed("__t", "__t_cur")
         .join(chain(i - 1).withColumnRenamed("__t", "__t_prev"), "user_id")
@@ -105,9 +112,9 @@ object Funnel {
           lit(stages(i)).as("to_stage"),
           lit(i.toLong).as("stage_idx"),
           col("n_users"),
-          q(element_at(col("__p"), 1)).as("p50_micros"),
-          q(element_at(col("__p"), 2)).as("p90_micros"),
-          q(element_at(col("__p"), 3)).as("p99_micros"))
+          q(element_at(col("__p"), 1)).as("p50_seconds"),
+          q(element_at(col("__p"), 2)).as("p90_seconds"),
+          q(element_at(col("__p"), 3)).as("p99_seconds"))
     }.reduce(_ unionAll _)
   }
 }

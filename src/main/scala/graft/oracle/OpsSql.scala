@@ -306,11 +306,11 @@ object OpsSql {
           s"where e.event_type = '$s' group by 1)"
     }.mkString(",\n")
     def pq(p: Double, name: String) =
-      s"cast(cast(quantile_cont(d, $p) as decimal(28,9)) as double) as $name"
+      s"cast(cast(quantile_cont(d, $p) / 1000000.0 as decimal(18,9)) as double) as $name"
     val arms = (1 until stages.size).map { i =>
       s"""select '${stages(i - 1)}' as from_stage, '${stages(i)}' as to_stage,
          |  cast($i as bigint) as stage_idx, count(*) as n_users,
-         |  ${pq(0.5, "p50_micros")}, ${pq(0.9, "p90_micros")}, ${pq(0.99, "p99_micros")}
+         |  ${pq(0.5, "p50_seconds")}, ${pq(0.9, "p90_seconds")}, ${pq(0.99, "p99_seconds")}
          |from (select epoch_us(c.t) - epoch_us(p.t) as d
          |      from s$i c join s${i - 1} p using (user_id)) t""".stripMargin
     }.mkString("\nunion all\n")

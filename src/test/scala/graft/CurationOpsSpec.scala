@@ -221,9 +221,9 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     // view->click deltas {2s, 4s}: p50 = 3s, p90 = 3.8s interpolated
-    assert(out(("view", "click")) == ((2L, 3000000.0, 3800000.0)))
+    assert(out(("view", "click")) == ((2L, 3.0, 3.8)))
     // click->purchase: one converting user, all percentiles = 1s
-    assert(out(("click", "purchase")) == ((1L, 1000000.0, 1000000.0)))
+    assert(out(("click", "purchase")) == ((1L, 1.0, 1.0)))
   }
 
   test("sequence packing tiles each pack group contiguously in doc_id order") {
