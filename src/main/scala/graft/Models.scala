@@ -102,7 +102,11 @@ object Models {
       stgCustomers(s, d).filter(col("customer_id") % 101 =!= 7),
       orders(s, d))
 
-  def martChanges(s: SparkSession, d: String): DataFrame = {
+  /** Build (once per session) and serve the two retained versions of
+    * the bucketed customers snapshot mart — the shared barrier behind
+    * the CDC, IVM, and SCD2 queries (each otherwise re-runs two full
+    * customer pipelines live). */
+  private def custSnapVersions(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val name = "customers_snap"
     val bkt = Some(("customer_id", 8))
     Mat.table(s, d, name, bucketBy = bkt)(custStateV1(s, d))
@@ -111,10 +115,12 @@ object Models {
     if (Mat.currentVersion(s, d, name) < 2)
       Mat.refresh(s, d, name, bucketBy = bkt)(custStateV2(s, d))
     val cur = Mat.currentVersion(s, d, name)
-    operators.Cdc.changes(
-      Mat.tableVersion(s, d, name, cur - 1),
-      Mat.tableVersion(s, d, name, cur),
-      Seq("customer_id"))
+    (Mat.tableVersion(s, d, name, cur - 1), Mat.tableVersion(s, d, name, cur))
+  }
+
+  def martChanges(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = custSnapVersions(s, d)
+    operators.Cdc.changes(v1, v2, Seq("customer_id"))
   }
 
   /** Incremental view maintenance over the change feed: the
@@ -175,10 +181,12 @@ object Models {
       java.time.LocalDateTime.parse(str).toInstant(java.time.ZoneOffset.UTC))
     val t1 = utcTs("2001-08-15T00:00:00")
     val t2 = utcTs("2001-08-16T00:00:00")
-    val v1 = custStateV1(s, d)
+    // both states come from the shared snapshot-mart barrier — the
+    // snapshot diff reads bucketed parquet, not two live pipelines
+    val (v1, v2) = custSnapVersions(s, d)
     val checkCols = v1.columns.filterNot(_ == "customer_id").toSeq
     operators.Snapshot.run(operators.Snapshot.init(v1, t1),
-      custStateV2(s, d), "customer_id", checkCols, t2)
+      v2, "customer_id", checkCols, t2)
   }
 
   /** STREAMING incremental view maintenance ([[streaming.Streams.ivmAggStream]]):
