@@ -527,6 +527,9 @@ object Models {
   def corpusCuration(s: SparkSession, d: String): DataFrame =
     llm.Curation.curate(Tables.documents(s, d), textStats(s, d),
       dedupExact(s, d), dedupClusters(s, d))
+  /** Per-(source, status) curation rollup — which crawl is polluted. */
+  def curationReport(s: SparkSession, d: String): DataFrame =
+    llm.Curation.curationReport(Tables.documents(s, d), corpusCuration(s, d))
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     llm.Multimodal.mediaFeatures(s, Tables.documents(s, d))
   def mediaResized(s: SparkSession, d: String): DataFrame =

@@ -120,7 +120,8 @@ object Scale {
     "bpe_merges", "bpe_token_counts", "bpe_fertility", "doc_chunks",
     "doc_repetition",
     "pack_sequences", "length_bucketed_batches", "documents_profile",
-    "corpus_curation", "training_corpus", "decontamination",
+    "corpus_curation", "curation_report", "training_corpus",
+    "decontamination",
     "dataset_splits", "epoch_shuffle", "weighted_sample",
     "mixture_temperature",
     // retrieval + trained-classifier stack (r11)

@@ -119,6 +119,8 @@ object SparkEntry {
     "ann_ivfpq_residual_topk" -> out(Models.annIvfPqResidualTopK),
     "text_stats" -> out(Models.textStats),
     "corpus_curation" -> out(Models.corpusCuration),
+    // per-(source, status) curation rollup with in-source shares
+    "curation_report" -> out(Models.curationReport),
     "media_features" -> out(Models.mediaFeatures),
     "media_resized" -> out(Models.mediaResized),
     "media_frames" -> out(Models.mediaFrames),
@@ -358,6 +360,7 @@ object SparkEntry {
     "ann_ivfpq_residual_topk" -> LlmSql.annIvfPqResidualTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
+    "curation_report" -> LlmSql.curationReportQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
     "media_resized" -> LlmSql.mediaResizedQ,
     "media_frames" -> LlmSql.mediaFramesQ,

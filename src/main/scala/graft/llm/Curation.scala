@@ -42,4 +42,21 @@ object Curation {
           .when(col("is_near_dup"), lit("near_duplicate"))
           .otherwise(lit("kept")).as("status"))
   }
+
+  /** CURATION REPORT — the verdict table rolled up per (source,
+    * status): how much of each crawl/feed survives and WHY the rest
+    * dropped, the one-page answer to "which source is polluted" that
+    * decides crawl rotation and per-source effort. Counts are exact;
+    * each source's shares come from one window over the
+    * |sources|×|statuses|-row aggregate (tiny — the corpus is never
+    * re-shuffled beyond the count it already pays). */
+  def curationReport(documents: DataFrame, curation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents.select(col("doc_id"), col("source"))
+      .join(curation.select(col("doc_id"), col("status")), Seq("doc_id"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("source")).cast("double"))
+  }
 }

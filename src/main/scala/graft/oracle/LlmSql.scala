@@ -613,6 +613,16 @@ object LlmSql {
        |left join cnear n on d.doc_id = n.doc_id""".stripMargin
   }
 
+  /** Mirror Curation.curationReport: the verdict subquery joined to
+    * sources, per-(source, status) counts, share as one double
+    * division against the per-source window total. */
+  val curationReportQ: String =
+    s"""select source, status, count(*) as n_docs,
+       |  cast(count(*) as double)
+       |    / cast(sum(count(*)) over (partition by source) as double) as share
+       |from documents join ($corpusCurationQ) t using (doc_id)
+       |group by 1, 2""".stripMargin
+
   /** Mirror Relevance.bm25: same Okapi formula, same FIXED-order
     * per-term addition (coalesced conditional maxes, never an
     * unordered double sum). */

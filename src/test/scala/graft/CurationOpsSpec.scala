@@ -206,6 +206,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("purchase") === ((1L, 0.5))) // user 1 only
   }
 
+  test("curation report: per-source shares sum to 1, counts cover the corpus") {
+    import org.apache.spark.sql.functions._
+    val report = llm.Curation.curationReport(
+      Tables.documents(spark, sf), Models.corpusCuration(spark, sf)).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(report.map(_.getLong(2)).sum === total)
+    report.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    }
+    assert(report.map(_.getString(1)).distinct.toSet.subsetOf(
+      Set("kept", "low_quality", "exact_duplicate", "near_duplicate")))
+  }
+
   test("funnel latency: exact first-completion deltas per transition") {
     import java.sql.Timestamp
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
