@@ -350,7 +350,7 @@ object Models {
     * counts, curation outcome mix, split sizes) composed from the SAME
     * gated component queries. */
   def corpusDatasheet(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, when}
     val ts = textStats(s, d).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens_est")).as("total_tokens_est"))
@@ -363,7 +363,7 @@ object Models {
       count(when(col("split") === "train", lit(1))).as("n_train"),
       count(when(col("split") === "validation", lit(1))).as("n_validation"),
       count(when(col("split") === "test", lit(1))).as("n_test"))
-    ts.crossJoin(cur).crossJoin(sp)
+    ts.crossJoin(broadcast(cur)).crossJoin(broadcast(sp))
       // empty-corpus guard (the textStats ratio convention): 0/0 is
       // NaN in Spark but engine-setting-dependent in DuckDB
       .withColumn("kept_frac",

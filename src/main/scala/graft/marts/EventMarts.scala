@@ -87,8 +87,8 @@ object EventMarts {
     val exact = events.filter(to_date(col("ts")).between(HllRangeStart, HllRangeEnd))
       .agg(countDistinct(hllKey).as("n_exact"))
     sel.agg(countDistinct(col("day")).as("n_days"))
-      .crossJoin(exact)
-      .crossJoin(Sketches.hllEstimateFromRegisters(merged))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(Sketches.hllEstimateFromRegisters(merged)))
   }
 
   /** The overlap demo's two event types. */
@@ -125,7 +125,8 @@ object EventMarts {
       .groupBy(col("user_id"))
       .agg(countDistinct(col("event_type")).as("n_types"))
       .agg(count(when(col("n_types") === 2, 1)).as("n_exact_overlap"))
-    exact.crossJoin(estA).crossJoin(estB).crossJoin(estUnion)
+    exact.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
+      .crossJoin(broadcast(estUnion))
       .select(col("n_exact_overlap"), col("est_a"), col("est_b"),
         col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))

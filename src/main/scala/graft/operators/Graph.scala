@@ -262,7 +262,7 @@ object Graph {
       val dangling = rank.filter(col("out_degree") === 0)
         .agg(coalesce(sum(col("rank_scaled")), lit(0L)).as("d_total"))
       rank = base.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling.crossJoin(nNodes)))
+        .crossJoin(broadcast(dangling.crossJoin(broadcast(nNodes))))
         .select(col("node"), col("out_degree"),
           (lit(15L * PageRankScale / 100L) +
             expr(s"$PageRankDampingPct * (coalesce(in_sum, 0L) + d_total div n_nodes) div 100"))

@@ -142,7 +142,7 @@ object Sketches {
     val merged = perPart.groupBy(col("__reg")).agg(max(col("__mj")).as("__mj"))
     df.agg(countDistinct(col(partCol)).as("n_sketches"),
         countDistinct(keyExpr).as("n_exact"))
-      .crossJoin(hllEstimateFromRegisters(merged))
+      .crossJoin(broadcast(hllEstimateFromRegisters(merged)))
   }
 
   // ---- Count-Min Sketch (Cormode & Muthukrishnan) ----

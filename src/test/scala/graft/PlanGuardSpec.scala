@@ -147,6 +147,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"anti-pattern plans: ${offenders.mkString("; ")}")
   }
 
+  test("every crossJoin call site carries an explicit broadcast hint") {
+    // VERDICT r11 #6: every crossJoin in this repo is by design a
+    // bounded side (one-row stats, query sets, centroids) × a larger
+    // relation — the hint is both documentation and a planner
+    // guarantee. A new crossJoin site without the hint fails here
+    // instead of surfacing in review (or worse, as a runtime
+    // CartesianProduct when the bounded side's estimate is off).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src", "main", "scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        Iterator.unfold(0) { from =>
+          val i = txt.indexOf("crossJoin(", from)
+          if (i < 0) None else Some((i, i + "crossJoin(".length))
+        }.filterNot { i =>
+          txt.drop(i + "crossJoin(".length).replaceAll("^\\s+", "")
+            .startsWith("broadcast(")
+        }.map { i =>
+          val line = txt.substring(0, i).count(_ == '\n') + 1
+          s"$p:$line"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      s"crossJoin sites missing an explicit broadcast hint: ${offenders.mkString(", ")}")
+  }
+
   test("the k-means TRAINING plan (pre-Mat) broadcasts its cross joins") {
     // the registered kmeans_centroids query reads the Mat-materialized
     // table, so the blanket audit above sees only a scan — the Lloyd
