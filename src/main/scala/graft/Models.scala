@@ -664,11 +664,50 @@ object Models {
     * against the standing trained-weights mart. */
   def streamQualityScores(s: SparkSession, d: String): DataFrame =
     streaming.Streams.qualityScoreStreamOnce(s, d, qualityWeights(s, d))
-  /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF, over the
-    * Mat'd term/embedding tables. */
+  /** The term-keyed postings Mat (term, doc_id, tf, dl) — the lexical
+    * inverted index; term-bucketed so per-term rollups (df) are
+    * shuffle-free for every reader. */
+  private[graft] def hybridPostings(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hybrid_postings", bucketBy = Some(("term", 8)))(
+      llm.HashEmbed.postings(Tables.documents(s, d)))
+  /** One-row corpus stats (n_docs, total_len) Mat — BM25's broadcast
+    * denominators, computed once per corpus version. */
+  private[graft] def hybridCorpusStats(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hybrid_corpus_stats")(
+      llm.HashEmbed.corpusStats(Tables.documents(s, d)))
+  /** IMPACT-SCORED postings Mat (term, doc_id, s): BM25 score folded
+    * into the index at build time — a serving request pays zero score
+    * arithmetic (df/idf/avgdl are corpus constants per version). */
+  private[graft] def hybridImpact(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hybrid_impact", bucketBy = Some(("term", 8)))(
+      llm.HashEmbed.impactPostings(hybridPostings(s, d), hybridCorpusStats(s, d)))
+  /** Dense hashed vectors + norms Mat — doc_id-bucketed so the
+    * candidate→vector re-rank join never shuffles the corpus side. */
+  private[graft] def semVectors(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "sem_vectors", bucketBy = Some(("doc_id", 8)))(
+      llm.HashEmbed.vectors(hashedEmbeddings(s, d)))
+  /** The semantic LSH band index Mat (doc_id, band, bkt) — the
+    * inverted lists a query probes. */
+  private[graft] def semBandIndex(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "sem_band_index")(
+      llm.HashEmbed.semBandTable(semVectors(s, d)))
+  /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF — INDEX-SERVED
+    * (VERDICT r11 #1): both arms probe Mat'd inverted indexes; nothing
+    * scans the corpus per query batch. */
   def hybridSearch(s: SparkSession, d: String): DataFrame =
-    llm.HashEmbed.hybridSearch(Tables.documents(s, d),
-      hashedEmbeddings(s, d), tfidfTopTerms(s, d))
+    llm.HashEmbed.hybridSearch(tfidfTopTerms(s, d), hybridImpact(s, d),
+      semVectors(s, d), semBandIndex(s, d))
+  /** Fused-RRF recall of the index-served plan vs the exact full-scan
+    * baseline, over the recall harness's bounded query sample. */
+  def hybridRecall(s: SparkSession, d: String): DataFrame = {
+    import llm.HashEmbed
+    val indexed = HashEmbed.hybridSearch(tfidfTopTerms(s, d),
+      hybridImpact(s, d), semVectors(s, d),
+      semBandIndex(s, d), HashEmbed.RecallQueryBound)
+    val exact = HashEmbed.hybridSearchExact(tfidfTopTerms(s, d),
+      hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
+    HashEmbed.hybridRecall(indexed, exact)
+  }
   /** Mat'd: read by its own query AND the curriculum binning. */
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(
@@ -875,6 +914,11 @@ object Models {
     * foreachBatch → parquet sink (same oracle). */
   def streamNeardupPairs(s: SparkSession, d: String): DataFrame =
     streaming.Streams.incrementalDedupStreamOnce(s, d, minhashBandsExisting(s, d))
+  /** TWO-micro-batch variant: cross-batch self-append semantics under
+    * the same DuckDB oracle (the sink only matches if a batch-2 doc
+    * finds its batch-1 near-dups through the self-appended index). */
+  def streamNeardupMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.incrementalDedupMultiBatchOnce(s, d, minhashBandsExisting(s, d))
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
   /** Blocked edit-distance nearest-name match over the product catalog
@@ -994,6 +1038,10 @@ object Models {
       // transitively builds the doc_embeddings barrier first
       "quality_weights" -> (qualityWeights _),
       "tfidf_top_terms" -> (tfidfTopTerms _),
+      // transitively builds hybrid_postings + hybrid_corpus_stats
+      "hybrid_impact" -> (hybridImpact _),
+      // transitively builds doc_embeddings → sem_vectors first
+      "sem_band_index" -> (semBandIndex _),
       "copurchase_communities" -> (copurchaseCommunities _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its

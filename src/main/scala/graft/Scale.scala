@@ -124,8 +124,9 @@ object Scale {
     "decontamination",
     "dataset_splits", "epoch_shuffle", "weighted_sample",
     "mixture_temperature",
-    // retrieval + trained-classifier stack (r11)
-    "doc_embeddings", "hybrid_search", "quality_weights",
+    // retrieval + trained-classifier stack (r11; hybrid_recall r12 —
+    // its exact arm is the one DELIBERATE full scan, the ground truth)
+    "doc_embeddings", "hybrid_search", "hybrid_recall", "quality_weights",
     "quality_predictions", "quality_eval", "quality_calibration",
     // multimodal codec pipeline (CPU-bound decode spread)
     "media_features", "media_resized", "media_frames",

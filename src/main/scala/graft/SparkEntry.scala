@@ -143,6 +143,8 @@ object SparkEntry {
     // feature-hashed embeddings + hybrid BM25⊕cosine RRF retrieval
     "doc_embeddings" -> out(Models.hashedEmbeddings),
     "hybrid_search" -> out(Models.hybridSearch),
+    // fused-RRF recall of the index-served plan vs the exact baseline
+    "hybrid_recall" -> out(Models.hybridRecall),
     // trained quality classifier: full-batch perceptron over hashed
     // features (weights broadcast out, integer gradients aggregated in)
     "quality_weights" -> out(Models.qualityWeights),
@@ -181,6 +183,9 @@ object SparkEntry {
     // foreachBatch maintenance job: new-doc batches banded against the
     // stored LSH index (the streaming twin of dedup_incremental_pairs)
     "stream_neardup_pairs" -> out(Models.streamNeardupPairs),
+    // the same loop over TWO mtime-ordered deliveries: cross-batch
+    // pairs exist in the sink only via the self-appended index
+    "stream_neardup_multibatch" -> out(Models.streamNeardupMultibatch),
     // streaming inference: new-doc batches scored per micro-batch
     // against the standing trained-weights mart
     "stream_quality_scores" -> out(Models.streamQualityScores),
@@ -378,6 +383,7 @@ object SparkEntry {
     "tfidf_top_terms" -> LlmSql.tfidfTopTermsQ,
     "doc_embeddings" -> LlmSql.hashedEmbeddingsQ,
     "hybrid_search" -> LlmSql.hybridSearchQ,
+    "hybrid_recall" -> LlmSql.hybridRecallQ,
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
     "quality_eval" -> LlmSql.qualityEvalQ,
@@ -395,6 +401,7 @@ object SparkEntry {
     "stream_attribution_outer" -> graft.streaming.Streams.clickAttributionOuterOracleSql,
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
     "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
+    "stream_neardup_multibatch" -> LlmSql.dedupIncrementalPairsQ,
     "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
     "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
     "stream_hll_users" -> OpsSql.streamHllUsersQ,

@@ -1866,25 +1866,23 @@ object LlmSql {
        |from he_b group by 1, 2""".stripMargin
   }
 
-  /** Mirror HashEmbed.hybridSearch: the BM25 arm re-uses the gated
-    * tf-idf query verbatim for query-term selection and adds its ≤3
-    * per-candidate term scores in FIXED rank order (the bm25
-    * literal-pivot device keyed by tf-idf rank); the semantic arm's
-    * dot products are exact integer sums over shared hash buckets
-    * (absent pairs coalesce to 0 — identical to the engine's dense
-    * zip_with fold, where absent buckets hold 0); both rank lists
-    * tie-break by doc_id; RRF adds its two 1/(60+rank) terms in fixed
-    * order. */
-  val hybridSearchQ: String = {
-    import graft.llm.HashEmbed.{Dim, TopK, HybridTopK, RrfC}
+  /** Shared hybrid CTE chain, parameterized by the query-id bound:
+    * the BM25 arm re-uses the gated tf-idf query verbatim for
+    * query-term selection and adds its ≤3 per-candidate term scores in
+    * FIXED rank order (the bm25 literal-pivot device keyed by tf-idf
+    * rank); the sparse hashed vectors (hv/hnrm) and per-pair exact
+    * integer dots (hdot — absent pairs coalesce to 0, identical to
+    * the engine's dense zip_with fold where absent buckets hold 0)
+    * feed both the exact and the index-served semantic arms. */
+  private def hybridSharedCtes(bound: Long): String = {
+    import graft.llm.HashEmbed.Dim
     import graft.llm.Relevance.{K1, B, TfidfTopK}
     val lexSum = (1 to TfidfTopK)
       .map(r => s"coalesce(max(case when rank = $r then s end), 0.0)")
       .mkString("\n    + ")
-    s"""with $textCtes,
-       |hq as (select doc_id as query_doc_id, term, rank
+    s"""hq as (select doc_id as query_doc_id, term, rank
        |       from ($tfidfTopTermsQ) t
-       |       where doc_id % 29 = 3 and doc_id < ${graft.llm.HashEmbed.QueryIdBound}),
+       |       where doc_id % 29 = 3 and doc_id < $bound),
        |hdl as (select doc_id, cast(len(w) as bigint) as dl from doc_words),
        |hcorp as (select count(*) as n_docs, sum(dl) as total_len from hdl),
        |htf as (
@@ -1902,19 +1900,39 @@ object LlmSql {
        |        / (cast(total_len as double) / cast(n_docs as double)))) as s
        |  from htf join hdf using (term) cross join hcorp
        |),
-       |hlex as (
+       |hscr as (
+       |  select *, row_number() over (partition by term
+       |                               order by s desc, doc_id) as impact_rank
+       |  from hsc
+       |),
+       |hlex_ix as (
+       |  select query_doc_id, doc_id,
+       |    $lexSum as lex_score
+       |  from hscr join hq using (term)
+       |  where doc_id != query_doc_id
+       |    and impact_rank <= ${graft.llm.HashEmbed.ImpactCap}
+       |  group by 1, 2
+       |),
+       |hlextop_ix as (
+       |  select query_doc_id, doc_id, cast(rn as int) as lex_rank from (
+       |    select query_doc_id, doc_id,
+       |      row_number() over (partition by query_doc_id
+       |                         order by lex_score desc, doc_id) as rn
+       |    from hlex_ix) t where rn <= ${graft.llm.HashEmbed.TopK}
+       |),
+       |hlex_ex as (
        |  select query_doc_id, doc_id,
        |    $lexSum as lex_score
        |  from hsc join hq using (term)
        |  where doc_id != query_doc_id
        |  group by 1, 2
        |),
-       |hlextop as (
+       |hlextop_ex as (
        |  select query_doc_id, doc_id, cast(rn as int) as lex_rank from (
        |    select query_doc_id, doc_id,
        |      row_number() over (partition by query_doc_id
        |                         order by lex_score desc, doc_id) as rn
-       |    from hlex) t where rn <= $TopK
+       |    from hlex_ex) t where rn <= ${graft.llm.HashEmbed.TopK}
        |),
        |hv as (
        |  select doc_id, (${hex60("term")}) % $Dim as bucket,
@@ -1928,37 +1946,154 @@ object LlmSql {
        |  select a.doc_id as query_doc_id, b.doc_id as doc_id,
        |    sum(a.v * b.v) as dot
        |  from hv a join hv b on a.bucket = b.bucket
-       |  where a.doc_id % 29 = 3 and a.doc_id < ${graft.llm.HashEmbed.QueryIdBound} and b.doc_id != a.doc_id
+       |  where a.doc_id % 29 = 3 and a.doc_id < $bound and b.doc_id != a.doc_id
        |  group by 1, 2
+       |)""".stripMargin
+  }
+
+  /** The index-served semantic arm (mirror HashEmbed.semBandTable +
+    * the band-probe): 1-based hyperplane signs from the
+    * SignedProjection modular formula at position bucket+1, band
+    * buckets as bit-packed sign tests, candidates = distinct pairs
+    * colliding in ≥1 band, exact cosine over the candidates only. */
+  private def hybridIndexedCtes(bound: Long): String = {
+    import graft.llm.HashEmbed.{SemBands, SemBandBits, TopK}
+    val nProj = SemBands * SemBandBits
+    def signedSum(k: Int, v: String) =
+      s"sum(case when ((bucket + 1) * 2654435761 + ${k.toLong * 40503L}) % 97 < 48" +
+        s" then -$v else $v end)"
+    val rawProjs = (0 until nProj).map(k => s"${signedSum(k, "v")} as r$k")
+      .mkString(",\n    ")
+    val sumProjs = (0 until nProj).map(k => s"${signedSum(k, "s")} as q$k")
+      .mkString(",\n    ")
+    // centered p_k = n·p_k(vec) − p_k(S) — mirror HashEmbed.proj
+    val centered = (0 until nProj).map(k => s"n * r$k - q$k as p$k")
+      .mkString(",\n    ")
+    val bandSel = (0 until SemBands).map { b =>
+      val bits = (0 until SemBandBits)
+        .map(j => s"(case when p${b * SemBandBits + j} > 0 then ${1L << j} else 0 end)")
+        .mkString(" + ")
+      s"select doc_id, $b as band, $bits as bkt from hproj"
+    }.mkString("\nunion all\n")
+    s"""hvsum as (
+       |  select bucket, sum(v) as s from hv join hnrm using (doc_id) group by 1
        |),
-       |hsem as (
+       |hn as (select count(*) as n from hnrm),
+       |hps as (
+       |  select
+       |    $sumProjs
+       |  from hvsum
+       |),
+       |hraw as (
+       |  select doc_id,
+       |    $rawProjs
+       |  from hv join hnrm using (doc_id)
+       |  group by 1
+       |),
+       |hproj as (
+       |  select doc_id,
+       |    $centered
+       |  from hraw cross join hn cross join hps
+       |),
+       |hband as (
+       |$bandSel
+       |),
+       |hcand as (
+       |  select distinct q.doc_id as query_doc_id, c.doc_id as doc_id
+       |  from hband q join hband c on q.band = c.band and q.bkt = c.bkt
+       |  where q.doc_id % 29 = 3 and q.doc_id < $bound and c.doc_id != q.doc_id
+       |),
+       |hsem_ix as (
+       |  select hc.query_doc_id, hc.doc_id,
+       |    cast(coalesce(dot, 0) as double)
+       |      / (sqrt(cast(c.nrm as double)) * sqrt(cast(q.nrm as double))) as cos
+       |  from hcand hc
+       |  join hnrm q on q.doc_id = hc.query_doc_id
+       |  join hnrm c on c.doc_id = hc.doc_id
+       |  left join hdot d on d.query_doc_id = hc.query_doc_id and d.doc_id = hc.doc_id
+       |),
+       |hsemtop_ix as (
+       |  select query_doc_id, doc_id, cast(rn as int) as sem_rank from (
+       |    select query_doc_id, doc_id,
+       |      row_number() over (partition by query_doc_id
+       |                         order by cos desc, doc_id) as rn
+       |    from hsem_ix) t where rn <= $TopK
+       |)""".stripMargin
+  }
+
+  /** The exact full-scan semantic arm (the r11 serving plan, retained
+    * as the recall harness's ground truth). */
+  private def hybridExactCtes(bound: Long): String = {
+    import graft.llm.HashEmbed.TopK
+    s"""hsem_ex as (
        |  select q.doc_id as query_doc_id, c.doc_id,
        |    cast(coalesce(dot, 0) as double)
        |      / (sqrt(cast(c.nrm as double)) * sqrt(cast(q.nrm as double))) as cos
        |  from hnrm q join hnrm c on c.doc_id != q.doc_id
        |  left join hdot d on d.query_doc_id = q.doc_id and d.doc_id = c.doc_id
-       |  where q.doc_id % 29 = 3 and q.doc_id < ${graft.llm.HashEmbed.QueryIdBound}
+       |  where q.doc_id % 29 = 3 and q.doc_id < $bound
        |),
-       |hsemtop as (
+       |hsemtop_ex as (
        |  select query_doc_id, doc_id, cast(rn as int) as sem_rank from (
        |    select query_doc_id, doc_id,
        |      row_number() over (partition by query_doc_id
        |                         order by cos desc, doc_id) as rn
-       |    from hsem) t where rn <= $TopK
-       |),
-       |hfused as (
-       |  select coalesce(l.query_doc_id, s.query_doc_id) as query_doc_id,
-       |    coalesce(l.doc_id, s.doc_id) as doc_id, l.lex_rank, s.sem_rank,
-       |    coalesce(cast(1 as double) / ($RrfC + l.lex_rank), 0.0)
-       |      + coalesce(cast(1 as double) / ($RrfC + s.sem_rank), 0.0) as rrf_score
-       |  from hlextop l full outer join hsemtop s
-       |    on l.query_doc_id = s.query_doc_id and l.doc_id = s.doc_id
-       |)
-       |select query_doc_id, cast(rank as int) as rank, doc_id,
+       |    from hsem_ex) t where rn <= $TopK
+       |)""".stripMargin
+  }
+
+  /** RRF fusion + final bounded re-rank over a (hlextop, hsemtop_*)
+    * pair, as a CTE body. */
+  private def hybridFusedSelect(lextop: String, semtop: String): String = {
+    import graft.llm.HashEmbed.{HybridTopK, RrfC}
+    s"""select query_doc_id, cast(rank as int) as rank, doc_id,
        |  lex_rank, sem_rank, rrf_score from (
        |  select *, row_number() over (partition by query_doc_id
        |    order by rrf_score desc, doc_id) as rank
-       |  from hfused) t where rank <= $HybridTopK""".stripMargin
+       |  from (
+       |    select coalesce(l.query_doc_id, s.query_doc_id) as query_doc_id,
+       |      coalesce(l.doc_id, s.doc_id) as doc_id, l.lex_rank, s.sem_rank,
+       |      coalesce(cast(1 as double) / ($RrfC + l.lex_rank), 0.0)
+       |        + coalesce(cast(1 as double) / ($RrfC + s.sem_rank), 0.0) as rrf_score
+       |    from $lextop l full outer join $semtop s
+       |      on l.query_doc_id = s.query_doc_id and l.doc_id = s.doc_id
+       |  ) f) t where rank <= $HybridTopK""".stripMargin
+  }
+
+  /** Mirror HashEmbed.hybridSearch (INDEX-SERVED): both rank lists
+    * tie-break by doc_id; RRF adds its two 1/(60+rank) terms in fixed
+    * order. */
+  val hybridSearchQ: String = {
+    val bound = graft.llm.HashEmbed.QueryIdBound
+    s"""with $textCtes,
+       |${hybridSharedCtes(bound)},
+       |${hybridIndexedCtes(bound)}
+       |${hybridFusedSelect("hlextop_ix", "hsemtop_ix")}""".stripMargin
+  }
+
+  /** Mirror Models.hybridRecall: fused-RRF recall of the index-served
+    * plan against the exact full-scan baseline, per query, over the
+    * bounded recall sample — the shared lexical arm appears once, the
+    * two semantic arms differ exactly by the band-candidate
+    * restriction. */
+  val hybridRecallQ: String = {
+    val bound = graft.llm.HashEmbed.RecallQueryBound
+    s"""with $textCtes,
+       |${hybridSharedCtes(bound)},
+       |${hybridIndexedCtes(bound)},
+       |${hybridExactCtes(bound)},
+       |hfin_ix as (
+       |${hybridFusedSelect("hlextop_ix", "hsemtop_ix")}
+       |),
+       |hfin_ex as (
+       |${hybridFusedSelect("hlextop_ex", "hsemtop_ex")}
+       |)
+       |select e.query_doc_id, count(i.doc_id) as n_hits,
+       |  count(*) as n_exact,
+       |  cast(count(i.doc_id) as double) / cast(count(*) as double) as recall
+       |from hfin_ex e left join hfin_ix i
+       |  on i.query_doc_id = e.query_doc_id and i.doc_id = e.doc_id
+       |group by 1""".stripMargin
   }
 
   /** Shared CTE chain for the perceptron quality model (mirror

@@ -47,9 +47,13 @@ class PlanGuardSpec extends SparkSpec {
     "hll_overlap_users",
     // corpus × ONE broadcast 3-threshold row (Curriculum.bins)
     "curriculum_bins",
-    // corpus stats row (BM25 arm) + corpus × the ≤|Q| broadcast query
-    // vectors (the annCosineTopK pattern for the semantic arm)
+    // ONE broadcast corpus-stats row in the BM25 arm (the semantic arm
+    // is index-probed since r12 — no corpus crossJoin remains)
     "hybrid_search",
+    // the recall harness's EXACT baseline arm: corpus × the bounded
+    // broadcast query-vector sample (that full scan is the ground
+    // truth being measured against, not a serving path)
+    "hybrid_recall",
     // ONE day-count row × ONE exact row × ONE estimate row
     "hll_range_users",
     // Ranks.globalRank offset join: |shuffle partitions| count rows ×
@@ -79,8 +83,8 @@ class PlanGuardSpec extends SparkSpec {
   private val skip = Set(
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
-    "stream_user_rollup", "stream_neardup_pairs", "stream_quality_scores",
-    "dq_summary")
+    "stream_user_rollup", "stream_neardup_pairs", "stream_neardup_multibatch",
+    "stream_quality_scores", "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
     * whose row count is bounded by the schema, not the data — 25
