@@ -103,6 +103,18 @@ object Mat {
   private def durableRoot(spark: SparkSession): Option[String] =
     spark.conf.getOption(LogRootConf).filter(_.nonEmpty)
 
+  /** Runtime conf key selecting the log's slot-reservation strategy:
+    * "atomic" (default; HDFS/local atomic create-if-absent) or
+    * "claim" (S3-class stores — MatLog's unique-claim election, which
+    * needs only strongly-consistent list-after-write). */
+  val ReserveModeConf = "spark.graft.mat.reserveMode"
+
+  private def reserveMode(spark: SparkSession): MatLog.ReserveMode =
+    spark.conf.getOption(ReserveModeConf) match {
+      case Some("claim") => MatLog.ClaimElection
+      case _ => MatLog.AtomicCreate
+    }
+
   private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -264,7 +276,8 @@ object Mat {
         val fs = fsOf(spark, base)
         val ld = MatLog.logDir(base, name)
         MatLog.reserveSlot(fs, ld,
-          math.max(prev, MatLog.lastCommittedVersion(fs, ld)) + 1)
+          math.max(prev, MatLog.lastCommittedVersion(fs, ld)) + 1,
+          reserveMode(spark))
       case None => prev + 1
     }
     versions.put(key, Integer.valueOf(n)): Unit

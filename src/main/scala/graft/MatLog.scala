@@ -11,11 +11,22 @@ import org.json4s.jackson.JsonMethods
   *
   * Layout, per mart: `<base>/<name>/_log/<v>.json` is the COMMIT record
   * of version v (written temp-file-then-atomic-rename, so a reader
-  * never observes a torn commit), and `<v>.reserve` is a cross-process
-  * slot reservation (created with `overwrite=false`, which is atomic
-  * create-if-absent on HDFS and local FS — two writers can never both
-  * hold slot v; on S3-like stores without atomic create, swap this for
-  * a conditional PUT). The mart's current version is simply the
+  * never observes a torn commit), and `<v>.reserve[...]` is a
+  * cross-process slot reservation. TWO reservation strategies
+  * ([[ReserveMode]], VERDICT r11 #3): [[AtomicCreate]] creates
+  * `<v>.reserve` with `overwrite=false` — atomic create-if-absent on
+  * HDFS and local FS, so two writers can never both hold slot v.
+  * [[ClaimElection]] is the S3-class recipe for stores WITHOUT atomic
+  * create (plain PUT is last-writer-wins): each writer PUTs a unique
+  * claim object `<v>.reserve.<token>` and then LISTS the slot's
+  * claims; a writer wins only if it sees EXACTLY its own claim —
+  * contenders that see anyone else withdraw (first-come wins; ties
+  * where both see each other mutually withdraw and the minimum token
+  * retries the slot). Safety needs only strongly-consistent
+  * list-after-write (S3 guarantees this since 2020) — no conditional
+  * PUT primitive: if A won at list-time tA seeing only itself, any
+  * B's claim lands after tA, so B's own list sees A's still-standing
+  * claim and B withdraws. The mart's current version is simply the
   * highest committed `<v>.json`; a crash between reserve and commit
   * leaves an orphan reserve whose slot is skipped forever — a gap, not
   * a corruption (exactly Delta's failed-transaction semantics).
@@ -96,18 +107,62 @@ object MatLog {
     }
   }
 
-  /** Reserve the lowest free slot >= `from`: atomic create-if-absent of
-    * `<v>.reserve`. Returns the reserved version. Bounded scan so an
-    * unwritable log surfaces as an error, not an infinite loop. */
-  def reserveSlot(fs: FileSystem, dir: String, from: Int): Int = {
+  /** Slot-reservation strategy — see the object doc. */
+  sealed trait ReserveMode
+  /** `create(overwrite=false)` IS the reservation (HDFS/local). */
+  case object AtomicCreate extends ReserveMode
+  /** Unique-claim-then-list election (S3-class stores). */
+  case object ClaimElection extends ReserveMode
+
+  /** All standing reservation markers for slot v: the atomic-mode
+    * `<v>.reserve` plus any election-mode `<v>.reserve.<token>`
+    * claims (cross-mode: either kind means the slot is held). */
+  private def claimsOf(fs: FileSystem, dir: String, v: Int): Seq[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(n => n == s"$v.reserve" || n.startsWith(s"$v.reserve."))
+      .toSeq.sorted
+  }
+
+  /** One claim-election round for slot v. Win condition: after PUTting
+    * our unique claim, the slot's claim list is exactly us. Seeing
+    * anyone else → withdraw; if every claim we saw sorts after ours we
+    * are the designated retrier (bounded retries — mutual-withdraw
+    * ties break toward the minimum token), otherwise move on. */
+  private def claimSlot(fs: FileSystem, dir: String, v: Int): Boolean = {
+    var retries = 0
+    while (retries < 5) {
+      if (fs.exists(new Path(dir, s"$v.json")) || claimsOf(fs, dir, v).nonEmpty)
+        return false
+      val mine = s"$v.reserve.${java.util.UUID.randomUUID().toString}"
+      fs.create(new Path(dir, mine), true).close() // plain PUT — no atomicity assumed
+      val seen = claimsOf(fs, dir, v)
+      if (seen == Seq(mine)) return true
+      fs.delete(new Path(dir, mine), false): Unit
+      if (seen.nonEmpty && seen.min != mine) return false
+      retries += 1
+    }
+    false
+  }
+
+  /** Reserve the lowest free slot >= `from` under the given strategy.
+    * Returns the reserved version. Bounded scan so an unwritable log
+    * surfaces as an error, not an infinite loop. */
+  def reserveSlot(fs: FileSystem, dir: String, from: Int,
+                  mode: ReserveMode = AtomicCreate): Int = {
     fs.mkdirs(new Path(dir)): Unit
     var v = from
     var attempts = 0
     while (attempts < 10000) {
-      val r = new Path(dir, s"$v.reserve")
-      val taken = fs.exists(r) || fs.exists(new Path(dir, s"$v.json")) || {
-        try { fs.create(r, false).close(); false }
-        catch { case _: java.io.IOException => true }
+      val taken = mode match {
+        case AtomicCreate =>
+          val r = new Path(dir, s"$v.reserve")
+          fs.exists(r) || fs.exists(new Path(dir, s"$v.json")) || {
+            try { fs.create(r, false).close(); false }
+            catch { case _: java.io.IOException => true }
+          }
+        case ClaimElection => !claimSlot(fs, dir, v)
       }
       if (!taken) return v
       v += 1; attempts += 1
@@ -117,11 +172,14 @@ object MatLog {
   }
 
   /** Release an unused reservation (build failed before commit) so a
-    * retry can reuse the slot. Best-effort: an orphan reserve only
-    * costs a version-number gap. */
+    * retry can reuse the slot — drops the atomic-mode marker AND any
+    * election claims. Best-effort: an orphan reserve only costs a
+    * version-number gap. */
   def releaseSlot(fs: FileSystem, dir: String, v: Int): Unit =
-    try fs.delete(new Path(dir, s"$v.reserve"), false): Unit
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      fs.delete(new Path(dir, s"$v.reserve"), false): Unit
+      claimsOf(fs, dir, v).foreach(n => fs.delete(new Path(dir, n), false): Unit)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Durably commit version v: serialize, write to `<v>.json.tmp`,
     * atomic-rename to `<v>.json`. The rename IS the commit point. */
@@ -145,9 +203,11 @@ object MatLog {
         s"MatLog: commit rename failed for version ${c.version} under $dir")
   }
 
-  /** Drop a pruned version's log entries (commit + reserve). */
+  /** Drop a pruned version's log entries (commit + reservations of
+    * either mode). */
   def deleteEntry(fs: FileSystem, dir: String, v: Int): Unit = {
     fs.delete(new Path(dir, s"$v.json"), false): Unit
     fs.delete(new Path(dir, s"$v.reserve"), false): Unit
+    claimsOf(fs, dir, v).foreach(n => fs.delete(new Path(dir, n), false): Unit)
   }
 }
