@@ -691,6 +691,29 @@ object Models {
   private[graft] def semBandIndex(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "sem_band_index")(
       llm.HashEmbed.semBandTable(semVectors(s, d)))
+  /** The STANDING-corpus (doc_id % 5 != 0) band index under its own
+    * pinned centering stats — the index state the streaming
+    * maintenance loop appends to. Postings/vectors of the standing
+    * corpus need no separate Mats: they are doc_id-filterable slices
+    * of the full barriers. */
+  private[graft] def semBandIndexStanding(s: SparkSession, d: String): DataFrame = {
+    val standVecs = semVectors(s, d).filter(col("doc_id") % 5 =!= 0)
+    Mat.table(s, d, "sem_band_index_standing")(
+      llm.HashEmbed.semBandTable(standVecs, llm.HashEmbed.semStats(standVecs)))
+  }
+  /** STREAMING hybrid-index maintenance, then serving from the
+    * stream-maintained parts — gated against the batch-built index
+    * with the same pinned standing-corpus quantizer. */
+  def streamHybridIndex(s: SparkSession, d: String): DataFrame = {
+    val standVecs = semVectors(s, d).filter(col("doc_id") % 5 =!= 0)
+    streaming.Streams.hybridIndexMaintenanceOnce(s, d,
+      standingPostings = hybridPostings(s, d).filter(col("doc_id") % 5 =!= 0),
+      standingVecs = standVecs,
+      standingBands = semBandIndexStanding(s, d),
+      pinnedStats = llm.HashEmbed.semStats(standVecs),
+      topTerms = tfidfTopTerms(s, d),
+      corpusStats = hybridCorpusStats(s, d))
+  }
   /** Hybrid BM25 ⊕ hashed-cosine retrieval fused by RRF — INDEX-SERVED
     * (VERDICT r11 #1): both arms probe Mat'd inverted indexes; nothing
     * scans the corpus per query batch. */
@@ -1042,6 +1065,7 @@ object Models {
       "hybrid_impact" -> (hybridImpact _),
       // transitively builds doc_embeddings → sem_vectors first
       "sem_band_index" -> (semBandIndex _),
+      "sem_band_index_standing" -> (semBandIndexStanding _),
       "copurchase_communities" -> (copurchaseCommunities _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its

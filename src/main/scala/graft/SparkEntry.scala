@@ -186,6 +186,9 @@ object SparkEntry {
     // the same loop over TWO mtime-ordered deliveries: cross-batch
     // pairs exist in the sink only via the self-appended index
     "stream_neardup_multibatch" -> out(Models.streamNeardupMultibatch),
+    // serving indexes (postings/vectors/bands) maintained per batch
+    // under a pinned quantizer, then hybrid-served from the parts
+    "stream_hybrid_index" -> out(Models.streamHybridIndex),
     // streaming inference: new-doc batches scored per micro-batch
     // against the standing trained-weights mart
     "stream_quality_scores" -> out(Models.streamQualityScores),
@@ -402,6 +405,7 @@ object SparkEntry {
     "stream_sink_parquet" -> graft.streaming.Streams.parquetSinkOracleSql,
     "stream_neardup_pairs" -> LlmSql.dedupIncrementalPairsQ,
     "stream_neardup_multibatch" -> LlmSql.dedupIncrementalPairsQ,
+    "stream_hybrid_index" -> LlmSql.streamHybridSearchQ,
     "stream_quality_scores" -> LlmSql.qualityStreamScoresQ,
     "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
     "stream_hll_users" -> OpsSql.streamHllUsersQ,

@@ -169,12 +169,24 @@ object HashEmbed {
     * (band, bkt) lists. Input is [[vectors]] (norm > 0 already
     * enforced there); the centering stats (n, S) broadcast as one
     * row and live only inside the index build. */
-  def semBandTable(vecs: DataFrame): DataFrame = {
-    val stats = vecs.agg(count(lit(1)).as("n")).crossJoin(broadcast(
+  def semBandTable(vecs: DataFrame): DataFrame =
+    semBandTable(vecs, semStats(vecs))
+
+  /** The centering statistics (n, svec) of a vector set — the
+    * quantizer state. An index PINS the stats of its build-time corpus
+    * and applies them to every later-arriving vector (the FAISS
+    * train-once-add-forever convention); the streaming maintenance
+    * loop passes the STANDING corpus's stats here. */
+  def semStats(vecs: DataFrame): DataFrame =
+    vecs.agg(count(lit(1)).as("n")).crossJoin(broadcast(
       vecs.select(posexplode(col("vec")).as(Seq("i", "x")))
         .groupBy("i").agg(sum(col("x")).as("s"))
         .agg(array_sort(collect_list(struct(col("i"), col("s")))).as("ps"))
         .select(transform(col("ps"), p => p.getField("s")).as("svec"))))
+
+  /** [[semBandTable]] under a PINNED quantizer: band the given vectors
+    * with the caller's centering stats. */
+  def semBandTable(vecs: DataFrame, stats: DataFrame): DataFrame = {
     val bandCols = (0 until SemBands).map { b =>
       (0 until SemBandBits).map { j =>
         when(proj(b * SemBandBits + j) > 0, lit(1L << j)).otherwise(lit(0L))

@@ -1956,7 +1956,7 @@ object LlmSql {
     * SignedProjection modular formula at position bucket+1, band
     * buckets as bit-packed sign tests, candidates = distinct pairs
     * colliding in ≥1 band, exact cosine over the candidates only. */
-  private def hybridIndexedCtes(bound: Long): String = {
+  private def hybridIndexedCtes(bound: Long, statsFilter: String = ""): String = {
     import graft.llm.HashEmbed.{SemBands, SemBandBits, TopK}
     val nProj = SemBands * SemBandBits
     def signedSum(k: Int, v: String) =
@@ -1976,9 +1976,10 @@ object LlmSql {
       s"select doc_id, $b as band, $bits as bkt from hproj"
     }.mkString("\nunion all\n")
     s"""hvsum as (
-       |  select bucket, sum(v) as s from hv join hnrm using (doc_id) group by 1
+       |  select bucket, sum(v) as s from hv join hnrm using (doc_id) $statsFilter
+       |  group by 1
        |),
-       |hn as (select count(*) as n from hnrm),
+       |hn as (select count(*) as n from hnrm $statsFilter),
        |hps as (
        |  select
        |    $sumProjs
@@ -2068,6 +2069,20 @@ object LlmSql {
     s"""with $textCtes,
        |${hybridSharedCtes(bound)},
        |${hybridIndexedCtes(bound)}
+       |${hybridFusedSelect("hlextop_ix", "hsemtop_ix")}""".stripMargin
+  }
+
+  /** Mirror Models.streamHybridIndex: identical to [[hybridSearchQ]]
+    * except the band-centering stats come from the STANDING corpus
+    * only (doc_id % 5 != 0) — the pinned quantizer the streaming
+    * maintenance loop applies to later-arriving vectors. Everything
+    * else (postings df, corpus stats, impact cap) is current-corpus,
+    * exactly as the serving read recomputes it. */
+  val streamHybridSearchQ: String = {
+    val bound = graft.llm.HashEmbed.QueryIdBound
+    s"""with $textCtes,
+       |${hybridSharedCtes(bound)},
+       |${hybridIndexedCtes(bound, "where doc_id % 5 != 0")}
        |${hybridFusedSelect("hlextop_ix", "hsemtop_ix")}""".stripMargin
   }
 

@@ -691,12 +691,33 @@ object Streams {
     * [[incrementalDedupStream]]). */
   def incrementalDedupMultiBatchOnce(spark: SparkSession, sfDir: String,
                                      existingBands: DataFrame): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-sneardupmb",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
-    val inDir = s"$scratch/in"
+    val stream = stagedTwoBatchNewDocs(spark, sfDir, scratch)
+    incrementalDedupStream(spark, stream, s"$scratch/run", existingBands,
+      "stream_neardup_multibatch")
+  }
+
+  /** Stage the demo's "new" docs (doc_id % 5 == 0) as TWO single-file
+    * parquet deliveries (doc_id % 10 == 0 first, the rest second)
+    * with fixed ascending mtimes — the file source orders its listing
+    * by modification time — and return a `maxFilesPerTrigger=1`
+    * stream over them: a deterministic two-micro-batch ingest, shared
+    * by the multi-batch near-dup and index-maintenance loops. */
+  private def stagedTwoBatchNewDocs(spark: SparkSession, sfDir: String,
+                                    scratch: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    // input staging is SESSION-scoped (applicationId, no bench pass
+    // tag): the two delivery files are identical for every pass, so
+    // re-staging them per timed pass would bill ~1 s of setup I/O to
+    // the measurement; checkpoints/sinks stay pass-scoped via
+    // `scratch` so every pass still PROCESSES for real
+    val inDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-2batch-in",
+      spark.sparkContext.applicationId,
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
     val staged = new Path(inDir, "_staged")
     if (!fs.exists(staged)) {
@@ -720,12 +741,88 @@ object Streams {
       stage(newDocs.filter(col("doc_id") % 10 =!= 0), "b1.parquet", t0 + 30000)
       fs.create(staged, true).close()
     }
-    val stream = spark.readStream
+    spark.readStream
       .schema("doc_id long, text string, lang string, source string, n_chars long")
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    incrementalDedupStream(spark, stream, s"$scratch/run", existingBands,
-      "stream_neardup_multibatch")
+  }
+
+  /** STREAMING hybrid-index maintenance — the serving indexes behind
+    * hybrid_search kept fresh as documents ARRIVE, then served from:
+    * each micro-batch of new docs is tokenized and hashed BATCH-LOCALLY
+    * into (a) its raw postings rows, (b) its dense hashed vectors, and
+    * (c) its LSH band rows under the PINNED standing-corpus centering
+    * stats (the FAISS train-once-add-forever convention: the quantizer
+    * is frozen at index-build time; later vectors are assigned with it,
+    * never re-trained mid-stream). All three append exactly-once to
+    * batchId-keyed directories (the incrementalDedupStream sink shape).
+    * After the stream drains, the query SERVES hybrid retrieval from
+    * standing ∪ appended parts — with the BM25 impact scores recomputed
+    * over the merged postings at CURRENT corpus stats, because df/avgdl
+    * drift with every batch and impact scores are refreshable only at
+    * version boundaries (why the impact mart is derived, not appended).
+    * The DuckDB gate proves serving from the stream-maintained index
+    * equals the batch-built index with the same pinned quantizer. */
+  def hybridIndexMaintenanceOnce(spark: SparkSession, sfDir: String,
+                                 standingPostings: DataFrame,
+                                 standingVecs: DataFrame,
+                                 standingBands: DataFrame,
+                                 pinnedStats: DataFrame,
+                                 topTerms: DataFrame,
+                                 corpusStats: DataFrame): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    import graft.llm.HashEmbed
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-hybridix",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val newDocs = stagedTwoBatchNewDocs(spark, sfDir, scratch)
+    val q = newDocs.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // batch-local derivations only — the standing corpus is never
+        // re-tokenized; the batch caches so the three index writes
+        // scan the delivery file once, and the vector table caches
+        // because it feeds the band write too
+        val batch = batch0.persist()
+        val vecs = HashEmbed.vectors(HashEmbed.hashedEmbeddings(batch)).persist()
+        try {
+          HashEmbed.postings(batch)
+            .write.mode("overwrite").parquet(s"$scratch/postings/batch=$batchId")
+          vecs.write.mode("overwrite").parquet(s"$scratch/vectors/batch=$batchId")
+          HashEmbed.semBandTable(vecs, pinnedStats)
+            .write.mode("overwrite").parquet(s"$scratch/bands/batch=$batchId")
+        } finally { vecs.unpersist(): Unit; batch.unpersist(): Unit }
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress("stream_hybrid_index", q)
+    val fs = new Path(scratch).getFileSystem(spark.sessionState.newHadoopConf())
+    def parts(sub: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val p = new Path(s"$scratch/$sub")
+      val dirs =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(d => d.getName.startsWith("batch=") &&
+            fs.exists(new Path(d, "_SUCCESS"))).map(_.toString)
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(dirs: _*)
+    }
+    val postingsAll = standingPostings.unionByName(
+      parts("postings", org.apache.spark.sql.types.StructType.fromDDL(
+        "term string, doc_id bigint, dl bigint, tf bigint")))
+    val vecsAll = standingVecs.unionByName(
+      parts("vectors", org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, vec array<bigint>, norm_sq bigint")))
+    val bandsAll = standingBands.unionByName(
+      parts("bands", org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, band int, bkt bigint")))
+    HashEmbed.hybridSearch(topTerms,
+      HashEmbed.impactPostings(postingsAll, corpusStats), vecsAll, bandsAll)
   }
 
   /** Core of the streaming near-dup maintenance loop, shared by the

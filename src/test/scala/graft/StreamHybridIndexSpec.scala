@@ -1,0 +1,36 @@
+package graft
+
+/** The streaming hybrid-index maintenance loop (round 12): serving
+  * from the stream-maintained parts equals serving from a batch-built
+  * index under the same pinned quantizer, it really processes TWO
+  * micro-batches, and a same-session re-run is an idempotent no-op
+  * replay (the checkpointed one-shot contract). The cross-engine
+  * result itself is DuckDB-gated (stream_hybrid_index). */
+class StreamHybridIndexSpec extends SparkSpec {
+
+  test("stream-maintained index serves the same fused results as the batch build, over 2 real batches, idempotently") {
+    import org.apache.spark.sql.functions.col
+    val got = Models.streamHybridIndex(spark, sf)
+    val rows = got.collect()
+    assert(rows.length > 0)
+    val acct = streaming.Streams.lastAccounting.get("stream_hybrid_index")
+    assert(acct != null && acct.contains("\"batches\":2"), s"accounting: $acct")
+    // batch twin: the same assembly from the full barriers with the
+    // standing-corpus pinned stats — what the oracle mirrors
+    val standVecs = Models.semVectors(spark, sf).filter(col("doc_id") % 5 =!= 0)
+    val stats = llm.HashEmbed.semStats(standVecs)
+    val allVecs = Models.semVectors(spark, sf)
+    val want = llm.HashEmbed.hybridSearch(
+      Models.tfidfTopTerms(spark, sf),
+      Models.hybridImpact(spark, sf),
+      allVecs,
+      llm.HashEmbed.semBandTable(allVecs, stats)).collect()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    assert(rows.map(key).sorted.toSeq == want.map(key).sorted.toSeq,
+      "stream-maintained serving diverged from the batch-built index")
+    // idempotence: the checkpoint makes a same-session re-run serve
+    // the identical result without reprocessing
+    val again = Models.streamHybridIndex(spark, sf).collect()
+    assert(again.map(key).sorted.toSeq == rows.map(key).sorted.toSeq)
+  }
+}
