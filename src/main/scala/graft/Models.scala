@@ -281,6 +281,9 @@ object Models {
       Models.DailyMeltMetrics)
   def revenueAnomalies(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueAnomalies(dailySummary(s, d))
+  /** EWMA-baseline spikes — the exponentially-weighted anomaly twin. */
+  def ewmaAnomalies(s: SparkSession, d: String): DataFrame =
+    TimeMarts.ewmaAnomalies(dailySummary(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

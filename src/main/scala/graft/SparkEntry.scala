@@ -67,6 +67,8 @@ object SparkEntry {
     "daily_metrics_long" -> out(Models.dailyMetricsLong),
     // trailing-window 2-sigma anomaly flags (exact-moment baseline)
     "revenue_anomalies" -> out(Models.revenueAnomalies),
+    // EWMA-baseline spikes: exact power-of-two-weighted integer cents
+    "revenue_ewma_anomalies" -> out(Models.ewmaAnomalies),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -332,6 +334,7 @@ object SparkEntry {
     "daily_moving_stats" -> Sql.dailyMovingStatsQ,
     "daily_metrics_long" -> Sql.dailyMetricsLongQ,
     "revenue_anomalies" -> Sql.revenueAnomaliesQ,
+    "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

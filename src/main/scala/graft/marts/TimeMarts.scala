@@ -169,6 +169,15 @@ object TimeMarts {
   val AnomalyMinDays = 14
   val AnomalySigma = 2.0
 
+  /** EWMA anomaly tunables: half-life-1-day decay over a [[EwmaHorizon]]-
+    * day lookback (weights 2^(H−Δ) — POWERS OF TWO so the whole
+    * weighted sum stays exact integer cents, the repo's exact-until-
+    * the-boundary rule), spike = relative deviation from the prior-day
+    * EWMA above [[EwmaRelDev]] with ≥ [[EwmaMinDays]] days of history. */
+  val EwmaHorizon = 16
+  val EwmaMinDays = 7
+  val EwmaRelDev = 0.5
+
   def revenueAnomalies(daily: DataFrame): DataFrame = {
     val w = Window.orderBy(col("order_date"))
       .rowsBetween(-AnomalyWindow, -1)
@@ -191,6 +200,49 @@ object TimeMarts {
       when(col("n_base") >= AnomalyMinDays && std.isNotNull,
         abs(rev.cast("string").cast("double") - mean) > lit(AnomalySigma) * std)
         .as("is_anomaly"))
+  }
+
+  /** EWMA-baseline revenue anomalies — the exponentially-weighted twin
+    * of [[revenueAnomalies]]'s flat trailing window (recent days count
+    * more, the standard ops-monitoring smoother). The recursive EWMA
+    * is re-expressed as a BOUNDED weighted sum over the last
+    * [[EwmaHorizon]] days with weights 2^(H−Δ): exact-integer cents ×
+    * power-of-two weights means every aggregate is order-free Long
+    * arithmetic and the only IEEE ops are the two fixed-order
+    * divisions at the output boundary (wsum/wden, then /100) plus the
+    * relative-deviation division — bit-identical cross-engine without
+    * any quantization step. The lookback join is calendar-bounded on
+    * BOTH sides (≤ 3650 days × ≤ H matches), so the broadcast
+    * inequality join is the correct plan — the same bounded-dim
+    * argument as the daily window family. */
+  def ewmaAnomalies(daily: DataFrame): DataFrame = {
+    val cents = (col("daily_revenue") * 100).cast("long")
+    val cur = daily.select(col("order_date"), col("daily_revenue"),
+      cents.as("cents"))
+    val prior = daily.select(col("order_date").as("p_date"), cents.as("p_cents"))
+    val dd = datediff(col("order_date"), col("p_date"))
+    // shiftleft's Scala binding takes a literal bit count; the SQL
+    // form accepts a column expression
+    val w = expr(s"shiftleft(1L, $EwmaHorizon - datediff(order_date, p_date))")
+    cur.join(broadcast(prior), dd.between(1, EwmaHorizon), "left")
+      .groupBy(col("order_date"), col("daily_revenue"), col("cents"))
+      .agg(
+        count(col("p_cents")).as("n_base"),
+        sum(col("p_cents") * w).as("wsum"),
+        sum(when(col("p_cents").isNotNull, w)).as("wden"))
+      .select(
+        col("order_date"),
+        col("daily_revenue").cast("double").as("daily_revenue"),
+        col("n_base"),
+        when(col("n_base") >= EwmaMinDays,
+          col("wsum").cast("double") / col("wden").cast("double") / lit(100.0))
+          .as("ewma_baseline"),
+        when(col("n_base") >= EwmaMinDays && col("wsum") > 0,
+          abs(col("cents") * col("wden") - col("wsum")).cast("double")
+            / col("wsum").cast("double")).as("rel_dev"),
+        when(col("n_base") >= EwmaMinDays && col("wsum") > 0,
+          abs(col("cents") * col("wden") - col("wsum")).cast("double")
+            / col("wsum").cast("double") > lit(EwmaRelDev)).as("is_spike"))
   }
 
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE

@@ -970,6 +970,42 @@ object Sql {
        |from orders_mart
        |group by grouping sets ((1), (2), ())""".stripMargin
 
+  /** Mirror TimeMarts.ewmaAnomalies: exact-integer cents × power-of-two
+    * weights over the bounded lookback self-join, the same two
+    * fixed-order boundary divisions, the same wsum>0 guard (NaN
+    * comparison semantics differ across engines, so 0-revenue
+    * baselines must stay null, never NaN). */
+  val ewmaAnomaliesQ: String = {
+    import graft.marts.TimeMarts.{EwmaHorizon, EwmaMinDays, EwmaRelDev}
+    s"""$allCtes,
+       |ew_c as (
+       |  select order_date, daily_revenue,
+       |    cast(daily_revenue * 100 as bigint) as cents
+       |  from daily_summary
+       |),
+       |ew_j as (
+       |  select c.order_date, c.daily_revenue, c.cents,
+       |    count(p.cents) as n_base,
+       |    sum(p.cents * (cast(1 as bigint) << ($EwmaHorizon - (c.order_date - p.order_date)))) as wsum,
+       |    sum(case when p.cents is not null
+       |        then (cast(1 as bigint) << ($EwmaHorizon - (c.order_date - p.order_date))) end) as wden
+       |  from ew_c c left join ew_c p
+       |    on c.order_date - p.order_date between 1 and $EwmaHorizon
+       |  group by 1, 2, 3
+       |)
+       |select order_date,
+       |  cast(daily_revenue as double) as daily_revenue,
+       |  cast(n_base as bigint) as n_base,
+       |  case when n_base >= $EwmaMinDays
+       |    then cast(wsum as double) / cast(wden as double) / 100.0 end as ewma_baseline,
+       |  case when n_base >= $EwmaMinDays and wsum > 0
+       |    then cast(abs(cents * wden - wsum) as double) / cast(wsum as double) end as rel_dev,
+       |  case when n_base >= $EwmaMinDays and wsum > 0
+       |    then cast(abs(cents * wden - wsum) as double) / cast(wsum as double) > $EwmaRelDev
+       |  end as is_spike
+       |from ew_j""".stripMargin
+  }
+
   /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
     * moments (current row excluded), the string-routed stddevFromSums
     * recipe, identical IEEE 2σ comparison. */

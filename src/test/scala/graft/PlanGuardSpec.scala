@@ -41,6 +41,9 @@ class PlanGuardSpec extends SparkSpec {
     "hist_quantiles",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
+    // calendar-bounded daily table × its own broadcast ≤H-day lookback
+    // (inequality join over ≤3650 × ≤16 matched rows)
+    "revenue_ewma_anomalies",
     // ONE exact-counts row × ONE merged-estimate row
     "hll_merged_users",
     // ONE exact-overlap row × THREE one-row sketch estimates
