@@ -32,6 +32,11 @@ object Models {
     * unrolled mirror. */
   val LpaRounds = 4
 
+  /** k-core threshold and bounded peel rounds; shared with the
+    * oracle's unrolled mirror (the query reports convergence). */
+  val KCoreK = 2
+  val KCoreRounds = 12
+
   /** Orders-mart columns the profile query audits; shared with the
     * oracle's generated per-column arms. */
   val OrdersProfileCols: Seq[String] = Seq(
@@ -827,6 +832,12 @@ object Models {
   def copurchasePagerankDirected(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "copurchase_pagerank_directed")(
       operators.Graph.pageRankDirected(copurchaseEdges(s, d), Models.PageRankRounds))
+  /** k-core peel of the strong-edge graph (the density cut before
+    * community work) — Mat'd iterative build like PageRank/LPA. */
+  def copurchaseKcore(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_kcore")(
+      operators.Graph.kCore(copurchaseStrongEdges(s, d).select("src", "dst"),
+        Models.KCoreK, Models.KCoreRounds))
   /** Label-propagation communities on the STRONG-edge affinity graph
     * (the full graph is near-one-component; communities only mean
     * something after thresholding) — Mat'd iterative build. */
@@ -1058,6 +1069,7 @@ object Models {
       // transitively builds the copurchase_edges barrier first
       "copurchase_distances" -> (productCopurchaseDistances _),
       "copurchase_strong_edges" -> (copurchaseStrongEdges _),
+      "copurchase_kcore" -> (copurchaseKcore _),
       "copurchase_pagerank" -> (copurchasePagerank _),
       "copurchase_pagerank_directed" -> (copurchasePagerankDirected _),
       "minhash_bands_existing" -> (minhashBandsExisting _),

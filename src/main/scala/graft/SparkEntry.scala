@@ -246,6 +246,8 @@ object SparkEntry {
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
     "copurchase_triangles" -> out(Models.copurchaseTriangles),
     "copurchase_clustering" -> out(Models.copurchaseClustering),
+    // bounded-round k-core peel with a gated convergence flag
+    "copurchase_kcore" -> out(Models.copurchaseKcore),
     "copurchase_pagerank" -> out(Models.copurchasePagerank),
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // synchronous label-propagation communities (strong-edge graph)
@@ -441,6 +443,7 @@ object SparkEntry {
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
+    "copurchase_kcore" -> OpsSql.copurchaseKcoreQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,

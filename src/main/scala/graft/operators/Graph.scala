@@ -173,6 +173,41 @@ object Graph {
         coalesce(col("n_hub_neighbors"), lit(0L)).as("n_hub_neighbors"))
   }
 
+  /** Bounded-round k-CORE peel — the densest-substructure filter next
+    * to triangles/clustering in the affinity-graph toolbox (keep only
+    * nodes that survive repeated removal of degree < k nodes; the
+    * classic quality cut before community detection). Peeling is
+    * iterative-until-fixpoint; like [[pageRank]] and the Lloyd chain,
+    * the engine runs a FIXED `rounds` unroll (each round: degrees →
+    * keep-set → two semi-joins, lineage truncated per round) and
+    * REPORTS convergence instead of silently assuming it: `converged`
+    * is true iff the surviving subgraph is already a k-core (another
+    * round would change nothing) — a path graph peels one node per
+    * round and can exhaust any fixed unroll, so the flag is the honest
+    * contract, mirrored by the oracle's identical unroll.
+    *
+    * Scale: each round is two hash semi-joins + one degree aggregation
+    * over the CURRENT edge set (monotonically shrinking); nothing is
+    * pairwise, state is (node, degree). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cur = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = cur
+      val keep = undirectedDegrees(cur).filter(col("degree") >= k).select("node")
+      cur = cur
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    val finalDeg = undirectedDegrees(cur)
+    val conv = finalDeg.agg(
+      coalesce(min(when(col("degree") >= k, 1).otherwise(0)), lit(1)).as("c"))
+    finalDeg.crossJoin(broadcast(conv))
+      .select(col("node"), col("degree").as("core_degree"),
+        (col("c") === 1).as("converged"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles(v) /
     * (deg(v)·(deg(v)−1)) over the undirected degree of the same
     * oriented edge set [[triangleCounts]] reads — how close each

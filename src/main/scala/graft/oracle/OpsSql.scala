@@ -632,6 +632,48 @@ object OpsSql {
        |) u group by 1""".stripMargin
   }
 
+  /** Mirror Graph.kCore over the strong-edge graph: the IDENTICAL
+    * bounded unroll (degrees → keep ≥ k → edge restriction, ×
+    * KCoreRounds), final degrees, and the same converged flag (min
+    * over `deg >= k`, 1 on an empty core). */
+  val copurchaseKcoreQ: String = {
+    val k = graft.Models.KCoreK
+    val minW = graft.Models.CoPurchaseMinWeight
+    val rounds = (1 to graft.Models.KCoreRounds).map { r =>
+      s"""dg$r as (
+         |  select node, count(*) as deg from (
+         |    select src as node from kc${r - 1} union all
+         |    select dst as node from kc${r - 1}) u group by 1
+         |),
+         |kp$r as (select node from dg$r where deg >= $k),
+         |kc$r as materialized (
+         |  select e.src, e.dst from kc${r - 1} e
+         |  join kp$r a on e.src = a.node
+         |  join kp$r b on e.dst = b.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"kc${graft.Models.KCoreRounds}"
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |kc0 as materialized (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $minW
+       |),
+       |$rounds,
+       |dgf as materialized (
+       |  select node, count(*) as deg from (
+       |    select src as node from $last union all
+       |    select dst as node from $last) u group by 1
+       |),
+       |cv as (
+       |  select coalesce(min(case when deg >= $k then 1 else 0 end), 1) as c
+       |  from dgf
+       |)
+       |select node, cast(deg as bigint) as core_degree, c = 1 as converged
+       |from dgf cross join cv""".stripMargin
+  }
+
   /** Mirror Graph.clusteringCoefficients over the same strong-edge
     * graph: undirected degree from both edge endpoints, triangles
     * from the ordered wedge join, one double division of exact

@@ -197,6 +197,23 @@ class GraphSpec extends SparkSpec {
     assert(sized.forall(_._3 === 3L))
   }
 
+  test("kCore: bounded peel reaches the true core and the convergence flag is honest") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    // triangle, reached after peeling 5 then 4 (two rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val done = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(done.toSet == Set((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+    // one round is NOT enough: node 4 is still degree-1 — the flag
+    // must say so instead of presenting the partial peel as a core
+    val partial = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(partial.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(partial.forall(!_._2))
+    // an empty core converges trivially (k above the max degree)
+    assert(Graph.kCore(edges, k = 10, rounds = 2).count() == 0L)
+  }
+
   test("triangleCountsCapped: exact kept-subgraph counts, per-node truncation flags, ≥5× shuffle drop on a dense-core graph") {
     // a 120-clique (degree 119 — C(120,3)=280840 inherent triangles:
     // wedge mass degree orientation CANNOT avoid, unlike a star hub
