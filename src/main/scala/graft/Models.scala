@@ -301,6 +301,10 @@ object Models {
   /** k-anonymity release audit over the segmentation quasi-ids. */
   def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
     llm.Redaction.kAnonymityAudit(customerSegmentation(s, d))
+  /** l-diversity audit (homogeneity-attack companion) over the same
+    * quasi-identifier set. */
+  def lDiversityAudit(s: SparkSession, d: String): DataFrame =
+    llm.Redaction.lDiversityAudit(customerSegmentation(s, d))
 
   // ---- LLM-pipeline operators (documents / embeddings tables) ----
 
@@ -485,6 +489,14 @@ object Models {
       .reduce(_ union _)
       .select(col("method"), col("query_id"), col("n_hits"), col("recall"))
   }
+  /** Hard negatives: per query the most-confusable wrong-label
+    * vectors (contrastive-training mining). */
+  def annHardNegatives(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annHardNegatives(Tables.embeddings(s, d))
+  /** Matryoshka truncation eval: recall of prefix-dim brute-force
+    * search vs the full-dim exact top-k, per MRL dim. */
+  def annMatryoshkaRecall(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annMatryoshkaRecall(Tables.embeddings(s, d), annExactTopK(s, d))
   /** Transitive clusters over the embedding-cosine near-dup pairs —
     * the semantic-dedup twin of [[dedupClusters]], through the SAME
     * connected-components operator. */

@@ -96,6 +96,10 @@ object SparkEntry {
     // metadata-filtered vector search (filter BEFORE top-k)
     "ann_filtered_topk" -> out(Models.annFilteredTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
+    // contrastive hard-negative mining (top wrong-label cosines)
+    "ann_hard_negatives" -> out(Models.annHardNegatives),
+    // Matryoshka prefix-truncation recall ladder
+    "ann_matryoshka_recall" -> out(Models.annMatryoshkaRecall),
     "embedding_dedup_pairs" -> out(Models.embeddingDedupPairs),
     "ann_ivf_topk" -> out(Models.annIvfTopK),
     "ann_ivf_kmeans_topk" -> out(Models.annIvfKmeansTopK),
@@ -214,6 +218,8 @@ object SparkEntry {
     "pii_redaction_shapes" -> out(Models.piiRedactionShapes),
     // k-anonymity go/no-go audit over the segmentation quasi-ids
     "k_anonymity_audit" -> out(Models.kAnonymityAudit),
+    // l-diversity: the homogeneity-attack companion audit
+    "l_diversity_audit" -> out(Models.lDiversityAudit),
     "decontamination" -> out(Models.decontamination),
     "doc_repetition" -> out(Models.docRepetition),
     "domain_mixture" -> out(Models.domainMixture),
@@ -355,6 +361,8 @@ object SparkEntry {
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "ann_filtered_topk" -> LlmSql.annFilteredTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
+    "ann_hard_negatives" -> LlmSql.annHardNegativesQ,
+    "ann_matryoshka_recall" -> LlmSql.annMatryoshkaRecallQ,
     "embedding_dedup_pairs" -> LlmSql.embeddingDedupPairsQ,
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "ann_ivf_kmeans_topk" -> LlmSql.annIvfKmeansTopKQ,
@@ -422,6 +430,7 @@ object SparkEntry {
     "pii_redaction" -> CurateSql.piiRedactionQ,
     "pii_redaction_shapes" -> CurateSql.piiRedactionShapesQ,
     "k_anonymity_audit" -> Sql.kAnonymityAuditQ,
+    "l_diversity_audit" -> Sql.lDiversityAuditQ,
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,

@@ -126,4 +126,27 @@ object Redaction {
         count(when(col("n") < k, lit(1))).as("n_risky_groups"),
         coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("n_risky_rows"),
         min(col("n")).as("min_group_size"))
+
+  /** l-diversity threshold and the audited sensitive attribute. */
+  val LDiversity = 2
+  val SensitiveAttr = "churn_risk"
+
+  /** One-row l-DIVERSITY audit — k-anonymity's necessary companion
+    * (Machanavajjhala et al.): a group can be k-large yet leak the
+    * sensitive attribute outright if every member SHARES it
+    * (homogeneity attack), so each quasi-identifier group must also
+    * contain ≥ l distinct sensitive values. Same one-aggregation
+    * shape as [[kAnonymityAudit]]; nothing is pairwise. */
+  def lDiversityAudit(df: DataFrame,
+                      quasiIds: Seq[String] = QuasiIds,
+                      sensitive: String = SensitiveAttr,
+                      l: Int = LDiversity): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col(sensitive)).as("ndv"))
+      .agg(
+        lit(l.toLong).as("l"),
+        count(lit(1)).as("n_groups"),
+        count(when(col("ndv") < l, lit(1))).as("n_risky_groups"),
+        coalesce(sum(when(col("ndv") < l, col("n"))), lit(0L)).as("n_risky_rows"),
+        min(col("ndv")).as("min_distinct_sensitive"))
 }

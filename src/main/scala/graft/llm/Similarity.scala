@@ -112,6 +112,66 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training companion of
+    * [[annFilteredTopK]]: per query, the top-k highest-cosine corpus
+    * vectors whose label DIFFERS from the query's (maximally confusable
+    * wrong-label examples — the negatives that actually teach a
+    * retrieval/embedding model, vs trivially-distant random negatives).
+    * Same broadcast-queries × corpus-scan shape; the label predicate
+    * applies BEFORE the bounded-heap top-k, like the filtered search. */
+  def annHardNegatives(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val norms = embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val queries = embeddingsRaw
+      .select(col("vec_id"), col("label"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = norms.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        (dot(col("embedding"), col("q_emb")) / (sqrt(col("nrm")) * sqrt(col("q_nrm"))))
+          .as("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggregate
+        .top_k(col("cosine"), struct(col("neighbor_id"), col("label")), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"),
+        col("col.payload.neighbor_id").as("neighbor_id"),
+        col("col.payload.label").as("neg_label"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
+  }
+
+  /** Matryoshka (MRL) truncation dims evaluated by
+    * [[annMatryoshkaRecall]] — powers of two up to half the stored
+    * dimensionality, the usual MRL ladder. */
+  val MrlDims = Seq(8, 16, 32)
+
+  /** MATRYOSHKA truncation eval — recall@k of brute-force search over
+    * PREFIX-truncated embeddings (both corpus and queries truncated,
+    * the MRL serving shape: store full vectors once, serve cheaper
+    * prefixes) against the full-dimension exact top-k. The table that
+    * decides how many dims a latency-bound serving tier can drop —
+    * same measured-trade contract as the ANN recall harness.
+    * (The synthetic embeddings are NOT MRL-trained, so the measured
+    * ladder here is the no-structure baseline — recall near chance at
+    * small prefixes, 0.16 at 32/64 dims at sf0.1; a real MRL model
+    * front-loads information and this harness is how you'd prove it.) */
+  def annMatryoshkaRecall(embeddingsRaw: DataFrame, exact: DataFrame): DataFrame =
+    MrlDims.map { dim =>
+      val trunc = embeddingsRaw.select(col("vec_id"),
+        slice(col("embedding"), 1, dim).as("embedding"))
+      annRecall(exact, annCosineTopKAsym(trunc, trunc))
+        .withColumn("mrl_dim", lit(dim))
+    }.reduce(_ union _)
+      .select(col("mrl_dim"), col("query_id"), col("n_hits"), col("recall"))
+
   val LshBits = 16
 
   /** Signed hyperplane projection s_k = Σ_i sgn(k,i)·v[i] — native

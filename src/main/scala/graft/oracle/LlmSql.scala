@@ -289,6 +289,44 @@ object LlmSql {
        |  from annf_scored
        |) t where rank <= ${Similarity.TopK}""".stripMargin
 
+  /** Mirror Similarity.annHardNegatives: the filtered search with the
+    * label predicate INVERTED (wrong-label top cosines), same
+    * (cosine desc, neighbor_id) total order, label carried through. */
+  val annHardNegativesQ: String =
+    s"""with hneg_norms as (
+       |  select vec_id, label, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |hneg_ok as (select * from hneg_norms where nrm > 0),
+       |hneg_queries as (
+       |  select vec_id as query_id, label as q_label, embedding as q_emb, nrm as q_nrm
+       |  from hneg_norms where nrm > 0 and vec_id < ${Similarity.NQueries}
+       |),
+       |hneg_scored as (
+       |  select q.query_id, e.vec_id as neighbor_id, e.label as neg_label,
+       |    ${dotSql("e.embedding", "q.q_emb")} / (sqrt(e.nrm) * sqrt(q.q_nrm)) as cosine
+       |  from hneg_ok e cross join hneg_queries q
+       |  where e.vec_id != q.query_id and e.label != q.q_label
+       |)
+       |select query_id, neighbor_id, neg_label, rank, cosine from (
+       |  select *, row_number() over (
+       |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
+       |  from hneg_scored
+       |) t where rank <= ${Similarity.TopK}""".stripMargin
+
+  /** Mirror Similarity.annMatryoshkaRecall: one union arm per MRL
+    * prefix dim — the asym search over `embedding[1:d]` for both
+    * corpus and queries, recalled against the full-dim exact top-k. */
+  val annMatryoshkaRecallQ: String =
+    Similarity.MrlDims.map { dim =>
+      val truncQ =
+        s"""with mrl_t as (
+           |  select vec_id, embedding[1:$dim] as embedding from embeddings
+           |),
+           |${annCosineTopKAsymOver("mrl_t", "mrl_t")}""".stripMargin
+      s"select $dim as mrl_dim, t.* from (\n${annRecallOver(truncQ)}\n) t"
+    }.mkString("\nunion all\n")
+
   /** Mirror Quantize: max-abs scale, explicit half-up floor codes.
     * Shared CTE prefix for the quantization table and the dequantized
     * ANN oracle. */

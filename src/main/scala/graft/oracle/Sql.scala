@@ -1104,6 +1104,27 @@ object Sql {
        |from ka_groups""".stripMargin
   }
 
+  /** Mirror Redaction.lDiversityAudit: distinct sensitive values per
+    * quasi-identifier group, one-row rollup (k-anonymity's homogeneity
+    * companion). */
+  val lDiversityAuditQ: String = {
+    import graft.llm.Redaction.{LDiversity, QuasiIds, SensitiveAttr}
+    val qids = QuasiIds.mkString(", ")
+    s"""$allCtes,
+       |ld_groups as (
+       |  select $qids, count(*) as n,
+       |    count(distinct $SensitiveAttr) as ndv
+       |  from customer_segmentation group by ${
+        QuasiIds.indices.map(_ + 1).mkString(", ")}
+       |)
+       |select cast($LDiversity as bigint) as l,
+       |  cast(count(*) as bigint) as n_groups,
+       |  cast(count(case when ndv < $LDiversity then 1 end) as bigint) as n_risky_groups,
+       |  cast(coalesce(sum(case when ndv < $LDiversity then n end), 0) as bigint) as n_risky_rows,
+       |  cast(min(ndv) as bigint) as min_distinct_sensitive
+       |from ld_groups""".stripMargin
+  }
+
   /** Mirror testing.DqSummary.summary: the same rule lists rendered to
     * DuckDB SQL over the oracle CTEs (marts carry `_mart` suffixes
     * where the plain name is taken by an intermediate CTE). */

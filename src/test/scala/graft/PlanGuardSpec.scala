@@ -19,6 +19,9 @@ class PlanGuardSpec extends SparkSpec {
     "ann_cosine_topk", "ann_filtered_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     // these compose annCosineTopK's bounded broadcast query set
     "ann_sq8_topk", "ann_recall", "ann_recall_by_method", "ann_pq_topk", "ann_pq_adc_topk",
+    // same bounded broadcast query-set scan (wrong-label filter /
+    // prefix-truncated corpus per MRL arm)
+    "ann_hard_negatives", "ann_matryoshka_recall",
     // ADC candidate stage composes annCosineTopKAsym's bounded
     // broadcast query set; the re-rank joins are broadcast HASH joins
     "ann_pq_rerank_topk",
