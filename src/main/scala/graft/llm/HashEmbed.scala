@@ -82,17 +82,25 @@ object HashEmbed {
     * [[Similarity.NearDupBandBits]] sizing rule.
     *
     * MEASURED accuracy/cost at sf0.1 (5000 docs, 173 queries,
-    * hybrid_recall vs the exact baseline): fused recall 0.80 as
-    * served; 0.86 with the lexical cap lifted; 0.93 with the semantic
-    * arm exact — i.e. banding costs ~13 recall points and the
-    * [[ImpactCap]] ~6 on THIS corpus, whose hashing-trick vectors are
-    * near-collinear (the synthetic docs share one template
-    * vocabulary), the worst case for sign-pattern LSH. Candidates are
-    * ~29% of the corpus per query here; real embedding geometry
-    * separates far better, and the knobs trade measured recall for
-    * probe cost either way. */
+    * hybrid_recall vs the exact baseline): fused recall 0.87 as
+    * served (single-probe 0.80; [[SemProbeHamming1]] buys the rest);
+    * 0.86 with the lexical cap lifted instead; 0.93 with the semantic
+    * arm fully exact — i.e. banding costs ~6 recall points as served
+    * and the [[ImpactCap]] ~6 on THIS corpus, whose hashing-trick
+    * vectors are near-collinear (the synthetic docs share one template
+    * vocabulary), the worst case for sign-pattern LSH. Real embedding
+    * geometry separates far better, and every knob trades measured
+    * recall for probe cost. */
   val SemBands = 8
   val SemBandBits = 6
+
+  /** QUERY-SIDE multi-probe: each query also probes the Hamming-1
+    * neighbors of its band buckets (the standard LSH recall dial —
+    * more lists per query, NO index rebuild). Measured at sf0.1:
+    * fused recall 0.797 → 0.867 for 250k → 413k candidates — better
+    * recall-per-candidate than any same-volume band/bit re-sizing in
+    * the config sweep. */
+  val SemProbeHamming1 = true
 
   /** Per-term serving cap on the impact-ordered postings (static index
     * pruning, Carmel et al.): the SERVING lexical arm reads only each
@@ -319,8 +327,13 @@ object HashEmbed {
     val qv = vecs.filter(querySel(col("doc_id"), bound))
       .select(col("doc_id").as("query_doc_id"), col("vec").as("qvec"),
         col("norm_sq").as("qn"))
-    val qBands = bands.filter(querySel(col("doc_id"), bound))
+    val qBands0 = bands.filter(querySel(col("doc_id"), bound))
       .select(col("doc_id").as("query_doc_id"), col("band"), col("bkt"))
+    val qBands =
+      if (!SemProbeHamming1) qBands0
+      else qBands0.unionByName(qBands0.select(col("query_doc_id"), col("band"),
+        explode(array((0 until SemBandBits).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt")))
     val cand = bands.join(broadcast(qBands), Seq("band", "bkt"))
       .filter(col("doc_id") =!= col("query_doc_id"))
       .select("query_doc_id", "doc_id").distinct()

@@ -2029,18 +2029,28 @@ object LlmSql {
        |  from hv join hnrm using (doc_id)
        |  group by 1
        |),
-       |hproj as (
+       |hproj as materialized (
        |  select doc_id,
        |    $centered
        |  from hraw cross join hn cross join hps
        |),
-       |hband as (
+       |hband as materialized (
        |$bandSel
+       |),
+       |hqp as (
+       |  select doc_id, band, bkt from hband
+       |  where doc_id % 29 = 3 and doc_id < $bound
+       |${if (!graft.llm.HashEmbed.SemProbeHamming1) "" else
+        (0 until SemBandBits).map(j =>
+          s"""  union all
+             |  select doc_id, band, xor(bkt, ${1L << j}) as bkt from hband
+             |  where doc_id % 29 = 3 and doc_id < $bound""".stripMargin)
+          .mkString("\n", "\n", "")}
        |),
        |hcand as (
        |  select distinct q.doc_id as query_doc_id, c.doc_id as doc_id
-       |  from hband q join hband c on q.band = c.band and q.bkt = c.bkt
-       |  where q.doc_id % 29 = 3 and q.doc_id < $bound and c.doc_id != q.doc_id
+       |  from hqp q join hband c on q.band = c.band and q.bkt = c.bkt
+       |  where c.doc_id != q.doc_id
        |),
        |hsem_ix as (
        |  select hc.query_doc_id, hc.doc_id,
