@@ -160,6 +160,10 @@ object Models {
     * the salted skew join / AQE threshold choice reads. */
   def eventKeySkew(s: SparkSession, d: String): DataFrame =
     operators.Stats.keySkewProfile(Tables.events(s, d), "user_id")
+  /** PSI drift monitor: earliest vs latest month of events.value per
+    * event_type, reference-pinned bins, decimal-exact term sums. */
+  def featureDriftPsi(s: SparkSession, d: String): DataFrame =
+    operators.Stats.featureDriftPsi(Tables.events(s, d))
 
   /** STREAMING sketch maintenance: per-day HLL registers built per
     * micro-batch, merged register-wise at read (associative — no
@@ -170,6 +174,11 @@ object Models {
     * merged == directly-built exactly, same oracle as the batch CMS. */
   def streamCmsHeavy(s: SparkSession, d: String): DataFrame =
     streaming.Streams.cmsSketchStreamOnce(s, d)
+  /** STREAMING histogram quantiles: per-batch bin counters against a
+    * pinned quantizer, summed at read — merged == directly-built
+    * exactly, same oracle as the batch hist_quantiles. */
+  def streamQuantileHist(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.histSketchStreamOnce(s, d)
 
   /** SCD TYPE-2 SNAPSHOT over the two customer states
     * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check
@@ -305,6 +314,10 @@ object Models {
     * quasi-identifier set. */
   def lDiversityAudit(s: SparkSession, d: String): DataFrame =
     llm.Redaction.lDiversityAudit(customerSegmentation(s, d))
+  /** t-closeness audit (skew-attack companion) — same quasi-ids and
+    * sensitive attribute; completes the release-audit trio. */
+  def tClosenessAudit(s: SparkSession, d: String): DataFrame =
+    llm.Redaction.tClosenessAudit(customerSegmentation(s, d))
 
   // ---- LLM-pipeline operators (documents / embeddings tables) ----
 

@@ -208,6 +208,9 @@ object SparkEntry {
     // streaming CMS: per-batch counters sum-merged at read; the batch
     // heavy-hitters oracle gates the identical result
     "stream_cms_heavy" -> out(Models.streamCmsHeavy),
+    // streaming histogram-quantile maintenance (pinned bin edges,
+    // counters merge by sum) — completes the mergeable-sketch family
+    "stream_quantile_hist" -> out(Models.streamQuantileHist),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -220,6 +223,8 @@ object SparkEntry {
     "k_anonymity_audit" -> out(Models.kAnonymityAudit),
     // l-diversity: the homogeneity-attack companion audit
     "l_diversity_audit" -> out(Models.lDiversityAudit),
+    // t-closeness: the skew-attack companion — release-audit trio
+    "t_closeness_audit" -> out(Models.tClosenessAudit),
     "decontamination" -> out(Models.decontamination),
     "doc_repetition" -> out(Models.docRepetition),
     "domain_mixture" -> out(Models.domainMixture),
@@ -264,6 +269,8 @@ object SparkEntry {
     "order_correlations" -> out(Models.orderCorrelations),
     // one-row key-skew profile (the salt-or-broadcast pre-flight)
     "event_key_skew" -> out(Models.eventKeySkew),
+    // PSI feature-drift monitor (ref month vs current month)
+    "feature_drift_psi" -> out(Models.featureDriftPsi),
     "documents_profile" -> out(Models.documentsProfile),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
@@ -423,6 +430,7 @@ object SparkEntry {
     "stream_ivm_agg" -> graft.streaming.Streams.ivmAggOracleSql,
     "stream_hll_users" -> OpsSql.streamHllUsersQ,
     "stream_cms_heavy" -> CurateSql.cmsHeavyHittersQ,
+    "stream_quantile_hist" -> OpsSql.histQuantilesQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
@@ -431,6 +439,7 @@ object SparkEntry {
     "pii_redaction_shapes" -> CurateSql.piiRedactionShapesQ,
     "k_anonymity_audit" -> Sql.kAnonymityAuditQ,
     "l_diversity_audit" -> Sql.lDiversityAuditQ,
+    "t_closeness_audit" -> Sql.tClosenessAuditQ,
     "decontamination" -> CurateSql.decontaminationQ,
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,
@@ -459,6 +468,7 @@ object SparkEntry {
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,
     "event_key_skew" -> OpsSql.eventKeySkewQ,
+    "feature_drift_psi" -> OpsSql.featureDriftPsiQ,
     "documents_profile" -> LlmSql.documentsProfileQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,

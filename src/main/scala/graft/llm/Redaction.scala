@@ -149,4 +149,65 @@ object Redaction {
         count(when(col("ndv") < l, lit(1))).as("n_risky_groups"),
         coalesce(sum(when(col("ndv") < l, col("n"))), lit(0L)).as("n_risky_rows"),
         min(col("ndv")).as("min_distinct_sensitive"))
+
+  /** t-closeness threshold: a group whose sensitive-value distribution
+    * sits further than t (total variation distance) from the global
+    * distribution leaks by SKEW even when it is k-large and l-diverse. */
+  val TCloseness = 0.2
+
+  /** One-row t-CLOSENESS audit — the third leg of the release-audit
+    * trio (Li, Li & Venkatasubramanian): [[kAnonymityAudit]] bounds
+    * group SIZE, [[lDiversityAudit]] bounds sensitive CARDINALITY,
+    * and this bounds sensitive-distribution DISTANCE — a group can be
+    * k-large and l-diverse yet still tell an attacker "90% high churn
+    * risk here vs 30% overall". For a categorical sensitive attribute
+    * the earth-mover distance reduces to total variation distance
+    * TVD(g) = ½·Σ_v |p_g(v) − p(v)|.
+    *
+    * Cross-engine determinism: the sum runs over EXACT integers —
+    * |c_gv·N − c_v·n_g| (bigint; |terms| ≤ n_g·N ≤ N², overflow-safe
+    * to ~3e9 rows) — and values absent from a group contribute in
+    * closed form n_g·(N − Σ_{v∈g} c_v) (no group×value grid to
+    * build), so exactly ONE IEEE division per group produces the
+    * double TVD, and only order-independent max/count/compare touch
+    * doubles after that.
+    *
+    * Scale: two keyed aggregations (group×value, then group) plus a
+    * broadcast of the ≤|values|-row global distribution; nothing is
+    * pairwise and no double is ever summed. */
+  def tClosenessAudit(df: DataFrame,
+                      quasiIds: Seq[String] = QuasiIds,
+                      sensitive: String = SensitiveAttr,
+                      t: Double = TCloseness): DataFrame = {
+    val gs = quasiIds.map(col)
+    // Distribution over OBSERVED sensitive values: null is "no label",
+    // not a category (matches countDistinct's null-skip in the
+    // l-diversity audit, and keeps the equi-join below null-safe).
+    val obs = df.filter(col(sensitive).isNotNull)
+    val cell = obs.groupBy(gs :+ col(sensitive): _*).agg(count(lit(1)).as("c_gv"))
+    val global = obs.groupBy(col(sensitive)).agg(count(lit(1)).as("c_v"))
+    val total = obs.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val perGroup = cell
+      .join(broadcast(global), sensitive)
+      .crossJoin(broadcast(total))
+      .withColumn("n_g", sum(col("c_gv")).over(w)) // ≤ |values| rows per group
+      .groupBy(gs: _*)
+      .agg(
+        first(col("n_g")).as("n_g"),
+        first(col("n_total")).as("n_total"),
+        sum(abs(col("c_gv") * col("n_total") - col("c_v") * col("n_g")))
+          .as("num_in"),
+        sum(col("c_v")).as("covered_cv"))
+      .withColumn("__num", // absent values' terms in closed form
+        col("num_in") + col("n_g") * (col("n_total") - col("covered_cv")))
+      .withColumn("tvd", col("__num").cast("double") /
+        (lit(2L) * col("n_g") * col("n_total")).cast("double"))
+    perGroup.agg(
+      lit(t).as("t"),
+      count(lit(1)).as("n_groups"),
+      count(when(col("tvd") > t, lit(1))).as("n_risky_groups"),
+      coalesce(sum(when(col("tvd") > t, col("n_g"))), lit(0L)).as("n_risky_rows"),
+      max(col("tvd")).as("max_tvd"))
+  }
 }

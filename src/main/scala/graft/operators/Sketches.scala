@@ -244,36 +244,73 @@ object Sketches {
     * (groupCols…, q, n, est). */
   def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                          qs: Seq[Double] = HistQs): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "quantiles in (0, 1]")
-    val gs = groupCols.map(col)
     // NULL values are excluded up front, matching count(valueCol) /
     // percentile semantics — without the filter, floor(null/width) is
     // null and least() (which SKIPS nulls, both engines) would bin
     // every null row into the TOP bin, silently diluting high
-    // quantiles. No broadcast hint on the per-group stats: Catalyst
-    // broadcasts small group counts on its own, and a hint would force
-    // a driver-side collect of |groups| rows — a ceiling a generic
-    // operator must not impose (the hllDistinct convention).
+    // quantiles.
     val nonNull = df.filter(valueCol.isNotNull)
-    val stats = nonNull.groupBy(gs: _*).agg(
+    val stats = histStats(nonNull, groupCols, valueCol)
+    histQuantilesFromBins(histBinCounts(nonNull, groupCols, valueCol, stats),
+      stats, groupCols, qs)
+  }
+
+  /** Per-group bin-edge stats (__vmin, __vmax, __n, __width) — the
+    * quantizer the bin counters are defined against. The streaming
+    * twin PINS this table from the standing corpus so per-batch
+    * counters stay merge-compatible. Callers pass NULL-FILTERED input.
+    * No broadcast hint: Catalyst broadcasts small group counts on its
+    * own, and a hint would force a driver-side collect of |groups|
+    * rows — a ceiling a generic operator must not impose (the
+    * hllDistinct convention). */
+  def histStats(nonNull: DataFrame, groupCols: Seq[String],
+                valueCol: Column): DataFrame =
+    nonNull.groupBy(groupCols.map(col): _*).agg(
       min(valueCol).as("__vmin"), max(valueCol).as("__vmax"),
       count(valueCol).as("__n"))
       .withColumn("__width",
         (col("__vmax") - col("__vmin")) / lit(HistBins.toDouble))
-    val binned = nonNull.select(gs :+ valueCol.as("__v"): _*)
-      .join(stats, groupCols)
+
+  /** The (group…, __bin, __cnt) counter table against a given stats
+    * (quantizer) table. Counters over disjoint inputs MERGE BY
+    * ADDITION when built against the SAME stats — per-batch tables
+    * sum to exactly the directly-built global table, the mergeability
+    * the streaming twin rides (the cmsCounters convention). Values
+    * outside the pinned [vmin, vmax] clamp into the edge bins (least
+    * + the floor of a negative offset), so a drifted tail is counted,
+    * not dropped. */
+  def histBinCounts(nonNull: DataFrame, groupCols: Seq[String],
+                    valueCol: Column, stats: DataFrame): DataFrame = {
+    val gs = groupCols.map(col)
+    nonNull.select(gs :+ valueCol.as("__v"): _*)
+      .join(stats.select((gs :+ col("__vmin") :+ col("__width")): _*), groupCols)
       .withColumn("__bin",
         when(col("__width") === 0.0, lit(0L)) // constant group: one bin
-          .otherwise(least(lit(HistBins - 1L),
-            floor((col("__v") - col("__vmin")) / col("__width")))))
-    val bins = binned.groupBy(gs :+ col("__bin"): _*)
+          .otherwise(least(lit(HistBins - 1L), greatest(lit(0L),
+            floor((col("__v") - col("__vmin")) / col("__width"))))))
+      .groupBy(gs :+ col("__bin"): _*)
       .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Quantile estimates from a (group…, __bin, __cnt) counter table
+    * plus its stats (quantizer) table. `__n` is derived FROM THE
+    * COUNTERS (full-partition window sum over ≤ HistBins rows), not
+    * from stats — so a merged-counter caller that lost a batch shifts
+    * both n and every estimate, and the oracle gate catches it. */
+  def histQuantilesFromBins(bins: DataFrame, stats: DataFrame,
+                            groupCols: Seq[String],
+                            qs: Seq[Double] = HistQs): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "quantiles in (0, 1]")
+    val gs = groupCols.map(col)
+    val df = bins
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(gs: _*).orderBy(col("__bin"))
+    val winAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
     val cum = bins
       .withColumn("__cum", sum("__cnt").over(win))
       .withColumn("__cum_before", col("__cum") - col("__cnt"))
-      .join(stats, groupCols)
+      .withColumn("__n", sum("__cnt").over(winAll))
+      .join(stats.select((gs :+ col("__vmin") :+ col("__width")): _*), groupCols)
     val qDf = {
       import scala.jdk.CollectionConverters._
       df.sparkSession.createDataFrame(

@@ -79,6 +79,108 @@ object Stats {
     * over |keys| counts. The global percentile sorts one long per
     * key — the [[graft.marts.EventMarts.valuePercentiles]] trade,
     * acceptable because the profile input is already key-grain. */
+  /** PSI bin count (the industry-standard 10–20 band) and the
+    * conventional "significant shift" threshold. */
+  val PsiBins = 16
+  val PsiThreshold = 0.25
+
+  /** FEATURE-DRIFT detection via the Population Stability Index — the
+    * monitoring primitive every production training pipeline runs
+    * between a reference window and the current one: per event_type,
+    * `value`'s distribution in the EARLIEST calendar month (the
+    * reference the model was trained/calibrated against) is compared
+    * to the LATEST month, PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with
+    * Laplace-smoothed bin shares p_i = (c_ref_i+1)/(n_ref+B). Bin
+    * edges are pinned from the REFERENCE side (the monitoring
+    * convention — current data is quantized by the reference's
+    * quantizer) and out-of-range current values clamp into the edge
+    * bins, so a drifted tail is counted, not dropped. Event types
+    * absent from the reference month have no reference quantizer and
+    * are excluded (inner join) — PSI is undefined without a baseline.
+    *
+    * Cross-engine determinism: every bin share is exact-integer
+    * rational — (c+1)·(n'+B) products stay in int64 to ~3e9 rows/side
+    * — so p−q and the ln argument each take exactly ONE IEEE
+    * division; the ln (the only libm call) is quantized through
+    * decimal(18,9) (the HLL linear-counting recipe), the difference
+    * through decimal(18,12), and their product is summed EXACTLY in
+    * the decimal domain — no double is ever summed, so partition
+    * order cannot move the result.
+    *
+    * Scale: one bounded aggregation per side (groups × B counter
+    * rows), a broadcast bin spine (so empty bins still contribute
+    * their smoothed terms), and a ≤ groups-row rollup — nothing
+    * touches raw values twice. */
+  def featureDriftPsi(events: DataFrame, bins: Int = PsiBins,
+                      threshold: Double = PsiThreshold): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        date_trunc("month", col("ts")).as("__m"))
+    val boundsDf = ev.agg(min("__m").as("__ref_m"), max("__m").as("__cur_m"))
+    val sided = ev.crossJoin(broadcast(boundsDf))
+      .withColumn("__side",
+        when(col("__m") === col("__ref_m"), lit("ref"))
+          .when(col("__m") === col("__cur_m"), lit("cur")))
+      .filter(col("__side").isNotNull)
+    val refStats = sided.filter(col("__side") === "ref")
+      .groupBy("event_type")
+      .agg(min("value").as("__vmin"), max("value").as("__vmax"))
+      .withColumn("__width",
+        (col("__vmax") - col("__vmin")) / lit(bins.toDouble))
+    val counts = sided.join(refStats, "event_type")
+      .withColumn("__bin",
+        when(col("__width") === 0.0, lit(0L))
+          .otherwise(least(lit(bins - 1L), greatest(lit(0L),
+            floor((col("value") - col("__vmin")) / col("__width"))))))
+      .groupBy(col("event_type"), col("__bin"))
+      .agg(count(when(col("__side") === "ref", lit(1))).as("__cr"),
+        count(when(col("__side") === "cur", lit(1))).as("__cc"))
+    val binSpine = {
+      import scala.jdk.CollectionConverters._
+      val rows = (0 until bins).map(b =>
+        org.apache.spark.sql.Row(b.toLong)).asJava
+      refStats.select("event_type").crossJoin(broadcast(
+        spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__bin",
+              org.apache.spark.sql.types.LongType, nullable = false))))))
+    }
+    val full = binSpine.join(counts, Seq("event_type", "__bin"), "left")
+      .select(col("event_type"), col("__bin"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val tot = full.groupBy("event_type")
+      .agg(sum("__cr").as("__nr"), sum("__cc").as("__nc"))
+    val b = lit(bins.toLong)
+    // Each factor quantizes to an exact INTEGER micro-unit (diff at
+    // 1e-9, ln at 1e-6 — round() is half-away-from-zero in both
+    // engines), the term product and the per-group sum stay in int64
+    // (|diff_i| ≤ 1e9, |ln_i| ≤ ~3e7 → |Σ| ≲ 5e17 < 2^63), and ONE
+    // int→double conversion + ONE IEEE division produce the double
+    // PSI — decimals never appear, so neither engine's decimal
+    // rescale rules (Spark rounds, DuckDB truncates) can disagree.
+    val terms = full.join(tot, "event_type")
+      .withColumn("__diff_i", round(
+        (((col("__cr") + 1) * (col("__nc") + b) -
+          (col("__cc") + 1) * (col("__nr") + b)).cast("double") /
+          ((col("__nr") + b) * (col("__nc") + b)).cast("double")) *
+          lit(1e9)).cast("long"))
+      .withColumn("__ln_i", round(
+        log(((col("__cr") + 1) * (col("__nc") + b)).cast("double") /
+          ((col("__cc") + 1) * (col("__nr") + b)).cast("double")) *
+          lit(1e6)).cast("long"))
+      .withColumn("__term_i", col("__diff_i") * col("__ln_i"))
+    terms.groupBy("event_type").agg(
+        max(col("__nr")).as("n_ref"),
+        max(col("__nc")).as("n_cur"),
+        sum(col("__term_i")).as("__psi_i"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        (col("__psi_i").cast("double") / lit(1e15)).as("psi"),
+        (col("__psi_i").cast("double") / lit(1e15) > lit(threshold))
+          .as("drift_flag"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
     def q(c: Column) = c.cast(DecimalType(18, 9)).cast("double")
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__c"))

@@ -243,6 +243,70 @@ object OpsSql {
        |where cum_before < target and cum_before + cnt >= target""".stripMargin
   }
 
+  /** Mirror Stats.featureDriftPsi: earliest-vs-latest-month PSI per
+    * event_type, reference-pinned bin edges, Laplace smoothing,
+    * exact-integer bin-share rationals (ONE division each), ln
+    * quantized through decimal(18,9), terms summed in the decimal
+    * domain — generated from the same bin count and threshold. */
+  val featureDriftPsiQ: String = {
+    import graft.operators.Stats.{PsiBins, PsiThreshold}
+    val lastBin = PsiBins - 1
+    val spineVals = (0 until PsiBins).map(b => s"($b)").mkString(", ")
+    s"""with ev as (
+       |  select event_type, value, date_trunc('month', ts) as m
+       |  from events where value is not null
+       |),
+       |bounds as (select min(m) as ref_m, max(m) as cur_m from ev),
+       |sided as (
+       |  select event_type, value,
+       |    case when m = ref_m then 'ref' when m = cur_m then 'cur' end as side
+       |  from ev cross join bounds
+       |  where m = ref_m or m = cur_m
+       |),
+       |rstats as (
+       |  select event_type, min(value) as vmin, max(value) as vmax,
+       |    (max(value) - min(value)) / cast($PsiBins as double) as width
+       |  from sided where side = 'ref' group by 1
+       |),
+       |cnts as (
+       |  select s.event_type,
+       |    case when width = 0 then 0
+       |      else least($lastBin, greatest(0,
+       |        cast(floor((value - vmin) / width) as bigint))) end as bin,
+       |    count(case when side = 'ref' then 1 end) as cr,
+       |    count(case when side = 'cur' then 1 end) as cc
+       |  from sided s join rstats using (event_type)
+       |  group by 1, 2
+       |),
+       |spine as (
+       |  select event_type, bin
+       |  from rstats, (values $spineVals) as bs(bin)
+       |),
+       |full_b as (
+       |  select s.event_type, s.bin,
+       |    coalesce(cr, 0) as cr, coalesce(cc, 0) as cc
+       |  from spine s left join cnts using (event_type, bin)
+       |),
+       |tot as (
+       |  select event_type, cast(sum(cr) as bigint) as nr,
+       |    cast(sum(cc) as bigint) as nc
+       |  from full_b group by 1
+       |),
+       |terms as (
+       |  select f.event_type, nr, nc,
+       |    cast(round((cast((cr+1)*(nc+$PsiBins) - (cc+1)*(nr+$PsiBins) as double)
+       |        / cast((nr+$PsiBins)*(nc+$PsiBins) as double)) * 1e9) as bigint)
+       |      * cast(round(ln(cast((cr+1)*(nc+$PsiBins) as double)
+       |          / cast((cc+1)*(nr+$PsiBins) as double)) * 1e6) as bigint) as term_i
+       |  from full_b f join tot using (event_type)
+       |)
+       |select event_type, max(nr) as n_ref, max(nc) as n_cur,
+       |  cast(cast(sum(term_i) as bigint) as double) / 1e15 as psi,
+       |  cast(cast(sum(term_i) as bigint) as double) / 1e15
+       |    > cast($PsiThreshold as double) as drift_flag
+       |from terms group by 1""".stripMargin
+  }
+
   /** Mirror Sketches.hllDistinct over events/user_id: identical
     * integer pipeline (md5-60 hash, low-P-bit register, leading-1 via
     * binary string length, exact scaled harmonic sum in integers), one

@@ -1125,6 +1125,55 @@ object Sql {
        |from ld_groups""".stripMargin
   }
 
+  /** Mirror Redaction.tClosenessAudit: per-group total variation
+    * distance of the sensitive distribution vs global, exact-integer
+    * numerators (|c_gv·N − c_v·n_g|, absent values in closed form),
+    * ONE division per group — generated from the same quasi-id list,
+    * sensitive attribute, and t. Window/group sums are cast back to
+    * bigint (DuckDB widens bigint sums to HUGEINT). */
+  val tClosenessAuditQ: String = {
+    import graft.llm.Redaction.{QuasiIds, SensitiveAttr, TCloseness}
+    val qids = QuasiIds.mkString(", ")
+    val nq = QuasiIds.size
+    s"""$allCtes,
+       |tc_obs as (
+       |  select $qids, $SensitiveAttr from customer_segmentation
+       |  where $SensitiveAttr is not null
+       |),
+       |tc_cell as (
+       |  select $qids, $SensitiveAttr, count(*) as c_gv
+       |  from tc_obs group by ${(1 to nq + 1).mkString(", ")}
+       |),
+       |tc_global as (
+       |  select $SensitiveAttr, count(*) as c_v from tc_obs group by 1
+       |),
+       |tc_total as (select count(*) as n_total from tc_obs),
+       |tc_ng as (
+       |  select c.*, g.c_v, t.n_total,
+       |    cast(sum(c_gv) over (partition by $qids) as bigint) as n_g
+       |  from tc_cell c join tc_global g using ($SensitiveAttr)
+       |  cross join tc_total t
+       |),
+       |tc_group as (
+       |  select $qids, max(n_g) as n_g, max(n_total) as n_total,
+       |    cast(sum(abs(c_gv * n_total - c_v * n_g)) as bigint) as num_in,
+       |    cast(sum(c_v) as bigint) as covered_cv
+       |  from tc_ng group by ${(1 to nq).mkString(", ")}
+       |),
+       |tc_tvd as (
+       |  select n_g,
+       |    cast(num_in + n_g * (n_total - covered_cv) as double)
+       |      / cast(2 * n_g * n_total as double) as tvd
+       |  from tc_group
+       |)
+       |select cast($TCloseness as double) as t,
+       |  cast(count(*) as bigint) as n_groups,
+       |  cast(count(case when tvd > $TCloseness then 1 end) as bigint) as n_risky_groups,
+       |  cast(coalesce(sum(case when tvd > $TCloseness then n_g end), 0) as bigint) as n_risky_rows,
+       |  max(tvd) as max_tvd
+       |from tc_tvd""".stripMargin
+  }
+
   /** Mirror testing.DqSummary.summary: the same rule lists rendered to
     * DuckDB SQL over the oracle CTEs (marts carry `_mart` suffixes
     * where the plain name is taken by an intermediate CTE). */

@@ -1399,6 +1399,83 @@ object Streams {
       Sketches.CmsHeavyThreshold)
   }
 
+  /** STREAMING histogram-quantile maintenance — the quantile leg of
+    * the mergeable-sketch streaming family (HLL merges by register
+    * MAX, CMS by counter SUM, and the equi-width histogram by BIN-
+    * COUNT SUM): per-group bin edges are PINNED from the standing
+    * corpus (the stream_hybrid_index standing-quantizer convention)
+    * and written once to the scratch as the physical quantizer
+    * artifact; each micro-batch then bins its own rows against those
+    * edges ([[graft.operators.Sketches.histBinCounts]] — batch-local,
+    * ≤ groups×256 counter rows) into a batchId-keyed exactly-once
+    * sink, and the serving read SUMS committed batches' counters
+    * before interpolating quantiles. `n` is derived from the merged
+    * counters, so a lost batch shifts every output row and the DuckDB
+    * gate (the SAME `hist_quantiles` SQL, building the histogram from
+    * the whole table at once) catches it.
+    *
+    * At 100 TB: per-batch cost is one bounded aggregation; standing
+    * state is groups×256 longs regardless of traffic; quantile
+    * serving never revisits raw values. A production deployment
+    * re-pins edges on distribution drift (edge-bin clamping counts,
+    * never drops, drifted tails — see histBinCounts). */
+  def histSketchStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-shist",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    histSketchStream(spark, adaptiveEventsStream(spark, sfDir),
+      graft.Tables.events(spark, sfDir),
+      scratch.toString, "stream_quantile_hist")
+  }
+
+  /** Core of the streaming histogram maintenance, shared by the
+    * registered query and the multi-batch spec. `events` is the
+    * streaming feed; `statsSource` the standing batch table the bin
+    * edges are pinned from (in the one-shot both cover the same rows,
+    * so the result equals the batch `hist_quantiles` query exactly). */
+  def histSketchStream(spark: SparkSession, events: DataFrame,
+                       statsSource: DataFrame, scratchDir: String,
+                       progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Sketches
+    val statsDir = s"$scratchDir/stats"
+    val binsDir = s"$scratchDir/bins"
+    val fs = new Path(scratchDir).getFileSystem(spark.sessionState.newHadoopConf())
+    // Pin the quantizer once — idempotent across replays (the _SUCCESS
+    // check), tiny (one row per group), and every batch bins against
+    // the SAME edges, which is what makes the counters mergeable.
+    if (!fs.exists(new Path(statsDir, "_SUCCESS")))
+      Sketches.histStats(statsSource.filter(col("value").isNotNull),
+          Seq("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    val pinnedStats = spark.read.parquet(statsDir)
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.histBinCounts(batch.filter(col("value").isNotNull),
+            Seq("event_type"), col("value"), pinnedStats)
+          .coalesce(1) // ≤ groups×256 rows — one state file per batch
+          .write.mode("overwrite").parquet(s"$binsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val dirs = committedKeyedDirs(fs, binsDir, Long.MaxValue)
+    val merged =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type string, __bin long, __cnt long"))
+      else spark.read.parquet(dirs: _*)
+        .groupBy(col("event_type"), col("__bin"))
+        .agg(sum(col("__cnt")).cast("long").as("__cnt"))
+    Sketches.histQuantilesFromBins(merged, pinnedStats, Seq("event_type"))
+  }
+
   /** Core of the streaming sketch maintenance, shared by the
     * registered query and the multi-batch spec. `events` must carry
     * (ts, user_id). */

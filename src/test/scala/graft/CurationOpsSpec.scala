@@ -261,6 +261,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(packed.filter(col("offset_in_seq") < 0).count() === 0)
   }
 
+  test("t-closeness: hand-computed TVD, threshold teeth, null sensitive excluded") {
+    import graft.llm.Redaction
+    // global sensitive distribution: A 5, B 5 (N = 10).
+    // g1 holds 4A+1B, g2 1A+4B → TVD = ½(|0.8−0.5|+|0.2−0.5|) = 0.3 each.
+    val rows = Seq.fill(4)(("g1", "A")) ++ Seq(("g1", "B")) ++
+      Seq(("g2", "A")) ++ Seq.fill(4)(("g2", "B")) ++
+      Seq(("g1", null.asInstanceOf[String])) // no label — excluded
+    val df = rows.toDF("g", "s")
+    val at = (t: Double) => Redaction.tClosenessAudit(df, Seq("g"), "s", t)
+      .collect().head
+    val r = at(0.2)
+    assert(r.getDouble(0) == 0.2)
+    assert(r.getLong(1) == 2L)         // n_groups
+    assert(r.getLong(2) == 2L)         // both exceed t = 0.2
+    assert(r.getLong(3) == 10L)        // risky rows exclude the null-label row
+    assert(r.getDouble(4) == 0.3)      // max TVD exact (30 / (2·5·10))
+    val loose = at(0.35)
+    assert(loose.getLong(2) == 0L && loose.getLong(3) == 0L)
+    // a value ABSENT from a group still contributes (closed-form term):
+    // g3 all-C vs global — homogeneous groups score high
+    val df2 = (Seq.fill(5)(("g3", "C")) ++ Seq.fill(5)(("g4", "D"))).toDF("g", "s")
+    val r2 = Redaction.tClosenessAudit(df2, Seq("g"), "s", 0.2).collect().head
+    assert(r2.getDouble(4) == 0.5)     // TVD(g3) = ½(|1−.5| + |0−.5|)
+    assert(r2.getLong(2) == 2L)
+  }
+
   test("CMS estimates are upper bounds and exact when collision-free") {
     val df = (1 to 100).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"k$i"))
       .toDF("k")

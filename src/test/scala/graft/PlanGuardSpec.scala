@@ -42,6 +42,14 @@ class PlanGuardSpec extends SparkSpec {
     "mixture_temperature",
     // ≤ HistBins cumulative rows × |HistQs| broadcast quantile literals
     "hist_quantiles",
+    // the same bounded quantile-literal crossJoin over the MERGED
+    // per-batch counters (serving read of the streaming twin)
+    "stream_quantile_hist",
+    // events × ONE broadcast (ref_month, cur_month) bounds row, plus
+    // the |types|×16 broadcast bin spine (empty-bin smoothing terms)
+    "feature_drift_psi",
+    // ONE broadcast global-count row (the sensitive-distribution N)
+    "t_closeness_audit",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
     // calendar-bounded daily table × its own broadcast ≤H-day lookback

@@ -109,4 +109,55 @@ class SketchStreamSpec extends SparkSpec {
     // the cross-batch key is reported with its FULL exact count
     assert(got.contains("hot") && got("hot")._1 == 550L)
   }
+
+  test("sum-merged per-batch histogram bins equal the directly-built quantiles") {
+    val dir = Files.createTempDirectory("graft-shistspec")
+    val ingest = dir.resolve("in")
+    val scratch = dir.resolve("scratch").toString
+    val t0 = System.currentTimeMillis() - 60000
+    val ts0 = Timestamp.valueOf("2024-02-01 09:00:00")
+    // the value range is SPLIT across batches — every quantile of the
+    // merged histogram depends on both (one batch alone would put the
+    // median near 25, not 50)
+    def rows(vs: Range, idOff: Long) =
+      vs.map(v => (idOff + v, ts0, v.toLong, "click", v.toDouble, "{}"))
+    val b1 = rows(1 to 50, 0L)
+    val b2 = rows(51 to 100, 1000L)
+    def stage(name: String, mtime: Long,
+              rs: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-shiststage")
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(ingest)
+      val dst = ingest.resolve(name)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    stage("f1.parquet", t0, b1)
+    stage("f2.parquet", t0 + 30000, b2)
+    val feed = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+    val all = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3)))
+    val got = streaming.Streams.histSketchStream(spark, feed, all,
+      scratch, "spec_shist").collect().map(key).toMap
+    val direct = operators.Sketches.histogramQuantiles(
+      all, Seq("event_type"), col("value")).collect().map(key).toMap
+    assert(got == direct)
+    // the merged median really saw both batches
+    val (n, p50) = got(("click", 0.5))
+    assert(n == 100L)
+    assert(p50 > 45.0 && p50 < 55.0, s"median $p50 should be near 50")
+
+    // idempotence: same checkpoint → nothing reprocessed, same result
+    val again = streaming.Streams.histSketchStream(spark, feed, all,
+      scratch, "spec_shist2").collect().map(key).toMap
+    assert(again == got)
+  }
 }

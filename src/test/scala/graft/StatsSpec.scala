@@ -44,6 +44,36 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(7) === 2.0)     // skew: max/mean = 4/(8/4)
   }
 
+  test("PSI drift: identical months score ~0, a shifted month flags, cur-only types drop") {
+    import java.sql.Timestamp
+    val jan = Timestamp.valueOf("2024-01-15 12:00:00")
+    val jun = Timestamp.valueOf("2024-06-15 12:00:00")
+    def ev(id: Long, t: Timestamp, typ: String, v: Double) =
+      (id, t, id, typ, v, "{}")
+    // "stable": same values both months → PSI ≈ 0 (smoothing only)
+    val stable = (1 to 50).flatMap(i => Seq(
+      ev(i, jan, "stable", i.toDouble), ev(i + 100, jun, "stable", i.toDouble)))
+    // "shifted": ref in [1,50], cur clamped far right in [90,100]
+    val shifted = (1 to 50).map(i => ev(i + 200, jan, "shifted", i.toDouble)) ++
+      (1 to 50).map(i => ev(i + 300, jun, "shifted", 90.0 + (i % 11)))
+    // cur-month-only type: no reference quantizer → excluded
+    val curOnly = (1 to 10).map(i => ev(i + 400, jun, "cur_only", i.toDouble))
+    val df = (stable ++ shifted ++ curOnly)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Stats.featureDriftPsi(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set("stable", "shifted"))
+    val (snr, snc, spsi, sflag) = got("stable")
+    assert(snr == 50L && snc == 50L)
+    assert(spsi >= 0.0 && spsi < 0.01, s"identical months scored $spsi")
+    assert(!sflag)
+    val (dnr, dnc, dpsi, dflag) = got("shifted")
+    assert(dnr == 50L && dnc == 50L)
+    assert(dpsi > 1.0, s"shifted month scored only $dpsi")
+    assert(dflag)
+  }
+
   test("rows with any null measure are excluded from every moment") {
     val df = Seq(
       (Some(BigDecimal("1.00")), Some(BigDecimal("2.00"))),
