@@ -881,6 +881,15 @@ object Models {
   def documentsProfile(s: SparkSession, d: String): DataFrame =
     operators.Profile.profileApprox(
       Tables.documents(s, d), Models.DocumentsProfileCols)
+  /** JSONL write→read roundtrip + corrupt-shard quarantine, gated by
+    * a parquet-side checksum oracle ([[sources.Corpus.roundtripAudit]]). */
+  def jsonlIngestAudit(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-jsonl",
+      s.sparkContext.applicationId,
+      d.replaceAll("[^A-Za-z0-9]", "_"))
+    sources.Corpus.roundtripAudit(s, Tables.documents(s, d), scratch.toString)
+  }
   /** BFS hop distances from the smallest connected product id —
     * deterministic (integer-min relaxation; the source definition is
     * mirrored in the oracle). Mat'd: the iterative rounds run ONCE

@@ -272,6 +272,8 @@ object SparkEntry {
     // PSI feature-drift monitor (ref month vs current month)
     "feature_drift_psi" -> out(Models.featureDriftPsi),
     "documents_profile" -> out(Models.documentsProfile),
+    // JSONL roundtrip + quarantine, checksum-gated from the parquet side
+    "jsonl_ingest_audit" -> out(Models.jsonlIngestAudit),
     // deterministic weighted sampling (Efraimidis–Spirakis via top_k)
     "weighted_sample" -> out(Models.weightedSample),
     // concatenate-and-chunk sequence packing into token budgets
@@ -470,6 +472,7 @@ object SparkEntry {
     "event_key_skew" -> OpsSql.eventKeySkewQ,
     "feature_drift_psi" -> OpsSql.featureDriftPsiQ,
     "documents_profile" -> LlmSql.documentsProfileQ,
+    "jsonl_ingest_audit" -> LlmSql.jsonlIngestAuditQ,
     "weighted_sample" -> LlmSql.weightedSampleQ,
     "pack_sequences" -> LlmSql.packSequencesQ,
     "length_bucketed_batches" -> LlmSql.lengthBucketedBatchesQ,

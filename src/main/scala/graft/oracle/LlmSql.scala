@@ -1626,6 +1626,23 @@ object LlmSql {
        |select * from (${packSequencesOver("tc_base")}) t""".stripMargin
   }
 
+  /** Mirror sources.Corpus.roundtripAudit FROM THE PARQUET SIDE: the
+    * per-source md5-fold checksum over (doc_id|lang|text) only matches
+    * if the JSONL write→read roundtrip preserved every value
+    * byte-identically, and the `__quarantine__` literal only matches
+    * if exactly the injected corrupt lines (and no clean rows) were
+    * quarantined. */
+  val jsonlIngestAuditQ: String = {
+    import graft.sources.Corpus.{ChecksumMod, CorruptLines}
+    s"""select source, count(*) as n_docs,
+       |  cast(sum(n_chars) as bigint) as sum_chars,
+       |  cast(sum(${hex60("cast(doc_id as varchar) || '|' || lang || '|' || text")}
+       |    % $ChecksumMod) as bigint) as checksum
+       |from documents group by 1
+       |union all
+       |select '__quarantine__', cast(${CorruptLines.size} as bigint), 0, 0""".stripMargin
+  }
+
   /** Mirror Models.corpusDatasheet: one-row rollup composed from the
     * same gated component oracles. */
   val corpusDatasheetQ: String =

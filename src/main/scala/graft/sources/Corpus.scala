@@ -54,4 +54,62 @@ object Corpus {
     val w = df.write.mode("overwrite")
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
+
+  /** The corrupt shard the roundtrip audit injects — three genuinely
+    * malformed lines (truncated object, non-JSON, double comma), the
+    * shapes a real ingest quarantines. Parseable-but-mistyped lines
+    * are deliberately NOT here: their PERMISSIVE semantics (null the
+    * field vs quarantine the record) shift across Spark versions,
+    * which would turn the oracle's literal into a moving target. */
+  val CorruptLines: Seq[String] = Seq(
+    """{"doc_id": 900001, "text": "truncated""",
+    """not json at all""",
+    """{"doc_id": 900002,, "lang": "en"}""")
+
+  /** Checksum modulus: hex60 folded to < 1e12 so a 60-bit hash sum
+    * over up to ~9e6 rows stays in int64 with headroom. */
+  val ChecksumMod = 1000000000000L
+
+  /** ORACLE-GATED JSONL ROUNDTRIP + QUARANTINE AUDIT — drives the
+    * whole source/sink seam end-to-end: the corpus is serialized to
+    * JSONL (escaping newlines/quotes/unicode), a deliberately corrupt
+    * shard is dropped next to the clean parts (exactly what a bad
+    * producer does), the directory is read back through the explicit
+    * schema + PERMISSIVE quarantine path, and the result is a
+    * per-source rollup whose md5-fold CHECKSUM only matches the
+    * parquet-side oracle if every doc_id/lang/text survived the
+    * serialization byte-identically — plus one `__quarantine__` row
+    * that only matches if exactly the injected lines (and no clean
+    * ones) were quarantined.
+    *
+    * Scale: write and read are one distributed pass each; the rollup
+    * is a map-side-combined aggregation carrying |sources| rows. */
+  def roundtripAudit(spark: SparkSession, docs: DataFrame,
+                     scratchDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val dir = s"$scratchDir/docs"
+    writeJsonl(docs, dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(dir, "part-corrupt.json"), true)
+    out.write(CorruptLines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val back = readJsonlWithCorrupt(spark, dir)
+    val fold = pmod(graft.llm.Dedup.hex60(
+      concat_ws("|", col("doc_id").cast("string"), col("lang"), col("text"))),
+      lit(ChecksumMod))
+    // ONE pass, ONE aggregation: corrupt rows route to the
+    // `__quarantine__` group instead of being split off by a
+    // corrupt-column-only branch (which the reader contract rejects —
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN, see readJsonlWithCorrupt);
+    // their measures are conditionally nulled so the quarantine row
+    // carries pure counts.
+    val clean = col(CorruptCol).isNull
+    back.groupBy(
+        when(clean, col("source")).otherwise(lit("__quarantine__")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(clean, col("n_chars"))), lit(0L)).as("sum_chars"),
+        coalesce(sum(when(clean, fold)), lit(0L)).as("checksum"))
+  }
 }

@@ -48,4 +48,35 @@ class CorpusSpec extends SparkSpec {
     assert(bad.length === 1)
     assert(bad.head.getAs[String](Corpus.CorruptCol) === "this line is not json")
   }
+
+  test("roundtrip audit: hostile text survives, exactly the injected shard quarantines") {
+    import spark.implicits._
+    // the JSON-escaping gauntlet: newlines, tabs, quotes, backslashes,
+    // unicode (incl. astral), the separator char, and an empty string
+    val docs = Seq(
+      (1L, "line one\nline two\ttabbed", "en", "web", 24L),
+      (2L, "she said \"hi\" \\ he left", "en", "web", 23L),
+      (3L, "émoji é中😀 end", "zh", "books", 12L),
+      (4L, "pipes | in | text", "en", "code", 17L),
+      (5L, "", "en", "empty", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("corpus-audit").toFile.getAbsolutePath
+    val got = Corpus.roundtripAudit(spark, docs, scratch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // quarantine row: exactly the injected corrupt shard, counts only
+    assert(got("__quarantine__") ==
+      ((Corpus.CorruptLines.size.toLong, 0L, 0L)))
+    // per-source rollup equals the same fold computed on the INPUT —
+    // the roundtrip-fidelity claim (any mangled byte shifts the hash)
+    val want = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"),
+        sum(pmod(graft.llm.Dedup.hex60(concat_ws("|",
+          col("doc_id").cast("string"), col("lang"), col("text"))),
+          lit(Corpus.ChecksumMod))).as("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.removed("__quarantine__") == want)
+  }
 }
