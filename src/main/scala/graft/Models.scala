@@ -179,6 +179,11 @@ object Models {
     * exactly, same oracle as the batch hist_quantiles. */
   def streamQuantileHist(s: SparkSession, d: String): DataFrame =
     streaming.Streams.histSketchStreamOnce(s, d)
+  /** STREAMING PSI drift monitor: per-batch (type, bin, side) counters
+    * against the pinned reference quantizer, summed at read — merged
+    * == directly-built exactly, same oracle as feature_drift_psi. */
+  def streamPsiMonitor(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.psiMonitorStreamOnce(s, d)
 
   /** SCD TYPE-2 SNAPSHOT over the two customer states
     * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check

@@ -211,6 +211,9 @@ object SparkEntry {
     // streaming histogram-quantile maintenance (pinned bin edges,
     // counters merge by sum) — completes the mergeable-sketch family
     "stream_quantile_hist" -> out(Models.streamQuantileHist),
+    // streaming PSI drift monitor (pinned reference quantizer,
+    // ref/cur counters merge by sum) — the production monitor shape
+    "stream_psi_monitor" -> out(Models.streamPsiMonitor),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -433,6 +436,7 @@ object SparkEntry {
     "stream_hll_users" -> OpsSql.streamHllUsersQ,
     "stream_cms_heavy" -> CurateSql.cmsHeavyHittersQ,
     "stream_quantile_hist" -> OpsSql.histQuantilesQ,
+    "stream_psi_monitor" -> OpsSql.featureDriftPsiQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,

@@ -113,22 +113,44 @@ object Stats {
     * touches raw values twice. */
   def featureDriftPsi(events: DataFrame, bins: Int = PsiBins,
                       threshold: Double = PsiThreshold): DataFrame = {
-    val spark = events.sparkSession
+    val pinned = psiPinnedStats(events, bins)
+    psiFromCounts(psiBinCounts(events, pinned, bins), pinned, bins, threshold)
+  }
+
+  /** The PSI quantizer: one row per reference-month event_type —
+    * (event_type, __vmin, __width, __ref_m, __cur_m). The streaming
+    * monitor PINS this table (the standing-quantizer convention) so
+    * per-batch counters stay merge-compatible; in production it is
+    * the training-time snapshot the monitor compares against. */
+  def psiPinnedStats(events: DataFrame, bins: Int = PsiBins): DataFrame = {
     val ev = events.filter(col("value").isNotNull)
       .select(col("event_type"), col("value"),
         date_trunc("month", col("ts")).as("__m"))
     val boundsDf = ev.agg(min("__m").as("__ref_m"), max("__m").as("__cur_m"))
-    val sided = ev.crossJoin(broadcast(boundsDf))
+    ev.crossJoin(broadcast(boundsDf))
+      .filter(col("__m") === col("__ref_m"))
+      .groupBy("event_type")
+      .agg(min("value").as("__vmin"), max("value").as("__vmax"),
+        first(col("__ref_m")).as("__ref_m"), first(col("__cur_m")).as("__cur_m"))
+      .withColumn("__width",
+        (col("__vmax") - col("__vmin")) / lit(bins.toDouble))
+  }
+
+  /** The (event_type, __bin, __cr, __cc) counter table of an input
+    * slice against a pinned quantizer — counters over disjoint inputs
+    * MERGE BY ADDITION (both columns), the mergeability the streaming
+    * monitor rides. Types absent from the quantizer drop (inner
+    * join); rows outside both pinned months drop (side filter). */
+  def psiBinCounts(events: DataFrame, pinned: DataFrame,
+                   bins: Int = PsiBins): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        date_trunc("month", col("ts")).as("__m"))
+    ev.join(pinned, "event_type")
       .withColumn("__side",
         when(col("__m") === col("__ref_m"), lit("ref"))
           .when(col("__m") === col("__cur_m"), lit("cur")))
       .filter(col("__side").isNotNull)
-    val refStats = sided.filter(col("__side") === "ref")
-      .groupBy("event_type")
-      .agg(min("value").as("__vmin"), max("value").as("__vmax"))
-      .withColumn("__width",
-        (col("__vmax") - col("__vmin")) / lit(bins.toDouble))
-    val counts = sided.join(refStats, "event_type")
       .withColumn("__bin",
         when(col("__width") === 0.0, lit(0L))
           .otherwise(least(lit(bins - 1L), greatest(lit(0L),
@@ -136,6 +158,15 @@ object Stats {
       .groupBy(col("event_type"), col("__bin"))
       .agg(count(when(col("__side") === "ref", lit(1))).as("__cr"),
         count(when(col("__side") === "cur", lit(1))).as("__cc"))
+  }
+
+  /** PSI per event_type from a (event_type, __bin, __cr, __cc)
+    * counter table (direct or merged) — the serving read. */
+  def psiFromCounts(counts: DataFrame, pinned: DataFrame,
+                    bins: Int = PsiBins,
+                    threshold: Double = PsiThreshold): DataFrame = {
+    val spark = counts.sparkSession
+    val refStats = pinned
     val binSpine = {
       import scala.jdk.CollectionConverters._
       val rows = (0 until bins).map(b =>

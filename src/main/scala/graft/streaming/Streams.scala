@@ -1476,6 +1476,72 @@ object Streams {
     Sketches.histQuantilesFromBins(merged, pinnedStats, Seq("event_type"))
   }
 
+  /** STREAMING DRIFT MONITORING — the PSI of
+    * [[graft.operators.Stats.featureDriftPsi]] maintained as events
+    * ARRIVE, the shape a production model monitor actually runs: the
+    * quantizer (per-type reference-month bin edges + the two month
+    * bounds) is pinned once from the standing corpus — in production,
+    * the training-time snapshot — and each micro-batch contributes a
+    * (type, bin, ref-count, cur-count) counter table to a
+    * batchId-keyed exactly-once sink; both counter columns merge by
+    * ADDITION, so the serving read sums committed batches and runs
+    * the same integer-exact PSI formula, equaling the batch query
+    * bit-for-bit (the SAME DuckDB oracle gates both). A lost batch
+    * shifts the counts and fails the gate.
+    *
+    * At 100 TB: per-batch cost is one bounded aggregation; standing
+    * state is types×B×2 longs regardless of traffic; the drift read
+    * never revisits raw events. */
+  def psiMonitorStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-spsi",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    psiMonitorStream(spark, adaptiveEventsStream(spark, sfDir),
+      graft.Tables.events(spark, sfDir),
+      scratch.toString, "stream_psi_monitor")
+  }
+
+  /** Core of the streaming PSI monitor, shared by the registered
+    * query and the multi-batch spec. */
+  def psiMonitorStream(spark: SparkSession, events: DataFrame,
+                       statsSource: DataFrame, scratchDir: String,
+                       progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Stats
+    val statsDir = s"$scratchDir/stats"
+    val cntDir = s"$scratchDir/cnts"
+    val fs = new Path(scratchDir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(statsDir, "_SUCCESS")))
+      Stats.psiPinnedStats(statsSource)
+        .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    val pinnedStats = spark.read.parquet(statsDir)
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Stats.psiBinCounts(batch, pinnedStats)
+          .coalesce(1) // ≤ types×B rows — one state file per batch
+          .write.mode("overwrite").parquet(s"$cntDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val dirs = committedKeyedDirs(fs, cntDir, Long.MaxValue)
+    val merged =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type string, __bin long, __cr long, __cc long"))
+      else spark.read.parquet(dirs: _*)
+        .groupBy(col("event_type"), col("__bin"))
+        .agg(sum(col("__cr")).cast("long").as("__cr"),
+          sum(col("__cc")).cast("long").as("__cc"))
+    Stats.psiFromCounts(merged, pinnedStats)
+  }
+
   /** Core of the streaming sketch maintenance, shared by the
     * registered query and the multi-batch spec. `events` must carry
     * (ts, user_id). */

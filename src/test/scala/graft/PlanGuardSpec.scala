@@ -48,6 +48,9 @@ class PlanGuardSpec extends SparkSpec {
     // events × ONE broadcast (ref_month, cur_month) bounds row, plus
     // the |types|×16 broadcast bin spine (empty-bin smoothing terms)
     "feature_drift_psi",
+    // the same bounded bin-spine crossJoin over MERGED per-batch
+    // counters (serving read of the streaming monitor)
+    "stream_psi_monitor",
     // ONE broadcast global-count row (the sensitive-distribution N)
     "t_closeness_audit",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)

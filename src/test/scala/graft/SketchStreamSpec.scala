@@ -160,4 +160,50 @@ class SketchStreamSpec extends SparkSpec {
       scratch, "spec_shist2").collect().map(key).toMap
     assert(again == got)
   }
+
+  test("sum-merged per-batch PSI counters equal the directly-computed drift") {
+    val dir = Files.createTempDirectory("graft-spsispec")
+    val ingest = dir.resolve("in")
+    val scratch = dir.resolve("scratch").toString
+    val t0 = System.currentTimeMillis() - 60000
+    val jan = Timestamp.valueOf("2024-01-15 12:00:00")
+    val jun = Timestamp.valueOf("2024-06-15 12:00:00")
+    // ref and cur rows INTERLEAVED across the two batches — only the
+    // merged counters see both sides of either month completely
+    def rows(vs: Range, t: Timestamp, idOff: Long, shift: Double) =
+      vs.map(v => (idOff + v, t, v.toLong, "click", v.toDouble + shift, "{}"))
+    val b1 = rows(1 to 25, jan, 0L, 0.0) ++ rows(1 to 25, jun, 2000L, 40.0)
+    val b2 = rows(26 to 50, jan, 1000L, 0.0) ++ rows(26 to 50, jun, 3000L, 40.0)
+    def stage(name: String, mtime: Long,
+              rs: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-spsistage")
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(ingest)
+      val dst = ingest.resolve(name)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    stage("f1.parquet", t0, b1)
+    stage("f2.parquet", t0 + 30000, b2)
+    val feed = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+    val all = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def row(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val got = streaming.Streams.psiMonitorStream(spark, feed, all,
+      scratch, "spec_spsi").collect().map(row).toMap
+    val direct = operators.Stats.featureDriftPsi(all).collect().map(row).toMap
+    assert(got == direct)
+    // the shifted current month drifts: cur sits half outside the ref
+    // range (clamped into the top bin) — PSI must flag
+    val (nr, nc, psi, flag) = got("click")
+    assert(nr == 50L && nc == 50L)
+    assert(psi > 1.0 && flag, s"expected strong drift, got $psi")
+  }
 }
