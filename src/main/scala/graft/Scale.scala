@@ -145,7 +145,10 @@ object Scale {
     "events_asof_purchase",
     "events_asof_next_purchase", "event_props_stats", "hist_quantiles",
     "value_percentiles", "value_band_stats", "stratified_sample",
-    "zorder_keys", "zorder_zonemaps", "event_key_skew")
+    "zorder_keys", "zorder_zonemaps", "event_key_skew",
+    // r12 second session: PSI drift (events) + the JSONL roundtrip
+    // (documents; cost = serialize + parse + rollup, linear by design)
+    "feature_drift_psi", "jsonl_ingest_audit")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

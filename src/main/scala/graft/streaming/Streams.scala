@@ -707,25 +707,67 @@ object Streams {
     * stream over them: a deterministic two-micro-batch ingest, shared
     * by the multi-batch near-dup and index-maintenance loops. */
   private def stagedTwoBatchNewDocs(spark: SparkSession, sfDir: String,
-                                    scratch: String): DataFrame = {
+                                    scratch: String): DataFrame =
+    stagedTwoBatch(spark, "graft-2batch-in", sfDir, scratch,
+      "doc_id long, text string, lang string, source string, n_chars long") {
+      val newDocs = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      Seq(newDocs.filter(col("doc_id") % 10 === 0),
+        newDocs.filter(col("doc_id") % 10 =!= 0))
+    }
+
+  /** The FULL events table as TWO single-file deliveries (event_id
+    * parity split) — puts CROSS-BATCH merge semantics of the
+    * sketch-maintenance family under the DuckDB gate itself: the
+    * registered query only matches the whole-table oracle if both
+    * batches' counters merged. */
+  private def stagedTwoBatchEvents(spark: SparkSession, sfDir: String,
+                                   scratch: String): DataFrame =
+    stagedTwoBatch(spark, "graft-2batch-ev", sfDir, scratch,
+      "event_id long, ts timestamp, user_id long, event_type string, value double, props string") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+    }
+
+  /** The FULL documents table as TWO single-file deliveries (doc_id
+    * parity split) — the CMS maintenance twin of
+    * [[stagedTwoBatchEvents]]. */
+  private def stagedTwoBatchAllDocs(spark: SparkSession, sfDir: String,
+                                    scratch: String): DataFrame =
+    stagedTwoBatch(spark, "graft-2batch-doc", sfDir, scratch,
+      "doc_id long, text string, lang string, source string, n_chars long") {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }
+
+  /** Stage `build`'s parts as single-file parquet deliveries with
+    * fixed ascending mtimes — the file source orders its listing by
+    * modification time — and return a `maxFilesPerTrigger=1` stream
+    * over them: a deterministic N-micro-batch ingest. Input staging
+    * is SESSION-scoped (applicationId, no bench pass tag): the
+    * delivery files are identical for every pass, so re-staging them
+    * per timed pass would bill setup I/O to the measurement;
+    * checkpoints/sinks stay pass-scoped via `scratch` so every pass
+    * still PROCESSES for real. */
+  private def stagedTwoBatch(spark: SparkSession, inKey: String,
+                             sfDir: String, scratch: String,
+                             schemaDdl: String)
+                            (build: => Seq[DataFrame]): DataFrame = {
     import org.apache.hadoop.fs.Path
-    // input staging is SESSION-scoped (applicationId, no bench pass
-    // tag): the two delivery files are identical for every pass, so
-    // re-staging them per timed pass would bill ~1 s of setup I/O to
-    // the measurement; checkpoints/sinks stay pass-scoped via
-    // `scratch` so every pass still PROCESSES for real
     val inDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-2batch-in",
+      System.getProperty("java.io.tmpdir"), inKey,
       spark.sparkContext.applicationId,
       sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
     val staged = new Path(inDir, "_staged")
     if (!fs.exists(staged)) {
-      val newDocs = graft.Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 5 === 0)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = new Path(s"$scratch/stage_$name")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new Path(s"$scratch/stage_${inKey}_$name")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = fs.listStatus(tmp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).head
@@ -737,12 +779,13 @@ object Streams {
       }
       // fixed past mtimes 30 s apart: delivery order is deterministic
       val t0 = 1600000000000L
-      stage(newDocs.filter(col("doc_id") % 10 === 0), "b0.parquet", t0)
-      stage(newDocs.filter(col("doc_id") % 10 =!= 0), "b1.parquet", t0 + 30000)
+      build.zipWithIndex.foreach { case (df, i) =>
+        stage(df, s"b$i.parquet", t0 + i * 30000L)
+      }
       fs.create(staged, true).close()
     }
     spark.readStream
-      .schema("doc_id long, text string, lang string, source string, n_chars long")
+      .schema(schemaDdl)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
   }
@@ -1324,7 +1367,7 @@ object Streams {
       System.getProperty("java.io.tmpdir"), "graft-shll",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    hllSketchStream(spark, adaptiveEventsStream(spark, sfDir),
+    hllSketchStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
       scratch.toString, "stream_hll_users")
   }
 
@@ -1350,10 +1393,7 @@ object Streams {
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     cmsSketchStream(spark,
-      spark.readStream
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sfDir),
+      stagedTwoBatchAllDocs(spark, sfDir, scratch.toString),
       graft.Tables.documents(spark, sfDir),
       scratch.toString, "stream_cms_heavy")
   }
@@ -1424,7 +1464,7 @@ object Streams {
       System.getProperty("java.io.tmpdir"), "graft-shist",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    histSketchStream(spark, adaptiveEventsStream(spark, sfDir),
+    histSketchStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
       graft.Tables.events(spark, sfDir),
       scratch.toString, "stream_quantile_hist")
   }
@@ -1497,7 +1537,7 @@ object Streams {
       System.getProperty("java.io.tmpdir"), "graft-spsi",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    psiMonitorStream(spark, adaptiveEventsStream(spark, sfDir),
+    psiMonitorStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
       graft.Tables.events(spark, sfDir),
       scratch.toString, "stream_psi_monitor")
   }
