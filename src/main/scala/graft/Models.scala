@@ -37,6 +37,10 @@ object Models {
   val KCoreK = 2
   val KCoreRounds = 12
 
+  /** Widest-path (bottleneck) relaxation rounds; shared with the
+    * oracle's unrolled mirror (the query reports convergence). */
+  val BottleneckRounds = 6
+
   /** Orders-mart columns the profile query audits; shared with the
     * oracle's generated per-column arms. */
   val OrdersProfileCols: Seq[String] = Seq(
@@ -776,6 +780,12 @@ object Models {
   /** Heaps'-law vocabulary growth by corpus decile. */
   def vocabGrowth(s: SparkSession, d: String): DataFrame =
     llm.TextStats.vocabGrowth(Tables.documents(s, d))
+  /** Canonical Gopher rule-filter battery, all-integer evaluation. */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.gopherRules(Tables.documents(s, d))
+  /** Bigram collocation mining by micro-unit lift (ln-free PMI rank). */
+  def collocationLift(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.collocationLift(Tables.documents(s, d))
   /** Held-out LM eval: Laplace-smoothed unigram model from the train
     * split scoring the validation split (no leakage by construction). */
   def heldoutSurprisal(s: SparkSession, d: String): DataFrame =
@@ -848,6 +858,21 @@ object Models {
     * join over the Mat'd pair table). */
   def copurchaseTriangles(s: SparkSession, d: String): DataFrame =
     operators.Graph.triangleCounts(copurchaseStrongEdges(s, d))
+  /** Widest-path bottleneck capacities from the strong-edge HUB
+    * (highest strong degree, ties to the smallest id — the min-src
+    * convention left a near-isolated source at sf0.1) — max-min
+    * relaxation over the Mat'd weighted pair table (the bfsDistances
+    * Mat convention: rounds run once at index-build time, the
+    * registered query scans the result). */
+  def copurchaseBottleneck(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_bottleneck") {
+      import org.apache.spark.sql.functions.col
+      val edges = copurchaseStrongEdges(s, d)
+      val src = operators.Graph.undirectedDegrees(edges)
+        .orderBy(col("degree").desc, col("node"))
+        .limit(1).select("node")
+      operators.Graph.widestPaths(edges, src, Models.BottleneckRounds)
+    }
   /** Local clustering coefficients on the same strong-edge graph. */
   def copurchaseClustering(s: SparkSession, d: String): DataFrame =
     operators.Graph.clusteringCoefficients(copurchaseStrongEdges(s, d))

@@ -262,6 +262,8 @@ object SparkEntry {
     "copurchase_clustering" -> out(Models.copurchaseClustering),
     // bounded-round k-core peel with a gated convergence flag
     "copurchase_kcore" -> out(Models.copurchaseKcore),
+    // widest-path (max-min bottleneck) capacities from the hub product
+    "copurchase_bottleneck" -> out(Models.copurchaseBottleneck),
     "copurchase_pagerank" -> out(Models.copurchasePagerank),
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // synchronous label-propagation communities (strong-edge graph)
@@ -301,6 +303,10 @@ object SparkEntry {
     "vocab_coverage" -> out(Models.vocabCoverage),
     // Heaps'-law vocabulary growth by corpus decile
     "vocab_growth" -> out(Models.vocabGrowth),
+    // canonical Gopher rule-filter battery, all-integer evaluation
+    "gopher_quality_rules" -> out(Models.gopherRules),
+    // bigram collocation mining by micro-unit lift (ln-free PMI rank)
+    "collocation_lift" -> out(Models.collocationLift),
     // the reference's declarative test suite as one audit table
     "dq_summary" -> out(Models.dqSummary),
     // distributed BPE training: learned merges + word segmentation
@@ -468,6 +474,7 @@ object SparkEntry {
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
     "copurchase_kcore" -> OpsSql.copurchaseKcoreQ,
+    "copurchase_bottleneck" -> OpsSql.copurchaseBottleneckQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
@@ -489,6 +496,8 @@ object SparkEntry {
     "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
     "vocab_coverage" -> LlmSql.vocabCoverageQ,
     "vocab_growth" -> LlmSql.vocabGrowthQ,
+    "gopher_quality_rules" -> LlmSql.gopherRulesQ,
+    "collocation_lift" -> LlmSql.collocationLiftQ,
     "dq_summary" -> Sql.dqSummaryQ,
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,

@@ -214,6 +214,116 @@ object TextStats {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Gopher rule-filter bounds (Rae et al. 2021 §A1.1, public): word
+    * count in [Min,Max] words, mean word length in [3,10] chars,
+    * symbol-to-word ratio < 0.1 (# and ellipsis), < 90% of lines
+    * bullet-led, < 30% ellipsis-terminated, > 80% of words with an
+    * alphabetic character, ≥ 2 required-stopword hits. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+
+  /** The canonical Gopher quality-rule filter over `documents` — the
+    * published heuristic battery a web-scale curation pipeline runs
+    * before any model-based scoring (complements [[textStats]]'
+    * continuous quality_score with hard pass/fail rules).
+    *
+    * Determinism: EVERY rule is evaluated in pure integer arithmetic —
+    * ratio thresholds become cross-multiplied integer comparisons
+    * (symbols/words < 1/10 ⇔ 10·symbols < words), so no float ever
+    * crosses the oracle gate; the raw counters ship alongside the
+    * booleans so the gate checks the arithmetic, not just the verdict.
+    *
+    * Scale: one pass per document (the [[textStats]] shape): tokenize
+    * once below the repartition barrier, fold the counters once,
+    * emit. No shuffle beyond the scan-spread repartition; no joins. */
+  def gopherRules(documentsRaw: DataFrame): DataFrame = {
+    val base = documentsRaw
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"),
+        filter(split(col("text"), "\n", -1), l => trim(l) =!= "").as("ls"))
+      .repartition(col("doc_id"))
+    val w = col("w"); val ls = col("ls")
+    val mid = base.select(col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      length(concat_ws("", w)).cast("long").as("n_word_chars"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_symbols"),
+      size(ls).cast("long").as("n_lines"),
+      size(filter(ls, l => trim(l).startsWith("- ") ||
+        trim(l).startsWith("* ") || trim(l).startsWith("•")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(ls, l => trim(l).endsWith("...") ||
+        trim(l).endsWith("…"))).cast("long").as("n_ellipsis_lines"),
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      aggregate(w, lit(0), (acc, x) => acc + hit(x, Stopwords))
+        .cast("long").as("n_stop_hits"))
+    mid.select(col("doc_id"), col("n_words"), col("n_word_chars"),
+      col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+      col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_hits"),
+      (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+        .as("r_word_count"),
+      (col("n_word_chars") >= lit(3L) * col("n_words") &&
+        col("n_word_chars") <= lit(10L) * col("n_words")).as("r_word_len"),
+      (col("n_symbols") * 10L < col("n_words")).as("r_symbol_ratio"),
+      (col("n_bullet_lines") * 10L < col("n_lines") * 9L).as("r_bullet_lines"),
+      (col("n_ellipsis_lines") * 10L < col("n_lines") * 3L).as("r_ellipsis_lines"),
+      (col("n_alpha_words") * 10L > col("n_words") * 8L).as("r_alpha_words"),
+      (col("n_stop_hits") >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Collocation mining config: a bigram must occur at least
+    * [[CollocMinCount]] times; the report keeps the top
+    * [[CollocTopK]] by lift. */
+  val CollocMinCount = 5L
+  val CollocTopK = 100
+
+  /** Bigram collocation mining by LIFT — P(xy)/(P(x)·P(y)), the
+    * monotone-equivalent core of PMI (PMI = ln lift) ranked without
+    * ever taking a log: phrase extraction for tokenizer vocab
+    * seeding and boilerplate discovery.
+    *
+    * Determinism: counts are exact integers; lift is reported in
+    * micro-units via ONE fully-IEEE chain — int→double conversions
+    * (exact below 2^53), two multiplications, one division, one
+    * half-away round — every op correctly rounded in both engines,
+    * unlike ln (libm-dependent last-ulp). The (lift desc, w1, w2)
+    * total order makes the top-K cut reproducible.
+    *
+    * Scale: bigram and unigram counts are term-keyed aggregations
+    * with map-side combine over the exploded token stream; the join
+    * attaches two |vocab|-row count tables (broadcast-scale); the
+    * top-K is a distributed TakeOrdered, never a global sort. */
+  def collocationLift(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .repartition(col("doc_id"))
+    val uni = toks.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_tokens"))
+    val bi = toks
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CollocMinCount)
+    bi.join(uni.select(col("term").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round((col("c_xy").cast("double") * col("n_tokens").cast("double")
+          * lit(1000000.0))
+          / (col("c_x").cast("double") * col("c_y").cast("double")))
+          .cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
   /** `stats`: the (Mat'd) [[textStats]] output — passed in so the
     * barrier is shared with every other text_stats consumer. */
   def topDocsPerLang(stats: DataFrame): DataFrame =

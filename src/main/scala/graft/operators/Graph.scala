@@ -422,4 +422,61 @@ object Graph {
     }
     dist
   }
+
+  /** Sentinel capacity for [[widestPaths]] sources (effectively +inf;
+    * mirrored literally in the DuckDB oracle, mapped to NULL at the
+    * output boundary). */
+  val WidestInf: Long = 1L << 62
+
+  /** Bounded-round WIDEST-PATH (max-min bottleneck) capacities from a
+    * source set over WEIGHTED undirected edges (src, dst, weight):
+    * capacity(v) = max over paths source→v of the minimum edge weight
+    * along the path — the maximum-capacity-routing companion to
+    * [[bfsDistances]]' hop counts (how STRONGLY is each product tied
+    * to the hub, not just how far). Bellman-Ford-style max-min
+    * relaxation with a fixed `rounds` unroll; like [[kCore]], a path
+    * graph can exhaust any fixed unroll, so convergence is REPORTED
+    * (`converged` = one extra relaxation changes nothing), never
+    * assumed. Unreached nodes are absent; sources carry NULL capacity
+    * (width(s,s) is conventionally infinite).
+    *
+    * Determinism: relaxation is integer max over integer min — the
+    * fixpoint iterates are partition-order independent and both
+    * engines agree bit-for-bit; no floats anywhere.
+    *
+    * Scale: per round one |state|×edges hash join + one integer max
+    * aggregation, state is (node, cap) ≤ |V| rows; lineage is
+    * checkpoint-truncated per round (the [[bfsDistances]] discipline).
+    * Nothing is pairwise and nothing ever revisits the raw corpus. */
+  def widestPaths(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges.select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight").cast("long").as("weight")))
+    def relax(cap: DataFrame): DataFrame = {
+      val reached = cap.join(sym, cap("node") === sym("src"))
+        .select(sym("dst").as("node"), least(cap("cap"), sym("weight")).as("cap"))
+      cap.unionByName(reached).groupBy("node").agg(max("cap").as("cap"))
+    }
+    var cap = sources.select(col("node"), lit(WidestInf).as("cap"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = cap
+      cap = relax(cap).localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    // fixpoint probe: max-min relaxation is monotone (capacities only
+    // grow, the reached set only expands), so "one more round changes
+    // nothing" is exactly "every extra-round row matches an equal
+    // existing row"
+    val changed = relax(cap).as("e")
+      .join(cap.as("c"), col("e.node") === col("c.node"), "left")
+      .filter(col("c.node").isNull || col("e.cap") =!= col("c.cap"))
+      .agg(count(lit(1)).as("n"))
+    cap.crossJoin(broadcast(changed))
+      .select(col("node"),
+        when(col("cap") === WidestInf, lit(null).cast("long"))
+          .otherwise(col("cap")).as("bottleneck"),
+        (col("n") === 0L).as("converged"))
+  }
 }

@@ -568,6 +568,79 @@ object LlmSql {
        |from ts2""".stripMargin
   }
 
+  /** Mirror TextStats.gopherRules: same whitespace tokens, same line
+    * split (non-empty after trim), every rule the identical
+    * cross-multiplied integer comparison — no float crosses the gate. */
+  val gopherRulesQ: String = {
+    val stop = hits(TextStats.Stopwords)
+    s"""with $textCtes,
+       |gl as (
+       |  select doc_id,
+       |    cast(len(w) as bigint) as n_words,
+       |    cast(len(array_to_string(w, '')) as bigint) as n_word_chars,
+       |    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols,
+       |    list_filter(string_split(text, chr(10)), x -> trim(x) != '') as ls,
+       |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) as bigint) as n_alpha_words,
+       |    cast($stop as bigint) as n_stop_hits
+       |  from doc_words
+       |),
+       |g2 as (
+       |  select doc_id, n_words, n_word_chars, n_symbols,
+       |    cast(len(ls) as bigint) as n_lines,
+       |    cast(len(list_filter(ls, x -> starts_with(trim(x), '- ')
+       |      or starts_with(trim(x), '* ')
+       |      or starts_with(trim(x), '•'))) as bigint) as n_bullet_lines,
+       |    cast(len(list_filter(ls, x -> ends_with(trim(x), '...')
+       |      or ends_with(trim(x), '…'))) as bigint) as n_ellipsis_lines,
+       |    n_alpha_words, n_stop_hits
+       |  from gl
+       |)
+       |select doc_id, n_words, n_word_chars, n_symbols, n_lines,
+       |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+       |  (n_words >= ${TextStats.GopherMinWords} and n_words <= ${TextStats.GopherMaxWords}) as r_word_count,
+       |  (n_word_chars >= 3 * n_words and n_word_chars <= 10 * n_words) as r_word_len,
+       |  (n_symbols * 10 < n_words) as r_symbol_ratio,
+       |  (n_bullet_lines * 10 < n_lines * 9) as r_bullet_lines,
+       |  (n_ellipsis_lines * 10 < n_lines * 3) as r_ellipsis_lines,
+       |  (n_alpha_words * 10 > n_words * 8) as r_alpha_words,
+       |  (n_stop_hits >= 2) as r_stopwords,
+       |  ((n_words >= ${TextStats.GopherMinWords} and n_words <= ${TextStats.GopherMaxWords})
+       |    and (n_word_chars >= 3 * n_words and n_word_chars <= 10 * n_words)
+       |    and (n_symbols * 10 < n_words)
+       |    and (n_bullet_lines * 10 < n_lines * 9)
+       |    and (n_ellipsis_lines * 10 < n_lines * 3)
+       |    and (n_alpha_words * 10 > n_words * 8)
+       |    and (n_stop_hits >= 2)) as keep
+       |from g2""".stripMargin
+  }
+
+  /** Mirror TextStats.collocationLift: same bigram/unigram integer
+    * counts, the identical fully-IEEE lift chain (two multiplications,
+    * one division, one half-away round — no ln), same
+    * (lift desc, w1, w2) top-K order. */
+  val collocationLiftQ: String =
+    s"""with $textCtes,
+       |cuni as materialized (
+       |  select term, cast(count(*) as bigint) as c
+       |  from (select unnest(w) as term from doc_words) t group by 1
+       |),
+       |ctot as (select cast(sum(c) as bigint) as n_tokens from cuni),
+       |cbi as (
+       |  select unnest(generate_series(1, len(w) - 1)) as i, w
+       |  from doc_words where len(w) >= 2
+       |),
+       |cbc as (
+       |  select w[i] as w1, w[i+1] as w2, cast(count(*) as bigint) as c_xy
+       |  from cbi group by 1, 2 having count(*) >= ${TextStats.CollocMinCount}
+       |)
+       |select w1, w2, c_xy, x.c as c_x, y.c as c_y,
+       |  cast(round(cast(c_xy as double) * cast(n_tokens as double) * 1000000.0
+       |    / (cast(x.c as double) * cast(y.c as double))) as bigint) as lift_micro
+       |from cbc join cuni x on cbc.w1 = x.term
+       |join cuni y on cbc.w2 = y.term, ctot
+       |order by lift_micro desc, w1, w2
+       |limit ${TextStats.CollocTopK}""".stripMargin
+
   /** Connected-components oracle (mirror graft.llm.Clusters): the SAME
     * edge union (strong MinHash pairs + SimHash pairs, deduplicated)
     * and the SAME MaxIters unrolled min-label propagation rounds, so

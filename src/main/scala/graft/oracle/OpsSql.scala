@@ -879,6 +879,60 @@ object OpsSql {
        |select node, dist from d$k""".stripMargin
   }
 
+  /** Mirror Graph.widestPaths over the weighted strong-edge graph:
+    * the SAME max-min relaxation unrolled Models.BottleneckRounds
+    * times from the same min-src source, the same one-extra-round
+    * fixpoint probe for the `converged` flag, the same sentinel→NULL
+    * boundary. Each round references its predecessor twice, so every
+    * iterate is `as materialized` (the k-core fd-blowup lesson). */
+  val copurchaseBottleneckQ: String = {
+    val inf = graft.operators.Graph.WidestInf
+    val r = graft.Models.BottleneckRounds
+    def relax(prev: String): String =
+      s"""  select node, max(cap) as cap from (
+         |    select node, cap from $prev
+         |    union all
+         |    select s.dst as node, least(p.cap, s.weight) as cap
+         |    from $prev p join wsym s on p.node = s.src
+         |  ) u group by 1""".stripMargin
+    val rounds = (1 to r).map { h =>
+      s"""wb$h as materialized (
+         |${relax(s"wb${h - 1}")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |wse as materialized (
+       |  select a.i as src, b.i as dst, cast(count(*) as bigint) as weight
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= ${graft.Models.CoPurchaseMinWeight}
+       |),
+       |wsym as materialized (
+       |  select src, dst, weight from wse
+       |  union all
+       |  select dst as src, src as dst, weight from wse
+       |),
+       |wb0 as (
+       |  select node, cast($inf as bigint) as cap from (
+       |    select node, count(*) as degree from (
+       |      select src as node from wse union all select dst as node from wse
+       |    ) d group by 1 order by degree desc, node limit 1
+       |  ) h
+       |),
+       |$rounds,
+       |wbx as (
+       |${relax(s"wb$r")}
+       |),
+       |wchg as (
+       |  select count(*) as n from wbx e left join wb$r c on e.node = c.node
+       |  where c.node is null or e.cap != c.cap
+       |)
+       |select node,
+       |  case when cap = $inf then null else cap end as bottleneck,
+       |  (select n from wchg) = 0 as converged
+       |from wb$r""".stripMargin
+  }
+
   /** Mirror Graph.labelPropagationWithSizes over the strong-edge
     * affinity graph: Models.LpaRounds synchronous rounds UNROLLED —
     * per round, neighbor-label counts then the deterministic pick

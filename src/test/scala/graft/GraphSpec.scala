@@ -262,4 +262,26 @@ class GraphSpec extends SparkSpec {
     assert(exactWedges >= 5 * math.max(1L, cappedWedges),
       s"expected ≥5× wedge-candidate drop, got exact=$exactWedges capped=$cappedWedges")
   }
+
+  test("widestPaths == reference max-min relaxation; honest convergence flag") {
+    // weighted graph: 1-2 (cap 5), 2-3 (cap 2), 1-3 (cap 1), 3-4 (cap 9),
+    // island 8-9 (cap 7). Widest 1→3 goes THROUGH 2 (min(5,2)=2 beats the
+    // direct edge's 1); 1→4 then min(2,9)=2. Island unreached.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 2L), (1L, 3L, 1L), (3L, 4L, 9L),
+      (8L, 9L, 7L)).toDF("src", "dst", "weight")
+    val src = Seq(1L).toDF("node")
+    val done = Graph.widestPaths(edges, src, rounds = 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+    assert(done.toSet === Set((1L, -1L, true), (2L, 5L, true),
+      (3L, 2L, true), (4L, 2L, true)))
+    // one round reaches 2 (cap 5) and 3 via the DIRECT edge (cap 1) —
+    // not yet the widest path; the flag must report non-convergence
+    // instead of presenting the partial relaxation as final
+    val partial = Graph.widestPaths(edges, src, rounds = 1)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+    assert(partial.toSet === Set((1L, -1L, false), (2L, 5L, false),
+      (3L, 1L, false)))
+  }
 }

@@ -33,6 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_datasheet",
     // |vocab-join rows| × ONE broadcast corpus-total row
     "doc_surprisal",
+    // filtered bigram rows × ONE broadcast corpus-total row
+    "collocation_lift",
     // validation tf rows × ONE broadcast train-stats row
     "heldout_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
