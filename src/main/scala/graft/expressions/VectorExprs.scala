@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY §7.3
@@ -110,8 +110,101 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ALL [[graft.llm.HashEmbed]] semantic-band buckets of one centered
+    * long vector in one pass: bucket(b) = Σ_j (1<<j)·[p_{b·bits+j} > 0]
+    * with p_k = Σ_i sgn(k,i)·(n·vec[i] − svec[i]) (1-based i), sgn as in
+    * [[SignedProjection]]. The column-unrolled form of this (bands ×
+    * bits × dim element_at/multiply nodes ≈ 4000-node tree) cost ~1.7 s
+    * of CATALYST RE-PLANNING per execution — dominating every streaming
+    * micro-batch of the hybrid-index maintenance loop; this expression
+    * is a handful of plan nodes and one tight integer loop. Pure Long
+    * arithmetic, order-free sums — bit-identical to the unrolled form
+    * and to the DuckDB mirror. */
+  case class CenteredSemBands(vec: Expression, n: Expression, svec: Expression,
+                              bands: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = n
+    override def third: Expression = svec
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = (vec.dataType, n.dataType, svec.dataType) match {
+        case (ArrayType(LongType, _), LongType, ArrayType(LongType, _)) => true
+        case _ => false
+      }
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"centered_sem_bands needs (array<bigint>, bigint, array<bigint>), " +
+          s"got (${vec.dataType}, ${n.dataType}, ${svec.dataType})")
+    }
+
+    override def nullSafeEval(v: Any, nn: Any, s: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]; val cnt = nn.asInstanceOf[Long]
+      val sv = s.asInstanceOf[ArrayData]
+      val dim = math.min(x.numElements(), sv.numElements())
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bkt = 0L
+        var j = 0
+        while (j < bits) {
+          val k = b * bits + j
+          val kTerm = k.toLong * 40503L
+          var p = 0L
+          var i = 0
+          while (i < dim) {
+            val m = ((i + 1).toLong * 2654435761L + kTerm) % 97L
+            val sgn = if (m < 48L) -1L else 1L
+            p += sgn * (cnt * x.getLong(i) - sv.getLong(i))
+            i += 1
+          }
+          if (p > 0L) bkt |= (1L << j)
+          j += 1
+        }
+        out(b) = bkt
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, nn, s) => {
+        val dim = ctx.freshName("dim"); val out = ctx.freshName("out")
+        val b = ctx.freshName("b"); val j = ctx.freshName("j")
+        val k = ctx.freshName("k"); val p = ctx.freshName("p")
+        val i = ctx.freshName("i"); val m = ctx.freshName("m")
+        val bkt = ctx.freshName("bkt")
+        s"""
+           |int $dim = java.lang.Math.min($v.numElements(), $s.numElements());
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $bkt = 0L;
+           |  for (int $j = 0; $j < $bits; $j++) {
+           |    long $k = (long) ($b * $bits + $j);
+           |    long $p = 0L;
+           |    for (int $i = 0; $i < $dim; $i++) {
+           |      long $m = (($i + 1L) * 2654435761L + $k * 40503L) % 97L;
+           |      $p += ($m < 48L ? -1L : 1L) * ($nn * $v.getLong($i) - $s.getLong($i));
+           |    }
+           |    if ($p > 0L) $bkt |= (1L << $j);
+           |  }
+           |  $out[$b] = $bkt;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression, sec: Expression,
+                                                   t: Expression): Expression =
+      copy(vec = f, n = sec, svec = t)
+  }
+
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def signed_projection(v: Column, k: Int): Column =
     Bridge.column(SignedProjection(Bridge.expression(v), k))
+  def centered_sem_bands(vec: Column, n: Column, svec: Column,
+                         bands: Int, bits: Int): Column =
+    Bridge.column(CenteredSemBands(Bridge.expression(vec), Bridge.expression(n),
+      Bridge.expression(svec), bands, bits))
 }

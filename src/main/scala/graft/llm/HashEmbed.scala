@@ -150,25 +150,16 @@ object HashEmbed {
         aggregate(col("vec"), lit(0L), (acc, x) => acc + x * x))
       .filter(col("norm_sq") > 0)
 
-  /** Deterministic hyperplane sign for projection k at 1-based vector
-    * position i — the [[graft.expressions.VectorExprs.SignedProjection]]
-    * formula verbatim, evaluated at plan-build time (positions are the
-    * compile-time constants 1..[[Dim]], so the projection unrolls to
-    * pure Long column arithmetic both engines fold identically). */
-  private def sgn(k: Int, i: Int): Long =
-    if ((i.toLong * 2654435761L + k.toLong * 40503L) % 97L < 48L) -1L else 1L
-
   /** CENTERED projection p_k = Σ_i sgn(k,i)·(n·vec[i] − S[i]) =
     * n·p_k(vec) − p_k(S), where S is the per-position corpus sum and n
-    * the corpus count — exact Long arithmetic throughout. Centering is
-    * what makes hyperplane LSH usable on hashing-trick vectors: raw
-    * token-count projections are dominated by the shared mean
-    * direction (measured at sf0.1: single buckets holding 66% of the
-    * corpus), so hyperplanes through the ORIGIN barely split the
+    * the corpus count — exact Long arithmetic throughout, evaluated by
+    * [[graft.expressions.VectorExprs.CenteredSemBands]] (sgn(k,i) is
+    * the [[graft.expressions.VectorExprs.SignedProjection]] formula).
+    * Centering is what makes hyperplane LSH usable on hashing-trick
+    * vectors: raw token-count projections are dominated by the shared
+    * mean direction (measured at sf0.1: single buckets holding 66% of
+    * the corpus), so hyperplanes through the ORIGIN barely split the
     * cloud; hyperplanes through the CENTROID split it near-evenly. */
-  private def proj(k: Int): org.apache.spark.sql.Column =
-    (1 to Dim).map(i => lit(sgn(k, i)) *
-      (col("n") * element_at(col("vec"), i) - element_at(col("svec"), i))).reduce(_ + _)
 
   /** The semantic inverted index: (doc_id, band, bkt) — each vector's
     * [[SemBands]] band buckets, bucket bit j of band b set iff the
@@ -194,15 +185,16 @@ object HashEmbed {
 
   /** [[semBandTable]] under a PINNED quantizer: band the given vectors
     * with the caller's centering stats. */
-  def semBandTable(vecs: DataFrame, stats: DataFrame): DataFrame = {
-    val bandCols = (0 until SemBands).map { b =>
-      (0 until SemBandBits).map { j =>
-        when(proj(b * SemBandBits + j) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+  def semBandTable(vecs: DataFrame, stats: DataFrame): DataFrame =
+    // one native expression computes every band bucket in a tight
+    // integer loop (VectorExprs.CenteredSemBands) — the column-unrolled
+    // bands×bits×Dim tree it replaces cost ~1.7 s of Catalyst
+    // re-planning per execution, dominating each hybrid-index
+    // maintenance micro-batch; arithmetic is bit-identical
     vecs.crossJoin(broadcast(stats)).select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bkt")))
-  }
+      posexplode(graft.expressions.VectorExprs.centered_sem_bands(
+        col("vec"), col("n"), col("svec"), SemBands, SemBandBits))
+        .as(Seq("band", "bkt")))
 
   /** The term-keyed postings table (term, doc_id, tf, dl) — the
     * inverted-index build: one tokenize + count per corpus version,

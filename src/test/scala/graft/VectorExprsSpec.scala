@@ -55,4 +55,29 @@ class VectorExprsSpec extends SparkSpec {
       VectorExprs.dot_product(lit(null).cast("array<float>"), col("embedding")).as("d"))
     assert(df.filter(col("d").isNotNull).count() === 0)
   }
+
+  test("centered_sem_bands matches the unrolled column formula it replaced") {
+    import graft.llm.HashEmbed.{Dim, SemBandBits, SemBands}
+    val vecs = graft.llm.HashEmbed.vectors(graft.llm.HashEmbed.hashedEmbeddings(
+      Tables.documents(spark, sf).limit(200)))
+    val stats = graft.llm.HashEmbed.semStats(vecs)
+    // the pre-CenteredSemBands column unroll, verbatim
+    def sgn(k: Int, i: Int): Long =
+      if ((i.toLong * 2654435761L + k.toLong * 40503L) % 97L < 48L) -1L else 1L
+    def proj(k: Int): Column =
+      (1 to Dim).map(i => lit(sgn(k, i)) *
+        (col("n") * element_at(col("vec"), i) - element_at(col("svec"), i))).reduce(_ + _)
+    val unrolled = (0 until SemBands).map { b =>
+      (0 until SemBandBits).map { j =>
+        when(proj(b * SemBandBits + j) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val both = vecs.crossJoin(broadcast(stats)).select(col("doc_id"),
+      VectorExprs.centered_sem_bands(col("vec"), col("n"), col("svec"),
+        SemBands, SemBandBits).as("native"),
+      array(unrolled: _*).as("unrolled"))
+    assert(both.filter(col("native") =!= col("unrolled")).count() === 0)
+    // non-degenerate: buckets actually split the sample
+    assert(both.select(explode(col("native"))).distinct().count() > 4)
+  }
 }
