@@ -783,6 +783,18 @@ object Models {
   /** Canonical Gopher rule-filter battery, all-integer evaluation. */
   def gopherRules(s: SparkSession, d: String): DataFrame =
     llm.TextStats.gopherRules(Tables.documents(s, d))
+  /** Moore–Lewis cross-entropy-difference data selection. */
+  def mooreLewisSelection(s: SparkSession, d: String): DataFrame =
+    llm.Selection.mooreLewis(Tables.documents(s, d))
+  /** DSIR hashed-n-gram importance weights (target = one source). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    llm.Selection.dsirWeights(Tables.documents(s, d))
+  /** Gap-filled hourly metric series with LOCF carry. */
+  def eventsLocfHourly(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.locfHourly(Tables.events(s, d))
+  /** CUBE grouping-sets rollup over the raw lineitem fact. */
+  def lineitemCube(s: SparkSession, d: String): DataFrame =
+    marts.AnalyticsMarts.lineitemCube(Tables.lineitem(s, d))
   /** Bigram collocation mining by micro-unit lift (ln-free PMI rank). */
   def collocationLift(s: SparkSession, d: String): DataFrame =
     llm.TextStats.collocationLift(Tables.documents(s, d))

@@ -307,6 +307,14 @@ object SparkEntry {
     "gopher_quality_rules" -> out(Models.gopherRules),
     // bigram collocation mining by micro-unit lift (ln-free PMI rank)
     "collocation_lift" -> out(Models.collocationLift),
+    // Moore–Lewis cross-entropy-difference data selection
+    "moore_lewis_selection" -> out(Models.mooreLewisSelection),
+    // DSIR hashed-n-gram importance weights
+    "dsir_weights" -> out(Models.dsirWeights),
+    // gap-filled hourly metric series with LOCF carry
+    "events_locf_hourly" -> out(Models.eventsLocfHourly),
+    // CUBE grouping-sets rollup in one Expand pass
+    "lineitem_cube" -> out(Models.lineitemCube),
     // the reference's declarative test suite as one audit table
     "dq_summary" -> out(Models.dqSummary),
     // distributed BPE training: learned merges + word segmentation
@@ -498,6 +506,10 @@ object SparkEntry {
     "vocab_growth" -> LlmSql.vocabGrowthQ,
     "gopher_quality_rules" -> LlmSql.gopherRulesQ,
     "collocation_lift" -> LlmSql.collocationLiftQ,
+    "moore_lewis_selection" -> LlmSql.mooreLewisQ,
+    "dsir_weights" -> LlmSql.dsirWeightsQ,
+    "events_locf_hourly" -> OpsSql.eventsLocfHourlyQ,
+    "lineitem_cube" -> OpsSql.lineitemCubeQ,
     "dq_summary" -> Sql.dqSummaryQ,
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,

@@ -428,4 +428,28 @@ object AnalyticsMarts {
         col("col.payload").as("product_id"),
         col("col.score").as("product_revenue"))
   }
+
+  /** CUBE / grouping-sets rollup over the raw lineitem fact — the
+    * multi-granularity aggregation surface (detail, each single-dim
+    * rollup, grand total in ONE pass) a BI layer asks the engine for.
+    * Spark plans `cube` as a single Expand + hash aggregate — the
+    * grouping-set rows share one scan and one shuffle instead of
+    * 4 unioned aggregates. Explicit `grouping()` flags disambiguate
+    * "NULL because aggregated away" from a (hypothetical) NULL key at
+    * the consumer, the classic grouping-sets contract.
+    *
+    * Determinism: quantities cast double→decimal(12,2) at the input
+    * (the staging convention — TPC-H quantities are integral, the
+    * cast is exact) so every sum is exact decimal; counts are longs;
+    * no floats anywhere. */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("qty"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dec18(sum(col("qty"))).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        grouping(col("l_returnflag")).cast("long").as("g_returnflag"),
+        grouping(col("l_linestatus")).cast("long").as("g_linestatus"))
 }

@@ -298,4 +298,53 @@ object EventMarts {
         min("zkey").as("min_zkey"),
         max("zkey").as("max_zkey"))
   }
+
+  /** Only events this valuable feed the LOCF series — sparse by
+    * construction (the value domain tops out near 490), so the grid
+    * HAS gaps to fill at every SF. */
+  val LocfValueMin = 450.0
+
+  /** GAP-FILLED hourly metric series with LAST-OBSERVATION-CARRIED-
+    * FORWARD — the resample/fill operator every metrics store and
+    * feature-backfill pipeline runs: the sparse high-value event
+    * stream is bucketed per (event_type, hour), joined onto the FULL
+    * dense hour spine (derived from the whole table's ts bounds), and
+    * empty cells carry the last observed hourly total forward
+    * (`last_value ignore nulls` over the per-type hour order; leading
+    * gaps stay null — nothing to carry). `is_gap` keeps the fill
+    * honest: a consumer can always tell observed from carried.
+    *
+    * Determinism: hourly totals are exact decimal(18,6) sums carried
+    * AS DECIMAL through the window (no float enters the fill); the
+    * output boundary is one exact decimal→string→double cast; grid
+    * keys (event_type, hour) are unique so the window order is total.
+    *
+    * Scale: the grid is |event_types| × calendar hours — bounded by
+    * the CLOCK, not the corpus (5 × 720 here; a year of 1000 types is
+    * 8.8M rows) — so the crossJoin broadcasts the type list and the
+    * per-type window partitions are calendar-bounded; the only
+    * corpus-scale work is the one filtered groupBy. */
+  def locfHourly(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = bounds.select(
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val types = events.select("event_type").distinct()
+    val hourly = events.filter(col("value") >= LocfValueMin)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v").isNull.as("is_gap"),
+        last(col("v"), ignoreNulls = true).over(w)
+          .cast("string").cast("double").as("value_locf"))
+  }
 }

@@ -641,6 +641,96 @@ object LlmSql {
        |order by lift_micro desc, w1, w2
        |limit ${TextStats.CollocTopK}""".stripMargin
 
+  /** Mirror Selection.mooreLewis: the same two Laplace-smoothed
+    * unigram LMs (in-domain = one source slice, general = the whole
+    * corpus), each term's nll the identical quantized-ln recipe, the
+    * selection predicate on EXACT decimal sums, one final IEEE
+    * division for the reported score. */
+  val mooreLewisQ: String = {
+    import graft.llm.Selection.InDomainSource
+    s"""with $textCtes,
+       |ml_tf as materialized (
+       |  select doc_id, term, cast(count(*) as bigint) as tf
+       |  from (select doc_id, unnest(w) as term from doc_words) t group by 1, 2
+       |),
+       |ml_in as materialized (
+       |  select term, cast(sum(tf) as bigint) as c_in
+       |  from ml_tf join (select doc_id from documents
+       |                   where source = '$InDomainSource') ids using (doc_id)
+       |  group by 1
+       |),
+       |ml_gen as materialized (
+       |  select term, cast(sum(tf) as bigint) as c_gen from ml_tf group by 1
+       |),
+       |ml_stats as (
+       |  select (select cast(coalesce(sum(c_in), 0) as bigint) from ml_in) as t_in,
+       |         (select count(*) from ml_in) as v_in,
+       |         (select cast(sum(c_gen) as bigint) from ml_gen) as t_gen,
+       |         (select count(*) from ml_gen) as v_gen
+       |),
+       |ml_nll as (
+       |  select f.doc_id, f.tf,
+       |    cast(ln(cast(t_in + v_in + 1 as double)
+       |        / cast(coalesce(i.c_in, 0) + 1 as double)) as decimal(18,9)) as nll_in,
+       |    cast(ln(cast(t_gen + v_gen + 1 as double)
+       |        / cast(g.c_gen + 1 as double)) as decimal(18,9)) as nll_gen
+       |  from ml_tf f join ml_gen g using (term)
+       |  left join ml_in i using (term) cross join ml_stats
+       |)
+       |select doc_id, cast(sum(tf) as bigint) as n_tokens,
+       |  cast(cast(sum(nll_in * tf) - sum(nll_gen * tf) as varchar) as double)
+       |    / cast(cast(sum(tf) as bigint) as double) as ce_diff,
+       |  sum(nll_in * tf) < sum(nll_gen * tf) as selected
+       |from ml_nll group by 1""".stripMargin
+  }
+
+  /** Mirror Selection.dsirWeights: the same hashed unigram+bigram
+    * feature buckets (md5-prefix60 mod B), the same +1/B-smoothed
+    * target/raw bucket models, each bucket's log-ratio ONE ln of an
+    * exact-integer ratio quantized to decimal(18,9), keep on the
+    * exact decimal sum. */
+  val dsirWeightsQ: String = {
+    import graft.llm.Selection.{DsirBuckets, InDomainSource}
+    s"""with $textCtes,
+       |ds_feats as (
+       |  select doc_id, unnest(list_concat(w,
+       |    case when len(w) >= 2
+       |      then list_transform(generate_series(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1])
+       |      else [] end)) as feat
+       |  from doc_words
+       |),
+       |ds_fc as materialized (
+       |  select doc_id, ${hex60("feat")} % $DsirBuckets as bkt,
+       |    cast(count(*) as bigint) as c
+       |  from ds_feats group by 1, 2
+       |),
+       |ds_tgt as materialized (
+       |  select bkt, cast(sum(c) as bigint) as c_tgt
+       |  from ds_fc join (select doc_id from documents
+       |                   where source = '$InDomainSource') ids using (doc_id)
+       |  group by 1
+       |),
+       |ds_raw as materialized (
+       |  select bkt, cast(sum(c) as bigint) as c_raw from ds_fc group by 1
+       |),
+       |ds_stats as (
+       |  select (select cast(coalesce(sum(c_tgt), 0) as bigint) from ds_tgt) as t_tgt,
+       |         (select cast(sum(c_raw) as bigint) from ds_raw) as t_raw
+       |),
+       |ds_model as (
+       |  select bkt,
+       |    cast(ln(cast((coalesce(c_tgt, 0) + 1) * (t_raw + $DsirBuckets) as double)
+       |        / cast((c_raw + 1) * (t_tgt + $DsirBuckets) as double))
+       |      as decimal(18,9)) as lr
+       |  from ds_raw left join ds_tgt using (bkt) cross join ds_stats
+       |)
+       |select doc_id, cast(sum(c) as bigint) as n_feats,
+       |  cast(cast(sum(lr * c) as varchar) as double) as log_weight,
+       |  sum(lr * c) > 0 as keep
+       |from ds_fc join ds_model using (bkt) group by 1""".stripMargin
+  }
+
   /** Connected-components oracle (mirror graft.llm.Clusters): the SAME
     * edge union (strong MinHash pairs + SimHash pairs, deduplicated)
     * and the SAME MaxIters unrolled min-label propagation rounds, so

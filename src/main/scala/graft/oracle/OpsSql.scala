@@ -971,4 +971,46 @@ object OpsSql {
        |  select label, count(*) as community_size from $last group by 1
        |) cs on l.label = cs.label""".stripMargin
   }
+
+  /** Mirror EventMarts.locfHourly: the same hour spine from the whole
+    * table's ts bounds, the same sparse high-value hourly decimal
+    * sums, the same `last_value ignore nulls` carry over the
+    * per-type hour order, the same decimal→varchar→double boundary. */
+  val eventsLocfHourlyQ: String =
+    s"""with lb as (
+       |  select date_trunc('hour', min(ts)) as h0,
+       |         date_trunc('hour', max(ts)) as h1
+       |  from events
+       |),
+       |lsp as (select unnest(generate_series(h0, h1, interval 1 hour)) as hour from lb),
+       |lty as (select distinct event_type from events),
+       |lh as (
+       |  select event_type, date_trunc('hour', ts) as hour,
+       |    cast(count(*) as bigint) as n_events,
+       |    sum(cast(value as decimal(18,6))) as v
+       |  from events
+       |  where value >= ${graft.marts.EventMarts.LocfValueMin}
+       |  group by 1, 2
+       |)
+       |select t.event_type, s.hour,
+       |  coalesce(h.n_events, 0) as n_events,
+       |  h.v is null as is_gap,
+       |  cast(cast(last_value(h.v ignore nulls) over (
+       |    partition by t.event_type order by s.hour
+       |    rows between unbounded preceding and current row) as varchar) as double)
+       |    as value_locf
+       |from lsp s cross join lty t
+       |left join lh h on h.event_type = t.event_type and h.hour = s.hour""".stripMargin
+
+  /** Mirror AnalyticsMarts.lineitemCube: the same grouping sets, the
+    * same exact double→decimal(12,2) input cast (integral TPC-H
+    * quantities), the same grouping() flags. */
+  val lineitemCubeQ: String =
+    """select l_returnflag, l_linestatus,
+      |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) as sum_qty,
+      |  cast(count(*) as bigint) as n_items,
+      |  cast(grouping(l_returnflag) as bigint) as g_returnflag,
+      |  cast(grouping(l_linestatus) as bigint) as g_linestatus
+      |from lineitem
+      |group by cube(l_returnflag, l_linestatus)""".stripMargin
 }

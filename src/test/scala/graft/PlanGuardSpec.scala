@@ -35,6 +35,12 @@ class PlanGuardSpec extends SparkSpec {
     "doc_surprisal",
     // filtered bigram rows × ONE broadcast corpus-total row
     "collocation_lift",
+    // |vocab| model rows × ONE broadcast (t_in,v_in,t_gen,v_gen) row
+    "moore_lewis_selection",
+    // 256 bucket-model rows × ONE broadcast (t_tgt,t_raw) row
+    "dsir_weights",
+    // calendar-hour spine × the broadcast |event_types| list
+    "events_locf_hourly",
     // validation tf rows × ONE broadcast train-stats row
     "heldout_surprisal",
     // |domains| counts × ONE broadcast total row (Mixture.rebalance)
