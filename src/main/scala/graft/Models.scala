@@ -434,6 +434,10 @@ object Models {
   def diversitySample(s: SparkSession, d: String): DataFrame =
     llm.Similarity.diversitySample(Tables.embeddings(s, d),
       llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)))
+  /** SemDeDup: within-cluster semantic-duplicate pruning. */
+  def semdedupPrune(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.semDedupPrune(Tables.embeddings(s, d),
+      llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d)))
   /** The composed IVF+PQ index: Mat'd kmeans coarse quantizer + PQ
     * reconstruction off the Mat'd codebooks — both index halves build
     * once per session; the query probes lists and scans codes. */
@@ -786,6 +790,14 @@ object Models {
   /** Moore–Lewis cross-entropy-difference data selection. */
   def mooreLewisSelection(s: SparkSession, d: String): DataFrame =
     llm.Selection.mooreLewis(Tables.documents(s, d))
+  /** Winnowing (MOSS) fingerprints — Mat'd: read by its own query AND
+    * the shared-docs pair stage. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "winnow_fps")(
+      llm.Winnow.fingerprints(Tables.documents(s, d)))
+  /** Partial-overlap candidates from shared winnowed fingerprints. */
+  def winnowSharedDocs(s: SparkSession, d: String): DataFrame =
+    llm.Winnow.sharedDocs(winnowFingerprints(s, d))
   /** DSIR hashed-n-gram importance weights (target = one source). */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     llm.Selection.dsirWeights(Tables.documents(s, d))

@@ -105,6 +105,8 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> out(Models.annIvfKmeansTopK),
     // cluster-quota diversity sample (semantic-coverage downsampling)
     "diversity_sample" -> out(Models.diversitySample),
+    // SemDeDup: within-cluster semantic-duplicate pruning
+    "semdedup_prune" -> out(Models.semdedupPrune),
     // int8 scalar quantization + search over the dequantized corpus
     "embedding_quantization" -> out(Models.embeddingQuantization),
     "ann_sq8_topk" -> out(Models.annSq8TopK),
@@ -309,6 +311,10 @@ object SparkEntry {
     "collocation_lift" -> out(Models.collocationLift),
     // Moore–Lewis cross-entropy-difference data selection
     "moore_lewis_selection" -> out(Models.mooreLewisSelection),
+    // winnowing (MOSS) fingerprints: window-min k-gram selection
+    "winnow_fingerprints" -> out(Models.winnowFingerprints),
+    // partial-overlap candidates from shared winnowed fingerprints
+    "winnow_shared_docs" -> out(Models.winnowSharedDocs),
     // DSIR hashed-n-gram importance weights
     "dsir_weights" -> out(Models.dsirWeights),
     // gap-filled hourly metric series with LOCF carry
@@ -393,6 +399,7 @@ object SparkEntry {
     "ann_ivf_topk" -> LlmSql.annIvfTopKQ,
     "ann_ivf_kmeans_topk" -> LlmSql.annIvfKmeansTopKQ,
     "diversity_sample" -> LlmSql.diversitySampleQ,
+    "semdedup_prune" -> LlmSql.semdedupPruneQ,
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,
@@ -507,6 +514,8 @@ object SparkEntry {
     "gopher_quality_rules" -> LlmSql.gopherRulesQ,
     "collocation_lift" -> LlmSql.collocationLiftQ,
     "moore_lewis_selection" -> LlmSql.mooreLewisQ,
+    "winnow_fingerprints" -> LlmSql.winnowFingerprintsQ,
+    "winnow_shared_docs" -> LlmSql.winnowSharedDocsQ,
     "dsir_weights" -> LlmSql.dsirWeightsQ,
     "events_locf_hourly" -> OpsSql.eventsLocfHourlyQ,
     "lineitem_cube" -> OpsSql.lineitemCubeQ,

@@ -280,6 +280,67 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("pick"))
   }
 
+  /** Two in-scope cluster members this cosine-close are semantic
+    * duplicates; the smaller vec_id survives. */
+  val SemDedupCosine = 0.5
+  /** Per-cluster pairwise scope cap: SemDeDup's within-cluster
+    * pairwise stage stays bounded because K is chosen so clusters hold
+    * ~this many members (the paper runs K ∝ n); when a cluster
+    * overflows anyway, members past the cap are EXEMPT and flagged
+    * `in_scope = false` — honest truncation, never silent. */
+  val SemDedupClusterCap = 256
+
+  /** SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): assign every
+    * embedding to its nearest k-means centroid, compare pairs ONLY
+    * within a cluster, and prune every vector that has a
+    * higher-priority (smaller vec_id) in-cluster duplicate at cosine ≥
+    * [[SemDedupCosine]]. Output: one row per assigned vector —
+    * (vec_id, centroid_id, in_scope, dup_of = the surviving duplicate
+    * it would collapse into, n_dups = how many higher-priority dups it
+    * has, keep). The pruning is one-shot (a vector is pruned even if
+    * its dup_of was itself pruned) — the paper's semantics.
+    *
+    * Scale: the whole point of clustering first is that pairwise work
+    * is per-cluster, n × cluster_size, not n² — production picks K so
+    * cluster_size is a constant; [[SemDedupClusterCap]] enforces that
+    * bound here and reports what it exempted. Assignment is one
+    * broadcast-centroids scan; the per-cluster member rank is a
+    * K-bounded-partition sort (the diversitySample trade).
+    *
+    * Determinism: cosine is one IEEE division of exact float dots;
+    * ranks and caps break ties by vec_id; the DuckDB mirror replays
+    * the identical unrolled-Lloyd centroids. */
+  def semDedupPrune(embeddingsRaw: DataFrame, centroids: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val member = centroidRanked(withNorm, centroids)
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "centroid_id")
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("centroid_id").orderBy("vec_id")))
+    val kept = member.filter(col("mrk") <= SemDedupClusterCap)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val a = kept.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("centroid_id"))
+    val b = kept.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("centroid_id"))
+    val dups = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((dot(col("a_emb"), col("b_emb"))
+        / (sqrt(col("a_nrm")) * sqrt(col("b_nrm")))) >= SemDedupCosine)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    member.select(col("vec_id"), col("centroid_id"),
+        (col("mrk") <= SemDedupClusterCap).as("in_scope"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("in_scope"),
+        col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** The IVF search itself, independent of how the coarse quantizer
     * was trained: assign every vector to its nearest centroid (its
     * inverted list), then each query probes its top-[[IvfNProbe]]

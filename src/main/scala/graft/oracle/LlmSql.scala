@@ -641,6 +641,56 @@ object LlmSql {
        |order by lift_micro desc, w1, w2
        |limit ${TextStats.CollocTopK}""".stripMargin
 
+  /** Mirror Winnow: the same 0-based k-gram positions and
+    * md5-prefix60 hashes, the same window explosion (each position
+    * into every start covering it, starts 0..max(n−Window,0)), the
+    * same min(hash)-then-min(pos) winner, deduplicated. Iterate CTEs
+    * referenced twice are `as materialized`. */
+  private val winnowCtes: String = {
+    import graft.llm.Winnow.{Window => W}
+    s"""wkg as materialized (
+       |  select doc_id, i - 1 as pos,
+       |    ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} as h
+       |  from (select doc_id, w, unnest(generate_series(1, len(w) - 2)) as i
+       |        from doc_words where len(w) >= 3) t
+       |),
+       |wn as (select doc_id, max(pos) as max_pos from wkg group by 1),
+       |wrows as materialized (
+       |  select k.doc_id, k.pos, k.h,
+       |    unnest(generate_series(
+       |      greatest(k.pos - ${W - 1}, 0),
+       |      least(k.pos, greatest(n.max_pos - ${W - 1}, 0)))) as s
+       |  from wkg k join wn n using (doc_id)
+       |),
+       |wmin as materialized (select doc_id, s, min(h) as m from wrows group by 1, 2),
+       |wsel as (
+       |  select r.doc_id, m.s, min(r.pos) as pos, min(m.m) as fp
+       |  from wrows r join wmin m on r.doc_id = m.doc_id and r.s = m.s and r.h = m.m
+       |  group by 1, 2
+       |),
+       |wfps as (select distinct doc_id, pos, fp from wsel)""".stripMargin
+  }
+
+  val winnowFingerprintsQ: String =
+    s"""with $textCtes,
+       |$winnowCtes
+       |select doc_id, pos, fp from wfps""".stripMargin
+
+  /** Mirror Winnow.sharedDocs: the same fingerprint-keyed bucket join
+    * with the same cap and the same pair threshold. */
+  val winnowSharedDocsQ: String = {
+    import graft.llm.Winnow.{BucketCap, MinShared}
+    s"""with $textCtes,
+       |$winnowCtes,
+       |wby as materialized (select distinct doc_id, fp from wfps),
+       |wok as (select fp from wby group by 1 having count(*) <= $BucketCap),
+       |wcap as materialized (select wby.* from wby join wok using (fp))
+       |select a.doc_id as doc_a, b.doc_id as doc_b,
+       |  cast(count(*) as bigint) as n_shared_fps
+       |from wcap a join wcap b on a.fp = b.fp and a.doc_id < b.doc_id
+       |group by 1, 2 having count(*) >= $MinShared""".stripMargin
+  }
+
   /** Mirror Selection.mooreLewis: the same two Laplace-smoothed
     * unigram LMs (in-domain = one source slice, general = the whole
     * corpus), each term's nll the identical quantized-ln recipe, the
@@ -950,6 +1000,59 @@ object LlmSql {
        |)
        |select vec_id, centroid_id, pick from div_pick
        |where pick <= $DiversityQuota""".stripMargin
+  }
+
+  /** Mirror Similarity.semDedupPrune: the same unrolled-Lloyd
+    * centroids (kmCtes) and rn=1 cosine assignment, the same
+    * vec_id-ordered per-cluster cap, the same within-cluster pairwise
+    * cosine threshold and smaller-id-survives rule. */
+  val semdedupPruneQ: String = {
+    import graft.llm.Similarity.{SemDedupClusterCap, SemDedupCosine}
+    s"""with $kmCtes,
+       |sd_emb as (
+       |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
+       |  from embeddings
+       |),
+       |sd_ok as (select * from sd_emb where nrm > 0),
+       |sd_cent as (
+       |  select centroid_id, centroid, ${dotSql("centroid", "centroid")} as cnrm
+       |  from km_cent${graft.llm.Kmeans.Iters}
+       |),
+       |sd_assign0 as (
+       |  select e.vec_id, e.embedding, e.nrm, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.centroid")} / (sqrt(e.nrm) * sqrt(c.cnrm)) as sim
+       |  from sd_ok e cross join sd_cent c
+       |),
+       |sd_assign as (
+       |  select vec_id, embedding, nrm, centroid_id from (
+       |    select *, row_number() over (
+       |      partition by vec_id order by sim desc nulls last, centroid_id) as rn
+       |    from sd_assign0
+       |  ) t where rn = 1
+       |),
+       |sd_member as materialized (
+       |  select *, row_number() over (
+       |    partition by centroid_id order by vec_id) as mrk
+       |  from sd_assign
+       |),
+       |sd_kept as materialized (
+       |  select vec_id, embedding, nrm, centroid_id from sd_member
+       |  where mrk <= $SemDedupClusterCap
+       |),
+       |sd_dups as (
+       |  select b.vec_id, min(a.vec_id) as dup_of,
+       |    cast(count(*) as bigint) as n_dups
+       |  from sd_kept a join sd_kept b
+       |    on a.centroid_id = b.centroid_id and a.vec_id < b.vec_id
+       |  where ${dotSql("a.embedding", "b.embedding")}
+       |    / (sqrt(a.nrm) * sqrt(b.nrm)) >= $SemDedupCosine
+       |  group by 1
+       |)
+       |select m.vec_id, m.centroid_id,
+       |  m.mrk <= $SemDedupClusterCap as in_scope,
+       |  d.dup_of, coalesce(d.n_dups, 0) as n_dups,
+       |  d.dup_of is null as keep
+       |from sd_member m left join sd_dups d using (vec_id)""".stripMargin
   }
 
   /** Mirror PQ: per-subspace slices, the SAME unrolled-Lloyd chain per

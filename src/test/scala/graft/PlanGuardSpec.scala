@@ -27,6 +27,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_rerank_topk",
     // centroidRanked crossJoins the bounded broadcast centroid set
     "ann_ivfpq_topk", "ann_ivfpq_residual_topk", "diversity_sample",
+    "semdedup_prune",
     "kmeans_centroids", "bm25_scores", "tfidf_top_terms",
     "hll_user_counts", "corpus_curation", "value_percentiles",
     // three one-row aggregates cross-joined
