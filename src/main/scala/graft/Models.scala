@@ -798,6 +798,15 @@ object Models {
   /** Partial-overlap candidates from shared winnowed fingerprints. */
   def winnowSharedDocs(s: SparkSession, d: String): DataFrame =
     llm.Winnow.sharedDocs(winnowFingerprints(s, d))
+  /** Winnowing detection quality vs the exact containment truth set
+    * (the dedup_lsh_recall pattern: recall/precision, one row). */
+  def winnowRecall(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.pairRecallStats(
+      ngramContainmentPairs(s, d).select("doc_a", "doc_b"),
+      winnowSharedDocs(s, d).select("doc_a", "doc_b"))
+  /** Per-ingest batch novelty vs the standing corpus's shingle set. */
+  def batchNovelty(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.batchNovelty(docShingles(s, d))
   /** DSIR hashed-n-gram importance weights (target = one source). */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     llm.Selection.dsirWeights(Tables.documents(s, d))

@@ -148,7 +148,13 @@ object Scale {
     "zorder_keys", "zorder_zonemaps", "event_key_skew",
     // r12 second session: PSI drift (events) + the JSONL roundtrip
     // (documents; cost = serialize + parse + rollup, linear by design)
-    "feature_drift_psi", "jsonl_ingest_audit")
+    "feature_drift_psi", "jsonl_ingest_audit",
+    // r12 third session: rule filters / collocations / data selection
+    // (documents), winnowing (documents), SemDeDup (embeddings), and
+    // the clock-bounded LOCF grid (events)
+    "gopher_quality_rules", "collocation_lift", "moore_lewis_selection",
+    "dsir_weights", "winnow_fingerprints", "winnow_shared_docs",
+    "semdedup_prune", "events_locf_hourly")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

@@ -315,6 +315,10 @@ object SparkEntry {
     "winnow_fingerprints" -> out(Models.winnowFingerprints),
     // partial-overlap candidates from shared winnowed fingerprints
     "winnow_shared_docs" -> out(Models.winnowSharedDocs),
+    // winnowing detection quality vs the exact containment truth set
+    "winnow_recall" -> out(Models.winnowRecall),
+    // per-ingest batch novelty vs the standing shingle set
+    "batch_novelty" -> out(Models.batchNovelty),
     // DSIR hashed-n-gram importance weights
     "dsir_weights" -> out(Models.dsirWeights),
     // gap-filled hourly metric series with LOCF carry
@@ -516,6 +520,8 @@ object SparkEntry {
     "moore_lewis_selection" -> LlmSql.mooreLewisQ,
     "winnow_fingerprints" -> LlmSql.winnowFingerprintsQ,
     "winnow_shared_docs" -> LlmSql.winnowSharedDocsQ,
+    "winnow_recall" -> LlmSql.winnowRecallQ,
+    "batch_novelty" -> LlmSql.batchNoveltyQ,
     "dsir_weights" -> LlmSql.dsirWeightsQ,
     "events_locf_hourly" -> OpsSql.eventsLocfHourlyQ,
     "lineitem_cube" -> OpsSql.lineitemCubeQ,

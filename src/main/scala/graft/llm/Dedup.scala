@@ -423,9 +423,15 @@ object Dedup {
     * the join is on 16-byte id pairs, and the output is one row —
     * nothing here touches documents. */
   def lshRecallStats(truth: DataFrame, candidates: DataFrame,
-                     threshold: Double): DataFrame = {
-    val t = truth.filter(col("jaccard_est") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+                     threshold: Double): DataFrame =
+    pairRecallStats(truth.filter(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b")), candidates)
+
+  /** The recall/precision core of [[lshRecallStats]] over an already-
+    * filtered truth pair set — shared with the winnowing recall
+    * harness (truth = exact containment pairs there). */
+  def pairRecallStats(truthPairs: DataFrame, candidates: DataFrame): DataFrame = {
+    val t = truthPairs.select(col("doc_a"), col("doc_b"))
     val c = candidates.select(col("doc_a"), col("doc_b"),
       lit(1).as("hit"))
     val joined = t.join(c.select(col("doc_a"), col("doc_b"), col("hit")),
@@ -440,5 +446,31 @@ object Dedup {
       when(col("n_candidates") > 0,
         col("n_hits").cast("double") / col("n_candidates").cast("double"))
         .otherwise(lit(1.0)).as("precision"))
+  }
+
+  /** NOVELTY of the incoming batch against the standing corpus — the
+    * per-ingest "how much of this is actually new information" metric
+    * an incremental pipeline reads before paying for downstream
+    * processing: for every NEW document (doc_id % 5 == 0, the
+    * incremental family's split), the fraction of its DISTINCT word
+    * 3-shingles never seen in any standing document.
+    *
+    * Scale: one shingle pass; the standing side collapses to its
+    * distinct shingle set (vocabulary-bounded, term-keyed) and the
+    * join is shingle-keyed with map-side combine on both counts —
+    * never doc×doc, never re-reading the standing corpus per new doc.
+    * Determinism: integer counts; the share is one IEEE division. */
+  def batchNovelty(docSh: DataFrame): DataFrame = {
+    val distinctSh = docSh.select(col("doc_id"), col("sh")).distinct()
+    val standing = distinctSh.filter(col("doc_id") % 5 =!= 0)
+      .select("sh").distinct().withColumn("seen", lit(1))
+    distinctSh.filter(col("doc_id") % 5 === 0)
+      .join(standing, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("seen").isNull, lit(1))).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
   }
 }

@@ -691,6 +691,44 @@ object LlmSql {
        |group by 1, 2 having count(*) >= $MinShared""".stripMargin
   }
 
+  /** Mirror Models.winnowRecall: winnowing candidates priced against
+    * the exact containment truth pairs — the dedupLshRecall shape. */
+  val winnowRecallQ: String =
+    s"""with truth as (
+       |  select doc_a, doc_b from ($ngramContainmentPairsQ) t
+       |),
+       |cand as (select doc_a, doc_b from ($winnowSharedDocsQ) w),
+       |joined as (
+       |  select case when c.doc_a is not null then 1 end as hit
+       |  from truth t left join cand c
+       |    on t.doc_a = c.doc_a and t.doc_b = c.doc_b
+       |),
+       |counts as (select count(*) as n_truth, count(hit) as n_hits from joined),
+       |cc as (select count(*) as n_candidates from cand)
+       |select n_truth, n_candidates, n_hits,
+       |  case when n_truth > 0
+       |    then cast(n_hits as double) / cast(n_truth as double)
+       |    else cast(1.0 as double) end as recall,
+       |  case when n_candidates > 0
+       |    then cast(n_hits as double) / cast(n_candidates as double)
+       |    else cast(1.0 as double) end as precision
+       |from counts, cc""".stripMargin
+
+  /** Mirror Dedup.batchNovelty: the same per-doc DISTINCT shingles,
+    * the same standing/new doc_id%5 split, raw shingle-string
+    * equality on both sides. */
+  val batchNoveltyQ: String =
+    s"""with $textCtes,
+       |bn_d as (select distinct doc_id, sh from doc_shingles),
+       |bn_standing as (select distinct sh from bn_d where doc_id % 5 != 0)
+       |select n.doc_id, count(*) as n_shingles,
+       |  count(case when s.sh is null then 1 end) as n_novel,
+       |  cast(count(case when s.sh is null then 1 end) as double)
+       |    / cast(count(*) as double) as novelty
+       |from (select * from bn_d where doc_id % 5 = 0) n
+       |left join bn_standing s on n.sh = s.sh
+       |group by 1""".stripMargin
+
   /** Mirror Selection.mooreLewis: the same two Laplace-smoothed
     * unigram LMs (in-domain = one source slice, general = the whole
     * corpus), each term's nll the identical quantized-ln recipe, the

@@ -42,6 +42,22 @@ class WinnowSpec extends SparkSpec {
     assert(density > 0.2 && density < 0.65, s"density $density out of range")
   }
 
+  test("batchNovelty: unseen shingles count as novel, standing overlap doesn't") {
+    // standing docs (id % 5 != 0) own "a b c d" shingles; new doc 10
+    // repeats them (novelty 0), new doc 15 is half-new
+    val docs = mkDocs(
+      1L -> "a b c d",            // standing: shingles {a b c, b c d}
+      10L -> "a b c d",           // new: both shingles seen -> novelty 0
+      15L -> "a b c x",           // new: {a b c} seen, {b c x} novel
+      20L -> "q r s t")           // new: all novel
+    val got = graft.llm.Dedup.batchNovelty(graft.llm.Dedup.docShingles(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(10L, 15L, 20L))
+    assert(got(10L) === ((2L, 0L, 0.0)))
+    assert(got(15L) === ((2L, 1L, 0.5)))
+    assert(got(20L) === ((2L, 2L, 1.0)))
+  }
+
   test("tiny docs winnow their single truncated window") {
     // 3 words -> exactly one k-gram -> one fingerprint at pos 0
     val docs = mkDocs(9L -> "just three words")
