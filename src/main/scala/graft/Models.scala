@@ -28,6 +28,9 @@ object Models {
     * mirror. */
   val PageRankRounds = 4
 
+  /** Top-K cut of the link-prediction report; shared with the oracle. */
+  val LinkPredTopK = 100
+
   /** Synchronous label-propagation rounds; shared with the oracle's
     * unrolled mirror. */
   val LpaRounds = 4
@@ -934,6 +937,12 @@ object Models {
       operators.Graph.labelPropagationWithSizes(
         copurchaseStrongEdges(s, d).select("src", "dst"),
         Models.LpaRounds))
+  /** Common-neighbor / Jaccard link predictions on the strong-edge
+    * affinity graph — top-K candidate pairs the graph does NOT
+    * already contain (the "also bought" recommender). */
+  def copurchaseLinkPredictions(s: SparkSession, d: String): DataFrame =
+    operators.Graph.linkPredictions(
+      copurchaseStrongEdges(s, d).select("src", "dst"), Models.LinkPredTopK)
 
   /** Exact column profile of the orders mart (catalog/dq audit). */
   def ordersProfile(s: SparkSession, d: String): DataFrame =

@@ -270,6 +270,8 @@ object SparkEntry {
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // synchronous label-propagation communities (strong-edge graph)
     "copurchase_communities" -> out(Models.copurchaseCommunities),
+    // common-neighbor/Jaccard link prediction (non-adjacent top-K)
+    "copurchase_link_predictions" -> out(Models.copurchaseLinkPredictions),
     // one-pass exact column profile (catalog/dq audit surface)
     "orders_profile" -> out(Models.ordersProfile),
     // exact-moment Pearson correlation matrix (order-independent)
@@ -497,6 +499,7 @@ object SparkEntry {
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
+    "copurchase_link_predictions" -> OpsSql.copurchaseLinkPredictionsQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,
     "event_key_skew" -> OpsSql.eventKeySkewQ,

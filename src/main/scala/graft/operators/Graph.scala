@@ -479,4 +479,51 @@ object Graph {
           .otherwise(col("cap")).as("bottleneck"),
         (col("n") === 0L).as("converged"))
   }
+
+  /** LINK PREDICTION by common-neighbor count + Jaccard similarity
+    * of neighborhoods — the classic unsupervised recommenders
+    * ("customers who bought X also bought Y's neighbors"): for every
+    * NON-adjacent pair (a, b) sharing at least one neighbor, the size
+    * of N(a)∩N(b) and |N(a)∩N(b)| / |N(a)∪N(b)|, reported top-K.
+    *
+    * Input contract: one row per unordered pair ([[coOccurrenceEdges]]'
+    * invariant). Candidate pairs are exactly the 2-hop pairs, found by
+    * the wedge join over the full (symmetrized) adjacency — unlike
+    * triangle counting there is no orientation rescue here: every
+    * wedge (a–c–b) must be seen regardless of where c sits in the
+    * degree order, so the enumeration is inherently Σ_c deg(c)² over
+    * wedge CENTERS. That is why the operator belongs on a
+    * weight-THRESHOLDED graph ([[strongCoOccurrenceEdges]]), whose
+    * degree tail is bounded by the affinity cutoff; on a raw power-law
+    * graph the hub-degree cap ([[triangleCountsCapped]]'s hatch) is
+    * the knob to pull first. Counts and degrees are exact integers;
+    * jaccard is ONE IEEE division of exact ints; the
+    * (common desc, a, b) order is total, so the top-K cut is
+    * reproducible everywhere.
+    *
+    * Scale: wedge join + pair-keyed count with map-side combine, one
+    * anti-join against the (already small) edge table, two broadcast-
+    * scale degree attaches, distributed TakeOrdered — never a global
+    * sort, never all-pairs. */
+  def linkPredictions(edges: DataFrame, topK: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = undirectedDegrees(e)
+    val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val cn = adj.as("x")
+      .join(adj.as("y"), col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("node_a"), col("y.dst").as("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn.join(e.select(col("src").as("node_a"), col("dst").as("node_b"),
+        lit(1).as("is_edge")), Seq("node_a", "node_b"), "left")
+      .filter(col("is_edge").isNull).drop("is_edge")
+      .join(deg.select(col("node").as("node_a"), col("degree").as("deg_a")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("degree").as("deg_b")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        (col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

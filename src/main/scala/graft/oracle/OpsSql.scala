@@ -696,6 +696,47 @@ object OpsSql {
        |) u group by 1""".stripMargin
   }
 
+  /** Mirror Graph.linkPredictions over the strong-edge graph: the
+    * same symmetrized wedge join for common-neighbor counts, the
+    * existing-edge anti-join, exact integer degrees, jaccard as ONE
+    * division, and the identical (common desc, a, b) top-K cut. */
+  val copurchaseLinkPredictionsQ: String = {
+    val minW = graft.Models.CoPurchaseMinWeight
+    val k = graft.Models.LinkPredTopK
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as materialized (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $minW
+       |),
+       |adj as materialized (
+       |  select src, dst from se union all select dst, src from se
+       |),
+       |cn as (
+       |  select x.dst as node_a, y.dst as node_b, count(*) as common_neighbors
+       |  from adj x join adj y on x.src = y.src and x.dst < y.dst
+       |  group by 1, 2
+       |),
+       |deg as materialized (
+       |  select node, count(*) as degree from (
+       |    select src as node from se union all
+       |    select dst as node from se) u group by 1
+       |)
+       |select cn.node_a, cn.node_b, cn.common_neighbors,
+       |  da.degree as deg_a, db.degree as deg_b,
+       |  cast(cn.common_neighbors as double)
+       |    / cast(da.degree + db.degree - cn.common_neighbors as double) as jaccard
+       |from cn
+       |left join (select src as node_a, dst as node_b, 1 as is_edge from se) e
+       |  on cn.node_a = e.node_a and cn.node_b = e.node_b
+       |join deg da on cn.node_a = da.node
+       |join deg db on cn.node_b = db.node
+       |where e.is_edge is null
+       |order by cn.common_neighbors desc, cn.node_a, cn.node_b
+       |limit $k""".stripMargin
+  }
+
   /** Mirror Graph.kCore over the strong-edge graph: the IDENTICAL
     * bounded unroll (degrees → keep ≥ k → edge restriction, ×
     * KCoreRounds), final degrees, and the same converged flag (min

@@ -284,4 +284,24 @@ class GraphSpec extends SparkSpec {
     assert(partial.toSet === Set((1L, -1L, false), (2L, 5L, false),
       (3L, 1L, false)))
   }
+
+  test("linkPredictions: non-adjacent 2-hop pairs only, exact counts, total-order top-K") {
+    // triangle {1,2,3} + node 8 on 1 and 2 (predict (3,8) via centers 1,2);
+    // square 4-5-6-7 (predict both diagonals via their two centers)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 8L), (2L, 8L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (4L, 7L)).toDF("src", "dst")
+    val got = Graph.linkPredictions(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // (3,8): N(3)={1,2}, N(8)={1,2} -> cn 2, jaccard 2/(2+2-2)=1;
+    // diagonals likewise; every adjacent pair is absent
+    assert(got === Set(
+      (3L, 8L, 2L, 2L, 2L, 1.0),
+      (4L, 6L, 2L, 2L, 2L, 1.0),
+      (5L, 7L, 2L, 2L, 2L, 1.0)))
+    // topK cut follows the (cn desc, a, b) total order
+    val top2 = Graph.linkPredictions(edges, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top2.toSeq === Seq((3L, 8L), (4L, 6L)))
+  }
 }
