@@ -605,6 +605,10 @@ object Models {
     llm.Mixture.mixtureTemperature(Tables.documents(s, d))
   def docChunks(s: SparkSession, d: String): DataFrame =
     llm.Chunking.chunks(Tables.documents(s, d))
+  /** Per-doc share of chunks verbatim-shared with OTHER docs (the
+    * paragraph-granularity boilerplate signal). */
+  def chunkBoilerplate(s: SparkSession, d: String): DataFrame =
+    llm.Chunking.boilerplateShare(docChunks(s, d))
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     operators.Sketches.cmsHeavyHitters(

@@ -236,6 +236,8 @@ object SparkEntry {
     // T=2 temperature mixture: targets ∝ sqrt(observed), exact-integer
     "mixture_temperature" -> out(Models.mixtureTemperature),
     "doc_chunks" -> out(Models.docChunks),
+    // paragraph-granularity boilerplate share (cross-doc chunk dupes)
+    "chunk_boilerplate" -> out(Models.chunkBoilerplate),
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
     "event_funnel" -> out(Models.eventFunnel),
@@ -478,6 +480,7 @@ object SparkEntry {
     "domain_mixture" -> CurateSql.domainMixtureQ,
     "mixture_temperature" -> CurateSql.mixtureTemperatureQ,
     "doc_chunks" -> CurateSql.docChunksQ,
+    "chunk_boilerplate" -> CurateSql.chunkBoilerplateQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,
     "event_funnel" -> OpsSql.eventFunnelQ,

@@ -55,4 +55,39 @@ object Chunking {
         col("c.n_words_chunk").as("n_words_chunk"),
         col("c.chunk_text").as("chunk_text"))
   }
+
+  /** A chunk is boilerplate when its text recurs in at least
+    * [[BoilerplateMinDocs]] DISTINCT documents — within-doc repeats
+    * alone don't qualify (those are [[Repetition]]'s territory). */
+  val BoilerplateMinDocs = 2
+
+  /** CHUNK-level boilerplate share — the paragraph-granularity dedup
+    * signal of CCNet-style curation (Wenzek et al. 2020 dedupe CC at
+    * the paragraph hash level): per document, how many of its chunks
+    * are verbatim shared with OTHER documents (headers, footers,
+    * license blocks, navigation — content whole-document dedup never
+    * sees because the surrounding text differs). Share = one IEEE
+    * division of exact integer counts.
+    *
+    * Scale: the duplicated-chunk set is a chunk-text-keyed aggregate
+    * with map-side combine (production keys by a 64/128-bit chunk
+    * hash; text equality and hash equality agree up to collisions the
+    * oracle would surface) and is VOCABULARY-bounded — only texts
+    * seen ≥ twice survive the HAVING, so the join back is a semi-join
+    * against a small set, never doc×doc, never a second corpus
+    * scan. */
+  def boilerplateShare(chunks: DataFrame,
+                       minDocs: Int = BoilerplateMinDocs): DataFrame = {
+    val dup = chunks.groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_text"), lit(1).as("is_dup"))
+    chunks.join(dup, Seq("chunk_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("is_dup")).as("n_boilerplate"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boilerplate"),
+        (col("n_boilerplate").cast("double") / col("n_chunks").cast("double"))
+          .as("boilerplate_share"))
+  }
 }

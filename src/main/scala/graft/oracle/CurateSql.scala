@@ -161,6 +161,24 @@ object CurateSql {
        |from ch""".stripMargin
   }
 
+  /** Mirror Chunking.boilerplateShare: the same chunk CTE, the
+    * distinct-doc HAVING cut, and the left-join counting — share is
+    * one double division of exact integer counts. */
+  val chunkBoilerplateQ: String = {
+    val m = graft.llm.Chunking.BoilerplateMinDocs
+    s"""with chq as materialized (select * from ($docChunksQ) x),
+       |dup as (
+       |  select chunk_text from chq group by 1
+       |  having count(distinct doc_id) >= $m
+       |)
+       |select chq.doc_id, count(*) as n_chunks,
+       |  count(d.chunk_text) as n_boilerplate,
+       |  cast(count(d.chunk_text) as double) / cast(count(*) as double)
+       |    as boilerplate_share
+       |from chq left join dup d on chq.chunk_text = d.chunk_text
+       |group by 1""".stripMargin
+  }
+
   val cmsHeavyHittersQ: String = {
     import Sketches.{CmsD, CmsSalt, CmsWidth}
     val rows = (0 until CmsD).map(r => s"($r)").mkString(", ")

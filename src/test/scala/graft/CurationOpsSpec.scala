@@ -174,6 +174,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._4 === "exactly one chunk")
   }
 
+  test("boilerplateShare: cross-doc chunk dupes count, within-doc repeats don't") {
+    // W=2 chunks; docs 1 and 2 share the chunk "a b" (boilerplate);
+    // doc 3 repeats "z z" twice WITHIN itself only — not boilerplate;
+    // doc 4 is all-unique
+    val df = Seq(
+      (1L, "a b c d"),   // chunks: "a b", "c d"
+      (2L, "a b e f"),   // chunks: "a b", "e f"
+      (3L, "z z z z"),   // chunks: "z z", "z z" (same doc twice)
+      (4L, "p q r s")    // chunks: "p q", "r s"
+    ).toDF("doc_id", "text")
+    val got = llm.Chunking.boilerplateShare(llm.Chunking.chunks(df, w = 2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0)),
+      4L -> ((2L, 0L, 0.0))))
+  }
+
   test("decontamination's benchmark side joins as a broadcast, never a shuffle of the corpus") {
     val df = (1L to 200L).map(i => (i, s"w$i x$i y$i z$i q$i"))
       .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
