@@ -823,6 +823,14 @@ object Models {
   /** CUBE grouping-sets rollup over the raw lineitem fact. */
   def lineitemCube(s: SparkSession, d: String): DataFrame =
     marts.AnalyticsMarts.lineitemCube(Tables.lineitem(s, d))
+  /** CMS inner-product join-size estimate for the skewed
+    * lineitem ⋈ lineitem self-join on part key, priced against the
+    * exact Σ c² answer — the optimizer's cardinality-estimation
+    * primitive as a sketch query. */
+  def joinSizeEstimate(s: SparkSession, d: String): DataFrame =
+    operators.Sketches.joinSizeEstimate(
+      Tables.lineitem(s, d).select("l_partkey"),
+      Tables.lineitem(s, d).select("l_partkey"), "l_partkey")
   /** Bigram collocation mining by micro-unit lift (ln-free PMI rank). */
   def collocationLift(s: SparkSession, d: String): DataFrame =
     llm.TextStats.collocationLift(Tables.documents(s, d))

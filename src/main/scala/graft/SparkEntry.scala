@@ -329,6 +329,8 @@ object SparkEntry {
     "events_locf_hourly" -> out(Models.eventsLocfHourly),
     // CUBE grouping-sets rollup in one Expand pass
     "lineitem_cube" -> out(Models.lineitemCube),
+    // CMS inner-product join cardinality estimate vs the exact size
+    "join_size_estimate" -> out(Models.joinSizeEstimate),
     // the reference's declarative test suite as one audit table
     "dq_summary" -> out(Models.dqSummary),
     // distributed BPE training: learned merges + word segmentation
@@ -531,6 +533,7 @@ object SparkEntry {
     "dsir_weights" -> LlmSql.dsirWeightsQ,
     "events_locf_hourly" -> OpsSql.eventsLocfHourlyQ,
     "lineitem_cube" -> OpsSql.lineitemCubeQ,
+    "join_size_estimate" -> OpsSql.joinSizeEstimateQ,
     "dq_summary" -> Sql.dqSummaryQ,
     "bpe_merges" -> LlmSql.bpeMergesQ,
     "bpe_segmentation" -> LlmSql.bpeSegmentationQ,

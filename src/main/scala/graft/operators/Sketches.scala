@@ -217,6 +217,44 @@ object Sketches {
     cmsProbeHeavy(keyed, cmsCounters(keyed, keyName), keyName, threshold)
   }
 
+  /** JOIN-SIZE ESTIMATION from two Count-Min counter tables — the
+    * sketch inner product (Cormode & Muthukrishnan 2005, §4.2): for
+    * each of the d rows, Σ_bucket cntA·cntB overestimates the true
+    * join cardinality Σ_key cA(k)·cB(k) (collisions only ever ADD
+    * cross terms), and the min over rows is the estimate — the
+    * cardinality-estimation primitive an optimizer consults before
+    * choosing a join strategy, here priced against the exact answer.
+    *
+    * Determinism: every count is an exact integer; rel_err is ONE
+    * IEEE division of exact ints.
+    *
+    * Scale: each side is sketched in one pass into a ≤ d×w counter
+    * table (constant-size shuffle regardless of input), the inner
+    * product joins two constant-size tables — the estimate NEVER
+    * executes the join. The exact side (key-counts join) rides along
+    * only because this operator's contract is to price the sketch;
+    * production consults the sketch alone. */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame, keyName: String): DataFrame = {
+    val ka = a.select(col(keyName).cast("string").as(keyName))
+    val kb = b.select(col(keyName).cast("string").as(keyName))
+    val est = cmsCounters(ka, keyName)
+      .join(cmsCounters(kb, keyName).withColumnRenamed("cnt", "cnt_b"),
+        Seq("r", "bkt"))
+      .groupBy(col("r")).agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
+      .agg(min(col("row_est")).as("est_pairs"))
+    val ea = ka.groupBy(keyName).agg(count(lit(1)).as("ca"))
+    val eb = kb.groupBy(keyName).agg(count(lit(1)).as("cb"))
+    val exact = ea.join(eb, Seq(keyName))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs"),
+        count(lit(1)).as("n_shared_keys"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_shared_keys"), col("true_pairs"), col("est_pairs"),
+        when(col("true_pairs") > 0,
+          (col("est_pairs") - col("true_pairs")).cast("double")
+            / col("true_pairs").cast("double"))
+          .otherwise(lit(0.0)).as("rel_err"))
+  }
+
   // ---- Histogram quantile sketch ----
 
   /** Equi-width bins per group. */

@@ -1046,6 +1046,39 @@ object OpsSql {
   /** Mirror AnalyticsMarts.lineitemCube: the same grouping sets, the
     * same exact double→decimal(12,2) input cast (integral TPC-H
     * quantities), the same grouping() flags. */
+  /** Mirror Sketches.joinSizeEstimate over lineitem ⋈ lineitem on
+    * l_partkey: the same d salted md5-60 hash rows × w counters on
+    * both sides, per-row inner product, min-over-rows estimate, with
+    * the exact Σ c² join size riding along. */
+  val joinSizeEstimateQ: String = {
+    import graft.operators.Sketches.{CmsD, CmsSalt, CmsWidth}
+    val rows = (0 until CmsD).map(r => s"($r)").mkString(", ")
+    val h = s"cast(('0x' || substr(md5('$CmsSalt' || cast(r as varchar) || '|' || k),1,15)) as bigint) % $CmsWidth"
+    s"""with keys as (select cast(l_partkey as varchar) as k from lineitem),
+       |rr(r) as (values $rows),
+       |counters as materialized (
+       |  select r, $h as bkt, count(*) as cnt
+       |  from keys cross join rr group by 1, 2
+       |),
+       |est as (
+       |  select min(row_est) as est_pairs from (
+       |    select a.r, cast(sum(a.cnt * b.cnt) as bigint) as row_est
+       |    from counters a join counters b on a.r = b.r and a.bkt = b.bkt
+       |    group by 1) x
+       |),
+       |kc as materialized (select k, count(*) as c from keys group by 1),
+       |ex as (
+       |  select cast(coalesce(sum(a.c * b.c), 0) as bigint) as true_pairs,
+       |    count(*) as n_shared_keys
+       |  from kc a join kc b on a.k = b.k
+       |)
+       |select n_shared_keys, true_pairs, est_pairs,
+       |  case when true_pairs > 0
+       |    then cast(est_pairs - true_pairs as double) / cast(true_pairs as double)
+       |    else cast(0.0 as double) end as rel_err
+       |from ex cross join est""".stripMargin
+  }
+
   val lineitemCubeQ: String =
     """select l_returnflag, l_linestatus,
       |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) as sum_qty,

@@ -118,4 +118,26 @@ class SketchesSpec extends SparkSpec {
     // union estimate is bounded by the singles (register max dominance)
     assert(r.getDouble(3) >= math.max(r.getDouble(1), r.getDouble(2)) * 0.99)
   }
+
+  test("joinSizeEstimate: upper bound on the exact join size, exact on one key") {
+    // A = {1×3, 2×1}, B = {1×1, 2×2, 3×1}: true = 3·1 + 1·2 = 5
+    val a = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val r = Sketches.joinSizeEstimate(a, b, "k").collect().head
+    assert(r.getLong(0) === 2L) // shared keys {1, 2}
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) >= 5L)  // CMS inner product never undercounts
+    assert(r.getDouble(3) === (r.getLong(2) - 5L).toDouble / 5.0)
+    // single shared key: every hash row holds exactly 3·4 -> est exact
+    val one = Sketches.joinSizeEstimate(
+      Seq(7L, 7L, 7L).toDF("k"), Seq(7L, 7L, 7L, 7L).toDF("k"), "k")
+      .collect().head
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) === ((1L, 12L, 12L)))
+    assert(one.getDouble(3) === 0.0)
+    // disjoint keys: true size 0, rel_err pinned to 0 by the guard
+    val disj = Sketches.joinSizeEstimate(
+      Seq(1L).toDF("k"), Seq(2L).toDF("k"), "k").collect().head
+    assert((disj.getLong(0), disj.getLong(1)) === ((0L, 0L)))
+    assert(disj.getDouble(3) === 0.0)
+  }
 }
