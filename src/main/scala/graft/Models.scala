@@ -603,6 +603,10 @@ object Models {
     * distribution (share ∝ sqrt(n)), exact integer arithmetic. */
   def mixtureTemperature(s: SparkSession, d: String): DataFrame =
     llm.Mixture.mixtureTemperature(Tables.documents(s, d))
+  /** UniMax water-filled char budget per language: tail languages cap
+    * at MaxEpochs, head languages split the rest evenly. */
+  def unimaxAllocation(s: SparkSession, d: String): DataFrame =
+    llm.Mixture.unimaxBudget(Tables.documents(s, d))
   def docChunks(s: SparkSession, d: String): DataFrame =
     llm.Chunking.chunks(Tables.documents(s, d))
   /** Per-doc share of chunks verbatim-shared with OTHER docs (the

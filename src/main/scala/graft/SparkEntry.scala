@@ -235,6 +235,8 @@ object SparkEntry {
     "domain_mixture" -> out(Models.domainMixture),
     // T=2 temperature mixture: targets ∝ sqrt(observed), exact-integer
     "mixture_temperature" -> out(Models.mixtureTemperature),
+    // UniMax water-filled language budget (caps + water line, exact ints)
+    "unimax_allocation" -> out(Models.unimaxAllocation),
     "doc_chunks" -> out(Models.docChunks),
     // paragraph-granularity boilerplate share (cross-doc chunk dupes)
     "chunk_boilerplate" -> out(Models.chunkBoilerplate),
@@ -481,6 +483,7 @@ object SparkEntry {
     "doc_repetition" -> CurateSql.docRepetitionQ,
     "domain_mixture" -> CurateSql.domainMixtureQ,
     "mixture_temperature" -> CurateSql.mixtureTemperatureQ,
+    "unimax_allocation" -> CurateSql.unimaxAllocationQ,
     "doc_chunks" -> CurateSql.docChunksQ,
     "chunk_boilerplate" -> CurateSql.chunkBoilerplateQ,
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,

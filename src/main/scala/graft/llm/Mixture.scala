@@ -119,4 +119,87 @@ object Mixture {
     * over `lang`. */
   def mixtureTemperature(documents: DataFrame): DataFrame =
     temperatureRebalance(documents, "doc_id", "lang")
+
+  /** UniMax epoch cap for [[unimaxAllocation]]: no language repeats
+    * more than this many epochs, however much budget is left. */
+  val UnimaxMaxEpochs = 2L
+
+  /** Registered budget = 18/10 of total corpus chars — a deliberate
+    * OVER-subscription (you cannot give everyone 1.8 epochs under a
+    * 2-epoch cap without the head language hitting the water line), so
+    * the query exercises both regimes at every SF: the four tail
+    * languages cap at exactly 2.0 epochs and `en` is budget-limited. */
+  val UnimaxBudgetNum = 18L
+  val UnimaxBudgetDen = 10L
+
+  /** UNIMAX language-budget allocation (Chung et al. 2023): given a
+    * per-domain corpus size and a total training budget `B` chars with
+    * a hard per-domain epoch cap `C`, water-fill the budget — every
+    * domain gets `min(C·n_d, t)` chars where the water line `t` is the
+    * largest integer level the budget covers. Low-resource domains
+    * train their full `C` epochs; high-resource domains split the
+    * remaining budget evenly. This is the sampling policy that
+    * replaced temperature mixing for mT5-class multilingual training
+    * — temperature ([[temperatureRebalance]]) still over-samples the
+    * head and starves the tail; UniMax is the max-min-fair limit.
+    *
+    * Closed form, no iteration: sort domains by cap ascending (tie:
+    * domain asc); domain `i` (of L, prefix sums `P_i`) is capped iff
+    * `cap_i·(L−i+1) + P_{i−1} ≤ B` — that predicate is monotone in `i`
+    * for ascending caps, so the capped set is a prefix of length K and
+    * `t = (B − P_K) div (L−K)`. Everything is exact int64 (truncating
+    * `div` on non-negatives ≡ DuckDB `//`); the sub-`t` remainder is
+    * REPORTED as `leftover_chars`, not silently smeared.
+    *
+    * At 100 TB the whole computation runs on the |domains|-row
+    * aggregate of one corpus scan; the global window ranks a
+    * bounded-cardinality dim (languages), never the corpus. */
+  def unimaxAllocation(df: DataFrame, domainCol: String,
+                       charsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(domainCol)
+      .agg(sum(col(charsCol)).cast("long").as("n_chars"))
+      .withColumn("cap_chars", col("n_chars") * lit(UnimaxMaxEpochs))
+    // bounded dim: |languages| rows — the global window is safe here
+    val byCap = Window.orderBy(col("cap_chars"), col(domainCol))
+    val ranked = counts
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__prefix", sum(col("cap_chars")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum("n_chars").as("__total"),
+      count(lit(1)).as("__nlang"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("__budget",
+        expr(s"(__total * $UnimaxBudgetNum) div $UnimaxBudgetDen"))
+      .withColumn("__capped",
+        col("cap_chars") * (col("__nlang") - col("__i") + 1) +
+          (col("__prefix") - col("cap_chars")) <= col("__budget"))
+    // K and P_K from the tiny flagged dim; guard the all-capped case
+    val kRow = flagged.agg(
+      count(when(col("__capped"), 1)).as("__k"),
+      coalesce(sum(when(col("__capped"), col("cap_chars"))), lit(0L))
+        .as("__pk"))
+    flagged.crossJoin(broadcast(kRow))
+      .withColumn("__t",
+        when(col("__nlang") > col("__k"),
+          expr("(__budget - __pk) div (__nlang - __k)")))
+      .select(
+        col(domainCol), col("n_chars"), col("cap_chars"),
+        when(col("__capped"), col("cap_chars"))
+          .otherwise(least(col("cap_chars"), col("__t")))
+          .as("allocated_chars"),
+        col("__capped").as("is_capped"),
+        col("__budget").as("budget_chars"),
+        when(col("__nlang") > col("__k"),
+          expr("(__budget - __pk) % (__nlang - __k)"))
+          .otherwise(col("__budget") - col("__pk")).as("leftover_chars"))
+      .withColumn("epochs_bp",
+        expr("(allocated_chars * 10000) div n_chars"))
+  }
+
+  /** Driver query: UniMax char budget over `lang` at
+    * [[UnimaxBudgetNum]]/[[UnimaxBudgetDen]] of corpus chars, epoch cap
+    * [[UnimaxMaxEpochs]]. */
+  def unimaxBudget(documents: DataFrame): DataFrame =
+    unimaxAllocation(documents, "lang", "n_chars")
 }

@@ -142,6 +142,51 @@ object CurateSql {
        |where $b < keep_bp""".stripMargin
   }
 
+  /** Mirror Mixture.unimaxAllocation over documents.lang: the same
+    * closed-form water-fill — caps ascending, monotone capped-prefix
+    * predicate, integer water line, reported leftover. Window sums of
+    * bigint go HUGEINT in DuckDB; they stay internal (compared, never
+    * emitted). */
+  val unimaxAllocationQ: String = {
+    import graft.llm.Mixture.{UnimaxBudgetDen, UnimaxBudgetNum, UnimaxMaxEpochs}
+    s"""with ucounts as (
+       |  select lang, cast(sum(n_chars) as bigint) as n_chars,
+       |    cast(sum(n_chars) * $UnimaxMaxEpochs as bigint) as cap_chars
+       |  from documents group by 1
+       |),
+       |utot as (select cast(sum(n_chars) as bigint) as total,
+       |                count(*) as nlang from ucounts),
+       |uranked as (
+       |  select lang, n_chars, cap_chars,
+       |    row_number() over (order by cap_chars, lang) as i,
+       |    sum(cap_chars) over (order by cap_chars, lang
+       |      rows between unbounded preceding and current row) as prefix
+       |  from ucounts
+       |),
+       |uflag as (
+       |  select r.lang, r.n_chars, r.cap_chars, t.nlang,
+       |    (t.total * $UnimaxBudgetNum) // $UnimaxBudgetDen as budget,
+       |    cap_chars * (t.nlang - i + 1) + (prefix - cap_chars)
+       |      <= (t.total * $UnimaxBudgetNum) // $UnimaxBudgetDen as capped
+       |  from uranked r cross join utot t
+       |),
+       |uk as (select count(case when capped then 1 end) as k,
+       |  cast(coalesce(sum(case when capped then cap_chars end), 0) as bigint) as pk
+       |  from uflag)
+       |select lang, n_chars, cap_chars,
+       |  case when capped then cap_chars
+       |    else least(cap_chars, (budget - pk) // greatest(nlang - k, 1)) end
+       |    as allocated_chars,
+       |  capped as is_capped,
+       |  budget as budget_chars,
+       |  case when nlang > k then (budget - pk) % (nlang - k)
+       |    else budget - pk end as leftover_chars,
+       |  (case when capped then cap_chars
+       |    else least(cap_chars, (budget - pk) // greatest(nlang - k, 1)) end
+       |    * 10000) // n_chars as epochs_bp
+       |from uflag cross join uk""".stripMargin
+  }
+
   val docChunksQ: String = {
     val w = graft.llm.Chunking.ChunkWords
     s"""with $textCtes,

@@ -131,6 +131,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept > 700 && kept < 800, s"kept $kept of 900") // ~750 expected
   }
 
+  test("unimax allocation: tails cap at MaxEpochs, head splits the rest, leftover reported") {
+    // chars: a=100, b=200, c=1000; caps (C=2): 200, 400, 2000
+    // budget = 1300*18//10 = 2340
+    // ascending caps: a(200): 200*3+0=600 <= 2340 capped
+    //                 b(400): 400*2+200=1000 <= 2340 capped
+    //                 c(2000): 2000*1+600=2600 > 2340 uncapped
+    // t = (2340-600) div 1 = 1740; leftover = 0
+    val df = Seq(("a", 100L), ("b", 200L), ("c", 1000L))
+      .toDF("lang", "n_chars")
+    val out = Mixture.unimaxAllocation(df, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("allocated_chars") === 200L)
+    assert(out("a").getAs[Boolean]("is_capped"))
+    assert(out("a").getAs[Long]("epochs_bp") === 20000L)
+    assert(out("b").getAs[Long]("allocated_chars") === 400L)
+    assert(out("c").getAs[Long]("allocated_chars") === 1740L)
+    assert(!out("c").getAs[Boolean]("is_capped"))
+    assert(out("c").getAs[Long]("epochs_bp") === 17400L)
+    assert(out.values.forall(_.getAs[Long]("leftover_chars") === 0L))
+    assert(out.values.forall(_.getAs[Long]("budget_chars") === 2340L))
+
+    // all-capped regime: budget beyond every cap -> everyone trains C
+    // epochs and the surplus is reported, not smeared.
+    // chars: x=10, y=10 -> caps 20,20; budget = 20*18//10 = 36
+    // x: 20*2+0=40 > 36 -> UNcapped both?? no: 40 > 36 means x uncapped
+    // -> t = 36 div 2 = 18 each, leftover 0
+    val even = Mixture.unimaxAllocation(
+      Seq(("x", 10L), ("y", 10L)).toDF("lang", "n_chars"),
+      "lang", "n_chars").collect().map(r => r.getString(0) -> r).toMap
+    assert(even("x").getAs[Long]("allocated_chars") === 18L)
+    assert(even("y").getAs[Long]("allocated_chars") === 18L)
+    assert(even.values.forall(!_.getAs[Boolean]("is_capped")))
+
+    // true all-capped: one lang, budget 18 > cap 10*... C=2 -> cap 20,
+    // budget 10*18//10=18 < 20 -> uncapped, t=18, alloc 18.
+    // To force all-capped the budget must exceed sum(caps): not
+    // reachable with the registered 1.8x ratio and C=2 (1.8 < 2), so
+    // assert the invariant instead: sum(alloc) + leftover == budget.
+    for (m <- Seq(out, even)) {
+      val alloc = m.values.map(_.getAs[Long]("allocated_chars")).sum
+      assert(alloc + m.values.head.getAs[Long]("leftover_chars")
+        === m.values.head.getAs[Long]("budget_chars"))
+    }
+
+    // integer remainder surfaces in leftover: chars p=7,q=9 -> caps
+    // 14,18; budget = 16*18//10 = 28; p: 14*2+0=28 <= 28 capped;
+    // q: 18*1+14=32 > 28 -> t = (28-14) div 1 = 14, leftover 0;
+    // pick sizes that leave one: p=7,q=8 -> caps 14,16, budget=27;
+    // p: 28 > 27 uncapped -> t = 27 div 2 = 13, leftover 1
+    val rem = Mixture.unimaxAllocation(
+      Seq(("p", 7L), ("q", 8L)).toDF("lang", "n_chars"),
+      "lang", "n_chars").collect()
+    assert(rem.forall(_.getAs[Long]("allocated_chars") === 13L))
+    assert(rem.forall(_.getAs[Long]("leftover_chars") === 1L))
+  }
+
   test("length-bucketed batches: longest-first cuts of 16, exact padding efficiency") {
     import graft.llm.Packing
     // expectations derive from the op's grouping invariants, which

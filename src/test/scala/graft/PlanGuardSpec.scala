@@ -96,6 +96,15 @@ class PlanGuardSpec extends SparkSpec {
     // truth-side counts row × ONE broadcast candidate-count row
     // (Dedup.lshRecallStats)
     "dedup_lsh_recall",
+    // the same truth-row × broadcast candidate-row shape for the
+    // winnowing detector's recall harness
+    "winnow_recall",
+    // ONE exact join-size row × ONE broadcast CMS-estimate row
+    // (Sketches.joinSizeEstimate — both sides are global aggregates)
+    "join_size_estimate",
+    // |languages| dim rows × ONE broadcast totals row, then × ONE
+    // broadcast water-line row (Mixture.unimaxAllocation)
+    "unimax_allocation",
     // ONE confusion row × ONE broadcast rank-sum row
     // (QualityModel.evaluation)
     "quality_eval")
@@ -143,7 +152,10 @@ class PlanGuardSpec extends SparkSpec {
     // documented in QualityModel.evaluation)
     "quality_eval",
     // cumulative-vocabulary window over exactly 10 decile rows
-    "vocab_growth")
+    "vocab_growth",
+    // water-fill ranking over the |languages| aggregate (bounded dim;
+    // the corpus itself sees only the groupBy scan)
+    "unimax_allocation")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
