@@ -410,6 +410,9 @@ object Models {
   }
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
+  /** MMR-diversified rerank of the cosine candidates (λ = 1/2). */
+  def mmrRerank(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.mmrRerank(Tables.embeddings(s, d))
   /** Metadata-filtered vector search (predicate BEFORE the top-k). */
   def annFilteredTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annFilteredTopK(Tables.embeddings(s, d))

@@ -93,6 +93,8 @@ object SparkEntry {
     "substring_dedup" -> out(Models.substringDedup),
     "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
+    // MMR diversification between retrieval and serving (greedy, λ=1/2)
+    "mmr_rerank" -> out(Models.mmrRerank),
     // metadata-filtered vector search (filter BEFORE top-k)
     "ann_filtered_topk" -> out(Models.annFilteredTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
@@ -403,6 +405,7 @@ object SparkEntry {
     "substring_dedup" -> LlmSql.substringDedupQ,
     "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
+    "mmr_rerank" -> LlmSql.mmrRerankQ,
     "ann_filtered_topk" -> LlmSql.annFilteredTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "ann_hard_negatives" -> LlmSql.annHardNegativesQ,

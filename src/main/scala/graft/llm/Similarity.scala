@@ -75,6 +75,107 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("col.score").as("cosine"))
   }
 
+  /** Candidate pool / result size for [[mmrRerank]]. */
+  val MmrCandidates = 20
+  val MmrK = 10
+
+  /** One retrieval candidate flowing into a per-query MMR group. */
+  final case class MmrCand(query_id: Long, neighbor_id: Long, rel: Double,
+                           embedding: Array[Float], nrm: Double)
+  /** One MMR selection: rank-ordered, with the relevance it arrived
+    * with and the marginal score it was selected at. */
+  final case class MmrPick(query_id: Long, rank: Int, neighbor_id: Long,
+                           relevance: Double, mmr_score: Double)
+
+  /** MAXIMAL MARGINAL RELEVANCE diversification (Carbonell & Goldstein
+    * 1998) — the standard rerank between retrieval and serving: from
+    * each query's top-[[MmrCandidates]] cosine candidates, greedily
+    * select [[MmrK]] maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)`
+    * with λ = 1/2, so near-duplicate hits can't crowd out coverage.
+    * The first pick's diversity term is defined as 0 (empty S), i.e.
+    * the plain relevance argmax. Ties break by neighbor_id — the same
+    * total order as every top-k in this file.
+    *
+    * Cross-engine determinism: candidate relevances come from the
+    * shared exact-cosine search; within-group pairwise cosines are the
+    * SAME left-to-right `0.0 + Σ aᵢ·bᵢ` double fold the DotProduct
+    * expression and DuckDB's `list_reduce` compute, and λ = 1/2 makes
+    * the marginal score `(rel − maxSim) * 0.5` — two exact IEEE ops —
+    * so scores, and therefore selections, agree bit-for-bit.
+    *
+    * Scale: greedy MMR is inherently sequential IN k, so the right
+    * distribution unit is the query group — one `groupByKey(query_id)`
+    * shuffle of |queries|·N candidate rows, then O(N·k) work per group
+    * with N bounded by [[MmrCandidates]]. A million queries is a
+    * million independent bounded groups; the corpus itself is only
+    * touched by the candidate search feeding this. */
+  def mmrRerank(embeddingsRaw: DataFrame, nCand: Int = MmrCandidates,
+                k: Int = MmrK): DataFrame = {
+    val spark = embeddingsRaw.sparkSession
+    import spark.implicits._
+    val cands = annCosineTopKAsym(embeddingsRaw, embeddingsRaw, nCand)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val emb = embeddingsRaw.select(
+      col("vec_id").as("neighbor_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    cands.join(emb, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("embedding"), col("nrm"))
+      .as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        // deterministic intake order (rel desc, id asc) — iteration
+        // order below must not depend on shuffle arrival order
+        val cs = it.toArray.sortBy(c => (-c.rel, c.neighbor_id))
+        def cos(a: MmrCand, b: MmrCand): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.embedding.length) {
+            acc += a.embedding(i).toDouble * b.embedding(i).toDouble
+            i += 1
+          }
+          acc / (math.sqrt(a.nrm) * math.sqrt(b.nrm))
+        }
+        val picked = new Array[Boolean](cs.length)
+        val sel = collection.mutable.ArrayBuffer.empty[Int]
+        val out = collection.mutable.ArrayBuffer.empty[MmrPick]
+        var r = 1
+        val kk = math.min(k, cs.length)
+        while (r <= kk) {
+          var bi = -1
+          var bScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              var maxSim = 0.0 // empty-S contract: rank 1 scores rel/2
+              var first = true
+              sel.foreach { j =>
+                val s = cos(cs(i), cs(j))
+                if (first || s > maxSim) { maxSim = s; first = false }
+              }
+              val score = (cs(i).rel - maxSim) * 0.5
+              // total order (score desc, neighbor_id asc); cs is id-asc
+              // within equal rel, but ids aren't globally sorted — the
+              // explicit id tiebreak is load-bearing
+              if (score > bScore ||
+                (score == bScore && bi >= 0 &&
+                  cs(i).neighbor_id < cs(bi).neighbor_id)) {
+                bi = i; bScore = score
+              }
+            }
+            i += 1
+          }
+          picked(bi) = true
+          sel += bi
+          out += MmrPick(qid, r, cs(bi).neighbor_id, cs(bi).rel, bScore)
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
   /** FILTERED vector search — top-k among corpus vectors satisfying a
     * per-query METADATA predicate (here: same `label` as the query,
     * the "similar items within the same category" shape). Filtered

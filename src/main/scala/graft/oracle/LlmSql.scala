@@ -236,7 +236,11 @@ object LlmSql {
     * symmetric [[annCosineTopKOver]] is the corpus == queries case.
     * Shared by the raw, dequantized-int8, and PQ oracles so the search
     * arithmetic exists exactly once. */
-  def annCosineTopKAsymOver(corpusRel: String, queryRel: String): String =
+  /** Just the scored-candidates CTEs (emb_norms / emb_ok /
+    * ann_queries / ann_scored) — the asym search arithmetic without
+    * the final top-k cut, so rerankers (MMR) can keep ranking the
+    * same scores. */
+  def annCosineScoredOver(corpusRel: String, queryRel: String): String =
     s"""emb_norms as (
        |  select vec_id, embedding, ${dotSql("embedding", "embedding")} as nrm
        |  from $corpusRel
@@ -254,7 +258,10 @@ object LlmSql {
        |    ${dotSql("e.embedding", "q.q_emb")} / (sqrt(e.nrm) * sqrt(q.q_nrm)) as cosine
        |  from emb_ok e cross join ann_queries q
        |  where e.vec_id != q.query_id
-       |)
+       |)""".stripMargin
+
+  def annCosineTopKAsymOver(corpusRel: String, queryRel: String): String =
+    s"""${annCosineScoredOver(corpusRel, queryRel)}
        |select query_id, neighbor_id, rank, cosine from (
        |  select *, row_number() over (
        |    partition by query_id order by cosine desc nulls last, neighbor_id) as rank
@@ -264,6 +271,72 @@ object LlmSql {
   def annCosineTopKOver(rel: String): String = annCosineTopKAsymOver(rel, rel)
 
   val annCosineTopKQ: String = s"with ${annCosineTopKOver("embeddings")}"
+
+  /** Mirror Similarity.mmrRerank: top-[[Similarity.MmrCandidates]]
+    * candidates from the shared scored CTEs, within-group pairwise
+    * cosines via the same list_reduce fold, then the greedy selection
+    * unrolled [[Similarity.MmrK]] steps — each step anti-joins the
+    * selected set, scores `(rel − max sim-to-selected) * 0.5`, and
+    * picks by (score desc, neighbor_id). Every iterate is
+    * `materialized` (the non-materialized form re-inlines the prior
+    * selection exponentially — the k-core lesson). */
+  val mmrRerankQ: String = {
+    val n = Similarity.MmrCandidates
+    val k = Similarity.MmrK
+    val steps = (2 to k).map { i =>
+      s"""score$i as materialized (
+         |  select c.query_id, c.neighbor_id, c.rel,
+         |    (c.rel - max(s.sim)) * 0.5 as mmr
+         |  from mmr_cand c
+         |  join mmr_sim s on s.query_id = c.query_id and s.ai = c.neighbor_id
+         |  join sel${i - 1} p on p.query_id = s.query_id and p.neighbor_id = s.bi
+         |  where not exists (select 1 from sel${i - 1} q
+         |    where q.query_id = c.query_id and q.neighbor_id = c.neighbor_id)
+         |  group by 1, 2, 3
+         |),
+         |pick$i as materialized (
+         |  select query_id, neighbor_id, rel, $i as rank, mmr as mmr_score
+         |  from (
+         |    select *, row_number() over (partition by query_id
+         |      order by mmr desc nulls last, neighbor_id) as rn from score$i
+         |  ) t where rn = 1
+         |),
+         |sel$i as materialized (
+         |  select * from sel${i - 1}
+         |  union all
+         |  select query_id, neighbor_id, rel, rank, mmr_score from pick$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""with ${annCosineScoredOver("embeddings", "embeddings")},
+       |mmr_cand as materialized (
+       |  select query_id, neighbor_id, cosine as rel from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cosine desc nulls last, neighbor_id) as rnk
+       |    from ann_scored
+       |  ) t where rnk <= $n
+       |),
+       |mmr_vec as materialized (
+       |  select c.query_id, c.neighbor_id, c.rel, e.embedding, e.nrm
+       |  from mmr_cand c join emb_ok e on e.vec_id = c.neighbor_id
+       |),
+       |mmr_sim as materialized (
+       |  select a.query_id, a.neighbor_id as ai, b.neighbor_id as bi,
+       |    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) as sim
+       |  from mmr_vec a join mmr_vec b
+       |    on a.query_id = b.query_id and a.neighbor_id != b.neighbor_id
+       |),
+       |sel1 as materialized (
+       |  select query_id, neighbor_id, rel, 1 as rank, (rel - 0.0) * 0.5 as mmr_score
+       |  from (
+       |    select *, row_number() over (partition by query_id
+       |      order by rel desc nulls last, neighbor_id) as rn from mmr_cand
+       |  ) t where rn = 1
+       |),
+       |$steps
+       |select query_id, cast(rank as int) as rank, neighbor_id,
+       |  rel as relevance, mmr_score
+       |from sel$k""".stripMargin
+  }
 
   /** Mirror Similarity.annFilteredTopK: the asym search with the
     * per-query label predicate applied BEFORE the top-k rank. */

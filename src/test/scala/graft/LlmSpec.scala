@@ -256,6 +256,42 @@ class LlmSpec extends SparkSpec {
     assert(t.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("mmr rerank: near-duplicate hit demoted below a diverse hit, greedy order exact") {
+    import spark.implicits._
+    // query 0 = e1; candidate 100 ~ e1 (top rel), 101 = near-dup of
+    // 100, 102 = diagonal (diverse). Pure relevance ranks 100,101,102;
+    // MMR λ=1/2 must slot the diverse 102 ahead of the dup 101:
+    //   rank2 score(101) = (0.99504 - 0.99999)/2 < 0
+    //   rank2 score(102) = (0.70711 - 0.70360)/2 > 0
+    val fix = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (100L, Array(1f, 0.1f, 0f)),
+      (101L, Array(1f, 0.1f, 0.001f)),
+      (102L, Array(0.7f, 0f, 0.7f))).toDF("vec_id", "embedding")
+    val got = llm.Similarity.mmrRerank(fix).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(100L, 102L, 101L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    // rank 1 is the plain relevance argmax at score rel/2 (empty-S contract)
+    assert(got(0).getAs[Double]("mmr_score") === got(0).getAs[Double]("relevance") * 0.5)
+    // the dup's marginal score went negative; the diverse pick's did not
+    assert(got(1).getAs[Double]("mmr_score") > 0)
+    assert(got(2).getAs[Double]("mmr_score") < 0)
+
+    // corpus run: dense ranks 1..MmrK per query, picks drawn from the
+    // top-MmrCandidates relevance pool, rank 1 = the cosine argmax
+    val t = Models.mmrRerank(spark, sf)
+    val perQuery = t.groupBy("query_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"),
+      countDistinct("neighbor_id").as("dn"))
+    assert(perQuery.filter(col("n") =!= llm.Similarity.MmrK ||
+      col("mx") =!= llm.Similarity.MmrK || col("mn") =!= 1 ||
+      col("dn") =!= llm.Similarity.MmrK).count() === 0)
+    val exact1 = Models.annCosineTopK(spark, sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exp_n1"))
+    val r1 = t.filter(col("rank") === 1).join(exact1, "query_id")
+    assert(r1.filter(col("neighbor_id") =!= col("exp_n1")).count() === 0)
+  }
+
   test("ann lsh: every vector gets a 16-bit bucket; sizes consistent") {
     val b = Models.annLshBuckets(spark, sf)
     assert(b.count() === Tables.embeddings(spark, sf).count())

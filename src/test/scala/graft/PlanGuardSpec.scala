@@ -22,6 +22,9 @@ class PlanGuardSpec extends SparkSpec {
     // same bounded broadcast query-set scan (wrong-label filter /
     // prefix-truncated corpus per MRL arm)
     "ann_hard_negatives", "ann_matryoshka_recall",
+    // the same bounded broadcast query set feeds the MMR candidate
+    // pool; the greedy rerank itself is a groupByKey over ≤N-row groups
+    "mmr_rerank",
     // ADC candidate stage composes annCosineTopKAsym's bounded
     // broadcast query set; the re-rank joins are broadcast HASH joins
     "ann_pq_rerank_topk",
