@@ -791,6 +791,12 @@ object Models {
       hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
     HashEmbed.hybridRecall(indexed, exact)
   }
+  /** Pseudo-relevance-feedback expanded retrieval: round 1 over the
+    * impact index, expansion terms from the feedback docs' keyword
+    * Mat, weighted round 2 — per-request cost stays bounded by
+    * (terms × ImpactCap) postings. */
+  def prfSearch(s: SparkSession, d: String): DataFrame =
+    llm.Prf.prfSearch(tfidfTopTerms(s, d), hybridImpact(s, d))
   /** Mat'd: read by its own query AND the curriculum binning. */
   def docSurprisal(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "doc_surprisal")(

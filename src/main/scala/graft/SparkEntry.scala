@@ -155,6 +155,8 @@ object SparkEntry {
     "hybrid_search" -> out(Models.hybridSearch),
     // fused-RRF recall of the index-served plan vs the exact baseline
     "hybrid_recall" -> out(Models.hybridRecall),
+    // pseudo-relevance-feedback query expansion over the impact index
+    "prf_search" -> out(Models.prfSearch),
     // trained quality classifier: full-batch perceptron over hashed
     // features (weights broadcast out, integer gradients aggregated in)
     "quality_weights" -> out(Models.qualityWeights),
@@ -448,6 +450,7 @@ object SparkEntry {
     "doc_embeddings" -> LlmSql.hashedEmbeddingsQ,
     "hybrid_search" -> LlmSql.hybridSearchQ,
     "hybrid_recall" -> LlmSql.hybridRecallQ,
+    "prf_search" -> LlmSql.prfSearchQ,
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
     "quality_eval" -> LlmSql.qualityEvalQ,

@@ -113,7 +113,7 @@ object HashEmbed {
     * cap exists for.) */
   val ImpactCap = 1000
 
-  private def querySel(c: org.apache.spark.sql.Column, bound: Long) =
+  private[graft] def querySel(c: org.apache.spark.sql.Column, bound: Long) =
     c % 29 === 3 && c < bound
 
   /** Feature-hashed embedding, LONG format (doc_id, bucket, n_terms,
@@ -255,7 +255,8 @@ object HashEmbed {
     * the [[ImpactCap]] serving prune (pushed to the Mat scan); the
     * exact baseline passes false. */
   private[graft] def lexTopList(qt: DataFrame, impact: DataFrame,
-                                capped: Boolean = true): DataFrame = {
+                                capped: Boolean = true,
+                                depth: Int = TopK): DataFrame = {
     val served = if (capped) impact.filter(col("impact_rank") <= ImpactCap) else impact
     val scored = served
       .join(broadcast(qt), Seq("term"))
@@ -270,7 +271,7 @@ object HashEmbed {
         (1 to Relevance.TfidfTopK)
           .map(r => coalesce(col(s"s_r$r"), lit(0.0))).reduceLeft(_ + _))
       .groupBy("query_doc_id")
-      .agg(top_k(col("lex_score"), col("doc_id"), TopK).as("tk"))
+      .agg(top_k(col("lex_score"), col("doc_id"), depth).as("tk"))
       .select(col("query_doc_id"), posexplode(col("tk")))
       .select(col("query_doc_id"), col("col.payload").as("doc_id"),
         (col("pos") + 1).cast("int").as("lex_rank"))

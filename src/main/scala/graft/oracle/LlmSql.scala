@@ -2553,6 +2553,105 @@ object LlmSql {
        |group by 1""".stripMargin
   }
 
+  /** Mirror Prf.prfSearch: pseudo-relevance-feedback expanded BM25.
+    * Round 1 = the capped lexical serving list (feedback prefix);
+    * expansion terms = feedback docs' tf-idf keywords minus the
+    * original query terms, ranked by min(lex_rank·4 + t_rank) then
+    * term; round 2 adds base scores at ranks 1..3 and 0.5-weighted
+    * expansion scores at ranks 4..6 in FIXED left-to-right order (the
+    * 0.5 multiply is a power of two — exact on both engines). The
+    * scoring-term universe is the tf-idf keyword vocabulary (original
+    * AND expansion terms are both drawn from it). */
+  val prfSearchQ: String = {
+    import graft.llm.HashEmbed.{QueryIdBound, ImpactCap, TopK}
+    import graft.llm.Relevance.{K1, B, TfidfTopK}
+    import graft.llm.Prf.{FbDocs, ExpTerms}
+    val baseSum = (1 to TfidfTopK)
+      .map(r => s"coalesce(max(case when rank = $r then s end), 0.0)")
+    val expSum = (TfidfTopK + 1 to TfidfTopK + ExpTerms)
+      .map(r => s"0.5 * coalesce(max(case when rank = $r then s end), 0.0)")
+    val r2Sum = (baseSum ++ expSum).mkString("\n    + ")
+    val r1Sum = baseSum.mkString("\n    + ")
+    s"""with $textCtes,
+       |tt as materialized ($tfidfTopTermsQ),
+       |pq as (select doc_id as query_doc_id, term, rank from tt
+       |       where doc_id % 29 = 3 and doc_id < $QueryIdBound),
+       |pdl as (select doc_id, cast(len(w) as bigint) as dl from doc_words),
+       |pcorp as (select count(*) as n_docs, sum(dl) as total_len from pdl),
+       |ptf as (
+       |  select doc_id, dl, w as term, count(*) as tf from (
+       |    select doc_id, dl, unnest(w) as w
+       |    from doc_words join pdl using (doc_id)
+       |  ) t where w in (select distinct term from tt) group by 1, 2, 3
+       |),
+       |pdf as (select term, count(*) as df from ptf group by 1),
+       |psc as (
+       |  select doc_id, term,
+       |    cast(cast(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) as decimal(18,9)) as double)
+       |      * tf * ($K1 + 1) /
+       |      (tf + $K1 * (1.0 - $B + $B * cast(dl as double)
+       |        / (cast(total_len as double) / cast(n_docs as double)))) as s
+       |  from ptf join pdf using (term) cross join pcorp
+       |),
+       |pserved as materialized (
+       |  select term, doc_id, s from (
+       |    select *, row_number() over (partition by term
+       |                                 order by s desc, doc_id) as impact_rank
+       |    from psc) t
+       |  where impact_rank <= $ImpactCap
+       |),
+       |pr1 as (
+       |  select query_doc_id, doc_id,
+       |    $r1Sum as lex_score
+       |  from pserved join pq using (term)
+       |  where doc_id != query_doc_id
+       |  group by 1, 2
+       |),
+       |pr1top as (
+       |  select query_doc_id, doc_id, rn as lex_rank from (
+       |    select query_doc_id, doc_id,
+       |      row_number() over (partition by query_doc_id
+       |                         order by lex_score desc, doc_id) as rn
+       |    from pr1) t where rn <= $FbDocs
+       |),
+       |pcand as (
+       |  select f.query_doc_id, t.term,
+       |    min(f.lex_rank * ${TfidfTopK + 1} + t.rank) as ord
+       |  from pr1top f join tt t on t.doc_id = f.doc_id
+       |  where not exists (select 1 from pq q
+       |                    where q.query_doc_id = f.query_doc_id
+       |                      and q.term = t.term)
+       |  group by 1, 2
+       |),
+       |pexp as (
+       |  select query_doc_id, term, e_rank + $TfidfTopK as rank from (
+       |    select *, row_number() over (partition by query_doc_id
+       |                                 order by ord, term) as e_rank
+       |    from pcand) t where e_rank <= $ExpTerms
+       |),
+       |pnexp as (select query_doc_id, cast(count(*) as bigint) as n_exp_terms
+       |          from pexp group by 1),
+       |pq2 as (
+       |  select query_doc_id, term, rank from pq
+       |  union all
+       |  select query_doc_id, term, rank from pexp
+       |),
+       |pr2 as (
+       |  select query_doc_id, doc_id,
+       |    $r2Sum as prf_score
+       |  from pserved join pq2 using (term)
+       |  where doc_id != query_doc_id
+       |  group by 1, 2
+       |)
+       |select r.query_doc_id, cast(rn as int) as rank, r.doc_id, r.prf_score,
+       |  coalesce(n.n_exp_terms, 0) as n_exp_terms
+       |from (select *, row_number() over (partition by query_doc_id
+       |        order by prf_score desc, doc_id) as rn
+       |      from pr2) r
+       |left join pnexp n using (query_doc_id)
+       |where rn <= $TopK""".stripMargin
+  }
+
   /** Shared CTE chain for the perceptron quality model (mirror
     * QualityModel.trainedWeights): features = the gated hashed
     * embeddings plus a bias dimension, labels = the gated text-stats
