@@ -310,6 +310,9 @@ object Models {
   /** EWMA-baseline spikes — the exponentially-weighted anomaly twin. */
   def ewmaAnomalies(s: SparkSession, d: String): DataFrame =
     TimeMarts.ewmaAnomalies(dailySummary(s, d))
+  /** CUSUM changepoint statistics over the daily revenue series. */
+  def revenueCusum(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueCusum(dailySummary(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

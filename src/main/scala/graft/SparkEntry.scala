@@ -69,6 +69,8 @@ object SparkEntry {
     "revenue_anomalies" -> out(Models.revenueAnomalies),
     // EWMA-baseline spikes: exact power-of-two-weighted integer cents
     "revenue_ewma_anomalies" -> out(Models.ewmaAnomalies),
+    // two-sided CUSUM changepoint statistics (closed-form, exact ints)
+    "revenue_cusum" -> out(Models.revenueCusum),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -391,6 +393,7 @@ object SparkEntry {
     "daily_metrics_long" -> Sql.dailyMetricsLongQ,
     "revenue_anomalies" -> Sql.revenueAnomaliesQ,
     "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
+    "revenue_cusum" -> Sql.revenueCusumQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

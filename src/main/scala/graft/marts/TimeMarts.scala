@@ -245,6 +245,71 @@ object TimeMarts {
             / col("wsum").cast("double") > lit(EwmaRelDev)).as("is_spike"))
   }
 
+  /** CUSUM tunables: per-day slack = S div [[CusumSlackDiv]] in
+    * n-scaled cents (≈ 5% of the mean per step — deviations smaller
+    * than that never accumulate), alarm when a side's statistic
+    * exceeds [[CusumAlarmMeanDays]]·S (≈ that many full-mean days of
+    * cumulative excess). Both are exact integers derived from the
+    * series itself, so the detector is scale-free. */
+  val CusumSlackDiv = 20L
+  val CusumAlarmMeanDays = 2L
+
+  /** CUSUM changepoint detection (Page 1954) on daily revenue — the
+    * sequential-detection classic: the one-sided statistics
+    * C⁺_t = max(0, C⁺_{t−1} + (x_t − μ − k)) and its lower twin
+    * accumulate persistent drift that a per-day threshold
+    * ([[revenueAnomalies]]/[[ewmaAnomalies]]) never sees. The
+    * recursion is re-expressed in CLOSED FORM over prefix extrema —
+    * C⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    * n-SCALED deviations n·x_t − S ∓ (S div [[CusumSlackDiv]]) — so
+    * the whole statistic is two window sums and two window extrema
+    * over exact int64, no sequential scan. μ is the series' own mean,
+    * so a step change alarms on BOTH sides of the cut (the below-mean
+    * regime drives C⁻, the above-mean regime C⁺) — the alarm
+    * boundary localizes the changepoint.
+    *
+    * Determinism: n-scaling avoids the mean division entirely; every
+    * statistic is exact int64 (headroom: |P_t| ≤ days²·max_cents —
+    * ~1e15 at ten years of 1e8-cent days, 2^63 ≈ 9.2e18; CusumSpec
+    * asserts the bound on the gated data); the only IEEE ops are the
+    * two scale-free output divisions C/S. The window is
+    * calendar-bounded (one row per day), the documented
+    * unpartitioned-window exception.
+    *
+    * At 100 TB the daily rollup this reads is already
+    * vocabulary-bounded (≤ 3650 rows for a decade); production at
+    * larger magnitudes would widen P to decimal(38,0) — the int64
+    * bound is asserted, not assumed. */
+  def revenueCusum(daily: DataFrame): DataFrame = {
+    val cents = (col("daily_revenue") * 100).cast("long")
+    val base = daily.select(col("order_date"), col("daily_revenue"),
+      cents.as("cents"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(tot))
+      .withColumn("adj_pos",
+        expr(s"n * cents - s - (s div $CusumSlackDiv)"))
+      .withColumn("adj_neg",
+        expr(s"n * cents - s + (s div $CusumSlackDiv)"))
+      .withColumn("p_pos", sum(col("adj_pos")).over(w))
+      .withColumn("p_neg", sum(col("adj_neg")).over(w))
+      .withColumn("cusum_pos",
+        col("p_pos") - least(min(col("p_pos")).over(w), lit(0L)))
+      .withColumn("cusum_neg",
+        greatest(max(col("p_neg")).over(w), lit(0L)) - col("p_neg"))
+      .select(
+        col("order_date"),
+        col("daily_revenue").cast("double").as("daily_revenue"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos").cast("double") / col("s").cast("double"))
+          .as("cusum_pos_days"),
+        (col("cusum_neg").cast("double") / col("s").cast("double"))
+          .as("cusum_neg_days"),
+        (col("cusum_pos") > lit(CusumAlarmMeanDays) * col("s")).as("alarm_pos"),
+        (col("cusum_neg") > lit(CusumAlarmMeanDays) * col("s")).as("alarm_neg"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE
     * specialize: exactly the requested grain combinations ((month),
     * (promo flag), ()) from ONE Expand + one shuffle, where cube would

@@ -1006,6 +1006,55 @@ object Sql {
        |from ew_j""".stripMargin
   }
 
+  /** Mirror TimeMarts.revenueCusum: the closed-form two-sided CUSUM —
+    * prefix sums of n-scaled exact-integer deviations with the
+    * S div 20 slack, prefix extrema for the max(0,·) clamp, the same
+    * two scale-free output divisions, the 2·S alarm threshold. All
+    * window aggregates are exact integers (the window-double segment
+    * tree caveat never applies). */
+  val revenueCusumQ: String = {
+    import graft.marts.TimeMarts.{CusumSlackDiv, CusumAlarmMeanDays}
+    s"""$allCtes,
+       |cu_c as (
+       |  select order_date, daily_revenue,
+       |    cast(daily_revenue * 100 as bigint) as cents
+       |  from daily_summary
+       |),
+       |cu_t as (select count(*) as n, sum(cents) as s from cu_c),
+       |cu_s as (
+       |  select order_date, daily_revenue, s,
+       |    n * cents - s - (s // $CusumSlackDiv) as adj_pos,
+       |    n * cents - s + (s // $CusumSlackDiv) as adj_neg
+       |  from cu_c cross join cu_t
+       |),
+       |cu_p as (
+       |  select *,
+       |    sum(adj_pos) over w as p_pos,
+       |    sum(adj_neg) over w as p_neg
+       |  from cu_s
+       |  window w as (order by order_date
+       |               rows between unbounded preceding and current row)
+       |),
+       |cu_f as (
+       |  -- DuckDB window-sums bigint into HUGEINT; values fit int64
+       |  -- (CusumSpec asserts the headroom), so narrow back
+       |  select *,
+       |    cast(p_pos - least(min(p_pos) over w, 0) as bigint) as cusum_pos,
+       |    cast(greatest(max(p_neg) over w, 0) - p_neg as bigint) as cusum_neg
+       |  from cu_p
+       |  window w as (order by order_date
+       |               rows between unbounded preceding and current row)
+       |)
+       |select order_date,
+       |  cast(daily_revenue as double) as daily_revenue,
+       |  cusum_pos, cusum_neg,
+       |  cast(cusum_pos as double) / cast(s as double) as cusum_pos_days,
+       |  cast(cusum_neg as double) / cast(s as double) as cusum_neg_days,
+       |  cusum_pos > $CusumAlarmMeanDays * s as alarm_pos,
+       |  cusum_neg > $CusumAlarmMeanDays * s as alarm_neg
+       |from cu_f""".stripMargin
+  }
+
   /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
     * moments (current row excluded), the string-routed stddevFromSums
     * recipe, identical IEEE 2σ comparison. */

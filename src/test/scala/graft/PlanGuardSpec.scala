@@ -65,6 +65,8 @@ class PlanGuardSpec extends SparkSpec {
     "stream_psi_monitor",
     // ONE broadcast global-count row (the sensitive-distribution N)
     "t_closeness_audit",
+    // ≤3650 daily rows × ONE broadcast (n, s) series-stats row
+    "revenue_cusum",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
     // calendar-bounded daily table × its own broadcast ≤H-day lookback
@@ -134,6 +136,7 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedGlobalWindowAllowed = Set(
     "daily_moving_stats", // one row per calendar day, fixed date range
     "revenue_anomalies",  // same calendar-bounded daily grain
+    "revenue_cusum",      // same calendar-bounded daily grain
     "daily_gapfill",      // 3650-row calendar spine fill
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
