@@ -810,6 +810,10 @@ object Models {
   /** Canonical Gopher rule-filter battery, all-integer evaluation. */
   def gopherRules(s: SparkSession, d: String): DataFrame =
     llm.TextStats.gopherRules(Tables.documents(s, d))
+  /** Quality–length Pareto frontier over the corpus (skyline). */
+  def qualityPareto(s: SparkSession, d: String): DataFrame =
+    llm.Selection.qualityPareto(Tables.documents(s, d),
+      qualityPredictions(s, d))
   /** Moore–Lewis cross-entropy-difference data selection. */
   def mooreLewisSelection(s: SparkSession, d: String): DataFrame =
     llm.Selection.mooreLewis(Tables.documents(s, d))

@@ -163,6 +163,8 @@ object SparkEntry {
     // features (weights broadcast out, integer gradients aggregated in)
     "quality_weights" -> out(Models.qualityWeights),
     "quality_predictions" -> out(Models.qualityPredictions),
+    // quality-length Pareto frontier (skyline via bounded sort-sweep)
+    "quality_pareto" -> out(Models.qualityPareto),
     // one-row model card: confusion counts + exact-rank-sum ROC-AUC
     "quality_eval" -> out(Models.qualityEval),
     // reliability table: margin deciles vs empirical positive rate
@@ -456,6 +458,7 @@ object SparkEntry {
     "prf_search" -> LlmSql.prfSearchQ,
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
+    "quality_pareto" -> LlmSql.qualityParetoQ,
     "quality_eval" -> LlmSql.qualityEvalQ,
     "quality_calibration" -> LlmSql.qualityCalibrationQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,

@@ -165,4 +165,44 @@ object Selection {
         (col("s").cast("string").cast("double")).as("log_weight"),
         (col("s") > lit(0).cast(dec9)).as("keep"))
   }
+
+  /** QUALITY–LENGTH PARETO FRONTIER (the skyline operator,
+    * Börzsönyi/Kossmann/Stocker 2001, applied to exemplar picking):
+    * the documents where you cannot get a higher classifier margin
+    * without paying more tokens — i.e. doc x survives iff no doc has
+    * (n_tokens ≤, margin ≥) with one strict. The frontier is what an
+    * exemplar/few-shot picker reads instead of a single top-k: every
+    * length budget's best-available quality, in one relation.
+    *
+    * Scale design: the naive skyline is all-pairs; this one is the
+    * 2-D sort-sweep factored for a cluster — one hash-partitioned
+    * groupBy collapses the corpus to its DISTINCT TOKEN-LENGTH values
+    * (bounded by max document length, never corpus size), the
+    * prefix-max sweep runs on that bounded aggregate (the documented
+    * bounded-global-window shape), and one broadcast semi-join pulls
+    * the surviving docs back out. Corpus is read once; nothing is
+    * pairwise.
+    *
+    * Determinism: token counts and perceptron margins are exact
+    * integers end to end; ties on BOTH dims are mutually non-
+    * dominating and all emitted (no arbitrary pick). */
+  def qualityPareto(documents: DataFrame, preds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("doc_id"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+      .join(preds.select(col("doc_id"), col("margin")), Seq("doc_id"))
+    val byTok = d.groupBy("n_tokens").agg(max(col("margin")).as("m"))
+    val w = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byTok
+      .withColumn("prev", max(col("m")).over(w))
+      .filter(col("prev").isNull || col("m") > col("prev"))
+      // rename: frontier derives from d, a same-name join would be an
+      // ambiguous self-join lineage
+      .select(col("n_tokens").as("f_tokens"), col("m").as("f_margin"))
+    d.join(broadcast(frontier),
+        col("n_tokens") === col("f_tokens") && col("margin") === col("f_margin"))
+      .select("doc_id", "n_tokens", "margin")
+  }
 }

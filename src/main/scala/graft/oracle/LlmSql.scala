@@ -2711,6 +2711,41 @@ object LlmSql {
 
   /** Mirror QualityModel.predictions: final-round weights score every
     * doc — exact integer margin, hard threshold, weak label. */
+  /** Mirror Selection.qualityPareto: the 2-D skyline sort-sweep —
+    * collapse to distinct token lengths, prefix-max the margins, pull
+    * back the docs sitting exactly on frontier points. Margins and
+    * token counts are exact integers; DuckDB's hugeint sums narrow
+    * back to bigint as in [[qualityPredictionsQ]]. */
+  val qualityParetoQ: String = {
+    import graft.llm.QualityModel.Rounds
+    s"""with $textCtes,
+       |$qmCtes,
+       |qp_m as (
+       |  select doc_id, cast(sum(v * weight) as bigint) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |),
+       |qp_d as (
+       |  select w.doc_id, cast(len(w.w) as bigint) as n_tokens, m.margin
+       |  from doc_words w join qp_m m using (doc_id)
+       |),
+       |qp_t as (
+       |  select n_tokens, max(margin) as m
+       |  from qp_d group by 1
+       |),
+       |qp_f as (
+       |  select n_tokens, m from (
+       |    select n_tokens, m,
+       |      max(m) over (order by n_tokens
+       |                   rows between unbounded preceding and 1 preceding)
+       |        as prev
+       |    from qp_t) t
+       |  where prev is null or m > prev
+       |)
+       |select d.doc_id, d.n_tokens, d.margin
+       |from qp_d d join qp_f f
+       |  on d.n_tokens = f.n_tokens and d.margin = f.m""".stripMargin
+  }
+
   val qualityPredictionsQ: String = {
     import graft.llm.QualityModel.Rounds
     s"""with $qmCtes,

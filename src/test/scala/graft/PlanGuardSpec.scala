@@ -159,6 +159,10 @@ class PlanGuardSpec extends SparkSpec {
     "quality_eval",
     // cumulative-vocabulary window over exactly 10 decile rows
     "vocab_growth",
+    // skyline prefix-max over DISTINCT TOKEN-LENGTH values — bounded
+    // by max document length, never corpus size (the groupBy collapse
+    // happens before the window)
+    "quality_pareto",
     // water-fill ranking over the |languages| aggregate (bounded dim;
     // the corpus itself sees only the groupBy scan)
     "unimax_allocation")
