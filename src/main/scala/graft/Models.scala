@@ -863,6 +863,10 @@ object Models {
   def bigramSurprisalMat(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "bigram_surprisal")(
       llm.Relevance.bigramSurprisal(Tables.documents(s, d)))
+  /** Interpolated Kneser–Ney bigram model table (the smoothed
+    * replacement for the MLE bigram table above). */
+  def kneserNeyBigrams(s: SparkSession, d: String): DataFrame =
+    llm.Relevance.kneserNeyBigrams(Tables.documents(s, d))
   /** Difficulty quartile per document via the histogram-quantile
     * sketch over the Mat'd surprisal (curriculum learning order). */
   def curriculumBins(s: SparkSession, d: String): DataFrame =

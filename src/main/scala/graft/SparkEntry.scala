@@ -315,6 +315,8 @@ object SparkEntry {
     "name_match_clusters" -> out(Models.nameMatchClusters),
     // bigram-LM surprisal (conditional quality signal; word ORDER)
     "bigram_surprisal" -> out(Models.bigramSurprisalMat),
+    // interpolated Kneser-Ney bigram model table (D = 1/2, exact counts)
+    "kneser_ney_bigrams" -> out(Models.kneserNeyBigrams),
     // per-doc OOV rate vs the deterministic top-K corpus vocabulary
     "vocab_coverage" -> out(Models.vocabCoverage),
     // Heaps'-law vocabulary growth by corpus decile
@@ -536,6 +538,7 @@ object SparkEntry {
     "fuzzy_name_match" -> OpsSql.fuzzyNameMatchQ,
     "name_match_clusters" -> LlmSql.nameMatchClustersQ,
     "bigram_surprisal" -> LlmSql.bigramSurprisalQ,
+    "kneser_ney_bigrams" -> LlmSql.kneserNeyBigramsQ,
     "vocab_coverage" -> LlmSql.vocabCoverageQ,
     "vocab_growth" -> LlmSql.vocabGrowthQ,
     "gopher_quality_rules" -> LlmSql.gopherRulesQ,

@@ -222,6 +222,62 @@ object Relevance {
           / col("n_tokens").cast("double")).as("avg_nll"))
   }
 
+  /** Kneser–Ney absolute discount — a POWER OF TWO, so c − D and the
+    * λ numerator stay IEEE-exact on both engines. */
+  val KnDiscount = 0.5
+
+  /** INTERPOLATED KNESER–NEY bigram model (Kneser & Ney 1995; the
+    * smoothing every n-gram LM toolkit defaults to) over the corpus:
+    * for each OBSERVED bigram type (v, w),
+    *
+    *   p_kn(w|v) = (c(vw) − D)/c(v·) + (D·N1+(v·)/c(v·)) · (N1+(·w)/B)
+    *
+    * where c(v·) is the context total, N1+(v·) the distinct followers
+    * of v, N1+(·w) the distinct contexts preceding w (the CONTINUATION
+    * count — KN's insight: "how many contexts does w complete", not
+    * "how often does w occur"), and B the total number of bigram
+    * types. D = [[KnDiscount]]; every observed c(vw) ≥ 1 > D, so the
+    * max(·,0) clamp never binds and is omitted.
+    *
+    * Emitted per bigram type with all its exact-integer evidence —
+    * the MODEL TABLE a downstream scorer joins against (the
+    * [[bigramSurprisal]] MLE table's production-grade replacement).
+    *
+    * Determinism: all five counts are exact integers; p_kn is a
+    * fixed-shape IEEE tree — (c−D)/ctx + ((D·nf)/ctx)·(np/B) with
+    * explicit parenthesization mirrored by the oracle — of
+    * exact-integer-derived doubles.
+    *
+    * Scale (100 TB): state is keyed by bigram/unigram TYPES (model
+    * tables, linear in vocabulary², not corpus); counts shuffle with
+    * map-side combine; the type-count scalar broadcasts. Nothing is
+    * pairwise in documents. */
+  def kneserNeyBigrams(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("big_cnt"))
+      .withColumn("pv", substring_index(col("bg"), " ", 1))
+      .withColumn("cur", substring_index(col("bg"), " ", -1))
+    val ctx = bgCnt.groupBy("pv")
+      .agg(sum(col("big_cnt")).as("ctx_cnt"), count(lit(1)).as("n_follow"))
+    val cont = bgCnt.groupBy("cur").agg(count(lit(1)).as("n_prec"))
+    val types = bgCnt.agg(count(lit(1)).as("n_bigram_types"))
+    val d = lit(KnDiscount)
+    bgCnt.join(ctx, Seq("pv")).join(cont, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .select(col("pv").as("prev_term"), col("cur").as("cur_term"),
+        col("big_cnt"), col("ctx_cnt"), col("n_follow"), col("n_prec"),
+        col("n_bigram_types"),
+        ((col("big_cnt").cast("double") - d) / col("ctx_cnt").cast("double") +
+          ((d * col("n_follow").cast("double")) / col("ctx_cnt").cast("double")) *
+            (col("n_prec").cast("double") / col("n_bigram_types").cast("double")))
+          .as("p_kn"))
+  }
+
   /** Top-[[TfidfTopK]] terms per document by tf·idf (idf = ln(N/df))
     * — the classic document-keyword extraction pass.
     *

@@ -2125,6 +2125,43 @@ object LlmSql {
     * quantized-ln + exact decimal tf-weighted sum recipe as the
     * unigram oracle. Documents under 2 tokens produce no bigrams and
     * drop out on both engines. */
+  /** Mirror Relevance.kneserNeyBigrams: the same exact-integer count
+    * tables and the same explicitly-parenthesized IEEE tree
+    * (c−D)/ctx + ((D·nf)/ctx)·(np/B). DuckDB's bigint sums narrow
+    * back from hugeint. */
+  val kneserNeyBigramsQ: String = {
+    val d = graft.llm.Relevance.KnDiscount
+    s"""with $textCtes,
+       |kn_bg as (
+       |  select unnest(case when len(w) >= 2
+       |      then list_transform(generate_series(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1])
+       |      else [] end) as bg
+       |  from doc_words
+       |),
+       |kn_cnt as (
+       |  select bg, split_part(bg, ' ', 1) as pv, split_part(bg, ' ', 2) as cur,
+       |    cast(count(*) as bigint) as big_cnt
+       |  from kn_bg group by 1
+       |),
+       |kn_ctx as (
+       |  select pv, cast(sum(big_cnt) as bigint) as ctx_cnt,
+       |    cast(count(*) as bigint) as n_follow
+       |  from kn_cnt group by 1
+       |),
+       |kn_cont as (
+       |  select cur, cast(count(*) as bigint) as n_prec from kn_cnt group by 1
+       |),
+       |kn_types as (select cast(count(*) as bigint) as n_bigram_types from kn_cnt)
+       |select pv as prev_term, cur as cur_term,
+       |  big_cnt, ctx_cnt, n_follow, n_prec, n_bigram_types,
+       |  (cast(big_cnt as double) - $d) / cast(ctx_cnt as double)
+       |    + (($d * cast(n_follow as double)) / cast(ctx_cnt as double))
+       |      * (cast(n_prec as double) / cast(n_bigram_types as double)) as p_kn
+       |from kn_cnt join kn_ctx using (pv) join kn_cont using (cur)
+       |cross join kn_types""".stripMargin
+  }
+
   val bigramSurprisalQ: String =
     s"""with $textCtes,
        |bg_rows as (

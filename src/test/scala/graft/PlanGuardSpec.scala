@@ -67,6 +67,8 @@ class PlanGuardSpec extends SparkSpec {
     "t_closeness_audit",
     // ≤3650 daily rows × ONE broadcast (n, s) series-stats row
     "revenue_cusum",
+    // |bigram types| model rows × ONE broadcast type-count row
+    "kneser_ney_bigrams",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
     // calendar-bounded daily table × its own broadcast ≤H-day lookback
