@@ -476,6 +476,10 @@ object Models {
     * shape stays internal via [[llm.Quantize.quantize]]). */
   def embeddingQuantization(s: SparkSession, d: String): DataFrame =
     llm.Quantize.quantizeExploded(Tables.embeddings(s, d))
+  /** Exact-integer Pearson matrix over embedding dims (anisotropy /
+    * whitening diagnostic). */
+  def embeddingCorr(s: SparkSession, d: String): DataFrame =
+    llm.Quantize.embeddingCorr(Tables.embeddings(s, d))
   /** The dequantized SQ8 corpus as its OWN Mat barrier (VERDICT r7 #1):
     * a real vector store materializes the compressed index once, it
     * doesn't re-run quantize→dequantize per search. The parquet float

@@ -113,6 +113,8 @@ object SparkEntry {
     "semdedup_prune" -> out(Models.semdedupPrune),
     // int8 scalar quantization + search over the dequantized corpus
     "embedding_quantization" -> out(Models.embeddingQuantization),
+    // exact-integer Pearson matrix over embedding dims (anisotropy)
+    "embedding_corr" -> out(Models.embeddingCorr),
     "ann_sq8_topk" -> out(Models.annSq8TopK),
     // recall@k of the kmeans-IVF index vs the exact brute force
     "ann_recall" -> out(Models.annRecall),
@@ -425,6 +427,7 @@ object SparkEntry {
     "diversity_sample" -> LlmSql.diversitySampleQ,
     "semdedup_prune" -> LlmSql.semdedupPruneQ,
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
+    "embedding_corr" -> LlmSql.embeddingCorrQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,
     "ann_recall_by_method" -> LlmSql.annRecallByMethodQ,

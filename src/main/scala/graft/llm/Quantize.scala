@@ -26,6 +26,70 @@ object Quantize {
 
   val QMax = 127.0
 
+  /** Micro-unit quantizer for [[embeddingCorr]]: floats scale by 1e6
+    * and floor(x·Q + 0.5) to int64 — the explicit half-up floor, not
+    * `round` (whose half-tie behavior differs across engines). */
+  val CorrQuant = 1000000.0
+
+  /** EXACT-INTEGER PEARSON CORRELATION MATRIX over embedding
+    * DIMENSIONS — the anisotropy diagnostic (Ethayarajh 2019: trained
+    * embeddings concentrate in a narrow cone; strongly correlated
+    * dims mean wasted capacity) and the decision input for
+    * whitening / PCA / OPQ rotation before product quantization.
+    * Emits one row per dimension pair i ≤ j with the five exact
+    * moment sums as evidence and the Pearson r (null for
+    * zero-variance dims — never NaN across the gate).
+    *
+    * Determinism: coordinates quantize to int64 micro-units via one
+    * exact-IEEE chain (float→double exact, one multiply, the half-up
+    * floor); ALL moments — n, Σx, Σx², Σxy — and the three
+    * correlation terms n·Σxy − ΣxΣy etc. are exact int64 (order-free
+    * sums); r is 4 IEEE ops (one division, two sqrt, one multiply) of
+    * exact-integer-derived doubles.
+    *
+    * Scale (100 TB): ONE corpus pass; per-row pair products explode
+    * to n·D²/2 rows but map-side combine collapses each partition to
+    * ≤ D²/2 partial sums before the shuffle, so shuffled state is
+    * partitions × D²/2 counters, never corpus rows; the two D-row
+    * stat tables broadcast. At transformer-scale D (768+) the same
+    * accumulation moves into a mapPartitions Gram fold (one D×D
+    * array per partition) — the shape is identical, the explosion
+    * never materializes. Int64 headroom (n·maxq² and (n·maxq)² within
+    * 2^63) is asserted by the spec, not assumed. */
+  def embeddingCorr(embeddings: DataFrame): DataFrame = {
+    val qv = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(CorrQuant) + lit(0.5)).cast("long"))
+        .as("q"))
+    val dimStats = qv.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum(col("qi") * col("qi")).as("ss"))
+    val pairs = qv.select(explode(flatten(
+        transform(sequence(lit(0), size(col("q")) - 1), i =>
+          transform(sequence(i, size(col("q")) - 1), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("q"), (i + 1).cast("int")) *
+                element_at(col("q"), (j + 1).cast("int"))).as("xy"))))))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("s_xy"))
+    val sx = dimStats.select(col("i"), col("n"), col("s").as("s_x"),
+      col("ss").as("s_xx"))
+    val sy = dimStats.select(col("i").as("j"), col("s").as("s_y"),
+      col("ss").as("s_yy"))
+    pairs.join(broadcast(sx), Seq("i")).join(broadcast(sy), Seq("j"))
+      .withColumn("num", col("n") * col("s_xy") - col("s_x") * col("s_y"))
+      .withColumn("den_x", col("n") * col("s_xx") - col("s_x") * col("s_x"))
+      .withColumn("den_y", col("n") * col("s_yy") - col("s_y") * col("s_y"))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+        col("s_x"), col("s_y"), col("s_xx"), col("s_yy"), col("s_xy"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+          .as("pearson_r"))
+  }
+
   /** (vec_id, scale, qvec): per-vector max-abs scale and the int8
     * codes (carried as int — the range is [-127, 127]). */
   def quantize(embeddings: DataFrame): DataFrame = {

@@ -429,6 +429,46 @@ object LlmSql {
        |)
        |select vec_id, scale, i - 1 as pos, qvec[i] as q from sq_pos""".stripMargin
 
+  /** Mirror Quantize.embeddingCorr: the same half-up-floor micro-unit
+    * quantization, all moments exact int64 (DuckDB's checked bigint
+    * multiply errors loudly on overflow where Spark would wrap — the
+    * spec asserts the headroom), the same 4-op IEEE tree for r. The
+    * pair products come from the position self-join; Spark builds
+    * them row-locally — both reduce to identical (i, j, Σxy). */
+  val embeddingCorrQ: String = {
+    val q = graft.llm.Quantize.CorrQuant
+    s"""with ec_q as (
+       |  select vec_id, list_transform(embedding,
+       |    x -> cast(floor(cast(x as double) * $q + 0.5) as bigint)) as q
+       |  from embeddings
+       |),
+       |ec_x as materialized (
+       |  select vec_id, i1 - 1 as i, q[i1] as qv from (
+       |    select vec_id, q,
+       |      cast(unnest(generate_series(1, len(q))) as int) as i1
+       |    from ec_q) t
+       |),
+       |ec_d as (
+       |  select i, cast(count(*) as bigint) as n, cast(sum(qv) as bigint) as s,
+       |    cast(sum(qv * qv) as bigint) as ss
+       |  from ec_x group by 1
+       |),
+       |ec_p as (
+       |  select a.i as i, b.i as j, cast(sum(a.qv * b.qv) as bigint) as s_xy
+       |  from ec_x a join ec_x b on a.vec_id = b.vec_id and a.i <= b.i
+       |  group by 1, 2
+       |)
+       |select p.i as dim_i, p.j as dim_j, dx.n,
+       |  dx.s as s_x, dy.s as s_y, dx.ss as s_xx, dy.ss as s_yy, p.s_xy,
+       |  case when (dx.n * dx.ss - dx.s * dx.s) > 0
+       |        and (dy.n * dy.ss - dy.s * dy.s) > 0
+       |    then cast(dx.n * p.s_xy - dx.s * dy.s as double)
+       |      / (sqrt(cast(dx.n * dx.ss - dx.s * dx.s as double))
+       |         * sqrt(cast(dy.n * dy.ss - dy.s * dy.s as double)))
+       |  end as pearson_r
+       |from ec_p p join ec_d dx on p.i = dx.i join ec_d dy on p.j = dy.i""".stripMargin
+  }
+
   val annSq8TopKQ: String =
     s"""with $quantCtes,
        |sq_rec as (
