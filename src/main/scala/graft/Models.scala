@@ -957,6 +957,12 @@ object Models {
   def copurchasePagerank(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "copurchase_pagerank")(
       operators.Graph.pageRank(copurchaseEdges(s, d), Models.PageRankRounds))
+  /** Personalized PageRank from the modular seed set — the
+    * random-walk-with-restart recommender, Mat'd like PageRank. */
+  def copurchasePpr(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_ppr")(
+      operators.Graph.personalizedPageRank(copurchaseEdges(s, d),
+        Models.PageRankRounds))
   /** DIRECTED PageRank (low→high co-purchase orientation) with
     * dangling-mass redistribution — nodes with no larger co-purchased
     * neighbor are genuine dangling sinks here. */

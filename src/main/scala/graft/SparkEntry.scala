@@ -281,6 +281,8 @@ object SparkEntry {
     // widest-path (max-min bottleneck) capacities from the hub product
     "copurchase_bottleneck" -> out(Models.copurchaseBottleneck),
     "copurchase_pagerank" -> out(Models.copurchasePagerank),
+    // personalized PageRank from the modular seed set (RWR recommender)
+    "copurchase_ppr" -> out(Models.copurchasePpr),
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // synchronous label-propagation communities (strong-edge graph)
     "copurchase_communities" -> out(Models.copurchaseCommunities),
@@ -522,6 +524,7 @@ object SparkEntry {
     "copurchase_kcore" -> OpsSql.copurchaseKcoreQ,
     "copurchase_bottleneck" -> OpsSql.copurchaseBottleneckQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,
+    "copurchase_ppr" -> OpsSql.copurchasePprQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
     "copurchase_link_predictions" -> OpsSql.copurchaseLinkPredictionsQ,

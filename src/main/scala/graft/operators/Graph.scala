@@ -310,6 +310,58 @@ object Graph {
     * already carry (un-prunable — it feeds the n_nodes value itself),
     * because past it Spark's non-ANSI sum wraps silently while the
     * oracle's hugeint errors loudly. */
+  /** Seed selector for [[personalizedPageRank]]'s registered query:
+    * node % 13 = 1 — the "this user's purchase history" proxy
+    * (production passes a real per-request seed set). */
+  val PprSeedMod = 13L
+
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; Haveliwala 2002) —
+    * the recommendation twin of [[pageRank]]: teleport mass returns
+    * ONLY to the seed set, so rank concentrates around the seeds and
+    * the top non-seed nodes are "products related to what this user
+    * already bought" (the random-walk-with-restart recommender).
+    * Same exact fixed-point integer arithmetic as [[pageRank]]
+    * (scale 1e9, 85/100 damping, floor divisions), differing only in
+    * the teleport term: 15%·scale to each seed, 0 elsewhere — seeds
+    * start at full scale, non-seeds at 0, so every unit of rank a
+    * non-seed holds arrived through the graph.
+    *
+    * Scale: identical shape to [[pageRank]] — per-round one
+    * contribution shuffle keyed by dst; seeds cost nothing extra. A
+    * per-user serving deployment runs this with the user's seed
+    * vector instead of the modular selector; batching many users =
+    * one extra seed-id column on the rank state. */
+  def personalizedPageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val isSeed = col("node") % PprSeedMod === 1
+    val teleport = when(isSeed, lit(15L * PageRankScale / 100L))
+      .otherwise(lit(0L))
+    var rank = deg.select(col("node"), col("degree"),
+        when(isSeed, lit(PageRankScale)).otherwise(lit(0L)).as("rank_scaled"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = rank
+      val contrib = rank
+        .select(col("node"), expr("rank_scaled div degree").as("c"))
+        .join(sym, col("node") === col("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
+      rank = deg.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          (teleport +
+            expr(s"$PageRankDampingPct * coalesce(in_sum, 0L) div 100"))
+            .as("rank_scaled"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    rank.select(col("node"), isSeed.as("is_seed"), col("rank_scaled"),
+      (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
+        .as("rank"))
+  }
+
   def pageRankDirected(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"))

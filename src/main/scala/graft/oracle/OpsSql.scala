@@ -845,6 +845,38 @@ object OpsSql {
        |from r${graft.Models.PageRankRounds}""".stripMargin
   }
 
+  /** Mirror Graph.personalizedPageRank: the same unrolled integer
+    * rounds as [[copurchasePagerankQ]], with the teleport term gated
+    * to the node % 13 = 1 seed set and the rank state starting at
+    * scale on seeds, 0 elsewhere. */
+  val copurchasePprQ: String = {
+    import graft.operators.Graph.{PageRankScale, PageRankDampingPct, PprSeedMod}
+    val teleport = 15L * PageRankScale / 100L
+    val rounds = (1 to graft.Models.PageRankRounds).map { k =>
+      s"""pr$k as (
+         |  select d.node, d.degree,
+         |    (case when d.node % $PprSeedMod = 1 then $teleport else 0 end)
+         |    + ($PageRankDampingPct * coalesce(cast(s.in_sum as bigint), 0)) // 100 as rank_scaled
+         |  from deg d left join (
+         |    select sym.dst as node, sum(r.rank_scaled // r.degree) as in_sum
+         |    from pr${k - 1} r join sym on r.node = sym.src group by 1
+         |  ) s on d.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseCtes,
+       |sym as (select src, dst from edges union all select dst as src, src as dst from edges),
+       |deg as (select src as node, count(*) as degree from sym group by 1),
+       |pr0 as (
+       |  select node, degree,
+       |    case when node % $PprSeedMod = 1 then $PageRankScale else 0 end as rank_scaled
+       |  from deg
+       |),
+       |$rounds
+       |select node, node % $PprSeedMod = 1 as is_seed, rank_scaled,
+       |  cast(rank_scaled as double) / cast($PageRankScale as double) as rank
+       |from pr${graft.Models.PageRankRounds}""".stripMargin
+  }
+
   /** Mirror Graph.pageRankDirected over the low→high-directed
     * co-purchase edges: the same unrolled fixed-point rounds as
     * [[copurchasePagerankQ]] plus the dangling-mass term — each round

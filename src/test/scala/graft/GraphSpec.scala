@@ -304,4 +304,38 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(top2.toSeq === Seq((3L, 8L), (4L, 6L)))
   }
+
+  test("personalizedPageRank == reference integer recursion; seed-locality holds") {
+    // path 1-2-3-4-5 (node 1 is the only %13==1 seed) plus an island
+    // (20,21) that no seed can reach
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (20L, 21L))
+      .toDF("src", "dst")
+    val rounds = 4
+    val got = Graph.personalizedPageRank(edges, rounds)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    // reference: same integer fixed point, driver-side
+    val sym = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 20L -> 21L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val scale = Graph.PageRankScale
+    var rank = deg.map { case (n, _) =>
+      n -> (if (n % 13 == 1) scale else 0L) }
+    for (_ <- 1 to rounds) {
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum }
+      rank = deg.map { case (n, _) =>
+        n -> ((if (n % 13 == 1) 15L * scale / 100L else 0L) +
+          85L * in.getOrElse(n, 0L) / 100L) }
+    }
+    rank.foreach { case (n, r) =>
+      assert(got(n) === ((n % 13 == 1, r)), s"node $n") }
+    // seed locality: the island never sees teleport or propagated mass
+    assert(got(20L)._2 === 0L && got(21L)._2 === 0L)
+    // mass decays with distance from the seed — compared at EQUAL
+    // distance parity: synchronous power iteration on a bipartite
+    // path oscillates between odd/even frontiers at low round counts,
+    // so adjacent distances are not comparable, same-parity ones are
+    assert(got(2L)._2 > got(4L)._2 && got(3L)._2 > got(5L)._2)
+  }
 }
