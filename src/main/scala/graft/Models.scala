@@ -476,6 +476,14 @@ object Models {
     * shape stays internal via [[llm.Quantize.quantize]]). */
   def embeddingQuantization(s: SparkSession, d: String): DataFrame =
     llm.Quantize.quantizeExploded(Tables.embeddings(s, d))
+  /** aHash image signatures from the REAL PNG decode, Mat'd (the
+    * pairs query probes the same table). */
+  def mediaAHash(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "media_ahash")(
+      llm.Multimodal.mediaAHash(s, Tables.documents(s, d)))
+  /** Image near-dup pairs via banded Hamming join over the Mat. */
+  def mediaAHashPairs(s: SparkSession, d: String): DataFrame =
+    llm.Multimodal.aHashPairs(mediaAHash(s, d))
   /** Exact-integer Pearson matrix over embedding dims (anisotropy /
     * whitening diagnostic). */
   def embeddingCorr(s: SparkSession, d: String): DataFrame =

@@ -136,6 +136,9 @@ object SparkEntry {
     // per-(source, status) curation rollup with in-source shares
     "curation_report" -> out(Models.curationReport),
     "media_features" -> out(Models.mediaFeatures),
+    // perceptual-hash image dedup: real-decode aHash + Hamming pairs
+    "media_ahash" -> out(Models.mediaAHash),
+    "media_ahash_pairs" -> out(Models.mediaAHashPairs),
     "media_resized" -> out(Models.mediaResized),
     "media_frames" -> out(Models.mediaFrames),
     "dataset_splits" -> out(Models.datasetSplits),
@@ -445,6 +448,8 @@ object SparkEntry {
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "curation_report" -> LlmSql.curationReportQ,
     "media_features" -> LlmSql.mediaFeaturesQ,
+    "media_ahash" -> LlmSql.mediaAHashQ,
+    "media_ahash_pairs" -> LlmSql.mediaAHashPairsQ,
     "media_resized" -> LlmSql.mediaResizedQ,
     "media_frames" -> LlmSql.mediaFramesQ,
     "dataset_splits" -> LlmSql.datasetSplitsQ,

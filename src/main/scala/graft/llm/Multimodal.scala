@@ -477,6 +477,109 @@ object Multimodal {
     video.unionByName(images).unionByName(audio)
   }
 
+  // ---- Perceptual-hash (aHash) image near-dup ----
+
+  /** aHash grid side: the decoded raster average-pools to
+    * [[AHashGrid]]² cells; bit k (row-major) is set iff cell k's mean
+    * exceeds the image mean. */
+  val AHashGrid = 8
+  /** Banding for the Hamming bucket join (the [[Dedup.simhashPairs]]
+    * convention applied to the 64-bit image hash): 4 bands × 16 bits,
+    * overfull buckets skipped at [[AHashBucketCap]], survivors
+    * verified at exact Hamming ≤ [[AHashMaxHamming]]. */
+  val AHashBands = 4
+  val AHashMaxHamming = 6
+  val AHashBucketCap = 64
+
+  case class AHashSig(doc_id: Long, ahash: String, h_hi: Long, h_lo: Long)
+
+  /** AVERAGE-HASH (aHash — the classic perceptual image fingerprint;
+    * the DCT-free little sibling of pHash) from a REAL decode: 8×8
+    * average pooling over the decoded raster with EXACT integer cell
+    * sums, each bit decided by the division-free cross-multiply
+    * `cell_sum·npix > total_sum·cell_npix` — no float ever appears,
+    * so the signature is bit-reproducible anywhere. Packed as two
+    * unsigned 32-bit halves (bit 63 in a single long would go
+    * negative and sign-trap both engines' shifts) plus the 16-hex
+    * display form. */
+  private def aHashImage(m: MediaRow): AHashSig = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.content))
+    val w = img.getWidth; val h = img.getHeight
+    val s = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+    var total = 0L
+    var i = 0
+    while (i < s.length) { total += s(i); i += 1 }
+    val npix = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var cy = 0
+    while (cy < AHashGrid) {
+      val y0 = cy * h / AHashGrid; val y1 = (cy + 1) * h / AHashGrid
+      var cx = 0
+      while (cx < AHashGrid) {
+        val x0 = cx * w / AHashGrid; val x1 = (cx + 1) * w / AHashGrid
+        var cs = 0L
+        var y = y0
+        while (y < y1) {
+          val base = y * w
+          var x = x0
+          while (x < x1) { cs += s(base + x); x += 1 }
+          y += 1
+        }
+        if (cs * npix > total * ((x1 - x0).toLong * (y1 - y0))) {
+          val k = cy * AHashGrid + cx
+          if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    AHashSig(m.doc_id, f"$hi%08x$lo%08x", hi, lo)
+  }
+
+  /** aHash signatures for every image row — decode batched across
+    * cores like every media pipeline here; the signature table is the
+    * Mat an image-dedup pass probes. */
+  def mediaAHash(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    spread(mediaTable(documents).filter(col("media_type") === "image")
+        .as[MediaRow])
+      .mapPartitions(_.map(m => aHashImage(m.copy(content = synthesizePng(m.content)))))
+      .toDF()
+  }
+
+  /** Image near-dup pairs from the signature Mat: 16-bit band bucket
+    * join (never all-pairs; overfull buckets SKIPPED at the cap, the
+    * [[Dedup.simhashPairs]] honesty convention), exact Hamming
+    * verification on the survivors. At 100 TB the join is keyed by
+    * (band, value) buckets whose size the cap bounds — candidate work
+    * is Σ bucket², never corpus². */
+  def aHashPairs(sigs: DataFrame): DataFrame = {
+    val slices =
+      Seq(col("h_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("h_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val bands = sigs.select(col("doc_id"), col("ahash"), col("h_hi"), col("h_lo"),
+      posexplode(array(slices: _*)).as(Seq("band", "v")))
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= AHashBucketCap).select("band", "v")
+    val capped = bands.join(ok, Seq("band", "v"), "left_semi")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ahash_a"), col("b.ahash").as("ahash_b"),
+        col("a.h_hi").as("hi_a"), col("a.h_lo").as("lo_a"),
+        col("b.h_hi").as("hi_b"), col("b.h_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= AHashMaxHamming)
+      .select("doc_a", "doc_b", "ahash_a", "ahash_b", "hamming")
+  }
+
   val FrameSampleMax = 4
   /** Side of the per-frame fingerprint grid: each sampled frame is
     * nearest-neighbor downsampled to GridN×GridN before hashing, so

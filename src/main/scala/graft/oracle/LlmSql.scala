@@ -1823,6 +1823,93 @@ object LlmSql {
        |from audhex""".stripMargin
   }
 
+  /** Shared CTEs for the aHash oracle (mirror Multimodal.aHashImage):
+    * the Spark side average-pools a REALLY-DECODED raster; the oracle
+    * predicts each pooled cell from the stripe generator — cell sum
+    * = rows × (evens·b2 + odds·b4) over the cell's column range, bit
+    * by the same division-free cross-multiply, bits packed into the
+    * same unsigned 32-bit halves. */
+  private def mediaAHashCtes: String = {
+    s"""ahp as (
+       |  select doc_id,
+       |    64 + cast(('0x' || substr(md5(text), 1, 2)) as int) as w,
+       |    64 + cast(('0x' || substr(md5(text), 3, 2)) as int) as h,
+       |    cast(('0x' || substr(md5(text), 5, 2)) as int) as b2,
+       |    cast(('0x' || substr(md5(text), 9, 2)) as int) as b4
+       |  from documents where doc_id % 3 = 0
+       |),
+       |ah_cell as (
+       |  select doc_id, w, h, b2, b4, cy, cx,
+       |    cx * w // 8 as x0, (cx + 1) * w // 8 as x1,
+       |    cy * h // 8 as y0, (cy + 1) * h // 8 as y1
+       |  from ahp
+       |  cross join (select unnest(generate_series(0, 7)) as cy) ys
+       |  cross join (select unnest(generate_series(0, 7)) as cx) xs
+       |),
+       |ah_bit as (
+       |  select doc_id, cast(cy * 8 + cx as int) as k,
+       |    case when
+       |      cast(y1 - y0 as bigint)
+       |        * (((x1+1)//2 - (x0+1)//2) * b2
+       |           + ((x1-x0) - ((x1+1)//2 - (x0+1)//2)) * b4)
+       |        * (cast(w as bigint) * h)
+       |      > cast(h as bigint) * (((w+1)//2) * b2 + (w - (w+1)//2) * b4)
+       |        * (cast(x1 - x0 as bigint) * (y1 - y0))
+       |    then 1 else 0 end as bit
+       |  from ah_cell
+       |),
+       |ah_sig as (
+       |  select doc_id,
+       |    cast(sum(case when k >= 32
+       |      then bit * (cast(1 as bigint) << (k - 32)) else 0 end) as bigint) as h_hi,
+       |    cast(sum(case when k < 32
+       |      then bit * (cast(1 as bigint) << k) else 0 end) as bigint) as h_lo
+       |  from ah_bit group by 1
+       |)""".stripMargin
+  }
+
+  /** Mirror Multimodal.mediaAHash: the signature table. */
+  val mediaAHashQ: String =
+    s"""with $mediaAHashCtes
+       |select doc_id,
+       |  lpad(lower(hex(h_hi)), 8, '0') || lpad(lower(hex(h_lo)), 8, '0') as ahash,
+       |  h_hi, h_lo
+       |from ah_sig""".stripMargin
+
+  /** Mirror Multimodal.aHashPairs: 16-bit band buckets, overfull
+    * buckets skipped at the cap, exact Hamming on survivors. */
+  val mediaAHashPairsQ: String = {
+    import graft.llm.Multimodal.{AHashBucketCap, AHashMaxHamming}
+    s"""with $mediaAHashCtes,
+       |ah_band as (
+       |  select doc_id, h_hi, h_lo, 0 as band, h_lo & 65535 as v from ah_sig
+       |  union all
+       |  select doc_id, h_hi, h_lo, 1, (h_lo >> 16) & 65535 from ah_sig
+       |  union all
+       |  select doc_id, h_hi, h_lo, 2, h_hi & 65535 from ah_sig
+       |  union all
+       |  select doc_id, h_hi, h_lo, 3, (h_hi >> 16) & 65535 from ah_sig
+       |),
+       |ah_ok as (select band, v from ah_band group by 1, 2
+       |          having count(*) <= $AHashBucketCap),
+       |ah_cap as materialized (
+       |  select b.* from ah_band b join ah_ok using (band, v)
+       |),
+       |ah_pairs as (
+       |  select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       |    a.h_hi as hi_a, a.h_lo as lo_a, b.h_hi as hi_b, b.h_lo as lo_b
+       |  from ah_cap a join ah_cap b
+       |    on a.band = b.band and a.v = b.v and a.doc_id < b.doc_id
+       |)
+       |select doc_a, doc_b,
+       |  lpad(lower(hex(hi_a)), 8, '0') || lpad(lower(hex(lo_a)), 8, '0') as ahash_a,
+       |  lpad(lower(hex(hi_b)), 8, '0') || lpad(lower(hex(lo_b)), 8, '0') as ahash_b,
+       |  cast(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) as bigint) as hamming
+       |from ah_pairs
+       |where bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+       |      <= $AHashMaxHamming""".stripMargin
+  }
+
   /** Mirror Multimodal.mediaFrames (REAL since r11): the Spark side
     * decodes the animated GIF and fingerprints each sampled frame's
     * recovered raster via an 8×8 nearest-neighbor grid. The oracle

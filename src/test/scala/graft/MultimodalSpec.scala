@@ -230,4 +230,51 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(got).count() === 0)
   }
+
+  test("mediaAHash: real-decode signatures equal the stripe-formula prediction") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.mediaAHash(spark, docs)
+    val expected = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .as[(Long, String)].collect().map { case (id, dg) =>
+        def b(i: Int): Int = Integer.parseInt(dg.substring(2 * i, 2 * i + 2), 16)
+        val w = 64 + b(0); val h = 64 + b(1)
+        val total = ((w + 1) / 2 * b(2).toLong + w / 2 * b(4)) * h
+        var hi = 0L; var lo = 0L
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          val ne = (x1 + 1) / 2 - (x0 + 1) / 2
+          val cs = (y1 - y0).toLong * (ne * b(2).toLong + (x1 - x0 - ne) * b(4))
+          if (cs * (w.toLong * h) > total * ((x1 - x0).toLong * (y1 - y0))) {
+            val k = cy * 8 + cx
+            if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+          }
+        }
+        (id, f"$hi%08x$lo%08x", hi, lo)
+      }.toSeq.toDF("doc_id", "ahash", "h_hi", "h_lo")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("aHashPairs: identical images pair at hamming 0; contracts hold") {
+    import spark.implicits._
+    // ids ≡ 0 (mod 3) so all rows are images; 3 and 9 share a text →
+    // identical PNG → identical hash; 6 differs
+    val docs = Seq(
+      (3L, "twin twin twin", 14L), (9L, "twin twin twin", 14L),
+      (6L, "completely different words here", 31L))
+      .toDF("doc_id", "text", "n_chars")
+    val sigs = Multimodal.mediaAHash(spark, docs)
+    val pairs = Multimodal.aHashPairs(sigs).collect()
+    val twin = pairs.filter(r => r.getAs[Long]("doc_a") === 3L &&
+      r.getAs[Long]("doc_b") === 9L)
+    assert(twin.length === 1 && twin.head.getAs[Long]("hamming") === 0L)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("hamming") <= Multimodal.AHashMaxHamming)
+      assert(r.getAs[String]("ahash_a").matches("[0-9a-f]{16}"))
+    }
+  }
 }
