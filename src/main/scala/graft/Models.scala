@@ -806,6 +806,17 @@ object Models {
       hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
     HashEmbed.hybridRecall(indexed, exact)
   }
+  /** nDCG@5 + MRR of the index-served fused list vs the exact one —
+    * order-sensitive serving quality over the recall sample. */
+  def hybridRankMetrics(s: SparkSession, d: String): DataFrame = {
+    import llm.HashEmbed
+    val indexed = HashEmbed.hybridSearch(tfidfTopTerms(s, d),
+      hybridImpact(s, d), semVectors(s, d),
+      semBandIndex(s, d), HashEmbed.RecallQueryBound)
+    val exact = HashEmbed.hybridSearchExact(tfidfTopTerms(s, d),
+      hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
+    HashEmbed.hybridRankMetrics(indexed, exact)
+  }
   /** Pseudo-relevance-feedback expanded retrieval: round 1 over the
     * impact index, expansion terms from the feedback docs' keyword
     * Mat, weighted round 2 — per-request cost stays bounded by

@@ -164,6 +164,8 @@ object SparkEntry {
     "hybrid_recall" -> out(Models.hybridRecall),
     // pseudo-relevance-feedback query expansion over the impact index
     "prf_search" -> out(Models.prfSearch),
+    // nDCG@5 + MRR of the index-served list vs the exact baseline
+    "hybrid_rank_metrics" -> out(Models.hybridRankMetrics),
     // trained quality classifier: full-batch perceptron over hashed
     // features (weights broadcast out, integer gradients aggregated in)
     "quality_weights" -> out(Models.qualityWeights),
@@ -468,6 +470,7 @@ object SparkEntry {
     "hybrid_search" -> LlmSql.hybridSearchQ,
     "hybrid_recall" -> LlmSql.hybridRecallQ,
     "prf_search" -> LlmSql.prfSearchQ,
+    "hybrid_rank_metrics" -> LlmSql.hybridRankMetricsQ,
     "quality_weights" -> LlmSql.qualityWeightsQ,
     "quality_predictions" -> LlmSql.qualityPredictionsQ,
     "quality_pareto" -> LlmSql.qualityParetoQ,

@@ -384,6 +384,68 @@ object HashEmbed {
         (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
 
+  /** nDCG discount weights 1/log2(i+1) for ranks 1..[[HybridTopK]],
+    * quantized to 9 decimal places in SCALA and embedded as literals
+    * in BOTH engines' plans — log2 itself is libm-dependent in its
+    * last ulp, a shared literal is not. [[NdcgIdeal]](r) is the ideal
+    * DCG with r relevant docs: the FIXED-ORDER prefix sums of the
+    * discounts. */
+  private def q9(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+  val NdcgDiscounts: Seq[Double] =
+    (1 to HybridTopK).map(i => q9(math.log(2) / math.log(i + 1)))
+  val NdcgIdeal: Seq[Double] = NdcgDiscounts.scanLeft(0.0)(_ + _).tail
+
+  /** RANKING-QUALITY metrics of the index-served fused list against
+    * the exact fused list, per query — [[hybridRecall]] counts set
+    * overlap; this grades ORDER: MRR (1/rank of the first exact-list
+    * member the index serves) and nDCG@[[HybridTopK]] (hit-or-miss
+    * gains under the shared literal discounts, normalized by the
+    * ideal DCG at the query's own exact-list size). The pair is the
+    * standard serving-quality dashboard for a retrieval stack.
+    *
+    * Determinism: hits are exact integers; DCG adds its ≤ HybridTopK
+    * literal terms in FIXED rank order (each term is exactly 0.0 or
+    * the discount literal); IDCG is a literal lookup by n_rel; MRR
+    * and nDCG are one IEEE division each. Queries the index returns
+    * nothing for score 0, not null — absent rows are a metric, not a
+    * gap. */
+  def hybridRankMetrics(indexed: DataFrame, exact: DataFrame): DataFrame = {
+    val rel = exact.select(col("query_doc_id"), col("doc_id"))
+    val nRel = rel.groupBy("query_doc_id").agg(count(lit(1)).as("n_rel"))
+    val hits = indexed.select(col("query_doc_id"), col("doc_id"), col("rank"))
+      .join(rel.withColumn("is_rel", lit(1)),
+        Seq("query_doc_id", "doc_id"), "left")
+      .withColumn("hit", coalesce(col("is_rel"), lit(0)))
+    val perRank = (1 to HybridTopK).map(r =>
+      max(when(col("rank") === r, col("hit"))).as(s"h_r$r"))
+    val agg = hits.groupBy("query_doc_id")
+      .agg(perRank.head, perRank.tail: _*)
+      .withColumn("n_hits",
+        (1 to HybridTopK).map(r => coalesce(col(s"h_r$r"), lit(0)))
+          .reduceLeft(_ + _).cast("long"))
+      .withColumn("first_hit_rank",
+        least((1 to HybridTopK).map(r =>
+          when(col(s"h_r$r") === 1, lit(r))): _*).cast("int"))
+      .withColumn("dcg",
+        (1 to HybridTopK).map(r =>
+          when(col(s"h_r$r") === 1, lit(NdcgDiscounts(r - 1)))
+            .otherwise(lit(0.0))).reduceLeft(_ + _))
+    // ascending fold so the LARGEST r ends outermost: the ladder must
+    // test n_rel >= 5 before n_rel >= 4 before ...
+    val idcg = (1 to HybridTopK).foldLeft(lit(0.0)) { (acc, r) =>
+      when(col("n_rel") >= r, lit(NdcgIdeal(r - 1))).otherwise(acc)
+    }
+    nRel.join(agg, Seq("query_doc_id"), "left")
+      .select(col("query_doc_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        coalesce(lit(1.0) / col("first_hit_rank").cast("double"), lit(0.0))
+          .as("mrr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        (coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"))
+  }
+
   /** Spec convenience: the full indexed stack built inline from the
     * raw documents (production reads the four Mat barriers). */
   def hybridSearch(documents: DataFrame): DataFrame = {

@@ -2816,6 +2816,66 @@ object LlmSql {
        |where rn <= $TopK""".stripMargin
   }
 
+  /** Mirror HashEmbed.hybridRankMetrics: the hybridRecall CTE chain,
+    * then a rank-pivot of hit flags, DCG as the FIXED-ORDER sum of
+    * the shared 9-dp discount literals (identical doubles by
+    * construction — both engines parse the same decimal string), the
+    * ideal-DCG literal ladder by n_rel, and one IEEE division each
+    * for MRR / nDCG. */
+  val hybridRankMetricsQ: String = {
+    import graft.llm.HashEmbed.{RecallQueryBound, HybridTopK, NdcgDiscounts, NdcgIdeal}
+    val bound = RecallQueryBound
+    val pivot = (1 to HybridTopK).map(r =>
+      s"max(case when i.rank = $r then (case when e.doc_id is not null then 1 else 0 end) end) as h_r$r")
+      .mkString(",\n    ")
+    val nhits = (1 to HybridTopK).map(r => s"coalesce(h_r$r, 0)").mkString(" + ")
+    val firstHit = "case " +
+      (1 to HybridTopK).map(r => s"when h_r$r = 1 then $r").mkString(" ") + " end"
+    // cast every literal: DuckDB types a bare decimal-point literal as
+    // DECIMAL, which would make dcg an exact decimal sum instead of
+    // the engine's IEEE double fold (1-ulp ndcg drift, found by the
+    // gate)
+    val dcg = (1 to HybridTopK).map(r =>
+      s"(case when h_r$r = 1 then cast(${NdcgDiscounts(r - 1)} as double) " +
+        "else cast(0.0 as double) end)")
+      .mkString("\n    + ")
+    val idcg = "case " +
+      (HybridTopK to 1 by -1)
+        .map(r => s"when n_rel >= $r then cast(${NdcgIdeal(r - 1)} as double)")
+        .mkString(" ") + " else cast(0.0 as double) end"
+    s"""with $textCtes,
+       |${hybridSharedCtes(bound)},
+       |${hybridIndexedCtes(bound)},
+       |${hybridExactCtes(bound)},
+       |hfin_ix as (
+       |${hybridFusedSelect("hlextop_ix", "hsemtop_ix")}
+       |),
+       |hfin_ex as (
+       |${hybridFusedSelect("hlextop_ex", "hsemtop_ex")}
+       |),
+       |hm_rel as (select query_doc_id, cast(count(*) as bigint) as n_rel
+       |           from hfin_ex group by 1),
+       |hm_hits as (
+       |  select i.query_doc_id,
+       |    $pivot
+       |  from hfin_ix i left join hfin_ex e
+       |    on e.query_doc_id = i.query_doc_id and e.doc_id = i.doc_id
+       |  group by 1
+       |),
+       |hm as (
+       |  select r.query_doc_id, r.n_rel,
+       |    cast($nhits as bigint) as n_hits,
+       |    cast($firstHit as int) as first_hit_rank,
+       |    $dcg as dcg,
+       |    $idcg as idcg
+       |  from hm_rel r left join hm_hits h using (query_doc_id)
+       |)
+       |select query_doc_id, n_rel, n_hits, first_hit_rank,
+       |  coalesce(1.0 / cast(first_hit_rank as double), 0.0) as mrr,
+       |  dcg, dcg / idcg as ndcg
+       |from hm""".stripMargin
+  }
+
   /** Shared CTE chain for the perceptron quality model (mirror
     * QualityModel.trainedWeights): features = the gated hashed
     * embeddings plus a bias dimension, labels = the gated text-stats

@@ -69,6 +69,9 @@ class PlanGuardSpec extends SparkSpec {
     "revenue_cusum",
     // |bigram types| model rows × ONE broadcast type-count row
     "kneser_ney_bigrams",
+    // embeds hybrid_recall's exact baseline (bounded broadcast query
+    // set over the corpus — the recall harness's deliberate full scan)
+    "hybrid_rank_metrics",
     // |stages| count rows × ONE broadcast first-stage row (Funnel)
     "event_funnel",
     // calendar-bounded daily table × its own broadcast ≤H-day lookback
