@@ -323,6 +323,9 @@ object Models {
     Mat.table(s, d, "customer_segmentation")(
       SegmentationMart.customerSegmentation(customers(s, d), orders(s, d), orderItems(s, d)))
   /** k-anonymity release audit over the segmentation quasi-ids. */
+  /** Right-to-be-forgotten scrub audit over events + derived marts. */
+  def forgetAudit(s: SparkSession, d: String): DataFrame =
+    operators.Forget.forgetAudit(Tables.events(s, d))
   def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
     llm.Redaction.kAnonymityAudit(customerSegmentation(s, d))
   /** l-diversity audit (homogeneity-attack companion) over the same

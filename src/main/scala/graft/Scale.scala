@@ -154,7 +154,19 @@ object Scale {
     // the clock-bounded LOCF grid (events)
     "gopher_quality_rules", "collocation_lift", "moore_lewis_selection",
     "dsir_weights", "winnow_fingerprints", "winnow_shared_docs",
-    "semdedup_prune", "events_locf_hourly")
+    "semdedup_prune", "events_locf_hourly",
+    // r12 fourth session: the winnowing recall harness + ingest
+    // novelty (documents), MMR rerank (embeddings), UniMax +
+    // boilerplate share (documents)
+    "winnow_recall", "batch_novelty", "chunk_boilerplate", "mmr_rerank",
+    "unimax_allocation",
+    // r12 fifth session: index-served PRF + order-sensitive serving
+    // metrics (documents; the metrics embed the deliberate exact
+    // baseline), KN bigram model + quality skyline (documents),
+    // dimension correlation (embeddings), aHash image dedup
+    // (documents through the real PNG codec)
+    "prf_search", "hybrid_rank_metrics", "kneser_ney_bigrams",
+    "quality_pareto", "embedding_corr", "media_ahash", "media_ahash_pairs")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")
@@ -173,7 +185,16 @@ object Scale {
       operators.Graph.pageRankDirected(edgesOf(s, d).select("src", "dst"), 5)),
     "graph_communities" -> ((s: SparkSession, d: String) =>
       operators.Graph.labelPropagationWithSizes(
-        edgesOf(s, d).select("src", "dst"), 4)))
+        edgesOf(s, d).select("src", "dst"), 4)),
+    "graph_ppr" -> ((s: SparkSession, d: String) =>
+      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)))
+    // linkPredictions is deliberately NOT probed on this raw pair
+    // table: common-neighbor counting is inherently Σ deg(center)²
+    // with no orientation rescue, which is why the registered query
+    // runs it on the weight-THRESHOLDED strong graph (its Scaladoc
+    // names the hub-degree cap as the raw-graph knob) — on the raw 8×
+    // co-purchase graph the wedge hash-aggregate OOMs a 4 GiB heap
+    // (measured: this probe's first 8× run died in that stage).
 
   /** Write the factor-f replica dir (documents/embeddings/events +
     * the graph edge table). File count scales with the factor so read

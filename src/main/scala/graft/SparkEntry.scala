@@ -241,6 +241,9 @@ object SparkEntry {
     "pii_redaction_shapes" -> out(Models.piiRedactionShapes),
     // k-anonymity go/no-go audit over the segmentation quasi-ids
     "k_anonymity_audit" -> out(Models.kAnonymityAudit),
+    // right-to-be-forgotten scrub audit (deletion propagation + the
+    // sketches-must-rebuild row)
+    "forget_audit" -> out(Models.forgetAudit),
     // l-diversity: the homogeneity-attack companion audit
     "l_diversity_audit" -> out(Models.lDiversityAudit),
     // t-closeness: the skew-attack companion — release-audit trio
@@ -504,6 +507,7 @@ object SparkEntry {
     "pii_redaction" -> CurateSql.piiRedactionQ,
     "pii_redaction_shapes" -> CurateSql.piiRedactionShapesQ,
     "k_anonymity_audit" -> Sql.kAnonymityAuditQ,
+    "forget_audit" -> OpsSql.forgetAuditQ,
     "l_diversity_audit" -> Sql.lDiversityAuditQ,
     "t_closeness_audit" -> Sql.tClosenessAuditQ,
     "decontamination" -> CurateSql.decontaminationQ,

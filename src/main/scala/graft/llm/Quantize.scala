@@ -42,10 +42,12 @@ object Quantize {
     *
     * Determinism: coordinates quantize to int64 micro-units via one
     * exact-IEEE chain (float→double exact, one multiply, the half-up
-    * floor); ALL moments — n, Σx, Σx², Σxy — and the three
-    * correlation terms n·Σxy − ΣxΣy etc. are exact int64 (order-free
-    * sums); r is 4 IEEE ops (one division, two sqrt, one multiply) of
-    * exact-integer-derived doubles.
+    * floor); ALL moments — n, Σx, Σx², Σxy — are exact int64
+    * (order-free sums); the correlation terms n·Σxy − ΣxΣy etc. are
+    * computed in DOUBLES of those exact sums (they overflow int64
+    * past ~3e9·maxq — the 1×-vs-8× scale probe caught it under ANSI
+    * mode at 16k vectors), every op correctly rounded and identical
+    * cross-engine; r adds one division, two sqrt, one multiply.
     *
     * Scale (100 TB): ONE corpus pass; per-row pair products explode
     * to n·D²/2 rows but map-side combine collapses each partition to
@@ -78,15 +80,20 @@ object Quantize {
       col("ss").as("s_xx"))
     val sy = dimStats.select(col("i").as("j"), col("s").as("s_y"),
       col("ss").as("s_yy"))
+    // correlation TERMS in doubles: n·Σxy and Σx·Σy overflow int64
+    // once n·maxq exceeds ~3e9 (the 1×-vs-8× scale probe caught
+    // exactly this at 16k vectors under ANSI mode) — each cast of an
+    // exact sum and each multiply/subtract is correctly rounded and
+    // identical cross-engine, so determinism survives the widening
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
     pairs.join(broadcast(sx), Seq("i")).join(broadcast(sy), Seq("j"))
-      .withColumn("num", col("n") * col("s_xy") - col("s_x") * col("s_y"))
-      .withColumn("den_x", col("n") * col("s_xx") - col("s_x") * col("s_x"))
-      .withColumn("den_y", col("n") * col("s_yy") - col("s_y") * col("s_y"))
+      .withColumn("num", d(col("n")) * d(col("s_xy")) - d(col("s_x")) * d(col("s_y")))
+      .withColumn("den_x", d(col("n")) * d(col("s_xx")) - d(col("s_x")) * d(col("s_x")))
+      .withColumn("den_y", d(col("n")) * d(col("s_yy")) - d(col("s_y")) * d(col("s_y")))
       .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
         col("s_x"), col("s_y"), col("s_xx"), col("s_yy"), col("s_xy"),
         when(col("den_x") > 0 && col("den_y") > 0,
-          col("num").cast("double") /
-            (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+          col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))))
           .as("pearson_r"))
   }
 

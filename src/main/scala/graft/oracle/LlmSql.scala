@@ -460,11 +460,19 @@ object LlmSql {
        |)
        |select p.i as dim_i, p.j as dim_j, dx.n,
        |  dx.s as s_x, dy.s as s_y, dx.ss as s_xx, dy.ss as s_yy, p.s_xy,
-       |  case when (dx.n * dx.ss - dx.s * dx.s) > 0
-       |        and (dy.n * dy.ss - dy.s * dy.s) > 0
-       |    then cast(dx.n * p.s_xy - dx.s * dy.s as double)
-       |      / (sqrt(cast(dx.n * dx.ss - dx.s * dx.s as double))
-       |         * sqrt(cast(dy.n * dy.ss - dy.s * dy.s as double)))
+       |  -- correlation terms in doubles (same widening as the engine:
+       |  -- bigint n·Σxy overflows past ~3e9·maxq — the scale probe's
+       |  -- finding); every cast/multiply/subtract correctly rounded
+       |  case when (cast(dx.n as double) * cast(dx.ss as double)
+       |             - cast(dx.s as double) * cast(dx.s as double)) > 0
+       |        and (cast(dy.n as double) * cast(dy.ss as double)
+       |             - cast(dy.s as double) * cast(dy.s as double)) > 0
+       |    then (cast(dx.n as double) * cast(p.s_xy as double)
+       |          - cast(dx.s as double) * cast(dy.s as double))
+       |      / (sqrt(cast(dx.n as double) * cast(dx.ss as double)
+       |              - cast(dx.s as double) * cast(dx.s as double))
+       |         * sqrt(cast(dy.n as double) * cast(dy.ss as double)
+       |                - cast(dy.s as double) * cast(dy.s as double)))
        |  end as pearson_r
        |from ec_p p join ec_d dx on p.i = dx.i join ec_d dy on p.j = dy.i""".stripMargin
   }

@@ -845,6 +845,98 @@ object OpsSql {
        |from r${graft.Models.PageRankRounds}""".stripMargin
   }
 
+  /** Per-source global HLL-estimate chain (mirror
+    * Sketches.hllEstimateByGroup with empty groupCols — the same
+    * proven arithmetic as [[hllMergedUsersQ]]), prefixed so the
+    * forget audit can run it over BOTH the raw and the scrubbed
+    * fact. Final CTE `<pfx>est(est)`. */
+  private def faHllCtes(pfx: String, src: String): String = {
+    import graft.operators.Sketches.{HllM, HllP, HllW, HllAlpha}
+    val w1 = HllW + 1
+    s"""${pfx}h as (
+       |  select cast(('0x' || substr(md5('hll|' || cast(user_id as varchar)),1,15)) as bigint) as h
+       |  from $src
+       |),
+       |${pfx}mj as (
+       |  select h % $HllM as reg,
+       |    max(case when (h >> $HllP) = 0 then $w1
+       |        else $w1 - length(bin(h >> $HllP)) end) as m_j
+       |  from ${pfx}h group by 1
+       |),
+       |${pfx}s as (
+       |  select sum(cast(1 as bigint) << ($w1 - m_j)) as ssum, count(*) as nreg
+       |  from ${pfx}mj
+       |),
+       |${pfx}e as (
+       |  select cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as scaled,
+       |    $HllM - nreg as zeros
+       |  from ${pfx}s
+       |),
+       |${pfx}est as (
+       |  select case when zeros > 0 and
+       |      ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |        / scaled <= ${2.5 * HllM}
+       |    then cast(cast(ln($HllM::double / cast(zeros as double)) * $HllM::double
+       |           as decimal(18,9)) as double)
+       |    else ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+       |      / scaled end as est
+       |  from ${pfx}e
+       |)""".stripMargin
+  }
+
+  /** Mirror Forget.forgetAudit: raw-fact scrub, the sessionizer-mart
+    * rebuild (session count = Σ is_new — the lag-gap definition of
+    * Sessions.sessionize), and the distinct-user story with the HLL
+    * estimates rebuilt over both corpora. */
+  val forgetAuditQ: String = {
+    import graft.operators.Forget.{ForgetMod, ForgetRes}
+    def sessionCount(src: String, extra: String = "") =
+      s"""select count(*) as c from (
+         |    select user_id,
+         |      case when lag(ts) over (partition by user_id order by ts, event_id) is null
+         |        or ts > lag(ts) over (partition by user_id order by ts, event_id)
+         |           + interval 30 minute
+         |      then 1 else 0 end as is_new
+         |    from $src) t
+         |  where is_new = 1$extra""".stripMargin
+    s"""with fa_scrub as (
+       |  select * from events where not (user_id % $ForgetMod = $ForgetRes)
+       |),
+       |fa_sn_b as (
+       |  ${sessionCount("events")}
+       |),
+       |fa_sn_a as (
+       |  ${sessionCount("fa_scrub")}
+       |),
+       |fa_sn_r as (
+       |  ${sessionCount("fa_scrub", s" and user_id % $ForgetMod = $ForgetRes")}
+       |),
+       |${faHllCtes("fab_", "events")},
+       |${faHllCtes("faa_", "fa_scrub")}
+       |select 'events' as stage,
+       |  (select count(*) from events) as rows_before,
+       |  (select count(*) from fa_scrub) as rows_after,
+       |  (select count(*) from events) - (select count(*) from fa_scrub) as removed,
+       |  (select count(case when user_id % $ForgetMod = $ForgetRes then 1 end)
+       |   from fa_scrub) as residual_refs,
+       |  cast(null as double) as est_before, cast(null as double) as est_after
+       |union all
+       |select 'sessions',
+       |  (select c from fa_sn_b), (select c from fa_sn_a),
+       |  (select c from fa_sn_b) - (select c from fa_sn_a),
+       |  (select c from fa_sn_r),
+       |  cast(null as double), cast(null as double)
+       |union all
+       |select 'distinct_users',
+       |  (select count(distinct user_id) from events),
+       |  (select count(distinct user_id) from fa_scrub),
+       |  (select count(distinct user_id) from events)
+       |    - (select count(distinct user_id) from fa_scrub),
+       |  (select count(distinct case when user_id % $ForgetMod = $ForgetRes
+       |     then user_id end) from fa_scrub),
+       |  (select est from fab_est), (select est from faa_est)""".stripMargin
+  }
+
   /** Mirror Graph.personalizedPageRank: the same unrolled integer
     * rounds as [[copurchasePagerankQ]], with the teleport term gated
     * to the node % 13 = 1 seed set and the rank state starting at

@@ -67,6 +67,8 @@ class PlanGuardSpec extends SparkSpec {
     "t_closeness_audit",
     // ≤3650 daily rows × ONE broadcast (n, s) series-stats row
     "revenue_cusum",
+    // six ONE-ROW audit aggregates cross-joined broadcast
+    "forget_audit",
     // |bigram types| model rows × ONE broadcast type-count row
     "kneser_ney_bigrams",
     // embeds hybrid_recall's exact baseline (bounded broadcast query
