@@ -313,6 +313,9 @@ object Models {
   /** CUSUM changepoint statistics over the daily revenue series. */
   def revenueCusum(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueCusum(dailySummary(s, d))
+  /** Theil–Sen robust trend over the daily revenue series. */
+  def revenueTheilSen(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueTheilSen(dailySummary(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

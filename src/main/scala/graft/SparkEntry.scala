@@ -71,6 +71,8 @@ object SparkEntry {
     "revenue_ewma_anomalies" -> out(Models.ewmaAnomalies),
     // two-sided CUSUM changepoint statistics (closed-form, exact ints)
     "revenue_cusum" -> out(Models.revenueCusum),
+    // Theil-Sen median-of-slopes robust trend (29.3% breakdown point)
+    "revenue_theilsen" -> out(Models.revenueTheilSen),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -410,6 +412,7 @@ object SparkEntry {
     "revenue_anomalies" -> Sql.revenueAnomaliesQ,
     "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
     "revenue_cusum" -> Sql.revenueCusumQ,
+    "revenue_theilsen" -> Sql.revenueTheilSenQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

@@ -310,6 +310,61 @@ object TimeMarts {
         (col("cusum_neg") > lit(CusumAlarmMeanDays) * col("s")).as("alarm_neg"))
   }
 
+  /** THEIL–SEN robust trend (Theil 1950; Sen 1968) on daily revenue —
+    * the median-of-pairwise-slopes estimator with a 29.3% breakdown
+    * point: unlike OLS, a season of outlier days cannot drag the
+    * trend. Slope = lower median over all day-pair slopes
+    * (c_j − c_i)/(d_j − d_i); intercept = lower median of the
+    * per-day residuals c_i − slope·d_i (days since epoch).
+    *
+    * Determinism: revenues are exact cents and day gaps exact ints,
+    * so each pair slope is ONE IEEE division; medians select by the
+    * TOTAL order (value, date_i, date_j) at position (N+1)/2 — a
+    * deterministic element pick, never an averaged midpoint (which
+    * would add an engine-shape-sensitive addition).
+    *
+    * Scale: inherently pairwise, but the pair domain is the CALENDAR
+    * — ≤ 3650 days a decade ⇒ ≤ 6.7M pairs regardless of corpus
+    * size (the documented bounded-global-window family; the window
+    * sorts a schema-bounded set). Production at century scale would
+    * switch to the O(n log n) Matoušek randomized selection; the
+    * exact form is the right tool at any realistic retention. */
+  def revenueTheilSen(daily: DataFrame): DataFrame = {
+    val cents = (col("daily_revenue") * 100).cast("long")
+    val base = daily.select(col("order_date"),
+      datediff(col("order_date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      cents.as("c"))
+    val a = base.select(col("order_date").as("date_a"), col("d").as("d_a"),
+      col("c").as("c_a"))
+    val b = base.select(col("order_date").as("date_b"), col("d").as("d_b"),
+      col("c").as("c_b"))
+    val pairs = a.join(broadcast(b), col("d_a") < col("d_b"))
+      .select(col("date_a"), col("date_b"),
+        ((col("c_b") - col("c_a")).cast("double") /
+          (col("d_b") - col("d_a")).cast("double")).as("slope"))
+    val wS = Window.orderBy(col("slope"), col("date_a"), col("date_b"))
+    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
+    val slopeRow = pairs
+      .withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(nP))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("slope"), col("n_pairs"))
+    val resid = base.crossJoin(broadcast(slopeRow))
+      .select(col("order_date"), col("n_pairs"), col("slope"),
+        (col("c").cast("double") - col("slope") * col("d").cast("double"))
+          .as("r"))
+    val wR = Window.orderBy(col("r"), col("order_date"))
+    val nD = base.agg(count(lit(1)).as("n_days"))
+    resid
+      .withColumn("rn", row_number().over(wR))
+      .crossJoin(broadcast(nD))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope").as("slope_cents_per_day"),
+        col("r").as("intercept_cents"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE
     * specialize: exactly the requested grain combinations ((month),
     * (promo flag), ()) from ONE Expand + one shuffle, where cube would

@@ -1055,6 +1055,44 @@ object Sql {
        |from cu_f""".stripMargin
   }
 
+  /** Mirror TimeMarts.revenueTheilSen: the same exact-cents pair
+    * slopes (one IEEE division each), the same lower-median element
+    * picks under the (value, date...) total order, the same residual
+    * arithmetic with the selected slope. */
+  val revenueTheilSenQ: String =
+    s"""$allCtes,
+       |ts_b as (
+       |  select order_date,
+       |    cast(order_date - date '1970-01-01' as bigint) as d,
+       |    cast(daily_revenue * 100 as bigint) as c
+       |  from daily_summary
+       |),
+       |ts_p as materialized (
+       |  select a.order_date as date_a, b.order_date as date_b,
+       |    cast(b.c - a.c as double) / cast(b.d - a.d as double) as slope
+       |  from ts_b a join ts_b b on a.d < b.d
+       |),
+       |ts_np as (select cast(count(*) as bigint) as n_pairs from ts_p),
+       |ts_s as (
+       |  select slope, n_pairs from (
+       |    select slope,
+       |      row_number() over (order by slope, date_a, date_b) as rn
+       |    from ts_p) t cross join ts_np
+       |  where rn = (n_pairs + 1) // 2
+       |),
+       |ts_r as (
+       |  select b.order_date, s.n_pairs, s.slope,
+       |    cast(b.c as double) - s.slope * cast(b.d as double) as r
+       |  from ts_b b cross join ts_s s
+       |),
+       |ts_nd as (select cast(count(*) as bigint) as n_days from ts_b)
+       |select n_days, n_pairs, slope as slope_cents_per_day,
+       |  r as intercept_cents
+       |from (select *, row_number() over (order by r, order_date) as rn
+       |      from ts_r) t
+       |cross join ts_nd
+       |where rn = (n_days + 1) // 2""".stripMargin
+
   /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
     * moments (current row excluded), the string-routed stddevFromSums
     * recipe, identical IEEE 2σ comparison. */

@@ -69,6 +69,9 @@ class PlanGuardSpec extends SparkSpec {
     "revenue_cusum",
     // six ONE-ROW audit aggregates cross-joined broadcast
     "forget_audit",
+    // calendar-bounded daily table × its own broadcast copy (≤3650²/2
+    // pair inequality join) + two one-row median/count broadcasts
+    "revenue_theilsen",
     // |bigram types| model rows × ONE broadcast type-count row
     "kneser_ney_bigrams",
     // embeds hybrid_recall's exact baseline (bounded broadcast query
@@ -144,6 +147,10 @@ class PlanGuardSpec extends SparkSpec {
     "daily_moving_stats", // one row per calendar day, fixed date range
     "revenue_anomalies",  // same calendar-bounded daily grain
     "revenue_cusum",      // same calendar-bounded daily grain
+    // pair set bounded by calendar² (≤6.7M at decade retention) —
+    // the Theil-Sen median sorts a schema-bounded set; the Scaladoc
+    // names Matousek selection as the century-scale escape
+    "revenue_theilsen",
     "daily_gapfill",      // 3650-row calendar spine fill
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
