@@ -325,40 +325,46 @@ object TimeMarts {
     *
     * Scale: inherently pairwise, but the pair domain is the CALENDAR
     * — ≤ 3650 days a decade ⇒ ≤ 6.7M pairs regardless of corpus
-    * size (the documented bounded-global-window family; the window
-    * sorts a schema-bounded set). Production at century scale would
-    * switch to the O(n log n) Matoušek randomized selection; the
-    * exact form is the right tool at any realistic retention. */
+    * size. The slope median goes through the TWO-PHASE
+    * [[graft.operators.Ranks.globalRank]] (range-partitioned, no
+    * single-task sort); ranking is (slope DESC, pair-key asc), so the
+    * asc lower-median is the element at desc position N − (N+1)÷2 + 1
+    * — under ties the VALUE at any multiset position is
+    * tie-order-independent and only the value is emitted, so the desc
+    * rank is safe. The pair count is the closed form n(n−1)/2 (no
+    * counting pass over the pair relation), and the residual median's
+    * window runs over the ≤3650-row daily set. Production at century
+    * scale would switch to O(n log n) Matoušek randomized selection;
+    * the exact form is the right tool at any realistic retention. */
   def revenueTheilSen(daily: DataFrame): DataFrame = {
     val cents = (col("daily_revenue") * 100).cast("long")
     val base = daily.select(col("order_date"),
       datediff(col("order_date"), lit("1970-01-01").cast("date"))
         .cast("long").as("d"),
       cents.as("c"))
-    val a = base.select(col("order_date").as("date_a"), col("d").as("d_a"),
-      col("c").as("c_a"))
-    val b = base.select(col("order_date").as("date_b"), col("d").as("d_b"),
-      col("c").as("c_b"))
+    val a = base.select(col("d").as("d_a"), col("c").as("c_a"))
+    val b = base.select(col("d").as("d_b"), col("c").as("c_b"))
+    // pk = d_a·1e6 + d_b: unique per pair (epoch days < 1e6 for any
+    // plausible calendar), the join-back key globalRank needs
     val pairs = a.join(broadcast(b), col("d_a") < col("d_b"))
-      .select(col("date_a"), col("date_b"),
+      .select((col("d_a") * lit(1000000L) + col("d_b")).as("pk"),
         ((col("c_b") - col("c_a")).cast("double") /
           (col("d_b") - col("d_a")).cast("double")).as("slope"))
-    val wS = Window.orderBy(col("slope"), col("date_a"), col("date_b"))
-    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
-    val slopeRow = pairs
-      .withColumn("rn", row_number().over(wS))
-      .crossJoin(broadcast(nP))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
-      .select(col("slope"), col("n_pairs"))
+    val nRow = base.agg(count(lit(1)).as("n_days"))
+      .withColumn("n_pairs", expr("n_days * (n_days - 1) div 2"))
+    val ranked = graft.operators.Ranks.globalRank(pairs, "pk",
+      col("slope"), "rn_desc")
+    val slopeRow = pairs.join(ranked, Seq("pk"))
+      .crossJoin(broadcast(nRow))
+      .filter(col("rn_desc") === expr("n_pairs - ((n_pairs + 1) div 2) + 1"))
+      .select(col("slope"), col("n_days"), col("n_pairs"))
     val resid = base.crossJoin(broadcast(slopeRow))
-      .select(col("order_date"), col("n_pairs"), col("slope"),
+      .select(col("order_date"), col("n_days"), col("n_pairs"), col("slope"),
         (col("c").cast("double") - col("slope") * col("d").cast("double"))
           .as("r"))
     val wR = Window.orderBy(col("r"), col("order_date"))
-    val nD = base.agg(count(lit(1)).as("n_days"))
     resid
       .withColumn("rn", row_number().over(wR))
-      .crossJoin(broadcast(nD))
       .filter(col("rn") === expr("(n_days + 1) div 2"))
       .select(col("n_days"), col("n_pairs"),
         col("slope").as("slope_cents_per_day"),
