@@ -276,8 +276,14 @@ object Models {
 
   def timeSpine(s: SparkSession, d: String): DataFrame =
     TimeMarts.timeSpine(s)
+  /** Mat'd since r12: the daily series feeds SIX consumers (its own
+    * query, the 2σ/EWMA/CUSUM monitors, Theil–Sen, growth) and
+    * Theil–Sen's pair build references it multiple times per plan —
+    * as a live rollup each reference re-aggregated the orders mart
+    * (~0.7 s each, measured; theilsen alone paid it ~6×). */
   def dailySummary(s: SparkSession, d: String): DataFrame =
-    TimeMarts.dailySummary(orders(s, d))
+    Mat.table(s, d, "daily_summary")(
+      TimeMarts.dailySummary(orders(s, d)))
   def weeklySummary(s: SparkSession, d: String): DataFrame =
     TimeMarts.weeklySummary(orders(s, d))
   def monthlySummary(s: SparkSession, d: String): DataFrame =

@@ -346,7 +346,12 @@ object TimeMarts {
     val b = base.select(col("d").as("d_b"), col("c").as("c_b"))
     // pk = d_a·1e6 + d_b: unique per pair (epoch days < 1e6 for any
     // plausible calendar), the join-back key globalRank needs
-    val pairs = a.join(broadcast(b), col("d_a") < col("d_b"))
+    // spread the LEFT side first: a nested-loop join's parallelism is
+    // its streamed side's partition count, and the ≤3650-row daily Mat
+    // arrives as ONE split — unspread, the n²/2 pair build runs on a
+    // single core (measured: ~5.8 s at 2.9M pairs; spread: sub-second)
+    val pairs = a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(b), col("d_a") < col("d_b"))
       .select((col("d_a") * lit(1000000L) + col("d_b")).as("pk"),
         ((col("c_b") - col("c_a")).cast("double") /
           (col("d_b") - col("d_a")).cast("double")).as("slope"))
