@@ -345,7 +345,7 @@ object TimeMarts {
     val a = base.select(col("d").as("d_a"), col("c").as("c_a"))
     val b = base.select(col("d").as("d_b"), col("c").as("c_b"))
     // pk = d_a·1e6 + d_b: unique per pair (epoch days < 1e6 for any
-    // plausible calendar), the join-back key globalRank needs
+    // plausible calendar), the strict-total-order tiebreak globalRank needs
     // spread the LEFT side first: a nested-loop join's parallelism is
     // its streamed side's partition count, and the ≤3650-row daily Mat
     // arrives as ONE split — unspread, the n²/2 pair build runs on a
@@ -357,9 +357,14 @@ object TimeMarts {
           (col("d_b") - col("d_a")).cast("double")).as("slope"))
     val nRow = base.agg(count(lit(1)).as("n_days"))
       .withColumn("n_pairs", expr("n_days * (n_days - 1) div 2"))
-    val ranked = graft.operators.Ranks.globalRank(pairs, "pk",
-      col("slope"), "rn_desc")
-    val slopeRow = pairs.join(ranked, Seq("pk"))
+    // the slope rides THROUGH the rank pipeline (globalRankWithValue)
+    // instead of being joined back on pk: that join-back was this
+    // query's only unhinted join, and its broadcast-vs-SMJ choice
+    // flapped with Catalyst size estimates — the r12 plan-budget churn
+    // (8→10→7). Value-carry deletes the join and pins the plan shape.
+    val ranked = graft.operators.Ranks.globalRankWithValue(pairs, "pk",
+      col("slope"), "slope", "rn_desc")
+    val slopeRow = ranked
       .crossJoin(broadcast(nRow))
       .filter(col("rn_desc") === expr("n_pairs - ((n_pairs + 1) div 2) + 1"))
       .select(col("slope"), col("n_days"), col("n_pairs"))

@@ -41,7 +41,24 @@ object Ranks {
 
   /** (key, rankName) table: rank 1 = largest metric, nulls last,
     * ascending unique `key` as tiebreak — join back on `key`. */
-  def globalRank(df: DataFrame, key: String, metric: Column, rankName: String): DataFrame = {
+  def globalRank(df: DataFrame, key: String, metric: Column, rankName: String): DataFrame =
+    rankedCore(df, key, metric, rankName).select(col(key), col(rankName))
+
+  /** Like [[globalRank]] but ALSO emits the ranked metric as
+    * `valueName` — for callers that need the value AT a rank (order
+    * statistics: medians, percentile picks). Carrying the value
+    * through the rank pipeline replaces the join-back on `key` the
+    * 2-column form forces: one fewer join in the caller's plan, and —
+    * because that join-back is typically the caller's only UNHINTED
+    * join — the plan's exchange count stops depending on Catalyst's
+    * size estimates (the revenue_theilsen budget churn of r12). */
+  def globalRankWithValue(df: DataFrame, key: String, metric: Column,
+                          valueName: String, rankName: String): DataFrame =
+    rankedCore(df, key, metric, rankName)
+      .select(col(key), col("__m").as(valueName), col(rankName))
+
+  private def rankedCore(df: DataFrame, key: String, metric: Column,
+                         rankName: String): DataFrame = {
     val order = Seq(col("__m").desc_nulls_last, col(key).asc)
     val slim = df.select(col(key), metric.as("__m"))
     val parted = slim
@@ -60,7 +77,8 @@ object Ranks {
       .groupBy(col("x.__pid").as("__pid"))
       .agg(coalesce(sum(col("y.__cnt")), lit(0L)).as("__offset"))
     local.join(broadcast(offsets), Seq("__pid"))
-      .select(col(key), (col("__offset") + col("__rn")).cast("int").as(rankName))
+      .select(col(key), col("__m"),
+        (col("__offset") + col("__rn")).cast("int").as(rankName))
   }
 
   /** Fold several metrics into rank columns joined onto `df` by `key`.
