@@ -425,9 +425,25 @@ object Models {
   }
   def annCosineTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annCosineTopK(Tables.embeddings(s, d))
-  /** MMR-diversified rerank of the cosine candidates (λ = 1/2). */
+  /** MMR-diversified rerank, INDEX-FED (VERDICT r12 #2): candidates
+    * come from the kmeans-IVF probe over the Mat'd quantizer at
+    * nCand = MmrCandidates — per-request cost is nprobe × list size,
+    * never a corpus scan. The exact-fed selection survives only as
+    * [[mmrRecall]]'s ground-truth arm. */
   def mmrRerank(s: SparkSession, d: String): DataFrame =
-    llm.Similarity.mmrRerank(Tables.embeddings(s, d))
+    llm.Similarity.mmrRerankFrom(Tables.embeddings(s, d),
+      llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
+          Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))),
+          llm.Similarity.MmrCandidates)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel")))
+  /** Selection recall of the index-fed MMR against the exact-fed MMR
+    * (the hybrid_recall pattern one component later): how much of the
+    * exact pipeline's diversified top-k the served pipeline keeps —
+    * the number that prices the IVF candidate feed. */
+  def mmrRecall(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annRecall(
+      llm.Similarity.mmrRerank(Tables.embeddings(s, d)),
+      mmrRerank(s, d))
   /** Metadata-filtered vector search (predicate BEFORE the top-k). */
   def annFilteredTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annFilteredTopK(Tables.embeddings(s, d))

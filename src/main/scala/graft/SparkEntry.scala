@@ -97,8 +97,11 @@ object SparkEntry {
     "substring_dedup" -> out(Models.substringDedup),
     "dedup_clusters" -> out(Models.dedupClusters),
     "ann_cosine_topk" -> out(Models.annCosineTopK),
-    // MMR diversification between retrieval and serving (greedy, λ=1/2)
+    // MMR diversification between retrieval and serving (greedy, λ=1/2;
+    // candidates from the kmeans-IVF index probe, never a corpus scan)
     "mmr_rerank" -> out(Models.mmrRerank),
+    // recall of the index-fed MMR selection vs the exact-fed one
+    "mmr_recall" -> out(Models.mmrRecall),
     // metadata-filtered vector search (filter BEFORE top-k)
     "ann_filtered_topk" -> out(Models.annFilteredTopK),
     "ann_lsh_buckets" -> out(Models.annLshBuckets),
@@ -430,6 +433,7 @@ object SparkEntry {
     "dedup_clusters" -> LlmSql.dedupClustersQ,
     "ann_cosine_topk" -> LlmSql.annCosineTopKQ,
     "mmr_rerank" -> LlmSql.mmrRerankQ,
+    "mmr_recall" -> LlmSql.mmrRecallQ,
     "ann_filtered_topk" -> LlmSql.annFilteredTopKQ,
     "ann_lsh_buckets" -> LlmSql.annLshBucketsQ,
     "ann_hard_negatives" -> LlmSql.annHardNegativesQ,

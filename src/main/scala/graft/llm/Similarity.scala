@@ -110,11 +110,25 @@ object Similarity {
     * million independent bounded groups; the corpus itself is only
     * touched by the candidate search feeding this. */
   def mmrRerank(embeddingsRaw: DataFrame, nCand: Int = MmrCandidates,
-                k: Int = MmrK): DataFrame = {
+                k: Int = MmrK): DataFrame =
+    mmrRerankFrom(embeddingsRaw,
+      annCosineTopKAsym(embeddingsRaw, embeddingsRaw, nCand)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel")),
+      k)
+
+  /** The greedy MMR selection over a CALLER-SUPPLIED candidate pool
+    * (query_id, neighbor_id, rel) — the serving composition feeds this
+    * from an INDEX probe (Models: the Mat'd kmeans-IVF lists at
+    * nCand = [[MmrCandidates]]), so per-request cost scales with
+    * nprobe × list size, never the corpus (the r12 `weak`:
+    * [[mmrRerank]]'s exact feed scans the corpus per query batch —
+    * retained only as [[annRecall]]'s ground-truth arm). Candidate
+    * vectors for the within-pool pairwise cosines are fetched by one
+    * keyed join against the embeddings relation (|Q|·nCand rows). */
+  def mmrRerankFrom(embeddingsRaw: DataFrame, cands: DataFrame,
+                    k: Int = MmrK): DataFrame = {
     val spark = embeddingsRaw.sparkSession
     import spark.implicits._
-    val cands = annCosineTopKAsym(embeddingsRaw, embeddingsRaw, nCand)
-      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
     val emb = embeddingsRaw.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
@@ -453,7 +467,8 @@ object Similarity {
     * full-precision while the in-list scan reads compressed codes
     * (exactly FAISS's IndexIVFPQ shape). */
   private def ivfProbe(embeddings: DataFrame, centroids: DataFrame,
-                       scoringCorpus: Option[DataFrame] = None): DataFrame = {
+                       scoringCorpus: Option[DataFrame] = None,
+                       k: Int = TopK): DataFrame = {
     val withNorm = embeddings.select(
         col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm"))
@@ -492,7 +507,7 @@ object Similarity {
       // (cosine desc, neighbor_id) order; centroid_id just rides along.
       .groupBy(col("query_id"))
       .agg(graft.expressions.TopKAggregate.top_k(col("cosine"),
-        struct(col("neighbor_id"), col("centroid_id")), TopK).as("tk"))
+        struct(col("neighbor_id"), col("centroid_id")), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"),
         col("col.payload.neighbor_id").as("neighbor_id"),
@@ -530,9 +545,11 @@ object Similarity {
     * so the probe reuses the training pass instead of re-running the
     * Lloyd chain; None trains inline. */
   def annIvfKmeansTopK(embeddingsRaw: DataFrame,
-                       centroidVectors: Option[DataFrame] = None): DataFrame = {
+                       centroidVectors: Option[DataFrame] = None,
+                       k: Int = TopK): DataFrame = {
     val embeddings = embeddingsRaw.repartition(col("vec_id"))
-    ivfProbe(embeddings, centroidVectors.getOrElse(Kmeans.centroidVectors(embeddings)))
+    ivfProbe(embeddings,
+      centroidVectors.getOrElse(Kmeans.centroidVectors(embeddings)), None, k)
   }
 
   /** IVF + PQ — the composed index a production vector store actually

@@ -280,8 +280,7 @@ object LlmSql {
     * picks by (score desc, neighbor_id). Every iterate is
     * `materialized` (the non-materialized form re-inlines the prior
     * selection exponentially — the k-core lesson). */
-  val mmrRerankQ: String = {
-    val n = Similarity.MmrCandidates
+  private def mmrSelectQ(prelude: String, embOkRel: String): String = {
     val k = Similarity.MmrK
     val steps = (2 to k).map { i =>
       s"""score$i as materialized (
@@ -307,17 +306,10 @@ object LlmSql {
          |  select query_id, neighbor_id, rel, rank, mmr_score from pick$i
          |)""".stripMargin
     }.mkString(",\n")
-    s"""with ${annCosineScoredOver("embeddings", "embeddings")},
-       |mmr_cand as materialized (
-       |  select query_id, neighbor_id, cosine as rel from (
-       |    select *, row_number() over (partition by query_id
-       |      order by cosine desc nulls last, neighbor_id) as rnk
-       |    from ann_scored
-       |  ) t where rnk <= $n
-       |),
+    s"""with $prelude,
        |mmr_vec as materialized (
        |  select c.query_id, c.neighbor_id, c.rel, e.embedding, e.nrm
-       |  from mmr_cand c join emb_ok e on e.vec_id = c.neighbor_id
+       |  from mmr_cand c join $embOkRel e on e.vec_id = c.neighbor_id
        |),
        |mmr_sim as materialized (
        |  select a.query_id, a.neighbor_id as ai, b.neighbor_id as bi,
@@ -337,6 +329,52 @@ object LlmSql {
        |  rel as relevance, mmr_score
        |from sel$k""".stripMargin
   }
+
+  /** The exact-fed MMR candidate prelude: brute-force cosine top-N
+    * from the shared scored CTEs (the recall baseline's arm). */
+  private def mmrExactPrelude: String =
+    s"""${annCosineScoredOver("embeddings", "embeddings")},
+       |mmr_cand as materialized (
+       |  select query_id, neighbor_id, cosine as rel from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cosine desc nulls last, neighbor_id) as rnk
+       |    from ann_scored
+       |  ) t where rnk <= ${Similarity.MmrCandidates}
+       |)""".stripMargin
+
+  /** The INDEX-FED candidate prelude (mirror Models.mmrRerank): the
+    * kmeans-IVF probe chain cut at rank ≤ MmrCandidates — the same
+    * ivf_cand arithmetic the ann_ivf_kmeans_topk oracle gates, only
+    * the cut depth differs. lazy: kmCtes initializes later in this
+    * object (vals initialize in file order). */
+  private lazy val mmrIndexPrelude: String =
+    s"""$kmCtes,
+       |${ivfProbeCtes(s"km_cent${graft.llm.Kmeans.Iters}")},
+       |mmr_cand as materialized (
+       |  select query_id, neighbor_id, cosine as rel from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cosine desc nulls last, neighbor_id) as rnk
+       |    from ivf_cand
+       |  ) t where rnk <= ${Similarity.MmrCandidates}
+       |)""".stripMargin
+
+  /** Mirror Models.mmrRerank — the SERVED pipeline: greedy MMR over
+    * index-probed candidates. */
+  lazy val mmrRerankQ: String = mmrSelectQ(mmrIndexPrelude, "ivf_emb_ok")
+
+  /** Mirror Models.mmrRecall: per-query selection recall of the
+    * index-fed MMR against the exact-fed MMR — each arm is the full
+    * MMR pipeline in its own subquery scope (independent WITH chains,
+    * no CTE-name collision by construction). */
+  lazy val mmrRecallQ: String =
+    s"""select e.query_id,
+       |  count(a.neighbor_id) as n_hits,
+       |  cast(count(a.neighbor_id) as double) / cast(count(*) as double) as recall
+       |from (select query_id, neighbor_id
+       |      from (${mmrSelectQ(mmrExactPrelude, "emb_ok")}) t) e
+       |left join (select query_id, neighbor_id from ($mmrRerankQ) t) a
+       |  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+       |group by 1""".stripMargin
 
   /** Mirror Similarity.annFilteredTopK: the asym search with the
     * per-query label predicate applied BEFORE the top-k rank. */

@@ -22,9 +22,15 @@ class PlanGuardSpec extends SparkSpec {
     // same bounded broadcast query-set scan (wrong-label filter /
     // prefix-truncated corpus per MRL arm)
     "ann_hard_negatives", "ann_matryoshka_recall",
-    // the same bounded broadcast query set feeds the MMR candidate
-    // pool; the greedy rerank itself is a groupByKey over ≤N-row groups
+    // INDEX-FED since r13: candidates come from the kmeans-IVF probe,
+    // whose only BNLJ is centroidRanked's bounded broadcast centroid
+    // set (the ann_ivf_kmeans_topk shape) — no corpus × queries scan
+    // remains; the greedy rerank itself is a groupByKey over ≤N-row groups
     "mmr_rerank",
+    // recall harness: the EXACT-fed arm's corpus × bounded broadcast
+    // query set is the ground truth being measured, not a serving path
+    // (the hybrid_recall precedent), plus the index arm's centroid BNLJ
+    "mmr_recall",
     // ADC candidate stage composes annCosineTopKAsym's bounded
     // broadcast query set; the re-rank joins are broadcast HASH joins
     "ann_pq_rerank_topk",
