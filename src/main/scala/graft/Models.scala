@@ -941,6 +941,16 @@ object Models {
   /** transformWithState (Spark 4 arbitrary-state API) per-user rollup. */
   def streamUserRollup(s: SparkSession, d: String): DataFrame =
     streaming.Streams.userRollupStateOnce(s, d)
+  // Two-delivery (time-split) variants: cross-batch state handoff
+  // under the same batch-twin oracles (VERDICT r12 #3).
+  def streamSessionsMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.sessionsMultiBatchOnce(s, d)
+  def streamSegmentCountsMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.segmentCountsMultiBatchOnce(s, d, stgCustomers(s, d))
+  def streamAttributionMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.clickAttributionMultiBatchOnce(s, d)
+  def streamUserRollupMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.userRollupMultiBatchOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =

@@ -208,6 +208,15 @@ object SparkEntry {
     "stream_sink_merge" -> out(Models.streamSinkMerge),
     // transformWithState (Spark 4 typed-state API): per-user rollup
     "stream_user_rollup" -> out(Models.streamUserRollup),
+    // two-delivery time-split variants of the classic stateful
+    // families: session continuation/closure across the trigger
+    // boundary, watermark advance between batches, join state
+    // surviving into batch 2, changelog upsert over a restored
+    // counter — same batch-twin oracles, batches=2 in stream_progress
+    "stream_sessions_multibatch" -> out(Models.streamSessionsMultibatch),
+    "stream_segment_counts_multibatch" -> out(Models.streamSegmentCountsMultibatch),
+    "stream_attribution_multibatch" -> out(Models.streamAttributionMultibatch),
+    "stream_user_rollup_multibatch" -> out(Models.streamUserRollupMultibatch),
     // foreachBatch maintenance job: new-doc batches banded against the
     // stored LSH index (the streaming twin of dedup_incremental_pairs)
     "stream_neardup_pairs" -> out(Models.streamNeardupPairs),
@@ -509,6 +518,13 @@ object SparkEntry {
     "stream_psi_monitor" -> OpsSql.featureDriftPsiQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
+    // the multi-batch runs share the one-batch oracles: the union of
+    // the two time-split deliveries is the whole events table and the
+    // split keeps event time monotone across batches
+    "stream_sessions_multibatch" -> graft.streaming.Streams.sessionsOracleSql,
+    "stream_segment_counts_multibatch" -> graft.streaming.Streams.segmentCountsOracleSql,
+    "stream_attribution_multibatch" -> graft.streaming.Streams.clickAttributionOracleSql,
+    "stream_user_rollup_multibatch" -> graft.streaming.Streams.userRollupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,

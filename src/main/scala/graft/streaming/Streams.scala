@@ -732,6 +732,150 @@ object Streams {
         ev.filter(col("event_id") % 2 =!= 0))
     }
 
+  /** The FULL events table as TWO single-file deliveries split AT
+    * TIME [[IvmCutoff]] (early half first) — the delivery shape that
+    * puts CROSS-BATCH STATE HANDOFF under the DuckDB gate for the
+    * classic stateful families (VERDICT r12 #3): a session open at
+    * the boundary must be continued (or closed and emitted) by batch
+    * 2's rows, a batch-2 click must join batch-1 purchase state, and
+    * a watermarked window must keep accepting batch-2 rows. A parity
+    * split would NOT work for the time-semantic families: each batch
+    * would span the full range, so batch 2's early rows would arrive
+    * behind batch 1's advanced watermark (silently dropped) and
+    * regress the session handlers' `last` fold (they consume in
+    * arrival order). The time split keeps event time monotone ACROSS
+    * batches, so every cross-batch effect is exercised and the
+    * one-batch oracles carry over verbatim. */
+  private def stagedTwoBatchEventsByTime(spark: SparkSession, sfDir: String,
+                                         scratch: String): DataFrame =
+    stagedTwoBatch(spark, "graft-2batch-evtime", sfDir, scratch,
+      "event_id long, ts timestamp, user_id long, event_type string, value double, props string") {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val cut = lit(IvmCutoff).cast("timestamp")
+      Seq(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+    }
+
+  /** Scratch dir for the multi-batch one-shots: pass-scoped via
+    * [[scratchId]] so each bench pass PROCESSES for real. */
+  private def multiBatchScratch(spark: SparkSession, key: String,
+                                sfDir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), key,
+      scratchId(spark), sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
+
+  // ---- multi-batch variants of the classic stateful one-shots ----
+  // (VERDICT r12 #3). Same engines, same sinks, same oracles as the
+  // one-batch runs; only the ingest differs — two time-split
+  // deliveries via maxFilesPerTrigger=1, so state MUST survive the
+  // trigger boundary for the batch-twin oracle to match: lost session
+  // state would drop or double boundary sessions, lost join state
+  // would lose batch-2 clicks' batch-1 purchases, lost rollup state
+  // would reset n_events. stream_progress records batches=2.
+
+  /** [[sessionsOnce]] over the two-delivery ingest: sessions straddling
+    * [[IvmCutoff]] continue (gap ≤ 30 min) or close-and-emit (gap
+    * exceeded) across the trigger boundary. */
+  def sessionsMultiBatchOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    import spark.implicits._
+    val scratch = multiBatchScratch(spark, "graft-ssmb", sfDir)
+    val events = stagedTwoBatchEventsByTime(spark, sfDir, scratch).select(
+      col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+    val name = "stream_sessions_mb_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = sessionize(events).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress("stream_sessions_multibatch", q)
+    spark.table(name)
+  }
+
+  /** [[segmentCountsOnce]] over the two-delivery ingest: the windowed
+    * aggregate's state (and the watermark advanced by batch 1) must
+    * admit and merge batch 2's rows — the time split guarantees none
+    * arrive behind the watermark, so a count short of the batch twin
+    * can only mean dropped state. */
+  def segmentCountsMultiBatchOnce(spark: SparkSession, sfDir: String,
+                                  customers: DataFrame): DataFrame = withStreamPartitions(spark) {
+    val scratch = multiBatchScratch(spark, "graft-sgmb", sfDir)
+    val events = stagedTwoBatchEventsByTime(spark, sfDir, scratch)
+    val name = "stream_segments_mb_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = segmentCounts(events, customers).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress("stream_segment_counts_multibatch", q)
+    spark.table(name)
+  }
+
+  /** [[clickAttributionOnce]] over the two-delivery ingest (both join
+    * sides read the same staged dir as independent sources): a batch-2
+    * click near the boundary finds its ≤6 h-earlier purchase only in
+    * batch-1 JOIN STATE — the eviction bound (purchase dropped once
+    * the click watermark passes purchase_ts + window) provably spares
+    * every still-matchable purchase at this split, so a missing pair
+    * means state was lost, not evicted. */
+  def clickAttributionMultiBatchOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = multiBatchScratch(spark, "graft-attrmb", sfDir)
+    def side(eventType: String): DataFrame =
+      stagedTwoBatchEventsByTime(spark, sfDir, scratch)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val name = "stream_attr_mb_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    withStreamPartitions(spark, JoinShufflePartitions) {
+      val q = clickAttribution(side("click"), side("purchase")).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      logProgress("stream_attribution_multibatch", q)
+    }
+    spark.table(name)
+  }
+
+  /** [[userRollupStateOnce]] over the two-delivery ingest: each key
+    * touched in both batches emits one changelog row per batch, and
+    * the upsert keeps the later (larger n_events) — a reset counter
+    * (state not restored at batch 2) cannot reach the batch twin's
+    * lifetime totals. */
+  def userRollupMultiBatchOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val scratch = multiBatchScratch(spark, "graft-urmb", sfDir)
+      val keyed = stagedTwoBatchEventsByTime(spark, sfDir, scratch)
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("ts_micros"),
+          col("user_id"), col("value")).as[KeyedEvent]
+      val name = "stream_user_rollup_mb_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val q = userRollupState(keyed).toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      logProgress("stream_user_rollup_multibatch", q)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      spark.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"), col("total_value"),
+          timestamp_micros(col("last_ts_micros")).as("last_ts"),
+          col("last_event_id"))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The FULL documents table as TWO single-file deliveries (doc_id
     * parity split) — the CMS maintenance twin of
     * [[stagedTwoBatchEvents]]. */
@@ -754,6 +898,12 @@ object Streams {
     * per timed pass would bill setup I/O to the measurement;
     * checkpoints/sinks stay pass-scoped via `scratch` so every pass
     * still PROCESSES for real. */
+  /** Per-inDir staging serialization: concurrent first-runs sharing an
+    * inKey (three event-stream queries do) must not interleave the
+    * build-and-publish block (ADVICE r12 #5). */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def stagedTwoBatch(spark: SparkSession, inKey: String,
                              sfDir: String, scratch: String,
                              schemaDdl: String)
@@ -764,25 +914,42 @@ object Streams {
       spark.sparkContext.applicationId,
       sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val staged = new Path(inDir, "_staged")
-    if (!fs.exists(staged)) {
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = new Path(s"$scratch/stage_${inKey}_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).head
-        fs.mkdirs(new Path(inDir)): Unit
-        val dst = new Path(inDir, name)
-        require(fs.rename(part, dst), s"staging rename failed for $name")
-        fs.setTimes(dst, mtime, -1)
-        fs.delete(tmp, true): Unit
+    // Crash-safe publication (ADVICE r12 #5): every delivery file is
+    // staged into a TEMP directory and the DIRECTORY is renamed into
+    // place — directory presence IS the staged marker. The old shape
+    // (per-file renames into inDir, then a trailing `_staged` marker)
+    // left a partial inDir on a mid-staging failure, poisoning every
+    // later pass's rename with an existing-destination require().
+    // A leftover temp dir from a crash is invisible (unique suffix,
+    // never listed) and a clean retry re-stages from scratch.
+    stageLocks.computeIfAbsent(inDir, _ => new Object).synchronized {
+      if (!fs.exists(new Path(inDir))) {
+        val tmpDir = new Path(
+          inDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        // fixed past mtimes 30 s apart: the file source orders its
+        // listing by modification time, so delivery order is
+        // deterministic; setTimes happens inside the temp dir and the
+        // rename preserves it
+        val t0 = 1600000000000L
+        build.zipWithIndex.foreach { case (df, i) =>
+          val name = s"b$i.parquet"
+          val stage = new Path(s"$scratch/stage_${inKey}_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = fs.listStatus(stage).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).head
+          fs.mkdirs(tmpDir): Unit
+          val dst = new Path(tmpDir, name)
+          require(fs.rename(part, dst), s"staging rename failed for $name")
+          fs.setTimes(dst, t0 + i * 30000L, -1)
+          fs.delete(stage, true): Unit
+        }
+        if (!fs.rename(tmpDir, new Path(inDir))) {
+          // a racing session published first — adopt theirs, drop ours
+          require(fs.exists(new Path(inDir)),
+            s"staging publish failed for $inDir")
+          fs.delete(tmpDir, true): Unit
+        }
       }
-      // fixed past mtimes 30 s apart: delivery order is deterministic
-      val t0 = 1600000000000L
-      build.zipWithIndex.foreach { case (df, i) =>
-        stage(df, s"b$i.parquet", t0 + i * 30000L)
-      }
-      fs.create(staged, true).close()
     }
     spark.readStream
       .schema(schemaDdl)

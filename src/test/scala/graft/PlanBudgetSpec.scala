@@ -41,6 +41,8 @@ class PlanBudgetSpec extends SparkSpec {
     "stream_sink_parquet", "stream_sink_merge", "stream_user_rollup",
     "stream_neardup_pairs", "stream_quality_scores", "stream_ivm_agg",
     "stream_hll_users", "stream_cms_heavy",
+    "stream_sessions_multibatch", "stream_segment_counts_multibatch",
+    "stream_attribution_multibatch", "stream_user_rollup_multibatch",
     "dq_summary")
 
   private def exchangeCounts(plan: SparkPlan): (Int, Int) = {

@@ -140,7 +140,10 @@ class PlanGuardSpec extends SparkSpec {
     "stream_windowed_counts", "stream_sessions", "stream_segment_counts",
     "stream_dedup", "stream_attribution", "stream_attribution_outer",
     "stream_user_rollup", "stream_neardup_pairs", "stream_neardup_multibatch",
-    "stream_hybrid_index", "stream_quality_scores", "dq_summary")
+    "stream_hybrid_index", "stream_quality_scores",
+    "stream_sessions_multibatch", "stream_segment_counts_multibatch",
+    "stream_attribution_multibatch", "stream_user_rollup_multibatch",
+    "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
     * whose row count is bounded by the schema, not the data — 25
