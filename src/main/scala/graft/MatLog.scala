@@ -129,19 +129,35 @@ object MatLog {
     * our unique claim, the slot's claim list is exactly us. Seeing
     * anyone else → withdraw; if every claim we saw sorts after ours we
     * are the designated retrier (bounded retries — mutual-withdraw
-    * ties break toward the minimum token), otherwise move on. */
+    * ties break toward the minimum token), otherwise move on.
+    *
+    * Liveness (ADVICE r12 #3): the designated retrier WAITS (bounded
+    * backoff) for foreign claims to clear instead of abandoning the
+    * slot the moment it still sees the loser's not-yet-deleted claim —
+    * withdraws aren't instant on an object store, and without the wait
+    * both contenders abandon v and chase each other up the slot space.
+    * Safety is unchanged: a win still requires listing exactly our own
+    * claim. */
   private def claimSlot(fs: FileSystem, dir: String, v: Int): Boolean = {
     var retries = 0
     while (retries < 5) {
-      if (fs.exists(new Path(dir, s"$v.json")) || claimsOf(fs, dir, v).nonEmpty)
+      if (fs.exists(new Path(dir, s"$v.json"))) return false
+      val standing = claimsOf(fs, dir, v)
+      if (standing.isEmpty) {
+        val mine = s"$v.reserve.${java.util.UUID.randomUUID().toString}"
+        fs.create(new Path(dir, mine), true).close() // plain PUT — no atomicity assumed
+        val seen = claimsOf(fs, dir, v)
+        if (seen == Seq(mine)) return true
+        fs.delete(new Path(dir, mine), false): Unit
+        if (seen.nonEmpty && seen.min != mine) return false
+        // mutual withdraw, we hold the minimum token: retry below
+      } else if (retries == 0) {
+        // fresh arrival at a held slot — not our election to wait out
         return false
-      val mine = s"$v.reserve.${java.util.UUID.randomUUID().toString}"
-      fs.create(new Path(dir, mine), true).close() // plain PUT — no atomicity assumed
-      val seen = claimsOf(fs, dir, v)
-      if (seen == Seq(mine)) return true
-      fs.delete(new Path(dir, mine), false): Unit
-      if (seen.nonEmpty && seen.min != mine) return false
+      }
+      // designated retrier: pause for the loser's withdraw to land
       retries += 1
+      Thread.sleep(10L * retries)
     }
     false
   }
@@ -157,9 +173,14 @@ object MatLog {
     while (attempts < 10000) {
       val taken = mode match {
         case AtomicCreate =>
-          val r = new Path(dir, s"$v.reserve")
-          fs.exists(r) || fs.exists(new Path(dir, s"$v.json")) || {
-            try { fs.create(r, false).close(); false }
+          // cross-mode guard (ADVICE r12 #2): election-mode claims
+          // (`<v>.reserve.<token>`) hold the slot exactly like the
+          // atomic marker — a fleet with mixed reserveMode settings
+          // must not double-reserve. claimsOf lists BOTH marker kinds,
+          // so one list replaces the plain-marker exists probe.
+          fs.exists(new Path(dir, s"$v.json")) ||
+            claimsOf(fs, dir, v).nonEmpty || {
+            try { fs.create(new Path(dir, s"$v.reserve"), false).close(); false }
             catch { case _: java.io.IOException => true }
           }
         case ClaimElection => !claimSlot(fs, dir, v)

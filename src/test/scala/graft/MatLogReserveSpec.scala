@@ -57,8 +57,24 @@ class MatLogReserveSpec extends AnyFunSuite {
     for (_ <- 1 to 5) {
       val (a, b) = race(MatLog.ClaimElection)
       assert(a != b, s"two writers both reserved slot $a")
-      assert(a >= 1 && b >= 1)
+      // liveness (ADVICE r12 #3): the designated min-token retrier
+      // waits out the loser's withdraw instead of abandoning the
+      // contested slot — slot 1 is always taken by someone, the pair
+      // never drifts up the slot space
+      assert(a == 1, s"contested slot abandoned by both writers: ($a, $b)")
     }
+  }
+
+  test("cross-mode: an election claim blocks an AtomicCreate writer (ADVICE r12 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-matlogres2").toString
+    val fs = new NonAtomicFs(new CyclicBarrier(1))
+    // an election-mode session holds slot 1 via its unique claim
+    assert(MatLog.reserveSlot(fs, dir, 1, MatLog.ClaimElection) == 1)
+    // an atomic-mode session must see the claim as taken and move on
+    assert(MatLog.reserveSlot(fs, dir, 1, MatLog.AtomicCreate) == 2,
+      "atomic-mode writer double-reserved a claim-held slot")
+    // and the reverse direction: the atomic marker blocks claim mode
+    assert(MatLog.reserveSlot(fs, dir, 1, MatLog.ClaimElection) == 3)
   }
 
   test("ClaimElection without contention reserves the next free slot and release frees it") {
