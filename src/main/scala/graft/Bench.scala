@@ -109,13 +109,40 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - tW0) / 1e9
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Fixed-subset mode (VERDICT r12 #5): SPARK_GRAFT_BENCH_SUBSET
+    // names a file with one query name per line (or a comma list);
+    // only those registered queries run. Separates the documented
+    // suite-growth smear (totals rise with suite size via JVM/GC
+    // pressure) from real per-query drift: re-bench an OLD round's
+    // exact query set on NEW code and compare at equal suite size.
+    val subset: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map { s =>
+        val p = java.nio.file.Paths.get(s)
+        val names =
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(p).asScala.toSeq
+          } else s.split(",").toSeq
+        names.map(_.trim).filter(_.nonEmpty).toSet
+      }
+    val benchQueries = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      subset.fold(all) { ss =>
+        val known = all.filter(t => ss.contains(t._1))
+        val unknown = ss -- known.map(_._1).toSet
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] subset names not registered " +
+            s"(skipped): ${unknown.toSeq.sorted.mkString(", ")}")
+        known
+      }
+    }
     // a DISTINCT stream-scratch tag per pass: every timed pass gets
     // fresh checkpoints and PROCESSES the one-shot streams for real
     // (VERDICT r10 #3 — min-of-3 was re-measuring idempotent no-op
     // replays of the checkpointed streams on passes 2–3)
     def timedPass(tag: String): Seq[(String, Double)] = {
       graft.streaming.Streams.scratchTag = tag
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try run(fn, name) catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -149,7 +176,7 @@ object Bench {
     val gc3 = gcMs()
     val warm2 = timedPass("p3")
     val gcWarm2Pass = gcMs() - gc3
-    val results = minResults(Seq(cold, warm, warm2), SparkEntry.queries.size)
+    val results = minResults(Seq(cold, warm, warm2), benchQueries.size)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -181,7 +208,7 @@ object Bench {
     // (r7+). Historical totals must not be compared 1:1 across schemas.
     val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","subset":${subset.isDefined},"n_queries":${benchQueries.size},"sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT
@@ -190,7 +217,9 @@ object Bench {
     // repo file the round-end commit preserves.
     try {
       val p = java.nio.file.Paths.get(
-        System.getProperty("user.dir"), "BENCH_LOCAL.json")
+        System.getProperty("user.dir"),
+        // a subset run must not clobber the full-suite artifact
+        if (subset.isDefined) "BENCH_LOCAL_SUBSET.json" else "BENCH_LOCAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.sortBy(-_._2).take(10)
