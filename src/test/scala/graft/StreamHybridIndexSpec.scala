@@ -15,6 +15,16 @@ class StreamHybridIndexSpec extends SparkSpec {
     assert(rows.length > 0)
     val acct = streaming.Streams.lastAccounting.get("stream_hybrid_index")
     assert(acct != null && acct.contains("\"batches\":2"), s"accounting: $acct")
+    // maintenance is INCREMENTAL (VERDICT r12 #6): each trigger's input
+    // is exactly its own delivery — batch 2 hashes only batch-2 docs,
+    // never the standing corpus or batch 1's docs again. A rebuild-
+    // from-scratch loop would show the cumulative count on batch 2.
+    val docs = Tables.documents(spark, sf)
+    val b1 = docs.filter(col("doc_id") % 10 === 0).count()
+    val b2 = docs.filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(acct.contains(s""""batch_rows":[$b1,$b2]"""),
+      s"per-trigger input should be each delivery's own rows ($b1,$b2): $acct")
     // batch twin: the same assembly from the full barriers with the
     // standing-corpus pinned stats — what the oracle mirrors
     val standVecs = Models.semVectors(spark, sf).filter(col("doc_id") % 5 =!= 0)
