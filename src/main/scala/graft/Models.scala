@@ -366,6 +366,10 @@ object Models {
     * banded self-join, two extra corpus passes per curation run. */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "minhash_pairs")(llm.Dedup.minhashPairs(minhashSignatures(s, d)))
+  /** Character-level (Levenshtein ≤ T) near-dup verification over the
+    * Mat'd MinHash band candidates — the typo/small-patch dedup family. */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame =
+    llm.Dedup.editDistancePairs(Tables.documents(s, d), minhashPairs(s, d))
   /** Materialized like the minhash signatures: the pairs query reads
     * the table three times (band explode + both self-join sides). */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =

@@ -109,7 +109,8 @@ object Scale {
   val probeQueryNames: Seq[String] = Seq(
     // dedup over documents
     "dedup_exact", "dedup_normalized", "minhash_signatures", "minhash_pairs",
-    "dedup_clusters", "dedup_incremental_pairs", "simhash_signatures",
+    "dedup_clusters", "dedup_incremental_pairs", "edit_distance_pairs",
+    "simhash_signatures",
     "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
     "substring_dedup",
     "source_dup_matrix", "doc_shared_ngrams",
@@ -166,7 +167,12 @@ object Scale {
     // dimension correlation (embeddings), aHash image dedup
     // (documents through the real PNG codec)
     "prf_search", "hybrid_rank_metrics", "kneser_ney_bigrams",
-    "quality_pareto", "embedding_corr", "media_ahash", "media_ahash_pairs")
+    "quality_pareto", "embedding_corr", "media_ahash", "media_ahash_pairs",
+    // r13: index-fed MMR recall — its exact-fed arm is a deliberate
+    // full-scan ground truth (the hybrid_recall precedent), so its
+    // time is expected linear-in-corpus; the SERVED arm inside it is
+    // the bounded probe (mmr_rerank above measures that shape alone)
+    "mmr_recall")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

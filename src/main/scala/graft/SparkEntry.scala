@@ -84,6 +84,9 @@ object SparkEntry {
     "dedup_normalized" -> out(Models.dedupNormalized),
     "minhash_signatures" -> out(Models.minhashSignatures),
     "minhash_pairs" -> out(Models.minhashPairs),
+    // character-level (Levenshtein <= T) verification over the banded
+    // candidates: the typo/small-patch dedup family shingles miss
+    "edit_distance_pairs" -> out(Models.editDistancePairs),
     "simhash_signatures" -> out(Models.simhashSignatures),
     "simhash_pairs" -> out(Models.simhashPairs),
     "ngram_jaccard_pairs" -> out(Models.ngramJaccardPairs),
@@ -432,6 +435,7 @@ object SparkEntry {
     "dedup_normalized" -> LlmSql.normalizedDedupQ,
     "minhash_signatures" -> LlmSql.minhashSignaturesQ,
     "minhash_pairs" -> LlmSql.minhashPairsQ,
+    "edit_distance_pairs" -> LlmSql.editDistancePairsQ,
     "simhash_signatures" -> LlmSql.simhashSignaturesQ,
     "simhash_pairs" -> LlmSql.simhashPairsQ,
     "ngram_jaccard_pairs" -> LlmSql.ngramJaccardPairsQ,

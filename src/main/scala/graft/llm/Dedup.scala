@@ -145,6 +145,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Max Levenshtein distance for a character-level duplicate pair
+    * (tuned to the testdata's planted near-dups: their candidate-pair
+    * edit distances sit at median 4; unrelated candidates are
+    * hundreds — measured in DuckDB over the committed minhash oracle
+    * before choosing). */
+  val EditMaxDist = 20
+
+  /** CHARACTER-LEVEL (edit-distance) near-dup pairs — the dedup
+    * family shingle methods under-serve: typo-level and small-patch
+    * duplicates where the delta is a few CHARACTERS, not words.
+    * Candidates come from the SAME capped MinHash band buckets as
+    * [[minhashPairs]] (a pair must share ≥1 band — the banding is the
+    * scale bound, never all-pairs), then two verification gates in
+    * cost order: the |len(a)−len(b)| ≤ T length bound (a one-subtract
+    * lower bound on edit distance — pairs that cannot qualify never
+    * run the DP), then Spark's codegen'd BOUNDED `levenshtein(a,b,T)`
+    * (banded DP that early-exits past T: O(T·min(len)) per pair, not
+    * O(len²); it returns −1 above the bound, hence the between-filter).
+    * Both engines implement the same unit-cost DP — the distance is
+    * exact integer arithmetic, bit-identical across the gate.
+    *
+    * At 100 TB: candidate volume is the capped band join's (linear ×
+    * cap); per-pair verify cost is bounded by T × doc length. */
+  def editDistancePairs(documents: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(documents.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(documents.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        // longs: DuckDB's length/levenshtein are BIGINT — match dtypes
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"),
+        levenshtein(col("text_a"), col("text_b"), EditMaxDist)
+          .cast("long").as("edit_distance"))
+      .filter(col("edit_distance").between(0, EditMaxDist))
+
   /** Public band-index derivation for materialization at the Models
     * layer ([[incrementalMinhashPairsFromBands]] reads the stored
     * table). */

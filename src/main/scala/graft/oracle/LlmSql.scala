@@ -66,6 +66,20 @@ object LlmSql {
        |  on a.band = b.band and a.v = b.v and a.doc_id < b.doc_id
        |group by 1, 2""".stripMargin
 
+  /** Mirror Dedup.editDistancePairs: the SAME minhash band-candidate
+    * chain, verified by DuckDB's levenshtein (identical unit-cost DP
+    * — exact integer, bit-identical; the length pre-bound is implied
+    * by the distance filter and kept for shape parity). */
+  val editDistancePairsQ: String =
+    s"""select c.doc_a, c.doc_b, c.n_shared_bands,
+       |  length(a.text) as len_a, length(b.text) as len_b,
+       |  levenshtein(a.text, b.text) as edit_distance
+       |from ($minhashPairsQ) c
+       |join documents a on a.doc_id = c.doc_a
+       |join documents b on b.doc_id = c.doc_b
+       |where abs(length(a.text) - length(b.text)) <= ${Dedup.EditMaxDist}
+       |  and levenshtein(a.text, b.text) <= ${Dedup.EditMaxDist}""".stripMargin
+
   private val shSums = (0 until Dedup.SimhashBits)
     .map(j => s"sum(case when (h >> $j) & 1 = 1 then 1 else -1 end) as s$j")
     .mkString(",\n    ")

@@ -256,6 +256,36 @@ class LlmSpec extends SparkSpec {
     assert(t.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("edit-distance pairs: bounded Levenshtein verification over banded candidates") {
+    import spark.implicits._
+    val T = llm.Dedup.EditMaxDist
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // distance 3 from 1
+      (3L, "a completely different document about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog" + " padding" * 10)
+    ).toDF("doc_id", "text")
+    // hand-built candidates: banding is specced by the minhash tests;
+    // this gates the VERIFICATION stage alone
+    val cands = Seq(
+      (1L, 2L, 3L), // true char-level near-dup
+      (1L, 3L, 1L), // shares a band but edit distance >> T
+      (1L, 4L, 2L)  // length gap > T: pre-bound skips the DP entirely
+    ).toDF("doc_a", "doc_b", "n_shared_bands")
+    val got = llm.Dedup.editDistancePairs(docs, cands).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("doc_a") === 1L)
+    assert(got(0).getAs[Long]("doc_b") === 2L)
+    assert(got(0).getAs[Long]("edit_distance") === 3L)
+    assert(got(0).getAs[Long]("len_a") === 43L)
+    // corpus run: every emitted pair is a capped-band candidate within
+    // the distance and length bounds
+    val t = Models.editDistancePairs(spark, sf)
+    assert(t.filter(col("edit_distance") > T ||
+      col("edit_distance") < 0 ||
+      abs(col("len_a") - col("len_b")) > T).count() === 0)
+  }
+
   test("mmr rerank: near-duplicate hit demoted below a diverse hit, greedy order exact") {
     import spark.implicits._
     // query 0 = e1; candidate 100 ~ e1 (top rel), 101 = near-dup of
