@@ -955,6 +955,8 @@ object Models {
     streaming.Streams.clickAttributionMultiBatchOnce(s, d)
   def streamUserRollupMultibatch(s: SparkSession, d: String): DataFrame =
     streaming.Streams.userRollupMultiBatchOnce(s, d)
+  def streamDedupMultibatch(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.ingestDedupMultiBatchOnce(s, d)
   def stratifiedEvents(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.stratifiedEvents(Tables.events(s, d))
   def eventsAsofNextPurchase(s: SparkSession, d: String): DataFrame =

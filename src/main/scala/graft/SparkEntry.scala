@@ -220,6 +220,8 @@ object SparkEntry {
     "stream_segment_counts_multibatch" -> out(Models.streamSegmentCountsMultibatch),
     "stream_attribution_multibatch" -> out(Models.streamAttributionMultibatch),
     "stream_user_rollup_multibatch" -> out(Models.streamUserRollupMultibatch),
+    // redelivery in a LATER batch: dedup key state across the boundary
+    "stream_dedup_multibatch" -> out(Models.streamDedupMultibatch),
     // foreachBatch maintenance job: new-doc batches banded against the
     // stored LSH index (the streaming twin of dedup_incremental_pairs)
     "stream_neardup_pairs" -> out(Models.streamNeardupPairs),
@@ -529,6 +531,7 @@ object SparkEntry {
     "stream_segment_counts_multibatch" -> graft.streaming.Streams.segmentCountsOracleSql,
     "stream_attribution_multibatch" -> graft.streaming.Streams.clickAttributionOracleSql,
     "stream_user_rollup_multibatch" -> graft.streaming.Streams.userRollupOracleSql,
+    "stream_dedup_multibatch" -> graft.streaming.Streams.ingestDedupOracleSql,
     "stratified_sample" -> OpsSql.stratifiedEventsQ,
     "skew_salted_enrich" -> OpsSql.skewSaltedEnrichQ,
     "pii_redaction" -> CurateSql.piiRedactionQ,

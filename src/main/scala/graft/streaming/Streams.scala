@@ -432,6 +432,51 @@ object Streams {
   val ingestDedupOracleSql: String =
     """select event_id, ts, user_id, event_type, value from events""".stripMargin
 
+  /** [[ingestDedupOnce]] with the redelivery arriving in a LATER
+    * micro-batch — the at-least-once case production actually hits
+    * (a source re-presents a whole delivery minutes later), vs the
+    * single-trigger run where both copies meet inside one batch. The
+    * two identical deliveries get ascending mtimes and
+    * `maxFilesPerTrigger=1`: batch 1 admits every event into the
+    * dedup state; batch 2 re-presents ALL of them against that state
+    * across the trigger boundary. Every batch-2 row must be
+    * suppressed by the surviving watermark-bounded key state (the
+    * 31-day delay covers the replay horizon, so no key expires
+    * mid-run) — lost state would double the sink, which the
+    * batch-twin oracle catches. */
+  def ingestDedupMultiBatchOnce(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "events.parquet")
+    val ingest = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-ingest-mb", scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(ingest)
+    Seq("delivery1.parquet", "delivery2.parquet").zipWithIndex.foreach {
+      case (f, i) =>
+        val dst = ingest.resolve(f)
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+        // ascending mtimes order the file source's listing — the
+        // redelivery is strictly the SECOND trigger
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + i * 30000L)): Unit
+    }
+    val events = adaptiveEventsStream(spark, ingest.toString,
+        globFilter = None,
+        extraOptions = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val name = "stream_dedup_mb_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = ingestDedup(events, "31 days").writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress("stream_dedup_multibatch", q)
+    spark.table(name)
+  }
+
   /** Stream-STREAM interval join — the last classic streaming shape
     * (windowed agg, stateful sessions, stream-static join, ingest
     * dedup are the other four): click-to-purchase attribution, each
@@ -905,10 +950,10 @@ object Streams {
     * per timed pass would bill setup I/O to the measurement;
     * checkpoints/sinks stay pass-scoped via `scratch` so every pass
     * still PROCESSES for real. */
-  private def stagedTwoBatch(spark: SparkSession, inKey: String,
-                             sfDir: String, scratch: String,
-                             schemaDdl: String)
-                            (build: => Seq[DataFrame]): DataFrame = {
+  private[streaming] def stagedTwoBatch(spark: SparkSession, inKey: String,
+                                        sfDir: String, scratch: String,
+                                        schemaDdl: String)
+                                       (build: => Seq[DataFrame]): DataFrame = {
     import org.apache.hadoop.fs.Path
     val inDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), inKey,

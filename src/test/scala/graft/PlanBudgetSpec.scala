@@ -43,6 +43,7 @@ class PlanBudgetSpec extends SparkSpec {
     "stream_hll_users", "stream_cms_heavy",
     "stream_sessions_multibatch", "stream_segment_counts_multibatch",
     "stream_attribution_multibatch", "stream_user_rollup_multibatch",
+    "stream_dedup_multibatch",
     "dq_summary")
 
   private def exchangeCounts(plan: SparkPlan): (Int, Int) = {

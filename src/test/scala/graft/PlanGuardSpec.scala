@@ -143,6 +143,7 @@ class PlanGuardSpec extends SparkSpec {
     "stream_hybrid_index", "stream_quality_scores",
     "stream_sessions_multibatch", "stream_segment_counts_multibatch",
     "stream_attribution_multibatch", "stream_user_rollup_multibatch",
+    "stream_dedup_multibatch",
     "dq_summary")
 
   /** Queries whose GLOBAL (unpartitioned) window runs over a side
