@@ -436,8 +436,7 @@ object Models {
     * [[mmrRecall]]'s ground-truth arm. */
   def mmrRerank(s: SparkSession, d: String): DataFrame =
     llm.Similarity.mmrRerankFrom(Tables.embeddings(s, d),
-      llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
-          Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))),
+      llm.Similarity.ivfProbeLists(ivfKmeansLists(s, d), kmeansCoarse(s, d),
           llm.Similarity.MmrCandidates)
         .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel")))
   /** Selection recall of the index-fed MMR against the exact-fed MMR
@@ -464,12 +463,20 @@ object Models {
   def annIvfTopK(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annIvfTopK(Tables.embeddings(s, d),
       Some(ivfLabelCentroids(s, d)))
-  /** The probe reads the MAT-materialized kmeans centroid table (the
-    * reconstruction roundtrip is bit-exact), so registering both this
-    * query and kmeans_centroids trains Lloyd once, not twice. */
+  /** The materialized IVF index: corpus-wide nearest-centroid
+    * assignment runs ONCE at index build (the r13 `ivf_kmeans_lists`
+    * Mat), serving probes the stored inverted lists — the
+    * vector-store deployment shape. Rebuild contract: a refreshed
+    * quantizer invalidates the lists (both Mats version together). */
+  private def ivfKmeansLists(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "ivf_kmeans_lists")(
+      llm.Similarity.ivfLists(Tables.embeddings(s, d), kmeansCoarse(s, d)))
+  /** The probe reads the Mat'd inverted lists and the Mat'd kmeans
+    * centroid table (both roundtrips bit-exact): per-execution work is
+    * query-side centroid ranking + the probed-list scan — the corpus
+    * assignment never re-runs at serving time. */
   def annIvfKmeansTopK(s: SparkSession, d: String): DataFrame =
-    llm.Similarity.annIvfKmeansTopK(Tables.embeddings(s, d),
-      Some(llm.Kmeans.vectorsFromExploded(kmeansCentroids(s, d))))
+    llm.Similarity.ivfProbeLists(ivfKmeansLists(s, d), kmeansCoarse(s, d))
   /** Cluster-quota diversity sample off the Mat'd kmeans quantizer:
     * semantic-coverage-preserving downsampling. */
   def diversitySample(s: SparkSession, d: String): DataFrame =

@@ -496,6 +496,14 @@ object Similarity {
     // queries are always full-precision (the assignment corpus)
     val qs = assignedFull.filter(col("vec_id") < NQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    ivfScore(assigned, probes, qs, k)
+  }
+
+  /** The in-list scan + bounded-heap cut shared by the inline probe
+    * and the materialized-lists probe: candidates meet their queries
+    * only inside probed lists (one broadcast of |Q|·nprobe rows). */
+  private def ivfScore(assigned: DataFrame, probes: DataFrame,
+                       qs: DataFrame, k: Int): DataFrame =
     assigned.join(broadcast(probes.join(qs, Seq("query_id"))),
         col("centroid_id") === col("q_centroid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("centroid_id"),
@@ -514,6 +522,42 @@ object Similarity {
         col("col.payload.centroid_id").as("centroid_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("col.score").as("cosine"))
+
+  /** The MATERIALIZED IVF index artifact: every corpus vector assigned
+    * to its nearest-centroid inverted list — (vec_id, embedding, nrm,
+    * centroid_id). Models stores this as the `ivf_kmeans_lists` Mat:
+    * assignment (one corpus × broadcast-centroids scan) runs at INDEX
+    * BUILD, and every serving execution probes the stored lists — the
+    * vector-store deployment shape, and the same build-once contract
+    * as the quantizer itself (a refreshed quantizer invalidates the
+    * lists; rebuild both). Parquet float/double roundtrip is bit-exact
+    * (kmeans_centroids precedent), so probing the Mat returns
+    * byte-identical results to the inline assignment. */
+  def ivfLists(embeddingsRaw: DataFrame, centroids: DataFrame): DataFrame = {
+    val embeddings = embeddingsRaw.repartition(col("vec_id"))
+    val withNorm = embeddings.select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    centroidRanked(withNorm, centroids).filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "centroid_id")
+  }
+
+  /** IVF probe over a MATERIALIZED lists table ([[ivfLists]]): only
+    * the QUERY vectors re-rank against the centroids (|Q| × K rows —
+    * bounded), the corpus-wide assignment is read, never recomputed.
+    * Byte-identical to [[annIvfKmeansTopK]]'s inline form — same
+    * per-row arithmetic, Mat roundtrip exact. */
+  def ivfProbeLists(lists: DataFrame, centroids: DataFrame,
+                    k: Int = TopK): DataFrame = {
+    val qv = lists.filter(col("vec_id") < NQueries)
+    val probes = centroidRanked(
+        qv.select("vec_id", "embedding", "nrm"), centroids)
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("q_centroid"))
+    val qs = qv.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    ivfScore(lists, probes, qs, k)
   }
 
   /** The label-derived coarse quantizer on its own: (centroid_id,
