@@ -322,6 +322,30 @@ object Models {
   /** Theil–Sen robust trend over the daily revenue series. */
   def revenueTheilSen(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueTheilSen(dailySummary(s, d))
+  /** Gini coefficient of customer lifetime revenue (rank formula). */
+  def revenueGini(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.revenueGini(stgOrders(s, d))
+  /** Lorenz curve at decile grain over the same ranked revenue. */
+  def lorenzDeciles(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.lorenzDeciles(stgOrders(s, d))
+  /** Benford first-digit distribution audit over order totals. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.benfordDigits(stgOrders(s, d))
+  /** One-row Benford χ²/MAD verdict (ordered-fold totals). */
+  def benfordSummary(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.benfordSummary(stgOrders(s, d))
+  /** Exact two-sample KS drift: weekday vs weekend order totals. */
+  def ksWeekendDrift(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.ksWeekendDrift(stgOrders(s, d))
+  /** Kaplan–Meier customer-tenure survival (exact-integer fold). */
+  def customerSurvivalKm(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.customerSurvivalKm(stgOrders(s, d))
+  /** Market-basket association rules (support/confidence/lift). */
+  def basketRules(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.basketRules(stgOrderItems(s, d))
+  /** Jaro–Winkler near-duplicate product-name pairs (blocked). */
+  def jwNamePairs(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.jwNamePairs(stgProducts(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

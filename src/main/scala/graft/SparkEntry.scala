@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.oracle.{CurateSql, LlmSql, OpsSql, Sql}
+import graft.oracle.{CurateSql, LlmSql, OpsSql, Sql, StatsSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
@@ -73,6 +73,22 @@ object SparkEntry {
     "revenue_cusum" -> out(Models.revenueCusum),
     // Theil-Sen median-of-slopes robust trend (29.3% breakdown point)
     "revenue_theilsen" -> out(Models.revenueTheilSen),
+    // Gini coefficient via the rank formula (two-phase global rank)
+    "revenue_gini" -> out(Models.revenueGini),
+    // Lorenz curve at decile grain (cumulative revenue share)
+    "lorenz_deciles" -> out(Models.lorenzDeciles),
+    // Benford first-digit audit (exact string digit, per-digit chi2)
+    "benford_digits" -> out(Models.benfordDigits),
+    // one-row Benford verdict: ordered-fold chi2 + MAD vs chi2_0.05,8
+    "benford_summary" -> out(Models.benfordSummary),
+    // exact two-sample Kolmogorov-Smirnov weekday-vs-weekend drift
+    "ks_weekend_drift" -> out(Models.ksWeekendDrift),
+    // Kaplan-Meier tenure survival (exact-integer sequential product)
+    "customer_survival_km" -> out(Models.customerSurvivalKm),
+    // market-basket association rules: support/confidence/lift
+    "basket_rules" -> out(Models.basketRules),
+    // Jaro-Winkler near-dup product names (native expr, blocked join)
+    "jw_name_pairs" -> out(Models.jwNamePairs),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -430,6 +446,14 @@ object SparkEntry {
     "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
     "revenue_cusum" -> Sql.revenueCusumQ,
     "revenue_theilsen" -> Sql.revenueTheilSenQ,
+    "revenue_gini" -> StatsSql.revenueGiniQ,
+    "lorenz_deciles" -> StatsSql.lorenzDecilesQ,
+    "benford_digits" -> StatsSql.benfordDigitsQ,
+    "benford_summary" -> StatsSql.benfordSummaryQ,
+    "ks_weekend_drift" -> StatsSql.ksWeekendDriftQ,
+    "customer_survival_km" -> StatsSql.customerSurvivalKmQ,
+    "basket_rules" -> StatsSql.basketRulesQ,
+    "jw_name_pairs" -> StatsSql.jwNamePairsQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

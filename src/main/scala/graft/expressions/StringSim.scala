@@ -1,0 +1,109 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native Jaro–Winkler similarity (Jaro 1989; Winkler 1990) — the
+  * record-linkage classic Spark lacks as a built-in. A Scala UDF would
+  * leave whole-stage codegen and box every row; this expression stays
+  * a single static call inside the generated code (the [[TextExprs]]
+  * shape).
+  *
+  * Semantics pinned to the textbook definition so the DuckDB oracle's
+  * `jaro_winkler_similarity` matches BIT-FOR-BIT (verified empirically
+  * over thousands of real-name pairs before gating):
+  *   - match window = max(|a|,|b|)/2 − 1 (floor, clamped ≥ 0);
+  *     greedy left-to-right matching, each target char used once
+  *   - transpositions = half the matched-char order mismatches (floor)
+  *   - jaro = (m/|a| + m/|b| + (m−t)/m) / 3 — exactly this operation
+  *     order (three divisions, two additions, one division)
+  *   - Winkler boost only when jaro > 0.7: jw = j + l·0.1·(1−j),
+  *     l = common prefix capped at 4 (DuckDB uses the same 0.7
+  *     boost threshold — probed, not assumed)
+  *   - both empty → 0.0 under the |a|·|b|=0 guard (DuckDB agrees)
+  *
+  * Comparison is over UTF-16 code units (String chars) — identical to
+  * code-point comparison for the BMP text this engine gates on; a
+  * full-astral contract would decode code points first.
+  */
+object StringSim {
+
+  def jaro(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val win = math.max(0, math.max(la, lb) / 2 - 1)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - win)
+      val hi = math.min(lb - 1, i + win)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    (md / la + md / lb + (m - t) / md) / 3.0
+  }
+
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val j = jaro(a, b)
+    if (j <= 0.7) return j
+    var l = 0
+    val n = math.min(4, math.min(a.length, b.length))
+    while (l < n && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"jaro_winkler needs two string inputs, got ($l, $r)")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.expressions.StringSim.jaroWinkler($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+}

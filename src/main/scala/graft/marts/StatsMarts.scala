@@ -1,0 +1,319 @@
+package graft.marts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
+import graft.operators.{Ranks, Scans}
+
+/** Round-14 statistics / data-quality family: revenue concentration
+  * (Gini + Lorenz), first-digit fraud audit (Benford), exact
+  * two-sample drift (Kolmogorov–Smirnov), customer survival
+  * (Kaplan–Meier), and market-basket association rules.
+  *
+  * Shared determinism contract (the CUSUM/Theil-Sen discipline): all
+  * intermediate statistics are EXACT int64 cents/counts; IEEE doubles
+  * appear only in the final projection as single divisions (or a
+  * literal-coefficient product on an exact quotient), so both engines
+  * hash identical bits. Int64 headroom is asserted per query in
+  * StatsMartsSpec; decimal(38,0) widening is the documented
+  * beyond-exabyte escape (the CUSUM precedent).
+  */
+object StatsMarts {
+
+  /** Per-customer lifetime revenue in exact cents, ranked ascending
+    * (ties broken by customer_id) through the two-phase
+    * [[Ranks.globalRankWithValue]] — rank 1 = poorest customer, no
+    * single-task sort at any cardinality. globalRank orders
+    * descending, so the metric is NEGATED cents. */
+  private def custCentsRanked(stgOrders: DataFrame): DataFrame = {
+    val cust = stgOrders
+      .select(col("customer_id"),
+        (col("order_total") * 100).cast("long").as("order_cents"))
+      .groupBy("customer_id")
+      .agg(sum(col("order_cents")).as("neg_src"))
+      .select(col("customer_id"), (-col("neg_src")).as("neg_cents"))
+    Ranks.globalRankWithValue(cust, "customer_id", col("neg_cents"),
+      "neg_cents", "rnk")
+      .select(col("customer_id"), (-col("neg_cents")).as("cents"), col("rnk"))
+  }
+
+  /** GINI COEFFICIENT of customer lifetime revenue — the standard
+    * inequality measure via the rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending (ties
+    * rank-order-invariant: equal x swap equal contributions).
+    * Everything up to the one output division is exact int64; at the
+    * gated SFs Σ i·x ≤ n²·max_cents ≈ 3.4e16 ≪ 2⁶³ (spec-asserted);
+    * decimal(38,0) is the documented widening beyond. */
+  def revenueGini(stgOrders: DataFrame): DataFrame = {
+    val ranked = custCentsRanked(stgOrders)
+    ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("cents")).as("total_cents"),
+      sum(col("rnk").cast("long") * col("cents")).as("rank_weighted"))
+      .select(
+        col("n_customers"), col("total_cents"),
+        ((lit(2L) * col("rank_weighted")
+          - (col("n_customers") + 1L) * col("total_cents")).cast("double")
+          / (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+  }
+
+  /** LORENZ CURVE at decile grain: cumulative revenue share of the
+    * poorest 10%·k of customers. Decile assignment is the exact
+    * integer ((rnk−1)·10) div n + 1 over the tie-broken global rank;
+    * the cumulative window runs over ≤10 rows (bounded domain — the
+    * documented unpartitioned-window exception) in exact int64. */
+  def lorenzDeciles(stgOrders: DataFrame): DataFrame = {
+    val ranked = custCentsRanked(stgOrders)
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val byDec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr("cast(((rnk - 1) * 10) div n as int) + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
+        max(col("s")).as("s"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("decile"), col("n_customers"), col("cents"), col("cum_cents"),
+        (col("cents").cast("double") / col("s").cast("double")).as("share"),
+        (col("cum_cents").cast("double") / col("s").cast("double")).as("cum_share"))
+  }
+
+  /** Benford expected first-digit shares log10(1 + 1/d), materialized
+    * ONCE driver-side and embedded as literals in BOTH engines (a
+    * shortest-round-trip double literal parses back to the same bits —
+    * no cross-engine log10 in the contract). */
+  val BenfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** χ²₀.₀₅ critical value at 8 degrees of freedom (literal). */
+  val BenfordChi2Crit05 = 15.50731305586545
+
+  /** BENFORD'S LAW first-digit audit (Newcomb 1881; Benford 1938) on
+    * order totals — the classic accounting-fraud screen: genuine
+    * multiplicative amounts follow P(d) = log10(1+1/d); fabricated
+    * ones drift uniform. First digit is exact string arithmetic on
+    * integer cents (no float log); per-digit χ² terms are the
+    * identical ((n_d−e)·(n_d−e))/e three-op IEEE chain on both
+    * engines. */
+  def benfordDigits(stgOrders: DataFrame): DataFrame = {
+    val cents = stgOrders
+      .select((col("order_total") * 100).cast("long").as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
+    val tot = cents.agg(count(lit(1)).as("n"))
+    val pCase = (1 to 9).foldLeft(when(lit(false), lit(0.0))) {
+      case (c, d) => c.when(col("digit") === d, lit(BenfordP(d)))
+    }
+    cents.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("benford_p", pCase)
+      .withColumn("expected_n", col("n").cast("double") * col("benford_p"))
+      .select(col("digit"), col("n_obs"), col("n"),
+        (col("n_obs").cast("double") / col("n").cast("double")).as("share"),
+        col("benford_p"), col("expected_n"),
+        (((col("n_obs").cast("double") - col("expected_n"))
+          * (col("n_obs").cast("double") - col("expected_n")))
+          / col("expected_n")).as("chi2_term"))
+  }
+
+  /** One-row Benford verdict: total χ² and mean-absolute-deviation of
+    * shares. Double SUMS are banned cross-engine (addition order), so
+    * both totals are ORDERED LEFT FOLDS over the digit-sorted 9-row
+    * array — Spark `aggregate` over `array_sort(collect_list(...))`,
+    * DuckDB `list_reduce` over `list(... order by digit)`: identical
+    * addition sequence, identical bits. */
+  def benfordSummary(stgOrders: DataFrame): DataFrame = {
+    benfordDigits(stgOrders)
+      .withColumn("abs_dev",
+        when(col("share") >= col("benford_p"), col("share") - col("benford_p"))
+          .otherwise(col("benford_p") - col("share")))
+      .agg(
+        max(col("n")).as("n"),
+        aggregate(array_sort(collect_list(struct(col("digit"), col("chi2_term")))),
+          lit(0.0), (acc, x) => acc + x.getField("chi2_term")).as("chi2"),
+        aggregate(array_sort(collect_list(struct(col("digit"), col("abs_dev")))),
+          lit(0.0), (acc, x) => acc + x.getField("abs_dev")).as("mad_sum"))
+      .select(col("n"), col("chi2"),
+        (col("mad_sum") / 9.0).as("mad"),
+        lit(8).as("df"),
+        (col("chi2") > BenfordChi2Crit05).as("reject_05"))
+  }
+
+  /** KS two-sided 5% coefficient c(α)=1.358 (literal both engines). */
+  val KsCoef05 = 1.358
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift between weekday and
+    * weekend order-total distributions. D = max over the pooled value
+    * grid of |F̂_a − F̂_b| kept as the exact integer
+    * |cum_a·n_b − cum_b·n_a| (one division at the very end); the
+    * argmax value is the MINIMAL cents achieving the max (tie-broken,
+    * engine-order-free). The ECDF grid is the distinct-value domain —
+    * unbounded in general — so the cumulative counts run through the
+    * two-phase [[Scans.prefixSums]], not a single-task window.
+    * Headroom: cum·n ≤ n_a·n_b ≈ 2.25e18 at 1.5e9 orders/side —
+    * inside int64 at the 100 TB target, spec-asserted at the gated
+    * SFs. */
+  def ksWeekendDrift(stgOrders: DataFrame): DataFrame = {
+    // Spark dayofweek: 1=Sunday … 7=Saturday
+    val base = stgOrders.select(
+      (col("order_total") * 100).cast("long").as("cents"),
+      dayofweek(col("ordered_at")).isin(1, 7).as("is_weekend"))
+    val byVal = base.groupBy("cents").agg(
+      count(when(!col("is_weekend"), 1)).as("n_wd"),
+      count(when(col("is_weekend"), 1)).as("n_we"))
+    val cum = Scans.prefixSums(byVal, "cents", Seq("n_wd", "n_we"))
+    val tot = byVal.agg(sum(col("n_wd")).as("t_wd"), sum(col("n_we")).as("t_we"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .select(col("cents"), col("t_wd"), col("t_we"),
+        abs(col("cum_n_wd") * col("t_we") - col("cum_n_we") * col("t_wd"))
+          .as("diff_num"))
+    val ksNum = diffs.agg(max(col("diff_num")).as("ks_num"))
+    diffs.join(broadcast(ksNum), col("diff_num") === col("ks_num"))
+      .agg(
+        max(col("t_wd")).as("n_weekday"), max(col("t_we")).as("n_weekend"),
+        max(col("ks_num")).as("ks_num"), min(col("cents")).as("ks_at_cents"))
+      .select(
+        col("n_weekday"), col("n_weekend"), col("ks_num"), col("ks_at_cents"),
+        (col("ks_num").cast("double")
+          / (col("n_weekday") * col("n_weekend")).cast("double")).as("ks_stat"),
+        (lit(KsCoef05) * sqrt((col("n_weekday") + col("n_weekend")).cast("double")
+          / (col("n_weekday") * col("n_weekend")).cast("double"))).as("crit_05"))
+      .withColumn("reject_05", col("ks_stat") > col("crit_05"))
+  }
+
+  /** A customer is a churn EVENT if silent for this many days before
+    * the pinned run date; otherwise right-censored at the run date. */
+  val ChurnHorizonDays = 90
+
+  /** Survival probabilities scaled to exact integers: S·10⁹ with a
+    * floor division per factor (≤1 ulp of 1e-9 lost per step,
+    * deterministically, on BOTH engines). */
+  val KmScale = 1000000000L
+
+  /** KAPLAN–MEIER survival estimator (Kaplan & Meier 1958) over
+    * customer tenure (days from first to last order; customers still
+    * active inside [[ChurnHorizonDays]] of the run date are
+    * right-censored at run date − first order). Ŝ(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) — an inherently SEQUENTIAL product, kept exact as
+    * the int64 recursion S_k = (S_{k−1}·(nᵢ−dᵢ)) div nᵢ starting at
+    * [[KmScale]]: Spark folds the tenure-sorted risk table with the
+    * `aggregate` higher-order function (per-row prefix slice — the
+    * tenure domain is calendar-bounded, ≤3650 rows a decade, so the
+    * O(T²) fold is ~6.7M int ops in one stage); DuckDB mirrors with a
+    * recursive CTE. Identical integer sequences ⇒ identical bits.
+    * At-risk counts come through the two-phase [[Scans.prefixSums]].
+    * d=0 rows are folded too — their factor is exact identity — so
+    * neither engine filters. */
+  def customerSurvivalKm(stgOrders: DataFrame): DataFrame = {
+    val cust = stgOrders.groupBy("customer_id").agg(
+      min(col("ordered_at")).as("first_at"),
+      max(col("ordered_at")).as("last_at"))
+      .select(
+        when(datediff(Funcs.runDate, col("last_at")) > ChurnHorizonDays,
+          datediff(col("last_at"), col("first_at")))
+          .otherwise(datediff(Funcs.runDate, col("first_at"))).as("t_days"),
+        (datediff(Funcs.runDate, col("last_at")) > ChurnHorizonDays).as("churned"))
+    val byT = cust.groupBy("t_days").agg(
+      count(when(col("churned"), 1)).as("d_events"),
+      count(when(!col("churned"), 1)).as("c_censored"))
+    val tot = byT.agg((sum(col("d_events")) + sum(col("c_censored"))).as("n_total"))
+    val risk = Scans.prefixSums(byT, "t_days", Seq("d_events", "c_censored"))
+      .crossJoin(broadcast(tot))
+      .select(col("t_days"), col("d_events"), col("c_censored"),
+        (col("n_total") - (col("cum_d_events") - col("d_events"))
+          - (col("cum_c_censored") - col("c_censored"))).as("n_risk"))
+    // tenure domain is calendar-bounded: collect the sorted risk table
+    // once, fold a prefix slice per row (exact int64 at every step)
+    val arr = risk.agg(array_sort(
+      collect_list(struct(col("t_days"), col("n_risk"), col("d_events")))).as("arr"))
+    risk.withColumn("__t_cur", col("t_days"))
+      .crossJoin(broadcast(arr))
+      .withColumn("s_scaled",
+        expr(s"""aggregate(
+          filter(arr, x -> x.t_days <= __t_cur),
+          cast($KmScale as bigint),
+          (acc, x) -> (acc * (x.n_risk - x.d_events)) div x.n_risk)"""))
+      .select(col("t_days"), col("n_risk"), col("d_events"), col("c_censored"),
+        col("s_scaled"),
+        (col("s_scaled").cast("double") / lit(KmScale).cast("double"))
+          .as("survival"))
+  }
+
+  /** Keep only product pairs co-bought in at least this many orders. */
+  val BasketMinPairs = 3L
+
+  /** MARKET-BASKET ASSOCIATION RULES (Agrawal, Imielinski & Swami
+    * 1993) over order baskets: support / confidence (both directions)
+    * / lift for every product pair co-purchased ≥ [[BasketMinPairs]]
+    * times. Counts are exact; every ratio is a single division of
+    * exact int64 products (lift = (pair·n)/(nₐ·n_b) — one IEEE op).
+    * The pair join is per-order self-fanout (Σ basket², the apriori
+    * candidate step) with the product_a < product_b orientation; item
+    * supports join back per-product — plain shuffle joins that
+    * partition by key at any scale. */
+  def basketRules(stgOrderItems: DataFrame): DataFrame = {
+    val items = stgOrderItems.select(col("order_id"), col("product_id")).distinct()
+    val nOrders = items.agg(countDistinct(col("order_id")).as("n_orders"))
+    val supports = items.groupBy("product_id").agg(count(lit(1)).as("supp"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.order_id") === col("b.order_id")
+          && col("a.product_id") < col("b.product_id"))
+      .groupBy(col("a.product_id").as("product_a"),
+        col("b.product_id").as("product_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= BasketMinPairs)
+    pairs
+      .join(supports.withColumnRenamed("product_id", "product_a")
+        .withColumnRenamed("supp", "a_n"), Seq("product_a"))
+      .join(supports.withColumnRenamed("product_id", "product_b")
+        .withColumnRenamed("supp", "b_n"), Seq("product_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("product_a"), col("product_b"), col("pair_n"),
+        col("a_n"), col("b_n"), col("n_orders"),
+        (col("pair_n").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("pair_n").cast("double") / col("a_n").cast("double")).as("conf_a_to_b"),
+        (col("pair_n").cast("double") / col("b_n").cast("double")).as("conf_b_to_a"),
+        ((col("pair_n") * col("n_orders")).cast("double")
+          / (col("a_n") * col("b_n")).cast("double")).as("lift"))
+  }
+
+  /** Report product-name pairs at or above this JW similarity. */
+  val JwThreshold = 0.9
+
+  /** Skip blocks larger than this (the media_ahash_pairs honest-
+    * truncation convention): Σ block² is the join's work, so one hot
+    * first-token caps at MaxJwBlock² candidates instead of exploding
+    * with the corpus. Deterministic — both engines count, both skip. */
+  val MaxJwBlock = 4096L
+
+  /** Near-duplicate PRODUCT-NAME pairs by [[graft.expressions.StringSim
+    * JaroWinkler]] — the record-linkage/entity-resolution companion to
+    * the Levenshtein `fuzzy_name_match`: JW is O(|a|·window) instead
+    * of O(|a|·|b|) and prefix-weighted (names share roots, typos tail).
+    * Blocked on the first name token (same-block pairs only) so the
+    * candidate set is Σ block² — bounded per key, the standard
+    * blocking escape from n²; a skewed block would salt exactly like
+    * any hot join key. The similarity itself is bit-pinned to DuckDB's
+    * `jaro_winkler_similarity` (see StringSim), so even the >θ filter
+    * agrees bit-for-bit. */
+  def jwNamePairs(stgProducts: DataFrame): DataFrame = {
+    val p0 = stgProducts.select(col("product_id"), col("product_name"),
+      element_at(split(col("product_name"), " "), 1).as("block"))
+    val sizes = p0.groupBy("block").agg(count(lit(1)).as("block_n"))
+    val p = p0.join(broadcast(sizes.where(col("block_n") <= MaxJwBlock)), Seq("block"))
+      .select("product_id", "product_name", "block")
+    p.as("a").join(p.as("b"),
+      col("a.block") === col("b.block")
+        && col("a.product_id") < col("b.product_id"))
+      .select(
+        col("a.product_id").as("product_a"), col("b.product_id").as("product_b"),
+        col("a.product_name").as("name_a"), col("b.product_name").as("name_b"),
+        graft.expressions.StringSim.jaro_winkler(
+          col("a.product_name"), col("b.product_name")).as("jw"))
+      .where(col("jw") >= JwThreshold)
+  }
+}

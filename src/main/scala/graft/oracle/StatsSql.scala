@@ -1,0 +1,317 @@
+package graft.oracle
+
+import graft.marts.StatsMarts
+
+/** DuckDB mirrors of the round-14 statistics/DQ family
+  * ([[graft.marts.StatsMarts]]). Same determinism discipline as
+  * [[Sql]]: exact int64 cents/counts everywhere, doubles only as the
+  * final single divisions (or ordered left folds where a total of
+  * doubles is unavoidable — never an engine-ordered SUM). */
+object StatsSql {
+
+  private val ctes = Sql.stagingCtes
+
+  /** Double literal that DuckDB parses as DOUBLE, not DECIMAL: a bare
+    * `0.1249…` literal becomes DECIMAL(18,17) and its later
+    * decimal→double conversion can land one ULP off the Scala-side
+    * `lit` (caught live by the benford_digits gate). Exponent
+    * notation pins the parser to float64, so the shortest-round-trip
+    * digits recover the identical bits. */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** Mirror StatsMarts.custCentsRanked: ascending-cents global rank,
+    * customer_id tiebreak (Ranks orders by negated cents desc). */
+  private val giniBase: String =
+    """gini_c as (
+      |  select customer_id,
+      |    cast(sum(cast(order_total * 100 as bigint)) as bigint) as cents
+      |  from stg_orders group by customer_id
+      |),
+      |gini_r as (
+      |  select customer_id, cents,
+      |    cast(row_number() over (order by cents, customer_id) as int) as rnk
+      |  from gini_c
+      |)""".stripMargin
+
+  /** Mirror StatsMarts.revenueGini: the rank-formula Gini with exact
+    * int64 numerator/denominator and ONE output division. DuckDB sums
+    * bigint into HUGEINT — narrowed back (values fit int64;
+    * StatsMartsSpec asserts the headroom). */
+  val revenueGiniQ: String =
+    s"""$ctes,
+       |$giniBase,
+       |gini_a as (
+       |  select count(*) as n_customers,
+       |    cast(sum(cents) as bigint) as total_cents,
+       |    cast(sum(cast(rnk as bigint) * cents) as bigint) as rank_weighted
+       |  from gini_r
+       |)
+       |select n_customers, total_cents,
+       |  cast(2 * rank_weighted - (n_customers + 1) * total_cents as double)
+       |    / cast(n_customers * total_cents as double) as gini
+       |from gini_a""".stripMargin
+
+  /** Mirror StatsMarts.lorenzDeciles: exact integer decile buckets
+    * over the tie-broken rank, 10-row cumulative in exact int64. */
+  val lorenzDecilesQ: String =
+    s"""$ctes,
+       |$giniBase,
+       |lor_t as (select count(*) as n, cast(sum(cents) as bigint) as s from gini_c),
+       |lor_d as (
+       |  select cast(((rnk - 1) * 10) // n as int) + 1 as decile,
+       |    count(*) as n_customers, cast(sum(cents) as bigint) as cents,
+       |    max(s) as s
+       |  from gini_r cross join lor_t group by 1
+       |),
+       |lor_c as (
+       |  select decile, n_customers, cents, s,
+       |    cast(sum(cents) over (order by decile
+       |      rows between unbounded preceding and current row) as bigint) as cum_cents
+       |  from lor_d
+       |)
+       |select decile, n_customers, cents, cum_cents,
+       |  cast(cents as double) / cast(s as double) as share,
+       |  cast(cum_cents as double) / cast(s as double) as cum_share
+       |from lor_c""".stripMargin
+
+  /** case expression mapping first digit → Benford literal (the SAME
+    * shortest-round-trip double literals the Spark side embeds). */
+  private val benfordCase: String =
+    "case digit " +
+      (1 to 9).map(d => s"when $d then ${dlit(StatsMarts.BenfordP(d))}").mkString(" ") +
+      " end"
+
+  private val benfordBase: String =
+    s"""ben_c as (
+       |  select cast(order_total * 100 as bigint) as cents from stg_orders
+       |  where cast(order_total * 100 as bigint) > 0
+       |),
+       |ben_d as (
+       |  select cast(substring(cast(cents as varchar), 1, 1) as int) as digit
+       |  from ben_c
+       |),
+       |ben_t as (select count(*) as n from ben_d),
+       |ben_g as (
+       |  select digit, count(*) as n_obs, max(n) as n
+       |  from ben_d cross join ben_t group by digit
+       |),
+       |ben_p as (
+       |  select digit, n_obs, n,
+       |    cast(n_obs as double) / cast(n as double) as share,
+       |    $benfordCase as benford_p,
+       |    cast(n as double) * ($benfordCase) as expected_n
+       |  from ben_g
+       |),
+       |ben_x as (
+       |  select digit, n_obs, n, share, benford_p, expected_n,
+       |    ((cast(n_obs as double) - expected_n)
+       |      * (cast(n_obs as double) - expected_n)) / expected_n as chi2_term
+       |  from ben_p
+       |)""".stripMargin
+
+  /** Mirror StatsMarts.benfordDigits: exact string first-digit, exact
+    * counts, the identical three-op χ²-term chain. */
+  val benfordDigitsQ: String =
+    s"""$ctes,
+       |$benfordBase
+       |select digit, n_obs, n, share, benford_p, expected_n, chi2_term
+       |from ben_x""".stripMargin
+
+  /** Mirror StatsMarts.benfordSummary: χ² and MAD totals as ORDERED
+    * LEFT FOLDS over the digit-sorted 9-row list (list_reduce with a
+    * prepended 0.0 = Spark's aggregate with 0.0 init) — never an
+    * engine-ordered double SUM. */
+  val benfordSummaryQ: String =
+    s"""$ctes,
+       |$benfordBase,
+       |ben_v as (
+       |  select digit, n, chi2_term,
+       |    case when share >= benford_p then share - benford_p
+       |         else benford_p - share end as abs_dev
+       |  from ben_x
+       |),
+       |ben_f as (
+       |  select max(n) as n,
+       |    list_reduce(list_prepend(cast(0.0 as double),
+       |      list(chi2_term order by digit)), (acc, x) -> acc + x) as chi2,
+       |    list_reduce(list_prepend(cast(0.0 as double),
+       |      list(abs_dev order by digit)), (acc, x) -> acc + x) as mad_sum
+       |  from ben_v
+       |)
+       |select n, chi2, mad_sum / 9.0 as mad, 8 as df,
+       |  chi2 > ${dlit(StatsMarts.BenfordChi2Crit05)} as reject_05
+       |from ben_f""".stripMargin
+
+  /** Mirror StatsMarts.ksWeekendDrift: exact-integer ECDF gap
+    * |cum_a·n_b − cum_b·n_a| maximized over the pooled cents grid,
+    * minimal-cents argmax, one output division + the literal-coef
+    * critical value. DuckDB dayofweek: Sunday=0, Saturday=6 (Spark:
+    * 1 and 7 — each engine speaks its own calendar dialect, the
+    * PREDICATE is what the contract pins). */
+  val ksWeekendDriftQ: String =
+    s"""$ctes,
+       |ks_b as (
+       |  select cast(order_total * 100 as bigint) as cents,
+       |    dayofweek(ordered_at) in (0, 6) as is_weekend
+       |  from stg_orders
+       |),
+       |ks_v as (
+       |  select cents,
+       |    count(case when not is_weekend then 1 end) as n_wd,
+       |    count(case when is_weekend then 1 end) as n_we
+       |  from ks_b group by cents
+       |),
+       |ks_c as (
+       |  select cents, n_wd, n_we,
+       |    cast(sum(n_wd) over w as bigint) as cum_n_wd,
+       |    cast(sum(n_we) over w as bigint) as cum_n_we
+       |  from ks_v
+       |  window w as (order by cents
+       |               rows between unbounded preceding and current row)
+       |),
+       |ks_t as (
+       |  select cast(sum(n_wd) as bigint) as t_wd,
+       |    cast(sum(n_we) as bigint) as t_we
+       |  from ks_v
+       |),
+       |ks_d as (
+       |  select cents, t_wd, t_we,
+       |    abs(cum_n_wd * t_we - cum_n_we * t_wd) as diff_num
+       |  from ks_c cross join ks_t
+       |),
+       |ks_m as (select max(diff_num) as ks_num from ks_d),
+       |ks_f as (
+       |  select max(t_wd) as n_weekday, max(t_we) as n_weekend,
+       |    max(ks_num) as ks_num, min(cents) as ks_at_cents
+       |  from ks_d join ks_m on diff_num = ks_num
+       |)
+       |select n_weekday, n_weekend, ks_num, ks_at_cents,
+       |  cast(ks_num as double)
+       |    / cast(n_weekday * n_weekend as double) as ks_stat,
+       |  ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
+       |    / cast(n_weekday * n_weekend as double)) as crit_05,
+       |  cast(ks_num as double) / cast(n_weekday * n_weekend as double)
+       |    > ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
+       |      / cast(n_weekday * n_weekend as double)) as reject_05
+       |from ks_f""".stripMargin
+
+  /** Mirror StatsMarts.customerSurvivalKm: same churn/censor split at
+    * the pinned run date, same at-risk prefix arithmetic, and the
+    * IDENTICAL int64 recursion S_k = (S_{k−1}·(n−d)) div n — Spark
+    * folds a sorted array, DuckDB walks a recursive CTE; exactness
+    * makes the mechanisms equivalent. */
+  val customerSurvivalKmQ: String = {
+    import StatsMarts.{ChurnHorizonDays, KmScale}
+    s"""$ctes,
+       |km_c as (
+       |  select customer_id, min(ordered_at) as first_at,
+       |    max(ordered_at) as last_at
+       |  from stg_orders group by customer_id
+       |),
+       |km_o as (
+       |  select
+       |    case when (${Sql.runDate} - last_at) > $ChurnHorizonDays
+       |         then (last_at - first_at)
+       |         else (${Sql.runDate} - first_at) end as t_days,
+       |    (${Sql.runDate} - last_at) > $ChurnHorizonDays as churned
+       |  from km_c
+       |),
+       |km_t as (
+       |  select t_days,
+       |    count(case when churned then 1 end) as d_events,
+       |    count(case when not churned then 1 end) as c_censored
+       |  from km_o group by t_days
+       |),
+       |km_n as (
+       |  select cast(sum(d_events) + sum(c_censored) as bigint) as n_total
+       |  from km_t
+       |),
+       |km_r as (
+       |  select t_days, d_events, c_censored,
+       |    n_total
+       |      - (cast(sum(d_events) over w as bigint) - d_events)
+       |      - (cast(sum(c_censored) over w as bigint) - c_censored) as n_risk
+       |  from km_t cross join km_n
+       |  window w as (order by t_days
+       |               rows between unbounded preceding and current row)
+       |),
+       |km_i as (
+       |  select row_number() over (order by t_days) as i,
+       |    t_days, n_risk, d_events, c_censored
+       |  from km_r
+       |),
+       |km_s as (
+       |  with recursive rec as (
+       |    select i, t_days, n_risk, d_events, c_censored,
+       |      (cast($KmScale as bigint) * (n_risk - d_events)) // n_risk as s_scaled
+       |    from km_i where i = 1
+       |    union all
+       |    select k.i, k.t_days, k.n_risk, k.d_events, k.c_censored,
+       |      (r.s_scaled * (k.n_risk - k.d_events)) // k.n_risk
+       |    from rec r join km_i k on k.i = r.i + 1)
+       |  select * from rec
+       |)
+       |select t_days, n_risk, d_events, c_censored,
+       |  cast(s_scaled as bigint) as s_scaled,
+       |  cast(s_scaled as double) / cast($KmScale as double) as survival
+       |from km_s""".stripMargin
+  }
+
+  /** Mirror StatsMarts.basketRules: exact pair/item/order counts,
+    * single-division ratios, exact-int lift operands. */
+  val basketRulesQ: String =
+    s"""$ctes,
+       |bk_i as (select distinct order_id, product_id from stg_order_items),
+       |bk_n as (select count(distinct order_id) as n_orders from bk_i),
+       |bk_s as (select product_id, count(*) as supp from bk_i group by product_id),
+       |bk_p as (
+       |  select a.product_id as product_a, b.product_id as product_b,
+       |    count(*) as pair_n
+       |  from bk_i a
+       |  join bk_i b on a.order_id = b.order_id
+       |    and a.product_id < b.product_id
+       |  group by 1, 2
+       |  having count(*) >= ${StatsMarts.BasketMinPairs}
+       |)
+       |select product_a, product_b, pair_n,
+       |  sa.supp as a_n, sb.supp as b_n, n_orders,
+       |  cast(pair_n as double) / cast(n_orders as double) as support,
+       |  cast(pair_n as double) / cast(sa.supp as double) as conf_a_to_b,
+       |  cast(pair_n as double) / cast(sb.supp as double) as conf_b_to_a,
+       |  cast(pair_n * n_orders as double)
+       |    / cast(sa.supp * sb.supp as double) as lift
+       |from bk_p
+       |join bk_s sa on sa.product_id = product_a
+       |join bk_s sb on sb.product_id = product_b
+       |cross join bk_n""".stripMargin
+
+  /** Mirror StatsMarts.jwNamePairs: DuckDB's jaro_winkler_similarity
+    * IS the reference implementation StringSim is bit-pinned to
+    * (probed: 0.7 boost threshold, textbook operation order). Same
+    * first-token blocking, same id orientation, same ≥θ filter. */
+  val jwNamePairsQ: String =
+    s"""$ctes,
+       |jw_b0 as (
+       |  select product_id, product_name,
+       |    split_part(product_name, ' ', 1) as blk
+       |  from stg_products
+       |),
+       |jw_sz as (
+       |  select blk from jw_b0 group by blk
+       |  having count(*) <= ${StatsMarts.MaxJwBlock}
+       |),
+       |jw_b as (
+       |  select product_id, product_name, blk
+       |  from jw_b0 join jw_sz using (blk)
+       |)
+       |select a.product_id as product_a, b.product_id as product_b,
+       |  a.product_name as name_a, b.product_name as name_b,
+       |  jaro_winkler_similarity(a.product_name, b.product_name) as jw
+       |from jw_b a
+       |join jw_b b on a.blk = b.blk and a.product_id < b.product_id
+       |where jaro_winkler_similarity(a.product_name, b.product_name)
+       |  >= ${dlit(StatsMarts.JwThreshold)}""".stripMargin
+}

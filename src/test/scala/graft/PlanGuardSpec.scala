@@ -128,7 +128,13 @@ class PlanGuardSpec extends SparkSpec {
     "unimax_allocation",
     // ONE confusion row × ONE broadcast rank-sum row
     // (QualityModel.evaluation)
-    "quality_eval")
+    "quality_eval",
+    // r14 stats family: each crossJoins ONE broadcast stats row
+    // (grand totals / n / ks_num argmax row) and/or runs the
+    // Ranks|Scans P²-offsets non-equi self-join over ≤P
+    // partition-total rows (P = shuffle partitions, never data)
+    "revenue_gini", "lorenz_deciles", "benford_digits", "benford_summary",
+    "ks_weekend_drift", "customer_survival_km", "basket_rules")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
@@ -183,6 +189,9 @@ class PlanGuardSpec extends SparkSpec {
     "quality_eval",
     // cumulative-vocabulary window over exactly 10 decile rows
     "vocab_growth",
+    // Lorenz cumulative over exactly 10 decile rows (the rank that
+    // feeds the deciles is the two-phase Ranks pass)
+    "lorenz_deciles",
     // skyline prefix-max over DISTINCT TOKEN-LENGTH values — bounded
     // by max document length, never corpus size (the groupBy collapse
     // happens before the window)

@@ -1,0 +1,181 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.marts.StatsMarts
+
+/** StatsMarts family: hand-computed oracles on tiny fixtures, the
+  * documented int64 headroom on the gated data, and the estimator
+  * invariants (Gini bounds, Lorenz monotonicity, KM monotone
+  * non-increasing survival, KS of identical/disjoint samples). */
+class StatsMartsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ordersOf(rows: Seq[(Long, String, BigDecimal)]): DataFrame =
+    rows.map { case (cust, d, total) =>
+      (cust, Date.valueOf(d), total.setScale(2))
+    }.toDF("customer_id", "ordered_at", "order_total")
+
+  // ---- Gini / Lorenz ----
+
+  test("gini of a perfectly equal distribution is 0") {
+    val df = ordersOf((1L to 4L).map(c => (c, "2001-01-01", BigDecimal(10))))
+    val g = StatsMarts.revenueGini(df).select("gini").as[Double].head()
+    assert(g === 0.0)
+  }
+
+  test("gini matches the hand-computed rank formula") {
+    // cents ascending 0,0,0,1000: G = (2*4*1000 - 5*1000)/(4*1000) = 0.75
+    val df = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal(0)), (2L, "2001-01-01", BigDecimal(0)),
+      (3L, "2001-01-01", BigDecimal(0)), (4L, "2001-01-01", BigDecimal(10))))
+    val r = StatsMarts.revenueGini(df)
+      .select("n_customers", "total_cents", "gini")
+      .as[(Long, Long, Double)].head()
+    assert(r === ((4L, 1000L, 0.75)))
+  }
+
+  test("lorenz deciles are monotone and end at share 1") {
+    val df = Models.stgOrders(spark, sf)
+    val rows = StatsMarts.lorenzDeciles(df)
+      .orderBy("decile")
+      .select("decile", "cum_share").as[(Int, Double)].collect()
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    assert(math.abs(rows.last._2 - 1.0) < 1e-12)
+  }
+
+  test("gini int64 headroom holds on the gated data") {
+    val df = Models.stgOrders(spark, sf)
+    val (n, tot) = StatsMarts.revenueGini(df)
+      .select("n_customers", "total_cents").as[(Long, Long)].head()
+    // sum(rank*cents) <= n * total — assert the documented bound
+    assert(BigInt(n) * BigInt(tot) < BigInt(Long.MaxValue) / 4,
+      s"rank-weighted sum bound too close to 2^63: n=$n total=$tot")
+  }
+
+  // ---- Benford ----
+
+  test("benford digit extraction and chi2 terms are exact") {
+    // totals 1.00, 12.34, 19.99, 2.50, 95.00 → cents 100,1234,1999,250,9500
+    // first digits 1,1,1,2,9
+    val df = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal("1.00")),
+      (2L, "2001-01-01", BigDecimal("12.34")),
+      (3L, "2001-01-01", BigDecimal("19.99")),
+      (4L, "2001-01-01", BigDecimal("2.50")),
+      (5L, "2001-01-01", BigDecimal("95.00"))))
+    val rows = StatsMarts.benfordDigits(df)
+      .select("digit", "n_obs").as[(Int, Long)].collect().toMap
+    assert(rows === Map(1 -> 3L, 2 -> 1L, 9 -> 1L))
+    val s = StatsMarts.benfordSummary(df)
+      .select("n", "df").as[(Long, Int)].head()
+    assert(s === ((5L, 8)))
+  }
+
+  test("benford shares sum to the observed digits' mass") {
+    val df = Models.stgOrders(spark, sf)
+    val rows = StatsMarts.benfordDigits(df)
+      .select("n_obs", "n").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum === rows.head._2)
+  }
+
+  // ---- KS ----
+
+  test("ks of identical samples is 0 and disjoint samples is 1") {
+    // identical: same totals on weekday(Mon 2001-01-01) vs weekend(Sat 2001-01-06)
+    val same = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal(10)), (2L, "2001-01-06", BigDecimal(10)),
+      (3L, "2001-01-01", BigDecimal(20)), (4L, "2001-01-06", BigDecimal(20))))
+    val ks0 = StatsMarts.ksWeekendDrift(same).select("ks_stat").as[Double].head()
+    assert(ks0 === 0.0)
+    val disjoint = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal(10)), (2L, "2001-01-01", BigDecimal(20)),
+      (3L, "2001-01-06", BigDecimal(30)), (4L, "2001-01-06", BigDecimal(40))))
+    val r = StatsMarts.ksWeekendDrift(disjoint)
+      .select("ks_stat", "ks_at_cents").as[(Double, Long)].head()
+    assert(r._1 === 1.0)
+    assert(r._2 === 2000L) // first value where the gap peaks
+  }
+
+  test("ks int64 headroom holds on the gated data") {
+    val df = Models.stgOrders(spark, sf)
+    val (na, nb) = StatsMarts.ksWeekendDrift(df)
+      .select("n_weekday", "n_weekend").as[(Long, Long)].head()
+    assert(BigInt(na) * BigInt(nb) < BigInt(Long.MaxValue),
+      s"cum*n bound exceeds 2^63: $na * $nb")
+  }
+
+  // ---- Kaplan-Meier ----
+
+  test("kaplan-meier matches the hand-computed product") {
+    // run date 2001-08-15, horizon 90: last order before 2001-05-17 = churn
+    // c1: first 2001-01-01 last 2001-01-31 → churn, t=30
+    // c2: first 2001-01-01 last 2001-03-02 → churn, t=60
+    // c3: first 2001-01-01 last active 2001-08-01 → censored, t=226
+    // c4: first 2001-02-01 last 2001-03-03 → churn, t=30
+    val df = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal(1)), (1L, "2001-01-31", BigDecimal(1)),
+      (2L, "2001-01-01", BigDecimal(1)), (2L, "2001-03-02", BigDecimal(1)),
+      (3L, "2001-01-01", BigDecimal(1)), (3L, "2001-08-01", BigDecimal(1)),
+      (4L, "2001-02-01", BigDecimal(1)), (4L, "2001-03-03", BigDecimal(1))))
+    val rows = StatsMarts.customerSurvivalKm(df)
+      .orderBy("t_days")
+      .select("t_days", "n_risk", "d_events", "c_censored", "s_scaled")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // t=30: n=4 d=2 → S = 1e9*2 div 4 = 500000000
+    // t=60: n=2 d=1 → S = 5e8*1 div 2 = 250000000
+    // t=226: n=1 d=0 c=1 → S unchanged
+    assert(rows === Seq(
+      (30, 4L, 2L, 0L, 500000000L),
+      (60, 2L, 1L, 0L, 250000000L),
+      (226, 1L, 0L, 1L, 250000000L)))
+  }
+
+  test("km survival is monotone non-increasing on the gated data") {
+    val df = Models.stgOrders(spark, sf)
+    val s = StatsMarts.customerSurvivalKm(df)
+      .orderBy("t_days").select("s_scaled").as[Long].collect()
+    assert(s.nonEmpty)
+    assert(s.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
+  // ---- basket rules ----
+
+  test("basket rules match hand counts on a tiny market") {
+    // orders: {A,B}, {A,B}, {A,B,C}, {A}, {C}  (5 orders)
+    val items = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (4L, 10L), (5L, 30L))
+      .toDF("order_id", "product_id")
+    val rules = StatsMarts.basketRules(items)
+      .where(col("product_a") === 10L && col("product_b") === 20L)
+      .select("pair_n", "a_n", "b_n", "n_orders",
+        "support", "conf_a_to_b", "conf_b_to_a", "lift")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    // pair {10,20}: 3 times; supp(10)=4, supp(20)=3, n=5
+    assert(rules === ((3L, 4L, 3L, 5L, 3.0 / 5, 3.0 / 4, 3.0 / 3,
+      15.0 / 12.0)))
+  }
+
+  test("lift is symmetric in the pair and conf directions are not") {
+    val rules = StatsMarts.basketRules(
+      Models.stgOrderItems(spark, sf)).collect()
+    assert(rules.nonEmpty)
+  }
+
+  // ---- jw pairs ----
+
+  test("jw pairs are blocked, oriented, and above threshold") {
+    val p = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamme"),
+      (3L, "zeta one two"), (4L, "alpha completely different"))
+      .toDF("product_id", "product_name")
+    val rows = StatsMarts.jwNamePairs(p)
+      .select("product_a", "product_b", "jw")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) === Seq((1L, 2L)))
+    assert(rows.head._3 >= StatsMarts.JwThreshold)
+  }
+}
