@@ -1006,6 +1006,15 @@ object Models {
   /** Per-file min/max stats catalog of the zkey-sorted layout. */
   def zorderZonemaps(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.zorderZonemaps(Tables.events(s, d))
+  /** Hilbert layout key over the same (value, day) buckets. */
+  def hilbertKeys(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hilbertKeys(Tables.events(s, d))
+  /** Zone maps of the Hilbert-ordered layout. */
+  def hilbertZonemaps(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.hilbertZonemaps(Tables.events(s, d))
+  /** Files-scanned shoot-out: Z-order vs Hilbert zonemaps. */
+  def layoutLocality(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.layoutLocality(Tables.events(s, d))
 
   /** Distinct product pairs co-purchased in some order — the edge
     * table of the co-purchase graph, Mat'd: the group self-join runs

@@ -314,6 +314,11 @@ object SparkEntry {
     "zorder_keys" -> out(Models.zorderKeys),
     // per-file min/max stats of the zkey-sorted layout (data skipping)
     "zorder_zonemaps" -> out(Models.zorderZonemaps),
+    // Hilbert curve layout (unit-step locality vs Morton's jumps)
+    "hilbert_keys" -> out(Models.hilbertKeys),
+    "hilbert_zonemaps" -> out(Models.hilbertZonemaps),
+    // measured files-scanned shoot-out: Z-order vs Hilbert catalogs
+    "layout_locality" -> out(Models.layoutLocality),
     // co-purchase graph: bounded-group edge derivation + k-round BFS
     "copurchase_edges" -> out(Models.productCopurchaseEdges),
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
@@ -583,6 +588,9 @@ object SparkEntry {
     "events_asof_next_purchase" -> OpsSql.eventsAsofNextPurchaseQ,
     "zorder_keys" -> OpsSql.zorderKeysQ,
     "zorder_zonemaps" -> OpsSql.zorderZonemapsQ,
+    "hilbert_keys" -> OpsSql.hilbertKeysQ,
+    "hilbert_zonemaps" -> OpsSql.hilbertZonemapsQ,
+    "layout_locality" -> OpsSql.layoutLocalityQ,
     "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,

@@ -299,6 +299,109 @@ object EventMarts {
         max("zkey").as("max_zkey"))
   }
 
+  /** HILBERT layout key over the same (value, day) buckets as
+    * [[zorderKeys]] — same clamp, same epoch-day, the curves differ
+    * only in the space-filling walk, so layout_locality compares
+    * layouts and nothing else. */
+  def hilbertKeys(events: DataFrame): DataFrame = {
+    import graft.expressions.Hilbert.hilbert_key
+    val x = floor(least(greatest(col("value"), lit(0.0)), lit(65535.0))).cast("long")
+    val y = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    events.select(
+      col("event_id"),
+      x.as("value_bucket"),
+      y.as("day_bucket"),
+      hilbert_key(x, y).as("hkey"))
+  }
+
+  /** ZONE MAPS of the Hilbert-ordered layout — the [[zorderZonemaps]]
+    * catalog with the walk swapped: [[ZonemapFiles]] equal "files" in
+    * hkey order via the two-phase exactBuckets rank, per-file min/max
+    * on both laid-out dimensions. Because consecutive Hilbert cells
+    * are always unit steps, per-file bounding boxes are tighter than
+    * Morton's quadrant-jump runs — layout_locality measures exactly
+    * how much tighter in files-scanned terms. */
+  def hilbertZonemaps(events: DataFrame): DataFrame = {
+    val hk = hilbertKeys(events)
+    val f = graft.operators.Quantiles
+      .exactBuckets(hk.select("event_id", "hkey"), "event_id", col("hkey"),
+        ZonemapFiles)
+      .select(col("event_id"), col("bucket").as("file_id"))
+    hk.join(f, Seq("event_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value_bucket").as("min_value_bucket"),
+        max("value_bucket").as("max_value_bucket"),
+        min("day_bucket").as("min_day_bucket"),
+        max("day_bucket").as("max_day_bucket"),
+        min("hkey").as("min_hkey"),
+        max("hkey").as("max_hkey"))
+  }
+
+  /** Box-predicate positions (percent of each dimension's span) and
+    * width for the layout shoot-out — fixed, engine-shared. */
+  val LayoutBoxPositions: Seq[Int] = Seq(5, 30, 55, 80)
+  val LayoutBoxWidthPct = 10
+
+  /** LAYOUT LOCALITY SHOOT-OUT: for twelve canonical range predicates
+    * (four day-ranges, four value-ranges, four combined boxes at
+    * [[LayoutBoxPositions]], each [[LayoutBoxWidthPct]]% of the
+    * dimension span), count how many of the [[ZonemapFiles]] files
+    * each layout's zone maps FAIL to prune — the scan planner's
+    * files-scanned number, measured instead of argued. Exact integer
+    * interval intersection against both catalogs ([[zorderZonemaps]]
+    * vs [[hilbertZonemaps]]); box bounds are exact integer percent
+    * arithmetic off the shared bucket-domain bounds, so both engines
+    * draw identical boxes. At 100 TB this query IS the layout
+    * decision: files_scanned × file size = bytes read per predicate
+    * shape. */
+  def layoutLocality(events: DataFrame): DataFrame = {
+    val hk = hilbertKeys(events)
+    val bounds = hk.agg(
+      min("day_bucket").as("dmin"), max("day_bucket").as("dmax"),
+      min("value_bucket").as("vmin"), max("value_bucket").as("vmax"))
+    val kinds = Seq("day", "value", "both").zipWithIndex
+      .map { case (k, i) => (i, k) }
+    import events.sparkSession.implicits._
+    val grid = (for {
+      (ki, kind) <- kinds
+      (p, pi) <- LayoutBoxPositions.zipWithIndex
+    } yield (ki * LayoutBoxPositions.size + pi + 1, kind, p))
+      .toDF("box_id", "kind", "pos_pct")
+    val boxes = grid.crossJoin(broadcast(bounds))
+      .withColumn("dspan", col("dmax") - col("dmin") + 1L)
+      .withColumn("vspan", col("vmax") - col("vmin") + 1L)
+      .select(col("box_id"), col("kind"),
+        when(col("kind").isin("day", "both"),
+          col("dmin") + expr(s"(dspan * pos_pct) div 100")).as("day_lo"),
+        when(col("kind").isin("day", "both"),
+          col("dmin") + expr(s"(dspan * (pos_pct + $LayoutBoxWidthPct)) div 100"))
+          .as("day_hi"),
+        when(col("kind").isin("value", "both"),
+          col("vmin") + expr(s"(vspan * pos_pct) div 100")).as("value_lo"),
+        when(col("kind").isin("value", "both"),
+          col("vmin") + expr(s"(vspan * (pos_pct + $LayoutBoxWidthPct)) div 100"))
+          .as("value_hi"))
+    def hits(zonemap: DataFrame, outName: String): DataFrame =
+      boxes.crossJoin(broadcast(zonemap))
+        .where(
+          (col("day_lo").isNull ||
+            (col("max_day_bucket") >= col("day_lo")
+              && col("min_day_bucket") <= col("day_hi"))) &&
+          (col("value_lo").isNull ||
+            (col("max_value_bucket") >= col("value_lo")
+              && col("min_value_bucket") <= col("value_hi"))))
+        .groupBy("box_id").agg(count(lit(1)).as(outName))
+    boxes
+      .join(hits(zorderZonemaps(events), "zorder_files"), Seq("box_id"), "left")
+      .join(hits(hilbertZonemaps(events), "hilbert_files"), Seq("box_id"), "left")
+      .select(col("box_id"), col("kind"),
+        col("day_lo"), col("day_hi"), col("value_lo"), col("value_hi"),
+        coalesce(col("zorder_files"), lit(0L)).as("zorder_files"),
+        coalesce(col("hilbert_files"), lit(0L)).as("hilbert_files"),
+        lit(ZonemapFiles).as("n_files"))
+  }
+
   /** Only events this valuable feed the LOCF series — sparse by
     * construction (the value domain tops out near 490), so the grid
     * HAS gaps to fill at every SF. */

@@ -657,6 +657,136 @@ object OpsSql {
        |from f group by 1""".stripMargin
   }
 
+  /** Shared bucket CTE for both layout curves (mirror zorderKeys /
+    * hilbertKeys bucketing — identical on purpose). */
+  private val layoutBucketsCte: String =
+    """zb as (
+      |  select event_id,
+      |    cast(floor(least(greatest(value, 0.0), 65535.0)) as bigint) as value_bucket,
+      |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) as bigint) as day_bucket
+      |  from events
+      |)""".stripMargin
+
+  /** Hilbert key chain: seed + the 16 mirrored state-machine steps
+    * ([[graft.expressions.Hilbert.sqlSteps]]) + the final projection,
+    * as a CTE block ending in `hk`. */
+  private val hilbertChain: String = {
+    val steps = graft.expressions.Hilbert.sqlSteps("h0",
+      Seq("event_id", "value_bucket", "day_bucket"))
+    s"""h0 as (
+       |  select event_id, value_bucket, day_bucket,
+       |    value_bucket as x, day_bucket as y, cast(0 as bigint) as d
+       |  from zb
+       |),
+       |$steps,
+       |hk as (
+       |  select event_id, value_bucket, day_bucket, d as hkey from hout15
+       |)""".stripMargin
+  }
+
+  /** Mirror EventMarts.hilbertKeys: the identical 16-level integer
+    * state machine, unrolled as chained CTEs. */
+  val hilbertKeysQ: String =
+    s"""with $layoutBucketsCte,
+       |$hilbertChain
+       |select event_id, value_bucket, day_bucket, hkey from hk""".stripMargin
+
+  /** Mirror EventMarts.hilbertZonemaps: ntile over (hkey desc,
+    * event_id) = the engine's two-phase exactBuckets cut, per-file
+    * min/max on both dimensions (the zorderZonemaps shape). */
+  val hilbertZonemapsQ: String = {
+    import graft.marts.EventMarts.ZonemapFiles
+    s"""with $layoutBucketsCte,
+       |$hilbertChain,
+       |hf as (
+       |  select *, cast(ntile($ZonemapFiles)
+       |    over (order by hkey desc, event_id) as int) as file_id
+       |  from hk
+       |)
+       |select file_id, count(*) as n_rows,
+       |  min(value_bucket) as min_value_bucket,
+       |  max(value_bucket) as max_value_bucket,
+       |  min(day_bucket) as min_day_bucket,
+       |  max(day_bucket) as max_day_bucket,
+       |  min(hkey) as min_hkey, max(hkey) as max_hkey
+       |from hf group by 1""".stripMargin
+  }
+
+  /** Mirror EventMarts.layoutLocality: both zonemap catalogs rebuilt
+    * over the SHARED bucket CTE, the same twelve integer-percent
+    * boxes, exact interval-intersection counts, left-joined with a
+    * zero default for fully-pruned boxes. */
+  val layoutLocalityQ: String = {
+    import graft.marts.EventMarts.{ZonemapFiles, LayoutBoxPositions, LayoutBoxWidthPct}
+    import graft.expressions.ZOrder
+    val gridRows = (for {
+      (kind, ki) <- Seq("day", "value", "both").zipWithIndex
+      (p, pi) <- LayoutBoxPositions.zipWithIndex
+    } yield s"(${ki * LayoutBoxPositions.size + pi + 1}, '$kind', $p)").mkString(", ")
+    s"""with $layoutBucketsCte,
+       |$hilbertChain,
+       |zkeys as (
+       |  select event_id, value_bucket, day_bucket,
+       |    ${ZOrder.zorderSql("value_bucket", "day_bucket")} as zkey
+       |  from zb
+       |),
+       |zzm as (
+       |  select file_id,
+       |    min(value_bucket) as min_value_bucket, max(value_bucket) as max_value_bucket,
+       |    min(day_bucket) as min_day_bucket, max(day_bucket) as max_day_bucket
+       |  from (select *, cast(ntile($ZonemapFiles)
+       |          over (order by zkey desc, event_id) as int) as file_id from zkeys)
+       |  group by 1
+       |),
+       |hzm as (
+       |  select file_id,
+       |    min(value_bucket) as min_value_bucket, max(value_bucket) as max_value_bucket,
+       |    min(day_bucket) as min_day_bucket, max(day_bucket) as max_day_bucket
+       |  from (select *, cast(ntile($ZonemapFiles)
+       |          over (order by hkey desc, event_id) as int) as file_id from hk)
+       |  group by 1
+       |),
+       |bounds as (
+       |  select min(day_bucket) as dmin, max(day_bucket) as dmax,
+       |    min(value_bucket) as vmin, max(value_bucket) as vmax
+       |  from zb
+       |),
+       |grid (box_id, kind, pos_pct) as (values $gridRows),
+       |boxes as (
+       |  select box_id, kind,
+       |    case when kind in ('day', 'both')
+       |      then dmin + ((dmax - dmin + 1) * pos_pct) // 100 end as day_lo,
+       |    case when kind in ('day', 'both')
+       |      then dmin + ((dmax - dmin + 1) * (pos_pct + $LayoutBoxWidthPct)) // 100 end as day_hi,
+       |    case when kind in ('value', 'both')
+       |      then vmin + ((vmax - vmin + 1) * pos_pct) // 100 end as value_lo,
+       |    case when kind in ('value', 'both')
+       |      then vmin + ((vmax - vmin + 1) * (pos_pct + $LayoutBoxWidthPct)) // 100 end as value_hi
+       |  from grid cross join bounds
+       |),
+       |zhits as (
+       |  select box_id, count(*) as zorder_files
+       |  from boxes join zzm on
+       |    (day_lo is null or (max_day_bucket >= day_lo and min_day_bucket <= day_hi))
+       |    and (value_lo is null or (max_value_bucket >= value_lo and min_value_bucket <= value_hi))
+       |  group by 1
+       |),
+       |hhits as (
+       |  select box_id, count(*) as hilbert_files
+       |  from boxes join hzm on
+       |    (day_lo is null or (max_day_bucket >= day_lo and min_day_bucket <= day_hi))
+       |    and (value_lo is null or (max_value_bucket >= value_lo and min_value_bucket <= value_hi))
+       |  group by 1
+       |)
+       |select box_id, kind, day_lo, day_hi, value_lo, value_hi,
+       |  coalesce(zorder_files, 0) as zorder_files,
+       |  coalesce(hilbert_files, 0) as hilbert_files,
+       |  $ZonemapFiles as n_files
+       |from boxes
+       |left join zhits using (box_id)
+       |left join hhits using (box_id)""".stripMargin
+  }
+
   /** Shared co-purchase edge CTEs (mirror operators/Graph
     * .coOccurrenceEdges over stg_order_items): distinct (order,
     * product) rows, then the strictly-ordered within-group self-join. */

@@ -134,7 +134,10 @@ class PlanGuardSpec extends SparkSpec {
     // Ranks|Scans P²-offsets non-equi self-join over ≤P
     // partition-total rows (P = shuffle partitions, never data)
     "revenue_gini", "lorenz_deciles", "benford_digits", "benford_summary",
-    "ks_weekend_drift", "customer_survival_km", "basket_rules")
+    "ks_weekend_drift", "customer_survival_km", "basket_rules",
+    // exactBuckets rank (the zorder_zonemaps shape) + the twelve-row
+    // broadcast box grid × 64-row zonemap catalogs
+    "hilbert_zonemaps", "layout_locality")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
