@@ -322,6 +322,18 @@ object Models {
   /** Theil–Sen robust trend over the daily revenue series. */
   def revenueTheilSen(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueTheilSen(dailySummary(s, d))
+  /** HRW shard routing report over document ids. */
+  def shardRouting(s: SparkSession, d: String): DataFrame =
+    operators.Sharding.shardRouting(Tables.documents(s, d))
+  /** HRW minimal-motion audit (drop one shard, measure movement). */
+  def shardStability(s: SparkSession, d: String): DataFrame =
+    operators.Sharding.shardStability(Tables.documents(s, d))
+  /** Flesch readability over the shared whitespace tokenization. */
+  def docReadability(s: SparkSession, d: String): DataFrame =
+    llm.TextStats.readability(Tables.documents(s, d))
+  /** Holt double-exponential level+trend forecaster (exact ints). */
+  def revenueHolt(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueHolt(dailySummary(s, d))
   /** Gini coefficient of customer lifetime revenue (rank formula). */
   def revenueGini(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.revenueGini(stgOrders(s, d))

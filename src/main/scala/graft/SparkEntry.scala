@@ -73,6 +73,8 @@ object SparkEntry {
     "revenue_cusum" -> out(Models.revenueCusum),
     // Theil-Sen median-of-slopes robust trend (29.3% breakdown point)
     "revenue_theilsen" -> out(Models.revenueTheilSen),
+    // Holt level+trend double-exponential forecaster (exact ints)
+    "revenue_holt" -> out(Models.revenueHolt),
     // Gini coefficient via the rank formula (two-phase global rank)
     "revenue_gini" -> out(Models.revenueGini),
     // Lorenz curve at decile grain (cumulative revenue share)
@@ -156,6 +158,11 @@ object SparkEntry {
     "ann_ivfpq_topk" -> out(Models.annIvfPqTopK),
     "ann_ivfpq_residual_topk" -> out(Models.annIvfPqResidualTopK),
     "text_stats" -> out(Models.textStats),
+    // Flesch reading-ease / FK grade from exact regex counts
+    "doc_readability" -> out(Models.docReadability),
+    // rendezvous-hash shard routing + the minimal-motion guarantee
+    "shard_routing" -> out(Models.shardRouting),
+    "shard_stability" -> out(Models.shardStability),
     "corpus_curation" -> out(Models.corpusCuration),
     // per-(source, status) curation rollup with in-source shares
     "curation_report" -> out(Models.curationReport),
@@ -451,6 +458,7 @@ object SparkEntry {
     "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
     "revenue_cusum" -> Sql.revenueCusumQ,
     "revenue_theilsen" -> Sql.revenueTheilSenQ,
+    "revenue_holt" -> Sql.revenueHoltQ,
     "revenue_gini" -> StatsSql.revenueGiniQ,
     "lorenz_deciles" -> StatsSql.lorenzDecilesQ,
     "benford_digits" -> StatsSql.benfordDigitsQ,
@@ -501,6 +509,9 @@ object SparkEntry {
     "ann_ivfpq_topk" -> LlmSql.annIvfPqTopKQ,
     "ann_ivfpq_residual_topk" -> LlmSql.annIvfPqResidualTopKQ,
     "text_stats" -> LlmSql.textStatsQ,
+    "doc_readability" -> LlmSql.readabilityQ,
+    "shard_routing" -> LlmSql.shardRoutingQ,
+    "shard_stability" -> LlmSql.shardStabilityQ,
     "corpus_curation" -> LlmSql.corpusCurationQ,
     "curation_report" -> LlmSql.curationReportQ,
     "media_features" -> LlmSql.mediaFeaturesQ,

@@ -337,4 +337,42 @@ object TextStats {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.payload").as("doc_id"),
         col("col.score").as("quality_score"))
+
+  /** FLESCH READABILITY (Flesch 1948; Kincaid et al. 1975) over the
+    * shared whitespace tokenization: reading-ease and grade-level from
+    * exact integer word / sentence / syllable counts. Syllables use
+    * the standard vowel-group approximation (runs of [aeiouyAEIOUY],
+    * min 1 per word) — a documented heuristic, identical regex on both
+    * engines (Java regex and RE2 agree on this character-class-only
+    * pattern). Sentences = runs of [.!?], clamped >= 1. The two rates
+    * are single divisions of exact ints; the Flesch/FK polynomials are
+    * literal-coefficient chains in the same left-associative order on
+    * both engines (coefficients embedded via the dlit contract). */
+  def readability(documentsRaw: DataFrame): DataFrame = {
+    val base = documentsRaw
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .where(col("n_words") > 0)
+      .withColumn("n_sentences",
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long")))
+      .withColumn("n_syllables",
+        expr("""aggregate(w, cast(0 as bigint), (acc, x) ->
+          acc + greatest(cast(1 as bigint),
+            cast(size(regexp_extract_all(x, '[aeiouyAEIOUY]+', 0)) as bigint)))"""))
+    base.select(
+      col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+      (col("n_words").cast("double") / col("n_sentences").cast("double"))
+        .as("words_per_sentence"),
+      (col("n_syllables").cast("double") / col("n_words").cast("double"))
+        .as("syllables_per_word"))
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word"))
+      .withColumn("fk_grade",
+        lit(0.39) * col("words_per_sentence")
+          + lit(11.8) * col("syllables_per_word")
+          - lit(15.59))
+  }
 }

@@ -542,4 +542,73 @@ object TimeMarts {
         quarter(col("date_day")).as("quarter"),
         dayofweek(col("date_day")).as("day_of_week"))
   }
+
+  /** Holt α = β = 1/4 as integer shifts (div 4) — exact recursion. */
+  val HoltDiv = 4L
+
+  /** Relative one-step-ahead forecast error flagged as a spike. */
+  val HoltRelDev = 0.5
+
+  /** HOLT DOUBLE-EXPONENTIAL SMOOTHING (Holt 1957) on daily revenue —
+    * the level+trend forecaster the plain EWMA can't be: a steady
+    * growth series makes a level-only EWMA permanently lag, while
+    * Holt's trend term b_t absorbs it, so the one-step-ahead forecast
+    * f_t = l_{t−1} + b_{t−1} stays centered and its residual is a
+    * real anomaly signal.
+    *
+    * Recursion (α = β = 1/4 as exact integer divisions):
+    *   l_t = (x_t + 3·(l_{t−1} + b_{t−1})) div 4
+    *   b_t = ((l_t − l_{t−1}) + 3·b_{t−1}) div 4
+    * with l_1 = x_1, b_1 = x_2 − x_1 — everything exact int64 cents.
+    *
+    * The recursion is inherently sequential (each state needs the
+    * previous), so the Kaplan-Meier mechanism applies: the series is
+    * calendar-bounded (≤3650 rows a decade), Spark folds the sorted
+    * array ONCE with the `aggregate` HOF — the accumulator is the
+    * growing array of (l, b) states, an O(T) left fold — and
+    * posexplodes the states back onto rows; DuckDB mirrors with a
+    * recursive CTE. Cross-engine `div` alignment PROBED, not assumed
+    * (a falling trend goes negative, where floor and truncation part
+    * ways): Spark's div and DuckDB's // BOTH truncate toward zero, so
+    * the recursions mirror with no correction term (HoltSpec pins a
+    * negative-trend series against the driver-side reference).
+    * Doubles only in the two output ratios. */
+  def revenueHolt(daily: DataFrame): DataFrame = {
+    val base = daily.select(col("order_date"),
+      (col("daily_revenue") * 100).cast("long").as("cents"))
+    val arr = base.agg(array_sort(
+      collect_list(struct(col("order_date"), col("cents")))).as("a"))
+      .select(col("a"), size(col("a")).as("n"))
+    // states[i] = struct(l, b) for day i+1 (1-indexed); fold starts at
+    // day 1's closed-form state and consumes days 2..n
+    val states = arr.select(col("a"), col("n"),
+      expr(s"""aggregate(
+        slice(a, 2, n - 1),
+        array(named_struct(
+          'l', a[0].cents,
+          'b', element_at(a, 2).cents - a[0].cents)),
+        (acc, x) -> concat(acc, array(named_struct(
+          'l', (x.cents + 3 * (element_at(acc, -1).l + element_at(acc, -1).b)) div $HoltDiv,
+          'b', (((x.cents + 3 * (element_at(acc, -1).l + element_at(acc, -1).b)) div $HoltDiv
+                 - element_at(acc, -1).l) + 3 * element_at(acc, -1).b) div $HoltDiv))))
+      """).as("st"))
+    states
+      .select(posexplode(col("st")).as(Seq("i", "s")), col("a"))
+      .select(
+        expr("a[i].order_date").as("order_date"),
+        expr("a[i].cents").as("cents"),
+        col("s").getField("l").as("level"),
+        col("s").getField("b").as("trend"))
+      // one-step-ahead forecast: the PREVIOUS state's l+b (calendar-
+      // bounded series — the documented unpartitioned-window exception)
+      .withColumn("forecast",
+        lag(col("level") + col("trend"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("order_date"))))
+      .withColumn("residual", col("cents") - col("forecast"))
+      .withColumn("rel_dev",
+        when(col("forecast") > 0,
+          abs(col("residual")).cast("double") / col("forecast").cast("double")))
+      .withColumn("is_spike",
+        when(col("forecast") > 0, col("rel_dev") > HoltRelDev))
+  }
 }

@@ -699,6 +699,97 @@ object LlmSql {
   private def hits(vals: Seq[String]): String =
     s"len(list_filter(w, x -> x in (${vals.map(v => s"'$v'").mkString(", ")})))"
 
+  /** Shared HRW fan-out: every (doc, shard) weight under K shards,
+    * argmax by (h desc, shard) — mirror operators/Sharding. */
+  private def hrwAssign(k: Int, name: String): String =
+    s"""${name}_f as (
+       |  select doc_id, s.shard,
+       |    ${hex60(s"cast(doc_id as varchar) || ':' || cast(s.shard as varchar)")} as h
+       |  from documents
+       |  cross join (select unnest(generate_series(0, ${k - 1})) as shard) s
+       |),
+       |$name as (
+       |  select doc_id, shard from (
+       |    select doc_id, shard,
+       |      row_number() over (partition by doc_id order by h desc, shard) as rn
+       |    from ${name}_f) t
+       |  where rn = 1
+       |)""".stripMargin
+
+  /** Mirror Sharding.shardRouting: exact per-shard loads + the two
+    * single-division ratios. */
+  val shardRoutingQ: String = {
+    import graft.operators.Sharding.NumShards
+    s"""with ${hrwAssign(NumShards, "sh_a")},
+       |sh_t as (select count(*) as total_docs from sh_a),
+       |sh_g as (
+       |  select shard, count(*) as n_docs, max(total_docs) as total_docs
+       |  from sh_a cross join sh_t group by shard
+       |)
+       |select shard, n_docs, total_docs,
+       |  cast(n_docs as double) / cast(total_docs as double) as share,
+       |  cast(n_docs * $NumShards as double) / cast(total_docs as double) as skew
+       |from sh_g""".stripMargin
+  }
+
+  /** Mirror Sharding.shardStability: both assignments side by side,
+    * the same exact moved/on-removed counts and the boolean verdict. */
+  val shardStabilityQ: String = {
+    import graft.operators.Sharding.NumShards
+    s"""with ${hrwAssign(NumShards, "sh_full")},
+       |${hrwAssign(NumShards - 1, "sh_red")},
+       |sh_j as (
+       |  select f.doc_id, f.shard, r.shard as shard_reduced
+       |  from sh_full f join sh_red r on f.doc_id = r.doc_id
+       |),
+       |sh_s as (
+       |  select count(*) as n_total,
+       |    count(case when shard = ${NumShards - 1} then 1 end) as n_on_removed,
+       |    count(case when shard <> shard_reduced then 1 end) as n_moved,
+       |    count(case when shard <> shard_reduced
+       |      and shard <> ${NumShards - 1} then 1 end) as n_moved_unnecessarily
+       |  from sh_j
+       |)
+       |select n_total, n_on_removed, n_moved, n_moved_unnecessarily,
+       |  n_moved = n_on_removed and n_moved_unnecessarily = 0 as minimal_motion
+       |from sh_s""".stripMargin
+  }
+
+  /** Mirror TextStats.readability: same tokenization, same clamped
+    * regex counts, exact-int syllable fold, the identical
+    * left-associative literal-coefficient chains (dlit-pinned). */
+  val readabilityQ: String = {
+    val c = (v: Double) => Sql.dlit(v)
+    s"""with $textCtes,
+       |rd1 as (
+       |  select doc_id, text, w, cast(len(w) as bigint) as n_words
+       |  from doc_words where len(w) > 0
+       |),
+       |rd2 as (
+       |  select doc_id, n_words,
+       |    greatest(cast(1 as bigint),
+       |      cast(len(regexp_extract_all(text, '[.!?]+')) as bigint)) as n_sentences,
+       |    list_reduce(list_prepend(cast(0 as bigint),
+       |      list_transform(w, x -> greatest(cast(1 as bigint),
+       |        cast(len(regexp_extract_all(x, '[aeiouyAEIOUY]+')) as bigint)))),
+       |      (acc, y) -> acc + y) as n_syllables
+       |  from rd1
+       |),
+       |rd3 as (
+       |  select doc_id, n_words, n_sentences, n_syllables,
+       |    cast(n_words as double) / cast(n_sentences as double) as words_per_sentence,
+       |    cast(n_syllables as double) / cast(n_words as double) as syllables_per_word
+       |  from rd2
+       |)
+       |select doc_id, n_words, n_sentences, n_syllables,
+       |  words_per_sentence, syllables_per_word,
+       |  ${c(206.835)} - ${c(1.015)} * words_per_sentence
+       |    - ${c(84.6)} * syllables_per_word as flesch,
+       |  ${c(0.39)} * words_per_sentence + ${c(11.8)} * syllables_per_word
+       |    - ${c(15.59)} as fk_grade
+       |from rd3""".stripMargin
+  }
+
   val textStatsQ: String = {
     val stop = hits(TextStats.Stopwords)
     val p = TextStats.FingerprintMod

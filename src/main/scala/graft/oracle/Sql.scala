@@ -11,6 +11,17 @@ object Sql {
 
   val runDate = "DATE '2001-08-15'"
 
+  /** Double literal that DuckDB parses as DOUBLE, not DECIMAL: a bare
+    * `0.1249…` literal becomes DECIMAL(18,17) and its decimal→double
+    * conversion can land one ULP off the Spark-side `lit` (caught
+    * live by the benford_digits gate, r14). Exponent notation pins
+    * the parser to float64, so the shortest-round-trip digits recover
+    * the identical bits. */
+  def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
   // ---- staging CTE bodies (mirror graft.staging.Staging) ----
 
   val stgCustomers: String =
@@ -1092,6 +1103,60 @@ object Sql {
        |      from ts_r) t
        |cross join ts_nd
        |where rn = (n_days + 1) // 2""".stripMargin
+
+  /** Integer division by [[graft.marts.TimeMarts.HoltDiv]]. PROBED,
+    * not assumed (a falling Holt trend goes negative, where floor and
+    * truncation part ways): Spark's `div` AND DuckDB's `//` both
+    * truncate toward zero (−7 div 4 = −7 // 4 = −1), so the recursion
+    * mirrors with no correction term. HoltSpec pins a negative-trend
+    * series against the driver-side reference. */
+  private def tdiv4(x: String): String =
+    s"(($x) // ${graft.marts.TimeMarts.HoltDiv})"
+
+  /** Mirror TimeMarts.revenueHolt: the identical exact-int64 level/
+    * trend recursion (Spark's one-pass array fold ≡ this recursive
+    * CTE — exactness makes the mechanisms equivalent, the Kaplan-
+    * Meier precedent), truncation-aligned division, the same lag-1
+    * forecast and single-division outputs. */
+  val revenueHoltQ: String = {
+    import graft.marts.TimeMarts.HoltRelDev
+    val lvl = tdiv4("k.cents + 3 * (r.level + r.trend)")
+    s"""$allCtes,
+       |ho_c as (
+       |  select order_date, cast(daily_revenue * 100 as bigint) as cents
+       |  from daily_summary
+       |),
+       |ho_i as (
+       |  select row_number() over (order by order_date) as i, order_date, cents
+       |  from ho_c
+       |),
+       |ho_s as (
+       |  with recursive rec as (
+       |    select a.i, a.order_date, a.cents,
+       |      a.cents as level, b.cents - a.cents as trend
+       |    from ho_i a join ho_i b on b.i = 2 where a.i = 1
+       |    union all
+       |    select k.i, k.order_date, k.cents,
+       |      $lvl as level,
+       |      ${tdiv4(s"($lvl - r.level) + 3 * r.trend")} as trend
+       |    from rec r join ho_i k on k.i = r.i + 1)
+       |  select * from rec
+       |),
+       |ho_f as (
+       |  select order_date, cents, level, trend,
+       |    lag(level + trend) over (order by order_date) as forecast
+       |  from ho_s
+       |)
+       |select order_date, cents, level, trend, forecast,
+       |  cents - forecast as residual,
+       |  case when forecast > 0
+       |    then cast(abs(cents - forecast) as double) / cast(forecast as double)
+       |    end as rel_dev,
+       |  case when forecast > 0
+       |    then cast(abs(cents - forecast) as double) / cast(forecast as double)
+       |      > ${dlit(HoltRelDev)} end as is_spike
+       |from ho_f""".stripMargin
+  }
 
   /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
     * moments (current row excluded), the string-routed stddevFromSums

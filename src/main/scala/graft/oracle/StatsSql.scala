@@ -11,16 +11,9 @@ object StatsSql {
 
   private val ctes = Sql.stagingCtes
 
-  /** Double literal that DuckDB parses as DOUBLE, not DECIMAL: a bare
-    * `0.1249…` literal becomes DECIMAL(18,17) and its later
-    * decimal→double conversion can land one ULP off the Scala-side
-    * `lit` (caught live by the benford_digits gate). Exponent
-    * notation pins the parser to float64, so the shortest-round-trip
-    * digits recover the identical bits. */
-  private def dlit(v: Double): String = {
-    val s = v.toString
-    if (s.contains("E") || s.contains("e")) s else s + "e0"
-  }
+  /** Double literal pinned to a DuckDB DOUBLE parse — see [[Sql.dlit]]
+    * (the benford_digits ULP lesson lives there). */
+  private def dlit(v: Double): String = Sql.dlit(v)
 
   /** Mirror StatsMarts.custCentsRanked: ascending-cents global rank,
     * customer_id tiebreak (Ranks orders by negated cents desc). */

@@ -137,7 +137,9 @@ class PlanGuardSpec extends SparkSpec {
     "ks_weekend_drift", "customer_survival_km", "basket_rules",
     // exactBuckets rank (the zorder_zonemaps shape) + the twelve-row
     // broadcast box grid × 64-row zonemap catalogs
-    "hilbert_zonemaps", "layout_locality")
+    "hilbert_zonemaps", "layout_locality",
+    // per-shard loads × ONE broadcast total-count row
+    "shard_routing")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
@@ -171,6 +173,7 @@ class PlanGuardSpec extends SparkSpec {
     // names Matousek selection as the century-scale escape
     "revenue_theilsen",
     "daily_gapfill",      // 3650-row calendar spine fill
+    "revenue_holt",       // lag-1 forecast over the calendar-bounded fold
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
