@@ -172,7 +172,13 @@ object Scale {
     // full-scan ground truth (the hybrid_recall precedent), so its
     // time is expected linear-in-corpus; the SERVED arm inside it is
     // the bounded probe (mmr_rerank above measures that shape alone)
-    "mmr_recall")
+    "mmr_recall",
+    // r14: Hilbert layout family (events) — key derivation is
+    // per-row, zonemaps/locality are exactBuckets + bounded joins;
+    // readability (documents) is per-row regex counts; HRW sharding
+    // (documents) is a K-way explode + keyed top-1
+    "hilbert_keys", "hilbert_zonemaps", "layout_locality",
+    "doc_readability", "shard_routing", "shard_stability")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

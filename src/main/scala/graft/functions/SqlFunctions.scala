@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{InterleaveBits16, TopKAggregate}
+import graft.expressions.{HilbertIndex16, InterleaveBits16, TopKAggregate}
+import graft.expressions.StringSim.JaroWinkler
 import graft.expressions.TextExprs.Md5Prefix60
 import graft.expressions.VectorExprs.DotProduct
 
@@ -16,6 +17,8 @@ import graft.expressions.VectorExprs.DotProduct
   *                                         (null score/payload rows
   *                                         are ignored — see TopKAgg)
   *   select zorder_key(xb, yb)          -- Morton layout key
+  *   select hilbert_key(xb, yb)         -- Hilbert layout key (r14)
+  *   select jaro_winkler(a, b)          -- record-linkage similarity
   *   select dot_product(a, b)           -- codegen'd float-vector dot
   *   select md5_prefix60(s)             -- 60-bit md5 (no hex round-trip)
   *
@@ -44,6 +47,14 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("zorder_key", { args =>
       arity("zorder_key", args, 2)
       InterleaveBits16(args(0), args(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hilbert_key", { args =>
+      arity("hilbert_key", args, 2)
+      HilbertIndex16(args(0), args(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler", { args =>
+      arity("jaro_winkler", args, 2)
+      JaroWinkler(args(0), args(1))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", { args =>
       arity("dot_product", args, 2)

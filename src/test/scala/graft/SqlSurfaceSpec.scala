@@ -47,6 +47,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("select md5_prefix60('abc') as h").head.getLong(0) ===
       spark.range(1).select(graft.expressions.TextExprs.md5_prefix60(lit("abc")))
         .head.getLong(0))
+    assert(spark.sql("select hilbert_key(3L, 5L) as h").head.getLong(0) ===
+      graft.expressions.Hilbert.xy2d(3L, 5L))
+    assert(spark.sql("select jaro_winkler('martha', 'marhta') as j")
+      .head.getDouble(0) === 0.9611111111111111)
   }
 
   test("marts are catalog tables in the dataset schema") {
