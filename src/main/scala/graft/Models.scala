@@ -191,6 +191,9 @@ object Models {
     * == directly-built exactly, same oracle as feature_drift_psi. */
   def streamPsiMonitor(s: SparkSession, d: String): DataFrame =
     streaming.Streams.psiMonitorStreamOnce(s, d)
+  /** Streaming Benford monitor (per-batch mergeable digit counts). */
+  def streamBenfordMonitor(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.benfordMonitorStreamOnce(s, d)
 
   /** SCD TYPE-2 SNAPSHOT over the two customer states
     * ([[operators.Snapshot]] — dbt's `snapshot` materialization, check
@@ -343,6 +346,9 @@ object Models {
   /** Benford first-digit distribution audit over order totals. */
   def benfordDigits(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.benfordDigits(stgOrders(s, d))
+  /** Benford audit over the event value stream. */
+  def eventBenford(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.eventBenford(Tables.events(s, d))
   /** One-row Benford χ²/MAD verdict (ordered-fold totals). */
   def benfordSummary(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.benfordSummary(stgOrders(s, d))

@@ -83,6 +83,8 @@ object SparkEntry {
     "benford_digits" -> out(Models.benfordDigits),
     // one-row Benford verdict: ordered-fold chi2 + MAD vs chi2_0.05,8
     "benford_summary" -> out(Models.benfordSummary),
+    // the same audit over the event value stream (floor-exact cents)
+    "event_benford" -> out(Models.eventBenford),
     // exact two-sample Kolmogorov-Smirnov weekday-vs-weekend drift
     "ks_weekend_drift" -> out(Models.ksWeekendDrift),
     // Kaplan-Meier tenure survival (exact-integer sequential product)
@@ -273,6 +275,9 @@ object SparkEntry {
     // streaming PSI drift monitor (pinned reference quantizer,
     // ref/cur counters merge by sum) — the production monitor shape
     "stream_psi_monitor" -> out(Models.streamPsiMonitor),
+    // streaming Benford audit: mergeable per-batch digit counters,
+    // gated against the same oracle as the batch event audit
+    "stream_benford_monitor" -> out(Models.streamBenfordMonitor),
     // deterministic stratified sampling + salted skew join
     "stratified_sample" -> out(Models.stratifiedEvents),
     "skew_salted_enrich" -> out(Models.skewSaltedEnrich),
@@ -463,6 +468,7 @@ object SparkEntry {
     "lorenz_deciles" -> StatsSql.lorenzDecilesQ,
     "benford_digits" -> StatsSql.benfordDigitsQ,
     "benford_summary" -> StatsSql.benfordSummaryQ,
+    "event_benford" -> StatsSql.eventBenfordQ,
     "ks_weekend_drift" -> StatsSql.ksWeekendDriftQ,
     "customer_survival_km" -> StatsSql.customerSurvivalKmQ,
     "basket_rules" -> StatsSql.basketRulesQ,
@@ -562,6 +568,7 @@ object SparkEntry {
     "stream_cms_heavy" -> CurateSql.cmsHeavyHittersQ,
     "stream_quantile_hist" -> OpsSql.histQuantilesQ,
     "stream_psi_monitor" -> OpsSql.featureDriftPsiQ,
+    "stream_benford_monitor" -> StatsSql.eventBenfordQ,
     "stream_sink_merge" -> graft.streaming.Streams.mergeSinkOracleSql,
     "stream_user_rollup" -> graft.streaming.Streams.userRollupOracleSql,
     // the multi-batch runs share the one-batch oracles: the union of

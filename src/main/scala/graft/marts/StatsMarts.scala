@@ -98,16 +98,28 @@ object StatsMarts {
     * integer cents (no float log); per-digit χ² terms are the
     * identical ((n_d−e)·(n_d−e))/e three-op IEEE chain on both
     * engines. */
-  def benfordDigits(stgOrders: DataFrame): DataFrame = {
-    val cents = stgOrders
-      .select((col("order_total") * 100).cast("long").as("cents"))
-      .where(col("cents") > 0)
+  def benfordDigits(stgOrders: DataFrame): DataFrame =
+    benfordFromCounts(benfordDigitCounts(
+      stgOrders.select((col("order_total") * 100).cast("long").as("cents"))))
+
+  /** Exact per-first-digit counts of a positive `cents` column — the
+    * MERGEABLE sketch of the Benford audit (counts add across
+    * batches/partitions), shared by the batch queries and the
+    * streaming monitor's per-batch sink. */
+  def benfordDigitCounts(cents: DataFrame): DataFrame =
+    cents.where(col("cents") > 0)
       .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
-    val tot = cents.agg(count(lit(1)).as("n"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+
+  /** Final Benford projection from (digit, n_obs) counts — identical
+    * whether the counts came from one batch pass or a merged
+    * streaming sink. */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n_obs")).as("n"))
     val pCase = (1 to 9).foldLeft(when(lit(false), lit(0.0))) {
       case (c, d) => c.when(col("digit") === d, lit(BenfordP(d)))
     }
-    cents.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    counts
       .crossJoin(broadcast(tot))
       .withColumn("benford_p", pCase)
       .withColumn("expected_n", col("n").cast("double") * col("benford_p"))
@@ -118,6 +130,13 @@ object StatsMarts {
           * (col("n_obs").cast("double") - col("expected_n")))
           / col("expected_n")).as("chi2_term"))
   }
+
+  /** Benford audit over the event VALUE stream (doubles → exact cents
+    * via floor — Spark's double→long cast truncates but DuckDB's
+    * rounds, so the floor is explicit and shared). */
+  def eventBenford(events: DataFrame): DataFrame =
+    benfordFromCounts(benfordDigitCounts(
+      events.select(floor(col("value") * 100).cast("long").as("cents"))))
 
   /** One-row Benford verdict: total χ² and mean-absolute-deviation of
     * shares. Double SUMS are banned cross-engine (addition order), so
@@ -284,34 +303,46 @@ object StatsMarts {
   /** Report product-name pairs at or above this JW similarity. */
   val JwThreshold = 0.9
 
-  /** Skip blocks larger than this (the media_ahash_pairs honest-
-    * truncation convention): Σ block² is the join's work, so one hot
-    * first-token caps at MaxJwBlock² candidates instead of exploding
-    * with the corpus. Deterministic — both engines count, both skip. */
-  val MaxJwBlock = 4096L
+  /** Length-band blocking radius: candidate pairs may differ by at
+    * most this many characters (JW of strings with very different
+    * lengths is low by construction — the standard JW blocking). */
+  val JwLenBand = 2
 
-  /** Near-duplicate PRODUCT-NAME pairs by [[graft.expressions.StringSim
+  /** Near-duplicate NAME pairs by [[graft.expressions.StringSim
     * JaroWinkler]] — the record-linkage/entity-resolution companion to
     * the Levenshtein `fuzzy_name_match`: JW is O(|a|·window) instead
-    * of O(|a|·|b|) and prefix-weighted (names share roots, typos tail).
-    * Blocked on the first name token (same-block pairs only) so the
-    * candidate set is Σ block² — bounded per key, the standard
-    * blocking escape from n²; a skewed block would salt exactly like
-    * any hot join key. The similarity itself is bit-pinned to DuckDB's
-    * `jaro_winkler_similarity` (see StringSim), so even the >θ filter
+    * of O(|a|·|b|) and prefix-weighted (names share roots, typos
+    * tail). Entity resolution runs on the DISTINCT-NAME DICTIONARY,
+    * not the row stream — the first cut paired raw rows and on this
+    * catalog (64 distinct names over 20k rows) produced 3.3M
+    * candidate pairs at sf0.1 and owned the whole bench at 14 s,
+    * because row-level pairing is quadratic in DUPLICATION, not in
+    * vocabulary. The dictionary is vocabulary-bounded at any corpus
+    * size; each name carries its row count so a downstream merge
+    * knows exactly how many catalog rows each fused entity absorbs
+    * (the broadcast-merge-map shape).
+    *
+    * Blocking is a LENGTH BAND (|len a − len b| ≤ [[JwLenBand]] —
+    * token-prefix blocking would miss the 'cold X'/'old X' typo
+    * family JW exists to catch), realized as an EQUI-join: side a
+    * explodes one row per band length, joined on b's exact length —
+    * each pair meets exactly once, no nested loop at any scale. The
+    * similarity itself is bit-pinned to DuckDB's
+    * `jaro_winkler_similarity` (see StringSim), so even the ≥θ filter
     * agrees bit-for-bit. */
   def jwNamePairs(stgProducts: DataFrame): DataFrame = {
-    val p0 = stgProducts.select(col("product_id"), col("product_name"),
-      element_at(split(col("product_name"), " "), 1).as("block"))
-    val sizes = p0.groupBy("block").agg(count(lit(1)).as("block_n"))
-    val p = p0.join(broadcast(sizes.where(col("block_n") <= MaxJwBlock)), Seq("block"))
-      .select("product_id", "product_name", "block")
-    p.as("a").join(p.as("b"),
-      col("a.block") === col("b.block")
-        && col("a.product_id") < col("b.product_id"))
+    val names = stgProducts.groupBy("product_name")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("len", length(col("product_name")))
+    val banded = names.select(col("product_name"), col("n_rows"), col("len"),
+      explode(sequence(col("len") - JwLenBand, col("len") + JwLenBand))
+        .as("band"))
+    banded.as("a").join(names.as("b"),
+      col("a.band") === col("b.len")
+        && col("a.product_name") < col("b.product_name"))
       .select(
-        col("a.product_id").as("product_a"), col("b.product_id").as("product_b"),
         col("a.product_name").as("name_a"), col("b.product_name").as("name_b"),
+        col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"),
         graft.expressions.StringSim.jaro_winkler(
           col("a.product_name"), col("b.product_name")).as("jw"))
       .where(col("jw") >= JwThreshold)

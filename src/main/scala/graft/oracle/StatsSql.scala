@@ -77,6 +77,46 @@ object StatsSql {
       (1 to 9).map(d => s"when $d then ${dlit(StatsMarts.BenfordP(d))}").mkString(" ") +
       " end"
 
+  /** Benford CTE chain from a cents-producing select body (shared by
+    * the orders audit, the events audit, and the streaming monitor —
+    * the stream gates against the same oracle, so a lost batch fails
+    * the hash). */
+  def benfordBaseFrom(centsSelect: String): String =
+    s"""ben_c as (
+       |  select cents from ($centsSelect) src where cents > 0
+       |),
+       |ben_d as (
+       |  select cast(substring(cast(cents as varchar), 1, 1) as int) as digit
+       |  from ben_c
+       |),
+       |ben_t as (select count(*) as n from ben_d),
+       |ben_g as (
+       |  select digit, count(*) as n_obs, max(n) as n
+       |  from ben_d cross join ben_t group by digit
+       |),
+       |ben_p as (
+       |  select digit, n_obs, n,
+       |    cast(n_obs as double) / cast(n as double) as share,
+       |    $benfordCase as benford_p,
+       |    cast(n as double) * ($benfordCase) as expected_n
+       |  from ben_g
+       |),
+       |ben_x as (
+       |  select digit, n_obs, n, share, benford_p, expected_n,
+       |    ((cast(n_obs as double) - expected_n)
+       |      * (cast(n_obs as double) - expected_n)) / expected_n as chi2_term
+       |  from ben_p
+       |)""".stripMargin
+
+  /** Mirror StatsMarts.eventBenford: explicit floor (DuckDB's
+    * double→bigint cast rounds; Spark's truncates — floor is the
+    * shared exact step), then the same digit chain. */
+  val eventBenfordQ: String =
+    s"""with ${benfordBaseFrom(
+      "select cast(floor(value * 100) as bigint) as cents from events")}
+       |select digit, n_obs, n, share, benford_p, expected_n, chi2_term
+       |from ben_x""".stripMargin
+
   private val benfordBase: String =
     s"""ben_c as (
        |  select cast(order_total * 100 as bigint) as cents from stg_orders
@@ -281,30 +321,30 @@ object StatsSql {
        |join bk_s sb on sb.product_id = product_b
        |cross join bk_n""".stripMargin
 
-  /** Mirror StatsMarts.jwNamePairs: DuckDB's jaro_winkler_similarity
-    * IS the reference implementation StringSim is bit-pinned to
-    * (probed: 0.7 boost threshold, textbook operation order). Same
-    * first-token blocking, same id orientation, same ≥θ filter. */
-  val jwNamePairsQ: String =
+  /** Mirror StatsMarts.jwNamePairs: the same distinct-name
+    * dictionary with row counts, the same exploded length-band
+    * equi-join, DuckDB's jaro_winkler_similarity as the reference
+    * implementation StringSim is bit-pinned to (probed: 0.7 boost
+    * threshold, textbook operation order). */
+  val jwNamePairsQ: String = {
+    import StatsMarts.JwLenBand
     s"""$ctes,
-       |jw_b0 as (
-       |  select product_id, product_name,
-       |    split_part(product_name, ' ', 1) as blk
-       |  from stg_products
+       |jw_n as (
+       |  select product_name, count(*) as n_rows,
+       |    cast(length(product_name) as int) as len
+       |  from stg_products group by product_name
        |),
-       |jw_sz as (
-       |  select blk from jw_b0 group by blk
-       |  having count(*) <= ${StatsMarts.MaxJwBlock}
-       |),
-       |jw_b as (
-       |  select product_id, product_name, blk
-       |  from jw_b0 join jw_sz using (blk)
+       |jw_a as (
+       |  select product_name, n_rows, len,
+       |    unnest(generate_series(len - $JwLenBand, len + $JwLenBand)) as band
+       |  from jw_n
        |)
-       |select a.product_id as product_a, b.product_id as product_b,
-       |  a.product_name as name_a, b.product_name as name_b,
+       |select a.product_name as name_a, b.product_name as name_b,
+       |  a.n_rows as n_rows_a, b.n_rows as n_rows_b,
        |  jaro_winkler_similarity(a.product_name, b.product_name) as jw
-       |from jw_b a
-       |join jw_b b on a.blk = b.blk and a.product_id < b.product_id
+       |from jw_a a
+       |join jw_n b on a.band = b.len and a.product_name < b.product_name
        |where jaro_winkler_similarity(a.product_name, b.product_name)
        |  >= ${dlit(StatsMarts.JwThreshold)}""".stripMargin
+  }
 }

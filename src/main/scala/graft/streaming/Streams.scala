@@ -1809,6 +1809,59 @@ object Streams {
     Stats.psiFromCounts(merged, pinnedStats)
   }
 
+  /** STREAMING BENFORD MONITOR — the first-digit fraud screen of
+    * [[graft.marts.StatsMarts.eventBenford]] maintained as events
+    * arrive: per-digit counts are a MERGEABLE sketch (they add), so
+    * each micro-batch writes its ≤9-row counter table to a
+    * batchId-keyed exactly-once sink, the serving read sums committed
+    * batches, and the same χ² projection runs over the merged counts
+    * — equal to the batch audit bit-for-bit (the SAME DuckDB oracle
+    * gates both; a lost batch shifts the counts and fails the hash).
+    * The psi-monitor shape: per-batch cost one bounded aggregation,
+    * standing state ≤9 longs per batch file regardless of traffic. */
+  def benfordMonitorStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sben",
+      scratchId(spark),
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    benfordMonitorStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
+      scratch.toString, "stream_benford_monitor")
+  }
+
+  /** Core of the streaming Benford monitor. */
+  def benfordMonitorStream(spark: SparkSession, events: DataFrame,
+                           scratchDir: String,
+                           progressName: String): DataFrame = withStreamPartitions(spark) {
+    import org.apache.hadoop.fs.Path
+    import graft.marts.StatsMarts
+    val cntDir = s"$scratchDir/cnts"
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StatsMarts.benfordDigitCounts(
+            batch.select(floor(col("value") * 100).cast("long").as("cents")))
+          .coalesce(1) // ≤ 9 rows — one counter file per batch
+          .write.mode("overwrite").parquet(s"$cntDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logProgress(progressName, q)
+    val fs = new Path(cntDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedKeyedDirs(fs, cntDir, Long.MaxValue)
+    val merged =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "digit int, n_obs long"))
+      else spark.read.parquet(dirs: _*)
+        .groupBy(col("digit"))
+        .agg(sum(col("n_obs")).cast("long").as("n_obs"))
+    StatsMarts.benfordFromCounts(merged)
+  }
+
   /** Core of the streaming sketch maintenance, shared by the
     * registered query and the multi-batch spec. `events` must carry
     * (ts, user_id). */

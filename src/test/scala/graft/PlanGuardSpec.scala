@@ -139,7 +139,9 @@ class PlanGuardSpec extends SparkSpec {
     // broadcast box grid × 64-row zonemap catalogs
     "hilbert_zonemaps", "layout_locality",
     // per-shard loads × ONE broadcast total-count row
-    "shard_routing")
+    "shard_routing",
+    // digit rows × ONE broadcast total row (batch + streaming serve)
+    "event_benford", "stream_benford_monitor")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary

@@ -167,15 +167,22 @@ class StatsMartsSpec extends SparkSpec {
 
   // ---- jw pairs ----
 
-  test("jw pairs are blocked, oriented, and above threshold") {
+  test("jw pairs resolve the distinct dictionary with row counts") {
+    // 'cold gear' appears 3x, 'old gear' 2x — the typo family differs
+    // in the FIRST token (length band keeps it; token blocking would
+    // lose it); 'totally other' is out of band and out of range
     val p = Seq(
-      (1L, "alpha beta gamma"), (2L, "alpha beta gamme"),
-      (3L, "zeta one two"), (4L, "alpha completely different"))
+      (1L, "cold gear"), (2L, "cold gear"), (3L, "cold gear"),
+      (4L, "old gear"), (5L, "old gear"),
+      (6L, "totally other name"))
       .toDF("product_id", "product_name")
     val rows = StatsMarts.jwNamePairs(p)
-      .select("product_a", "product_b", "jw")
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(rows.map(r => (r._1, r._2)) === Seq((1L, 2L)))
-    assert(rows.head._3 >= StatsMarts.JwThreshold)
+      .select("name_a", "name_b", "n_rows_a", "n_rows_b", "jw")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(rows.length === 1)
+    val (a, b, na, nb, jw) = rows.head
+    assert((a, b, na, nb) === (("cold gear", "old gear", 3L, 2L)))
+    assert(jw >= StatsMarts.JwThreshold)
+    // each pair meets exactly once despite the 5-way band explode
   }
 }
