@@ -337,6 +337,15 @@ object Models {
   /** Holt double-exponential level+trend forecaster (exact ints). */
   def revenueHolt(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueHolt(dailySummary(s, d))
+  /** Pearson chi-square independence: segment x priority. */
+  def segmentPriorityChi2(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.segmentPriorityChi2(stgOrders(s, d), stgCustomers(s, d))
+  /** One-row independence verdict (ordered-fold chi2 vs df=16). */
+  def segmentPriorityVerdict(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.segmentPriorityVerdict(stgOrders(s, d), stgCustomers(s, d))
+  /** Grouped closed-form OLS: per-product monthly revenue trend. */
+  def productTrendOls(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.productTrendOls(stgOrderItems(s, d), stgOrders(s, d))
   /** Gini coefficient of customer lifetime revenue (rank formula). */
   def revenueGini(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.revenueGini(stgOrders(s, d))

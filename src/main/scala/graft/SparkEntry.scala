@@ -91,6 +91,11 @@ object SparkEntry {
     "customer_survival_km" -> out(Models.customerSurvivalKm),
     // market-basket association rules: support/confidence/lift
     "basket_rules" -> out(Models.basketRules),
+    // Pearson chi2 independence: segment x priority contingency
+    "segment_priority_chi2" -> out(Models.segmentPriorityChi2),
+    "segment_priority_verdict" -> out(Models.segmentPriorityVerdict),
+    // grouped closed-form OLS trends (sufficient-statistics reduce)
+    "product_trend_ols" -> out(Models.productTrendOls),
     // Jaro-Winkler near-dup product names (native expr, blocked join)
     "jw_name_pairs" -> out(Models.jwNamePairs),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
@@ -472,6 +477,9 @@ object SparkEntry {
     "ks_weekend_drift" -> StatsSql.ksWeekendDriftQ,
     "customer_survival_km" -> StatsSql.customerSurvivalKmQ,
     "basket_rules" -> StatsSql.basketRulesQ,
+    "segment_priority_chi2" -> StatsSql.segmentPriorityChi2Q,
+    "segment_priority_verdict" -> StatsSql.segmentPriorityVerdictQ,
+    "product_trend_ols" -> StatsSql.productTrendOlsQ,
     "jw_name_pairs" -> StatsSql.jwNamePairsQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,

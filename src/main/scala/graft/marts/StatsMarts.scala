@@ -300,6 +300,94 @@ object StatsMarts {
           / (col("a_n") * col("b_n")).cast("double")).as("lift"))
   }
 
+  /** χ²₀.₀₅ critical value at 16 degrees of freedom (literal —
+    * shared verbatim by both engines, like [[BenfordChi2Crit05]]). */
+  val Chi2Crit05Df16 = 26.29622760486423
+
+  /** PEARSON χ² INDEPENDENCE TEST (Pearson 1900) on the market-segment
+    * × order-priority contingency table — are order priorities
+    * distributed independently of customer segment? Counts, row/col
+    * totals exact int64; expected_{ij} = (rᵢ·c_j)/n is ONE division of
+    * an exact product; χ² terms the identical 3-op chain. 25 cells
+    * (5×5 bounded dims), df = 16. */
+  def segmentPriorityChi2(stgOrders: DataFrame, stgCustomers: DataFrame): DataFrame = {
+    val joined = stgOrders.select(col("customer_id"), col("order_priority"))
+      .join(stgCustomers.select(col("customer_id"), col("market_segment")),
+        Seq("customer_id"))
+    val cells = joined.groupBy("market_segment", "order_priority")
+      .agg(count(lit(1)).as("n_obs"))
+    val rows = cells.groupBy("market_segment").agg(sum(col("n_obs")).as("row_n"))
+    val cols = cells.groupBy("order_priority").agg(sum(col("n_obs")).as("col_n"))
+    val tot = cells.agg(sum(col("n_obs")).as("n"))
+    cells
+      .join(broadcast(rows), Seq("market_segment"))
+      .join(broadcast(cols), Seq("order_priority"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_n",
+        (col("row_n") * col("col_n")).cast("double") / col("n").cast("double"))
+      .select(col("market_segment"), col("order_priority"),
+        col("n_obs"), col("row_n"), col("col_n"), col("n"), col("expected_n"),
+        (((col("n_obs").cast("double") - col("expected_n"))
+          * (col("n_obs").cast("double") - col("expected_n")))
+          / col("expected_n")).as("chi2_term"))
+  }
+
+  /** One-row independence verdict: total χ² via the ordered fold over
+    * the (segment, priority)-sorted 25-cell list vs χ²₀.₀₅,₁₆. */
+  def segmentPriorityVerdict(stgOrders: DataFrame, stgCustomers: DataFrame): DataFrame =
+    segmentPriorityChi2(stgOrders, stgCustomers)
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        aggregate(
+          array_sort(collect_list(struct(col("market_segment"),
+            col("order_priority"), col("chi2_term")))),
+          lit(0.0), (acc, x) => acc + x.getField("chi2_term")).as("chi2"))
+      .select(col("n"), col("n_cells"), col("chi2"),
+        lit(16).as("df"),
+        (col("chi2") > Chi2Crit05Df16).as("reject_05"))
+
+  /** GROUPED CLOSED-FORM OLS (least squares, Gauss 1809) — per-product
+    * linear trend of monthly revenue: slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²) with x = calendar month index and y = exact
+    * month-revenue cents. All five sufficient statistics are exact
+    * int64 keyed aggregates (headroom: n≤84 months, x≈24e3,
+    * y≤1e10 cents/month ⇒ n·Σxy ≲ 1.7e17 ≪ 2⁶³ — spec-asserted), the
+    * numerator/denominator are emitted as exact ints, and slope/
+    * intercept are the only IEEE ops. This is the map-reduce shape of
+    * regression: sufficient statistics combine associatively, so the
+    * same query trains 10⁹ per-group models in one keyed pass at any
+    * corpus size. */
+  def productTrendOls(stgOrderItems: DataFrame, stgOrders: DataFrame): DataFrame = {
+    // price in scale-4 integer units: discounted_price is decimal(18,4)
+    // so ×10000 is EXACT — a ×100 cast would truncate on Spark but
+    // ROUND on DuckDB (the double→int lesson, decimal edition); the
+    // month index is 1992-based to keep x small (headroom margin)
+    val monthly = stgOrderItems
+      .select(col("product_id"), col("order_id"),
+        (col("discounted_price") * 10000).cast("long").as("cents"))
+      .join(stgOrders.select(col("order_id"),
+        ((year(col("ordered_at")) - 1992) * 12 + month(col("ordered_at")))
+          .cast("long").as("x")), Seq("order_id"))
+      .groupBy("product_id", "x")
+      .agg(sum(col("cents")).as("y"))
+    monthly.groupBy("product_id").agg(
+      count(lit(1)).as("n_months"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .where(col("n_months") >= 2)
+      .withColumn("num", col("n_months") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_months") * col("sxx") - col("sx") * col("sx"))
+      .where(col("den") =!= 0L)
+      .withColumn("slope", col("num").cast("double") / col("den").cast("double"))
+      .select(col("product_id"), col("n_months"), col("num"), col("den"),
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_months").cast("double")).as("intercept"))
+  }
+
   /** Report product-name pairs at or above this JW similarity. */
   val JwThreshold = 0.9
 

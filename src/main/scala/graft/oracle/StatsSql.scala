@@ -321,6 +321,99 @@ object StatsSql {
        |join bk_s sb on sb.product_id = product_b
        |cross join bk_n""".stripMargin
 
+  /** Shared contingency CTE chain for the segment × priority test. */
+  private val chi2Base: String =
+    """cx_j as (
+      |  select o.customer_id, o.order_priority, c.market_segment
+      |  from stg_orders o
+      |  join stg_customers c on o.customer_id = c.customer_id
+      |),
+      |cx_c as (
+      |  select market_segment, order_priority, count(*) as n_obs
+      |  from cx_j group by 1, 2
+      |),
+      |cx_r as (
+      |  select market_segment, cast(sum(n_obs) as bigint) as row_n
+      |  from cx_c group by 1
+      |),
+      |cx_k as (
+      |  select order_priority, cast(sum(n_obs) as bigint) as col_n
+      |  from cx_c group by 1
+      |),
+      |cx_t as (select cast(sum(n_obs) as bigint) as n from cx_c),
+      |cx_e as (
+      |  select c.market_segment, c.order_priority, c.n_obs, r.row_n, k.col_n, n,
+      |    cast(r.row_n * k.col_n as double) / cast(n as double) as expected_n
+      |  from cx_c c
+      |  join cx_r r on c.market_segment = r.market_segment
+      |  join cx_k k on c.order_priority = k.order_priority
+      |  cross join cx_t
+      |),
+      |cx_x as (
+      |  select market_segment, order_priority, n_obs, row_n, col_n, n, expected_n,
+      |    ((cast(n_obs as double) - expected_n)
+      |      * (cast(n_obs as double) - expected_n)) / expected_n as chi2_term
+      |  from cx_e
+      |)""".stripMargin
+
+  /** Mirror StatsMarts.segmentPriorityChi2: exact contingency counts,
+    * one-division expected cells, the identical χ²-term chain. */
+  val segmentPriorityChi2Q: String =
+    s"""$ctes,
+       |$chi2Base
+       |select market_segment, order_priority, n_obs, row_n, col_n, n,
+       |  expected_n, chi2_term
+       |from cx_x""".stripMargin
+
+  /** Mirror StatsMarts.segmentPriorityVerdict: the ordered-fold χ²
+    * total over the (segment, priority)-sorted 25-cell list. */
+  val segmentPriorityVerdictQ: String =
+    s"""$ctes,
+       |$chi2Base,
+       |cx_f as (
+       |  select max(n) as n, count(*) as n_cells,
+       |    list_reduce(list_prepend(cast(0.0 as double),
+       |      list(chi2_term order by market_segment, order_priority)),
+       |      (acc, x) -> acc + x) as chi2
+       |  from cx_x
+       |)
+       |select n, n_cells, chi2, 16 as df,
+       |  chi2 > ${dlit(StatsMarts.Chi2Crit05Df16)} as reject_05
+       |from cx_f""".stripMargin
+
+  /** Mirror StatsMarts.productTrendOls: the same five exact-int64
+    * sufficient statistics (price at scale-4 integer units — the
+    * decimal is exact there, so no truncate-vs-round cast hazard),
+    * exact num/den, the two output IEEE ops. */
+  val productTrendOlsQ: String =
+    s"""$ctes,
+       |ols_m as (
+       |  select oi.product_id,
+       |    cast((year(o.ordered_at) - 1992) * 12 + month(o.ordered_at) as bigint) as x,
+       |    cast(sum(cast(oi.discounted_price * 10000 as bigint)) as bigint) as y
+       |  from stg_order_items oi
+       |  join stg_orders o on oi.order_id = o.order_id
+       |  group by 1, 2
+       |),
+       |ols_s as (
+       |  select product_id, count(*) as n_months,
+       |    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+       |    cast(sum(x * x) as bigint) as sxx, cast(sum(x * y) as bigint) as sxy
+       |  from ols_m group by 1
+       |),
+       |ols_f as (
+       |  select product_id, n_months,
+       |    n_months * sxy - sx * sy as num,
+       |    n_months * sxx - sx * sx as den,
+       |    sx, sy
+       |  from ols_s where n_months >= 2
+       |)
+       |select product_id, n_months, num, den,
+       |  cast(num as double) / cast(den as double) as slope,
+       |  (cast(sy as double) - (cast(num as double) / cast(den as double))
+       |    * cast(sx as double)) / cast(n_months as double) as intercept
+       |from ols_f where den <> 0""".stripMargin
+
   /** Mirror StatsMarts.jwNamePairs: the same distinct-name
     * dictionary with row counts, the same exploded length-band
     * equi-join, DuckDB's jaro_winkler_similarity as the reference

@@ -141,7 +141,9 @@ class PlanGuardSpec extends SparkSpec {
     // per-shard loads × ONE broadcast total-count row
     "shard_routing",
     // digit rows × ONE broadcast total row (batch + streaming serve)
-    "event_benford", "stream_benford_monitor")
+    "event_benford", "stream_benford_monitor",
+    // 25 contingency cells × ONE broadcast grand-total row
+    "segment_priority_chi2", "segment_priority_verdict")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary

@@ -165,6 +165,62 @@ class StatsMartsSpec extends SparkSpec {
     assert(rules.nonEmpty)
   }
 
+  // ---- chi-square independence ----
+
+  test("chi2 cells match the hand-computed contingency arithmetic") {
+    // 2 segments x 2 priorities: A:(hi 3, lo 1), B:(hi 1, lo 3); n=8
+    val orders = Seq(
+      (1L, "hi"), (1L, "hi"), (1L, "hi"), (1L, "lo"),
+      (2L, "hi"), (2L, "lo"), (2L, "lo"), (2L, "lo"))
+      .zipWithIndex.map { case ((c, p), i) => (i.toLong, c, p) }
+      .toDF("order_id", "customer_id", "order_priority")
+    val custs = Seq((1L, "A"), (2L, "B")).toDF("customer_id", "market_segment")
+    val cells = StatsMarts.segmentPriorityChi2(orders, custs)
+      .select("market_segment", "order_priority", "n_obs", "expected_n", "chi2_term")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    // every margin is 4 -> expected 2 everywhere; term = (o-2)^2/2 = 0.5
+    assert(cells(("A", "hi")) === ((3L, 2.0, 0.5)))
+    assert(cells(("B", "lo")) === ((3L, 2.0, 0.5)))
+    assert(cells(("A", "lo")) === ((1L, 2.0, 0.5)))
+    val v = StatsMarts.segmentPriorityVerdict(orders, custs)
+      .select("n", "n_cells", "chi2", "df", "reject_05")
+      .as[(Long, Long, Double, Int, Boolean)].head()
+    assert(v === ((8L, 4L, 2.0, 16, false)))
+  }
+
+  // ---- grouped OLS ----
+
+  test("ols recovers an exact line per group") {
+    // product 10: revenue 1000.0000 + 25.0000/month (scale-4 units:
+    // 10_000_000 + 250_000 x); product 20: flat
+    val orders = (1 to 6).map(m =>
+      (m.toLong, 99L, java.sql.Date.valueOf(f"1992-0$m%01d-15")))
+      .toDF("order_id", "customer_id", "ordered_at")
+    val items = (1 to 6).flatMap { m =>
+      Seq((m.toLong, 10L, BigDecimal(1000 + 25 * m)),
+        (m.toLong, 20L, BigDecimal(777)))
+    }.map { case (o, p, d) => (o, p, d.setScale(4)) }
+      .toDF("order_id", "product_id", "discounted_price")
+    val rows = StatsMarts.productTrendOls(items, orders)
+      .select("product_id", "n_months", "slope", "intercept")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(10L)._1 === 6L)
+    assert(rows(10L)._2 === 250000.0) // 25.0000/month in scale-4 units
+    assert(rows(10L)._3 === 10000000.0)
+    assert(rows(20L)._2 === 0.0)
+  }
+
+  test("ols int64 headroom holds on the gated data") {
+    val df = StatsMarts.productTrendOls(
+      Models.stgOrderItems(spark, sf), Models.stgOrders(spark, sf))
+    val (mx, _) = df.agg(max(abs(col("num"))), max(abs(col("den"))))
+      .as[(Long, Long)].head()
+    assert(BigInt(mx) < BigInt(Long.MaxValue) / 1000,
+      s"OLS numerator too close to 2^63: $mx")
+  }
+
   // ---- jw pairs ----
 
   test("jw pairs resolve the distinct dictionary with row counts") {
