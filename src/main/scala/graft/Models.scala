@@ -1113,6 +1113,36 @@ object Models {
       operators.Graph.labelPropagationWithSizes(
         copurchaseStrongEdges(s, d).select("src", "dst"),
         Models.LpaRounds))
+  /** CLOSENESS + HARMONIC centrality over the strong graph within
+    * BfsMaxHops (Bavelas 1950; Marchiori & Latora 2000): all-pairs
+    * hop distances through [[graft.operators.Graph.allPairsHopDistances]],
+    * then per node the bounded-radius closeness reach/Σdist and the
+    * exact-rational harmonic sum — with hops ≤ 4, Σ 1/d =
+    * (12·n₁ + 6·n₂ + 4·n₃ + 3·n₄)/12, an EXACT int numerator (no
+    * engine-ordered double sum), divided once at the boundary. */
+  def copurchaseCloseness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dists = operators.Graph.allPairsHopDistances(
+      copurchaseStrongEdges(s, d).select("src", "dst"), Models.BfsMaxHops)
+    dists.where(col("dist") > 0)
+      .groupBy(col("root").as("node"))
+      .agg(
+        count(lit(1)).as("reach_n"),
+        sum(col("dist").cast("long")).as("dist_sum"),
+        count(when(col("dist") === 1, 1)).as("d1_n"),
+        count(when(col("dist") === 2, 1)).as("d2_n"),
+        count(when(col("dist") === 3, 1)).as("d3_n"),
+        count(when(col("dist") === 4, 1)).as("d4_n"))
+      .withColumn("harmonic_x12",
+        lit(12L) * col("d1_n") + lit(6L) * col("d2_n")
+          + lit(4L) * col("d3_n") + lit(3L) * col("d4_n"))
+      .select(col("node"), col("reach_n"), col("dist_sum"),
+        col("d1_n"), col("d2_n"), col("d3_n"), col("d4_n"),
+        (col("reach_n").cast("double") / col("dist_sum").cast("double"))
+          .as("closeness"),
+        col("harmonic_x12"),
+        (col("harmonic_x12").cast("double") / 12.0).as("harmonic"))
+  }
   /** Common-neighbor / Jaccard link predictions on the strong-edge
     * affinity graph — top-K candidate pairs the graph does NOT
     * already contain (the "also bought" recommender). */

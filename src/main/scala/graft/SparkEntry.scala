@@ -351,6 +351,8 @@ object SparkEntry {
     "copurchase_pagerank_directed" -> out(Models.copurchasePagerankDirected),
     // synchronous label-propagation communities (strong-edge graph)
     "copurchase_communities" -> out(Models.copurchaseCommunities),
+    // closeness + harmonic centrality (bounded-round all-pairs BFS)
+    "copurchase_closeness" -> out(Models.copurchaseCloseness),
     // common-neighbor/Jaccard link prediction (non-adjacent top-K)
     "copurchase_link_predictions" -> out(Models.copurchaseLinkPredictions),
     // one-pass exact column profile (catalog/dq audit surface)
@@ -627,6 +629,7 @@ object SparkEntry {
     "copurchase_ppr" -> OpsSql.copurchasePprQ,
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
+    "copurchase_closeness" -> OpsSql.copurchaseClosenessQ,
     "copurchase_link_predictions" -> OpsSql.copurchaseLinkPredictionsQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,

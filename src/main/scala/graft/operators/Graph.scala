@@ -475,6 +475,35 @@ object Graph {
     dist
   }
 
+  /** ALL-PAIRS hop distances within `maxHops` rounds: (root, node,
+    * dist) for every ordered pair with dist ≤ maxHops — the per-root
+    * sibling of [[bfsDistances]] (which collapses the source set to a
+    * min-dist). Each round expands every root's frontier one hop and
+    * re-minimizes; state is the distinct reached (root, node) pair
+    * set, bounded by Σ per-root reachable sets (the H-hop
+    * neighborhood, not |V|² — co-purchase graphs are weight-
+    * thresholded to keep this local). Per round: one shuffle join +
+    * one keyed min — the classic bounded-round BSP shape; checkpoint
+    * per hop truncates the lineage exactly like bfsDistances. */
+  def allPairsHopDistances(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var dist = nodes.select(col("node").as("root"), col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val prev = dist
+      val reached = dist.join(sym, dist("node") === sym("src"))
+        .select(dist("root"), sym("dst").as("node"), lit(h).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy("root", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+    }
+    dist
+  }
+
   /** Sentinel capacity for [[widestPaths]] sources (effectively +inf;
     * mirrored literally in the DuckDB oracle, mapped to NULL at the
     * output boundary). */

@@ -1174,6 +1174,54 @@ object OpsSql {
        |select node, dist from d$k""".stripMargin
   }
 
+  /** Mirror Models.copurchaseCloseness: the same strong-edge graph,
+    * the same bounded-round all-pairs BFS unrolled per hop (root
+    * carried through), the same exact-int per-node rollup and the
+    * exact-rational harmonic numerator — doubles only in the two
+    * output divisions. */
+  val copurchaseClosenessQ: String = {
+    val k = graft.Models.CoPurchaseMinWeight
+    val h = graft.Models.BfsMaxHops
+    require(h == 4, "harmonic_x12 is specialized to BfsMaxHops == 4")
+    val rounds = (1 to h).map { r =>
+      s"""ap$r as (
+         |  select root, node, min(dist) as dist from (
+         |    select root, node, dist from ap${r - 1}
+         |    union all
+         |    select p.root, s.dst as node, $r as dist
+         |    from ap${r - 1} p join sym s on p.node = s.src
+         |  ) u group by 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $k
+       |),
+       |sym as (select src, dst from se union all select dst as src, src as dst from se),
+       |ap0 as (select node as root, node, 0 as dist
+       |        from (select distinct src as node from sym) n),
+       |$rounds,
+       |cl as (
+       |  select root as node,
+       |    count(*) as reach_n,
+       |    cast(sum(cast(dist as bigint)) as bigint) as dist_sum,
+       |    count(case when dist = 1 then 1 end) as d1_n,
+       |    count(case when dist = 2 then 1 end) as d2_n,
+       |    count(case when dist = 3 then 1 end) as d3_n,
+       |    count(case when dist = 4 then 1 end) as d4_n
+       |  from ap$h where dist > 0 group by 1
+       |)
+       |select node, reach_n, dist_sum, d1_n, d2_n, d3_n, d4_n,
+       |  cast(reach_n as double) / cast(dist_sum as double) as closeness,
+       |  12 * d1_n + 6 * d2_n + 4 * d3_n + 3 * d4_n as harmonic_x12,
+       |  cast(12 * d1_n + 6 * d2_n + 4 * d3_n + 3 * d4_n as double) / 12.0
+       |    as harmonic
+       |from cl""".stripMargin
+  }
+
   /** Mirror Graph.widestPaths over the weighted strong-edge graph:
     * the SAME max-min relaxation unrolled Models.BottleneckRounds
     * times from the same min-src source, the same one-extra-round

@@ -43,6 +43,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("allPairsHopDistances == per-root reference BFS within the bound") {
+    // path 1-2-3-4-5 plus chord 2-4; maxHops 4 reaches everything here
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L))
+      .toDF("src", "dst")
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L, 4L), 3L -> Set(2L, 4L),
+      4L -> Set(3L, 5L, 2L), 5L -> Set(4L))
+    def ref(root: Long): Map[Long, Int] = {
+      var d = Map(root -> 0); var frontier = Set(root)
+      for (h <- 1 to 4) {
+        frontier = frontier.flatMap(adj).filterNot(d.contains)
+        d = d ++ frontier.map(_ -> h)
+      }
+      d
+    }
+    val got = Graph.allPairsHopDistances(edges, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val want = (1L to 5L).flatMap(r => ref(r).map { case (n, d) => ((r, n), d) }).toMap
+    assert(got === want)
+  }
+
+  test("closeness: hub of a star beats the leaves") {
+    // star: 0 joined to 1..4 (weight 2 so the strong threshold keeps it)
+    val items = (1L to 4L).flatMap(i =>
+      Seq((i * 10, 0L), (i * 10, i), (i * 10 + 1, 0L), (i * 10 + 1, i)))
+      .toDF("order_id", "product_id")
+    val se = Graph.strongCoOccurrenceEdges(items, "order_id", "product_id", 2)
+    val dists = Graph.allPairsHopDistances(se.select("src", "dst"), 4)
+    // hub reaches 4 nodes at dist 1; each leaf reaches hub@1 + 3@2
+    val sums = dists.where(col("dist") > 0).groupBy("root")
+      .agg(sum("dist").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sums(0L) === 4L)
+    (1L to 4L).foreach(l => assert(sums(l) === 7L))
+  }
+
   test("strongCoOccurrenceEdges thresholds on co-occurrence weight") {
     // pair (1,2) in groups 1,2; pair (1,3) only in group 1
     val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)).toDF("g", "i")
