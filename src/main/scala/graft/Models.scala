@@ -334,6 +334,15 @@ object Models {
   /** Flesch readability over the shared whitespace tokenization. */
   def docReadability(s: SparkSession, d: String): DataFrame =
     llm.TextStats.readability(Tables.documents(s, d))
+  /** Mann-Kendall trend significance over daily revenue. */
+  def mannKendall(s: SparkSession, d: String): DataFrame =
+    TimeMarts.mannKendall(dailySummary(s, d))
+  /** Wald-Wolfowitz runs test for randomness around the median. */
+  def revenueRunsTest(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueRunsTest(dailySummary(s, d))
+  /** ACF points at lags 1/7/28 (exact decimal sufficient stats). */
+  def revenueAutocorr(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueAutocorr(dailySummary(s, d))
   /** Holt double-exponential level+trend forecaster (exact ints). */
   def revenueHolt(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueHolt(dailySummary(s, d))

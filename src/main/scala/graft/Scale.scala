@@ -199,7 +199,13 @@ object Scale {
       operators.Graph.labelPropagationWithSizes(
         edgesOf(s, d).select("src", "dst"), 4)),
     "graph_ppr" -> ((s: SparkSession, d: String) =>
-      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)))
+      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)),
+    // r14: per-root bounded-round BFS — replicas are DISJOINT
+    // components (node ids shift), so per-root neighborhoods and the
+    // (root, node) state scale linearly with edges by construction
+    "graph_closeness" -> ((s: SparkSession, d: String) =>
+      operators.Graph.allPairsHopDistances(
+        edgesOf(s, d).select("src", "dst"), graft.Models.BfsMaxHops)))
     // linkPredictions is deliberately NOT probed on this raw pair
     // table: common-neighbor counting is inherently Σ deg(center)²
     // with no orientation rescue, which is why the registered query

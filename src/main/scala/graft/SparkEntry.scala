@@ -75,6 +75,12 @@ object SparkEntry {
     "revenue_theilsen" -> out(Models.revenueTheilSen),
     // Holt level+trend double-exponential forecaster (exact ints)
     "revenue_holt" -> out(Models.revenueHolt),
+    // Mann-Kendall trend significance (tie-corrected, exact ints)
+    "mann_kendall" -> out(Models.mannKendall),
+    // Wald-Wolfowitz runs test around the exact lower median
+    "revenue_runs_test" -> out(Models.revenueRunsTest),
+    // ACF points at lags 1/7/28 (decimal-exact sufficient stats)
+    "revenue_autocorr" -> out(Models.revenueAutocorr),
     // Gini coefficient via the rank formula (two-phase global rank)
     "revenue_gini" -> out(Models.revenueGini),
     // Lorenz curve at decile grain (cumulative revenue share)
@@ -471,6 +477,9 @@ object SparkEntry {
     "revenue_cusum" -> Sql.revenueCusumQ,
     "revenue_theilsen" -> Sql.revenueTheilSenQ,
     "revenue_holt" -> Sql.revenueHoltQ,
+    "mann_kendall" -> Sql.mannKendallQ,
+    "revenue_runs_test" -> Sql.revenueRunsTestQ,
+    "revenue_autocorr" -> Sql.revenueAutocorrQ,
     "revenue_gini" -> StatsSql.revenueGiniQ,
     "lorenz_deciles" -> StatsSql.lorenzDecilesQ,
     "benford_digits" -> StatsSql.benfordDigitsQ,

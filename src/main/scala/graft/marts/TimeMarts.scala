@@ -611,4 +611,121 @@ object TimeMarts {
       .withColumn("is_spike",
         when(col("forecast") > 0, col("rel_dev") > HoltRelDev))
   }
+
+  /** Two-sided 5% normal critical value (shared literal). */
+  val Z05 = 1.959963984540054
+
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) on daily
+    * revenue — the significance companion to [[revenueTheilSen]]'s
+    * slope (the two are always quoted together): S = Σ_{i<j}
+    * sign(x_j − x_i) with the TIE-CORRECTED variance
+    * Var·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5), kept as an exact
+    * int64 numerator (n ≤ 3650 ⇒ n³ ≈ 5e10 ≪ 2⁶³). The pair domain is
+    * the calendar (the Theil-Sen broadcast-pair precedent); doubles
+    * appear only in z = (S∓1)/√(var18/18) — division, one sqrt, one
+    * literal compare. */
+  def mannKendall(daily: DataFrame): DataFrame = {
+    val base = daily.select(col("order_date"),
+      (col("daily_revenue") * 100).cast("long").as("c"))
+    val n = base.agg(count(lit(1)).as("n_days"))
+    val s = base.as("a").join(broadcast(base.as("b")),
+      col("a.order_date") < col("b.order_date"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = base.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tie18"))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+          - col("tie18"))
+      .withColumn("z",
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1L).cast("double")
+            / sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1L).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .select(col("n_days"), col("s_stat"), col("var18"), col("z"),
+        (col("z") > Z05).as("trend_up_05"),
+        (col("z") < -Z05).as("trend_down_05"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST (1940) for randomness of daily revenue
+    * around its median: days at the exact lower-median value drop
+    * (standard practice), signs reduce to above/below, and the run
+    * count feeds the closed-form z. Counts, run count, and both
+    * variance operands are exact int64 (2n₁n₂ ≤ 6.7e6 ⇒ the variance
+    * numerator ≈ 4.5e13 ≪ 2⁶³); z is division + one sqrt. The sign
+    * sequence is calendar-bounded — the documented unpartitioned-lag
+    * exception. */
+  def revenueRunsTest(daily: DataFrame): DataFrame = {
+    val base = daily.select(col("order_date"),
+      (col("daily_revenue") * 100).cast("long").as("c"))
+    val nRow = base.agg(count(lit(1)).as("n_all"))
+    val med = base.crossJoin(broadcast(nRow))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("order_date"))))
+      .filter(col("rn") === expr("(n_all + 1) div 2"))
+      .select(col("c").as("med"))
+    val signs = base.crossJoin(broadcast(med))
+      .where(col("c") =!= col("med"))
+      .select(col("order_date"), (col("c") > col("med")).as("up"))
+    val runs = signs
+      .withColumn("prev", lag(col("up"), 1).over(Window.orderBy(col("order_date"))))
+      .agg(
+        count(when(col("up"), 1)).as("n_above"),
+        count(when(!col("up"), 1)).as("n_below"),
+        (count(when(col("prev").isNull || col("prev") =!= col("up"), 1)))
+          .as("runs"))
+    runs
+      .withColumn("n", col("n_above") + col("n_below"))
+      .withColumn("two_ab", lit(2L) * col("n_above") * col("n_below"))
+      .select(col("n"), col("n_above"), col("n_below"), col("runs"),
+        ((col("runs").cast("double")
+          - (lit(1.0) + col("two_ab").cast("double") / col("n").cast("double")))
+          / sqrt((col("two_ab") * (col("two_ab") - col("n"))).cast("double")
+            / (col("n") * col("n") * (col("n") - 1L)).cast("double"))).as("z"))
+      .withColumn("random_05", abs(col("z")) <= Z05)
+  }
+
+  /** Autocorrelation lags reported (days). */
+  val AutocorrLags: Seq[Int] = Seq(1, 7, 28)
+
+  /** LAG AUTOCORRELATION of daily revenue at the [[AutocorrLags]]
+    * horizons — the ACF points a seasonality diagnosis starts from
+    * (lag-7 high + lag-1 low = weekly cycle). Each lag's five
+    * sufficient statistics are EXACT DECIMAL(38,0) sums over the
+    * calendar-equi-join of (t, t+k): cents² at 1e8-cent days overflows
+    * int64 over a decade (1e16·3650 ≈ 4e19 > 2⁶³), so operands widen
+    * to decimal(19,0) BEFORE multiplying — on DuckDB that forces the
+    * int128 path (its width-≤18 multiply overflows int64, the
+    * documented gotcha), on Spark (19,0)×(19,0) stays exact at scale
+    * 0. r_k = (mΣxy − ΣxΣy)/√((mΣxx − Σx²)(mΣyy − Σy²)): exact
+    * decimal numerator/denominators, then ONE double division over
+    * one sqrt of one product. */
+  def revenueAutocorr(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d190 = DecimalType(19, 0)
+    val base = daily.select(col("order_date"),
+      (col("daily_revenue") * 100).cast("long").cast(d190).as("c"))
+    AutocorrLags.map { k =>
+      val joined = base.as("a").join(base.as("b"),
+        col("b.order_date") === date_add(col("a.order_date"), k))
+      joined.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
+        sum(col("a.c") * col("a.c")).as("sxx"),
+        sum(col("b.c") * col("b.c")).as("syy"),
+        sum(col("a.c") * col("b.c")).as("sxy"))
+        .select(lit(k).as("lag"), col("n_pairs"),
+          ((col("n_pairs").cast(d190) * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt(
+              (col("n_pairs").cast(d190) * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+                * (col("n_pairs").cast(d190) * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))).as("autocorr"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1158,6 +1158,130 @@ object Sql {
        |from ho_f""".stripMargin
   }
 
+  /** Mirror TimeMarts.mannKendall: the same calendar pair domain,
+    * exact-int sign sum and tie-corrected variance numerator, the
+    * identical z chain. */
+  val mannKendallQ: String = {
+    import graft.marts.TimeMarts.Z05
+    s"""$allCtes,
+       |mk_b as (
+       |  select order_date, cast(daily_revenue * 100 as bigint) as c
+       |  from daily_summary
+       |),
+       |mk_n as (select count(*) as n_days from mk_b),
+       |mk_s as (
+       |  select cast(sum(cast(sign(b.c - a.c) as bigint)) as bigint) as s_stat
+       |  from mk_b a join mk_b b on a.order_date < b.order_date
+       |),
+       |mk_t as (
+       |  select cast(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) as bigint) as tie18
+       |  from (select count(*) as t from mk_b group by c) g
+       |),
+       |mk_v as (
+       |  select n_days, s_stat,
+       |    n_days * (n_days - 1) * (2 * n_days + 5) - tie18 as var18
+       |  from mk_n cross join mk_s cross join mk_t
+       |)
+       |select n_days, s_stat, var18,
+       |  case when s_stat > 0
+       |         then cast(s_stat - 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       when s_stat < 0
+       |         then cast(s_stat + 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       else 0.0e0 end as z,
+       |  case when s_stat > 0
+       |         then cast(s_stat - 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       when s_stat < 0
+       |         then cast(s_stat + 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       else 0.0e0 end > ${dlit(Z05)} as trend_up_05,
+       |  case when s_stat > 0
+       |         then cast(s_stat - 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       when s_stat < 0
+       |         then cast(s_stat + 1 as double) / sqrt(cast(var18 as double) / 18.0)
+       |       else 0.0e0 end < -${dlit(Z05)} as trend_down_05
+       |from mk_v""".stripMargin
+  }
+
+  /** Mirror TimeMarts.revenueRunsTest: the same lower-median element
+    * pick, the same drop-ties sign reduction, exact run count via the
+    * lag transition count, the identical z chain. */
+  val revenueRunsTestQ: String = {
+    import graft.marts.TimeMarts.Z05
+    s"""$allCtes,
+       |rt_b as (
+       |  select order_date, cast(daily_revenue * 100 as bigint) as c
+       |  from daily_summary
+       |),
+       |rt_n as (select count(*) as n_all from rt_b),
+       |rt_m as (
+       |  select c as med from (
+       |    select c, row_number() over (order by c, order_date) as rn
+       |    from rt_b) t cross join rt_n
+       |  where rn = (n_all + 1) // 2
+       |),
+       |rt_s as (
+       |  select order_date, c > med as up
+       |  from rt_b cross join rt_m where c <> med
+       |),
+       |rt_l as (
+       |  select up, lag(up) over (order by order_date) as prev from rt_s
+       |),
+       |rt_a as (
+       |  select
+       |    count(case when up then 1 end) as n_above,
+       |    count(case when not up then 1 end) as n_below,
+       |    count(case when prev is null or prev <> up then 1 end) as runs
+       |  from rt_l
+       |),
+       |rt_f as (
+       |  select n_above + n_below as n, n_above, n_below, runs,
+       |    2 * n_above * n_below as two_ab
+       |  from rt_a
+       |)
+       |select n, n_above, n_below, runs,
+       |  (cast(runs as double)
+       |    - (1.0e0 + cast(two_ab as double) / cast(n as double)))
+       |    / sqrt(cast(two_ab * (two_ab - n) as double)
+       |      / cast(n * n * (n - 1) as double)) as z,
+       |  abs((cast(runs as double)
+       |    - (1.0e0 + cast(two_ab as double) / cast(n as double)))
+       |    / sqrt(cast(two_ab * (two_ab - n) as double)
+       |      / cast(n * n * (n - 1) as double))) <= ${dlit(Z05)} as random_05
+       |from rt_f""".stripMargin
+  }
+
+  /** Mirror TimeMarts.revenueAutocorr: the same calendar lag joins;
+    * sufficient statistics as decimal(19,0)-widened exact products
+    * (the int128 path — cents² over a decade overflows int64), final
+    * arithmetic in HUGEINT (the same exact integers Spark's capped
+    * scale-0 decimals hold), one division over one sqrt. */
+  val revenueAutocorrQ: String = {
+    import graft.marts.TimeMarts.AutocorrLags
+    val arms = AutocorrLags.map { k =>
+      s"""select $k as lag, m as n_pairs,
+         |  cast(cast(m as hugeint) * cast(sxy as hugeint)
+         |    - cast(sx as hugeint) * cast(sy as hugeint) as double)
+         |    / sqrt(cast(cast(m as hugeint) * cast(sxx as hugeint)
+         |        - cast(sx as hugeint) * cast(sx as hugeint) as double)
+         |      * cast(cast(m as hugeint) * cast(syy as hugeint)
+         |        - cast(sy as hugeint) * cast(sy as hugeint) as double))
+         |    as autocorr
+         |from (
+         |  select count(*) as m,
+         |    sum(a.c) as sx, sum(b.c) as sy,
+         |    sum(a.c * a.c) as sxx, sum(b.c * b.c) as syy,
+         |    sum(a.c * b.c) as sxy
+         |  from ac_b a join ac_b b on b.order_date = a.order_date + $k
+         |) t""".stripMargin
+    }.mkString("\nunion all\n")
+    s"""$allCtes,
+       |ac_b as (
+       |  select order_date,
+       |    cast(cast(daily_revenue * 100 as bigint) as decimal(19,0)) as c
+       |  from daily_summary
+       |)
+       |$arms""".stripMargin
+  }
+
   /** Mirror TimeMarts.revenueAnomalies: exact decimal trailing-window
     * moments (current row excluded), the string-routed stddevFromSums
     * recipe, identical IEEE 2σ comparison. */

@@ -143,7 +143,12 @@ class PlanGuardSpec extends SparkSpec {
     // digit rows × ONE broadcast total row (batch + streaming serve)
     "event_benford", "stream_benford_monitor",
     // 25 contingency cells × ONE broadcast grand-total row
-    "segment_priority_chi2", "segment_priority_verdict")
+    "segment_priority_chi2", "segment_priority_verdict",
+    // calendar-bounded daily table × its own broadcast copy (≤3650²/2
+    // pair inequality join — the theilsen shape) + one-row stat rows
+    "mann_kendall",
+    // ≤3650 daily rows × ONE broadcast (n)/(median) row
+    "revenue_runs_test")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
@@ -178,6 +183,7 @@ class PlanGuardSpec extends SparkSpec {
     "revenue_theilsen",
     "daily_gapfill",      // 3650-row calendar spine fill
     "revenue_holt",       // lag-1 forecast over the calendar-bounded fold
+    "revenue_runs_test",  // median pick + sign-lag over the calendar series
     "locations", "location_performance_metrics", "growth_metrics",
     "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
     "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
