@@ -199,13 +199,14 @@ object Scale {
       operators.Graph.labelPropagationWithSizes(
         edgesOf(s, d).select("src", "dst"), 4)),
     "graph_ppr" -> ((s: SparkSession, d: String) =>
-      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)),
-    // r14: per-root bounded-round BFS — replicas are DISJOINT
-    // components (node ids shift), so per-root neighborhoods and the
-    // (root, node) state scale linearly with edges by construction
-    "graph_closeness" -> ((s: SparkSession, d: String) =>
-      operators.Graph.allPairsHopDistances(
-        edgesOf(s, d).select("src", "dst"), graft.Models.BfsMaxHops)))
+      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)))
+  // allPairsHopDistances (copurchase_closeness) is deliberately NOT
+  // probed on the raw co-occurrence replica: the r14 probe RAN it and
+  // the (root, node) frontier OOM'd at 1× — the raw graph's dense
+  // giant component makes per-root 4-hop neighborhoods approach |V|,
+  // so all-pairs state is ~|V|² there. That measurement is exactly why
+  // the registered query runs on the weight-THRESHOLDED strong graph,
+  // whose neighborhoods stay local (the linkPredictions precedent).
     // linkPredictions is deliberately NOT probed on this raw pair
     // table: common-neighbor counting is inherently Σ deg(center)²
     // with no orientation rescue, which is why the registered query
