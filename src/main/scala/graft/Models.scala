@@ -346,6 +346,12 @@ object Models {
   /** Holt double-exponential level+trend forecaster (exact ints). */
   def revenueHolt(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueHolt(dailySummary(s, d))
+  /** Customer spend-quintile migration matrix across the split. */
+  def customerMigration(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.customerMigration(stgOrders(s, d))
+  /** Inter-purchase gap histogram (per-customer keyed lag). */
+  def orderGapStats(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.orderGapStats(stgOrders(s, d))
   /** Pearson chi-square independence: segment x priority. */
   def segmentPriorityChi2(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.segmentPriorityChi2(stgOrders(s, d), stgCustomers(s, d))

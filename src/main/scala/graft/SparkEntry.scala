@@ -97,6 +97,10 @@ object SparkEntry {
     "customer_survival_km" -> out(Models.customerSurvivalKm),
     // market-basket association rules: support/confidence/lift
     "basket_rules" -> out(Models.basketRules),
+    // quintile migration matrix across the timeline split
+    "customer_migration" -> out(Models.customerMigration),
+    // inter-purchase gap histogram (repurchase-cycle distribution)
+    "order_gap_stats" -> out(Models.orderGapStats),
     // Pearson chi2 independence: segment x priority contingency
     "segment_priority_chi2" -> out(Models.segmentPriorityChi2),
     "segment_priority_verdict" -> out(Models.segmentPriorityVerdict),
@@ -488,6 +492,8 @@ object SparkEntry {
     "ks_weekend_drift" -> StatsSql.ksWeekendDriftQ,
     "customer_survival_km" -> StatsSql.customerSurvivalKmQ,
     "basket_rules" -> StatsSql.basketRulesQ,
+    "customer_migration" -> StatsSql.customerMigrationQ,
+    "order_gap_stats" -> StatsSql.orderGapStatsQ,
     "segment_priority_chi2" -> StatsSql.segmentPriorityChi2Q,
     "segment_priority_verdict" -> StatsSql.segmentPriorityVerdictQ,
     "product_trend_ols" -> StatsSql.productTrendOlsQ,

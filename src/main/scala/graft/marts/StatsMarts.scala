@@ -388,6 +388,83 @@ object StatsMarts {
           / col("n_months").cast("double")).as("intercept"))
   }
 
+  /** Timeline split for the migration matrix (the orders span
+    * 1992–1998; this cuts it roughly in half — a shared literal). */
+  val MigrationSplitDate = "1995-06-30"
+
+  /** Spend-quintile bucket of a ranked period table: exact integer
+    * ((rnk−1)·5 div n)+1 over the tie-broken ascending rank. */
+  private def quintiled(stgOrders: DataFrame, from: Boolean): DataFrame = {
+    val side = stgOrders.where(
+      if (from) col("ordered_at") <= lit(MigrationSplitDate)
+      else col("ordered_at") > lit(MigrationSplitDate))
+      .select(col("customer_id"),
+        (col("order_total") * 100).cast("long").as("order_cents"))
+      .groupBy("customer_id")
+      .agg(sum(col("order_cents")).as("pos"))
+      .select(col("customer_id"), (-col("pos")).as("neg_cents"))
+    val ranked = Ranks.globalRankWithValue(side, "customer_id",
+      col("neg_cents"), "neg_cents", "rnk")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("customer_id"),
+        expr("cast(((rnk - 1) * 5) div n as int) + 1").as("q"))
+  }
+
+  /** CUSTOMER QUINTILE MIGRATION MATRIX — the cohort-flow analysis
+    * behind every retention deck: spend quintile in the first half of
+    * the timeline vs the second (1 = lowest spenders, 5 = highest,
+    * 0 = absent in that period), with exact counts and one-division
+    * row shares. Each period's quintile comes from its own TWO-PHASE
+    * global rank (no single-task sort); the matrix is a full-outer
+    * keyed join — at 10⁹ customers this is two rank passes and one
+    * shuffle join, all keyed. */
+  def customerMigration(stgOrders: DataFrame): DataFrame = {
+    val before = quintiled(stgOrders, from = true)
+      .withColumnRenamed("q", "q_before")
+    val after = quintiled(stgOrders, from = false)
+      .withColumnRenamed("q", "q_after")
+    val cells = before.join(after, Seq("customer_id"), "full_outer")
+      .select(coalesce(col("q_before"), lit(0)).as("q_before"),
+        coalesce(col("q_after"), lit(0)).as("q_after"))
+      .groupBy("q_before", "q_after")
+      .agg(count(lit(1)).as("n_customers"))
+    val rows = cells.groupBy("q_before").agg(sum(col("n_customers")).as("row_n"))
+    cells.join(broadcast(rows), Seq("q_before"))
+      .select(col("q_before"), col("q_after"), col("n_customers"), col("row_n"),
+        (col("n_customers").cast("double") / col("row_n").cast("double"))
+          .as("row_share"))
+  }
+
+  /** Histogram bucket width for inter-purchase gaps (days). */
+  val GapBucketDays = 7
+
+  /** INTER-PURCHASE GAP DISTRIBUTION — days between consecutive
+    * orders per customer, bucketed by [[GapBucketDays]]: the
+    * repurchase-cycle histogram replenishment models start from.
+    * The lag runs PER CUSTOMER (keyed window — scales with
+    * customers, never a global sort; ties broken by order_id);
+    * buckets and counts exact ints, share one division. */
+  def orderGapStats(stgOrders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("customer_id")
+      .orderBy(col("ordered_at"), col("order_id"))
+    val gaps = stgOrders
+      .select(col("customer_id"), col("order_id"), col("ordered_at"))
+      .withColumn("prev", lag(col("ordered_at"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(col("ordered_at"), col("prev")).as("gap_days"))
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.groupBy(expr(s"cast(gap_days div $GapBucketDays as int)").as("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_weeks"), col("n_gaps"),
+        col("min_gap_days"), col("max_gap_days"), col("n_total"),
+        (col("n_gaps").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+  }
+
   /** Report product-name pairs at or above this JW similarity. */
   val JwThreshold = 0.9
 

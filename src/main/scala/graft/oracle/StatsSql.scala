@@ -414,6 +414,79 @@ object StatsSql {
        |    * cast(sx as double)) / cast(n_months as double) as intercept
        |from ols_f where den <> 0""".stripMargin
 
+  /** Shared quintile CTE for one migration period (mirror
+    * StatsMarts.quintiled — ascending-cents rank, customer tiebreak). */
+  private def migQ(name: String, pred: String): String =
+    s"""${name}_c as (
+       |  select customer_id,
+       |    cast(sum(cast(order_total * 100 as bigint)) as bigint) as cents
+       |  from stg_orders where $pred group by customer_id
+       |),
+       |${name}_r as (
+       |  select customer_id,
+       |    cast(row_number() over (order by cents, customer_id) as int) as rnk
+       |  from ${name}_c
+       |),
+       |${name}_n as (select count(*) as n from ${name}_r),
+       |$name as (
+       |  select customer_id, cast(((rnk - 1) * 5) // n as int) + 1 as q
+       |  from ${name}_r cross join ${name}_n
+       |)""".stripMargin
+
+  /** Mirror StatsMarts.customerMigration: per-period two-phase-rank
+    * quintiles, full-outer keyed join with 0 = absent, exact counts,
+    * one-division row shares. */
+  val customerMigrationQ: String = {
+    import StatsMarts.MigrationSplitDate
+    s"""$ctes,
+       |${migQ("mig_b", s"ordered_at <= DATE '$MigrationSplitDate'")},
+       |${migQ("mig_a", s"ordered_at > DATE '$MigrationSplitDate'")},
+       |mig_j as (
+       |  select coalesce(b.q, 0) as q_before, coalesce(a.q, 0) as q_after
+       |  from mig_b b full outer join mig_a a on b.customer_id = a.customer_id
+       |),
+       |mig_c as (
+       |  select q_before, q_after, count(*) as n_customers
+       |  from mig_j group by 1, 2
+       |),
+       |mig_r as (
+       |  select q_before, cast(sum(n_customers) as bigint) as row_n
+       |  from mig_c group by 1
+       |)
+       |select c.q_before, c.q_after, c.n_customers, r.row_n,
+       |  cast(c.n_customers as double) / cast(r.row_n as double) as row_share
+       |from mig_c c join mig_r r on c.q_before = r.q_before""".stripMargin
+  }
+
+  /** Mirror StatsMarts.orderGapStats: per-customer lag with the same
+    * (ordered_at, order_id) tiebreak, integer-division week buckets,
+    * one-division shares. */
+  val orderGapStatsQ: String = {
+    import StatsMarts.GapBucketDays
+    s"""$ctes,
+       |gap_b as (
+       |  select customer_id, order_id, ordered_at,
+       |    lag(ordered_at) over (partition by customer_id
+       |      order by ordered_at, order_id) as prev
+       |  from stg_orders
+       |),
+       |gap_g as (
+       |  select (ordered_at - prev) as gap_days
+       |  from gap_b where prev is not null
+       |),
+       |gap_t as (select count(*) as n_total from gap_g),
+       |gap_h as (
+       |  select cast(gap_days // $GapBucketDays as int) as gap_weeks,
+       |    count(*) as n_gaps,
+       |    min(gap_days) as min_gap_days, max(gap_days) as max_gap_days,
+       |    max(n_total) as n_total
+       |  from gap_g cross join gap_t group by 1
+       |)
+       |select gap_weeks, n_gaps, min_gap_days, max_gap_days, n_total,
+       |  cast(n_gaps as double) / cast(n_total as double) as share
+       |from gap_h""".stripMargin
+  }
+
   /** Mirror StatsMarts.jwNamePairs: the same distinct-name
     * dictionary with row counts, the same exploded length-band
     * equi-join, DuckDB's jaro_winkler_similarity as the reference

@@ -147,6 +147,10 @@ class PlanGuardSpec extends SparkSpec {
     // calendar-bounded daily table × its own broadcast copy (≤3650²/2
     // pair inequality join — the theilsen shape) + one-row stat rows
     "mann_kendall",
+    // two live Ranks offset joins (one per period) + one-row n rows
+    "customer_migration",
+    // gap buckets × ONE broadcast total row
+    "order_gap_stats",
     // ≤3650 daily rows × ONE broadcast (n)/(median) row
     "revenue_runs_test")
 

@@ -165,6 +165,46 @@ class StatsMartsSpec extends SparkSpec {
     assert(rules.nonEmpty)
   }
 
+  // ---- migration matrix / gap histogram ----
+
+  test("migration matrix: quintiles move as planted, absences map to 0") {
+    // before (<= 1995-06-30): c1..c5 spend ascending; after: reversed,
+    // c5 absent, c6 appears
+    val before = (1L to 5L).map(c =>
+      (c, c, Date.valueOf("1995-01-01"), BigDecimal(c * 100)))
+    val after = (1L to 4L).map(c =>
+      (c + 10, c, Date.valueOf("1996-01-01"), BigDecimal((5 - c) * 100))) :+
+      ((20L, 6L, Date.valueOf("1996-01-01"), BigDecimal(999)))
+    val orders = (before ++ after).map { case (o, c, d, t) =>
+      (o, c, d, t.setScale(2)) }
+      .toDF("order_id", "customer_id", "ordered_at", "order_total")
+    val cells = StatsMarts.customerMigration(orders)
+      .select("q_before", "q_after", "n_customers")
+      .as[(Int, Int, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    // c1: before q1, after spend 400 (highest of the 5 after-side) ->
+    // after ranks: c6=999 q5? after side: spends c1=400,c2=300,c3=200,
+    // c4=100,c6=999 -> ascending c4,c3,c2,c1,c6 -> q 1,2,3,4,5
+    assert(cells(((1, 4))) === 1L)
+    assert(cells(((5, 0))) === 1L) // c5 absent after
+    assert(cells(((0, 5))) === 1L) // c6 absent before
+    assert(cells.values.sum === 6L)
+  }
+
+  test("gap histogram: hand-planted gaps bucket and share correctly") {
+    val orders = Seq(
+      (1L, 1L, "2001-01-01"), (2L, 1L, "2001-01-04"), (3L, 1L, "2001-01-20"),
+      (4L, 2L, "2001-03-01"), (5L, 2L, "2001-03-02"))
+      .map { case (o, c, d) => (o, c, Date.valueOf(d), BigDecimal(10).setScale(2)) }
+      .toDF("order_id", "customer_id", "ordered_at", "order_total")
+    // gaps: c1: 3 days (week 0), 16 days (week 2); c2: 1 day (week 0)
+    val rows = StatsMarts.orderGapStats(orders)
+      .select("gap_weeks", "n_gaps", "share")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(0) === ((2L, 2.0 / 3)))
+    assert(rows(2) === ((1L, 1.0 / 3)))
+  }
+
   // ---- chi-square independence ----
 
   test("chi2 cells match the hand-computed contingency arithmetic") {
