@@ -27,13 +27,17 @@ import org.apache.spark.sql.graftbridge.Bridge
   *     boost threshold — probed, not assumed)
   *   - both empty → 0.0 under the |a|·|b|=0 guard (DuckDB agrees)
   *
-  * Comparison is over UTF-16 code units (String chars) — identical to
-  * code-point comparison for the BMP text this engine gates on; a
-  * full-astral contract would decode code points first.
+  * Comparison is over raw UTF-8 BYTES — exactly what DuckDB 1.x's
+  * `jaro_winkler_similarity` does (probed: 'café' vs 'cafe' gives
+  * 0.8483 byte-level, 0.8833 char-level; the oracle contract demands
+  * the former). For ASCII the two are identical; for any non-ASCII
+  * text byte-level is the only reading that keeps the gate
+  * bit-for-bit. Operating on `UTF8String.getBytes` also skips the
+  * String decode/allocation in the codegen hot path.
   */
 object StringSim {
 
-  def jaro(a: String, b: String): Double = {
+  def jaro(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -48,7 +52,7 @@ object StringSim {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; m += 1; done = true
         }
         j += 1
@@ -62,7 +66,7 @@ object StringSim {
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -72,14 +76,18 @@ object StringSim {
     (md / la + md / lb + (m - t) / md) / 3.0
   }
 
+  /** Convenience overload for specs; production path is byte-level. */
+  def jaro(a: String, b: String): Double =
+    jaro(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val j = jaro(a, b)
     if (j <= 0.7) return j
     var l = 0
     val n = math.min(4, math.min(a.length, b.length))
-    while (l < n && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < n && a(l) == b(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 

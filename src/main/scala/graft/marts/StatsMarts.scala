@@ -113,13 +113,22 @@ object StatsMarts {
 
   /** Final Benford projection from (digit, n_obs) counts — identical
     * whether the counts came from one batch pass or a merged
-    * streaming sink. */
+    * streaming sink. The counts are LEFT-JOINED onto a literal 1..9
+    * digit spine (n_obs=0 for absent digits) so a digit that never
+    * occurs — exactly the fabricated-data case the screen targets —
+    * still contributes its full n·p_d χ² term; without the spine the
+    * groupBy drops the digit and chi2 is silently understated. */
   def benfordFromCounts(counts: DataFrame): DataFrame = {
-    val tot = counts.agg(sum(col("n_obs")).as("n"))
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val spine = (1 to 9).toDF("digit")
+    val full = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = full.agg(sum(col("n_obs")).as("n"))
     val pCase = (1 to 9).foldLeft(when(lit(false), lit(0.0))) {
       case (c, d) => c.when(col("digit") === d, lit(BenfordP(d)))
     }
-    counts
+    full
       .crossJoin(broadcast(tot))
       .withColumn("benford_p", pCase)
       .withColumn("expected_n", col("n").cast("double") * col("benford_p"))
@@ -196,11 +205,16 @@ object StatsMarts {
         max(col("ks_num")).as("ks_num"), min(col("cents")).as("ks_at_cents"))
       .select(
         col("n_weekday"), col("n_weekend"), col("ks_num"), col("ks_at_cents"),
-        (col("ks_num").cast("double")
-          / (col("n_weekday") * col("n_weekend")).cast("double")).as("ks_stat"),
-        (lit(KsCoef05) * sqrt((col("n_weekday") + col("n_weekend")).cast("double")
-          / (col("n_weekday") * col("n_weekend")).cast("double"))).as("crit_05"))
-      .withColumn("reject_05", col("ks_stat") > col("crit_05"))
+        // One-sided-empty guard: a slice with no weekday (or no weekend)
+        // rows has no two-sample statistic — ks_stat/crit_05 go null and
+        // the verdict is a DEFINED no-drift false, never a NaN division.
+        when(col("n_weekday") > 0 && col("n_weekend") > 0,
+          col("ks_num").cast("double")
+            / (col("n_weekday") * col("n_weekend")).cast("double")).as("ks_stat"),
+        when(col("n_weekday") > 0 && col("n_weekend") > 0,
+          lit(KsCoef05) * sqrt((col("n_weekday") + col("n_weekend")).cast("double")
+            / (col("n_weekday") * col("n_weekend")).cast("double"))).as("crit_05"))
+      .withColumn("reject_05", coalesce(col("ks_stat") > col("crit_05"), lit(false)))
   }
 
   /** A customer is a churn EVENT if silent for this many days before

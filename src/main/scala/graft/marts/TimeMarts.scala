@@ -579,14 +579,24 @@ object TimeMarts {
     val arr = base.agg(array_sort(
       collect_list(struct(col("order_date"), col("cents")))).as("a"))
       .select(col("a"), size(col("a")).as("n"))
+      // Holt needs two observations to seed the trend (b_1 = x_2 − x_1);
+      // a sub-2-day series yields ZERO ROWS on both engines rather than
+      // an ANSI ArrayIndexOutOfBounds here vs an empty join in DuckDB.
+      .where(col("n") >= 2)
     // states[i] = struct(l, b) for day i+1 (1-indexed); fold starts at
-    // day 1's closed-form state and consumes days 2..n
+    // day 1's closed-form state and consumes days 2..n.
+    // try_element_at + guarded slice length keep the expression TOTAL:
+    // the n >= 2 filter above drops degenerate rows, but Spark's
+    // InferFiltersFromGenerate + predicate CSE can still EVALUATE this
+    // fold on them (size(st) > 0 is inferred below the posexplode and
+    // hoisted eagerly), so an ANSI element_at here would throw on the
+    // very rows the filter discards.
     val states = arr.select(col("a"), col("n"),
       expr(s"""aggregate(
-        slice(a, 2, n - 1),
+        slice(a, 2, if(n >= 2, n - 1, 0)),
         array(named_struct(
-          'l', a[0].cents,
-          'b', element_at(a, 2).cents - a[0].cents)),
+          'l', try_element_at(a, 1).cents,
+          'b', try_element_at(a, 2).cents - try_element_at(a, 1).cents)),
         (acc, x) -> concat(acc, array(named_struct(
           'l', (x.cents + 3 * (element_at(acc, -1).l + element_at(acc, -1).b)) div $HoltDiv,
           'b', (((x.cents + 3 * (element_at(acc, -1).l + element_at(acc, -1).b)) div $HoltDiv

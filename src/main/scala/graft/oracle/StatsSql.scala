@@ -90,9 +90,14 @@ object StatsSql {
        |  from ben_c
        |),
        |ben_t as (select count(*) as n from ben_d),
+       |ben_s as (select cast(range as int) as digit from range(1, 10)),
+       |ben_g0 as (
+       |  select digit, count(*) as n_obs from ben_d group by digit
+       |),
        |ben_g as (
-       |  select digit, count(*) as n_obs, max(n) as n
-       |  from ben_d cross join ben_t group by digit
+       |  select s.digit, coalesce(g.n_obs, 0) as n_obs, t.n
+       |  from ben_s s left join ben_g0 g on g.digit = s.digit
+       |  cross join ben_t t
        |),
        |ben_p as (
        |  select digit, n_obs, n,
@@ -127,9 +132,14 @@ object StatsSql {
        |  from ben_c
        |),
        |ben_t as (select count(*) as n from ben_d),
+       |ben_s as (select cast(range as int) as digit from range(1, 10)),
+       |ben_g0 as (
+       |  select digit, count(*) as n_obs from ben_d group by digit
+       |),
        |ben_g as (
-       |  select digit, count(*) as n_obs, max(n) as n
-       |  from ben_d cross join ben_t group by digit
+       |  select s.digit, coalesce(g.n_obs, 0) as n_obs, t.n
+       |  from ben_s s left join ben_g0 g on g.digit = s.digit
+       |  cross join ben_t t
        |),
        |ben_p as (
        |  select digit, n_obs, n,
@@ -222,13 +232,15 @@ object StatsSql {
        |  from ks_d join ks_m on diff_num = ks_num
        |)
        |select n_weekday, n_weekend, ks_num, ks_at_cents,
-       |  cast(ks_num as double)
-       |    / cast(n_weekday * n_weekend as double) as ks_stat,
-       |  ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
-       |    / cast(n_weekday * n_weekend as double)) as crit_05,
-       |  cast(ks_num as double) / cast(n_weekday * n_weekend as double)
-       |    > ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
-       |      / cast(n_weekday * n_weekend as double)) as reject_05
+       |  case when n_weekday > 0 and n_weekend > 0 then cast(ks_num as double)
+       |    / cast(n_weekday * n_weekend as double) end as ks_stat,
+       |  case when n_weekday > 0 and n_weekend > 0 then
+       |    ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
+       |      / cast(n_weekday * n_weekend as double)) end as crit_05,
+       |  coalesce(case when n_weekday > 0 and n_weekend > 0 then
+       |    cast(ks_num as double) / cast(n_weekday * n_weekend as double)
+       |      > ${dlit(StatsMarts.KsCoef05)} * sqrt(cast(n_weekday + n_weekend as double)
+       |        / cast(n_weekday * n_weekend as double)) end, false) as reject_05
        |from ks_f""".stripMargin
 
   /** Mirror StatsMarts.customerSurvivalKm: same churn/censor split at

@@ -42,6 +42,25 @@ class HoltSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("sub-2-day series yields ZERO rows, even under ANSI mode (r15 advisory)") {
+    // The trend seed b_1 = x_2 − x_1 needs two observations. Pre-fix,
+    // a single-day series read element_at(a, 2) unconditionally:
+    // null trend non-ANSI, ArrayIndexOutOfBounds under ANSI, and the
+    // DuckDB mirror's seed join returned zero rows — engines disagreed.
+    // Contract now: BOTH engines emit zero rows below n = 2.
+    assert(TimeMarts.revenueHolt(series(Seq(12345L))).count() === 0L)
+    assert(TimeMarts.revenueHolt(series(Seq.empty)).count() === 0L)
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try assert(TimeMarts.revenueHolt(series(Seq(12345L))).count() === 0L)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None    => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+    // n = 2 is the smallest live series: exactly two state rows
+    assert(TimeMarts.revenueHolt(series(Seq(10000L, 12000L))).count() === 2L)
+  }
+
   test("forecast is the previous state's level+trend") {
     val cents = Seq(10000L, 12000L, 13000L, 15000L, 14000L)
     val rows = TimeMarts.revenueHolt(series(cents))

@@ -27,6 +27,20 @@ class JaroWinklerSpec extends SparkSpec {
     assert(jw("a", "b") === 0.0)
   }
 
+  test("non-ASCII compares UTF-8 BYTES, matching DuckDB (r15 advisory)") {
+    // DuckDB 1.x jaro_winkler_similarity('café','cafe') = 0.8483… — it
+    // walks UTF-8 bytes, so 'é' is TWO unmatched bytes (|a|=5, not 4).
+    // The char-level reading would give 0.8833… and silently break the
+    // bit-for-bit oracle contract on any non-ASCII name.
+    val j = (3.0 / 5 + 3.0 / 4 + 1.0) / 3.0 // m=3 of byte-lengths 5,4; t=0
+    val expected = j + 3 * 0.1 * (1.0 - j)  // prefix 'caf' = 3 bytes
+    assert(jw("café", "cafe") === expected)
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    assert(jw("café", "cafe") < 0.85) // char-level 0.8833 would fail here
+    // two-byte chars that differ still never match mixed byte offsets
+    assert(jw("café", "café") === 1.0)
+  }
+
   test("winkler boost only above the 0.7 jaro threshold") {
     // shared prefix but jaro <= 0.7: NO boost (DuckDB-probed semantics)
     assert(jw("abqqqqqqqq", "abzzzzzzzz") === 0.4666666666666666)

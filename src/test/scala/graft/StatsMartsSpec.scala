@@ -68,10 +68,36 @@ class StatsMartsSpec extends SparkSpec {
       (5L, "2001-01-01", BigDecimal("95.00"))))
     val rows = StatsMarts.benfordDigits(df)
       .select("digit", "n_obs").as[(Int, Long)].collect().toMap
-    assert(rows === Map(1 -> 3L, 2 -> 1L, 9 -> 1L))
+    // digit spine (r15 advisory): absent digits appear with n_obs = 0 so
+    // their full n·p_d χ² term is counted — 9 rows ALWAYS
+    assert(rows === (1 to 9).map(d =>
+      d -> Map(1 -> 3L, 2 -> 1L, 9 -> 1L).getOrElse(d, 0L)).toMap)
     val s = StatsMarts.benfordSummary(df)
       .select("n", "df").as[(Long, Int)].head()
     assert(s === ((5L, 8)))
+  }
+
+  test("benford chi2 counts absent digits' full n*p terms (r15 advisory)") {
+    // all five totals start with digit 1 → digits 2..9 are absent; a
+    // groupBy-only chain would fold chi2 over ONE term and understate it
+    val df = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal("1.00")),
+      (2L, "2001-01-01", BigDecimal("12.34")),
+      (3L, "2001-01-01", BigDecimal("19.99")),
+      (4L, "2001-01-01", BigDecimal("150.00")),
+      (5L, "2001-01-01", BigDecimal("1999.99"))))
+    val terms = StatsMarts.benfordDigits(df)
+      .select("digit", "chi2_term").as[(Int, Double)].collect().toMap
+    assert(terms.size === 9)
+    (2 to 9).foreach { d =>
+      val exp = 5.0 * StatsMarts.BenfordP(d)
+      assert(math.abs(terms(d) - exp) < 1e-12,
+        s"absent digit $d must contribute its full n*p term")
+    }
+    val chi2 = StatsMarts.benfordSummary(df).select("chi2").as[Double].head()
+    // hand fold in digit order, matching the ordered-left-fold contract
+    val expChi2 = (1 to 9).foldLeft(0.0)((acc, d) => acc + terms(d))
+    assert(chi2 === expChi2)
   }
 
   test("benford shares sum to the observed digits' mass") {
@@ -97,6 +123,18 @@ class StatsMartsSpec extends SparkSpec {
       .select("ks_stat", "ks_at_cents").as[(Double, Long)].head()
     assert(r._1 === 1.0)
     assert(r._2 === 2000L) // first value where the gap peaks
+  }
+
+  test("ks one-sided-empty slice gives null stat and a defined false verdict (r15 advisory)") {
+    // weekday-only slice: no weekend sample → no two-sample statistic;
+    // pre-fix this divided by zero into null/NaN reject_05
+    val wdOnly = ordersOf(Seq(
+      (1L, "2001-01-01", BigDecimal(10)), (2L, "2001-01-02", BigDecimal(20))))
+    val r = StatsMarts.ksWeekendDrift(wdOnly)
+      .select("ks_stat", "crit_05", "reject_05")
+      .as[(Option[Double], Option[Double], Boolean)].head()
+    assert(r._1.isEmpty && r._2.isEmpty)
+    assert(r._3 === false)
   }
 
   test("ks int64 headroom holds on the gated data") {
