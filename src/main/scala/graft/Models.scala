@@ -1165,6 +1165,102 @@ object Models {
     operators.Graph.linkPredictions(
       copurchaseStrongEdges(s, d).select("src", "dst"), Models.LinkPredTopK)
 
+  /** HyperBall register table on the RAW co-purchase graph — Mat'd
+    * iterative build (the PageRank convention): 4 register-max
+    * relaxations over O(|V|·m) sketch state, the path that SURVIVES
+    * the dense giant component where [[copurchaseCloseness]]'s exact
+    * all-pairs state measured ~|V|² (the r14 probe OOM). */
+  private def copurchaseHyperBall(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_hyperball")(
+      operators.Graph.hyperBall(copurchaseEdges(s, d), Models.BfsMaxHops))
+  /** Same build on the weight-THRESHOLDED strong graph — feeds the
+    * approx-vs-exact error harness ([[closenessApproxError]]). */
+  private def copurchaseHyperBallStrong(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_hyperball_strong")(
+      operators.Graph.hyperBall(
+        copurchaseStrongEdges(s, d).select("src", "dst"), Models.BfsMaxHops))
+
+  /** Pivot a HyperBall (node, hop, hll_estimate) table into per-node
+    * ball estimates and the derived APPROXIMATE closeness/harmonic:
+    * successive ball differences estimate the per-distance
+    * neighborhood counts (clamped at 0 — a linear-counting branch
+    * switch can dip an estimate), then the same reach/Σdist and
+    * Σ dᵢ/i shapes as the exact operator, every double expression a
+    * FIXED operation tree mirrored verbatim by the oracle (no
+    * engine-ordered double sums anywhere). */
+  private def hyperBallCentrality(hb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(Models.BfsMaxHops == 4, "centrality pivot specialized to 4 hops")
+    def estAt(t: Int) =
+      max(when(col("hop") === t, col("hll_estimate"))).as(s"est_h$t")
+    hb.groupBy("node").agg(estAt(0), estAt(1), estAt(2), estAt(3), estAt(4))
+      .withColumn("d1_est", greatest(col("est_h1") - col("est_h0"), lit(0.0)))
+      .withColumn("d2_est", greatest(col("est_h2") - col("est_h1"), lit(0.0)))
+      .withColumn("d3_est", greatest(col("est_h3") - col("est_h2"), lit(0.0)))
+      .withColumn("d4_est", greatest(col("est_h4") - col("est_h3"), lit(0.0)))
+      .withColumn("reach_approx",
+        col("d1_est") + col("d2_est") + col("d3_est") + col("d4_est"))
+      .withColumn("dist_sum_approx",
+        col("d1_est") + lit(2.0) * col("d2_est") + lit(3.0) * col("d3_est")
+          + lit(4.0) * col("d4_est"))
+      .withColumn("closeness_approx",
+        when(col("dist_sum_approx") > 0.0,
+          col("reach_approx") / col("dist_sum_approx")))
+      .withColumn("harmonic_approx",
+        col("d1_est") + col("d2_est") / 2.0 + col("d3_est") / 3.0
+          + col("d4_est") / 4.0)
+  }
+
+  /** APPROXIMATE closeness/harmonic centrality on the RAW co-purchase
+    * graph via HyperBall (Boldi & Vigna 2013) — the query the exact
+    * operator measurably CANNOT serve there (r14 SCALE_LOCAL: the
+    * all-pairs frontier OOM'd at 1×). State O(|V|·m) regardless of
+    * density; gated bit-for-bit by a full DuckDB mirror of the
+    * register relaxation (the deterministic md5-60 HLL makes the
+    * sketch itself differential-testable, not just sanity-checked). */
+  def copurchaseClosenessApprox(s: SparkSession, d: String): DataFrame =
+    hyperBallCentrality(copurchaseHyperBall(s, d))
+
+  /** Scale of the per-node error integers (ppm). */
+  val ErrPpmScale = 1000000L
+
+  /** ERROR HARNESS pricing the HyperBall approximation against the
+    * exact operator on the graph where both can run (the strong
+    * graph) — the `ann_recall`/`lsh_recall` convention: every
+    * approximate path ships with a measured-quality gate. Per node,
+    * |approx − exact|/exact in exact ppm integers (floor — Spark's
+    * double→long cast truncates but DuckDB's rounds, so the floor is
+    * explicit and shared); the summary is integer sums/maxes (order-
+    * free) plus one final division per mean. */
+  def closenessApproxError(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val approx = hyperBallCentrality(copurchaseHyperBallStrong(s, d))
+      .select(col("node"), col("reach_approx"), col("harmonic_approx"))
+    val exact = copurchaseCloseness(s, d)
+      .select(col("node"), col("reach_n"), col("harmonic"))
+    exact.join(approx, Seq("node"))
+      .select(col("node"),
+        floor(abs(col("reach_approx") - col("reach_n").cast("double"))
+          / col("reach_n").cast("double") * ErrPpmScale.toDouble)
+          .cast("long").as("reach_err_ppm"),
+        floor(abs(col("harmonic_approx") - col("harmonic"))
+          / col("harmonic") * ErrPpmScale.toDouble)
+          .cast("long").as("harmonic_err_ppm"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("reach_err_ppm")).as("reach_err_ppm_sum"),
+        max(col("reach_err_ppm")).as("reach_err_ppm_max"),
+        sum(col("harmonic_err_ppm")).as("harmonic_err_ppm_sum"),
+        max(col("harmonic_err_ppm")).as("harmonic_err_ppm_max"))
+      .select(col("n_nodes"),
+        col("reach_err_ppm_sum"), col("reach_err_ppm_max"),
+        (col("reach_err_ppm_sum").cast("double")
+          / col("n_nodes").cast("double")).as("reach_err_ppm_mean"),
+        col("harmonic_err_ppm_sum"), col("harmonic_err_ppm_max"),
+        (col("harmonic_err_ppm_sum").cast("double")
+          / col("n_nodes").cast("double")).as("harmonic_err_ppm_mean"))
+  }
+
   /** Exact column profile of the orders mart (catalog/dq audit). */
   def ordersProfile(s: SparkSession, d: String): DataFrame =
     operators.Profile.profile(orders(s, d), Models.OrdersProfileCols)

@@ -363,6 +363,10 @@ object SparkEntry {
     "copurchase_communities" -> out(Models.copurchaseCommunities),
     // closeness + harmonic centrality (bounded-round all-pairs BFS)
     "copurchase_closeness" -> out(Models.copurchaseCloseness),
+    // HyperBall approximate centrality on the RAW graph (the one the
+    // exact all-pairs operator measurably OOMs on) + its error gate
+    "copurchase_closeness_approx" -> out(Models.copurchaseClosenessApprox),
+    "closeness_approx_error" -> out(Models.closenessApproxError),
     // common-neighbor/Jaccard link prediction (non-adjacent top-K)
     "copurchase_link_predictions" -> out(Models.copurchaseLinkPredictions),
     // one-pass exact column profile (catalog/dq audit surface)
@@ -645,6 +649,8 @@ object SparkEntry {
     "copurchase_pagerank_directed" -> OpsSql.copurchasePagerankDirectedQ,
     "copurchase_communities" -> OpsSql.copurchaseCommunitiesQ,
     "copurchase_closeness" -> OpsSql.copurchaseClosenessQ,
+    "copurchase_closeness_approx" -> OpsSql.copurchaseClosenessApproxQ,
+    "closeness_approx_error" -> OpsSql.closenessApproxErrorQ,
     "copurchase_link_predictions" -> OpsSql.copurchaseLinkPredictionsQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,

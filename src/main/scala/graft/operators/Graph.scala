@@ -504,6 +504,112 @@ object Graph {
     dist
   }
 
+  /** HYPERBALL (Boldi & Vigna 2013) — approximate per-node ball sizes
+    * |B(v, t)| for t ∈ [0, maxHops] via per-node HLL NEIGHBORHOOD
+    * SKETCHES, the scale-safe replacement for
+    * [[allPairsHopDistances]]' (root, node) pair state: instead of
+    * materializing every reached pair (measured ~|V|² on a dense
+    * giant component — the r14 probe OOM'd it at 1× on the raw
+    * co-purchase graph), each node carries ONE mergeable
+    * [[Sketches]]-register sketch of its ball, and a hop is one
+    * register-wise-max relaxation join:
+    *   B_{t+1}(v) = B_t(v) ⊔ ⊔_{(v,w)∈E} B_t(w).
+    * State is O(|V| · m) registers REGARDLESS of density — the
+    * HyperANF recipe that sized Facebook's four-degrees measurement.
+    *
+    * Output: (node, hop, hll_estimate) for every hop 0..maxHops —
+    * est(B_t(v)) including v itself; successive differences estimate
+    * the per-distance neighborhood counts (consumers derive closeness
+    * / harmonic from those, clamping the occasional negative delta a
+    * small-range linear-counting branch switch can produce).
+    *
+    * Determinism: the registers are the repo's own md5-60 integer
+    * pipeline ([[Sketches.hllEstimateByGroup]]'s — key `'hb|' || id`),
+    * so every intermediate is exact integer arithmetic both engines
+    * reproduce bit-for-bit and the DuckDB oracle mirrors the full
+    * relaxation (unrolled CTE rounds), not just a summary.
+    *
+    * Scale: per hop one |state|×edges shuffle join + one keyed max;
+    * per-hop estimates (|V| rows each) are materialized eagerly so
+    * round k−1's register blocks can be freed the moment round k
+    * lands (the [[bfsDistances]] checkpoint discipline). */
+  def hyperBall(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val h = graft.llm.Dedup.hex60(concat(lit("hb|"), col("node").cast("string")))
+    var state = nodes
+      .select(col("node"), pmod(h, lit(Sketches.HllM.toLong)).as("__reg"),
+        shiftright(h, Sketches.HllP).as("__w"))
+      .withColumn("__mj",
+        when(col("__w") === 0, lit(Sketches.HllW + 1))
+          .otherwise(lit(Sketches.HllW + 1) - length(bin(col("__w")))))
+      .select(col("node"), col("__reg"), col("__mj"))
+      .localCheckpoint(true)
+    def estimate(st: DataFrame, hop: Int): DataFrame =
+      Sketches.hllEstimateFromRegistersBy(st, Seq("node"))
+        .select(col("node"), lit(hop).as("hop"), col("hll_estimate"))
+        .localCheckpoint(true) // |V| rows; lets the register state free
+    var out = estimate(state, 0)
+    for (t <- 1 to maxHops) {
+      val prev = state
+      val reached = state.join(sym, state("node") === sym("src"))
+        .select(sym("dst").as("node"), state("__reg"), state("__mj"))
+      state = state.unionByName(reached)
+        .groupBy("node", "__reg").agg(max(col("__mj")).as("__mj"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prev)
+      out = out.unionByName(estimate(state, t))
+    }
+    graft.plans.Checkpoints.free(state)
+    out
+  }
+
+  /** [[allPairsHopDistances]] with a PER-ROOT FRONTIER CAP — the
+    * defense-in-depth hatch for the exact operator's one failure mode
+    * (dense giant component ⇒ ~|V|² pair state; measured OOM on the
+    * raw co-purchase graph, SCALE_LOCAL r14). Before each hop, any
+    * root whose reached set already exceeds `perRootCap` rows is
+    * FROZEN: its frontier stops expanding, its rows so far are kept,
+    * and it reports `root_truncated = true` — the
+    * [[triangleCountsCapped]] honesty contract (explicit flag, never
+    * a silently wrong number). Non-truncated roots are EXACT and
+    * bit-identical to the uncapped operator. Transient state for a
+    * root crossing the cap is bounded by cap × max frontier degree —
+    * a bound that scales with the cap knob, not with |V|². */
+  def allPairsHopDistancesCapped(edges: DataFrame, maxHops: Int,
+                                 perRootCap: Long): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(perRootCap >= 1, s"perRootCap must be >= 1, got $perRootCap")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var dist = nodes.select(col("node").as("root"), col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frozen = nodes.select(col("node").as("root")).limit(0)
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val prevD = dist; val prevF = frozen
+      frozen = frozen.unionByName(
+          dist.groupBy("root").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > perRootCap).select("root"))
+        .distinct()
+        .localCheckpoint(true)
+      val active = dist.join(frozen, Seq("root"), "left_anti")
+      val reached = active.join(sym, active("node") === sym("src"))
+        .select(active("root"), sym("dst").as("node"), lit(h).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy("root", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.free(prevD)
+      graft.plans.Checkpoints.free(prevF)
+    }
+    dist.join(frozen.withColumn("__t", lit(true)), Seq("root"), "left")
+      .select(col("root"), col("node"), col("dist"),
+        coalesce(col("__t"), lit(false)).as("root_truncated"))
+  }
+
   /** Sentinel capacity for [[widestPaths]] sources (effectively +inf;
     * mirrored literally in the DuckDB oracle, mapped to NULL at the
     * output boundary). */

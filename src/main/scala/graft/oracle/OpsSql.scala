@@ -1222,6 +1222,181 @@ object OpsSql {
        |from cl""".stripMargin
   }
 
+  /** HYPERBALL mirror CTE chain over a symmetrized edge CTE: the
+    * identical deterministic HLL register pipeline ([[hllUserCountsQ]]'s
+    * integer arithmetic — md5-60 hash of 'hb|'||node, low-P-bit
+    * register, leading-1 via binary string length), one register-max
+    * relaxation round per hop (each iterate `as materialized` — it is
+    * referenced by both the next round and its estimate CTE), then
+    * per-hop estimates with the exact scaled harmonic sum, one double
+    * division, and the quantized-ln linear-counting branch. */
+  private def hyperBallCtes(symName: String, p: String, hops: Int): String = {
+    import graft.operators.Sketches.{HllM, HllP, HllW, HllAlpha}
+    val w1 = HllW + 1
+    val init =
+      s"""${p}n as (select distinct src as node from $symName),
+         |${p}h as (
+         |  select node,
+         |    cast(('0x' || substr(md5('hb|' || cast(node as varchar)),1,15)) as bigint) as h
+         |  from ${p}n
+         |),
+         |${p}st0 as (
+         |  select node, h % $HllM as reg,
+         |    case when (h >> $HllP) = 0 then $w1
+         |         else $w1 - length(bin(h >> $HllP)) end as mj
+         |  from ${p}h
+         |)""".stripMargin
+    val rounds = (1 to hops).map { r =>
+      s"""${p}st$r as materialized (
+         |  select node, reg, max(mj) as mj from (
+         |    select node, reg, mj from ${p}st${r - 1}
+         |    union all
+         |    select s.dst as node, q.reg, q.mj
+         |    from ${p}st${r - 1} q join $symName s on q.node = s.src
+         |  ) u group by 1, 2
+         |)""".stripMargin
+    }
+    val ests = (0 to hops).map { t =>
+      s"""${p}e$t as (
+         |  select node, sum(cast(1 as bigint) << ($w1 - mj)) as ssum, count(*) as nreg
+         |  from ${p}st$t group by 1
+         |),
+         |${p}v$t as (
+         |  select node,
+         |    case when ($HllM - nreg) > 0 and raw <= ${2.5 * HllM}
+         |      then cast(cast(ln($HllM::double / cast($HllM - nreg as double)) * $HllM::double
+         |             as decimal(18,9)) as double)
+         |      else raw end as est
+         |  from (
+         |    select node, nreg,
+         |      ($HllAlpha::double * $HllM * $HllM) * cast(cast(1 as bigint) << $w1 as double)
+         |        / cast(ssum + ($HllM - nreg) * (cast(1 as bigint) << $w1) as double) as raw
+         |    from ${p}e$t) r
+         |)""".stripMargin
+    }
+    ((init +: rounds) ++ ests).mkString(",\n")
+  }
+
+  /** Pivot + derived-centrality CTEs over [[hyperBallCtes]] output —
+    * mirrors Models.hyperBallCentrality's fixed double expression
+    * trees (clamped deltas, reach/Σdist, Σ dᵢ/i) verbatim. */
+  private def hyperBallCentralityCtes(p: String): String =
+    s"""hbp as (
+       |  select n.node, v0.est as est_h0, v1.est as est_h1, v2.est as est_h2,
+       |    v3.est as est_h3, v4.est as est_h4
+       |  from ${p}n n
+       |  join ${p}v0 v0 using (node) join ${p}v1 v1 using (node)
+       |  join ${p}v2 v2 using (node) join ${p}v3 v3 using (node)
+       |  join ${p}v4 v4 using (node)
+       |),
+       |hbd as (
+       |  select node, est_h0, est_h1, est_h2, est_h3, est_h4,
+       |    greatest(est_h1 - est_h0, 0.0) as d1_est,
+       |    greatest(est_h2 - est_h1, 0.0) as d2_est,
+       |    greatest(est_h3 - est_h2, 0.0) as d3_est,
+       |    greatest(est_h4 - est_h3, 0.0) as d4_est
+       |  from hbp
+       |),
+       |hbc as (
+       |  select node, est_h0, est_h1, est_h2, est_h3, est_h4,
+       |    d1_est, d2_est, d3_est, d4_est,
+       |    d1_est + d2_est + d3_est + d4_est as reach_approx,
+       |    d1_est + 2.0 * d2_est + 3.0 * d3_est + 4.0 * d4_est as dist_sum_approx
+       |  from hbd
+       |),
+       |hbf as (
+       |  select node, est_h0, est_h1, est_h2, est_h3, est_h4,
+       |    d1_est, d2_est, d3_est, d4_est, reach_approx, dist_sum_approx,
+       |    case when dist_sum_approx > 0.0
+       |      then reach_approx / dist_sum_approx end as closeness_approx,
+       |    d1_est + d2_est / 2.0 + d3_est / 3.0 + d4_est / 4.0 as harmonic_approx
+       |  from hbc
+       |)""".stripMargin
+
+  /** Mirror Models.copurchaseClosenessApprox: HyperBall on the RAW
+    * co-purchase graph (the one the exact all-pairs operator
+    * measurably cannot serve), full register-relaxation mirror. */
+  val copurchaseClosenessApproxQ: String = {
+    require(graft.Models.BfsMaxHops == 4, "mirror specialized to 4 hops")
+    s"""$copurchaseCtes,
+       |rsym as (select src, dst from edges
+       |         union all select dst as src, src as dst from edges),
+       |${hyperBallCtes("rsym", "r", 4)},
+       |${hyperBallCentralityCtes("r")}
+       |select node, est_h0, est_h1, est_h2, est_h3, est_h4,
+       |  d1_est, d2_est, d3_est, d4_est, reach_approx, dist_sum_approx,
+       |  closeness_approx, harmonic_approx
+       |from hbf""".stripMargin
+  }
+
+  /** Mirror Models.closenessApproxError: HyperBall AND the exact
+    * all-pairs BFS on the same strong graph, per-node floor'd ppm
+    * error integers (Spark's double→long cast truncates, DuckDB's
+    * rounds — floor is the shared exact step), integer sum/max
+    * summary (sum cast from DuckDB's HUGEINT back to bigint), one
+    * division per mean. */
+  val closenessApproxErrorQ: String = {
+    val k = graft.Models.CoPurchaseMinWeight
+    val ppm = graft.Models.ErrPpmScale
+    require(graft.Models.BfsMaxHops == 4, "mirror specialized to 4 hops")
+    val rounds = (1 to 4).map { r =>
+      s"""ap$r as (
+         |  select root, node, min(dist) as dist from (
+         |    select root, node, dist from ap${r - 1}
+         |    union all
+         |    select q.root, s.dst as node, $r as dist
+         |    from ap${r - 1} q join ssym s on q.node = s.src
+         |  ) u group by 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $k
+       |),
+       |ssym as (select src, dst from se union all select dst as src, src as dst from se),
+       |${hyperBallCtes("ssym", "s", 4)},
+       |${hyperBallCentralityCtes("s")},
+       |ap0 as (select node as root, node, 0 as dist
+       |        from (select distinct src as node from ssym) n),
+       |$rounds,
+       |cl as (
+       |  select root as node,
+       |    count(*) as reach_n,
+       |    count(case when dist = 1 then 1 end) as d1_n,
+       |    count(case when dist = 2 then 1 end) as d2_n,
+       |    count(case when dist = 3 then 1 end) as d3_n,
+       |    count(case when dist = 4 then 1 end) as d4_n
+       |  from ap4 where dist > 0 group by 1
+       |),
+       |clf as (
+       |  select node, reach_n,
+       |    cast(12 * d1_n + 6 * d2_n + 4 * d3_n + 3 * d4_n as double) / 12.0
+       |      as harmonic
+       |  from cl
+       |),
+       |err as (
+       |  select c.node,
+       |    cast(floor(abs(f.reach_approx - cast(c.reach_n as double))
+       |      / cast(c.reach_n as double) * $ppm.0) as bigint) as reach_err_ppm,
+       |    cast(floor(abs(f.harmonic_approx - c.harmonic)
+       |      / c.harmonic * $ppm.0) as bigint) as harmonic_err_ppm
+       |  from clf c join hbf f using (node)
+       |)
+       |select count(*) as n_nodes,
+       |  cast(sum(reach_err_ppm) as bigint) as reach_err_ppm_sum,
+       |  max(reach_err_ppm) as reach_err_ppm_max,
+       |  cast(cast(sum(reach_err_ppm) as bigint) as double)
+       |    / cast(count(*) as double) as reach_err_ppm_mean,
+       |  cast(sum(harmonic_err_ppm) as bigint) as harmonic_err_ppm_sum,
+       |  max(harmonic_err_ppm) as harmonic_err_ppm_max,
+       |  cast(cast(sum(harmonic_err_ppm) as bigint) as double)
+       |    / cast(count(*) as double) as harmonic_err_ppm_mean
+       |from err""".stripMargin
+  }
+
   /** Mirror Graph.widestPaths over the weighted strong-edge graph:
     * the SAME max-min relaxation unrolled Models.BottleneckRounds
     * times from the same min-src source, the same one-extra-round
