@@ -199,21 +199,28 @@ object Scale {
       operators.Graph.labelPropagationWithSizes(
         edgesOf(s, d).select("src", "dst"), 4)),
     "graph_ppr" -> ((s: SparkSession, d: String) =>
-      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)))
-  // allPairsHopDistances (copurchase_closeness) is deliberately NOT
-  // probed on the raw co-occurrence replica: the r14 probe RAN it and
-  // the (root, node) frontier OOM'd at 1× — the raw graph's dense
-  // giant component makes per-root 4-hop neighborhoods approach |V|,
-  // so all-pairs state is ~|V|² there. That measurement is exactly why
-  // the registered query runs on the weight-THRESHOLDED strong graph,
-  // whose neighborhoods stay local (the linkPredictions precedent).
-    // linkPredictions is deliberately NOT probed on this raw pair
-    // table: common-neighbor counting is inherently Σ deg(center)²
-    // with no orientation rescue, which is why the registered query
-    // runs it on the weight-THRESHOLDED strong graph (its Scaladoc
-    // names the hub-degree cap as the raw-graph knob) — on the raw 8×
-    // co-purchase graph the wedge hash-aggregate OOMs a 4 GiB heap
-    // (measured: this probe's first 8× run died in that stage).
+      operators.Graph.personalizedPageRank(edgesOf(s, d).select("src", "dst"), 5)),
+    // r15: BOTH former deliberate exclusions are now MEASURED on the
+    // raw replica through their scale-safe paths, so the skip list is
+    // empty again. History: the r14 probe RAN the exact
+    // allPairsHopDistances here and the (root, node) frontier OOM'd at
+    // 1× (~|V|² state on the dense giant component), and the raw-8×
+    // linkPredictions wedge hash-aggregate (Σ deg(center)²) OOM'd a
+    // 4 GiB heap — those measurements are why the registered exact
+    // queries run on the weight-THRESHOLDED strong graph, and why the
+    // raw-graph paths below exist.
+    "graph_closeness_hyperball" -> ((s: SparkSession, d: String) =>
+      // O(|V|·m) register state regardless of density — the HyperBall
+      // answer to the r14 OOM; registered as copurchase_closeness_approx
+      operators.Graph.hyperBall(edgesOf(s, d).select("src", "dst"), 4)),
+    "graph_closeness_capped" -> ((s: SparkSession, d: String) =>
+      // per-root budget: state AND per-round join output ≤ |V|·cap
+      operators.Graph.allPairsHopDistancesCapped(
+        edgesOf(s, d).select("src", "dst"), 4, perRootCap = 256L)),
+    "graph_link_pred_capped" -> ((s: SparkSession, d: String) =>
+      // hub-free wedge join: fan-out ≤ |kept-edges|·hubCap
+      operators.Graph.linkPredictionsCapped(
+        edgesOf(s, d).select("src", "dst"), 50, hubCap = 64L)))
 
   /** Write the factor-f replica dir (documents/embeddings/events +
     * the graph edge table). File count scales with the factor so read

@@ -566,37 +566,55 @@ object Graph {
     out
   }
 
-  /** [[allPairsHopDistances]] with a PER-ROOT FRONTIER CAP — the
+  /** [[allPairsHopDistances]] with a PER-ROOT BUDGET — the
     * defense-in-depth hatch for the exact operator's one failure mode
     * (dense giant component ⇒ ~|V|² pair state; measured OOM on the
-    * raw co-purchase graph, SCALE_LOCAL r14). Before each hop, any
-    * root whose reached set already exceeds `perRootCap` rows is
-    * FROZEN: its frontier stops expanding, its rows so far are kept,
-    * and it reports `root_truncated = true` — the
-    * [[triangleCountsCapped]] honesty contract (explicit flag, never
-    * a silently wrong number). Non-truncated roots are EXACT and
-    * bit-identical to the uncapped operator. Transient state for a
-    * root crossing the cap is bounded by cap × max frontier degree —
-    * a bound that scales with the cap knob, not with |V|². */
+    * raw co-purchase graph, SCALE_LOCAL r14). Before each hop a root
+    * is FROZEN unless its ball PLUS a pessimistic next-expansion
+    * estimate (current rows + Σ degree over its frontier — an upper
+    * bound on the post-hop ball) stays within `perRootCap`; frozen
+    * roots keep their rows so far and report `root_truncated = true`
+    * — the [[triangleCountsCapped]] honesty contract (explicit flag,
+    * never a silently wrong number). Non-truncated roots are EXACT
+    * (identical to the uncapped operator).
+    *
+    * Why the estimate and not a plain row count: freezing AFTER a
+    * round still materializes that round's join output, and on a
+    * power-law graph the hop-2 wedge fan-out is Σ deg(center)² — the
+    * exact shape that OOM'd. Gating on the estimate means every
+    * ACTIVE root's expansion emits ≤ cap rows, so per-round join
+    * output AND total state are ≤ |V|·cap — a hard linear bound, not
+    * a hope. Expansion is frontier-only (nodes first reached last
+    * hop), which is min-dist-equivalent to the full-state join the
+    * uncapped operator uses and strictly cheaper. */
   def allPairsHopDistancesCapped(edges: DataFrame, maxHops: Int,
                                  perRootCap: Long): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     require(perRootCap >= 1, s"perRootCap must be >= 1, got $perRootCap")
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val nodes = deg.select("node")
     var dist = nodes.select(col("node").as("root"), col("node"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frozen = nodes.select(col("node").as("root")).limit(0)
       .localCheckpoint(true)
     for (h <- 1 to maxHops) {
       val prevD = dist; val prevF = frozen
+      val frontier = dist.filter(col("dist") === h - 1)
+        .join(frozen, Seq("root"), "left_anti")
+      val balls = dist.groupBy("root").agg(count(lit(1)).as("__n"))
+      val exp = frontier.join(deg, Seq("node"))
+        .groupBy("root").agg(sum(col("__deg")).as("__exp"))
       frozen = frozen.unionByName(
-          dist.groupBy("root").agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > perRootCap).select("root"))
+          balls.join(exp, Seq("root"), "left")
+            .filter(col("__n") + coalesce(col("__exp"), lit(0L)) > perRootCap)
+            .select("root"))
         .distinct()
         .localCheckpoint(true)
-      val active = dist.join(frozen, Seq("root"), "left_anti")
+      val active = frontier.join(frozen, Seq("root"), "left_anti")
       val reached = active.join(sym, active("node") === sym("src"))
         .select(active("root"), sym("dst").as("node"), lit(h).as("dist"))
       dist = dist.unionByName(reached)
@@ -605,9 +623,15 @@ object Graph {
       graft.plans.Checkpoints.free(prevD)
       graft.plans.Checkpoints.free(prevF)
     }
-    dist.join(frozen.withColumn("__t", lit(true)), Seq("root"), "left")
+    val out = dist.join(frozen.withColumn("__t", lit(true)), Seq("root"), "left")
       .select(col("root"), col("node"), col("dist"),
         coalesce(col("__t"), lit(false)).as("root_truncated"))
+      .localCheckpoint(true)
+    graft.plans.Checkpoints.free(dist)
+    graft.plans.Checkpoints.free(frozen)
+    graft.plans.Checkpoints.free(sym)
+    graft.plans.Checkpoints.free(deg)
+    out
   }
 
   /** Sentinel capacity for [[widestPaths]] sources (effectively +inf;
@@ -712,5 +736,39 @@ object Graph {
           .as("jaccard"))
       .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b"))
       .limit(topK)
+  }
+
+  /** Hub-degree-capped [[linkPredictions]] — the raw-power-law-graph
+    * hatch its Scaladoc names (the [[triangleCountsCapped]] recipe):
+    * nodes whose undirected degree exceeds `hubCap` are dropped
+    * WHOLESALE before the wedge join, so the Σ deg(center)² fan-out —
+    * the hash-aggregate that OOM'd the r14 probe's raw-replica arm —
+    * is bounded by |kept-edges|·hubCap instead of the raw degree
+    * tail. Semantics stay honest: predictions are EXACT over the
+    * kept subgraph, every pair additionally reports how many hub
+    * neighbors each endpoint lost (`hub_nbrs_a`/`hub_nbrs_b` — its
+    * common count can only undercount through those), and hub nodes
+    * themselves never appear as candidates rather than appearing
+    * with fake-low scores. */
+  def linkPredictionsCapped(edges: DataFrame, topK: Int, hubCap: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val hubs = undirectedDegrees(e).filter(col("degree") > hubCap).select("node")
+    val kept = e
+      .join(hubs.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+      .join(hubs.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val hubNbr = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .join(hubs.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .groupBy("node").agg(count(lit(1)).as("n_hub_neighbors"))
+    linkPredictions(kept, topK)
+      .join(hubNbr.select(col("node").as("node_a"),
+        col("n_hub_neighbors").as("hub_nbrs_a")), Seq("node_a"), "left")
+      .join(hubNbr.select(col("node").as("node_b"),
+        col("n_hub_neighbors").as("hub_nbrs_b")), Seq("node_b"), "left")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"), col("jaccard"),
+        coalesce(col("hub_nbrs_a"), lit(0L)).as("hub_nbrs_a"),
+        coalesce(col("hub_nbrs_b"), lit(0L)).as("hub_nbrs_b"))
   }
 }

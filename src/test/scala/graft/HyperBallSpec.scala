@@ -80,4 +80,25 @@ class HyperBallSpec extends SparkSpec {
       assert(rows.values.map(_._2).toSet.size === 1, s"mixed flags for root $r")
     }
   }
+
+  test("linkPredictionsCapped: exact over the hub-free subgraph, hub-loss reported") {
+    // square 1-2-3-4-1 (predicts diagonals) + hub 99 touching 1..5
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      ++ (1L to 5L).map(_ -> 99L)).toDF("src", "dst")
+    val got = Graph.linkPredictionsCapped(e, 10, hubCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7))).toMap
+    // hub 99 (degree 5) and its satellite 5 vanish; only the square's
+    // diagonals remain, each with 2 common neighbors
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    got.values.foreach { case (cn, ha, hb) =>
+      assert(cn === 2L)
+      assert(ha === 1L && hb === 1L) // each endpoint lost exactly hub 99
+    }
+    // and the kept-subgraph result equals plain linkPredictions on it
+    val kept = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val plain = Graph.linkPredictions(kept, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(plain === got.view.mapValues(_._1).toMap)
+  }
 }
