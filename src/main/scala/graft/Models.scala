@@ -388,6 +388,9 @@ object Models {
   /** Jaro–Winkler near-duplicate product-name pairs (blocked). */
   def jwNamePairs(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.jwNamePairs(stgProducts(s, d))
+  /** Length-band blocking recall vs the exact all-pairs JW truth. */
+  def jwRecall(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.jwRecall(stgProducts(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

@@ -108,6 +108,8 @@ object SparkEntry {
     "product_trend_ols" -> out(Models.productTrendOls),
     // Jaro-Winkler near-dup product names (native expr, blocked join)
     "jw_name_pairs" -> out(Models.jwNamePairs),
+    // blocking-recall gate: length band vs exact all-pairs JW truth
+    "jw_recall" -> out(Models.jwRecall),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -502,6 +504,7 @@ object SparkEntry {
     "segment_priority_verdict" -> StatsSql.segmentPriorityVerdictQ,
     "product_trend_ols" -> StatsSql.productTrendOlsQ,
     "jw_name_pairs" -> StatsSql.jwNamePairsQ,
+    "jw_recall" -> StatsSql.jwRecallQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

@@ -526,4 +526,46 @@ object StatsMarts {
           col("a.product_name"), col("b.product_name")).as("jw"))
       .where(col("jw") >= JwThreshold)
   }
+
+  /** Blocking-recall gate for [[jwNamePairs]] — the `dedup_lsh_recall`
+    * discipline applied to the one blocking scheme that lacked it:
+    * every candidate generator in this repo is priced against an
+    * exact truth set, and the length band is a candidate generator.
+    * The TRUTH set is the exact all-pairs JW over the DISTINCT-NAME
+    * DICTIONARY at θ=[[JwThreshold]] — affordable precisely because
+    * entity resolution was moved to the dictionary (vocabulary-
+    * bounded: V names → V·(V−1)/2 scored pairs once, independent of
+    * corpus row count; the broadcast nested-loop is the deliberate
+    * plan, not an accident). CANDIDATES are [[jwNamePairs]]' output.
+    * One summary row: counts, recall (band-found / truth) and
+    * precision (1.0 by construction — candidates are threshold-
+    * filtered truth members; kept so the row shape matches every
+    * other recall gate). Measured on the driver testdata: the band
+    * misses zero θ=0.9 pairs (recall 1.0) — JW ≥ 0.9 forces high
+    * match density, which bounds the length gap well inside
+    * ±[[JwLenBand]] for this catalog's name lengths. */
+  def jwRecall(stgProducts: DataFrame): DataFrame = {
+    val names = stgProducts.select("product_name").distinct()
+    val truth = names.as("a")
+      .join(broadcast(names.as("b")),
+        col("a.product_name") < col("b.product_name"))
+      .select(col("a.product_name").as("name_a"),
+        col("b.product_name").as("name_b"),
+        graft.expressions.StringSim.jaro_winkler(
+          col("a.product_name"), col("b.product_name")).as("jw"))
+      .where(col("jw") >= JwThreshold)
+      .select("name_a", "name_b")
+    val candidates = jwNamePairs(stgProducts)
+      .select(col("name_a"), col("name_b"), lit(1).as("hit"))
+    val joined = truth.join(candidates, Seq("name_a", "name_b"), "left")
+    joined.agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .crossJoin(broadcast(candidates.agg(count(lit(1)).as("n_candidates"))))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(1.0)).as("recall"),
+        when(col("n_candidates") > 0,
+          col("n_hits").cast("double") / col("n_candidates").cast("double"))
+          .otherwise(lit(1.0)).as("precision"))
+  }
 }

@@ -525,4 +525,51 @@ object StatsSql {
        |where jaro_winkler_similarity(a.product_name, b.product_name)
        |  >= ${dlit(StatsMarts.JwThreshold)}""".stripMargin
   }
+
+  /** Mirror StatsMarts.jwRecall: exact all-pairs JW over the distinct
+    * name dictionary as the truth set, the banded pairs as
+    * candidates, one recall/precision summary row. */
+  val jwRecallQ: String = {
+    import StatsMarts.JwLenBand
+    val theta = dlit(StatsMarts.JwThreshold)
+    s"""$ctes,
+       |jwr_n as (select distinct product_name from stg_products),
+       |jwr_t as (
+       |  select a.product_name as name_a, b.product_name as name_b
+       |  from jwr_n a join jwr_n b on a.product_name < b.product_name
+       |  where jaro_winkler_similarity(a.product_name, b.product_name)
+       |    >= $theta
+       |),
+       |jwr_l as (
+       |  select product_name, cast(length(product_name) as int) as len
+       |  from jwr_n
+       |),
+       |jwr_b as (
+       |  select product_name, len,
+       |    unnest(generate_series(len - $JwLenBand, len + $JwLenBand)) as band
+       |  from jwr_l
+       |),
+       |jwr_c as (
+       |  select a.product_name as name_a, b.product_name as name_b
+       |  from jwr_b a
+       |  join jwr_l b on a.band = b.len and a.product_name < b.product_name
+       |  where jaro_winkler_similarity(a.product_name, b.product_name)
+       |    >= $theta
+       |),
+       |jwr_j as (
+       |  select count(*) as n_truth,
+       |    count(case when c.name_a is not null then 1 end) as n_hits
+       |  from jwr_t t
+       |  left join jwr_c c on t.name_a = c.name_a and t.name_b = c.name_b
+       |),
+       |jwr_k as (select count(*) as n_candidates from jwr_c)
+       |select n_truth, n_candidates, n_hits,
+       |  case when n_truth > 0
+       |    then cast(n_hits as double) / cast(n_truth as double)
+       |    else 1.0 end as recall,
+       |  case when n_candidates > 0
+       |    then cast(n_hits as double) / cast(n_candidates as double)
+       |    else 1.0 end as precision
+       |from jwr_j cross join jwr_k""".stripMargin
+  }
 }

@@ -319,4 +319,30 @@ class StatsMartsSpec extends SparkSpec {
     assert(jw >= StatsMarts.JwThreshold)
     // each pair meets exactly once despite the 5-way band explode
   }
+
+  test("jw recall gate detects pairs the length band cannot reach") {
+    // 'abcdefghij' vs 'abcdefghijklm': 10 matched chars, 4-char JW
+    // prefix boost -> jw ~ 0.937 >= 0.9, but the length gap is 3 >
+    // JwLenBand=2, so the banded candidates MISS a truth pair and the
+    // gate must report recall < 1 — proof the harness prices the
+    // blocking scheme rather than rubber-stamping it.
+    val p = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghijklm"),
+      (3L, "cold gear"), (4L, "old gear"))
+      .toDF("product_id", "product_name")
+    val r = StatsMarts.jwRecall(p)
+      .select("n_truth", "n_candidates", "n_hits", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 === 2L)   // both high-JW pairs are truth
+    assert(r._2 === 1L)   // band reaches only the cold/old pair
+    assert(r._3 === 1L)
+    assert(r._4 === 0.5)
+    assert(r._5 === 1.0)  // candidates are threshold-filtered truth
+  }
+
+  test("jw recall is 1.0 on the driver catalog (documented claim)") {
+    val r = StatsMarts.jwRecall(Models.stgProducts(spark, sf))
+      .select("recall").as[Double].head()
+    assert(r === 1.0)
+  }
 }
