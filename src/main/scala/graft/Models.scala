@@ -346,6 +346,12 @@ object Models {
   /** Holt double-exponential level+trend forecaster (exact ints). */
   def revenueHolt(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueHolt(dailySummary(s, d))
+  /** Holt-Winters weekly-seasonal states on daily event volume. */
+  def eventVolumeHw(s: SparkSession, d: String): DataFrame =
+    TimeMarts.eventVolumeHw(Tables.events(s, d))
+  /** Holdout MAE/wMAPE shoot-out: Holt vs Holt-Winters, both series. */
+  def forecastEval(s: SparkSession, d: String): DataFrame =
+    TimeMarts.forecastEval(dailySummary(s, d), Tables.events(s, d))
   /** Customer spend-quintile migration matrix across the split. */
   def customerMigration(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.customerMigration(stgOrders(s, d))

@@ -75,6 +75,9 @@ object SparkEntry {
     "revenue_theilsen" -> out(Models.revenueTheilSen),
     // Holt level+trend double-exponential forecaster (exact ints)
     "revenue_holt" -> out(Models.revenueHolt),
+    // Holt-Winters weekly seasonal arm + the holdout eval that prices it
+    "event_volume_hw" -> out(Models.eventVolumeHw),
+    "forecast_eval" -> out(Models.forecastEval),
     // Mann-Kendall trend significance (tie-corrected, exact ints)
     "mann_kendall" -> out(Models.mannKendall),
     // Wald-Wolfowitz runs test around the exact lower median
@@ -487,6 +490,8 @@ object SparkEntry {
     "revenue_cusum" -> Sql.revenueCusumQ,
     "revenue_theilsen" -> Sql.revenueTheilSenQ,
     "revenue_holt" -> Sql.revenueHoltQ,
+    "event_volume_hw" -> Sql.eventVolumeHwQ,
+    "forecast_eval" -> Sql.forecastEvalQ,
     "mann_kendall" -> Sql.mannKendallQ,
     "revenue_runs_test" -> Sql.revenueRunsTestQ,
     "revenue_autocorr" -> Sql.revenueAutocorrQ,

@@ -622,6 +622,178 @@ object TimeMarts {
         when(col("forecast") > 0, col("rel_dev") > HoltRelDev))
   }
 
+  /** Weekly season length for Holt-Winters (motivated by the repo's
+    * own revenue_autocorr lag-7 probe — weekly is the cycle a daily
+    * business series plants). */
+  val HwSeason = 7
+
+  /** Holdout horizon (days) for [[forecastEval]]. */
+  val EvalHorizon = 7
+
+  /** HOLT-WINTERS ADDITIVE TRIPLE SMOOTHING (Winters 1960) — the
+    * weekly-seasonal third recursion [[revenueHolt]] lacks, with the
+    * identical exactness contract (α = β = γ = 1/4 as truncating
+    * int64 divisions, both engines' div/`//` truncate toward zero):
+    *   l_t = (x_t − s_{t−m} + 3·(l_{t−1} + b_{t−1})) div 4
+    *   b_t = ((l_t − l_{t−1}) + 3·b_{t−1})           div 4
+    *   s_t = ((x_t − l_t) + 3·s_{t−m})               div 4
+    * seeded the textbook way from the first two seasons: l_m =
+    * mean(x_1..m) (div), b_m = (mean season 2 − mean season 1) div m,
+    * s_i = x_i − l_m — so the query needs n ≥ 2m and emits ZERO rows
+    * below that on both engines (the Holt sub-2-day discipline).
+    * One-step forecast f_t = l_{t−1} + b_{t−1} + s_{t−m} is computed
+    * INSIDE the fold (the previous state is in hand — no lag window).
+    *
+    * Mechanism: the series is calendar-bounded (the Kaplan-Meier /
+    * Holt exception), so ONE array_sort + `aggregate` fold carries
+    * struct(l, b, seas[m], hist) — seas is the rolling m-window
+    * (head = s_{t−m}, popped and re-appended each step), hist the
+    * emitted states — then posexplode maps states back onto days
+    * m+1..n. DuckDB mirrors with a recursive CTE over a LIST column.
+    * Doubles: none — every output column is exact int64. */
+  def holtWintersDaily(series: DataFrame): DataFrame = {
+    val m = HwSeason
+    val arr = series
+      .agg(array_sort(collect_list(struct(col("d"), col("v")))).as("a"))
+      .select(col("a"), size(col("a")).as("n"))
+      .where(col("n") >= 2 * m)
+      .withColumn("sum1",
+        expr(s"aggregate(slice(a, 1, $m), 0L, (s, x) -> s + x.v)"))
+      .withColumn("sum2",
+        expr(s"aggregate(slice(a, ${m + 1}, $m), 0L, (s, x) -> s + x.v)"))
+      .withColumn("l0", expr(s"sum1 div $m"))
+      .withColumn("b0", expr(s"(sum2 - sum1) div ${m.toLong * m}"))
+    val nl = s"(x.v - element_at(acc.seas, 1) + 3 * (acc.l + acc.b)) div $HoltDiv"
+    val nb = s"((($nl) - acc.l) + 3 * acc.b) div $HoltDiv"
+    val ns = s"((x.v - ($nl)) + 3 * element_at(acc.seas, 1)) div $HoltDiv"
+    val nf = s"acc.l + acc.b + element_at(acc.seas, 1)"
+    // guarded slice length + try_element_at keep the fold TOTAL: the
+    // n >= 2m filter drops degenerate rows, but Spark can still
+    // EVALUATE this expression on them (the revenueHolt
+    // InferFiltersFromGenerate lesson) — a negative slice length
+    // throws regardless of ANSI mode.
+    val hist = arr.select(col("a"), expr(
+      s"""aggregate(
+           slice(a, ${m + 1}, if(n >= ${2 * m}, n - $m, 0)),
+           named_struct(
+             'l', l0, 'b', b0,
+             'seas', transform(slice(a, 1, $m), x -> x.v - l0),
+             'hist', cast(array() as array<struct<l:bigint,b:bigint,s:bigint,f:bigint>>)),
+           (acc, x) -> named_struct(
+             'l', $nl, 'b', $nb,
+             'seas', concat(slice(acc.seas, 2, ${m - 1}), array($ns)),
+             'hist', concat(acc.hist, array(named_struct(
+               'l', $nl, 'b', $nb, 's', $ns, 'f', $nf))))).hist""").as("hist"))
+    hist
+      .select(posexplode(col("hist")).as(Seq("i", "st")), col("a"))
+      .select(
+        expr(s"a[i + $m].d").as("d"),
+        expr(s"a[i + $m].v").as("v"),
+        col("st").getField("l").as("level"),
+        col("st").getField("b").as("trend"),
+        col("st").getField("s").as("seasonal"),
+        col("st").getField("f").as("forecast"),
+        (expr(s"a[i + $m].v") - col("st").getField("f")).as("residual"))
+  }
+
+  /** [[holtWintersDaily]] on daily EVENT VOLUME — the series where
+    * the weekly cycle actually lives: measured on the driver testdata,
+    * daily event counts carry a real day-of-week pattern (lag-7
+    * diff-ACF ≈ 0.27, Sunday ≈ −14% vs midweek) while daily REVENUE
+    * does not (dow deviation ±4% vs daily CV 44%) — which is why the
+    * seasonal arm is registered here and [[forecastEval]] prices both
+    * choices instead of assuming. */
+  def eventVolumeHw(events: DataFrame): DataFrame =
+    holtWintersDaily(
+      events.groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("v")))
+      .withColumnRenamed("d", "event_date")
+      .withColumnRenamed("v", "n_events")
+
+  /** HOLDOUT FORECAST EVALUATION — the query that PRICES a forecaster
+    * instead of trusting it (the heldout_surprisal split discipline):
+    * freeze each model's state after the first n−[[EvalHorizon]] days,
+    * forecast the held-out week from that frozen state (Holt:
+    * f_{T+h} = l_T + h·b_T; HW adds the cyclic seasonal
+    * s_{T+h−m}), and score MAE and wMAPE = Σ|e| / Σ|actual| — wMAPE
+    * rather than MAPE because Σ of per-day double ratios would be an
+    * engine-ordered float sum; both reported metrics are single
+    * divisions of exact int64 folds.
+    *
+    * Run on BOTH series so the eval can disagree with the prior:
+    * measured at sf0.01, HW beats Holt on event volume (wMAPE 0.0279
+    * vs 0.0292 — the weekly cycle is real) and LOSES on daily revenue
+    * (0.696 vs 0.647 — no cycle, the seasonal term fits noise). That
+    * asymmetry is the point: the eval, not the autocorr hint alone,
+    * decides which forecaster a series gets. */
+  def forecastEval(daily: DataFrame, events: DataFrame): DataFrame = {
+    val rev = daily.select(col("order_date").as("d"),
+      (col("daily_revenue") * 100).cast("long").as("v"))
+    val ev = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("v"))
+    evalSeries(rev, "daily_revenue_cents")
+      .unionByName(evalSeries(ev, "event_volume"))
+  }
+
+  /** One series' [[forecastEval]] rows (holt + hw). */
+  private def evalSeries(series: DataFrame, seriesName: String): DataFrame = {
+    val m = HwSeason
+    val h = EvalHorizon
+    val hnl = s"(x.v + 3 * (acc.l + acc.b)) div $HoltDiv"
+    val hnb = s"((($hnl) - acc.l) + 3 * acc.b) div $HoltDiv"
+    val nl = s"(x.v - element_at(acc.seas, 1) + 3 * (acc.l + acc.b)) div $HoltDiv"
+    val nb = s"((($nl) - acc.l) + 3 * acc.b) div $HoltDiv"
+    val ns = s"((x.v - ($nl)) + 3 * element_at(acc.seas, 1)) div $HoltDiv"
+    val st = series
+      .agg(array_sort(collect_list(struct(col("d"), col("v")))).as("a"))
+      .select(col("a"), (size(col("a")) - h).as("tn"))
+      .where(col("tn") >= 2 * m)
+      .withColumn("sum1",
+        expr(s"aggregate(slice(a, 1, $m), 0L, (s, x) -> s + x.v)"))
+      .withColumn("sum2",
+        expr(s"aggregate(slice(a, ${m + 1}, $m), 0L, (s, x) -> s + x.v)"))
+      // guarded slice lengths + try_element_at: the tn >= 2m filter
+      // does not stop Spark evaluating these folds on dropped rows
+      // (the revenueHolt lesson) — keep every expression total.
+      .withColumn("hs", expr(
+        s"""aggregate(
+             slice(a, 2, if(tn >= 2, tn - 1, 0)),
+             named_struct('l', try_element_at(a, 1).v,
+                          'b', try_element_at(a, 2).v - try_element_at(a, 1).v),
+             (acc, x) -> named_struct('l', $hnl, 'b', $hnb))"""))
+      .withColumn("ws", expr(
+        s"""aggregate(
+             slice(a, ${m + 1}, if(tn >= ${2 * m}, tn - $m, 0)),
+             named_struct('l', sum1 div $m,
+                          'b', (sum2 - sum1) div ${m.toLong * m},
+                          'seas', transform(slice(a, 1, $m),
+                                            x -> x.v - (sum1 div $m))),
+             (acc, x) -> named_struct('l', $nl, 'b', $nb,
+               'seas', concat(slice(acc.seas, 2, ${m - 1}), array($ns))))"""))
+      // if() evaluates its taken branch only, so element_at(a, tn+k)
+      // never sees a degenerate (tn < 2m) row's out-of-range index
+      .withColumn("holt_abs", expr(
+        s"""if(tn >= ${2 * m}, aggregate(sequence(1, $h), 0L, (s, k) ->
+             s + abs(element_at(a, tn + k).v - (hs.l + k * hs.b))),
+           cast(null as bigint))"""))
+      .withColumn("hw_abs", expr(
+        s"""if(tn >= ${2 * m}, aggregate(sequence(1, $h), 0L, (s, k) ->
+             s + abs(element_at(a, tn + k).v
+               - (ws.l + k * ws.b
+                  + element_at(ws.seas, ((k - 1) % $m) + 1)))),
+           cast(null as bigint))"""))
+      .withColumn("act", expr(
+        s"""if(tn >= ${2 * m}, aggregate(sequence(1, $h), 0L, (s, k) ->
+             s + element_at(a, tn + k).v), cast(null as bigint))"""))
+    def row(model: String, absCol: String): DataFrame =
+      st.select(
+        lit(seriesName).as("series"), lit(model).as("model"),
+        col("tn").cast("long").as("n_train"), lit(h.toLong).as("n_test"),
+        (col(absCol).cast("double") / h.toDouble).as("mae"),
+        (col(absCol).cast("double") / col("act").cast("double")).as("wmape"))
+    row("holt", "holt_abs").unionByName(row("hw", "hw_abs"))
+  }
+
   /** Two-sided 5% normal critical value (shared literal). */
   val Z05 = 1.959963984540054
 

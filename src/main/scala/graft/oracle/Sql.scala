@@ -1158,6 +1158,139 @@ object Sql {
        |from ho_f""".stripMargin
   }
 
+  /** Mirror TimeMarts.eventVolumeHw: the same seeded Holt-Winters
+    * recursion as a recursive CTE over a LIST column (list_append +
+    * [2:7] slice keep the rolling m-window; truncating `//` aligns
+    * with Spark's div). Zero rows below n = 2m on both engines. */
+  val eventVolumeHwQ: String = {
+    val wl = "(k.v - r.seas[1] + 3 * (r.l + r.b)) // 4"
+    s"""with ev_d as (
+       |  select cast(ts as date) as event_date,
+       |    cast(count(*) as bigint) as v
+       |  from events group by 1
+       |),
+       |ev_i as (
+       |  select row_number() over (order by event_date) as i, event_date, v
+       |  from ev_d
+       |),
+       |ev_n as (select count(*) as n from ev_i),
+       |ev_seed as (
+       |  select cast(sum(case when i <= 7 then v end) as bigint) as sum1,
+       |    cast(sum(case when i > 7 and i <= 14 then v end) as bigint) as sum2
+       |  from ev_i where (select n from ev_n) >= 14
+       |),
+       |ev_s0 as (
+       |  select list(v - (select sum1 // 7 from ev_seed) order by i) as seas
+       |  from ev_i where i <= 7
+       |),
+       |ev_r as (
+       |  with recursive rec(i, l, b, seas, s, f) as (
+       |    select 7, sum1 // 7, (sum2 - sum1) // 49,
+       |      (select seas from ev_s0),
+       |      cast(null as bigint), cast(null as bigint)
+       |    from ev_seed
+       |    union all
+       |    select k.i,
+       |      $wl,
+       |      (($wl) - r.l + 3 * r.b) // 4,
+       |      list_append(r.seas[2:7], ((k.v - ($wl)) + 3 * r.seas[1]) // 4),
+       |      ((k.v - ($wl)) + 3 * r.seas[1]) // 4,
+       |      r.l + r.b + r.seas[1]
+       |    from rec r join ev_i k on k.i = r.i + 1)
+       |  select * from rec
+       |)
+       |select v.event_date, v.v as n_events, r.l as level, r.b as trend,
+       |  r.s as seasonal, r.f as forecast, v.v - r.f as residual
+       |from ev_r r join ev_i v on v.i = r.i
+       |where r.i >= 8""".stripMargin
+  }
+
+  /** Mirror TimeMarts.forecastEval: per series, a holt and a hw
+    * recursive CTE folded to the FROZEN end-of-train state, then a
+    * generate_series holdout join; exact int64 error sums, two output
+    * divisions. The `where holt_abs is not null` guard mirrors
+    * Spark's zero-rows contract for sub-2m train windows (an
+    * ungrouped sum over zero joined rows is one NULL row here). */
+  val forecastEvalQ: String = {
+    def series(p: String, src: String): String = {
+      val lvl = s"(k.v + 3 * (r.l + r.b)) // 4"
+      val wl = s"(k.v - r.seas[1] + 3 * (r.l + r.b)) // 4"
+      s"""${p}_n as (select count(*) - 7 as tn from $src),
+         |${p}_holt as (
+         |  with recursive rec(i, l, b) as (
+         |    select 1, a.v, b.v - a.v
+         |    from $src a join $src b on b.i = 2
+         |    where a.i = 1 and (select tn from ${p}_n) >= 14
+         |    union all
+         |    select k.i, $lvl, (($lvl) - r.l + 3 * r.b) // 4
+         |    from rec r join $src k on k.i = r.i + 1
+         |    where k.i <= (select tn from ${p}_n))
+         |  select l, b from rec where i = (select tn from ${p}_n)
+         |),
+         |${p}_seed as (
+         |  select cast(sum(case when i <= 7 then v end) as bigint) as sum1,
+         |    cast(sum(case when i > 7 and i <= 14 then v end) as bigint) as sum2
+         |  from $src where (select tn from ${p}_n) >= 14
+         |),
+         |${p}_s0 as (
+         |  select list(v - (select sum1 // 7 from ${p}_seed) order by i) as seas
+         |  from $src where i <= 7
+         |),
+         |${p}_hw as (
+         |  with recursive rec(i, l, b, seas) as (
+         |    select 7, sum1 // 7, (sum2 - sum1) // 49,
+         |      (select seas from ${p}_s0)
+         |    from ${p}_seed
+         |    union all
+         |    select k.i, $wl, (($wl) - r.l + 3 * r.b) // 4,
+         |      list_append(r.seas[2:7], ((k.v - ($wl)) + 3 * r.seas[1]) // 4)
+         |    from rec r join $src k on k.i = r.i + 1
+         |    where k.i <= (select tn from ${p}_n))
+         |  select l, b, seas from rec where i = (select tn from ${p}_n)
+         |),
+         |${p}_err as (
+         |  select
+         |    cast(sum(abs(k.v - (h.l + g.h * h.b))) as bigint) as holt_abs,
+         |    cast(sum(abs(k.v - (w.l + g.h * w.b
+         |      + w.seas[((g.h - 1) % 7) + 1]))) as bigint) as hw_abs,
+         |    cast(sum(k.v) as bigint) as act,
+         |    cast(max((select tn from ${p}_n)) as bigint) as n_train
+         |  from generate_series(1, 7) g(h)
+         |  join $src k on k.i = (select tn from ${p}_n) + g.h
+         |  cross join ${p}_holt h cross join ${p}_hw w
+         |)""".stripMargin
+    }
+    def arms(p: String, name: String): String =
+      s"""select '$name' as series, 'holt' as model, n_train,
+         |  cast(7 as bigint) as n_test,
+         |  cast(holt_abs as double) / cast(7 as double) as mae,
+         |  cast(holt_abs as double) / cast(act as double) as wmape
+         |from ${p}_err where holt_abs is not null
+         |union all
+         |select '$name', 'hw', n_train, cast(7 as bigint),
+         |  cast(hw_abs as double) / cast(7 as double),
+         |  cast(hw_abs as double) / cast(act as double)
+         |from ${p}_err where hw_abs is not null""".stripMargin
+    s"""$allCtes,
+       |fe_rev as (
+       |  select row_number() over (order by order_date) as i,
+       |    cast(daily_revenue * 100 as bigint) as v
+       |  from daily_summary
+       |),
+       |fe_evd as (
+       |  select cast(ts as date) as d, cast(count(*) as bigint) as v
+       |  from events group by 1
+       |),
+       |fe_ev as (
+       |  select row_number() over (order by d) as i, v from fe_evd
+       |),
+       |${series("fr", "fe_rev")},
+       |${series("fv", "fe_ev")}
+       |${arms("fr", "daily_revenue_cents")}
+       |union all
+       |${arms("fv", "event_volume")}""".stripMargin
+  }
+
   /** Mirror TimeMarts.mannKendall: the same calendar pair domain,
     * exact-int sign sum and tie-corrected variance numerator, the
     * identical z chain. */
