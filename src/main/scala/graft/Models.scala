@@ -1355,6 +1355,24 @@ object Models {
   /** Tokenizer fertility (BPE pieces per word) by language. */
   def bpeFertility(s: SparkSession, d: String): DataFrame =
     llm.Bpe.fertilityByLang(Tables.documents(s, d), bpeTokenCounts(s, d))
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (DataFrame, DataFrame)]()
+  /** Unigram-LM tokenizer training (EM + prune), memoized per run —
+    * the vocab and segmentation queries share one training pass. */
+  private def unigramTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    unigramCache.computeIfAbsent((s.sparkContext.applicationId, d),
+      _ => llm.Unigram.train(Tables.documents(s, d)))
+  /** The pruned unigram vocabulary with quantized-nanonat costs. */
+  def unigramVocab(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "unigram_vocab")(unigramTrained(s, d)._1)
+  /** Every distinct word under the final unigram Viterbi model. */
+  def unigramSegmentation(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "unigram_segmentation")(unigramTrained(s, d)._2)
+  /** BPE-vs-unigram fertility shoot-out (pieces per word instance). */
+  def tokenizerFertilityCompare(s: SparkSession, d: String): DataFrame =
+    llm.Unigram.fertilityCompare(bpeSegmentation(s, d),
+      unigramSegmentation(s, d))
   /** Incremental dedup demo: docs with doc_id % 5 == 0 play the "new
     * ingest batch" — their signatures are aggregated fresh from the
     * shingle barrier (production ingest computes the batch's shingles

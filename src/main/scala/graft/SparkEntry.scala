@@ -444,6 +444,10 @@ object SparkEntry {
     "bpe_fertility" -> out(Models.bpeFertility),
     // id-assigned piece vocabulary via the two-phase global rank
     "bpe_vocab_ids" -> out(Models.bpeVocabIds),
+    // unigram-LM tokenizer (EM-trained, Viterbi-segmented) + shoot-out
+    "unigram_vocab" -> out(Models.unigramVocab),
+    "unigram_segmentation" -> out(Models.unigramSegmentation),
+    "tokenizer_fertility_compare" -> out(Models.tokenizerFertilityCompare),
   ) ++
     // semantic layer M1-M8: the reference's 8 saved queries + planner
     // demos for ratio/median/offset/cumulative metric types.
@@ -696,6 +700,9 @@ object SparkEntry {
     "bpe_token_counts" -> LlmSql.bpeTokenCountsQ,
     "bpe_fertility" -> LlmSql.bpeFertilityQ,
     "bpe_vocab_ids" -> LlmSql.bpeVocabIdsQ,
+    "unigram_vocab" -> LlmSql.unigramVocabQ,
+    "unigram_segmentation" -> LlmSql.unigramSegmentationQ,
+    "tokenizer_fertility_compare" -> LlmSql.tokenizerFertilityCompareQ,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
       q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap

@@ -3229,4 +3229,160 @@ object LlmSql {
        |  cast(sum(margin) as double) / count(*) as avg_margin
        |from bkt group by 1""".stripMargin
   }
+
+  // ---- unigram-LM tokenizer (llm.Unigram) ----
+
+  /** Quantized-nanonat cost + broadcast-map CTEs for one model table
+    * (mirror Unigram.costs: Laplace +1/+n, decimal(18,9) ln quantize,
+    * narrow-decimal 10⁹ multiply; the (19,9) widen forces int128 —
+    * DuckDB's width-≤18 decimal multiply overflows int64). Every CTE
+    * here is MATERIALIZED: the recursive Viterbi joins its map per
+    * step, and without the hint DuckDB re-inlines the whole upstream
+    * EM chain on every recursion step — measured exponential (minutes
+    * at 31 words) vs 0.5 s materialized; this is also the oracle-side
+    * analogue of the engine's per-round localCheckpoint. */
+  private def uniCostCtes(p: String, modelCte: String): String =
+    s"""${p}_st as materialized (
+       |  select cast(sum(cnt) as bigint) as total,
+       |    cast(count(*) as bigint) as n
+       |  from $modelCte
+       |),
+       |${p}_cost as materialized (
+       |  select piece, cnt,
+       |    cast(cast(cast(-ln(cast(cnt + 1 as double)
+       |        / cast((select total from ${p}_st) + (select n from ${p}_st)
+       |               as double)) as decimal(18,9)) as decimal(19,9))
+       |      * cast(1000000000 as decimal(10,0)) as bigint) as cost
+       |  from $modelCte
+       |),
+       |${p}_map as materialized (
+       |  select map(list(piece order by piece), list(cost order by piece)) as m
+       |  from ${p}_cost
+       |)""".stripMargin
+
+  /** Per-word Viterbi as a recursive CTE over character positions —
+    * the same DP table, candidate filter, and (cost, seg) struct-sort
+    * tiebreak as Unigram.viterbi's array fold; map subscript returns
+    * a LIST here, hence the [1] / len() idioms. The inner recursive
+    * CTE name MUST be unique per block: DuckDB 1.0 cross-contaminates
+    * sibling nested recursive CTEs that share a name (probed — four
+    * blocks all named `rec` made round 2 segment 'batch' as 'b atch'
+    * against its own cost table; unique names restore the DP). */
+  private def uniViterbiCte(p: String): String = {
+    val L = graft.llm.Unigram.MaxPieceLen
+    val piece = "substr(word, pos + 2 - k, k)"
+    s"""${p}_vit as (
+       |  with recursive ${p}_rec as (
+       |    select word, freq, 0 as pos,
+       |      [{'c': cast(0 as bigint), 'seg': ''}] as acc
+       |    from uni_w
+       |    union all
+       |    select word, freq, pos + 1,
+       |      list_append(acc, (list_sort([
+       |        {'c': acc[pos + 2 - k].c + (m[$piece])[1],
+       |         'seg': case when acc[pos + 2 - k].seg = '' then $piece
+       |                else acc[pos + 2 - k].seg || ' ' || $piece end}
+       |        for k in generate_series(1, least($L, pos + 1))
+       |        if len(m[$piece]) > 0 and acc[pos + 2 - k].c is not null
+       |      ]))[1])
+       |    from ${p}_rec, ${p}_map where pos < length(word))
+       |  select word, freq, acc[length(word) + 1].seg as pieces
+       |  from ${p}_rec where pos = length(word)
+       |)""".stripMargin
+  }
+
+  /** M-step counts re-anchored on the fixed seed domain. */
+  private def uniCountCte(out: String, vitCte: String): String =
+    s"""$out as materialized (
+       |  select s.piece, cast(coalesce(c.cnt, 0) as bigint) as cnt
+       |  from (select piece from uni_seed) s
+       |  left join (
+       |    select piece, cast(sum(freq) as bigint) as cnt from (
+       |      select freq, unnest(string_split(pieces, ' ')) as piece
+       |      from $vitCte) t
+       |    group by 1) c using (piece)
+       |)""".stripMargin
+
+  /** The full unrolled training pipeline: seed → EmRounds EM blocks →
+    * rank-prune (∪ single chars) → final cost/Viterbi. */
+  private val unigramCtes: String = {
+    import graft.llm.Unigram.{EmRounds, VocabTarget}
+    val rounds = (1 to EmRounds).map { r =>
+      val modelCte = if (r == 1) "uni_seed" else s"u${r - 1}_cnt"
+      s"""${uniCostCtes(s"u$r", modelCte)},
+         |${uniViterbiCte(s"u$r")},
+         |${uniCountCte(s"u${r}_cnt", s"u${r}_vit")}""".stripMargin
+    }.mkString(",\n")
+    s"""uni_w as (
+       |  select word, cast(count(*) as bigint) as freq from (
+       |    select unnest(w) as word from doc_words
+       |  ) t group by 1
+       |),
+       |uni_seed as (
+       |  select piece, cast(sum(freq) as bigint) as cnt from (
+       |    select freq,
+       |      unnest(flatten(list_transform(generate_series(1, length(word)),
+       |        i -> list_transform(
+       |          generate_series(1, least(${graft.llm.Unigram.MaxPieceLen},
+       |                                   length(word) - i + 1)),
+       |          k -> substr(word, i, k))))) as piece
+       |    from uni_w
+       |  ) t group by 1
+       |),
+       |$rounds,
+       |uni_rank as (
+       |  select piece, cnt,
+       |    row_number() over (order by cnt desc, piece asc) as r
+       |  from u${EmRounds}_cnt
+       |),
+       |uni_keep as (
+       |  select piece, cnt from uni_rank
+       |  where r <= $VocabTarget or length(piece) = 1
+       |),
+       |${uniCostCtes("uf", "uni_keep")},
+       |${uniViterbiCte("uf")}""".stripMargin
+  }
+
+  /** Mirror Models.unigramVocab: dense ids in (count desc, piece asc)
+    * order over the pruned model — byte-identical to the two-phase
+    * globalRank. */
+  val unigramVocabQ: String =
+    s"""with $textCtes,
+       |$unigramCtes
+       |select piece,
+       |  cast(row_number() over (order by cnt desc, piece asc) as bigint)
+       |    as piece_id,
+       |  cnt as n_occurrences, cost as cost_q9
+       |from uf_cost""".stripMargin
+
+  /** Mirror Models.unigramSegmentation: final Viterbi under the
+    * pruned model. */
+  val unigramSegmentationQ: String =
+    s"""with $textCtes,
+       |$unigramCtes
+       |select word, freq,
+       |  cast(len(string_split(pieces, ' ')) as bigint) as n_pieces,
+       |  pieces
+       |from uf_vit""".stripMargin
+
+  /** Mirror Unigram.fertilityCompare: both tokenizers' corpus-weighted
+    * pieces-per-word from their segmentation tables. */
+  val tokenizerFertilityCompareQ: String =
+    s"""with $textCtes,
+       |$bpeCtes,
+       |$unigramCtes
+       |select 'bpe' as tokenizer,
+       |  cast(sum(freq) as bigint) as total_words,
+       |  cast(sum(freq * len(string_split(syms, ' '))) as bigint)
+       |    as total_pieces,
+       |  cast(sum(freq * len(string_split(syms, ' '))) as double)
+       |    / cast(sum(freq) as double) as fertility
+       |from bpe_w${graft.llm.Bpe.MergeCount}
+       |union all
+       |select 'unigram',
+       |  cast(sum(freq) as bigint),
+       |  cast(sum(freq * len(string_split(pieces, ' '))) as bigint),
+       |  cast(sum(freq * len(string_split(pieces, ' '))) as double)
+       |    / cast(sum(freq) as double)
+       |from uf_vit""".stripMargin
 }
