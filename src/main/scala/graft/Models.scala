@@ -849,6 +849,10 @@ object Models {
     * rate (the calibration check behind any keep/drop threshold). */
   def qualityCalibration(s: SparkSession, d: String): DataFrame =
     llm.QualityModel.calibration(qualityPredictions(s, d))
+  /** Split-conformal prediction sets (coverage + set size) over the
+    * classifier's margins. */
+  def qualityConformal(s: SparkSession, d: String): DataFrame =
+    llm.QualityModel.conformal(qualityPredictions(s, d))
   /** STREAMING inference: new-doc batches scored per micro-batch
     * against the standing trained-weights mart. */
   def streamQualityScores(s: SparkSession, d: String): DataFrame =

@@ -178,7 +178,13 @@ object Scale {
     // readability (documents) is per-row regex counts; HRW sharding
     // (documents) is a K-way explode + keyed top-1
     "hilbert_keys", "hilbert_zonemaps", "layout_locality",
-    "doc_readability", "shard_routing", "shard_stability")
+    "doc_readability", "shard_routing", "shard_stability",
+    // r15: unigram trainer (documents — replicas keep the same word
+    // vocabulary, so EM stays vocab-bounded while the corpus pass
+    // scales), the BPE-vs-unigram shoot-out, and the Holt-Winters
+    // states on daily event volume (calendar-bounded fold)
+    "unigram_vocab", "unigram_segmentation", "tokenizer_fertility_compare",
+    "event_volume_hw")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

@@ -229,6 +229,8 @@ object SparkEntry {
     "quality_eval" -> out(Models.qualityEval),
     // reliability table: margin deciles vs empirical positive rate
     "quality_calibration" -> out(Models.qualityCalibration),
+    // split-conformal: calibrated coverage + prediction-set size
+    "quality_conformal" -> out(Models.qualityConformal),
     // unigram LM surprisal quality score (quantized-ln determinism)
     "doc_surprisal" -> out(Models.docSurprisal),
     // held-out LM eval: train-split Laplace model scores validation
@@ -588,6 +590,7 @@ object SparkEntry {
     "quality_pareto" -> LlmSql.qualityParetoQ,
     "quality_eval" -> LlmSql.qualityEvalQ,
     "quality_calibration" -> LlmSql.qualityCalibrationQ,
+    "quality_conformal" -> LlmSql.qualityConformalQ,
     "doc_surprisal" -> LlmSql.unigramSurprisalQ,
     "heldout_surprisal" -> LlmSql.heldoutSurprisalQ,
     "curriculum_bins" -> LlmSql.curriculumBinsQ,

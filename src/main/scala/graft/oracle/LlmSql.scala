@@ -3230,6 +3230,68 @@ object LlmSql {
        |from bkt group by 1""".stripMargin
   }
 
+  /** Mirror QualityModel.conformal: label-directed nonconformity
+    * scores on the %4==1 calibration split, q̂ as the
+    * ⌈(n+1)(1−α)⌉-th smallest via a cumulative count over distinct
+    * integer scores, coverage/set-size on the %4==2 holdout. */
+  val qualityConformalQ: String = {
+    import graft.llm.QualityModel.{ConformalAlphas, Rounds}
+    val arms = ConformalAlphas.map { alpha =>
+      val oma = Sql.dlit(1.0 - alpha)
+      val a = Sql.dlit(alpha)
+      s"""select $a as alpha, n_cal, qhat, n_test, n_covered,
+         |  cast(n_covered as double) / cast(n_test as double) as coverage,
+         |  cast(sz as double) / cast(n_test as double) as avg_set_size,
+         |  n_empty, n_full
+         |from (
+         |  select
+         |    (select n_cal from cf_n) as n_cal,
+         |    q.qhat,
+         |    cast(count(*) as bigint) as n_test,
+         |    cast(count(case when (case when label = 1
+         |        then -margin <= q.qhat else margin <= q.qhat end)
+         |      then 1 end) as bigint) as n_covered,
+         |    cast(sum((case when margin <= q.qhat then 1 else 0 end)
+         |           + (case when -margin <= q.qhat then 1 else 0 end))
+         |      as bigint) as sz,
+         |    cast(count(case when margin > q.qhat and -margin > q.qhat
+         |      then 1 end) as bigint) as n_empty,
+         |    cast(count(case when margin <= q.qhat and -margin <= q.qhat
+         |      then 1 end) as bigint) as n_full
+         |  from cf_test cross join (
+         |    select min(s) as qhat from cf_cum
+         |    where cum >= least(
+         |      cast(ceil(((select n_cal from cf_n) + 1) * $oma) as bigint),
+         |      (select n_cal from cf_n))) q
+         |  group by 1, 2
+         |)""".stripMargin
+    }.mkString("\nunion all\n")
+    s"""with $qmCtes,
+       |qm_fm as (
+       |  select doc_id, sum(v * weight) as margin
+       |  from qm_x join qm_w$Rounds on bucket = dim group by 1
+       |),
+       |cf_pred as (
+       |  select doc_id, cast(y as int) as label,
+       |    cast(margin as bigint) as margin
+       |  from qm_y join qm_fm using (doc_id)
+       |),
+       |cf_cal as (
+       |  select case when label = 1 then -margin else margin end as s
+       |  from cf_pred
+       |  where ${hex60("'conf|' || cast(doc_id as varchar)")} % 4 = 1
+       |),
+       |cf_n as (select cast(count(*) as bigint) as n_cal from cf_cal),
+       |cf_cum as (
+       |  select s, sum(n) over (order by s) as cum from (
+       |    select s, count(*) as n from cf_cal group by 1) t
+       |),
+       |cf_test as (
+       |  select label, margin from cf_pred
+       |  where ${hex60("'conf|' || cast(doc_id as varchar)")} % 4 = 2)
+       |$arms""".stripMargin
+  }
+
   // ---- unigram-LM tokenizer (llm.Unigram) ----
 
   /** Quantized-nanonat cost + broadcast-map CTEs for one model table
