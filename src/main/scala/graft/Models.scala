@@ -719,6 +719,9 @@ object Models {
     llm.Multimodal.mediaFrames(Tables.documents(s, d))
   def datasetSplits(s: SparkSession, d: String): DataFrame =
     llm.Splits.assign(Tables.documents(s, d))
+  /** Neyman vs proportional sample-budget allocation by stratum. */
+  def neymanAllocation(s: SparkSession, d: String): DataFrame =
+    llm.Splits.neymanAllocation(Tables.documents(s, d))
   def piiRedaction(s: SparkSession, d: String): DataFrame =
     llm.Redaction.piiRedaction(Tables.documents(s, d))
   def piiRedactionShapes(s: SparkSession, d: String): DataFrame =

@@ -195,6 +195,8 @@ object SparkEntry {
     "media_resized" -> out(Models.mediaResized),
     "media_frames" -> out(Models.mediaFrames),
     "dataset_splits" -> out(Models.datasetSplits),
+    // sampling design: Neyman vs proportional allocation + design effect
+    "neyman_allocation" -> out(Models.neymanAllocation),
     "kmeans_centroids" -> out(Models.kmeansCentroids),
     "bm25_scores" -> out(Models.bm25Scores),
     "sessionize" -> out(Models.sessionize),
@@ -569,6 +571,7 @@ object SparkEntry {
     "media_resized" -> LlmSql.mediaResizedQ,
     "media_frames" -> LlmSql.mediaFramesQ,
     "dataset_splits" -> LlmSql.datasetSplitsQ,
+    "neyman_allocation" -> LlmSql.neymanAllocationQ,
     "kmeans_centroids" -> LlmSql.kmeansCentroidsQ,
     "bm25_scores" -> LlmSql.bm25Q,
     "sessionize" -> graft.operators.Sessions.oracleSql,

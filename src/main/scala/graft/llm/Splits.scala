@@ -156,4 +156,85 @@ object Splits {
           col("n_leaky_pairs"), col("n_clusters"))
     }.reduce(_ unionByName _)
   }
+
+  /** Total sample budget [[neymanAllocation]] distributes. */
+  val NeymanBudget = 1000L
+
+  /** NEYMAN OPTIMAL ALLOCATION (Neyman 1934) of a fixed sample budget
+    * across language strata — the sampling DESIGN step the stratified
+    * sampler above executes: to estimate mean document length with
+    * minimum variance, stratum h gets n_h ∝ N_h·S_h (big AND variable
+    * strata get more), vs proportional allocation's n_h ∝ N_h. Both
+    * allocations are reported per stratum, with the two design
+    * variances (V = (Σ WₕSₕ)²/n for Neyman, Σ WₕSₕ²/n for
+    * proportional) so the design effect is read directly — an eval-set
+    * builder runs THIS before burning label budget.
+    *
+    * Integerization is LARGEST-REMAINDER (floor the exact shares,
+    * hand the leftover to the largest fractional remainders,
+    * remainder-desc / lang-asc tiebreak), so the allocations sum to
+    * the budget EXACTLY on both engines.
+    *
+    * Determinism: per-stratum moments are exact decimal sums; S_h
+    * comes from [[graft.functions.Funcs.stddevFromSums]]' string-cast
+    * double contract; the cross-strata Σ N_h·S_h folds doubles in
+    * LANG ORDER through one sorted-array `aggregate` (an unordered
+    * float SUM over the group would be partition-order-dependent —
+    * the bm25 fixed-order lesson). Scale: one corpus aggregation to
+    * |strata| rows; everything after (windows included) runs on the
+    * language dimension — bounded, the W3 exception. */
+  def neymanAllocation(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val strata = documents
+      .select(col("lang"), col("n_chars").cast(DecimalType(19, 0)).as("x"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .withColumn("sd",
+        graft.functions.Funcs.stddevFromSums(col("sx"), col("sx2"),
+          col("n_pop")))
+      .withColumn("nh_sh", col("n_pop").cast("double") * col("sd"))
+      .withColumn("nh_sh2",
+        col("n_pop").cast("double") * col("sd") * col("sd"))
+    // lang-ordered folds for every cross-strata float total
+    val totals = strata
+      .agg(array_sort(collect_list(struct(col("lang"), col("nh_sh"),
+          col("nh_sh2")))).as("a"),
+        sum(col("n_pop")).as("n_total"))
+      .select(col("n_total"),
+        expr("aggregate(a, 0.0d, (acc, x) -> acc + x.nh_sh)").as("t_nhsh"),
+        expr("aggregate(a, 0.0d, (acc, x) -> acc + x.nh_sh2)").as("t_nhsh2"))
+    val w = org.apache.spark.sql.expressions.Window
+    val exact = strata.crossJoin(broadcast(totals))
+      .withColumn("exact_ney",
+        lit(NeymanBudget.toDouble) * col("nh_sh") / col("t_nhsh"))
+      .withColumn("exact_prop",
+        lit(NeymanBudget.toDouble) * col("n_pop").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("base_ney", floor(col("exact_ney")).cast("long"))
+      .withColumn("base_prop", floor(col("exact_prop")).cast("long"))
+    // leftover + remainder ranks as windows over the |strata| rows
+    // (bounded dim — the W3 exception), not re-aggregating the chain
+    def remainderRound(df: DataFrame, exactCol: String, baseCol: String,
+                       outCol: String): DataFrame =
+      df.withColumn("__r", row_number().over(
+          w.orderBy((col(exactCol) - col(baseCol)).desc, col("lang").asc)))
+        .withColumn("__left",
+          lit(NeymanBudget) - sum(col(baseCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn(outCol,
+          col(baseCol) + when(col("__r") <= col("__left"), 1L).otherwise(0L))
+        .drop("__r", "__left")
+    val alloc = remainderRound(
+      remainderRound(exact, "exact_ney", "base_ney", "n_neyman"),
+      "exact_prop", "base_prop", "n_prop")
+    alloc.select(col("lang"), col("n_pop"), col("sd").as("sd_chars"),
+      col("n_prop"), col("n_neyman"),
+      (col("t_nhsh") / col("n_total").cast("double")
+        * col("t_nhsh") / col("n_total").cast("double")
+        / lit(NeymanBudget.toDouble)).as("v_neyman"),
+      (col("t_nhsh2") / col("n_total").cast("double")
+        / lit(NeymanBudget.toDouble)).as("v_prop"))
+  }
 }

@@ -3292,6 +3292,75 @@ object LlmSql {
        |$arms""".stripMargin
   }
 
+  /** Mirror Splits.neymanAllocation: exact decimal moments per lang
+    * stratum, the stddevFromSums string-cast double contract,
+    * lang-ordered float folds for the cross-strata totals, and
+    * largest-remainder integerization (remainder desc, lang asc). */
+  val neymanAllocationQ: String = {
+    import graft.llm.Splits.NeymanBudget
+    s"""with ney_s as (
+       |  select lang, cast(count(*) as bigint) as n_pop,
+       |    sum(cast(n_chars as decimal(19,0))) as sx,
+       |    sum(cast(n_chars as decimal(19,0))
+       |        * cast(n_chars as decimal(19,0))) as sx2
+       |  from documents group by 1
+       |),
+       |ney_sd as (
+       |  select lang, n_pop,
+       |    case when n_pop > 1 then sqrt(
+       |      (cast(cast(sx2 as varchar) as double)
+       |        - cast(cast(sx as varchar) as double)
+       |          * cast(cast(sx as varchar) as double) / cast(n_pop as double))
+       |      / (cast(n_pop as double) - 1.0)) end as sd
+       |  from ney_s
+       |),
+       |ney_x as (
+       |  select lang, n_pop, sd,
+       |    cast(n_pop as double) * sd as nh_sh,
+       |    cast(n_pop as double) * sd * sd as nh_sh2
+       |  from ney_sd
+       |),
+       |ney_t as (
+       |  select cast(sum(n_pop) as bigint) as n_total,
+       |    list_reduce(list(nh_sh order by lang), (a, b) -> a + b) as t_nhsh,
+       |    list_reduce(list(nh_sh2 order by lang), (a, b) -> a + b) as t_nhsh2
+       |  from ney_x
+       |),
+       |ney_e as (
+       |  select x.*, t.n_total, t.t_nhsh, t.t_nhsh2,
+       |    cast($NeymanBudget as double) * x.nh_sh / t.t_nhsh as exact_ney,
+       |    cast($NeymanBudget as double) * cast(x.n_pop as double)
+       |      / cast(t.n_total as double) as exact_prop
+       |  from ney_x x cross join ney_t t
+       |),
+       |ney_r as (
+       |  select *,
+       |    cast(floor(exact_ney) as bigint) as base_ney,
+       |    cast(floor(exact_prop) as bigint) as base_prop
+       |  from ney_e
+       |),
+       |ney_a as (
+       |  select *,
+       |    row_number() over
+       |      (order by exact_ney - base_ney desc, lang asc) as r_ney,
+       |    $NeymanBudget - cast(sum(base_ney) over () as bigint) as left_ney,
+       |    row_number() over
+       |      (order by exact_prop - base_prop desc, lang asc) as r_prop,
+       |    $NeymanBudget - cast(sum(base_prop) over () as bigint) as left_prop
+       |  from ney_r
+       |)
+       |select lang, n_pop, sd as sd_chars,
+       |  cast(base_prop + case when r_prop <= left_prop then 1 else 0 end
+       |    as bigint) as n_prop,
+       |  cast(base_ney + case when r_ney <= left_ney then 1 else 0 end
+       |    as bigint) as n_neyman,
+       |  t_nhsh / cast(n_total as double) * t_nhsh / cast(n_total as double)
+       |    / cast($NeymanBudget as double) as v_neyman,
+       |  t_nhsh2 / cast(n_total as double)
+       |    / cast($NeymanBudget as double) as v_prop
+       |from ney_a""".stripMargin
+  }
+
   // ---- unigram-LM tokenizer (llm.Unigram) ----
 
   /** Quantized-nanonat cost + broadcast-map CTEs for one model table

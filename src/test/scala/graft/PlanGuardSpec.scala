@@ -152,7 +152,16 @@ class PlanGuardSpec extends SparkSpec {
     // gap buckets × ONE broadcast total row
     "order_gap_stats",
     // ≤3650 daily rows × ONE broadcast (n)/(median) row
-    "revenue_runs_test")
+    "revenue_runs_test",
+    // r15: the DELIBERATE exact all-pairs truth set over the
+    // vocabulary-bounded distinct-name dictionary (V·(V−1)/2 pairs,
+    // corpus-size-free) + the lshRecallStats one-row broadcast shape
+    "jw_recall",
+    // |languages| dim rows × ONE broadcast totals row
+    "neyman_allocation",
+    // holdout rows × ONE broadcast q̂ row × ONE broadcast n_cal row,
+    // per alpha (QualityModel.conformal)
+    "quality_conformal")
 
   /** The streaming one-shots run whole jobs at build time; plan
     * inspection happens through their own specs instead. dq_summary
@@ -218,7 +227,13 @@ class PlanGuardSpec extends SparkSpec {
     "quality_pareto",
     // water-fill ranking over the |languages| aggregate (bounded dim;
     // the corpus itself sees only the groupBy scan)
-    "unimax_allocation")
+    "unimax_allocation",
+    // largest-remainder rank + leftover sum over the |languages|
+    // strata table (bounded dim; the corpus sees one groupBy pass)
+    "neyman_allocation",
+    // conformal q̂ cumulative over DISTINCT integer nonconformity
+    // scores — the quality_eval Mann-Whitney trade, same bound
+    "quality_conformal")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
