@@ -602,6 +602,10 @@ object Models {
     * whitening diagnostic). */
   def embeddingCorr(s: SparkSession, d: String): DataFrame =
     llm.Quantize.embeddingCorr(Tables.embeddings(s, d))
+  /** Top principal component by deterministic quantized power
+    * iteration (the whitening/OPQ input embeddingCorr points at). */
+  def embeddingPca(s: SparkSession, d: String): DataFrame =
+    llm.Quantize.embeddingPca(Tables.embeddings(s, d))
   /** The dequantized SQ8 corpus as its OWN Mat barrier (VERDICT r7 #1):
     * a real vector store materializes the compressed index once, it
     * doesn't re-run quantize→dequantize per search. The parquet float

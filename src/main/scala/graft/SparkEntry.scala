@@ -163,6 +163,8 @@ object SparkEntry {
     "embedding_quantization" -> out(Models.embeddingQuantization),
     // exact-integer Pearson matrix over embedding dims (anisotropy)
     "embedding_corr" -> out(Models.embeddingCorr),
+    // top PC via quantized power iteration (whitening/OPQ input)
+    "embedding_pca" -> out(Models.embeddingPca),
     "ann_sq8_topk" -> out(Models.annSq8TopK),
     // recall@k of the kmeans-IVF index vs the exact brute force
     "ann_recall" -> out(Models.annRecall),
@@ -548,6 +550,7 @@ object SparkEntry {
     "semdedup_prune" -> LlmSql.semdedupPruneQ,
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
     "embedding_corr" -> LlmSql.embeddingCorrQ,
+    "embedding_pca" -> LlmSql.embeddingPcaQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,
     "ann_recall_by_method" -> LlmSql.annRecallByMethodQ,

@@ -138,4 +138,133 @@ object Quantize {
     * so both forms return identical rows). */
   def annSq8TopK(embeddings: DataFrame): DataFrame =
     Similarity.annCosineTopK(dequantize(quantize(embeddings)))
+
+  /** Power-iteration rounds for [[embeddingPca]] (unrolled — each is
+    * one corpus pass; 6 squarings of the eigenvalue gap is plenty at
+    * embedding-scale spectra). */
+  val PcaRounds = 6
+
+  /** Embedding dimensionality (the testdata's fixed width; at another
+    * width every 64 below follows this constant). */
+  val PcaDim = 64
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by DETERMINISTIC
+    * POWER ITERATION — the step [[embeddingCorr]]'s Scaladoc promises
+    * ("the decision input for whitening / PCA / OPQ rotation"): the
+    * dominant eigenvector of the centered covariance, its eigenvalue,
+    * and the explained-variance share. An anisotropic corpus (one
+    * direction hoarding variance) whitens/rotates along exactly this
+    * vector before product quantization.
+    *
+    * Matrix-free iteration: C·v = (1/n²)·(n·Σx(x·v) − (Σx)(Σx·v)),
+    * so each round is ONE corpus pass (per-row dot, then a per-dim
+    * keyed aggregate of 64 rows) — the covariance matrix itself is
+    * never materialized. The iterate v is carried in QUANTIZED
+    * MICRO-UNITS (int64, [[CorrQuant]]): per-row dots q·v_q are exact
+    * int64 (|q|,|v_q| ≤ ~2²⁰ ⇒ 64-term dot ≪ 2⁶³); the per-dim
+    * accumulations Σ q_i·(q·v_q) widen to decimal(38,0) BEFORE the
+    * multiply (each term can reach ~2⁶⁶) — exact, order-free sums, so
+    * the whole linear step is bit-deterministic. Headroom: terms ~1e24
+    * at 8× probe scale against decimal(38)'s 1e38 — linear in corpus
+    * rows, asserted by the spec.
+    *
+    * Doubles appear once per round: the 64 exact decimals route
+    * through the string-cast contract ([[graft.functions.Funcs.stddevFromSums]]),
+    * the norm folds their squares in FIXED dim order, and the
+    * normalized coordinates re-quantize with the explicit half-up
+    * floor. Sign is pinned per round (the eigenvector's inherent ±
+    * ambiguity): the first coordinate of largest magnitude is made
+    * positive — a fold both engines run identically.
+    *
+    * Output: one row per dimension — loading (unit double), the
+    * quantized loading (the exact artifact the next round/consumer
+    * loads), plus the Rayleigh eigenvalue λ = ‖w‖/(n²·Q³) in raw-x²
+    * units and explained_share = λ / tr(C) (exact dim-variance sums,
+    * single divisions). */
+  def embeddingPca(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qv = embeddings.select(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(CorrQuant) + lit(0.5)).cast("long"))
+        .as("q"))
+    // per-dim exact sums (centering term b, trace) — ONE pass, reused
+    // by every round through the checkpoint
+    val base = qv.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum(col("qi").cast(d19) * col("qi").cast(d19)).as("ss"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("i"), col("s"), col("ss"))))
+          .as("st"))
+      .select(col("n"), expr("transform(st, x -> x.s)").as("b"),
+        // tr(C)·Q²·n² = Σ_i (n·Σq² − (Σq)²): exact sums widened to
+        // doubles (the embeddingCorr discipline — a decimal product
+        // here would exceed DuckDB's width-38 cap), folded in dim order
+        expr("""aggregate(st, cast(0.0 as double), (acc, x) ->
+             acc + (cast(n as double)
+                      * cast(cast(x.ss as string) as double)
+                    - cast(x.s as double) * cast(x.s as double)))""")
+          .as("trace_q"))
+      .localCheckpoint(true)
+    // v0: uniform unit vector in micro-units (Q/√D, half-up)
+    val v0 = Seq.fill(PcaDim)(
+      math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong)
+    var v = Seq(Tuple1(v0)).toDF("v").localCheckpoint(true)
+    var lastW: DataFrame = null
+    for (_ <- 1 to PcaRounds) {
+      // one corpus pass: per-row exact dot, per-dim exact decimal A_i
+      val a = qv.crossJoin(broadcast(v))
+        .select(posexplode(col("q")).as(Seq("i", "qi")),
+          expr("aggregate(zip_with(q, v, (x, c) -> x * c), 0L, (acc, x) -> acc + x)")
+            .as("s"))
+        .groupBy("i")
+        .agg(sum(col("qi").cast(d19) * col("s").cast(d19)).as("a"))
+      // w_i = n·A_i − b_i·(b·v): exact parts first, then the
+      // embeddingCorr double-widening (string-cast for decimals)
+      val wRow = a
+        .agg(array_sort(collect_list(struct(col("i"), col("a")))).as("aa"))
+        .crossJoin(broadcast(base)).crossJoin(broadcast(v))
+        .withColumn("sb", expr(
+          """aggregate(zip_with(b, v, (x, c) -> cast(x as decimal(19,0))
+                                               * cast(c as decimal(19,0))),
+               cast(0 as decimal(38,0)), (acc, x) -> acc + x)"""))
+        .withColumn("w", expr(
+          """transform(sequence(1, size(aa)), j ->
+               cast(n as double)
+                 * cast(cast(element_at(aa, j).a as string) as double)
+               - cast(element_at(b, j) as double)
+                 * cast(cast(sb as string) as double))"""))
+        .withColumn("norm_w", expr(
+          "sqrt(aggregate(w, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+        // sign pin: first coordinate of largest magnitude goes positive
+        .withColumn("sgn", expr(
+          """if(aggregate(w, cast(0.0 as double), (acc, x) ->
+                 if(abs(x) > abs(acc), x, acc)) < 0, -1.0d, 1.0d)"""))
+        .localCheckpoint(true)
+      lastW = wRow
+      v = wRow.select(expr(
+        s"""transform(w, x ->
+             cast(floor(sgn * x / norm_w * ${CorrQuant}d + 0.5d) as bigint))""")
+        .as("v")).localCheckpoint(true)
+    }
+    // λ = ‖w‖/(n²·Q³) in raw-embedding² units; share = ‖w‖/(Q·tr_q)
+    lastW
+      .select(posexplode(expr(
+          "transform(sequence(1, size(w)), j -> named_struct(" +
+            "'dim', j - 1, 'loading', sgn * element_at(w, j) / norm_w))"))
+          .as(Seq("__p", "r")),
+        col("norm_w"), col("trace_q"), col("n"))
+      .select(col("r").getField("dim").as("dim"),
+        col("r").getField("loading").as("loading"),
+        expr(s"cast(floor(r.loading * ${CorrQuant}d + 0.5d) as bigint)")
+          .as("loading_q"),
+        (col("norm_w")
+          / (col("n").cast("double") * col("n").cast("double")
+            * lit(CorrQuant * CorrQuant * CorrQuant))).as("eigenvalue"),
+        (col("norm_w") / (lit(CorrQuant) * col("trace_q")))
+          .as("explained_share"))
+  }
 }

@@ -529,6 +529,92 @@ object LlmSql {
        |from ec_p p join ec_d dx on p.i = dx.i join ec_d dy on p.j = dy.i""".stripMargin
   }
 
+  /** Mirror Quantize.embeddingPca: the same quantized power
+    * iteration, unrolled — hugeint stands in for Spark's
+    * decimal(38,0) exact accumulators (identical digits through the
+    * string-cast double route), every float op in the same order. */
+  val embeddingPcaQ: String = {
+    import graft.llm.Quantize.{CorrQuant, PcaDim, PcaRounds}
+    val q = CorrQuant
+    val q3 = CorrQuant * CorrQuant * CorrQuant // Scala double, E-notation
+    val d = PcaDim
+    val v0 = math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong
+    val rounds = (1 to PcaRounds).map { r =>
+      val p = r - 1
+      s"""pca_s$r as materialized (
+         |  select q, list_reduce(list_transform(generate_series(1, $d),
+         |    j -> q[j] * v[j]), (a, x) -> a + x) as s
+         |  from pca_q cross join pca_v$p
+         |),
+         |pca_a$r as materialized (
+         |  select i1 as j,
+         |    sum(cast(q[i1] as hugeint) * cast(s as hugeint)) as a
+         |  from (select q, s, cast(unnest(generate_series(1, $d)) as int) as i1
+         |        from pca_s$r) t
+         |  group by 1
+         |),
+         |pca_w$r as materialized (
+         |  select list_transform(generate_series(1, $d), j ->
+         |      cast(bs.n as double) * cast(cast(aa.al[j] as varchar) as double)
+         |      - cast(bs.b[j] as double)
+         |        * cast(cast(sb.sb as varchar) as double)) as w,
+         |    bs.n, bs.trace_q
+         |  from (select list(a order by j) as al from pca_a$r) aa
+         |  cross join pca_base bs
+         |  cross join (
+         |    select list_reduce(list_transform(generate_series(1, $d),
+         |        j -> cast(b[j] as hugeint) * cast(v[j] as hugeint)),
+         |      (a, x) -> a + x) as sb
+         |    from pca_base cross join pca_v$p) sb
+         |),
+         |pca_n$r as materialized (
+         |  select w, n, trace_q,
+         |    sqrt(list_reduce(list_transform(w, x -> x * x),
+         |      (a, x) -> a + x)) as norm_w,
+         |    case when list_reduce(w, (a, x) ->
+         |        case when abs(x) > abs(a) then x else a end) < 0
+         |      then cast(-1 as double) else cast(1 as double) end as sgn
+         |  from pca_w$r
+         |),
+         |pca_v$r as materialized (
+         |  select list_transform(generate_series(1, $d), j ->
+         |    cast(floor(sgn * w[j] / norm_w * $q + 0.5) as bigint)) as v
+         |  from pca_n$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""with pca_q as materialized (
+       |  select list_transform(embedding,
+       |    x -> cast(floor(cast(x as double) * $q + 0.5) as bigint)) as q
+       |  from embeddings
+       |),
+       |pca_d as materialized (
+       |  select i1 as i, cast(count(*) as bigint) as n,
+       |    cast(sum(q[i1]) as bigint) as s,
+       |    sum(cast(q[i1] as hugeint) * cast(q[i1] as hugeint)) as ss
+       |  from (select q, cast(unnest(generate_series(1, $d)) as int) as i1
+       |        from pca_q) t
+       |  group by 1
+       |),
+       |pca_base as materialized (
+       |  select (select max(n) from pca_d) as n,
+       |    (select list(s order by i) from pca_d) as b,
+       |    (select list_reduce(list(
+       |        cast((select max(n) from pca_d) as double)
+       |          * cast(cast(ss as varchar) as double)
+       |        - cast(s as double) * cast(s as double) order by i),
+       |      (a, x) -> a + x) from pca_d) as trace_q
+       |),
+       |pca_v0 as (select [${Seq.fill(d)(v0).mkString(", ")}] as v),
+       |$rounds
+       |select j - 1 as dim,
+       |  sgn * w[j] / norm_w as loading,
+       |  cast(floor(sgn * w[j] / norm_w * $q + 0.5) as bigint) as loading_q,
+       |  norm_w / (cast(n as double) * cast(n as double) * $q3) as eigenvalue,
+       |  norm_w / ($q * trace_q) as explained_share
+       |from pca_n$PcaRounds
+       |cross join (select cast(unnest(generate_series(1, $d)) as int) as j)""".stripMargin
+  }
+
   val annSq8TopKQ: String =
     s"""with $quantCtes,
        |sq_rec as (
