@@ -603,9 +603,14 @@ object Models {
   def embeddingCorr(s: SparkSession, d: String): DataFrame =
     llm.Quantize.embeddingCorr(Tables.embeddings(s, d))
   /** Top principal component by deterministic quantized power
-    * iteration (the whitening/OPQ input embeddingCorr points at). */
+    * iteration (the whitening/OPQ input embeddingCorr points at).
+    * Mat'd like every trained artifact (the bpe_merges/kmeans
+    * convention): a store fits its rotation once and serves it; the
+    * 6-pass build cost is measured by the scale probe's fresh-alias
+    * passes, not re-paid per read. */
   def embeddingPca(s: SparkSession, d: String): DataFrame =
-    llm.Quantize.embeddingPca(Tables.embeddings(s, d))
+    Mat.table(s, d, "embedding_pca")(
+      llm.Quantize.embeddingPca(Tables.embeddings(s, d)))
   /** The dequantized SQ8 corpus as its OWN Mat barrier (VERDICT r7 #1):
     * a real vector store materializes the compressed index once, it
     * doesn't re-run quantize→dequantize per search. The parquet float

@@ -245,10 +245,13 @@ object Quantize {
                  if(abs(x) > abs(acc), x, acc)) < 0, -1.0d, 1.0d)"""))
         .localCheckpoint(true)
       lastW = wRow
+      // v is a cheap projection of the checkpointed wRow — no second
+      // eager checkpoint per round (each localCheckpoint is a whole
+      // job; the bench showed the job count, not the math, dominating)
       v = wRow.select(expr(
         s"""transform(w, x ->
              cast(floor(sgn * x / norm_w * ${CorrQuant}d + 0.5d) as bigint))""")
-        .as("v")).localCheckpoint(true)
+        .as("v"))
     }
     // λ = ‖w‖/(n²·Q³) in raw-embedding² units; share = ‖w‖/(Q·tr_q)
     lastW
