@@ -278,8 +278,15 @@ object Scale {
     val registered = SparkEntry.queries
     probeQueryNames.foreach(n => require(registered.contains(n),
       s"scale probe names unregistered query: $n"))
+    // optional comma-separated probe subset for isolated re-measures
+    // (the BENCH_SUBSET convention); a subset run writes
+    // SCALE_LOCAL_SUBSET.json so it cannot clobber the full artifact
+    val subset: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_SUBSET")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] =
-      probeQueryNames.map(n => n -> registered(n)) ++ graphProbes
+      (probeQueryNames.map(n => n -> registered(n)) ++ graphProbes)
+        .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     val skipped = scala.collection.mutable.LinkedHashMap[String, String]()
     // secs(name) and shuffle(name) indexed like `factors`
@@ -361,7 +368,8 @@ object Scale {
     val out = s"""{"metric":"scale_probe","base_dir":"$baseDir","factors":[${factors.mkString(",")}],"passes":$passes,"tables":{$tableCounts},"n_probed":${rows.size},"n_skipped":${skipped.size},"superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],"skipped":$skjson,"queries":$qjson}"""
     println(out)
     try {
-      val p = java.nio.file.Paths.get(System.getProperty("user.dir"), "SCALE_LOCAL.json")
+      val p = java.nio.file.Paths.get(System.getProperty("user.dir"),
+        if (subset.isDefined) "SCALE_LOCAL_SUBSET.json" else "SCALE_LOCAL.json")
       java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[scale] SCALE_LOCAL.json write failed: ${e.getMessage}") }
