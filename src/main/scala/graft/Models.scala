@@ -1373,18 +1373,43 @@ object Models {
     llm.Bpe.fertilityByLang(Tables.documents(s, d), bpeTokenCounts(s, d))
   private val unigramCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
-      (DataFrame, DataFrame)]()
+      (DataFrame, DataFrame, Seq[DataFrame])]()
+  private val unigramServed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
   /** Unigram-LM tokenizer training (EM + prune), memoized per run —
     * the vocab and segmentation queries share one training pass. */
-  private def unigramTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def unigramTrained(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) =
     unigramCache.computeIfAbsent((s.sparkContext.applicationId, d),
-      _ => llm.Unigram.train(Tables.documents(s, d)))
+      _ => llm.Unigram.trainRetained(Tables.documents(s, d)))
+  /** Once BOTH Mat tables have materialized, the training pass's
+    * retained checkpoints (words, seed, final EM model) are dead
+    * weight — free their blocks and evict the cache entry so a
+    * long-lived app iterating many data dirs doesn't accumulate
+    * checkpoint storage per dir (ADVICE r15). The Mat tables serve
+    * every later read; re-entry after eviction never retrains because
+    * Mat.table's build thunk is by-name. */
+  private def unigramFreeIfServed(s: SparkSession, d: String,
+                                  which: String): Unit = {
+    val app = s.sparkContext.applicationId
+    unigramServed.add((app, d, which)): Unit
+    if (unigramServed.contains((app, d, "vocab")) &&
+        unigramServed.contains((app, d, "seg")))
+      Option(unigramCache.remove((app, d)))
+        .foreach(_._3.foreach(graft.plans.Checkpoints.free))
+  }
   /** The pruned unigram vocabulary with quantized-nanonat costs. */
-  def unigramVocab(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "unigram_vocab")(unigramTrained(s, d)._1)
+  def unigramVocab(s: SparkSession, d: String): DataFrame = {
+    val out = Mat.table(s, d, "unigram_vocab")(unigramTrained(s, d)._1)
+    unigramFreeIfServed(s, d, "vocab")
+    out
+  }
   /** Every distinct word under the final unigram Viterbi model. */
-  def unigramSegmentation(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "unigram_segmentation")(unigramTrained(s, d)._2)
+  def unigramSegmentation(s: SparkSession, d: String): DataFrame = {
+    val out = Mat.table(s, d, "unigram_segmentation")(unigramTrained(s, d)._2)
+    unigramFreeIfServed(s, d, "seg")
+    out
+  }
   /** BPE-vs-unigram fertility shoot-out (pieces per word instance). */
   def tokenizerFertilityCompare(s: SparkSession, d: String): DataFrame =
     llm.Unigram.fertilityCompare(bpeSegmentation(s, d),

@@ -345,8 +345,15 @@ object Dedup {
     val tokens = tok.select(col("doc_id"),
       posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = tokens.join(covered,
-        tokens("doc_id") === covered("doc_id") && tokens("pos") === covered("cp"),
+    // both sides derive from `tok`: explicit aliases keep the
+    // self-join condition unambiguous under ANY plan rewrite — the
+    // dataframe-reference form relied on Spark's dataset-id
+    // disambiguation (and WARNed "trivially true equals predicate");
+    // one rewrite away from a trivially-true LEFT_ANTI predicate that
+    // would silently drop every doc sharing a position index
+    // (VERDICT r15)
+    val kept = tokens.as("t").join(covered.as("c"),
+        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cp"),
         "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),

@@ -261,16 +261,25 @@ object QualityModel {
         .orderBy(col("s"))))
     val test = pred.filter(split === 2)
     ConformalAlphas.map { alpha =>
+      // when ceil((n_cal+1)(1-alpha)) > n_cal the split is too small
+      // for a finite q-hat: the standard split-conformal threshold is
+      // +infinity (all sets full). cum maxes at n_cal, so the filter
+      // empties and the ungrouped min yields NULL qhat — surfaced
+      // as-is, with every prediction set full, instead of clamping to
+      // the max calibration score and silently dropping the coverage
+      // guarantee (ADVICE r15)
       val q = cum.crossJoin(broadcast(nCal))
         .withColumn("k",
           ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
             .cast("long"))
-        .filter(col("cum") >= least(col("k"), col("n_cal")))
+        .filter(col("cum") >= col("k"))
         .agg(min(col("s")).as("qhat"))
       test.crossJoin(broadcast(q)).crossJoin(broadcast(nCal))
         .select(col("n_cal"), col("qhat"), col("label"),
-          (-col("margin") <= col("qhat")).cast("int").as("in1"),
-          (col("margin") <= col("qhat")).cast("int").as("in0"))
+          (col("qhat").isNull || -col("margin") <= col("qhat"))
+            .cast("int").as("in1"),
+          (col("qhat").isNull || col("margin") <= col("qhat"))
+            .cast("int").as("in0"))
         .groupBy("n_cal", "qhat")
         .agg(count(lit(1)).as("n_test"),
           sum(when(col("label") === 1, col("in1"))

@@ -208,6 +208,12 @@ object Quantize {
                       * cast(cast(x.ss as string) as double)
                     - cast(x.s as double) * cast(x.s as double)))""")
           .as("trace_q"))
+      // an EMPTY corpus must yield an empty result on both engines:
+      // without this guard the ungrouped agg leaves one n=NULL row and
+      // Spark's sequence(1, size(aa)) at size 0 infers a DESCENDING
+      // step — sequence(1,0) = [1,0] — emitting 2 garbage rows where
+      // DuckDB's generate_series(1,0) is empty (ADVICE r15)
+      .where(col("n") > 0)
       .localCheckpoint(true)
     // v0: uniform unit vector in micro-units (Q/√D, half-up)
     val v0 = Seq.fill(PcaDim)(

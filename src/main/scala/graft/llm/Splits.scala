@@ -191,9 +191,13 @@ object Splits {
       .agg(count(lit(1)).as("n_pop"),
         sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sx2"))
+      // a singleton stratum has no sample stddev (stddevFromSums is
+      // NULL at n=1) — treat it as zero-variance so it draws zero
+      // Neyman budget instead of NULL-poisoning the lang-ordered
+      // t_nhsh fold and with it EVERY stratum's allocation (ADVICE r15)
       .withColumn("sd",
-        graft.functions.Funcs.stddevFromSums(col("sx"), col("sx2"),
-          col("n_pop")))
+        coalesce(graft.functions.Funcs.stddevFromSums(col("sx"), col("sx2"),
+          col("n_pop")), lit(0.0)))
       .withColumn("nh_sh", col("n_pop").cast("double") * col("sd"))
       .withColumn("nh_sh2",
         col("n_pop").cast("double") * col("sd") * col("sd"))

@@ -141,6 +141,19 @@ object Unigram {
     * Bpe recipe); the seed stays pinned — its domain anchors every
     * round's M-step. */
   def train(documents: DataFrame): (DataFrame, DataFrame) = {
+    val (vocab, seg, _) = trainRetained(documents)
+    (vocab, seg)
+  }
+
+  /** [[train]] plus the checkpoint handles the returned plans lean on
+    * (words, seed, final EM model) — intermediate EM rounds are freed
+    * inline, but these three stay pinned until every consumer has
+    * materialized. A long-lived app iterating many data dirs frees
+    * them through this handle list once both outputs are served
+    * (ADVICE r15: the memoizing caller leaked them for the app's
+    * lifetime). */
+  def trainRetained(documents: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val words = Bpe.wordFreqs(documents).localCheckpoint(true)
     val seed = seedCounts(words).localCheckpoint(true)
     val domain = seed.select("piece")
@@ -163,7 +176,7 @@ object Unigram {
         "piece_id"), Seq("piece"))
       .select(col("piece"), col("piece_id").cast("long").as("piece_id"),
         col("cnt").as("n_occurrences"), col("cost").as("cost_q9"))
-    (vocab, seg)
+    (vocab, seg, Seq(words, seed, model))
   }
 
   /** The BPE-vs-unigram shoot-out row pair: corpus-weighted fertility

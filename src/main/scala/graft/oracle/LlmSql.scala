@@ -3335,20 +3335,24 @@ object LlmSql {
          |    q.qhat,
          |    cast(count(*) as bigint) as n_test,
          |    cast(count(case when (case when label = 1
-         |        then -margin <= q.qhat else margin <= q.qhat end)
+         |        then (q.qhat is null or -margin <= q.qhat)
+         |        else (q.qhat is null or margin <= q.qhat) end)
          |      then 1 end) as bigint) as n_covered,
-         |    cast(sum((case when margin <= q.qhat then 1 else 0 end)
-         |           + (case when -margin <= q.qhat then 1 else 0 end))
+         |    cast(sum((case when q.qhat is null or margin <= q.qhat
+         |             then 1 else 0 end)
+         |           + (case when q.qhat is null or -margin <= q.qhat
+         |             then 1 else 0 end))
          |      as bigint) as sz,
-         |    cast(count(case when margin > q.qhat and -margin > q.qhat
+         |    cast(count(case when q.qhat is not null
+         |        and margin > q.qhat and -margin > q.qhat
          |      then 1 end) as bigint) as n_empty,
-         |    cast(count(case when margin <= q.qhat and -margin <= q.qhat
+         |    cast(count(case when q.qhat is null
+         |        or (margin <= q.qhat and -margin <= q.qhat)
          |      then 1 end) as bigint) as n_full
          |  from cf_test cross join (
          |    select min(s) as qhat from cf_cum
-         |    where cum >= least(
-         |      cast(ceil(((select n_cal from cf_n) + 1) * $oma) as bigint),
-         |      (select n_cal from cf_n))) q
+         |    where cum >= cast(ceil(((select n_cal from cf_n) + 1) * $oma)
+         |      as bigint)) q
          |  group by 1, 2
          |)""".stripMargin
     }.mkString("\nunion all\n")
@@ -3397,7 +3401,7 @@ object LlmSql {
        |      (cast(cast(sx2 as varchar) as double)
        |        - cast(cast(sx as varchar) as double)
        |          * cast(cast(sx as varchar) as double) / cast(n_pop as double))
-       |      / (cast(n_pop as double) - 1.0)) end as sd
+       |      / (cast(n_pop as double) - 1.0)) else 0.0 end as sd
        |  from ney_s
        |),
        |ney_x as (

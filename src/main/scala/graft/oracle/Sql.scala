@@ -1189,6 +1189,11 @@ object Sql {
        |      (select seas from ev_s0),
        |      cast(null as bigint), cast(null as bigint)
        |    from ev_seed
+       |    -- n < 14 leaves ev_seed as ONE all-NULL row (ungrouped
+       |    -- aggregate over zero rows), not zero rows; gating the seed
+       |    -- on a real sum keeps the zero-rows-below-2m contract that
+       |    -- Spark's n >= 2m filter enforces (ADVICE r15)
+       |    where sum1 is not null
        |    union all
        |    select k.i,
        |      $wl,

@@ -34,8 +34,8 @@ class ConformalSpec extends SparkSpec {
       .as[(Double, Long, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
     QualityModel.ConformalAlphas.foreach { alpha =>
-      val k = math.min(math.ceil((cal.length + 1) * (1.0 - alpha)).toLong,
-        cal.length.toLong).toInt
+      val k = math.ceil((cal.length + 1) * (1.0 - alpha)).toInt
+      assert(k <= cal.length, "this fixture exercises the finite-qhat path")
       val qhat = cal(k - 1)
       val in1 = test.map { case (_, _, _, m) => -m <= qhat }
       val in0 = test.map { case (_, _, _, m) => m <= qhat }
@@ -51,6 +51,36 @@ class ConformalSpec extends SparkSpec {
       assert(g._6 === empty.toLong)
       assert(g._7 === full.toLong)
     }
+  }
+
+  test("degenerate calibration split: NULL qhat, all sets full") {
+    // ADVICE r15: when ceil((n_cal+1)(1-alpha)) > n_cal the standard
+    // split-conformal q-hat is +infinity — the operator must surface
+    // NULL qhat with every set full, not clamp to the max calibration
+    // score. Build a fixture with exactly 5 calibration docs: at
+    // alpha=0.1, k=6 > 5 (degenerate); at alpha=0.2, k=5 (finite).
+    val buckets = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"),
+        Splits.saltedBucket(QualityModel.ConformalSalt, col("doc_id"), 4L)
+          .as("b"))
+      .as[(Long, Long)].collect()
+    val calIds = buckets.filter(_._2 == 1L).map(_._1).take(5)
+    val testIds = buckets.filter(_._2 == 2L).map(_._1).take(20)
+    assert(calIds.length === 5 && testIds.length === 20)
+    val pred = (calIds ++ testIds).zipWithIndex.map { case (id, i) =>
+      (id, if (i % 2 == 0) 1 else 0, (i.toLong - 12L) * 1000L)
+    }.toSeq.toDF("doc_id", "label", "margin")
+    val rows = QualityModel.conformal(pred)
+      .select("alpha", "n_cal", "qhat", "n_test", "coverage",
+        "avg_set_size", "n_empty", "n_full")
+      .as[(Double, Long, Option[Long], Long, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val deg = rows(0.1)
+    assert(deg._2 === 5L && deg._3.isEmpty, s"expected NULL qhat, got $deg")
+    assert(deg._5 === 1.0 && deg._6 === 2.0)
+    assert(deg._7 === 0L && deg._8 === deg._4)
+    val fin = rows(0.2)
+    assert(fin._3.nonEmpty, "alpha=0.2 must keep a finite qhat at n_cal=5")
   }
 
   test("real-corpus coverage sits in the finite-sample band of 1-alpha") {

@@ -35,6 +35,25 @@ class NeymanSpec extends SparkSpec {
     assert(vn < vp, s"v_neyman $vn must beat v_prop $vp here")
   }
 
+  test("singleton stratum draws zero Neyman budget, not NULL poison") {
+    // ADVICE r15: a stratum with n_pop == 1 has no sample stddev; it
+    // must fold as zero variance (zero Neyman share) instead of
+    // NULL-poisoning t_nhsh and collapsing EVERY stratum's allocation
+    val docs = ((0L until 100L).map(i =>
+      (i, "vary", if (i % 2 == 0) 90L else 110L)) :+
+      (100L, "lone", 5000L)).toDF("doc_id", "lang", "n_chars")
+    val rows = Splits.neymanAllocation(docs)
+      .select("lang", "n_pop", "sd_chars", "n_prop", "n_neyman")
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("lone")._3 === 0.0)
+    assert(rows("lone")._5 === 0L,
+      s"singleton stratum allocated ${rows("lone")._5}")
+    // budget conservation survives the singleton
+    assert(rows.values.map(_._4).sum === Splits.NeymanBudget)
+    assert(rows.values.map(_._5).sum === Splits.NeymanBudget)
+  }
+
   test("real corpus: budget conservation and design-variance ordering") {
     val rows = Models.neymanAllocation(spark, sf)
       .select("n_prop", "n_neyman", "v_neyman", "v_prop")

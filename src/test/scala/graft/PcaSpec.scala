@@ -42,6 +42,14 @@ class PcaSpec extends SparkSpec {
     assert(out.head._3 > 0.95, s"share ${out.head._3}")
   }
 
+  test("empty corpus yields zero rows, not sequence(1,0) garbage") {
+    // ADVICE r15: Spark's sequence(1, size(aa)) at size 0 infers a
+    // descending step ([1,0]) — without the n > 0 guard an empty
+    // corpus emitted 2 garbage rows while DuckDB returned none
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Quantize.embeddingPca(empty).count() === 0L)
+  }
+
   test("real corpus: unit norm, positive spectrum, bounded share") {
     val out = Models.embeddingPca(spark, sf)
       .select("loading", "loading_q", "eigenvalue", "explained_share")
