@@ -24,6 +24,24 @@ object Models {
     * the triangle query runs on; shared with the oracle. */
   val CoPurchaseMinWeight = 2
 
+  /** Hub-degree cap of the RAW-graph capped triangle query (nodes
+    * above it are excluded wholesale, flagged, never silently
+    * undercounted); shared with the oracle. */
+  val TriangleHubCap = 128L
+
+  /** Edge budget of the RAW-graph DOULION triangle estimator: the
+    * derived keep_den = ceil(|E|/budget) holds the sampled subgraph at
+    * ~budget edges, so wedge work is bounded by budget^1.5 at ANY
+    * corpus scale; shared with the oracle. */
+  val TriangleEdgeBudget = 60000L
+
+  /** Fixed keep probability (2/3) of the triangle error gate — a
+    * deliberately non-trivial num/den so the gate exercises the real
+    * unbiasing arithmetic on the graph where exact counting also
+    * runs; shared with the oracle. */
+  val TriangleSampleNum = 2L
+  val TriangleSampleDen = 3L
+
   /** Fixed-point PageRank rounds; shared with the oracle's unrolled
     * mirror. */
   val PageRankRounds = 4
@@ -1182,6 +1200,60 @@ object Models {
           .as("closeness"),
         col("harmonic_x12"),
         (col("harmonic_x12").cast("double") / 12.0).as("harmonic"))
+  }
+  /** Hub-CAPPED triangle counts on the RAW co-purchase graph — the
+    * honesty-hatch registration the r15 verdict asked for: counts are
+    * EXACT over the subgraph of nodes with degree ≤ [[TriangleHubCap]];
+    * hubs report NULL (uncounted, flagged) and every kept node reports
+    * how many hub neighbors its count could be missing through. On a
+    * power-law crawl graph this is the knob that removes the wedge
+    * tail wholesale; wedge fan-out is bounded by |kept-edges|·cap. */
+  def copurchaseTrianglesCapped(s: SparkSession, d: String): DataFrame =
+    operators.Graph.triangleCountsCapped(copurchaseEdges(s, d),
+      Models.TriangleHubCap)
+  /** DOULION edge-sampled triangle ESTIMATES on the RAW co-purchase
+    * graph — the scale path the exact operator cannot serve there
+    * (O(E^1.5) is inherent to exact counting; the r15 probe measured
+    * 22.8× time at 8× edges): keep_den derives from
+    * [[TriangleEdgeBudget]], so the sampled wedge work is budget-bounded
+    * at ANY corpus scale and the per-node count/p³ estimates are
+    * unbiased. Priced by [[trianglesApproxError]]. */
+  def copurchaseTrianglesApprox(s: SparkSession, d: String): DataFrame =
+    operators.Graph.triangleCountsSampledBudget(copurchaseEdges(s, d),
+      Models.TriangleEdgeBudget)
+  /** ERROR HARNESS pricing the DOULION estimator against exact
+    * triangle counts on the graph where both can run (the strong
+    * graph) — the closeness_approx_error convention: every
+    * approximate path ships with a measured-quality gate. The global
+    * totals compare Σ per-node counts (= 3·T, exact integers on both
+    * sides before ONE scaling expression), so no engine-ordered double
+    * sum exists anywhere; err_ppm uses the shared explicit floor. */
+  def trianglesApproxError(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val den3 = Models.TriangleSampleDen * Models.TriangleSampleDen *
+      Models.TriangleSampleDen
+    val num3 = Models.TriangleSampleNum * Models.TriangleSampleNum *
+      Models.TriangleSampleNum
+    val ex = copurchaseTriangles(s, d)
+      .agg(count(lit(1)).as("n_nodes_exact"),
+        coalesce(sum(col("n_triangles")), lit(0L)).as("tri3_exact"))
+    val sm = operators.Graph.triangleCountsSampled(
+        copurchaseStrongEdges(s, d).select("src", "dst"),
+        Models.TriangleSampleNum, Models.TriangleSampleDen)
+      .agg(count(lit(1)).as("n_nodes_sampled"),
+        coalesce(sum(col("n_triangles_sampled")), lit(0L))
+          .as("tri3_sampled"))
+    ex.crossJoin(broadcast(sm))
+      .withColumn("tri3_est",
+        (col("tri3_sampled") * lit(den3)).cast("double")
+          / lit(num3.toDouble))
+      .select(col("n_nodes_exact"), col("n_nodes_sampled"),
+        col("tri3_exact"), col("tri3_sampled"), col("tri3_est"),
+        when(col("tri3_exact") > 0,
+          floor(abs(col("tri3_est") - col("tri3_exact").cast("double"))
+            / col("tri3_exact").cast("double")
+            * Models.ErrPpmScale.toDouble).cast("long"))
+          .as("err_ppm"))
   }
   /** Common-neighbor / Jaccard link predictions on the strong-edge
     * affinity graph — top-K candidate pairs the graph does NOT

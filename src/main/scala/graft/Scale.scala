@@ -193,8 +193,25 @@ object Scale {
     * the registered copurchase_* queries are wired to the staging
     * chain, whose inputs (orders/lineitem) this probe doesn't scale. */
   val graphProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "graph_triangles" -> ((s: SparkSession, d: String) =>
-      operators.Graph.triangleCounts(edgesOf(s, d).select("src", "dst"))),
+    // r16: the raw-graph triangle story probes its REGISTERED
+    // scale-safe paths (the closeness precedent). History: r15 probed
+    // the exact wedge join here as `graph_triangles` and measured
+    // 22.8× time at 8× edges (209.7 s at 9.6 M) — the O(E^1.5) exact-
+    // counting bound plus aggregate/spill pressure (its clustering
+    // twin below, the same wedge join + degrees, measured 8.59× —
+    // linear — the same round, so the bound's constant is memory-
+    // sensitive). The registered raw paths are now the hub-capped
+    // exact-over-kept-subgraph and the budget-bounded DOULION
+    // estimator (copurchase_triangles_capped/_approx, gated by
+    // triangles_approx_error); the uncapped exact operator stays
+    // registered on the weight-thresholded strong graph and its
+    // scaling stays measured through graph_clustering.
+    "graph_triangles_capped" -> ((s: SparkSession, d: String) =>
+      operators.Graph.triangleCountsCapped(edgesOf(s, d).select("src", "dst"),
+        Models.TriangleHubCap)),
+    "graph_triangles_sampled" -> ((s: SparkSession, d: String) =>
+      operators.Graph.triangleCountsSampledBudget(
+        edgesOf(s, d).select("src", "dst"), Models.TriangleEdgeBudget)),
     "graph_clustering" -> ((s: SparkSession, d: String) =>
       operators.Graph.clusteringCoefficients(edgesOf(s, d).select("src", "dst"))),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>

@@ -361,6 +361,13 @@ object SparkEntry {
     "copurchase_edges" -> out(Models.productCopurchaseEdges),
     "copurchase_distances" -> out(Models.productCopurchaseDistances),
     "copurchase_triangles" -> out(Models.copurchaseTriangles),
+    // RAW-graph triangle scale paths (exact counting is O(E^1.5) by
+    // nature): hub-capped exact-over-kept-subgraph with truncation
+    // accounting, budgeted DOULION edge-sampled estimates, and the
+    // measured error gate vs the exact strong-graph counts
+    "copurchase_triangles_capped" -> out(Models.copurchaseTrianglesCapped),
+    "copurchase_triangles_approx" -> out(Models.copurchaseTrianglesApprox),
+    "triangles_approx_error" -> out(Models.trianglesApproxError),
     "copurchase_clustering" -> out(Models.copurchaseClustering),
     // bounded-round k-core peel with a gated convergence flag
     "copurchase_kcore" -> out(Models.copurchaseKcore),
@@ -662,6 +669,9 @@ object SparkEntry {
     "copurchase_edges" -> OpsSql.copurchaseEdgesQ,
     "copurchase_distances" -> OpsSql.copurchaseDistancesQ,
     "copurchase_triangles" -> OpsSql.copurchaseTrianglesQ,
+    "copurchase_triangles_capped" -> OpsSql.copurchaseTrianglesCappedQ,
+    "copurchase_triangles_approx" -> OpsSql.copurchaseTrianglesApproxQ,
+    "triangles_approx_error" -> OpsSql.trianglesApproxErrorQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
     "copurchase_kcore" -> OpsSql.copurchaseKcoreQ,
     "copurchase_bottleneck" -> OpsSql.copurchaseBottleneckQ,

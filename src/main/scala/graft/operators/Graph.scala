@@ -173,6 +173,77 @@ object Graph {
         coalesce(col("n_hub_neighbors"), lit(0L)).as("n_hub_neighbors"))
   }
 
+  /** DOULION (Tsourakakis, Kang, Miller & Faloutsos, KDD 2009)
+    * edge-sampled triangle ESTIMATES — the scale path for raw-graph
+    * triangle counting, where the exact wedge join's O(E^1.5) bound is
+    * inherent to EXACT counting (the r15 probe measured it:
+    * `graph_triangles` 22.8× time at 8× edges). Each edge is kept with
+    * DETERMINISTIC hash-probability p = keepNum/keepDen (md5-60 of the
+    * edge key — both engines reproduce the sample bit-for-bit, unlike
+    * an RNG), triangles are counted EXACTLY on the sampled subgraph
+    * (same degree-oriented wedge join), and each surviving count
+    * unbiases by 1/p³ — a triangle survives iff all three edges do.
+    * Var/E² shrinks as 1/(p³·T), so on the graphs that NEED sampling
+    * (T huge) the estimate concentrates; the registered error gate
+    * ([[graft.Models.trianglesApproxError]]) prices it measured, not
+    * assumed.
+    *
+    * Output: (node, n_triangles_sampled, keep_num, keep_den,
+    * n_triangles_est). The sampled count is an exact integer; the
+    * estimate is ONE fixed double expression tree of exact ints
+    * (n·den³ can exceed int64 at corpus-scale den, so the chain
+    * multiplies in doubles — each step correctly rounded, identical
+    * cross-engine). Nodes in no sampled triangle are absent (the
+    * [[triangleCounts]] convention).
+    *
+    * Scale: sampling is a stateless projection-filter (one corpus
+    * pass, no shuffle); everything after runs on the p·E-edge sample —
+    * wedge fan-out ≤ O((pE)^1.5). */
+  def triangleCountsSampled(edges: DataFrame, keepNum: Long,
+                            keepDen: Long): DataFrame = {
+    require(keepNum >= 1 && keepNum <= keepDen,
+      s"need 1 <= keepNum <= keepDen, got $keepNum/$keepDen")
+    val params = edges.sparkSession.range(1)
+      .select(lit(keepNum).as("keep_num"), lit(keepDen).as("keep_den"))
+    sampledTriangleCounts(edges, params)
+  }
+
+  /** [[triangleCountsSampled]] with the keep probability DERIVED from
+    * an EDGE BUDGET: keep_den = ceil(|E| / edgeBudget) (keep_num = 1),
+    * so the sampled subgraph holds ~edgeBudget edges and wedge work is
+    * bounded by edgeBudget^1.5 REGARDLESS of corpus scale — the
+    * "sample down to what fits" production recipe (a fixed p only
+    * rescales the E^1.5 constant; a fixed budget caps it). The derived
+    * den is one exact integer aggregate, mirrored by the oracle. */
+  def triangleCountsSampledBudget(edges: DataFrame,
+                                  edgeBudget: Long): DataFrame = {
+    require(edgeBudget >= 1, s"edgeBudget must be >= 1, got $edgeBudget")
+    val params = edges.agg(count(lit(1)).as("__n"))
+      .select(lit(1L).as("keep_num"),
+        greatest(expr(s"(__n + ${edgeBudget - 1}) div $edgeBudget"), lit(1L))
+          .as("keep_den"))
+    sampledTriangleCounts(edges, params)
+  }
+
+  private def sampledTriangleCounts(edges: DataFrame,
+                                    params: DataFrame): DataFrame = {
+    val h = graft.llm.Dedup.hex60(concat(lit("tri|"),
+      col("src").cast("string"), lit("|"), col("dst").cast("string")))
+    val kept = edges.select(col("src"), col("dst"))
+      .crossJoin(broadcast(params))
+      .filter(pmod(h, col("keep_den")) < col("keep_num"))
+      .select("src", "dst")
+    triangleCountsOriented(degreeOrientedEdges(kept))
+      .crossJoin(broadcast(params))
+      .select(col("node"), col("n_triangles").as("n_triangles_sampled"),
+        col("keep_num"), col("keep_den"),
+        (col("n_triangles").cast("double")
+          * col("keep_den").cast("double") * col("keep_den").cast("double")
+          * col("keep_den").cast("double")
+          / (col("keep_num").cast("double") * col("keep_num").cast("double")
+            * col("keep_num").cast("double"))).as("n_triangles_est"))
+  }
+
   /** Bounded-round k-CORE peel — the densest-substructure filter next
     * to triangles/clustering in the affinity-graph toolbox (keep only
     * nodes that survive repeated removal of degree < k nodes; the

@@ -826,6 +826,153 @@ object OpsSql {
        |) u group by 1""".stripMargin
   }
 
+  /** Mirror Graph.triangleCountsCapped over the RAW co-purchase
+    * graph: undirected degrees, hubs above the cap, the hub-free kept
+    * subgraph, the ordered wedge join on it (id-oriented here —
+    * triangle sets are orientation-invariant), per-node hub-neighbor
+    * counts, and the NULL-for-hubs / 0-backfill output contract. */
+  val copurchaseTrianglesCappedQ: String = {
+    val cap = graft.Models.TriangleHubCap
+    s"""$copurchaseCtes,
+       |tc_deg as materialized (
+       |  select node, cast(count(*) as bigint) as degree from (
+       |    select src as node from edges union all
+       |    select dst as node from edges) u group by 1
+       |),
+       |tc_hub as materialized (select node from tc_deg where degree > $cap),
+       |tc_kept as materialized (
+       |  select src, dst from edges
+       |  where src not in (select node from tc_hub)
+       |    and dst not in (select node from tc_hub)
+       |),
+       |tc_tri as (
+       |  select e1.src as a, e1.dst as b, e2.dst as c
+       |  from tc_kept e1 join tc_kept e2 on e1.dst = e2.src
+       |  join tc_kept e3 on e3.src = e1.src and e3.dst = e2.dst
+       |),
+       |tc_cnt as (
+       |  select node, cast(count(*) as bigint) as n_triangles from (
+       |    select a as node from tc_tri union all
+       |    select b as node from tc_tri union all
+       |    select c as node from tc_tri
+       |  ) u group by 1
+       |),
+       |tc_hn as (
+       |  select node, cast(count(*) as bigint) as n_hub_neighbors from (
+       |    select src as node, dst as nbr from edges union all
+       |    select dst as node, src as nbr from edges
+       |  ) u where nbr in (select node from tc_hub) group by 1
+       |)
+       |select d.node, d.degree, d.degree > $cap as is_hub,
+       |  case when d.degree > $cap then null
+       |       else coalesce(t.n_triangles, 0) end as n_triangles,
+       |  coalesce(h.n_hub_neighbors, 0) as n_hub_neighbors
+       |from tc_deg d
+       |left join tc_cnt t on d.node = t.node
+       |left join tc_hn h on d.node = h.node""".stripMargin
+  }
+
+  /** Shared SQL for a DOULION sampled-triangle count table over an
+    * edge CTE: the deterministic md5-60 edge-keep filter against a
+    * one-row (keep_num, keep_den) params CTE the caller supplies, the
+    * id-oriented wedge join on the sample, per-node counts, and the
+    * fixed double unbiasing chain (n·den³/num³ — multiplies in
+    * doubles, mirroring the operator's overflow-safe tree). */
+  private def sampledTriCtes(p: String, edgesName: String): String =
+    s"""${p}kept as materialized (
+       |  select src, dst from $edgesName cross join ${p}prm
+       |  where cast(('0x' || substr(md5(concat('tri|',
+       |          cast(src as varchar), '|',
+       |          cast(dst as varchar))),1,15)) as bigint)
+       |        % keep_den < keep_num
+       |),
+       |${p}tri as (
+       |  select e1.src as a, e1.dst as b, e2.dst as c
+       |  from ${p}kept e1 join ${p}kept e2 on e1.dst = e2.src
+       |  join ${p}kept e3 on e3.src = e1.src and e3.dst = e2.dst
+       |),
+       |${p}cnt as (
+       |  select node, cast(count(*) as bigint) as n_triangles_sampled from (
+       |    select a as node from ${p}tri union all
+       |    select b as node from ${p}tri union all
+       |    select c as node from ${p}tri
+       |  ) u group by 1
+       |)""".stripMargin
+
+  /** Mirror Models.copurchaseTrianglesApprox: the budget-derived
+    * keep_den (one exact integer aggregate), the sampled wedge join,
+    * and the per-node unbiased estimates. */
+  val copurchaseTrianglesApproxQ: String = {
+    val b = graft.Models.TriangleEdgeBudget
+    s"""$copurchaseCtes,
+       |aprm as (
+       |  select cast(1 as bigint) as keep_num,
+       |    greatest((count(*) + ${b - 1}) // $b, 1) as keep_den
+       |  from edges
+       |),
+       |${sampledTriCtes("a", "edges")}
+       |select node, n_triangles_sampled, keep_num, keep_den,
+       |  cast(n_triangles_sampled as double)
+       |    * cast(keep_den as double) * cast(keep_den as double)
+       |    * cast(keep_den as double)
+       |    / (cast(keep_num as double) * cast(keep_num as double)
+       |       * cast(keep_num as double)) as n_triangles_est
+       |from acnt cross join aprm""".stripMargin
+  }
+
+  /** Mirror Models.trianglesApproxError: exact and fixed-p sampled
+    * triangle counts on the SAME strong graph, global per-node-count
+    * totals (exact integers), one scaling expression, the shared
+    * explicit floor for err_ppm. */
+  val trianglesApproxErrorQ: String = {
+    val k = graft.Models.CoPurchaseMinWeight
+    val num = graft.Models.TriangleSampleNum
+    val den = graft.Models.TriangleSampleDen
+    val den3 = den * den * den
+    val num3 = num * num * num
+    val ppm = graft.Models.ErrPpmScale
+    s"""${Sql.stagingCtes},
+       |gi as (select distinct order_id as g, product_id as i from stg_order_items),
+       |se as materialized (
+       |  select a.i as src, b.i as dst
+       |  from gi a join gi b on a.g = b.g and a.i < b.i
+       |  group by 1, 2 having count(*) >= $k
+       |),
+       |etri as (
+       |  select e1.src as a, e1.dst as b, e2.dst as c
+       |  from se e1 join se e2 on e1.dst = e2.src
+       |  join se e3 on e3.src = e1.src and e3.dst = e2.dst
+       |),
+       |ecnt as (
+       |  select node, cast(count(*) as bigint) as n_triangles from (
+       |    select a as node from etri union all
+       |    select b as node from etri union all
+       |    select c as node from etri
+       |  ) u group by 1
+       |),
+       |sprm as (select cast($num as bigint) as keep_num,
+       |                cast($den as bigint) as keep_den),
+       |${sampledTriCtes("s", "se")},
+       |ex as (
+       |  select cast(count(*) as bigint) as n_nodes_exact,
+       |    cast(coalesce(sum(n_triangles), 0) as bigint) as tri3_exact
+       |  from ecnt
+       |),
+       |sm as (
+       |  select cast(count(*) as bigint) as n_nodes_sampled,
+       |    cast(coalesce(sum(n_triangles_sampled), 0) as bigint)
+       |      as tri3_sampled
+       |  from scnt
+       |)
+       |select n_nodes_exact, n_nodes_sampled, tri3_exact, tri3_sampled,
+       |  cast(tri3_sampled * $den3 as double) / ${num3}.0 as tri3_est,
+       |  case when tri3_exact > 0 then
+       |    cast(floor(abs(cast(tri3_sampled * $den3 as double) / ${num3}.0
+       |        - cast(tri3_exact as double))
+       |      / cast(tri3_exact as double) * $ppm.0) as bigint) end as err_ppm
+       |from ex cross join sm""".stripMargin
+  }
+
   /** Mirror Graph.linkPredictions over the strong-edge graph: the
     * same symmetrized wedge join for common-neighbor counts, the
     * existing-edge anti-join, exact integer degrees, jaccard as ONE
