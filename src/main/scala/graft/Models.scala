@@ -1262,14 +1262,43 @@ object Models {
     operators.Graph.linkPredictions(
       copurchaseStrongEdges(s, d).select("src", "dst"), Models.LinkPredTopK)
 
-  /** HyperBall register table on the RAW co-purchase graph — Mat'd
-    * iterative build (the PageRank convention): 4 register-max
-    * relaxations over O(|V|·m) sketch state, the path that SURVIVES
-    * the dense giant component where [[copurchaseCloseness]]'s exact
-    * all-pairs state measured ~|V|² (the r14 probe OOM). */
-  private def copurchaseHyperBall(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "copurchase_hyperball")(
-      operators.Graph.hyperBall(copurchaseEdges(s, d), Models.BfsMaxHops))
+  /** Hard round cap of the HyperBall FIXPOINT run — 2.6× the measured
+    * raw-graph diameter (3 at both test scales); a graph that outruns
+    * it reports converged = false instead of a silently truncated
+    * distance curve. Shared with the oracle's unrolled mirror. */
+  val HyperBallHardCap = 8
+
+  /** HyperBall register relaxation run TO FIXPOINT on the RAW
+    * co-purchase graph — Mat'd iterative build (the PageRank
+    * convention). One sketch build serves BOTH the bounded-radius
+    * centrality view ([[copurchaseHyperBall]] pads it to BfsMaxHops)
+    * and the HyperANF distance-distribution query: O(|V|·m) register
+    * state regardless of density, the path that SURVIVES the dense
+    * giant component where [[copurchaseCloseness]]'s exact all-pairs
+    * state measured ~|V|² (the r14 probe OOM). */
+  private def copurchaseHyperBallFix(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "copurchase_hyperball_fix")(
+      operators.Graph.hyperBallToFixpoint(copurchaseEdges(s, d),
+        Models.HyperBallHardCap))
+
+  /** The BfsMaxHops-radius HyperBall view the centrality pivot reads —
+    * a PROJECTION of the fixpoint table, not a second relaxation:
+    * registers are stable past the fixpoint, so hops beyond it carry
+    * the fixpoint estimates verbatim (bit-identical to running the
+    * fixed-cap relaxation, which the oracle's 4-round mirror still
+    * gates). */
+  private def copurchaseHyperBall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = copurchaseHyperBallFix(s, d)
+      .select("node", "hop", "hll_estimate")
+    val mh = f.agg(max(col("hop")).as("__mh"))
+    val pad = f.crossJoin(broadcast(mh))
+      .filter(col("hop") === col("__mh") && col("__mh") < Models.BfsMaxHops)
+      .select(col("node"),
+        explode(sequence(col("__mh") + 1, lit(Models.BfsMaxHops))).as("hop"),
+        col("hll_estimate"))
+    f.filter(col("hop") <= Models.BfsMaxHops).unionByName(pad)
+  }
   /** Same build on the weight-THRESHOLDED strong graph — feeds the
     * approx-vs-exact error harness ([[closenessApproxError]]). */
   private def copurchaseHyperBallStrong(s: SparkSession, d: String): DataFrame =
@@ -1356,6 +1385,81 @@ object Models {
         col("harmonic_err_ppm_sum"), col("harmonic_err_ppm_max"),
         (col("harmonic_err_ppm_sum").cast("double")
           / col("n_nodes").cast("double")).as("harmonic_err_ppm_mean"))
+  }
+
+  /** Micro-unit quantizer of the distance-distribution masses: ball
+    * estimates floor-quantize (half-up) to exact int64 BEFORE the
+    * cross-node sum, so no engine-ordered double sum exists anywhere
+    * in the curve. Headroom: |V|·est·1e6 ≤ ~4e14 at probe scale;
+    * int64 bounds |V|²·1e6, i.e. ~3e6 nodes — past that drop the
+    * quant to 1e3 (documented, not silently wrong: ANSI-off Spark
+    * would wrap where DuckDB's hugeint errors loudly). */
+  val MassQuant = 1000000.0
+
+  /** HYPERANF OUTPUTS (Boldi, Rosa & Vigna 2011) from the fixpoint
+    * HyperBall table — the graph-shape survey a crawl pipeline reads
+    * before anything else: per hop t the total reachable-pair mass
+    * N(t) = Σ_v |B(v,t)|, the per-distance deltas, the cumulative
+    * fraction, and (constant on every row, the summary-broadcast
+    * shape) the measured fixpoint depth, the honest converged flag,
+    * the INTERPOLATED effective diameter (smallest t where N(t) ≥
+    * 0.9·N(∞), linear between hops — the HyperANF convention) and the
+    * average distance Σ t·ΔN(t) / (N(∞) − N(0)).
+    *
+    * Determinism: masses are exact int64 micro-unit sums (one
+    * explicit half-up floor per node-hop); the 0.9 threshold hop is
+    * an EXACT integer comparison (10·N(t) ≥ 9·N(∞)); doubles appear
+    * only in the fixed interpolation/ratio trees at the boundary.
+    * Scale: everything after the (already Mat'd) sketch table is one
+    * |V|·hops → hops aggregation; every window runs on the ≤ hardCap
+    * hop dimension — bounded, the W3 exception. */
+  def copurchaseDistanceDistribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hop")
+    val byHop = copurchaseHyperBallFix(s, d)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(floor(col("hll_estimate") * lit(MassQuant) + lit(0.5))
+          .cast("long")).as("mass_q6"),
+        max(col("converged")).as("__conv"))
+      .withColumn("prev_q6", lag(col("mass_q6"), 1).over(w))
+      .withColumn("delta_q6",
+        when(col("hop") >= 1, col("mass_q6") - col("prev_q6")))
+    val totals = byHop.agg(
+      max(col("hop")).as("n_hops_converged"),
+      max(col("__conv")).as("converged"),
+      // masses are monotone in hop, so max = the fixpoint mass N(inf)
+      max(col("mass_q6")).as("mt_q6"),
+      max(when(col("hop") === 0, col("mass_q6"))).as("m0_q6"),
+      coalesce(sum(col("hop") * col("delta_q6")), lit(0L)).as("wsum_q6"))
+    val t90 = byHop.crossJoin(broadcast(totals))
+      .filter(col("mass_q6") * 10 >= col("mt_q6") * 9)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("hop").as("t90"), col("mass_q6").as("t90_q6"),
+        col("prev_q6").as("t90_prev_q6"))
+    val summary = totals.crossJoin(broadcast(t90))
+      .select(col("n_hops_converged"), col("converged"),
+        when(col("t90") === 0, lit(0.0))
+          .otherwise((col("t90") - 1).cast("double")
+            + (lit(0.9) * col("mt_q6").cast("double")
+              - col("t90_prev_q6").cast("double"))
+            / (col("t90_q6").cast("double")
+              - col("t90_prev_q6").cast("double")))
+          .as("effective_diameter_90"),
+        when(col("mt_q6") > col("m0_q6"),
+          col("wsum_q6").cast("double")
+            / (col("mt_q6") - col("m0_q6")).cast("double"))
+          .as("avg_distance"),
+        col("mt_q6"))
+    byHop.crossJoin(broadcast(summary))
+      .select(col("hop"), col("n_nodes"), col("mass_q6"),
+        (col("mass_q6").cast("double") / lit(MassQuant)).as("ball_mass"),
+        col("delta_q6"),
+        (col("mass_q6").cast("double") / col("mt_q6").cast("double"))
+          .as("cum_fraction"),
+        col("n_hops_converged"), col("converged"),
+        col("effective_diameter_90"), col("avg_distance"))
   }
 
   /** Exact column profile of the orders mart (catalog/dq audit). */

@@ -385,6 +385,11 @@ object SparkEntry {
     // exact all-pairs operator measurably OOMs on) + its error gate
     "copurchase_closeness_approx" -> out(Models.copurchaseClosenessApprox),
     "closeness_approx_error" -> out(Models.closenessApproxError),
+    // HyperANF outputs from the run-to-fixpoint HyperBall: per-hop
+    // reachable-mass curve, interpolated effective diameter (0.9),
+    // average distance, honest converged flag
+    "copurchase_distance_distribution" ->
+      out(Models.copurchaseDistanceDistribution),
     // common-neighbor/Jaccard link prediction (non-adjacent top-K)
     "copurchase_link_predictions" -> out(Models.copurchaseLinkPredictions),
     // one-pass exact column profile (catalog/dq audit surface)
@@ -682,6 +687,8 @@ object SparkEntry {
     "copurchase_closeness" -> OpsSql.copurchaseClosenessQ,
     "copurchase_closeness_approx" -> OpsSql.copurchaseClosenessApproxQ,
     "closeness_approx_error" -> OpsSql.closenessApproxErrorQ,
+    "copurchase_distance_distribution" ->
+      OpsSql.copurchaseDistanceDistributionQ,
     "copurchase_link_predictions" -> OpsSql.copurchaseLinkPredictionsQ,
     "orders_profile" -> Sql.ordersProfileQ,
     "order_correlations" -> Sql.orderCorrelationsQ,

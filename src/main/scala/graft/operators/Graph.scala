@@ -606,11 +606,27 @@ object Graph {
     * lands (the [[bfsDistances]] checkpoint discipline). */
   def hyperBall(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val (sym, init) = hyperBallInit(edges)
+    var state = init
+    var out = hyperBallEstimate(state, 0)
+    for (t <- 1 to maxHops) {
+      val prev = state
+      state = hyperBallRelax(state, sym)
+      graft.plans.Checkpoints.free(prev)
+      out = out.unionByName(hyperBallEstimate(state, t))
+    }
+    graft.plans.Checkpoints.free(state)
+    out
+  }
+
+  /** Symmetrized edges + the checkpointed hop-0 register state
+    * (shared by [[hyperBall]] and [[hyperBallToFixpoint]]). */
+  private def hyperBallInit(edges: DataFrame): (DataFrame, DataFrame) = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("node")).distinct()
     val h = graft.llm.Dedup.hex60(concat(lit("hb|"), col("node").cast("string")))
-    var state = nodes
+    val init = nodes
       .select(col("node"), pmod(h, lit(Sketches.HllM.toLong)).as("__reg"),
         shiftright(h, Sketches.HllP).as("__w"))
       .withColumn("__mj",
@@ -618,23 +634,76 @@ object Graph {
           .otherwise(lit(Sketches.HllW + 1) - length(bin(col("__w")))))
       .select(col("node"), col("__reg"), col("__mj"))
       .localCheckpoint(true)
-    def estimate(st: DataFrame, hop: Int): DataFrame =
-      Sketches.hllEstimateFromRegistersBy(st, Seq("node"))
-        .select(col("node"), lit(hop).as("hop"), col("hll_estimate"))
-        .localCheckpoint(true) // |V| rows; lets the register state free
-    var out = estimate(state, 0)
-    for (t <- 1 to maxHops) {
+    (sym, init)
+  }
+
+  /** One register-max relaxation hop, eagerly checkpointed. */
+  private def hyperBallRelax(state: DataFrame, sym: DataFrame): DataFrame = {
+    val reached = state.join(sym, state("node") === sym("src"))
+      .select(sym("dst").as("node"), state("__reg"), state("__mj"))
+    state.unionByName(reached)
+      .groupBy("node", "__reg").agg(max(col("__mj")).as("__mj"))
+      .localCheckpoint(true)
+  }
+
+  private def hyperBallEstimate(st: DataFrame, hop: Int): DataFrame =
+    Sketches.hllEstimateFromRegistersBy(st, Seq("node"))
+      .select(col("node"), lit(hop).as("hop"), col("hll_estimate"))
+      .localCheckpoint(true) // |V| rows; lets the register state free
+
+  /** [[hyperBall]] run to FIXPOINT — HyperANF proper (Boldi, Rosa &
+    * Vigna 2011): relaxation stops when the register table is STABLE
+    * (one more hop changes nothing), not at an arbitrary hop cap, so
+    * the per-hop ball curve covers the graph's whole distance range
+    * and the HyperANF outputs (distance distribution, effective
+    * diameter, average distance) fall out of the result. The fixed-cap
+    * [[hyperBall]] remains the bounded-radius variant.
+    *
+    * Fixpoint detection: register state is MONOTONE — (node, reg) rows
+    * only appear and each mj only grows — so the exact integer pair
+    * (row count, Σ mj) changes iff the state changed. One tiny
+    * aggregate action per hop decides stop/continue; both numbers are
+    * order-free integer folds, so the measured fixpoint depth is
+    * deterministic and the oracle's unrolled mirror lands on the same
+    * depth. The hop that proves stability is NOT emitted (its
+    * estimates would duplicate the previous hop's).
+    *
+    * `hardCap` bounds the rounds on a graph whose diameter exceeds it
+    * (a path graph outruns any cap); the `converged` flag reports
+    * honestly whether the fixpoint was reached — the [[kCore]]
+    * contract, never an assumption.
+    *
+    * Output: (node, hop, hll_estimate, converged) for hop ∈
+    * [0, fixpoint depth] — hops past a node's eccentricity repeat its
+    * component size, the global max hop is the (sketch-resolution)
+    * graph diameter. */
+  def hyperBallToFixpoint(edges: DataFrame, hardCap: Int): DataFrame = {
+    require(hardCap >= 1, s"hardCap must be >= 1, got $hardCap")
+    val (sym, init) = hyperBallInit(edges)
+    def snap(st: DataFrame): (Long, Long) = {
+      val r = st.agg(count(lit(1)).as("c"),
+        coalesce(sum(col("__mj")), lit(0L)).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var state = init
+    var out = hyperBallEstimate(state, 0)
+    var prevSnap = snap(state)
+    var converged = false
+    var t = 1
+    while (!converged && t <= hardCap) {
       val prev = state
-      val reached = state.join(sym, state("node") === sym("src"))
-        .select(sym("dst").as("node"), state("__reg"), state("__mj"))
-      state = state.unionByName(reached)
-        .groupBy("node", "__reg").agg(max(col("__mj")).as("__mj"))
-        .localCheckpoint(true)
+      state = hyperBallRelax(state, sym)
+      val s = snap(state)
+      if (s == prevSnap) converged = true
+      else {
+        out = out.unionByName(hyperBallEstimate(state, t))
+        prevSnap = s
+        t += 1
+      }
       graft.plans.Checkpoints.free(prev)
-      out = out.unionByName(estimate(state, t))
     }
     graft.plans.Checkpoints.free(state)
-    out
+    out.withColumn("converged", lit(converged))
   }
 
   /** [[allPairsHopDistances]] with a PER-ROOT BUDGET — the

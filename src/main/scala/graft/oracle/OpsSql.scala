@@ -1476,6 +1476,95 @@ object OpsSql {
        |from hbf""".stripMargin
   }
 
+  /** Mirror Models.copurchaseDistanceDistribution: the full HyperBall
+    * register relaxation unrolled to the HARD CAP, the same monotone
+    * (row count, Σ mj) fixpoint detection (exact integer pairs, lag
+    * over the round index), hops filtered to the measured fixpoint
+    * depth, micro-unit mass sums, and the interpolated effective
+    * diameter / average distance with the identical fixed double
+    * trees. */
+  val copurchaseDistanceDistributionQ: String = {
+    val cap = graft.Models.HyperBallHardCap
+    val snaps = (0 to cap).map { r =>
+      s"""select $r as r,
+         |  (select cast(count(*) as bigint) from rst$r) as cnt,
+         |  (select cast(coalesce(sum(mj), 0) as bigint) from rst$r) as sm"""
+        .stripMargin
+    }.mkString("\nunion all\n")
+    val allHops = (0 to cap).map(t =>
+      s"select $t as hop, node, est from rv$t").mkString("\nunion all\n")
+    s"""$copurchaseCtes,
+       |rsym as (select src, dst from edges
+       |         union all select dst as src, src as dst from edges),
+       |${hyperBallCtes("rsym", "r", cap)},
+       |rsn as (
+       |$snaps
+       |),
+       |rchg as (
+       |  select r, cnt, sm,
+       |    lag(cnt) over (order by r) as pcnt,
+       |    lag(sm) over (order by r) as psm
+       |  from rsn
+       |),
+       |rfx as (
+       |  select min(case when cnt = pcnt and sm = psm then r end) is not null
+       |           as converged,
+       |         coalesce(min(case when cnt = pcnt and sm = psm then r end),
+       |           ${cap + 1}) as tstar
+       |  from rchg
+       |),
+       |rall as (
+       |$allHops
+       |),
+       |rmass as (
+       |  select hop, cast(count(*) as bigint) as n_nodes,
+       |    cast(sum(cast(floor(est * 1000000.0 + 0.5) as bigint)) as bigint)
+       |      as mass_q6
+       |  from rall cross join rfx where hop < tstar group by 1
+       |),
+       |rdel as (
+       |  select hop, n_nodes, mass_q6,
+       |    lag(mass_q6) over (order by hop) as prev_q6,
+       |    case when hop >= 1
+       |      then mass_q6 - lag(mass_q6) over (order by hop) end as delta_q6
+       |  from rmass
+       |),
+       |rtot as (
+       |  select max(hop) as n_hops_converged,
+       |    max(mass_q6) as mt_q6,
+       |    max(case when hop = 0 then mass_q6 end) as m0_q6,
+       |    cast(coalesce(sum(hop * delta_q6), 0) as bigint) as wsum_q6
+       |  from rdel
+       |),
+       |rt90 as (
+       |  select hop as t90, mass_q6 as t90_q6, prev_q6 as t90_prev_q6
+       |  from rdel cross join rtot
+       |  where mass_q6 * 10 >= mt_q6 * 9
+       |  order by hop limit 1
+       |),
+       |rsum as (
+       |  select n_hops_converged,
+       |    (select converged from rfx) as converged,
+       |    case when t90 = 0 then 0.0 else
+       |      cast(t90 - 1 as double)
+       |      + (0.9 * cast(mt_q6 as double) - cast(t90_prev_q6 as double))
+       |        / (cast(t90_q6 as double) - cast(t90_prev_q6 as double)) end
+       |      as effective_diameter_90,
+       |    case when mt_q6 > m0_q6 then
+       |      cast(wsum_q6 as double) / cast(mt_q6 - m0_q6 as double) end
+       |      as avg_distance,
+       |    mt_q6
+       |  from rtot cross join rt90
+       |)
+       |select d.hop, d.n_nodes, d.mass_q6,
+       |  cast(d.mass_q6 as double) / 1000000.0 as ball_mass,
+       |  d.delta_q6,
+       |  cast(d.mass_q6 as double) / cast(s.mt_q6 as double) as cum_fraction,
+       |  s.n_hops_converged, s.converged, s.effective_diameter_90,
+       |  s.avg_distance
+       |from rdel d cross join rsum s""".stripMargin
+  }
+
   /** Mirror Models.closenessApproxError: HyperBall AND the exact
     * all-pairs BFS on the same strong graph, per-node floor'd ppm
     * error integers (Spark's double→long cast truncates, DuckDB's

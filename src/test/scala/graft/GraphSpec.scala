@@ -169,6 +169,28 @@ class GraphSpec extends SparkSpec {
     assert(keptRef > 0, "fixture must keep at least one edge at p=1/5")
   }
 
+  test("hyperBallToFixpoint stops at the diameter, matches the fixed-cap run, flags a short cap") {
+    // path 1-2-3-4: diameter 3, so registers stabilize at hop 3 and
+    // round 4 is the (unemitted) stability proof
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val fix = Graph.hyperBallToFixpoint(path, 8)
+    val rows = fix.collect()
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+    assert(rows.map(_.getAs[Int]("hop")).max === 3)
+    assert(rows.length === 4 * 4, "4 nodes x hops 0..3")
+    // hop-for-hop identical to the fixed-cap relaxation
+    val fixed = Graph.hyperBall(path, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      assert(fixed((r.getAs[Long]("node"), r.getAs[Int]("hop")))
+        === r.getAs[Double]("hll_estimate"))
+    }
+    // a cap below the diameter reports converged = false, emits 0..cap
+    val short = Graph.hyperBallToFixpoint(path, 2).collect()
+    assert(short.forall(!_.getAs[Boolean]("converged")))
+    assert(short.map(_.getAs[Int]("hop")).max === 2)
+  }
+
   test("degree orientation: a mid-id hub centers no wedges (id orientation explodes)") {
     // hub 50 with 40 lower-id and 40 higher-id degree-1 neighbors: the
     // id-oriented path join centers 40*40 = 1600 wedge candidates on
