@@ -671,7 +671,8 @@ object Models {
       "pq_adc" -> annPqAdcTopK(s, d),
       "pq_rerank" -> annPqRerankTopK(s, d),
       "ivfpq" -> annIvfPqTopK(s, d),
-      "ivfpq_residual" -> annIvfPqResidualTopK(s, d))
+      "ivfpq_residual" -> annIvfPqResidualTopK(s, d),
+      "opq" -> annOpqTopK(s, d))
       .map { case (m, approx) =>
         llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
       .reduce(_ union _)
@@ -808,6 +809,38 @@ object Models {
     * two-stage refine search over the same Mat'd reconstruction. */
   def annPqRerankTopK(s: SparkSession, d: String): DataFrame =
     llm.PQ.rerankFromReconstructed(pqReconstructed(s, d), Tables.embeddings(s, d))
+  /** Top-[[llm.Quantize.PcaTopK]] PCA basis Mat'd (the trained
+    * rotation artifact — bpe_merges convention; closes the OPQ loop
+    * embedding_corr/embedding_pca promise). */
+  def embeddingPcaTopK(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "embedding_pca_topk")(
+      llm.Quantize.embeddingPcaTopK(Tables.embeddings(s, d)))
+  /** The PCA-ROTATED corpus (16 dims, float) as its own Mat barrier —
+    * the OPQ index's input, built once like sq8_corpus. */
+  private def opqCorpus(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "opq_corpus")(
+      llm.Quantize.pcaProject(Tables.embeddings(s, d),
+        embeddingPcaTopK(s, d)))
+  /** OPQ codebooks: the SAME Lloyd training over the rotated corpus at
+    * 4 subspaces × 4 dims — the same 4×3-bit code budget as raw PQ. */
+  private def opqCodebooks(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "opq_codebooks")(
+      llm.PQ.codebooks(opqCorpus(s, d), llm.PQ.SubSpaces,
+        llm.Quantize.PcaTopK / llm.PQ.SubSpaces))
+  /** The OPQ-reconstructed corpus Mat'd (the pq_reconstructed
+    * convention — the compressed index artifact). */
+  private def opqReconstructed(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "opq_reconstructed")(
+      llm.PQ.reconstructed(opqCorpus(s, d), opqCodebooks(s, d),
+        llm.PQ.SubSpaces, llm.Quantize.PcaTopK / llm.PQ.SubSpaces))
+  /** OPQ search: symmetric cosine top-k over the rotated+PQ-compressed
+    * corpus at equal code budget to raw PQ — the recall row answers
+    * what the rotation buys, measured (on this near-isotropic test
+    * corpus the honest expectation is "little", exactly what
+    * embedding_corr's anisotropy diagnostic predicts; on a trained-
+    * embedding corpus with a dominant cone it pays). */
+  def annOpqTopK(s: SparkSession, d: String): DataFrame =
+    llm.Similarity.annCosineTopK(opqReconstructed(s, d))
   def bm25Scores(s: SparkSession, d: String): DataFrame =
     llm.Relevance.bm25(Tables.documents(s, d))
   def sessionize(s: SparkSession, d: String): DataFrame =

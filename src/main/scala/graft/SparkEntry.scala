@@ -165,6 +165,13 @@ object SparkEntry {
     "embedding_corr" -> out(Models.embeddingCorr),
     // top PC via quantized power iteration (whitening/OPQ input)
     "embedding_pca" -> out(Models.embeddingPca),
+    // top-16 PCA basis by deflation off the Mat'd moment matrix — the
+    // rotation OPQ consumes (closes the embedding_corr/pca promise)
+    "embedding_pca_topk" -> out(Models.embeddingPcaTopK),
+    // OPQ: PCA-rotated corpus -> PQ at equal code budget; its recall
+    // row vs raw PQ is the measured answer to "what does the rotation
+    // buy on this corpus"
+    "ann_opq_topk" -> out(Models.annOpqTopK),
     "ann_sq8_topk" -> out(Models.annSq8TopK),
     // recall@k of the kmeans-IVF index vs the exact brute force
     "ann_recall" -> out(Models.annRecall),
@@ -563,6 +570,8 @@ object SparkEntry {
     "embedding_quantization" -> LlmSql.embeddingQuantizationQ,
     "embedding_corr" -> LlmSql.embeddingCorrQ,
     "embedding_pca" -> LlmSql.embeddingPcaQ,
+    "embedding_pca_topk" -> LlmSql.embeddingPcaTopKQ,
+    "ann_opq_topk" -> LlmSql.annOpqTopKQ,
     "ann_sq8_topk" -> LlmSql.annSq8TopKQ,
     "ann_recall" -> LlmSql.annRecallQ,
     "ann_recall_by_method" -> LlmSql.annRecallByMethodQ,

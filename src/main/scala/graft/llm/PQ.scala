@@ -32,18 +32,22 @@ object PQ {
   val SubSpaces = 4
   val SubDim = 16 // embeddings are 64-dim
 
-  private def sliceEmb(s: Int): Column =
-    slice(col("embedding"), s * SubDim + 1, SubDim)
+  private def sliceEmb(s: Int, subDim: Int = SubDim): Column =
+    slice(col("embedding"), s * subDim + 1, subDim)
 
   /** Per-subspace codebooks: (subspace, centroid_id, centroid) —
-    * [[Kmeans.centroidVectors]] trained on each contiguous slice. */
-  def codebooks(embeddingsRaw: DataFrame): DataFrame = {
+    * [[Kmeans.centroidVectors]] trained on each contiguous slice.
+    * `subSpaces`/`subDim` default to the 64-dim raw layout; the OPQ
+    * path trains the SAME machinery over the 16-dim PCA projection at
+    * 4×4 — equal code budget (4 codes × 3 bits) either way. */
+  def codebooks(embeddingsRaw: DataFrame,
+                subSpaces: Int = SubSpaces, subDim: Int = SubDim): DataFrame = {
     // no repartition here: Kmeans.centroidVectors repartitions its own
     // input, and a second outer repartition survives through the slice
     // Project as a redundant full-width shuffle per subspace branch
-    (0 until SubSpaces).map { s =>
+    (0 until subSpaces).map { s =>
       Kmeans.centroidVectors(
-        embeddingsRaw.select(col("vec_id"), sliceEmb(s).as("embedding")))
+        embeddingsRaw.select(col("vec_id"), sliceEmb(s, subDim).as("embedding")))
         .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
     }.reduce(_ union _)
   }
@@ -52,10 +56,11 @@ object PQ {
     * `codebooks`: (vec_id, subspace, code). Total: every vector gets a
     * code in every subspace (zero-norm subvectors included — L2 argmin
     * needs no norm guard). */
-  def codes(embeddingsRaw: DataFrame, codebooks: DataFrame): DataFrame = {
+  def codes(embeddingsRaw: DataFrame, codebooks: DataFrame,
+            subSpaces: Int = SubSpaces, subDim: Int = SubDim): DataFrame = {
     val embeddings = embeddingsRaw.repartition(col("vec_id"))
     val subVecs = embeddings.select(col("vec_id"),
-      posexplode(array((0 until SubSpaces).map(sliceEmb): _*))
+      posexplode(array((0 until subSpaces).map(sliceEmb(_, subDim)): _*))
         .as(Seq("subspace", "sub")))
     val cents = codebooks.select(col("subspace"), col("centroid_id"),
       col("centroid"),
@@ -78,8 +83,10 @@ object PQ {
     * the shared ANN machinery runs on it unchanged. Pass a
     * materialized `books` table so the Lloyd training chain executes
     * once, not once per consumer. */
-  def reconstructed(embeddingsRaw: DataFrame, books: DataFrame): DataFrame =
-    codes(embeddingsRaw, books)
+  def reconstructed(embeddingsRaw: DataFrame, books: DataFrame,
+                    subSpaces: Int = SubSpaces,
+                    subDim: Int = SubDim): DataFrame =
+    codes(embeddingsRaw, books, subSpaces, subDim)
       .join(broadcast(books.select(col("subspace"),
         col("centroid_id").as("code"), col("centroid"))),
         Seq("subspace", "code"))

@@ -276,4 +276,157 @@ object Quantize {
         (col("norm_w") / (lit(CorrQuant) * col("trace_q")))
           .as("explained_share"))
   }
+
+  /** Components of [[embeddingPcaTopK]] (the projection keeps this
+    * many dims; PQ over them runs 4 subspaces × 4 dims — the same
+    * 4×3-bit code budget as raw PQ's 4×16). */
+  val PcaTopK = 16
+
+  /** TOP-K PRINCIPAL COMPONENTS by power iteration + ORTHOGONAL
+    * DEFLATION over the MATERIALIZED moment matrix — the other half of
+    * the whitening/OPQ promise ([[embeddingPca]]'s one component can't
+    * rotate anything). Where [[embeddingPca]] is matrix-free (k=1 ⇒
+    * one corpus pass per round), k components flip the trade: ONE
+    * corpus pass builds the exact D² moment matrix (the
+    * [[embeddingCorr]] aggregation — map-side-combined partials, never
+    * corpus pairs), and every subsequent iteration/deflation runs on
+    * the D-row matrix table — broadcast-scale, corpus-free. At
+    * transformer-scale D the matrix is still only D² doubles (768² =
+    * 590k rows); the corpus is touched exactly once either way.
+    *
+    * Determinism: the matrix entries are FIXED double trees of exact
+    * int64 moments (n·Σxy − Σx·Σy — the embeddingCorr widening
+    * discipline); every matrix·vector product folds j-ascending with
+    * the iterate in exact micro-units; norms/sign pins reuse the
+    * [[embeddingPca]] folds; deflation subtracts
+    * λ̂·(vq_i·vq_j)/(vqᵀvq) with λ̂ the Rayleigh quotient of the
+    * QUANTIZED component — one fixed expression per entry, so the
+    * deflated matrix (and every later component) is bit-identical on
+    * both engines. Quantization leaves ≤~1e-6·λ of a component in the
+    * deflated matrix — far below the next eigenvalue, so convergence
+    * is unaffected; determinism, not exactness, is the contract.
+    *
+    * Output: one row per (component, dim) — component-major loadings
+    * (each component sign-pinned, unit-norm before quantization), the
+    * quantized loading (what [[pcaProject]] consumes), the Rayleigh
+    * eigenvalue in raw-embedding² units, and explained_share = λ̂ /
+    * tr(M). */
+  def embeddingPcaTopK(embeddings: DataFrame, k: Int = PcaTopK): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val corr = embeddingCorr(embeddings)
+      .select(col("dim_i").as("i"), col("dim_j").as("j"), col("n"),
+        (d(col("n")) * d(col("s_xy")) - d(col("s_x")) * d(col("s_y")))
+          .as("m"))
+    val full = corr.unionByName(
+      corr.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("n"), col("m")))
+    var mat = full.groupBy("i")
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("j"), col("m")))).as("mj"))
+      .select(col("i"), col("n"), expr("transform(mj, x -> x.m)").as("marr"))
+      .localCheckpoint(true)
+    // n + tr(M) of the ORIGINAL matrix (component shares price against
+    // the total variance, not the deflated remainder); diag fold i-asc
+    val trace = mat
+      .select(col("i"), col("n"),
+        element_at(col("marr"), col("i") + 1).as("mii"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("i"), col("mii")))).as("dd"))
+      .select(col("n"),
+        expr("aggregate(dd, cast(0.0 as double), (acc, x) -> acc + x.mii)")
+          .as("trace_m"))
+      .localCheckpoint(true)
+    val v0 = Seq.fill(PcaDim)(
+      math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong)
+    val matVec = "aggregate(zip_with(marr, v, (m, q) -> m * cast(q as double)), " +
+      "cast(0.0 as double), (acc, x) -> acc + x)"
+    val comps = (0 until k).map { c =>
+      var vRow = Seq(Tuple1(v0)).toDF("v")
+      var wRow: DataFrame = null
+      for (r <- 1 to PcaRounds) {
+        wRow = mat.crossJoin(broadcast(vRow))
+          .select(col("i"), expr(matVec).as("wi"))
+          .agg(array_sort(collect_list(struct(col("i"), col("wi")))).as("ws"))
+          .select(expr("transform(ws, x -> x.wi)").as("w"))
+          .withColumn("norm_w", expr(
+            "sqrt(aggregate(w, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+          .withColumn("sgn", expr(
+            """if(aggregate(w, cast(0.0 as double), (acc, x) ->
+                 if(abs(x) > abs(acc), x, acc)) < 0, -1.0d, 1.0d)"""))
+        if (r == PcaRounds) wRow = wRow.localCheckpoint(true)
+        vRow = wRow.select(expr(
+          s"""transform(w, x ->
+               cast(floor(sgn * x / norm_w * ${CorrQuant}d + 0.5d) as bigint))""")
+          .as("v"))
+      }
+      val vFix = vRow.localCheckpoint(true)
+      // Rayleigh λ̂ = (vᵀMv)/(vᵀv) of the QUANTIZED component (exact
+      // int v, double M folds) — deflation and reporting share it
+      val defl = mat.crossJoin(broadcast(vFix))
+        .select(col("i"), expr(matVec).as("ui"))
+        .agg(array_sort(collect_list(struct(col("i"), col("ui")))).as("us"))
+        .select(expr("transform(us, x -> x.ui)").as("u"))
+        .crossJoin(broadcast(vFix))
+        .select(col("v"),
+          expr("""aggregate(zip_with(u, v, (x, q) -> x * cast(q as double)),
+               cast(0.0 as double), (acc, y) -> acc + y)""").as("vmv"),
+          expr("aggregate(v, 0L, (acc, q) -> acc + q * q)").as("s2"))
+        .withColumn("lam", col("vmv") / col("s2").cast("double"))
+        .localCheckpoint(true)
+      val out = wRow.crossJoin(broadcast(defl.select("lam")))
+        .crossJoin(broadcast(trace))
+        .select(posexplode(expr(
+            "transform(sequence(1, size(w)), j -> named_struct(" +
+              "'dim', j - 1, 'loading', sgn * element_at(w, j) / norm_w))"))
+            .as(Seq("__p", "r")),
+          col("lam"), col("n"), col("trace_m"))
+        .select(lit(c).as("component"),
+          col("r").getField("dim").as("dim"),
+          col("r").getField("loading").as("loading"),
+          expr(s"cast(floor(r.loading * ${CorrQuant}d + 0.5d) as bigint)")
+            .as("loading_q"),
+          (col("lam") / (col("n").cast("double") * col("n").cast("double")
+            * lit(CorrQuant * CorrQuant))).as("eigenvalue"),
+          (col("lam") / col("trace_m")).as("explained_share"))
+      if (c < k - 1) {
+        val prev = mat
+        mat = mat.crossJoin(broadcast(defl))
+          .select(col("i"), col("n"), expr(
+            """zip_with(marr, v, (m, q) ->
+                 m - lam * cast(element_at(v, i + 1) as double)
+                       * cast(q as double) / cast(s2 as double))""")
+            .as("marr"))
+          .localCheckpoint(true)
+        graft.plans.Checkpoints.free(prev)
+      }
+      out
+    }
+    comps.reduce(_ unionByName _)
+  }
+
+  /** PCA PROJECTION of the corpus onto the [[embeddingPcaTopK]] basis
+    * — the rotation applied before PQ (OPQ's "parametric" recipe,
+    * PCA-ranked): y_c = Σ_d loading_q[c][d]·x_d / Q, one fixed
+    * d-ascending fold per component over the broadcast k×D quantized
+    * basis, cast to float like every stored corpus. Per-row cost k·D
+    * multiplies, no shuffle — at 100 TB the rotation rides the same
+    * scan that quantizes. */
+  def pcaProject(embeddings: DataFrame, pca: DataFrame): DataFrame = {
+    val rot = pca.groupBy("component")
+      .agg(array_sort(collect_list(struct(col("dim"), col("loading_q"))))
+        .as("lq"))
+      .select(col("component"), expr("transform(lq, x -> x.loading_q)").as("lv"))
+      .agg(array_sort(collect_list(struct(col("component"), col("lv"))))
+        .as("cs"))
+      .select(expr("transform(cs, x -> x.lv)").as("rot"))
+    embeddings.crossJoin(broadcast(rot))
+      .select(col("vec_id"), expr(
+        s"""transform(rot, lv -> cast(
+              aggregate(zip_with(lv, embedding, (q, x) ->
+                  cast(q as double) * cast(x as double)),
+                cast(0.0 as double), (acc, y) -> acc + y)
+              / ${CorrQuant}d as float))""").as("embedding"))
+  }
 }

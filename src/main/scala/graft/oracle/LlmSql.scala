@@ -615,6 +615,207 @@ object LlmSql {
        |cross join (select cast(unnest(generate_series(1, $d)) as int) as j)""".stripMargin
   }
 
+  /** Mirror Quantize.embeddingPcaTopK: the exact moment matrix (the
+    * embeddingCorr sums, full-matrix mirrored from the upper
+    * triangle), then per component an unrolled quantized power
+    * iteration on the D-row matrix table and the Rayleigh-quotient
+    * deflation — every fold index-ascending, every double expression
+    * the same fixed tree as the engine's. */
+  private val opqPcaCtes: String = {
+    import graft.llm.Quantize.{CorrQuant, PcaDim, PcaRounds, PcaTopK}
+    val q = CorrQuant
+    val q2 = CorrQuant * CorrQuant
+    val d = PcaDim
+    val R = PcaRounds
+    val v0 = math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong
+    val matVec =
+      s"""list_reduce(list_transform(generate_series(1, $d),
+         |        j -> marr[j] * cast(v[j] as double)), (a, x) -> a + x)"""
+        .stripMargin
+    val comps = (0 until PcaTopK).map { c =>
+      val rounds = (1 to R).map { r =>
+        s"""opq_c${c}_w$r as materialized (
+           |  select list(wi order by i) as w from (
+           |    select i, $matVec as wi
+           |    from opq_m$c cross join opq_c${c}_v${r - 1}) t
+           |),
+           |opq_c${c}_n$r as materialized (
+           |  select w,
+           |    sqrt(list_reduce(list_transform(w, x -> x * x),
+           |      (a, x) -> a + x)) as norm_w,
+           |    case when list_reduce(w, (a, x) ->
+           |        case when abs(x) > abs(a) then x else a end) < 0
+           |      then cast(-1 as double) else cast(1 as double) end as sgn
+           |  from opq_c${c}_w$r
+           |),
+           |opq_c${c}_v$r as materialized (
+           |  select list_transform(generate_series(1, $d), j ->
+           |    cast(floor(sgn * w[j] / norm_w * $q + 0.5) as bigint)) as v
+           |  from opq_c${c}_n$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      val defl =
+        s"""opq_c${c}_u as materialized (
+           |  select list(ui order by i) as u from (
+           |    select i, $matVec as ui
+           |    from opq_m$c cross join opq_c${c}_v$R) t
+           |),
+           |opq_c${c}_d as materialized (
+           |  select v, vmv, s2, vmv / cast(s2 as double) as lam from (
+           |    select vv.v as v,
+           |      list_reduce(list_transform(generate_series(1, $d),
+           |        j -> uu.u[j] * cast(vv.v[j] as double)),
+           |        (a, x) -> a + x) as vmv,
+           |      list_reduce(list_transform(vv.v, y -> y * y),
+           |        (a, x) -> a + x) as s2
+           |    from opq_c${c}_u uu cross join opq_c${c}_v$R vv) t
+           |)""".stripMargin
+      val nextM =
+        if (c == PcaTopK - 1) ""
+        else
+          s""",
+             |opq_m${c + 1} as materialized (
+             |  select i, list_transform(generate_series(1, $d), j ->
+             |      marr[j] - lam * cast(v[i + 1] as double)
+             |                  * cast(v[j] as double)
+             |                  / cast(s2 as double)) as marr
+             |  from opq_m$c cross join opq_c${c}_d
+             |)""".stripMargin
+      s"""opq_c${c}_v0 as (select [${Seq.fill(d)(v0).mkString(", ")}] as v),
+         |$rounds,
+         |$defl$nextM""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 until PcaTopK).map { c =>
+      s"""select $c as component, j - 1 as dim,
+         |  sgn * w[j] / norm_w as loading,
+         |  cast(floor(sgn * w[j] / norm_w * $q + 0.5) as bigint) as loading_q,
+         |  lam / (cast(n as double) * cast(n as double) * $q2) as eigenvalue,
+         |  lam / trace_m as explained_share
+         |from opq_c${c}_n$R cross join opq_c${c}_d cross join opq_tr
+         |cross join (select cast(unnest(generate_series(1, $d)) as int) as j)"""
+        .stripMargin
+    }.mkString("\nunion all\n")
+    s"""opq_q as (
+       |  select vec_id, list_transform(embedding,
+       |    x -> cast(floor(cast(x as double) * $q + 0.5) as bigint)) as q
+       |  from embeddings
+       |),
+       |opq_x as materialized (
+       |  select vec_id, i1 - 1 as i, q[i1] as qv from (
+       |    select vec_id, q,
+       |      cast(unnest(generate_series(1, len(q))) as int) as i1
+       |    from opq_q) t
+       |),
+       |opq_d as materialized (
+       |  select i, cast(count(*) as bigint) as n, cast(sum(qv) as bigint) as s
+       |  from opq_x group by 1
+       |),
+       |opq_p as (
+       |  select a.i as i, b.i as j, cast(sum(a.qv * b.qv) as bigint) as s_xy
+       |  from opq_x a join opq_x b on a.vec_id = b.vec_id and a.i <= b.i
+       |  group by 1, 2
+       |),
+       |opq_m0 as materialized (
+       |  select i, list(m order by j) as marr from (
+       |    select p.i as i, p.j as j,
+       |      cast(dx.n as double) * cast(p.s_xy as double)
+       |        - cast(dx.s as double) * cast(dy.s as double) as m
+       |    from opq_p p join opq_d dx on p.i = dx.i join opq_d dy on p.j = dy.i
+       |    union all
+       |    select p.j, p.i,
+       |      cast(dx.n as double) * cast(p.s_xy as double)
+       |        - cast(dx.s as double) * cast(dy.s as double)
+       |    from opq_p p join opq_d dx on p.i = dx.i join opq_d dy on p.j = dy.i
+       |    where p.i <> p.j
+       |  ) t group by 1
+       |),
+       |opq_tr as materialized (
+       |  select (select max(n) from opq_d) as n,
+       |    (select list_reduce(list(mii order by i), (a, x) -> a + x) from
+       |      (select i, marr[i + 1] as mii from opq_m0) t) as trace_m
+       |),
+       |$comps,
+       |opq_pca as (
+       |$arms
+       |)""".stripMargin
+  }
+
+  val embeddingPcaTopKQ: String =
+    s"""with $opqPcaCtes
+       |select component, dim, loading, loading_q, eigenvalue,
+       |  explained_share
+       |from opq_pca""".stripMargin
+
+  /** PCA projection + the parameterized PQ chain over it (mirror
+    * Models.annOpqTopK): the rotated corpus at PcaTopK dims, the SAME
+    * unrolled-Lloyd codebooks per 4-dim subspace, codes,
+    * reconstruction, and the shared symmetric cosine top-k. */
+  private def pqCtesGen(pfx: String, src: String, subSpaces: Int,
+                        subDim: Int): String = {
+    import graft.llm.Kmeans
+    val subs = (0 until subSpaces).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""$pfx${s}_sub as materialized (
+         |  select vec_id, list_slice(embedding, $lo, $hi) as embedding from $src
+         |),
+         |${kmCtesOver(s"$pfx$s", s"$pfx${s}_sub")}""".stripMargin
+    }.mkString(",\n")
+    val fins = (0 until subSpaces).map { s =>
+      s"""$pfx${s}_fin as materialized (
+         |  select vec_id, centroid_id as code from (
+         |    select e.vec_id, c.centroid_id,
+         |      row_number() over (partition by e.vec_id order by
+         |        (${dotSql("e.embedding", "e.embedding")}
+         |          - 2.0 * ${dotSql("e.embedding", "c.centroid")}
+         |          + ${dotSql("c.centroid", "c.centroid")}) asc nulls last,
+         |        c.centroid_id) as rn
+         |    from $pfx${s}_sub e cross join $pfx${s}_cent${Kmeans.Iters} c
+         |  ) t where rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until subSpaces)
+      .map(s => s"select vec_id, $s as subspace, code from $pfx${s}_fin")
+      .mkString(" union all ")
+    val centsUnion = (0 until subSpaces)
+      .map(s => s"select $s as subspace, centroid_id, centroid from $pfx${s}_cent${Kmeans.Iters}")
+      .mkString(" union all ")
+    s"""$subs,
+       |$fins,
+       |${pfx}_codes as ($codesUnion),
+       |${pfx}_cents as ($centsUnion),
+       |${pfx}_rec as (
+       |  select j.vec_id, flatten(list(c.centroid order by c.subspace)) as embedding
+       |  from ${pfx}_codes j
+       |  join ${pfx}_cents c on j.subspace = c.subspace and j.code = c.centroid_id
+       |  group by j.vec_id
+       |)""".stripMargin
+  }
+
+  private val opqProjCtes: String = {
+    import graft.llm.Quantize.{CorrQuant, PcaDim}
+    s"""opq_rot as materialized (
+       |  select list(lv order by component) as rot from (
+       |    select component, list(loading_q order by dim) as lv
+       |    from opq_pca group by 1) t
+       |),
+       |opq_proj as materialized (
+       |  select vec_id, list_transform(rot, lv ->
+       |    cast(list_reduce(list_transform(generate_series(1, $PcaDim),
+       |        i -> cast(lv[i] as double) * cast(embedding[i] as double)),
+       |      (a, x) -> a + x) / $CorrQuant as float)) as embedding
+       |  from embeddings cross join opq_rot
+       |)""".stripMargin
+  }
+
+  val annOpqTopKQ: String = {
+    import graft.llm.{PQ, Quantize}
+    s"""with $opqPcaCtes,
+       |$opqProjCtes,
+       |${pqCtesGen("oq", "opq_proj", PQ.SubSpaces, Quantize.PcaTopK / PQ.SubSpaces)},
+       |${annCosineTopKOver("oq_rec")}""".stripMargin
+  }
+
   val annSq8TopKQ: String =
     s"""with $quantCtes,
        |sq_rec as (
@@ -1674,7 +1875,8 @@ object LlmSql {
       "pq_adc" -> annPqAdcTopKQ,
       "pq_rerank" -> annPqRerankTopKQ,
       "ivfpq" -> annIvfPqTopKQ,
-      "ivfpq_residual" -> annIvfPqResidualTopKQ)
+      "ivfpq_residual" -> annIvfPqResidualTopKQ,
+      "opq" -> annOpqTopKQ)
       .map { case (m, q) => annRecallOver(q, s"'$m' as method,") }
       .mkString("\nunion all\n")
 
