@@ -224,6 +224,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.sortBy(-_._2).take(10)
     println(s"""{"min_total_sec":$total,"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"n_queries":${results.size},"failed_n":${failed.size},"prebuild_failed_n":${prebuildFailed.size},"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"min_top10":${qjson(top10)}}""")
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
     spark.stop()
   }
 }

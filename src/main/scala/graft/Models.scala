@@ -340,9 +340,20 @@ object Models {
   /** CUSUM changepoint statistics over the daily revenue series. */
   def revenueCusum(s: SparkSession, d: String): DataFrame =
     TimeMarts.revenueCusum(dailySummary(s, d))
-  /** Theil–Sen robust trend over the daily revenue series. */
+  /** Theil–Sen robust trend over the daily revenue series — Mat'd
+    * (r16): the fitted line is a trained artifact like the PCA basis
+    * (the embedding_pca precedent), so the n²/2 pair median runs once
+    * per session and BOTH consumers (this query and [[revenueStl]])
+    * read the 1-row barrier. Parquet double roundtrip is bit-exact,
+    * so the oracle contract is unchanged. */
   def revenueTheilSen(s: SparkSession, d: String): DataFrame =
-    TimeMarts.revenueTheilSen(dailySummary(s, d))
+    Mat.table(s, d, "theilsen_line")(
+      TimeMarts.revenueTheilSen(dailySummary(s, d)))
+  /** STL-style decomposition of daily revenue: Theil-Sen trend +
+    * centered day-of-week seasonal + remainder, with the Hyndman
+    * seasonal/trend strength gates. */
+  def revenueStl(s: SparkSession, d: String): DataFrame =
+    TimeMarts.revenueStl(dailySummary(s, d), revenueTheilSen(s, d))
   /** HRW shard routing report over document ids. */
   def shardRouting(s: SparkSession, d: String): DataFrame =
     operators.Sharding.shardRouting(Tables.documents(s, d))
@@ -415,6 +426,10 @@ object Models {
   /** Length-band blocking recall vs the exact all-pairs JW truth. */
   def jwRecall(s: SparkSession, d: String): DataFrame =
     marts.StatsMarts.jwRecall(stgProducts(s, d))
+  /** Grouped lead/lag cross-correlation matrix over event-type daily
+    * volumes (±7-day lags, per-pair Pearson with the peak flagged). */
+  def eventTypeXcorr(s: SparkSession, d: String): DataFrame =
+    marts.StatsMarts.eventTypeXcorr(Tables.events(s, d))
   def dailyGapfill(s: SparkSession, d: String): DataFrame =
     TimeMarts.dailyGapfill(s, dailySummary(s, d))
   def timeAnalytics(s: SparkSession, d: String): DataFrame =

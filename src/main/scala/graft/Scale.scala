@@ -184,7 +184,12 @@ object Scale {
     // scales), the BPE-vs-unigram shoot-out, and the Holt-Winters
     // states on daily event volume (calendar-bounded fold)
     "unigram_vocab", "unigram_segmentation", "tokenizer_fertility_compare",
-    "event_volume_hw")
+    "event_volume_hw",
+    // r16: the OPQ loop over embeddings — top-k PCA (one corpus pass
+    // into the moment matrix, then matrix-table-only iterations) and
+    // the rotation-fed PQ search at equal code budget; the event-type
+    // lead/lag matrix (one events pass to types×days, bounded after)
+    "embedding_pca_topk", "ann_opq_topk", "event_type_xcorr")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")
@@ -390,6 +395,7 @@ object Scale {
       java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[scale] SCALE_LOCAL.json write failed: ${e.getMessage}") }
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
     spark.stop()
   }
 }

@@ -73,6 +73,9 @@ object SparkEntry {
     "revenue_cusum" -> out(Models.revenueCusum),
     // Theil-Sen median-of-slopes robust trend (29.3% breakdown point)
     "revenue_theilsen" -> out(Models.revenueTheilSen),
+    // STL-style decomposition: Theil-Sen trend + centered dow seasonal
+    // + remainder, with the Hyndman strength gates on every row
+    "revenue_stl" -> out(Models.revenueStl),
     // Holt level+trend double-exponential forecaster (exact ints)
     "revenue_holt" -> out(Models.revenueHolt),
     // Holt-Winters weekly seasonal arm + the holdout eval that prices it
@@ -113,6 +116,8 @@ object SparkEntry {
     "jw_name_pairs" -> out(Models.jwNamePairs),
     // blocking-recall gate: length band vs exact all-pairs JW truth
     "jw_recall" -> out(Models.jwRecall),
+    // grouped lead/lag cross-correlation between event-type series
+    "event_type_xcorr" -> out(Models.eventTypeXcorr),
     // LOCF gap-filling over the calendar spine (ignore-nulls window)
     "daily_gapfill" -> out(Models.dailyGapfill),
     "time_analytics" -> out(Models.timeAnalytics),
@@ -518,6 +523,7 @@ object SparkEntry {
     "revenue_ewma_anomalies" -> Sql.ewmaAnomaliesQ,
     "revenue_cusum" -> Sql.revenueCusumQ,
     "revenue_theilsen" -> Sql.revenueTheilSenQ,
+    "revenue_stl" -> Sql.revenueStlQ,
     "revenue_holt" -> Sql.revenueHoltQ,
     "event_volume_hw" -> Sql.eventVolumeHwQ,
     "forecast_eval" -> Sql.forecastEvalQ,
@@ -539,6 +545,7 @@ object SparkEntry {
     "product_trend_ols" -> StatsSql.productTrendOlsQ,
     "jw_name_pairs" -> StatsSql.jwNamePairsQ,
     "jw_recall" -> StatsSql.jwRecallQ,
+    "event_type_xcorr" -> StatsSql.eventTypeXcorrQ,
     "daily_gapfill" -> Sql.dailyGapfillQ,
     "time_analytics" -> Sql.timeAnalyticsQ,
     "customer_segmentation" -> Sql.customerSegmentationQ,

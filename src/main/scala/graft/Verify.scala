@@ -45,6 +45,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stop streaming-state maintenance before the SparkEnv goes away,
+    // or its next tick stack-traces into the artifact tail
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
     spark.stop()
   }
 }

@@ -568,4 +568,71 @@ object StatsMarts {
           col("n_hits").cast("double") / col("n_candidates").cast("double"))
           .otherwise(lit(1.0)).as("precision"))
   }
+
+  /** Lag window of [[eventTypeXcorr]] (±7 days); shared with the
+    * oracle's generate_series. */
+  val XCorrMaxLag = 7
+
+  /** GROUPED TIME-SERIES CROSS-CORRELATION — the lead/lag matrix
+    * between every ordered pair of event-type daily-volume series
+    * (the forecast_eval discipline applied ACROSS series): for each
+    * (x_type, y_type) and lag ℓ ∈ [−7, +7], the Pearson correlation
+    * of (x_t, y_{t+ℓ}) over the overlapping days. A positive-peak
+    * lag ℓ > 0 reads "x leads y by ℓ days" — the funnel question
+    * ("do purchases trail views?") answered measured, per pair, with
+    * the peak flagged.
+    *
+    * Determinism (the embeddingCorr recipe): daily volumes are exact
+    * int64 counts; per-(pair, lag) moments are exact — n/Σx/Σy as
+    * int64, the squared/cross sums as decimal(38,0) via decimal(19,0)
+    * operand casts (DuckDB's width-18 int64 multiply trap; Spark
+    * widens to the same digits) — and Pearson is the same fixed
+    * double tree of string-cast decimals. The peak flag is a
+    * row_number over (|r| desc nulls-last, lag asc) — a total order.
+    *
+    * Scale: ONE events pass collapses the corpus to (types × days)
+    * rows; the lag expansion and the self-join run on that bounded
+    * daily table (types² × lags × overlap rows); the peak window
+    * partitions on the bounded pair dimension — the W3 exception.
+    * Headroom: daily-volume products enter decimals, never bare
+    * int64. */
+  def eventTypeXcorr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("v"))
+    val withLags = daily
+      .select(col("event_type").as("x_type"), col("d"), col("v").as("x"),
+        explode(sequence(lit(-XCorrMaxLag), lit(XCorrMaxLag))).as("lag"))
+    val joined = withLags.join(
+      daily.select(col("event_type").as("y_type"), col("d").as("dy"),
+        col("v").as("y")),
+      col("dy") === date_add(col("d"), col("lag")) &&
+        col("y_type") =!= col("x_type"))
+    val sums = joined.groupBy("x_type", "y_type", "lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+        sum(col("y").cast(d19) * col("y").cast(d19)).as("syy"),
+        sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def sd(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val withR = sums
+      .withColumn("num", d(col("n_days")) * sd(col("sxy"))
+        - d(col("sx")) * d(col("sy")))
+      .withColumn("den_x", d(col("n_days")) * sd(col("sxx"))
+        - d(col("sx")) * d(col("sx")))
+      .withColumn("den_y", d(col("n_days")) * sd(col("syy"))
+        - d(col("sy")) * d(col("sy")))
+      .withColumn("pearson_r",
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num") / (sqrt(col("den_x")) * sqrt(col("den_y")))))
+    val peak = Window.partitionBy("x_type", "y_type")
+      .orderBy(abs(col("pearson_r")).desc_nulls_last, col("lag").asc)
+    withR
+      .withColumn("is_peak", row_number().over(peak) === 1)
+      .select(col("x_type"), col("y_type"), col("lag"), col("n_days"),
+        col("sx").as("sum_x"), col("sy").as("sum_y"),
+        col("pearson_r"), col("is_peak"))
+  }
 }

@@ -381,6 +381,93 @@ object TimeMarts {
         col("r").as("intercept_cents"))
   }
 
+  /** STL-STYLE SEASONAL DECOMPOSITION of daily revenue (Cleveland et
+    * al. 1990's trend/seasonal/remainder split, with the repo's
+    * deterministic estimators in each role): trend = the ROBUST
+    * Theil-Sen line (passed in — a Mat'd trained artifact), seasonal =
+    * the CENTERED day-of-week means of the detrended series, remainder
+    * = what neither explains. Every row also carries the Hyndman &
+    * co. STRENGTH gates — F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — so a consumer reads
+    * whether the decomposition EARNED its components before trusting
+    * them (the forecast_eval discipline: measured, not assumed).
+    *
+    * Determinism: cents and epoch-days are exact ints; dow is the
+    * engine-independent d % 7 (never an extract-dow convention
+    * mismatch); every cross-row double sum — per-dow means, the
+    * seasonal centering, all six variance moments — folds in a FIXED
+    * (day or dow) order over calendar-bounded collected arrays (the
+    * Neyman fold idiom); strengths are fixed trees of those folds.
+    *
+    * Scale: the daily table is calendar-bounded (≤3650 rows/decade),
+    * so the collects are bounded regardless of corpus size; the only
+    * corpus-scale work already happened in the Mat'd daily summary
+    * and Theil-Sen line. */
+  val StlPeriod = 7
+
+  def revenueStl(daily: DataFrame, line: DataFrame): DataFrame = {
+    val base = daily.select(col("order_date"),
+      datediff(col("order_date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      (col("daily_revenue") * 100).cast("long").as("cents"))
+    val det = base
+      .crossJoin(broadcast(line.select(col("slope_cents_per_day"),
+        col("intercept_cents"))))
+      .withColumn("trend",
+        col("slope_cents_per_day") * col("d").cast("double")
+          + col("intercept_cents"))
+      .withColumn("detrended", col("cents").cast("double") - col("trend"))
+      .withColumn("dow_key", pmod(col("d"), lit(StlPeriod.toLong)))
+    val seas0 = det.groupBy("dow_key")
+      .agg(count(lit(1)).as("n_dow"),
+        array_sort(collect_list(struct(col("d"), col("detrended")))).as("a"))
+      .select(col("dow_key"), col("n_dow"),
+        (expr("aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.detrended)")
+          / col("n_dow").cast("double")).as("seasonal_raw"))
+    val adj = seas0
+      .agg(array_sort(collect_list(struct(col("dow_key"),
+          col("seasonal_raw")))).as("s"),
+        count(lit(1)).as("np"))
+      .select((expr(
+        "aggregate(s, cast(0.0 as double), (acc, x) -> acc + x.seasonal_raw)")
+        / col("np").cast("double")).as("adj"))
+    val seas = seas0.crossJoin(broadcast(adj))
+      .select(col("dow_key"), (col("seasonal_raw") - col("adj")).as("seasonal"))
+    val rows = det.join(broadcast(seas), Seq("dow_key"))
+      .withColumn("remainder", col("detrended") - col("seasonal"))
+      .withColumn("deseason", col("cents").cast("double") - col("seasonal"))
+    def fold(f: String) =
+      expr(s"aggregate(a, cast(0.0 as double), (acc, x) -> acc + $f)")
+    val strength = rows
+      .agg(array_sort(collect_list(struct(col("d"), col("remainder"),
+          col("detrended"), col("deseason")))).as("a"),
+        count(lit(1)).as("n"))
+      .select(col("n").cast("double").as("nd"),
+        fold("x.remainder").as("s_r"),
+        fold("x.remainder * x.remainder").as("s_r2"),
+        fold("x.detrended").as("s_dt"),
+        fold("x.detrended * x.detrended").as("s_dt2"),
+        fold("x.deseason").as("s_ds"),
+        fold("x.deseason * x.deseason").as("s_ds2"))
+      .select(
+        (col("s_r2") / col("nd")
+          - (col("s_r") / col("nd")) * (col("s_r") / col("nd"))).as("var_r"),
+        (col("s_dt2") / col("nd")
+          - (col("s_dt") / col("nd")) * (col("s_dt") / col("nd"))).as("var_dt"),
+        (col("s_ds2") / col("nd")
+          - (col("s_ds") / col("nd")) * (col("s_ds") / col("nd"))).as("var_ds"))
+      .select(
+        when(col("var_dt") > 0,
+          greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_dt")))
+          .as("seasonal_strength"),
+        when(col("var_ds") > 0,
+          greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_ds")))
+          .as("trend_strength"))
+    rows.crossJoin(broadcast(strength))
+      .select(col("order_date"), col("cents"), col("trend"), col("seasonal"),
+        col("remainder"), col("seasonal_strength"), col("trend_strength"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE
     * specialize: exactly the requested grain combinations ((month),
     * (promo flag), ()) from ONE Expand + one shuffle, where cube would

@@ -1070,9 +1070,12 @@ object Sql {
     * slopes (one IEEE division each), the same lower-median element
     * picks under the (value, date...) total order, the same residual
     * arithmetic with the selected slope. */
-  val revenueTheilSenQ: String =
-    s"""$allCtes,
-       |ts_b as (
+  /** The Theil-Sen fit as a shared CTE chain ending in `ts_line`
+    * (n_days, n_pairs, slope_cents_per_day, intercept_cents) — read
+    * by [[revenueTheilSenQ]] and [[revenueStlQ]] (Spark serves both
+    * from the Mat'd 1-row table). */
+  private val theilSenCtes: String =
+    s"""ts_b as (
        |  select order_date,
        |    cast(order_date - date '1970-01-01' as bigint) as d,
        |    cast(daily_revenue * 100 as bigint) as c
@@ -1096,13 +1099,91 @@ object Sql {
        |    cast(b.c as double) - s.slope * cast(b.d as double) as r
        |  from ts_b b cross join ts_s s
        |),
-       |ts_nd as (select cast(count(*) as bigint) as n_days from ts_b)
-       |select n_days, n_pairs, slope as slope_cents_per_day,
-       |  r as intercept_cents
-       |from (select *, row_number() over (order by r, order_date) as rn
-       |      from ts_r) t
-       |cross join ts_nd
-       |where rn = (n_days + 1) // 2""".stripMargin
+       |ts_nd as (select cast(count(*) as bigint) as n_days from ts_b),
+       |ts_line as (
+       |  select n_days, n_pairs, slope as slope_cents_per_day,
+       |    r as intercept_cents
+       |  from (select *, row_number() over (order by r, order_date) as rn
+       |        from ts_r) t
+       |  cross join ts_nd
+       |  where rn = (n_days + 1) // 2
+       |)""".stripMargin
+
+  val revenueTheilSenQ: String =
+    s"""$allCtes,
+       |$theilSenCtes
+       |select n_days, n_pairs, slope_cents_per_day, intercept_cents
+       |from ts_line""".stripMargin
+
+  /** Mirror TimeMarts.revenueStl: the Theil-Sen line, the d%7
+    * day-of-week key, per-dow means of the detrended series folded in
+    * day order, centering folded in dow order, and the six variance
+    * moments folded in day order — every cross-row double sum a fixed
+    * ordered list_reduce, every strength the same fixed tree. */
+  val revenueStlQ: String =
+    s"""$allCtes,
+       |$theilSenCtes,
+       |stl_d as (
+       |  select b.order_date, b.d, b.c as cents,
+       |    l.slope_cents_per_day * cast(b.d as double) + l.intercept_cents
+       |      as trend,
+       |    cast(b.c as double)
+       |      - (l.slope_cents_per_day * cast(b.d as double)
+       |         + l.intercept_cents) as detrended,
+       |    b.d % 7 as dow_key
+       |  from ts_b b cross join ts_line l
+       |),
+       |stl_s0 as (
+       |  select dow_key, cast(count(*) as bigint) as n_dow,
+       |    list_reduce(list(detrended order by d), (a, x) -> a + x)
+       |      / cast(count(*) as double) as seasonal_raw
+       |  from stl_d group by 1
+       |),
+       |stl_adj as (
+       |  select list_reduce(list(seasonal_raw order by dow_key),
+       |      (a, x) -> a + x) / cast(count(*) as double) as adj
+       |  from stl_s0
+       |),
+       |stl_s as (
+       |  select dow_key, seasonal_raw - adj as seasonal
+       |  from stl_s0 cross join stl_adj
+       |),
+       |stl_r as (
+       |  select d.order_date, d.d, d.cents, d.trend, d.detrended, s.seasonal,
+       |    d.detrended - s.seasonal as remainder,
+       |    cast(d.cents as double) - s.seasonal as deseason
+       |  from stl_d d join stl_s s using (dow_key)
+       |),
+       |stl_v as (
+       |  select cast(count(*) as double) as nd,
+       |    list_reduce(list(remainder order by d), (a, x) -> a + x) as s_r,
+       |    list_reduce(list(remainder * remainder order by d),
+       |      (a, x) -> a + x) as s_r2,
+       |    list_reduce(list(detrended order by d), (a, x) -> a + x) as s_dt,
+       |    list_reduce(list(detrended * detrended order by d),
+       |      (a, x) -> a + x) as s_dt2,
+       |    list_reduce(list(deseason order by d), (a, x) -> a + x) as s_ds,
+       |    list_reduce(list(deseason * deseason order by d),
+       |      (a, x) -> a + x) as s_ds2
+       |  from stl_r
+       |),
+       |stl_f as (
+       |  select
+       |    case when (s_dt2 / nd - (s_dt / nd) * (s_dt / nd)) > 0
+       |      then greatest(0.0, 1.0
+       |        - (s_r2 / nd - (s_r / nd) * (s_r / nd))
+       |          / (s_dt2 / nd - (s_dt / nd) * (s_dt / nd))) end
+       |      as seasonal_strength,
+       |    case when (s_ds2 / nd - (s_ds / nd) * (s_ds / nd)) > 0
+       |      then greatest(0.0, 1.0
+       |        - (s_r2 / nd - (s_r / nd) * (s_r / nd))
+       |          / (s_ds2 / nd - (s_ds / nd) * (s_ds / nd))) end
+       |      as trend_strength
+       |  from stl_v
+       |)
+       |select r.order_date, r.cents, r.trend, r.seasonal, r.remainder,
+       |  f.seasonal_strength, f.trend_strength
+       |from stl_r r cross join stl_f f""".stripMargin
 
   /** Integer division by [[graft.marts.TimeMarts.HoltDiv]]. PROBED,
     * not assumed (a falling Holt trend goes negative, where floor and

@@ -572,4 +572,60 @@ object StatsSql {
        |    else 1.0 end as precision
        |from jwr_j cross join jwr_k""".stripMargin
   }
+
+  /** Mirror StatsMarts.eventTypeXcorr: the same daily-volume
+    * collapse, lag expansion, exact decimal moments (decimal(19,0)
+    * operand casts force int128 — the width-18 int64 multiply trap),
+    * the identical string-cast Pearson double tree, and the
+    * (|r| desc nulls-last, lag asc) peak pick. */
+  val eventTypeXcorrQ: String = {
+    val maxLag = StatsMarts.XCorrMaxLag
+    s"""with xc_d as (
+       |  select event_type, cast(ts as date) as d,
+       |    cast(count(*) as bigint) as v
+       |  from events group by 1, 2
+       |),
+       |xc_l as (
+       |  select cast(unnest(generate_series(-$maxLag, $maxLag)) as int) as lag
+       |),
+       |xc_j as (
+       |  select a.event_type as x_type, b.event_type as y_type, l.lag,
+       |    a.v as x, b.v as y
+       |  from xc_d a cross join xc_l l
+       |  join xc_d b on b.d = a.d + l.lag and b.event_type <> a.event_type
+       |),
+       |xc_s as (
+       |  select x_type, y_type, lag, cast(count(*) as bigint) as n_days,
+       |    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+       |    sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) as sxx,
+       |    sum(cast(y as decimal(19,0)) * cast(y as decimal(19,0))) as syy,
+       |    sum(cast(x as decimal(19,0)) * cast(y as decimal(19,0))) as sxy
+       |  from xc_j group by 1, 2, 3
+       |),
+       |xc_r as (
+       |  select x_type, y_type, lag, n_days, sx, sy,
+       |    case when (cast(n_days as double)
+       |          * cast(cast(sxx as varchar) as double)
+       |          - cast(sx as double) * cast(sx as double)) > 0
+       |      and (cast(n_days as double)
+       |          * cast(cast(syy as varchar) as double)
+       |          - cast(sy as double) * cast(sy as double)) > 0
+       |    then (cast(n_days as double)
+       |          * cast(cast(sxy as varchar) as double)
+       |          - cast(sx as double) * cast(sy as double))
+       |      / (sqrt(cast(n_days as double)
+       |            * cast(cast(sxx as varchar) as double)
+       |            - cast(sx as double) * cast(sx as double))
+       |         * sqrt(cast(n_days as double)
+       |            * cast(cast(syy as varchar) as double)
+       |            - cast(sy as double) * cast(sy as double)))
+       |    end as pearson_r
+       |  from xc_s
+       |)
+       |select x_type, y_type, lag, n_days, sx as sum_x, sy as sum_y,
+       |  pearson_r,
+       |  row_number() over (partition by x_type, y_type
+       |    order by abs(pearson_r) desc nulls last, lag asc) = 1 as is_peak
+       |from xc_r""".stripMargin
+  }
 }

@@ -78,6 +78,21 @@ class PlanGuardSpec extends SparkSpec {
     // calendar-bounded daily table × its own broadcast copy (≤3650²/2
     // pair inequality join) + two one-row median/count broadcasts
     "revenue_theilsen",
+    // composes annCosineTopK's bounded broadcast query set over the
+    // Mat'd OPQ-reconstructed corpus (the ann_pq_topk shape)
+    "ann_opq_topk",
+    // per-hop masses × three ONE-ROW broadcast summary frames
+    // (totals, t90 pick, strength row)
+    "copurchase_distance_distribution",
+    // edges × ONE broadcast (keep_num, keep_den) params row (the
+    // budget-derived sampling probability), and counts × the same row
+    "copurchase_triangles_approx",
+    // two ONE-ROW count/sum aggregates (exact vs sampled totals)
+    // cross-joined broadcast, plus the sampled arm's params row
+    "triangles_approx_error",
+    // daily rows × ONE broadcast fitted-line row, 7 dow rows × ONE
+    // broadcast centering row, rows × ONE broadcast strength row
+    "revenue_stl",
     // |bigram types| model rows × ONE broadcast type-count row
     "kneser_ney_bigrams",
     // embeds hybrid_recall's exact baseline (bounded broadcast query
@@ -233,7 +248,10 @@ class PlanGuardSpec extends SparkSpec {
     "neyman_allocation",
     // conformal q̂ cumulative over DISTINCT integer nonconformity
     // scores — the quality_eval Mann-Whitney trade, same bound
-    "quality_conformal")
+    "quality_conformal",
+    // lag/prev over the per-hop mass table: ≤ HyperBallHardCap + 1
+    // rows regardless of corpus size
+    "copurchase_distance_distribution")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,

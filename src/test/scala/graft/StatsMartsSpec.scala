@@ -345,4 +345,52 @@ class StatsMartsSpec extends SparkSpec {
       .select("recall").as[Double].head()
     assert(r === 1.0)
   }
+
+  // ---- event-type cross-correlation ----
+
+  test("xcorr finds a planted 2-day lead with r = 1 at the peak lag") {
+    // 'view' daily volume follows a deterministic non-constant curve;
+    // 'purchase' repeats the SAME curve shifted 2 days later — the
+    // (view, purchase) peak must sit at lag +2 with r == 1.0 there
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def day(t: Int) = new java.sql.Timestamp(base + t * 86400000L)
+    def vol(t: Int) = 3 + (t * 7) % 11 // non-constant, deterministic
+    val events = (0 until 30).flatMap { t =>
+      (0 until vol(t)).map(i =>
+        (t.toLong * 1000 + i, 1L, "view", day(t))) ++
+        (if (t >= 2) (0 until vol(t - 2)).map(i =>
+          (90000L + t * 1000 + i, 1L, "purchase", day(t)))
+        else Seq.empty)
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val rows = StatsMarts.eventTypeXcorr(events)
+      .select("x_type", "y_type", "lag", "n_days", "pearson_r", "is_peak")
+      .as[(String, String, Int, Long, Option[Double], Boolean)].collect()
+    val vp = rows.filter(r => r._1 == "view" && r._2 == "purchase")
+    assert(vp.length === 2 * StatsMarts.XCorrMaxLag + 1)
+    val peak = vp.filter(_._6)
+    assert(peak.length === 1)
+    assert(peak.head._3 === 2, s"peak lag ${peak.head._3}")
+    assert(math.abs(peak.head._5.get - 1.0) < 1e-12)
+    // the mirror-image pair peaks at the negated lag
+    val pv = rows.filter(r => r._1 == "purchase" && r._2 == "view")
+    assert(pv.filter(_._6).head._3 === -2)
+    // overlap bookkeeping at lag +7: view days t ∈ [0,29], purchase
+    // days t+7 ∈ [2,29] ⇒ t ∈ [0,22] = 23 overlapping days
+    val l7 = vp.find(_._3 === 7).get
+    assert(l7._4 === 23L, s"lag+7 overlap ${l7._4}")
+  }
+
+  test("xcorr on the gated events: full matrix, one peak per pair, r bounded") {
+    val rows = Models.eventTypeXcorr(spark, sf)
+      .select("x_type", "y_type", "lag", "pearson_r", "is_peak")
+      .as[(String, String, Int, Option[Double], Boolean)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).distinct
+    assert(pairs.length === 20, s"expected 5x4 ordered pairs, got ${pairs.length}")
+    pairs.foreach { p =>
+      val g = rows.filter(r => (r._1, r._2) == p)
+      assert(g.length === 2 * StatsMarts.XCorrMaxLag + 1)
+      assert(g.count(_._5) === 1, s"pair $p peak count")
+    }
+    rows.flatMap(_._4).foreach(r => assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9))
+  }
 }
