@@ -1673,6 +1673,14 @@ object Models {
     streaming.Streams.incrementalDedupMultiBatchOnce(s, d, minhashBandsExisting(s, d))
   def skewSaltedEnrich(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.skewSaltedEnrich(Tables.events(s, d))
+  /** Sequential-pattern support over user journeys (length-2/3
+    * ordered event-type subsequences, greedy-earliest existence). */
+  def eventSeqSupport(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.eventSeqSupport(Tables.events(s, d))
+  /** First-order Markov transition matrix + k-step distribution over
+    * event-type journeys. */
+  def eventMarkov(s: SparkSession, d: String): DataFrame =
+    marts.EventMarts.eventMarkov(Tables.events(s, d))
   /** Blocked edit-distance nearest-name match over the product catalog
     * (entity resolution; blocked semantics mirrored by the oracle). */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame =

@@ -189,7 +189,11 @@ object Scale {
     // into the moment matrix, then matrix-table-only iterations) and
     // the rotation-fed PQ search at equal code budget; the event-type
     // lead/lag matrix (one events pass to types×days, bounded after)
-    "embedding_pca_topk", "ann_opq_topk", "event_type_xcorr")
+    "embedding_pca_topk", "ann_opq_topk", "event_type_xcorr",
+    // journey mining: greedy-earliest extensions are events×|types|^k
+    // joins (linear for a bounded alphabet); the Markov chain is one
+    // user-partitioned window pass + a |types|² aggregate
+    "event_seq_support", "event_markov")
 
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/edges.parquet")

@@ -346,6 +346,10 @@ object SparkEntry {
     "cms_heavy_hitters" -> out(Models.cmsHeavyHitters),
     "hist_quantiles" -> out(Models.histQuantiles),
     "event_funnel" -> out(Models.eventFunnel),
+    // sequential-pattern support (every length-2/3 journey pattern)
+    "event_seq_support" -> out(Models.eventSeqSupport),
+    // first-order Markov chain + k-step distribution over journeys
+    "event_markov" -> out(Models.eventMarkov),
     // per-transition funnel latency percentiles
     "funnel_latency" -> out(Models.funnelLatency),
     // bounded-heap grouped top-k (native TypedImperativeAggregate)
@@ -675,6 +679,8 @@ object SparkEntry {
     "cms_heavy_hitters" -> CurateSql.cmsHeavyHittersQ,
     "hist_quantiles" -> OpsSql.histQuantilesQ,
     "event_funnel" -> OpsSql.eventFunnelQ,
+    "event_seq_support" -> OpsSql.eventSeqSupportQ,
+    "event_markov" -> OpsSql.eventMarkovQ,
     "funnel_latency" -> OpsSql.funnelLatencyQ,
     "top_docs_per_lang" -> LlmSql.topDocsPerLangQ,
     "lang_confusion" -> LlmSql.langConfusionQ,

@@ -450,4 +450,143 @@ object EventMarts {
         last(col("v"), ignoreNulls = true).over(w)
           .cast("string").cast("double").as("value_locf"))
   }
+
+  /** SEQUENTIAL-PATTERN SUPPORT over user event journeys (the
+    * PrefixSpan question at bounded pattern length): for every ordered
+    * event-type pattern of length 2 and 3, how many users exhibit it
+    * as a SUBSEQUENCE (strictly increasing timestamps, gaps allowed)
+    * — the user-journey mining companion to [[eventFunnel]]'s fixed
+    * funnel (here EVERY pattern is scored, not one hand-picked
+    * stage list).
+    *
+    * Subsequence existence via GREEDY-EARLIEST extension (the classic
+    * two-pointer argument: a subsequence exists iff the greedy
+    * earliest-match does): f1 = per (user, t1) the earliest t1; f2 =
+    * the earliest t2 STRICTLY after it; f3 = any t3 strictly after
+    * that. Each extension is one events-table join with fan-out
+    * bounded by |types|^k per event row — never events×events, so the
+    * whole mine is linear in the corpus for a bounded type alphabet
+    * (a big alphabet bounds instead by the per-user distinct-type
+    * count, and the same greedy chain applies to a chosen pattern
+    * list). Equal timestamps do NOT chain (strict >) — deterministic,
+    * mirrored.
+    *
+    * Output: (pattern_len, t1, t2, t3, n_users, support) — t3 NULL on
+    * length-2 rows; support = n_users / total users with ≥1 event
+    * (one division of exact counts). */
+  def eventSeqSupport(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val total = e.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val f1 = e.groupBy(col("user_id"), col("event_type").as("t1"))
+      .agg(min(col("ts")).as("ts1"))
+    val f2 = f1
+      .join(e.select(col("user_id"), col("event_type").as("t2"),
+        col("ts").as("ts_b")), Seq("user_id"))
+      .where(col("ts_b") > col("ts1"))
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(col("ts_b")).as("ts2"))
+    val f3 = f2
+      .join(e.select(col("user_id"), col("event_type").as("t3"),
+        col("ts").as("ts_c")), Seq("user_id"))
+      .where(col("ts_c") > col("ts2"))
+      .groupBy(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("__exists"))
+    val p2 = f2.groupBy("t1", "t2").agg(count(lit(1)).as("n_users"))
+      .select(lit(2).as("pattern_len"), col("t1"), col("t2"),
+        lit(null).cast("string").as("t3"), col("n_users"))
+    val p3 = f3.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_users"))
+      .select(lit(3).as("pattern_len"), col("t1"), col("t2"), col("t3"),
+        col("n_users"))
+    p2.unionByName(p3).crossJoin(broadcast(total))
+      .select(col("pattern_len"), col("t1"), col("t2"), col("t3"),
+        col("n_users"),
+        (col("n_users").cast("double") / col("n_total").cast("double"))
+          .as("support"))
+  }
+
+  /** Unrolled steps of [[eventMarkov]]'s k-step distribution; shared
+    * with the oracle. */
+  val MarkovSteps = 8
+
+  /** FIRST-ORDER MARKOV CHAIN over user event-type journeys: the
+    * empirical transition matrix (consecutive events per user, ordered
+    * by (ts, event_id) — a total order, so the lead() pairing is
+    * deterministic), row-normalized to probabilities, plus the k-step
+    * state distribution π_k = π₀·Pᵏ from a uniform start — the "where
+    * do journeys settle" read (π_k approximates the stationary
+    * distribution as k grows; k = [[MarkovSteps]] unrolled, the
+    * fixed-round convention). A prev-type with no observed outgoing
+    * transitions gets the UNIFORM row (the PageRank dangling-mass
+    * convention) so π stays a true distribution instead of leaking
+    * mass.
+    *
+    * Determinism: transition counts are exact int64; p is one
+    * division; the π iteration folds i in TYPE ORDER over the
+    * bounded |types|² matrix (array-of-arrays on one row — the
+    * embedding_pca_topk idiom), every step a fixed double tree.
+    *
+    * Scale: one window pass over events (partitioned by user), one
+    * |types|²-row aggregate; the iteration never touches the corpus.
+    * Output: one row per dense (prev_type, next_type) cell — n_trans
+    * (0 for unobserved cells), n_from, p, and the summary-broadcast
+    * pi_k of the NEXT type. */
+  def eventMarkov(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    val trans = seq.groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val types = events.select(col("event_type").as("t")).distinct()
+    val rowTot = trans.groupBy("prev_type").agg(sum(col("n_trans")).as("n_from"))
+    val nTypes = types.agg(count(lit(1)).as("n_types"))
+    val dense = types.select(col("t").as("prev_type"))
+      .crossJoin(broadcast(types.select(col("t").as("next_type"))))
+      .join(trans, Seq("prev_type", "next_type"), "left")
+      .join(rowTot, Seq("prev_type"), "left")
+      .crossJoin(broadcast(nTypes))
+      .select(col("prev_type"), col("next_type"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_from"), lit(0L)).as("n_from"),
+        when(col("n_from").isNull,
+          lit(1.0) / col("n_types").cast("double"))
+          .otherwise(coalesce(col("n_trans"), lit(0L)).cast("double")
+            / col("n_from").cast("double")).as("p"))
+    // the matrix as ONE row: rows (prev asc), within each row next asc
+    val pm = dense.groupBy("prev_type")
+      .agg(array_sort(collect_list(struct(col("next_type"), col("p"))))
+        .as("r"))
+      .select(col("prev_type"), expr("transform(r, x -> x.p)").as("pr"))
+      .agg(array_sort(collect_list(struct(col("prev_type"), col("pr"))))
+        .as("m"))
+      .select(expr("transform(m, x -> x.pr)").as("pm"),
+        size(col("m")).as("n"))
+    // ONE runtime fold over the step sequence with the π ARRAY as the
+    // accumulator — an unrolled select-per-step chain here collapses
+    // (CollapseProject) into a projection whose expression tree grows
+    // as (n²)^k and never finishes codegen; the higher-order aggregate
+    // keeps the plan linear and iterates at RUNTIME
+    val pi = pm.select(col("pm"), col("n"), expr(
+      s"""aggregate(sequence(1, $MarkovSteps),
+            transform(sequence(1, n), j -> 1.0d / cast(n as double)),
+            (pi, s) -> transform(sequence(1, n), j ->
+              aggregate(sequence(1, n), cast(0.0 as double), (acc, i) ->
+                acc + element_at(pi, i)
+                    * element_at(element_at(pm, i), j))))""").as("pi"))
+    val piRows = pi
+      .select(posexplode(col("pi")).as(Seq("__j", "pi_k")))
+      .join(types.select(col("t"))
+          .withColumn("__j",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("t")) - 1),
+        Seq("__j"))
+      .select(col("t").as("next_type"), col("pi_k"))
+    dense.join(broadcast(piRows), Seq("next_type"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("n_from"), col("p"), lit(MarkovSteps).as("n_steps"),
+        col("pi_k"))
+  }
 }

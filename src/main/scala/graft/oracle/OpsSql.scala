@@ -1800,4 +1800,106 @@ object OpsSql {
       |  cast(grouping(l_linestatus) as bigint) as g_linestatus
       |from lineitem
       |group by cube(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Mirror EventMarts.eventSeqSupport: the same greedy-earliest
+    * subsequence extensions (min-ts per prefix, strict > chaining),
+    * per-pattern user counts, one support division. */
+  val eventSeqSupportQ: String =
+    s"""with seq_e as (select user_id, event_type, ts from events),
+       |seq_tot as (
+       |  select cast(count(distinct user_id) as bigint) as n_total from seq_e
+       |),
+       |seq_f1 as (
+       |  select user_id, event_type as t1, min(ts) as ts1
+       |  from seq_e group by 1, 2
+       |),
+       |seq_f2 as materialized (
+       |  select f.user_id, f.t1, e.event_type as t2, min(e.ts) as ts2
+       |  from seq_f1 f join seq_e e
+       |    on e.user_id = f.user_id and e.ts > f.ts1
+       |  group by 1, 2, 3
+       |),
+       |seq_f3 as (
+       |  select f.user_id, f.t1, f.t2, e.event_type as t3
+       |  from seq_f2 f join seq_e e
+       |    on e.user_id = f.user_id and e.ts > f.ts2
+       |  group by 1, 2, 3, 4
+       |),
+       |seq_p as (
+       |  select 2 as pattern_len, t1, t2, cast(null as varchar) as t3,
+       |    cast(count(*) as bigint) as n_users
+       |  from seq_f2 group by t1, t2
+       |  union all
+       |  select 3, t1, t2, t3, cast(count(*) as bigint)
+       |  from seq_f3 group by t1, t2, t3
+       |)
+       |select pattern_len, t1, t2, t3, n_users,
+       |  cast(n_users as double) / cast(n_total as double) as support
+       |from seq_p cross join seq_tot""".stripMargin
+
+  /** Mirror EventMarts.eventMarkov: the (ts, event_id)-ordered lead
+    * pairing, the dense row-normalized matrix with the uniform
+    * dangling row, and the unrolled k-step π folds over the
+    * (prev asc, next asc) list-of-lists — the identical index-ordered
+    * reduction trees. */
+  val eventMarkovQ: String = {
+    val k = graft.marts.EventMarts.MarkovSteps
+    val steps = (1 to k).map { r =>
+      s"""mk_p$r as (
+         |  select pm, n, list_transform(generate_series(1, n), j ->
+         |    list_reduce(list_transform(generate_series(1, n),
+         |      i -> pi[i] * pm[i][j]), (a, x) -> a + x)) as pi
+         |  from mk_p${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""with mk_s as (
+       |  select event_type, lead(event_type) over (
+       |    partition by user_id order by ts, event_id) as next_type
+       |  from events
+       |),
+       |mk_t as (
+       |  select event_type as prev_type, next_type,
+       |    cast(count(*) as bigint) as n_trans
+       |  from mk_s where next_type is not null group by 1, 2
+       |),
+       |mk_ty as (select distinct event_type as t from events),
+       |mk_rt as (
+       |  select prev_type, cast(sum(n_trans) as bigint) as n_from
+       |  from mk_t group by 1
+       |),
+       |mk_n as (select cast(count(*) as bigint) as n_types from mk_ty),
+       |mk_d as materialized (
+       |  select a.t as prev_type, b.t as next_type,
+       |    coalesce(t.n_trans, 0) as n_trans,
+       |    coalesce(r.n_from, 0) as n_from,
+       |    case when r.n_from is null then 1.0 / cast(n.n_types as double)
+       |         else cast(coalesce(t.n_trans, 0) as double)
+       |              / cast(r.n_from as double) end as p
+       |  from mk_ty a cross join mk_ty b
+       |  left join mk_t t on t.prev_type = a.t and t.next_type = b.t
+       |  left join mk_rt r on r.prev_type = a.t
+       |  cross join mk_n n
+       |),
+       |mk_m as (
+       |  select list(pr order by prev_type) as pm, cast(count(*) as int) as n
+       |  from (
+       |    select prev_type, list(p order by next_type) as pr
+       |    from mk_d group by 1) t
+       |),
+       |mk_p0 as (
+       |  select pm, n, list_transform(generate_series(1, n),
+       |    j -> 1.0 / cast(n as double)) as pi
+       |  from mk_m
+       |),
+       |$steps,
+       |mk_pr as (
+       |  select ty.t as next_type, pi[ty.j] as pi_k
+       |  from (select t, cast(row_number() over (order by t) as int) as j
+       |        from mk_ty) ty
+       |  cross join mk_p$k
+       |)
+       |select d.prev_type, d.next_type, d.n_trans, d.n_from, d.p,
+       |  $k as n_steps, r.pi_k
+       |from mk_d d join mk_pr r using (next_type)""".stripMargin
+  }
 }

@@ -93,6 +93,11 @@ class PlanGuardSpec extends SparkSpec {
     // daily rows × ONE broadcast fitted-line row, 7 dow rows × ONE
     // broadcast centering row, rows × ONE broadcast strength row
     "revenue_stl",
+    // pattern rows × ONE broadcast total-users row
+    "event_seq_support",
+    // bounded |types| × |types| dense-matrix crossJoins (broadcast
+    // type lists / one-row n_types / the |types|-row π table)
+    "event_markov",
     // |bigram types| model rows × ONE broadcast type-count row
     "kneser_ney_bigrams",
     // embeds hybrid_recall's exact baseline (bounded broadcast query
@@ -251,7 +256,9 @@ class PlanGuardSpec extends SparkSpec {
     "quality_conformal",
     // lag/prev over the per-hop mass table: ≤ HyperBallHardCap + 1
     // rows regardless of corpus size
-    "copurchase_distance_distribution")
+    "copurchase_distance_distribution",
+    // row_number over the bounded |event types| list (π index join)
+    "event_markov")
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
