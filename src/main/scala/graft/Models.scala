@@ -1573,18 +1573,42 @@ object Models {
     * plans both Mat builds below reuse — the K-round pipeline runs
     * once even though it feeds two tables. */
   private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
-  private def bpeTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (DataFrame, DataFrame, Seq[DataFrame])]()
+  private val bpeServed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+  private def bpeTrained(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) =
     bpeCache.computeIfAbsent((s.sparkContext.applicationId, d),
-      _ => llm.Bpe.train(Tables.documents(s, d)))
+      _ => llm.Bpe.trainRetained(Tables.documents(s, d)))
+  /** The unigram freeing discipline applied to BPE (same ADVICE r15
+    * shape): once both Mat tables are served, the retained training
+    * checkpoints are dead weight — measured to matter in the scale
+    * probe, whose fresh-alias passes otherwise accumulate one
+    * retained word-table block set per alias until the heap dies. */
+  private def bpeFreeIfServed(s: SparkSession, d: String,
+                              which: String): Unit = {
+    val app = s.sparkContext.applicationId
+    bpeServed.add((app, d, which)): Unit
+    if (bpeServed.contains((app, d, "merges")) &&
+        bpeServed.contains((app, d, "seg")))
+      Option(bpeCache.remove((app, d)))
+        .foreach(_._3.foreach(graft.plans.Checkpoints.free))
+  }
   /** Learned BPE merge table (the trained tokenizer vocabulary) —
     * distinct-word-frequency-bounded, so training cost is vocabulary-
     * sized after the first corpus pass (llm.Bpe). */
-  def bpeMerges(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "bpe_merges")(bpeTrained(s, d)._1)
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val out = Mat.table(s, d, "bpe_merges")(bpeTrained(s, d)._1)
+    bpeFreeIfServed(s, d, "merges")
+    out
+  }
   /** Every distinct corpus word segmented under the final merge table. */
-  def bpeSegmentation(s: SparkSession, d: String): DataFrame =
-    Mat.table(s, d, "bpe_segmentation")(bpeTrained(s, d)._2)
+  def bpeSegmentation(s: SparkSession, d: String): DataFrame = {
+    val out = Mat.table(s, d, "bpe_segmentation")(bpeTrained(s, d)._2)
+    bpeFreeIfServed(s, d, "seg")
+    out
+  }
   /** The tokenizer APPLIED: per-doc true BPE token counts through the
     * Mat'd (broadcastable) segmentation table. */
   def bpeTokenCounts(s: SparkSession, d: String): DataFrame =

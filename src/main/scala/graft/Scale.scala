@@ -365,6 +365,14 @@ object Scale {
           }
         }
       }
+      // drain the ContextCleaner between arms: checkpoint blocks of
+      // completed queries are weak-referenced once their frames go
+      // unreachable, but cleaning is GC-driven — without a nudge the
+      // 8x arm starts on top of the 1x arm's dead blocks and the heap
+      // headroom halves (measured: an 8g heap OOM'd early in the 8x
+      // warm-up before this + the bpe retained-checkpoint freeing)
+      System.gc()
+      Thread.sleep(2000)
       System.err.println(s"[scale] factor ${f}x done (${skipped.size} skipped so far)")
     }
 
@@ -378,9 +386,14 @@ object Scale {
       // sub-100ms baselines are pure noise at this granularity
       s.head >= 0.1 && s.last / s.head > 2.0 * fMax
     }
+    // counts are best-effort: a late executor OOM can stop the context
+    // after every probe already measured — the summary (the artifact
+    // this main exists to produce) must still write
     val tableCounts = Seq("documents", "embeddings", "events", "edges").map { t =>
       val ns = dirs.map { case (f, d) =>
-        s""""${f}x":${spark.read.parquet(s"$d/$t.parquet").count()}"""
+        val c = try spark.read.parquet(s"$d/$t.parquet").count()
+        catch { case scala.util.control.NonFatal(_) => -1L }
+        s""""${f}x":$c"""
       }.mkString(",")
       s""""$t":{$ns}"""
     }.mkString(",")

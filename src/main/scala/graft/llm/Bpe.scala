@@ -99,6 +99,19 @@ object Bpe {
     *  - segmentation: (word, freq, n_pieces, pieces) — every distinct
     *    word under the final merge table. */
   def train(documents: DataFrame): (DataFrame, DataFrame) = {
+    val (merges, seg, _) = trainRetained(documents)
+    (merges, seg)
+  }
+
+  /** [[train]] plus the checkpoint handles the returned plans lean on
+    * (the final word table and the K 1-row merge picks) — the unigram
+    * trainRetained contract (ADVICE r15): intermediate rounds free
+    * inline, these stay pinned until every consumer materializes, and
+    * a memoizing caller frees them through this list afterwards
+    * (measured to matter: the scale probe's fresh-alias passes
+    * accumulate one retained word-table block set per alias). */
+  def trainRetained(documents: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val spark = documents.sparkSession
     import spark.implicits._
     val sentinel = Seq((Sentinel, -1L)).toDF("pair", "cnt")
@@ -106,6 +119,7 @@ object Bpe {
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = Vector.newBuilder[DataFrame]
+    val retained = Vector.newBuilder[DataFrame]
     for (k <- 1 to MergeCount) {
       val prevWords = words
       val counts = words
@@ -130,6 +144,7 @@ object Bpe {
       // round k's words + top1 are materialized: nothing reads round
       // k-1's word table anymore
       graft.plans.Checkpoints.free(prevWords)
+      retained += top1
       merges += top1.filter(col("cnt") >= 0)
         .select(lit(k).as("merge_rank"), col("a").as("left_sym"), col("b").as("right_sym"),
           concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_freq"))
@@ -138,7 +153,7 @@ object Bpe {
     val seg = words.select(col("word"), col("freq"),
       size(split(col("syms"), " ")).cast("long").as("n_pieces"),
       col("syms").as("pieces"))
-    (mergesDf, seg)
+    (mergesDf, seg, retained.result() :+ words)
   }
 
   /** The id-assigned vocabulary: every distinct PIECE of the final
