@@ -337,6 +337,11 @@ object Quantize {
       .select(col("n"),
         expr("aggregate(dd, cast(0.0 as double), (acc, x) -> acc + x.mii)")
           .as("trace_m"))
+      // EMPTY corpus: the ungrouped agg above regenerates one n=NULL
+      // row from an empty `mat`; drop it so the whole top-k plan (and
+      // everything fed by it — opq_corpus, ann_opq_topk) yields zero
+      // rows like DuckDB's mirror (the embeddingPca guard, ADVICE r16)
+      .where(col("n") > 0)
       .localCheckpoint(true)
     val v0 = Seq.fill(PcaDim)(
       math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong)
@@ -355,6 +360,10 @@ object Quantize {
           .withColumn("sgn", expr(
             """if(aggregate(w, cast(0.0 as double), (acc, x) ->
                  if(abs(x) > abs(acc), x, acc)) < 0, -1.0d, 1.0d)"""))
+          // empty corpus ⇒ w=[] from the regenerated agg row; drop it
+          // before sequence(1, size(w)) can see size 0 (= [1,0] on
+          // Spark — element_at(w, 0) throws; ADVICE r16)
+          .where(size(col("w")) > 0)
         if (r == PcaRounds) wRow = wRow.localCheckpoint(true)
         vRow = wRow.select(expr(
           s"""transform(w, x ->
@@ -368,6 +377,8 @@ object Quantize {
         .select(col("i"), expr(matVec).as("ui"))
         .agg(array_sort(collect_list(struct(col("i"), col("ui")))).as("us"))
         .select(expr("transform(us, x -> x.ui)").as("u"))
+        // same empty-corpus regeneration guard as wRow above
+        .where(size(col("u")) > 0)
         .crossJoin(broadcast(vFix))
         .select(col("v"),
           expr("""aggregate(zip_with(u, v, (x, q) -> x * cast(q as double)),

@@ -564,6 +564,12 @@ object EventMarts {
         .as("m"))
       .select(expr("transform(m, x -> x.pr)").as("pm"),
         size(col("m")).as("n"))
+      // EMPTY events table: the ungrouped agg above regenerates one
+      // m=[] row, and the π fold's sequence(1, n)=sequence(1,0)=[1,0]
+      // on Spark would call element_at(pi, 0) and throw while DuckDB's
+      // generate_series(1,0) is empty — drop the row so both engines
+      // return zero rows (the embeddingPca guard class, ADVICE r16)
+      .where(col("n") > 0)
     // ONE runtime fold over the step sequence with the π ARRAY as the
     // accumulator — an unrolled select-per-step chain here collapses
     // (CollapseProject) into a projection whose expression tree grows

@@ -393,8 +393,10 @@ object TimeMarts {
     * them (the forecast_eval discipline: measured, not assumed).
     *
     * Determinism: cents and epoch-days are exact ints; dow is the
-    * engine-independent d % 7 (never an extract-dow convention
-    * mismatch); every cross-row double sum — per-dow means, the
+    * engine-independent ((d % 7) + 7) % 7 (never an extract-dow
+    * convention mismatch, and sign-safe for pre-1970 dates where
+    * Spark's pmod and DuckDB's % disagree); every cross-row double
+    * sum — per-dow means, the
     * seasonal centering, all six variance moments — folds in a FIXED
     * (day or dow) order over calendar-bounded collected arrays (the
     * Neyman fold idiom); strengths are fixed trees of those folds.
@@ -417,7 +419,12 @@ object TimeMarts {
         col("slope_cents_per_day") * col("d").cast("double")
           + col("intercept_cents"))
       .withColumn("detrended", col("cents").cast("double") - col("trend"))
-      .withColumn("dow_key", pmod(col("d"), lit(StlPeriod.toLong)))
+      // ((d % 7) + 7) % 7 — NOT pmod vs bare %: for pre-1970 dates d
+      // is negative and Spark's pmod yields [0,6] while DuckDB's %
+      // yields negatives, silently regrouping seasonal means; this
+      // double-mod is engine-independent on any sign (ADVICE r16)
+      .withColumn("dow_key",
+        expr(s"((d % $StlPeriod) + $StlPeriod) % $StlPeriod"))
     val seas0 = det.groupBy("dow_key")
       .agg(count(lit(1)).as("n_dow"),
         array_sort(collect_list(struct(col("d"), col("detrended")))).as("a"))

@@ -1130,7 +1130,7 @@ object Sql {
        |    cast(b.c as double)
        |      - (l.slope_cents_per_day * cast(b.d as double)
        |         + l.intercept_cents) as detrended,
-       |    b.d % 7 as dow_key
+       |    ((b.d % 7) + 7) % 7 as dow_key
        |  from ts_b b cross join ts_line l
        |),
        |stl_s0 as (

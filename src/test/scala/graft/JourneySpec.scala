@@ -98,4 +98,11 @@ class JourneySpec extends SparkSpec {
     // pi_k is a distribution
     assert(math.abs(pi.sum - 1.0) < 1e-9)
   }
+
+  test("markov: empty events yields zero rows, not a sequence(1,0) crash") {
+    // ADVICE r16: the ungrouped pm agg regenerates an m=[] row on
+    // empty input and the π fold's sequence(1, 0)=[1,0] on Spark
+    // called element_at(pi, 0), which throws; DuckDB returns no rows
+    assert(EventMarts.eventMarkov(ev(Seq.empty)).count() === 0L)
+  }
 }

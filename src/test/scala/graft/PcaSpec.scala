@@ -48,6 +48,9 @@ class PcaSpec extends SparkSpec {
     // corpus emitted 2 garbage rows while DuckDB returned none
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Quantize.embeddingPca(empty).count() === 0L)
+    // ADVICE r16: the top-k variant had the same bug class via its
+    // trace/wRow/defl ungrouped aggs — element_at(w, 0) threw
+    assert(Quantize.embeddingPcaTopK(empty).count() === 0L)
   }
 
   test("top-k deflation recovers two planted directions in eigenvalue order, orthogonal") {
