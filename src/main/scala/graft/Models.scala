@@ -1769,7 +1769,10 @@ object Models {
 
   def semanticQuery(name: String)(s: SparkSession, d: String): DataFrame = {
     val q = semantic.Registry.savedQuery(name)
-    semantic.Planner.savedQuery(q, semantic.Registry, semanticBacking(q.model)(s, d))
+    // the resolver lets entity-join group-bys pull the dim model's
+    // mart (Mat-barriered, so a shared model builds once)
+    semantic.Planner.savedQuery(q, semantic.Registry,
+      semanticBacking(q.model)(s, d), m => semanticBacking(m)(s, d))
   }
 
   /** Build every Mat-materialized mart, independent subtrees in

@@ -41,6 +41,45 @@ object OracleGen {
       val t = model.timeDim.getOrElse(sys.error(s"no time dim on ${model.name}"))
       (s"cast(date_trunc('$grain', $t) as date)", "metric_time")
     case ByEntity(e) => (model.entities(e), e)
+    case d @ ByDimension(n) => d.entityPath match {
+      // entity-joined dims surface in sq_src under their output name
+      case Some(_) => (n, n)
+      case None => (model.dimension(n), n)
+    }
+  }
+
+  /** Entity-join source CTE (mirrors Planner.joinEntityDims): when the
+    * query references `entity__dim` group-bys, wrap the fact CTE with
+    * one LEFT JOIN per foreign entity against the owning model's CTE,
+    * exposing fact.* plus each joined dimension under its output name
+    * — so measure exprs stay unqualified and unambiguous. Returns
+    * (cteSqlOrEmpty, fromName). */
+  private def entityJoinSrc(q: SavedQuery, registry: Registry): (String, String) = {
+    val model = registry.model(q.model)
+    val wanted = q.groupBys.collect {
+      case d: ByDimension if d.entityPath.isDefined => (d.entityPath.get, d.name)
+    }
+    if (wanted.isEmpty) return ("", cteOf(q.model))
+    val joins = wanted.groupBy(_._1._1).toSeq.sortBy(_._1)
+    val dimCols = joins.flatMap { case (entity, dims) =>
+      dims.map { case ((_, d), out) =>
+        s"__dim_$entity.${registry.model(registry.entityOwner(entity)).dimension(d)} as $out"
+      }
+    }
+    val joinSql = joins.map { case (entity, _) =>
+      val owner = registry.model(registry.entityOwner(entity))
+      val factKey = model.entities.getOrElse(entity,
+        sys.error(s"model ${model.name} declares no entity $entity"))
+      s"left join ${cteOf(owner.name)} __dim_$entity " +
+        s"on f.$factKey = __dim_$entity.${owner.entities(entity)}"
+    }
+    val cte =
+      s"""sq_src as (
+         |  select f.*, ${dimCols.mkString(", ")}
+         |  from ${cteOf(q.model)} f
+         |  ${joinSql.mkString("\n  ")}
+         |)""".stripMargin
+    (cte, "sq_src")
   }
 
   def savedQuery(q: SavedQuery, registry: Registry, ctes: String): String = {
@@ -81,11 +120,12 @@ object OracleGen {
         Seq(s"cast(sum(sum(${m.exprSql})) over (${part}order by $t rows between unbounded preceding and current row) as double) as $n")
       case Derived(_, _, _) => Nil
     }
+    val (srcCte, fromName) = entityJoinSrc(q, registry)
     val base =
       s"""sq_base as (
          |  select ${groups.map { case (e, n) => s"$e as $n" }.mkString(", ")},
          |    ${baseCols.mkString(",\n    ")}
-         |  from ${cteOf(q.model)}
+         |  from $fromName
          |  group by ${(1 to groups.size).mkString(", ")}
          |)""".stripMargin
 
@@ -126,9 +166,10 @@ object OracleGen {
       s"left join sq_off_$alias using (${gNames.mkString(", ")})"
     }.mkString("\n")
 
+    val srcPrefix = if (srcCte.isEmpty) "" else s"$srcCte,\n"
     val withPrefix =
-      if (ctes.isEmpty) s"with $base${offsetCtes.map(c => ",\n" + c._2).mkString}"
-      else s"$ctes,\n$base${offsetCtes.map(c => ",\n" + c._2).mkString}"
+      if (ctes.isEmpty) s"with $srcPrefix$base${offsetCtes.map(c => ",\n" + c._2).mkString}"
+      else s"$ctes,\n$srcPrefix$base${offsetCtes.map(c => ",\n" + c._2).mkString}"
 
     s"""$withPrefix
        |select ${gNames.map(n => s"sq_base.$n").mkString(", ")}, ${finalCols.mkString(", ")}

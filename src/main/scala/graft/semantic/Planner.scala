@@ -37,11 +37,18 @@ object Planner {
       date_trunc(grain, col(t)).cast(DateType).as("metric_time")
     case ByEntity(e) =>
       col(model.entities.getOrElse(e, sys.error(s"unknown entity $e"))).as(e)
+    case d @ ByDimension(n) => d.entityPath match {
+      // entity-joined dims were pre-joined onto the fact under their
+      // output name by `joinEntityDims` — group by the joined column
+      case Some(_) => col(n)
+      case None => expr(model.dimension(n)).as(n)
+    }
   }
 
   private def groupName(g: GroupBy): String = g match {
     case ByTime(_) => "metric_time"
     case ByEntity(e) => e
+    case ByDimension(n) => n
   }
 
   /** Time-grain groups span partitions, so a Sum/Avg/Cumulative over a
@@ -51,7 +58,9 @@ object Planner {
     * Median sorts (order-independent). Reject the flaky combination at
     * compile time: the fix is a decimal cast in the measure expr (see
     * the time_analytics daily_revenue measure). Entity grains are
-    * exempt only because their groups are single mart rows. */
+    * exempt only because their groups are single mart rows —
+    * categorical Dimension grains group MANY rows, so they carry the
+    * same requirement as time grains. */
   private def requireExactForTimeGrain(model: SemanticModel, metrics: Seq[Metric], df: DataFrame): Unit = {
     def check(measName: String): Unit = {
       val m = model.measure(measName)
@@ -80,7 +89,8 @@ object Planner {
     val gNames = gs.map(groupName)
     val timeName = gs.collectFirst { case g: ByTime => groupName(g) }
     val entityNames = gNames.filterNot(timeName.contains)
-    if (timeName.isDefined) requireExactForTimeGrain(model, metrics, df)
+    if (timeName.isDefined || gs.exists(_.isInstanceOf[ByDimension]))
+      requireExactForTimeGrain(model, metrics, df)
 
     val simpleAggs: Seq[(String, Column)] = metrics.flatMap {
       case Simple(n, meas, f) => Seq(n -> aggCol(model, model.measure(meas), f).as(n))
@@ -140,7 +150,39 @@ object Planner {
     withOffsets.select((gNames.map(col) ++ metrics.map(m => col(m.name))): _*)
   }
 
-  def savedQuery(q: SavedQuery, registry: Registry, df: DataFrame): DataFrame = {
+  /** Pre-join entity-reached dimensions onto the fact (MetricFlow's
+    * entity-join, the reason fact models declare foreign entities —
+    * reference orders.yml:64-69). Each referenced foreign entity
+    * contributes ONE broadcast left join of the owning model's
+    * (primary-key, dims) projection: the dim side is entity-grain
+    * (its primary key), so the join is 1:1 and broadcast-sized — the
+    * saved query still costs one shuffle (the hash aggregation) over
+    * one fact scan at any fact size; only the dim model must stay
+    * broadcastable, which entity-grain dims are by construction. */
+  private def joinEntityDims(q: SavedQuery, registry: Registry, df: DataFrame,
+      dimBacking: String => DataFrame): DataFrame = {
+    val model = registry.model(q.model)
+    val wanted = q.groupBys.collect {
+      case d: ByDimension if d.entityPath.isDefined => (d.entityPath.get, d.name)
+    }
+    wanted.groupBy(_._1._1).toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (entity, dims)) =>
+        val factKey = model.entities.getOrElse(entity,
+          sys.error(s"model ${model.name} declares no entity $entity"))
+        val ownerName = registry.entityOwner.getOrElse(entity,
+          sys.error(s"no semantic model owns entity $entity as primary"))
+        val owner = registry.model(ownerName)
+        val k = s"__ek_$entity"
+        val dimSel = dimBacking(ownerName).select(
+          (col(owner.entities(entity)).as(k) +:
+            dims.map { case ((_, d), out) => expr(owner.dimension(d)).as(out) }): _*)
+        acc.join(broadcast(dimSel), acc(factKey) === dimSel(k), "left").drop(k)
+    }
+  }
+
+  def savedQuery(q: SavedQuery, registry: Registry, df: DataFrame,
+      dimBacking: String => DataFrame =
+        n => sys.error(s"entity-join needs a backing resolver (model $n)")): DataFrame = {
     val model = registry.model(q.model)
     val metrics = q.metrics.map(registry.metric(q.model, _))
     // pull in ratio/derived dependencies as hidden simple metrics
@@ -150,7 +192,7 @@ object Planner {
       case _ => Nil
     }.distinct.filterNot(q.metrics.contains).map(registry.metric(q.model, _))
     val all = metrics ++ deps
-    val out = compile(model, all, df, q.groupBys)
+    val out = compile(model, all, joinEntityDims(q, registry, df, dimBacking), q.groupBys)
     out.select((q.groupBys.map(g => col(groupName(g))) ++ q.metrics.map(col)): _*)
   }
 

@@ -10,15 +10,21 @@ import graft.semantic.Spec._
 class Registry {
 
   val models: Map[String, SemanticModel] = Map(
-    // reference orders.yml:54-97
+    // reference orders.yml:54-97 (dimensions :70-84, food/drink →
+    // promo/returned as everywhere in this adaptation)
     "orders" -> SemanticModel("orders", Some("ordered_at"),
       Map("order" -> "order_id", "location" -> "location_id", "customer" -> "customer_id"),
       Seq(
         Measure("order_total", Sum),
         Measure("order_count", Sum, Some("1")),
         Measure("tax_paid", Sum),
-        Measure("order_cost", Sum))),
-    // reference order_items.yml:43-86
+        Measure("order_cost", Sum)),
+      dimensions = Map(
+        "order_total_dim" -> "order_total",
+        "is_promo_order" -> "is_promo_order",
+        "has_returned_item" -> "has_returned_item",
+        "customer_order_number" -> "customer_order_number")),
+    // reference order_items.yml:43-86 (dimensions :60-69)
     "order_items" -> SemanticModel("order_items", Some("ordered_at"),
       Map("order_item" -> "order_item_id", "order" -> "order_id", "product" -> "product_id"),
       Seq(
@@ -26,15 +32,21 @@ class Registry {
         Measure("promo_revenue", Sum, Some("case when is_promo_item then product_price else 0 end")),
         Measure("economy_revenue", Sum, Some("case when is_economy_item then product_price else 0 end")),
         Measure("median_revenue", Median, Some("product_price")),
-        Measure("supply_cost", Sum))),
-    // reference customers.yml:35-72
+        Measure("supply_cost", Sum)),
+      dimensions = Map(
+        "is_promo_item" -> "is_promo_item",
+        "is_economy_item" -> "is_economy_item")),
+    // reference customers.yml:35-72 (dimensions :46-58)
     "customers" -> SemanticModel("customers", Some("first_ordered_at"),
       Map("customer" -> "customer_id"),
       Seq(
         Measure("customers", CountDistinct, Some("customer_id")),
         Measure("count_lifetime_orders", Sum),
         Measure("lifetime_spend_pretax", Sum),
-        Measure("lifetime_spend", Sum))),
+        Measure("lifetime_spend", Sum)),
+      dimensions = Map(
+        "customer_name" -> "customer_name",
+        "customer_type" -> "customer_type")),
     // reference products.yml:39-84
     "products" -> SemanticModel("products", None,
       Map("product" -> "product_id"),
@@ -43,7 +55,12 @@ class Registry {
         Measure("total_revenue", Sum),
         Measure("total_profit", Sum),
         Measure("total_quantity_sold", Sum),
-        Measure("avg_profit_margin", Avg, Some("profit_margin_ratio")))),
+        Measure("avg_profit_margin", Avg, Some("profit_margin_ratio"))),
+      // reference products.yml:48-64
+      dimensions = Map(
+        "product_name" -> "product_name",
+        "product_type" -> "product_type",
+        "performance_tier" -> "performance_tier")),
     // reference locations.yml:35-84
     "locations" -> SemanticModel("locations", None,
       Map("location" -> "location_id"),
@@ -54,7 +71,12 @@ class Registry {
         Measure("total_orders", Sum),
         Measure("avg_order_value", Avg),
         Measure("avg_customer_retention_rate", Avg, Some("customer_retention_rate")),
-        Measure("average_tax_rate", Avg, Some("tax_rate")))),
+        Measure("average_tax_rate", Avg, Some("tax_rate"))),
+      // reference locations.yml:46-59
+      dimensions = Map(
+        "location_name" -> "location_name",
+        "performance_tier" -> "performance_tier",
+        "retention_tier" -> "retention_tier")),
     // reference supplies.yml:41-90
     "supplies" -> SemanticModel("supplies", None,
       Map("supply" -> "supply_id"),
@@ -63,7 +85,14 @@ class Registry {
         Measure("total_supply_cost", Sum, Some("total_supply_cost_incurred")),
         Measure("total_revenue_generated", Sum, Some("revenue_generated")),
         Measure("avg_revenue_to_cost_ratio", Avg, Some("revenue_to_cost_ratio")),
-        Measure("avg_inventory_turnover", Avg, Some("inventory_turnover_ratio")))),
+        Measure("avg_inventory_turnover", Avg, Some("inventory_turnover_ratio"))),
+      // reference supplies.yml:53-68
+      dimensions = Map(
+        "supply_name" -> "supply_name",
+        "is_perishable_supply" -> "is_perishable_supply",
+        "usage_tier" -> "usage_tier",
+        "efficiency_tier" -> "efficiency_tier",
+        "risk_category" -> "risk_category")),
     // reference customer_segmentation.yml:35-87
     "customer_segmentation" -> SemanticModel("customer_segmentation", Some("first_ordered_at"),
       Map("customer" -> "customer_id"),
@@ -71,7 +100,16 @@ class Registry {
         Measure("customers", CountDistinct, Some("customer_id")),
         Measure("avg_rfm_score", Avg, Some("rfm_score")),
         Measure("avg_lifetime_spend", Avg, Some("lifetime_spend")),
-        Measure("avg_lifetime_orders", Avg, Some("count_lifetime_orders")))),
+        Measure("avg_lifetime_orders", Avg, Some("count_lifetime_orders"))),
+      // reference customer_segmentation.yml:47-70
+      dimensions = Map(
+        "customer_type" -> "customer_type",
+        "rfm_segment" -> "rfm_segment",
+        "clv_tier" -> "clv_tier",
+        "product_preference" -> "product_preference",
+        "variety_preference" -> "variety_preference",
+        "churn_risk" -> "churn_risk",
+        "retention_action" -> "retention_action")),
     // reference time_analytics.yml:33-81
     "time_analytics" -> SemanticModel("time_analytics", Some("date_day"),
       Map("date" -> "date_day"),
@@ -84,6 +122,19 @@ class Registry {
         Measure("daily_profit", Sum, Some("cast(daily_profit as decimal(18,2))")),
         Measure("daily_unique_customers", Sum),
         Measure("avg_daily_order_value", Avg, Some("daily_avg_order_value")))))
+
+  /** entity name → the semantic model that declares it as PRIMARY —
+    * how MetricFlow resolves `entity__dimension` group-bys: a fact
+    * model's FOREIGN entity (e.g. `customer` on orders, reference
+    * orders.yml:67-69) names the key; the owner model contributes the
+    * dimension through a 1:1 join on its primary key. */
+  val entityOwner: Map[String, String] = Map(
+    "order" -> "orders",
+    "order_item" -> "order_items",
+    "customer" -> "customers",
+    "product" -> "products",
+    "location" -> "locations",
+    "supply" -> "supplies")
 
   val metrics: Map[String, Seq[Metric]] = Map(
     // reference orders.yml:99-143 (food/drink → promo/returned; 20 → 2 000 000)
@@ -204,7 +255,29 @@ class Registry {
     SavedQuery("metric_revenue_by_product_month", "order_items",
       Seq("revenue"), Seq(ByTime("month"), ByEntity("product"))),
     SavedQuery("metric_cumulative_revenue_by_product", "order_items",
-      Seq("cumulative_revenue"), Seq(ByTime("month"), ByEntity("product"))))
+      Seq("cumulative_revenue"), Seq(ByTime("month"), ByEntity("product"))),
+    // MetricFlow ENTITY JOINS (the reason fact models declare foreign
+    // entities — orders.yml:64-69, order_items.yml:54-59): group one
+    // model's measures by ANOTHER model's dimension through the shared
+    // entity. One broadcast 1:1 join on the dim model's primary key,
+    // still one hash aggregation.
+    SavedQuery("metric_revenue_by_customer_type", "orders",
+      Seq("orders", "order_total"),
+      Seq(ByDimension("customer__customer_type"))),
+    SavedQuery("metric_monthly_revenue_by_customer_type", "orders",
+      Seq("order_total"),
+      Seq(ByTime("month"), ByDimension("customer__customer_type"))),
+    SavedQuery("metric_revenue_by_product_type", "order_items",
+      Seq("revenue", "promo_revenue"),
+      Seq(ByDimension("product__product_type"))),
+    // same-model categorical Dimension group-bys (declared on every
+    // reference model, e.g. customer_segmentation.yml:47-70)
+    SavedQuery("metric_segments_by_clv_tier", "customer_segmentation",
+      Seq("customer_segments", "high_value_customers"),
+      Seq(ByDimension("clv_tier"))),
+    SavedQuery("metric_orders_by_promo", "orders",
+      Seq("orders", "order_total"),
+      Seq(ByDimension("is_promo_order"))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))

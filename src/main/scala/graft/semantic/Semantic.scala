@@ -31,14 +31,19 @@ object Spec {
   }
 
   /** M1: semantic model over a mart: entities (name → column), an
-    * agg-time dimension, and measures. */
+    * agg-time dimension, measures, and categorical dimensions (name →
+    * SQL expr over the mart, reference `dimensions:` blocks in every
+    * mart yml, e.g. customers.yml:46-58). */
   case class SemanticModel(
       name: String,
       timeDim: Option[String],
       entities: Map[String, String],
-      measures: Seq[Measure]) {
+      measures: Seq[Measure],
+      dimensions: Map[String, String] = Map.empty) {
     def measure(n: String): Measure =
       measures.find(_.name == n).getOrElse(sys.error(s"unknown measure $n in $name"))
+    def dimension(n: String): String =
+      dimensions.getOrElse(n, sys.error(s"unknown dimension $n in $name"))
   }
 
   sealed trait Metric { def name: String }
@@ -58,6 +63,20 @@ object Spec {
   case class ByTime(grain: String) extends GroupBy
   /** Entity('name'). */
   case class ByEntity(entity: String) extends GroupBy
+  /** Dimension('name') or Dimension('entity__name') — a categorical
+    * dimension on this model, or on the model reached through one of
+    * this model's declared FOREIGN entities (MetricFlow's entity-join:
+    * orders declares `customer`/`location` foreign entities,
+    * reference orders.yml:64-69, precisely so `orders` measures can
+    * group by e.g. `customer__customer_type`). The output column is
+    * named exactly as written, MetricFlow's `entity__dim` convention. */
+  case class ByDimension(name: String) extends GroupBy {
+    /** Some((entity, dim)) for the entity-join form, None for local. */
+    def entityPath: Option[(String, String)] = {
+      val i = name.indexOf("__")
+      if (i > 0) Some((name.substring(0, i), name.substring(i + 2))) else None
+    }
+  }
 
   /** M8: saved query = metrics + group_bys over one semantic model,
     * exported as a table. Multiple dimensions compose (e.g. time ×

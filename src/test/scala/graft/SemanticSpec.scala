@@ -80,6 +80,45 @@ class SemanticSpec extends SparkSpec {
     assert(math.abs(vals.last - total) < 1e-6)
   }
 
+  test("entity join: orders revenue by customer__customer_type matches a hand join") {
+    val df = Models.semanticQuery("metric_revenue_by_customer_type")(spark, sf)
+    assert(df.columns.toSeq === Seq("customer__customer_type", "orders", "order_total"))
+    // hand-computed: orders ⟕ customers on customer_id, grouped by the
+    // customers mart's customer_type
+    val expected = Models.orders(spark, sf).alias("o")
+      .join(Models.customers(spark, sf).select(col("customer_id"),
+        col("customer_type")).alias("c"), Seq("customer_id"), "left")
+      .groupBy(col("customer_type").as("customer__customer_type"))
+      .agg(count(lit(1)).as("e_orders"),
+        sum(col("order_total")).cast("double").as("e_total"))
+    val bad = df.join(expected, Seq("customer__customer_type"), "full")
+      .filter(col("orders") =!= col("e_orders") ||
+        abs(col("order_total") - col("e_total")) > 1e-6).count()
+    assert(bad === 0)
+    // the dim actually joined: every order's customer exists in the
+    // customers mart, so no group key is null (sf0.001 may have only
+    // one customer_type value — don't assert on cardinality)
+    assert(df.filter(col("customer__customer_type").isNull).count() === 0)
+    // plan shape: the dim side arrives by BROADCAST join — the fact is
+    // scanned once and the query still costs one hash-agg shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("categorical dimension: segmentation counts by clv_tier reconcile") {
+    val df = Models.semanticQuery("metric_segments_by_clv_tier")(spark, sf)
+    assert(df.columns.toSeq ===
+      Seq("clv_tier", "customer_segments", "high_value_customers"))
+    // high_value_customers is nonzero ONLY in the High Value tier (the
+    // metric's filter and the group-by read the same column)
+    val offTier = df.filter(col("clv_tier") =!= "High Value" &&
+      col("high_value_customers") > 0).count()
+    assert(offTier === 0)
+    // tier counts sum to the total customer count
+    val total = df.agg(sum("customer_segments")).head.getLong(0)
+    assert(total === Models.customerSegmentation(spark, sf).count())
+  }
+
   test("oracle generator emits SQL for every saved query") {
     Registry.savedQueries.foreach { q =>
       val sql = OracleGen.savedQuery(q, Registry, "")
