@@ -1269,6 +1269,20 @@ object Models {
   def copurchaseTrianglesApprox(s: SparkSession, d: String): DataFrame =
     operators.Graph.triangleCountsSampledBudget(copurchaseEdges(s, d),
       Models.TriangleEdgeBudget)
+  /** Hub-capped LOCAL CLUSTERING on the RAW co-purchase graph —
+    * coefficients exact over the kept subgraph against the KEPT
+    * degree, hubs NULL-flagged (projection over the registered capped
+    * triangle machinery; VERDICT r16 #5). */
+  def copurchaseClusteringCapped(s: SparkSession, d: String): DataFrame =
+    operators.Graph.clusteringCoefficientsCapped(copurchaseEdges(s, d),
+      Models.TriangleHubCap)
+  /** DOULION-estimated LOCAL CLUSTERING on the RAW co-purchase graph —
+    * budget-bounded sampled triangle estimates over exact full-graph
+    * degrees; the raw-graph scale path for the coefficient the exact
+    * operator only serves on the strong graph. */
+  def copurchaseClusteringApprox(s: SparkSession, d: String): DataFrame =
+    operators.Graph.clusteringCoefficientsSampledBudget(copurchaseEdges(s, d),
+      Models.TriangleEdgeBudget)
   /** ERROR HARNESS pricing the DOULION estimator against exact
     * triangle counts on the graph where both can run (the strong
     * graph) — the closeness_approx_error convention: every

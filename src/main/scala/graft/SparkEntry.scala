@@ -385,6 +385,10 @@ object SparkEntry {
     "copurchase_triangles_approx" -> out(Models.copurchaseTrianglesApprox),
     "triangles_approx_error" -> out(Models.trianglesApproxError),
     "copurchase_clustering" -> out(Models.copurchaseClustering),
+    // local clustering over the same raw-graph scale paths: exact over
+    // the hub-capped kept subgraph / DOULION-estimated over exact degs
+    "copurchase_clustering_capped" -> out(Models.copurchaseClusteringCapped),
+    "copurchase_clustering_approx" -> out(Models.copurchaseClusteringApprox),
     // bounded-round k-core peel with a gated convergence flag
     "copurchase_kcore" -> out(Models.copurchaseKcore),
     // widest-path (max-min bottleneck) capacities from the hub product
@@ -700,6 +704,8 @@ object SparkEntry {
     "copurchase_triangles_approx" -> OpsSql.copurchaseTrianglesApproxQ,
     "triangles_approx_error" -> OpsSql.trianglesApproxErrorQ,
     "copurchase_clustering" -> OpsSql.copurchaseClusteringQ,
+    "copurchase_clustering_capped" -> OpsSql.copurchaseClusteringCappedQ,
+    "copurchase_clustering_approx" -> OpsSql.copurchaseClusteringApproxQ,
     "copurchase_kcore" -> OpsSql.copurchaseKcoreQ,
     "copurchase_bottleneck" -> OpsSql.copurchaseBottleneckQ,
     "copurchase_pagerank" -> OpsSql.copurchasePagerankQ,

@@ -244,6 +244,52 @@ object Graph {
             * col("keep_num").cast("double"))).as("n_triangles_est"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENTS over the hub-CAPPED subgraph — a
+    * pure projection over [[triangleCountsCapped]] (VERDICT r16 #5:
+    * the scale paths already exist; clustering is 2T(v) over the pair
+    * count of the RELEVANT degree). The denominator uses the KEPT
+    * degree (raw degree minus hub neighbors — every removed edge of a
+    * kept node goes to a hub, so kept_degree needs no extra
+    * aggregation): triangles were counted over kept edges only, so
+    * pairing them against the raw degree would bias every
+    * hub-adjacent coefficient low. Hubs report NULL (uncounted,
+    * flagged), the [[triangleCountsCapped]] honesty contract. */
+  def clusteringCoefficientsCapped(edges: DataFrame, cap: Long): DataFrame =
+    triangleCountsCapped(edges, cap)
+      .withColumn("kept_degree", col("degree") - col("n_hub_neighbors"))
+      .withColumn("clustering_coeff",
+        when(col("is_hub"), lit(null).cast("double"))
+          .when(col("kept_degree") >= 2,
+            (col("n_triangles") * 2L).cast("double")
+              / (col("kept_degree") * (col("kept_degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+
+  /** DOULION-estimated LOCAL CLUSTERING COEFFICIENTS — per-node
+    * triangle estimates from [[triangleCountsSampledBudget]] (wedge
+    * work bounded by edgeBudget^1.5 at ANY corpus scale) paired with
+    * EXACT full-graph degrees (one aggregation, no wedge work — the
+    * denominator never needs sampling). ĉ(v) = 2·T̂(v)/(d(d−1)); the
+    * estimate is unbiased but noisy per node (variance shrinks as
+    * sampled-triangle mass grows), and can exceed 1 on low-count
+    * nodes — it is an ESTIMATE, priced globally by the
+    * triangles_approx_error gate, not a bounded exact value. */
+  def clusteringCoefficientsSampledBudget(edges: DataFrame,
+                                          edgeBudget: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = undirectedDegrees(e)
+    val tri = triangleCountsSampledBudget(e, edgeBudget)
+      .select(col("node"), col("n_triangles_sampled"), col("n_triangles_est"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles_sampled"), lit(0L)).as("n_triangles_sampled"),
+        coalesce(col("n_triangles_est"), lit(0.0)).as("n_triangles_est"))
+      .withColumn("clustering_coeff_est",
+        when(col("degree") >= 2,
+          col("n_triangles_est") * 2.0
+            / (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Bounded-round k-CORE peel — the densest-substructure filter next
     * to triangles/clustering in the affinity-graph toolbox (keep only
     * nodes that survive repeated removal of degree < k nodes; the

@@ -831,7 +831,7 @@ object OpsSql {
     * subgraph, the ordered wedge join on it (id-oriented here —
     * triangle sets are orientation-invariant), per-node hub-neighbor
     * counts, and the NULL-for-hubs / 0-backfill output contract. */
-  val copurchaseTrianglesCappedQ: String = {
+  private val cappedTriCtes: String = {
     val cap = graft.Models.TriangleHubCap
     s"""$copurchaseCtes,
        |tc_deg as materialized (
@@ -862,11 +862,39 @@ object OpsSql {
        |    select src as node, dst as nbr from edges union all
        |    select dst as node, src as nbr from edges
        |  ) u where nbr in (select node from tc_hub) group by 1
-       |)
+       |)""".stripMargin
+  }
+
+  val copurchaseTrianglesCappedQ: String = {
+    val cap = graft.Models.TriangleHubCap
+    s"""$cappedTriCtes
        |select d.node, d.degree, d.degree > $cap as is_hub,
        |  case when d.degree > $cap then null
        |       else coalesce(t.n_triangles, 0) end as n_triangles,
        |  coalesce(h.n_hub_neighbors, 0) as n_hub_neighbors
+       |from tc_deg d
+       |left join tc_cnt t on d.node = t.node
+       |left join tc_hn h on d.node = h.node""".stripMargin
+  }
+
+  /** Mirror Graph.clusteringCoefficientsCapped: the capped-triangle
+    * CTEs plus kept_degree = degree − hub-neighbors and the 2T/(k(k−1))
+    * coefficient against the KEPT degree; hubs NULL-flagged. */
+  val copurchaseClusteringCappedQ: String = {
+    val cap = graft.Models.TriangleHubCap
+    s"""$cappedTriCtes
+       |select d.node, d.degree, d.degree > $cap as is_hub,
+       |  case when d.degree > $cap then null
+       |       else coalesce(t.n_triangles, 0) end as n_triangles,
+       |  coalesce(h.n_hub_neighbors, 0) as n_hub_neighbors,
+       |  d.degree - coalesce(h.n_hub_neighbors, 0) as kept_degree,
+       |  case when d.degree > $cap then null
+       |       when d.degree - coalesce(h.n_hub_neighbors, 0) >= 2 then
+       |         cast(coalesce(t.n_triangles, 0) * 2 as double)
+       |           / cast((d.degree - coalesce(h.n_hub_neighbors, 0))
+       |                  * (d.degree - coalesce(h.n_hub_neighbors, 0) - 1)
+       |               as double)
+       |       else 0.0 end as clustering_coeff
        |from tc_deg d
        |left join tc_cnt t on d.node = t.node
        |left join tc_hn h on d.node = h.node""".stripMargin
@@ -918,6 +946,44 @@ object OpsSql {
        |    / (cast(keep_num as double) * cast(keep_num as double)
        |       * cast(keep_num as double)) as n_triangles_est
        |from acnt cross join aprm""".stripMargin
+  }
+
+  /** Mirror Models.copurchaseClusteringApprox: the budget-derived
+    * DOULION sampled-triangle estimates joined onto EXACT full-graph
+    * degrees, ĉ(v) = (est · 2.0) / (d(d−1)) with the same fixed double
+    * chain as the triangle estimate itself. */
+  val copurchaseClusteringApproxQ: String = {
+    val b = graft.Models.TriangleEdgeBudget
+    s"""$copurchaseCtes,
+       |aprm as (
+       |  select cast(1 as bigint) as keep_num,
+       |    greatest((count(*) + ${b - 1}) // $b, 1) as keep_den
+       |  from edges
+       |),
+       |${sampledTriCtes("a", "edges")},
+       |cc_deg as (
+       |  select node, cast(count(*) as bigint) as degree from (
+       |    select src as node from edges union all
+       |    select dst as node from edges) u group by 1
+       |),
+       |cc_est as (
+       |  select node, n_triangles_sampled,
+       |    cast(n_triangles_sampled as double)
+       |      * cast(keep_den as double) * cast(keep_den as double)
+       |      * cast(keep_den as double)
+       |      / (cast(keep_num as double) * cast(keep_num as double)
+       |         * cast(keep_num as double)) as n_triangles_est
+       |  from acnt cross join aprm
+       |)
+       |select d.node, d.degree,
+       |  coalesce(e.n_triangles_sampled, 0) as n_triangles_sampled,
+       |  coalesce(e.n_triangles_est, 0.0) as n_triangles_est,
+       |  case when d.degree >= 2 then
+       |    coalesce(e.n_triangles_est, 0.0) * 2.0
+       |      / cast(d.degree * (d.degree - 1) as double)
+       |  else 0.0 end as clustering_coeff_est
+       |from cc_deg d
+       |left join cc_est e on d.node = e.node""".stripMargin
   }
 
   /** Mirror Models.trianglesApproxError: exact and fixed-p sampled

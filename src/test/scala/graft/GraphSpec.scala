@@ -239,6 +239,39 @@ class GraphSpec extends SparkSpec {
       4L -> ((1L, 0L, 0.0))))
   }
 
+  test("clusteringCoefficientsCapped: kept-degree denominator, hub NULL, pendant zero") {
+    // triangle {1,2,3}; hub 9 wired to everything (degree 4 > cap 3);
+    // pendant 4 attached only to the hub (kept_degree 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficientsCapped(edges, cap = 3L)
+      .select("node", "degree", "is_hub", "kept_degree", "clustering_coeff")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // 1,2,3: raw degree 3, one hub neighbor -> kept degree 2, the
+    // triangle survives -> coefficient 1.0 against the KEPT degree
+    // (against the raw degree it would read a biased 1/3)
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(got(n) === ((3L, false, 2L, Some(1.0))), s"node $n") }
+    assert(got(9L) === ((4L, true, 4L, None)))   // hub: flagged, uncounted
+    assert(got(4L) === ((1L, false, 0L, Some(0.0)))) // isolated after cap
+  }
+
+  test("clusteringCoefficientsSampledBudget at budget >= |E| equals exact clustering") {
+    // keep_den = 1 -> the sample is the whole graph; the estimate
+    // chain must then reproduce clusteringCoefficients exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficientsSampledBudget(edges, edgeBudget = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 2.0 / 6.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
+
   test("pageRank: fixed-point rounds equal a reference integer implementation") {
     // star 1-{2,3,4} plus edge 2-3: asymmetric degrees
     val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
