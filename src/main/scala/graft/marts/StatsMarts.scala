@@ -278,6 +278,14 @@ object StatsMarts {
   /** Keep only product pairs co-bought in at least this many orders. */
   val BasketMinPairs = 3L
 
+  /** Baskets with more distinct products than this are EXCLUDED from
+    * pair counting and REPORTED, not enumerated (VERDICT r16 #6): the
+    * pair self-join is Σ basket² by design — fine for retail baskets
+    * (TPC-H orders carry ≤7 items) but one degenerate mega-basket at
+    * ingest scale makes it quadratic. 64 keeps per-order pair work
+    * ≤ 64²/2 on ANY input. */
+  val BasketSizeCap = 64L
+
   /** MARKET-BASKET ASSOCIATION RULES (Agrawal, Imielinski & Swami
     * 1993) over order baskets: support / confidence (both directions)
     * / lift for every product pair co-purchased ≥ [[BasketMinPairs]]
@@ -286,10 +294,26 @@ object StatsMarts {
     * The pair join is per-order self-fanout (Σ basket², the apriori
     * candidate step) with the product_a < product_b orientation; item
     * supports join back per-product — plain shuffle joins that
-    * partition by key at any scale. */
+    * partition by key at any scale.
+    *
+    * Honesty contract (the [[graft.operators.Graph.triangleCountsCapped]]
+    * convention): baskets above [[BasketSizeCap]] are excluded from
+    * ALL counts (pairs, item supports, the n_orders denominator — the
+    * stats stay internally consistent over the kept orders) and the
+    * truncation is reported: `n_capped_orders` globally and
+    * `a_capped_n`/`b_capped_n` per product (how many excluded baskets
+    * contained it — its supports can only undercount through those). */
   def basketRules(stgOrderItems: DataFrame): DataFrame = {
-    val items = stgOrderItems.select(col("order_id"), col("product_id")).distinct()
+    val itemsAll = stgOrderItems.select(col("order_id"), col("product_id")).distinct()
+    val cappedOrders = itemsAll.groupBy("order_id")
+      .agg(count(lit(1)).as("basket_n"))
+      .where(col("basket_n") > BasketSizeCap)
+      .select("order_id")
+    val items = itemsAll.join(cappedOrders, Seq("order_id"), "left_anti")
     val nOrders = items.agg(countDistinct(col("order_id")).as("n_orders"))
+    val nCapped = cappedOrders.agg(count(lit(1)).as("n_capped_orders"))
+    val cappedN = itemsAll.join(cappedOrders, Seq("order_id"), "left_semi")
+      .groupBy("product_id").agg(count(lit(1)).as("capped_n"))
     val supports = items.groupBy("product_id").agg(count(lit(1)).as("supp"))
     val pairs = items.as("a")
       .join(items.as("b"),
@@ -304,14 +328,22 @@ object StatsMarts {
         .withColumnRenamed("supp", "a_n"), Seq("product_a"))
       .join(supports.withColumnRenamed("product_id", "product_b")
         .withColumnRenamed("supp", "b_n"), Seq("product_b"))
+      .join(cappedN.withColumnRenamed("product_id", "product_a")
+        .withColumnRenamed("capped_n", "a_capped_n"), Seq("product_a"), "left")
+      .join(cappedN.withColumnRenamed("product_id", "product_b")
+        .withColumnRenamed("capped_n", "b_capped_n"), Seq("product_b"), "left")
       .crossJoin(broadcast(nOrders))
+      .crossJoin(broadcast(nCapped))
       .select(col("product_a"), col("product_b"), col("pair_n"),
         col("a_n"), col("b_n"), col("n_orders"),
         (col("pair_n").cast("double") / col("n_orders").cast("double")).as("support"),
         (col("pair_n").cast("double") / col("a_n").cast("double")).as("conf_a_to_b"),
         (col("pair_n").cast("double") / col("b_n").cast("double")).as("conf_b_to_a"),
         ((col("pair_n") * col("n_orders")).cast("double")
-          / (col("a_n") * col("b_n")).cast("double")).as("lift"))
+          / (col("a_n") * col("b_n")).cast("double")).as("lift"),
+        col("n_capped_orders"),
+        coalesce(col("a_capped_n"), lit(0L)).as("a_capped_n"),
+        coalesce(col("b_capped_n"), lit(0L)).as("b_capped_n"))
   }
 
   /** χ²₀.₀₅ critical value at 16 degrees of freedom (literal —

@@ -305,12 +305,30 @@ object StatsSql {
        |from km_s""".stripMargin
   }
 
-  /** Mirror StatsMarts.basketRules: exact pair/item/order counts,
-    * single-division ratios, exact-int lift operands. */
+  /** Mirror StatsMarts.basketRules: exact pair/item/order counts over
+    * the size-capped kept baskets, single-division ratios, exact-int
+    * lift operands, and the truncation accounting (global capped-order
+    * count, per-product capped membership). */
   val basketRulesQ: String =
     s"""$ctes,
-       |bk_i as (select distinct order_id, product_id from stg_order_items),
+       |bk_i0 as (select distinct order_id, product_id from stg_order_items),
+       |bk_big as (
+       |  select order_id from bk_i0
+       |  group by order_id having count(*) > ${StatsMarts.BasketSizeCap}
+       |),
+       |bk_i as (
+       |  select * from bk_i0
+       |  where order_id not in (select order_id from bk_big)
+       |),
        |bk_n as (select count(distinct order_id) as n_orders from bk_i),
+       |bk_nc as (
+       |  select cast(count(*) as bigint) as n_capped_orders from bk_big
+       |),
+       |bk_cn as (
+       |  select product_id, cast(count(*) as bigint) as capped_n
+       |  from bk_i0 where order_id in (select order_id from bk_big)
+       |  group by 1
+       |),
        |bk_s as (select product_id, count(*) as supp from bk_i group by product_id),
        |bk_p as (
        |  select a.product_id as product_a, b.product_id as product_b,
@@ -327,11 +345,17 @@ object StatsSql {
        |  cast(pair_n as double) / cast(sa.supp as double) as conf_a_to_b,
        |  cast(pair_n as double) / cast(sb.supp as double) as conf_b_to_a,
        |  cast(pair_n * n_orders as double)
-       |    / cast(sa.supp * sb.supp as double) as lift
+       |    / cast(sa.supp * sb.supp as double) as lift,
+       |  n_capped_orders,
+       |  coalesce(ca.capped_n, 0) as a_capped_n,
+       |  coalesce(cb.capped_n, 0) as b_capped_n
        |from bk_p
        |join bk_s sa on sa.product_id = product_a
        |join bk_s sb on sb.product_id = product_b
-       |cross join bk_n""".stripMargin
+       |left join bk_cn ca on ca.product_id = product_a
+       |left join bk_cn cb on cb.product_id = product_b
+       |cross join bk_n
+       |cross join bk_nc""".stripMargin
 
   /** Shared contingency CTE chain for the segment × priority test. */
   private val chi2Base: String =

@@ -197,6 +197,29 @@ class StatsMartsSpec extends SparkSpec {
       15.0 / 12.0)))
   }
 
+  test("basket rules: a mega-basket is capped out of every count and reported") {
+    // the 5 hand-counted orders plus order 99: a degenerate basket of
+    // BasketSizeCap+1 products (containing 10 and 20) — without the
+    // cap it alone would add (cap+1)·cap/2 pairs
+    val base = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (4L, 10L), (5L, 30L))
+    val mega = (0L to StatsMarts.BasketSizeCap).map(k => (99L, 10L + k))
+    val rules = StatsMarts.basketRules((base ++ mega).toDF("order_id", "product_id"))
+    val r = rules.where(col("product_a") === 10L && col("product_b") === 20L)
+      .select("pair_n", "a_n", "b_n", "n_orders",
+        "n_capped_orders", "a_capped_n", "b_capped_n")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // counts identical to the uncapped 5-order fixture: the mega
+    // basket is excluded from pairs, supports, AND the denominator —
+    // and the truncation is reported (1 capped order, containing both)
+    assert(r === ((3L, 4L, 3L, 5L, 1L, 1L, 1L)))
+    // no pair involving a mega-only product survives (those products
+    // co-occur ONLY inside the capped basket)
+    assert(rules.where(col("product_a") > 40L || col("product_b") > 40L)
+      .count() === 0L)
+  }
+
   test("lift is symmetric in the pair and conf directions are not") {
     val rules = StatsMarts.basketRules(
       Models.stgOrderItems(spark, sf)).collect()
