@@ -43,6 +43,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.operators.BoundedWindow.ExcludedRule)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Measured shuffle bytes of an EXECUTED plan (final AQE plan, reused

@@ -1477,7 +1477,7 @@ object Models {
     * hop dimension — bounded, the W3 exception. */
   def copurchaseDistanceDistribution(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val w = org.apache.spark.sql.expressions.Window.orderBy("hop")
+    val w = operators.BoundedWindow.orderBy(col("hop"))
     val byHop = copurchaseHyperBallFix(s, d)
       .groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"),

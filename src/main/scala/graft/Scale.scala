@@ -223,6 +223,15 @@ object Scale {
         edgesOf(s, d).select("src", "dst"), Models.TriangleEdgeBudget)),
     "graph_clustering" -> ((s: SparkSession, d: String) =>
       operators.Graph.clusteringCoefficients(edgesOf(s, d).select("src", "dst"))),
+    // r17: local clustering through the SAME two raw-graph scale paths
+    // as the triangle story (projections over capped/DOULION counts —
+    // registered as copurchase_clustering_capped/_approx)
+    "graph_clustering_capped" -> ((s: SparkSession, d: String) =>
+      operators.Graph.clusteringCoefficientsCapped(
+        edgesOf(s, d).select("src", "dst"), Models.TriangleHubCap)),
+    "graph_clustering_sampled" -> ((s: SparkSession, d: String) =>
+      operators.Graph.clusteringCoefficientsSampledBudget(
+        edgesOf(s, d).select("src", "dst"), Models.TriangleEdgeBudget)),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       operators.Graph.pageRank(edgesOf(s, d).select("src", "dst"), 5)),
     "graph_pagerank_directed" -> ((s: SparkSession, d: String) =>
@@ -286,6 +295,8 @@ object Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.operators.BoundedWindow.ExcludedRule)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

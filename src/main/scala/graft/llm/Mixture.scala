@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.BoundedWindow
 
 /** Domain-mixture rebalancing — downsample over-represented domains
   * (languages, sources, crawls) to a TARGET mixture, the step that
@@ -161,7 +162,7 @@ object Mixture {
       .agg(sum(col(charsCol)).cast("long").as("n_chars"))
       .withColumn("cap_chars", col("n_chars") * lit(UnimaxMaxEpochs))
     // bounded dim: |languages| rows — the global window is safe here
-    val byCap = Window.orderBy(col("cap_chars"), col(domainCol))
+    val byCap = BoundedWindow.orderBy(col("cap_chars"), col(domainCol))
     val ranked = counts
       .withColumn("__i", row_number().over(byCap))
       .withColumn("__prefix", sum(col("cap_chars")).over(

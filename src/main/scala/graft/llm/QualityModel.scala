@@ -158,7 +158,8 @@ object QualityModel {
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
     val before = coalesce(
       sum(col("n")).over(
-        Window.orderBy("margin").rowsBetween(Window.unboundedPreceding, -1)),
+        graft.operators.BoundedWindow.orderBy(col("margin"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     val rankSum2 = byMargin.withColumn("before", before)
       .agg(sum(col("np") * (lit(2L) * col("before") + col("n") + lit(1L)))
@@ -257,8 +258,7 @@ object QualityModel {
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     val byScore = cal.groupBy("s").agg(count(lit(1)).as("n"))
     val cum = byScore.withColumn("cum",
-      sum(col("n")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("s"))))
+      sum(col("n")).over(graft.operators.BoundedWindow.orderBy(col("s"))))
     val test = pred.filter(split === 2)
     ConformalAlphas.map { alpha =>
       // when ceil((n_cal+1)(1-alpha)) > n_cal the split is too small

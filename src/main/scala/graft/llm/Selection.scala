@@ -193,7 +193,7 @@ object Selection {
         size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
       .join(preds.select(col("doc_id"), col("margin")), Seq("doc_id"))
     val byTok = d.groupBy("n_tokens").agg(max(col("margin")).as("m"))
-    val w = Window.orderBy(col("n_tokens"))
+    val w = graft.operators.BoundedWindow.orderBy(col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val frontier = byTok
       .withColumn("prev", max(col("m")).over(w))

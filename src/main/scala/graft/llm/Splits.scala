@@ -223,10 +223,11 @@ object Splits {
     def remainderRound(df: DataFrame, exactCol: String, baseCol: String,
                        outCol: String): DataFrame =
       df.withColumn("__r", row_number().over(
-          w.orderBy((col(exactCol) - col(baseCol)).desc, col("lang").asc)))
+          graft.operators.BoundedWindow
+            .orderBy((col(exactCol) - col(baseCol)).desc, col("lang").asc)))
         .withColumn("__left",
           lit(NeymanBudget) - sum(col(baseCol)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+            graft.operators.BoundedWindow.all))
         .withColumn(outCol,
           col(baseCol) + when(col("__r") <= col("__left"), 1L).otherwise(0L))
         .drop("__r", "__left")

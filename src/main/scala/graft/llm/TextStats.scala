@@ -210,7 +210,7 @@ object TextStats {
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
       .withColumn("cum_terms", sum("new_terms").over(
-        Window.orderBy("bucket")
+        graft.operators.BoundedWindow.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 

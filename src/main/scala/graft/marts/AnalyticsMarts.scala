@@ -26,7 +26,7 @@ object AnalyticsMarts {
     * dims bounded independent of data size (locations: 25 rows) — for
     * SF-scaling dims use Ranks.globalRank. */
   private def rank1(metric: Column, tiebreak: Column): Column =
-    row_number().over(Window.orderBy(metric.desc_nulls_last, tiebreak))
+    row_number().over(graft.operators.BoundedWindow.orderBy(metric.desc_nulls_last, tiebreak))
 
   /** products mart rank stage (reference `products.sql:61-64` W2 +
     * `:142-172` J10/tiers): four scalable global ranks over the

@@ -585,9 +585,10 @@ object EventMarts {
     val piRows = pi
       .select(posexplode(col("pi")).as(Seq("__j", "pi_k")))
       .join(types.select(col("t"))
+          // |event types| rows — bounded-domain window
           .withColumn("__j",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy("t")) - 1),
+            row_number().over(
+              graft.operators.BoundedWindow.orderBy(col("t"))) - 1),
         Seq("__j"))
       .select(col("t").as("next_type"), col("pi_k"))
     dense.join(broadcast(piRows), Seq("next_type"))

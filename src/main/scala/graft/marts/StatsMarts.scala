@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs
 import graft.operators.{Ranks, Scans}
+import graft.operators.BoundedWindow
 
 /** Round-14 statistics / data-quality family: revenue concentration
   * (Gini + Lorenz), first-digit fraud audit (Benford), exact
@@ -72,7 +73,7 @@ object StatsMarts {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
         max(col("s")).as("s"))
-    val w = Window.orderBy(col("decile"))
+    val w = BoundedWindow.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDec
       .withColumn("cum_cents", sum(col("cents")).over(w))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 import graft.functions.Funcs._
+import graft.operators.BoundedWindow
 
 /** Time marts (SURVEY §2 S7, A6-A11, W5, J17, P5, F2-F5; reference
   * `models/marts/{metricflow_time_spine,time_analytics}.sql`).
@@ -141,7 +142,7 @@ object TimeMarts {
     val spine = timeSpine(spark)
     val joined = spine.join(daily,
       spine("date_day") === daily("order_date"), "left")
-    val w = Window.orderBy(col("date_day"))
+    val w = BoundedWindow.orderBy(col("date_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select(
       col("date_day"),
@@ -179,7 +180,7 @@ object TimeMarts {
   val EwmaRelDev = 0.5
 
   def revenueAnomalies(daily: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("order_date"))
+    val w = BoundedWindow.orderBy(col("order_date"))
       .rowsBetween(-AnomalyWindow, -1)
     val rev = col("daily_revenue")
     val base = daily.select(
@@ -285,7 +286,7 @@ object TimeMarts {
     val base = daily.select(col("order_date"), col("daily_revenue"),
       cents.as("cents"))
     val tot = base.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-    val w = Window.orderBy(col("order_date"))
+    val w = BoundedWindow.orderBy(col("order_date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.crossJoin(broadcast(tot))
       .withColumn("adj_pos",
@@ -372,7 +373,7 @@ object TimeMarts {
       .select(col("order_date"), col("n_days"), col("n_pairs"), col("slope"),
         (col("c").cast("double") - col("slope") * col("d").cast("double"))
           .as("r"))
-    val wR = Window.orderBy(col("r"), col("order_date"))
+    val wR = BoundedWindow.orderBy(col("r"), col("order_date"))
     resid
       .withColumn("rn", row_number().over(wR))
       .filter(col("rn") === expr("(n_days + 1) div 2"))
@@ -502,7 +503,7 @@ object TimeMarts {
     * by SF — the documented exception PlanGuardSpec allowlists;
     * decimal sums keep the running totals exact. */
   def dailyMovingStats(daily: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("order_date")).rowsBetween(-6, Window.currentRow)
+    val w = BoundedWindow.orderBy(col("order_date")).rowsBetween(-6, Window.currentRow)
     daily.select(
         col("order_date"),
         sum(col("daily_revenue")).over(w).as("rev_7d"),
@@ -593,7 +594,7 @@ object TimeMarts {
     */
   def growthMetrics(orders: DataFrame): DataFrame = {
     val m = monthlySummary(orders)
-    val w = Window.orderBy(col("order_month"))
+    val w = BoundedWindow.orderBy(col("order_month"))
     val prevRev = lag(col("monthly_revenue"), 1).over(w)
     val prevOrd = lag(col("monthly_orders"), 1).over(w)
     m.select(
@@ -707,7 +708,7 @@ object TimeMarts {
       // bounded series — the documented unpartitioned-window exception)
       .withColumn("forecast",
         lag(col("level") + col("trend"), 1).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("order_date"))))
+          BoundedWindow.orderBy(col("order_date"))))
       .withColumn("residual", col("cents") - col("forecast"))
       .withColumn("rel_dev",
         when(col("forecast") > 0,
@@ -941,14 +942,14 @@ object TimeMarts {
     val nRow = base.agg(count(lit(1)).as("n_all"))
     val med = base.crossJoin(broadcast(nRow))
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("c"), col("order_date"))))
+        BoundedWindow.orderBy(col("c"), col("order_date"))))
       .filter(col("rn") === expr("(n_all + 1) div 2"))
       .select(col("c").as("med"))
     val signs = base.crossJoin(broadcast(med))
       .where(col("c") =!= col("med"))
       .select(col("order_date"), (col("c") > col("med")).as("up"))
     val runs = signs
-      .withColumn("prev", lag(col("up"), 1).over(Window.orderBy(col("order_date"))))
+      .withColumn("prev", lag(col("up"), 1).over(BoundedWindow.orderBy(col("order_date"))))
       .agg(
         count(when(col("up"), 1)).as("n_above"),
         count(when(!col("up"), 1)).as("n_below"),

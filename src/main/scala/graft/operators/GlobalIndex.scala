@@ -50,7 +50,7 @@ object GlobalIndex {
     val offsets = bucketed.groupBy(col("__gi_bkt")).agg(count(lit(1)).as("__gi_n"))
       .withColumn("__gi_off",
         coalesce(sum(col("__gi_n")).over(
-          Window.orderBy(col("__gi_bkt"))
+          BoundedWindow.orderBy(col("__gi_bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gi_bkt"), col("__gi_off"))
     ranked.join(broadcast(offsets), Seq("__gi_bkt"))

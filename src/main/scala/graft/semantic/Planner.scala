@@ -140,7 +140,12 @@ object Planner {
         withIn.withColumn(n, expr(e))
       case (acc, Cumulative(n, _)) =>
         val t = timeName.getOrElse(sys.error(s"cumulative metric $n needs time grouping"))
-        val w = Window.partitionBy(entityNames.map(col): _*)
+        // no non-time dims -> the running total is a calendar-bounded
+        // single-partition window over ALREADY-AGGREGATED rows: use
+        // the declared bounded form, not an accidental-looking empty
+        // partitionBy
+        val w = (if (entityNames.isEmpty) graft.operators.BoundedWindow.all
+          else Window.partitionBy(entityNames.map(col): _*))
           .orderBy(col(t)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         acc.withColumn(n, sum(col(s"__base_$n")).over(w).cast("double"))
       case (acc, _) => acc

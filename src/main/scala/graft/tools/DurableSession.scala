@@ -33,6 +33,8 @@ object DurableSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.operators.BoundedWindow.ExcludedRule)
       .config(graft.Mat.LogRootConf, logRoot)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -9,13 +9,10 @@ import org.apache.spark.sql.DataFrame
   * with a measurement instead of a guess. */
 object PlanMetrics {
 
-  /** Sum of shuffleBytesWritten over every ShuffleExchangeExec in the
-    * executed plan (AQE stages and subqueries included). Call AFTER
-    * an action has run the plan; unexecuted metrics read 0. */
-  def shuffleBytesOf(df: DataFrame): Long = {
+  private def walkExecuted(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -25,8 +22,29 @@ object PlanMetrics {
       p +: (kids ++ p.subqueries).flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
+  }
+
+  /** Sum of shuffleBytesWritten over every ShuffleExchangeExec in the
+    * executed plan (AQE stages and subqueries included). Call AFTER
+    * an action has run the plan; unexecuted metrics read 0. */
+  def shuffleBytesOf(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    walkExecuted(df)
       .collect { case e: ShuffleExchangeExec =>
         e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) }
       .sum
+  }
+
+  /** Join strategies chosen in the EXECUTED (final AQE) plan, in walk
+    * order — the per-query answer to "did the join I expected to
+    * broadcast actually broadcast". Call after an action. */
+  def joinStrategiesOf(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.joins._
+    walkExecuted(df).collect {
+      case _: BroadcastHashJoinExec => "broadcast_hash"
+      case _: BroadcastNestedLoopJoinExec => "broadcast_nested_loop"
+      case _: ShuffledHashJoinExec => "shuffled_hash"
+      case _: SortMergeJoinExec => "sort_merge"
+    }
   }
 }

@@ -18,6 +18,8 @@ object ProfileHybrid {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.operators.BoundedWindow.ExcludedRule)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(df: => DataFrame): Unit = {

@@ -272,6 +272,25 @@ class GraphSpec extends SparkSpec {
       4L -> ((1L, 0L, 0.0))))
   }
 
+  test("capped-triangle wedge joins broadcast below the AQE threshold (the plan flip, priced)") {
+    // The 8x scale probe measured this plan FLIP broadcast -> shuffle
+    // (13.6 MB -> 1.45 GB shuffle at 9.6 M edges): below
+    // spark.sql.adaptive.autoBroadcastJoinThreshold the kept-edge set
+    // broadcasts and the wedge join is shuffle-free; above it, shuffle
+    // volume is proportional to kept edges (degree-capped, so bounded
+    // per node) — linear in corpus, constant documented in COVERAGE.
+    // Pin the small-scale half: at gated sizes the kept-edge side
+    // MUST arrive by broadcast, not a shuffle the optimizer forgot.
+    val df = Models.copurchaseTrianglesCapped(spark, sf)
+    df.collect()
+    val joins = graft.tools.PlanMetrics.joinStrategiesOf(df)
+    assert(joins.nonEmpty)
+    assert(joins.contains("broadcast_hash"),
+      s"expected the wedge join to broadcast at sf0.001, got $joins")
+    assert(!joins.contains("sort_merge") && !joins.contains("shuffled_hash"),
+      s"kept-edge joins should be broadcast-only at this size, got $joins")
+  }
+
   test("pageRank: fixed-point rounds equal a reference integer implementation") {
     // star 1-{2,3,4} plus edge 2-3: asymmetric degrees
     val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))

@@ -87,6 +87,9 @@ class PlanGuardSpec extends SparkSpec {
     // edges × ONE broadcast (keep_num, keep_den) params row (the
     // budget-derived sampling probability), and counts × the same row
     "copurchase_triangles_approx",
+    // composes the same sampled-triangle params-row crossJoin (the
+    // clustering projection adds only an equi-join on node)
+    "copurchase_clustering_approx",
     // two ONE-ROW count/sum aggregates (exact vs sampled totals)
     // cross-joined broadcast, plus the sampled arm's params row
     "triangles_approx_error",
@@ -206,59 +209,16 @@ class PlanGuardSpec extends SparkSpec {
     * range-partitioned ranking would only add a shuffle). Global
     * windows over SF-scaling dims must use operators/Ranks instead
     * (RanksSpec asserts products/supplies do). */
-  private val boundedGlobalWindowAllowed = Set(
-    "daily_moving_stats", // one row per calendar day, fixed date range
-    "revenue_anomalies",  // same calendar-bounded daily grain
-    "revenue_cusum",      // same calendar-bounded daily grain
-    // pair set bounded by calendar² (≤6.7M at decade retention) —
-    // the Theil-Sen median sorts a schema-bounded set; the Scaladoc
-    // names Matousek selection as the century-scale escape
-    "revenue_theilsen",
-    "daily_gapfill",      // 3650-row calendar spine fill
-    "revenue_holt",       // lag-1 forecast over the calendar-bounded fold
-    "revenue_runs_test",  // median pick + sign-lag over the calendar series
-    "locations", "location_performance_metrics", "growth_metrics",
-    "monthly_summary", "quarterly_revenue_pivot", "revenue_rollup",
-    "seasonal_trends", "time_analytics_metrics", "metric_revenue_growth_mom",
-    "metric_median_revenue", "metric_large_orders", "metric_weekly_orders",
-    "metric_cumulative_revenue", "metric_cumulative_revenue_by_product",
-    // GlobalIndex offset cumsum: one row per occupied hash bucket —
-    // fixed 1024-bucket domain regardless of corpus size
-    // (GlobalIndexSpec asserts the corpus-scale window is the
-    // partitioned one)
-    "epoch_shuffle",
-    // histogram cum-count over ≤ HistBins rows: the constant "all"
-    // partition key is constant-folded away, leaving an empty
-    // partitionSpec over a schema-bounded 64-row table
-    "curriculum_bins",
-    // AUC rank-sum prefix over DISTINCT integer margins — cardinality
-    // bounded by the classifier's weight·feature magnitude range,
-    // ≪ corpus rows (the Mann-Whitney reduction's deliberate trade,
-    // documented in QualityModel.evaluation)
-    "quality_eval",
-    // cumulative-vocabulary window over exactly 10 decile rows
-    "vocab_growth",
-    // Lorenz cumulative over exactly 10 decile rows (the rank that
-    // feeds the deciles is the two-phase Ranks pass)
-    "lorenz_deciles",
-    // skyline prefix-max over DISTINCT TOKEN-LENGTH values — bounded
-    // by max document length, never corpus size (the groupBy collapse
-    // happens before the window)
-    "quality_pareto",
-    // water-fill ranking over the |languages| aggregate (bounded dim;
-    // the corpus itself sees only the groupBy scan)
-    "unimax_allocation",
-    // largest-remainder rank + leftover sum over the |languages|
-    // strata table (bounded dim; the corpus sees one groupBy pass)
-    "neyman_allocation",
-    // conformal q̂ cumulative over DISTINCT integer nonconformity
-    // scores — the quality_eval Mann-Whitney trade, same bound
-    "quality_conformal",
-    // lag/prev over the per-hop mass table: ≤ HyperBallHardCap + 1
-    // rows regardless of corpus size
-    "copurchase_distance_distribution",
-    // row_number over the bounded |event types| list (π index join)
-    "event_markov")
+  /** r17: EMPTY by design. Every deliberate bounded-domain global
+    * window now declares an explicit constant partition key through
+    * operators.BoundedWindow (the session excludes Catalyst's
+    * EliminateWindowPartitions so the key survives), so ANY
+    * empty-partitionSpec WindowExec in a registered plan is an
+    * accident and fails this guard. The former entries (calendar
+    * grains, deciles, |strata|, distinct margins, hop counts, |event
+    * types|) live on as call-site comments next to their
+    * BoundedWindow.orderBy. */
+  private val boundedGlobalWindowAllowed = Set.empty[String]
 
   test("no cartesian products, unexpected nested loops, or unpartitioned windows over scaling dims") {
     // AQE wraps the whole plan in a single AdaptiveSparkPlanExec LEAF,
