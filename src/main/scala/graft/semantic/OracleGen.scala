@@ -54,11 +54,18 @@ object OracleGen {
     * exposing fact.* plus each joined dimension under its output name
     * — so measure exprs stay unqualified and unambiguous. Returns
     * (cteSqlOrEmpty, fromName). */
-  private def entityJoinSrc(q: SavedQuery, registry: Registry): (String, String) = {
+  private def entityJoinSrc(q: SavedQuery, registry: Registry,
+      metrics: Seq[Metric]): (String, String) = {
     val model = registry.model(q.model)
-    val wanted = q.groupBys.collect {
+    val fromGroups = q.groupBys.collect {
       case d: ByDimension if d.entityPath.isDefined => (d.entityPath.get, d.name)
     }
+    // filters referencing entity-joined dims (mirrors
+    // Planner.wantedEntityDims)
+    val fromFilters = metrics.collect { case Simple(_, _, Some(f)) => f }
+      .flatMap(f => Spec.entityDimRefs(f, model.entities.keySet))
+      .map { case (e, d, tok) => ((e, d), tok) }
+    val wanted = (fromGroups ++ fromFilters).distinct
     if (wanted.isEmpty) return ("", cteOf(q.model))
     val joins = wanted.groupBy(_._1._1).toSeq.sortBy(_._1)
     val dimCols = joins.flatMap { case (entity, dims) =>
@@ -120,7 +127,7 @@ object OracleGen {
         Seq(s"cast(sum(sum(${m.exprSql})) over (${part}order by $t rows between unbounded preceding and current row) as double) as $n")
       case Derived(_, _, _) => Nil
     }
-    val (srcCte, fromName) = entityJoinSrc(q, registry)
+    val (srcCte, fromName) = entityJoinSrc(q, registry, all)
     val base =
       s"""sq_base as (
          |  select ${groups.map { case (e, n) => s"$e as $n" }.mkString(", ")},

@@ -164,12 +164,27 @@ object Planner {
     * saved query still costs one shuffle (the hash aggregation) over
     * one fact scan at any fact size; only the dim model must stay
     * broadcastable, which entity-grain dims are by construction. */
-  private def joinEntityDims(q: SavedQuery, registry: Registry, df: DataFrame,
-      dimBacking: String => DataFrame): DataFrame = {
+  /** All `entity__dim` references a query resolves through the fact
+    * model's foreign entities: group-bys plus metric FILTERS
+    * (MetricFlow's `where: Dimension('customer__customer_type') = …`
+    * on a simple metric) — a filtered metric can slice by a joined
+    * dimension without grouping by it. */
+  private def wantedEntityDims(q: SavedQuery, registry: Registry,
+      metrics: Seq[Metric]): Seq[((String, String), String)] = {
     val model = registry.model(q.model)
-    val wanted = q.groupBys.collect {
+    val fromGroups = q.groupBys.collect {
       case d: ByDimension if d.entityPath.isDefined => (d.entityPath.get, d.name)
     }
+    val fromFilters = metrics.collect { case Simple(_, _, Some(f)) => f }
+      .flatMap(f => Spec.entityDimRefs(f, model.entities.keySet))
+      .map { case (e, d, tok) => ((e, d), tok) }
+    (fromGroups ++ fromFilters).distinct
+  }
+
+  private def joinEntityDims(q: SavedQuery, registry: Registry, df: DataFrame,
+      metrics: Seq[Metric], dimBacking: String => DataFrame): DataFrame = {
+    val model = registry.model(q.model)
+    val wanted = wantedEntityDims(q, registry, metrics)
     wanted.groupBy(_._1._1).toSeq.sortBy(_._1).foldLeft(df) {
       case (acc, (entity, dims)) =>
         val factKey = model.entities.getOrElse(entity,
@@ -197,7 +212,7 @@ object Planner {
       case _ => Nil
     }.distinct.filterNot(q.metrics.contains).map(registry.metric(q.model, _))
     val all = metrics ++ deps
-    val out = compile(model, all, joinEntityDims(q, registry, df, dimBacking), q.groupBys)
+    val out = compile(model, all, joinEntityDims(q, registry, df, all, dimBacking), q.groupBys)
     out.select((q.groupBys.map(g => col(groupName(g))) ++ q.metrics.map(col)): _*)
   }
 

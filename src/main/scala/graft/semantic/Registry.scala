@@ -144,7 +144,13 @@ class Registry {
       Simple("large_orders", "order_count", Some("order_total >= 2000000")),
       Simple("orders", "order_count"),
       Simple("promo_orders", "order_count", Some("is_promo_order = true")),
-      Simple("returned_orders", "order_count", Some("has_returned_item = true"))),
+      Simple("returned_orders", "order_count", Some("has_returned_item = true")),
+      // filter through the customer entity join (MetricFlow's
+      // `where: Dimension('customer__customer_type') = …` shape):
+      // slices orders revenue by a CUSTOMERS-model dimension without
+      // grouping by it
+      Simple("returning_customer_revenue", "order_total",
+        Some("customer__customer_type = 'returning'"))),
     // reference order_items.yml:88-167 (M4 ratio, M5/M6 derived, M7 cumulative)
     "order_items" -> Seq(
       Simple("revenue", "revenue"),
@@ -277,7 +283,12 @@ class Registry {
       Seq(ByDimension("clv_tier"))),
     SavedQuery("metric_orders_by_promo", "orders",
       Seq("orders", "order_total"),
-      Seq(ByDimension("is_promo_order"))))
+      Seq(ByDimension("is_promo_order"))),
+    // metric FILTER through the entity join — the joined dim is
+    // referenced only in the filter, never grouped
+    SavedQuery("metric_returning_revenue_by_month", "orders",
+      Seq("returning_customer_revenue", "order_total"),
+      Seq(ByTime("month"))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))

@@ -87,4 +87,17 @@ object Spec {
     require(groupBys.count(_.isInstanceOf[ByTime]) <= 1,
       s"saved query $name: at most one time dimension")
   }
+
+  /** `entity__dim` references inside a SQL fragment (metric filters —
+    * MetricFlow's `where: Dimension('customer__customer_type') = …`),
+    * restricted to the model's DECLARED entities so ordinary
+    * double-underscore identifiers never false-positive. Returned as
+    * (entity, dim, fullToken), deduped, token order. */
+  private val EntityDimToken =
+    """([A-Za-z_][A-Za-z0-9_]*?)__([A-Za-z_][A-Za-z0-9_]*)""".r
+  def entityDimRefs(sql: String, declaredEntities: Set[String]): Seq[(String, String, String)] =
+    EntityDimToken.findAllMatchIn(sql)
+      .map(m => (m.group(1), m.group(2), m.matched))
+      .filter { case (e, _, _) => declaredEntities.contains(e) }
+      .toSeq.distinct
 }

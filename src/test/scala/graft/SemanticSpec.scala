@@ -119,6 +119,28 @@ class SemanticSpec extends SparkSpec {
     assert(total === Models.customerSegmentation(spark, sf).count())
   }
 
+  test("entity-joined dim in a metric FILTER slices without grouping by it") {
+    val df = Models.semanticQuery("metric_returning_revenue_by_month")(spark, sf)
+    assert(df.columns.toSeq ===
+      Seq("metric_time", "returning_customer_revenue", "order_total"))
+    // filtered metric can never exceed the unfiltered one
+    assert(df.filter(col("returning_customer_revenue") > col("order_total"))
+      .count() === 0)
+    // hand replication: orders ⟕ customers, filter on the customers
+    // dim, month rollup
+    val expected = Models.orders(spark, sf)
+      .join(Models.customers(spark, sf)
+        .select(col("customer_id"), col("customer_type")),
+        Seq("customer_id"), "left")
+      .filter(col("customer_type") === "returning")
+      .groupBy(date_trunc("month", col("ordered_at")).cast("date").as("metric_time"))
+      .agg(sum("order_total").cast("double").as("e"))
+    val bad = df.join(expected, Seq("metric_time"), "left")
+      .filter(coalesce(col("returning_customer_revenue"), lit(0.0)) =!=
+        coalesce(col("e"), lit(0.0))).count()
+    assert(bad === 0)
+  }
+
   test("oracle generator emits SQL for every saved query") {
     Registry.savedQueries.foreach { q =>
       val sql = OracleGen.savedQuery(q, Registry, "")
