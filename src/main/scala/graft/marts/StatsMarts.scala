@@ -306,14 +306,19 @@ object StatsMarts {
     * contained it — its supports can only undercount through those). */
   def basketRules(stgOrderItems: DataFrame): DataFrame = {
     val itemsAll = stgOrderItems.select(col("order_id"), col("product_id")).distinct()
-    val cappedOrders = itemsAll.groupBy("order_id")
-      .agg(count(lit(1)).as("basket_n"))
-      .where(col("basket_n") > BasketSizeCap)
-      .select("order_id")
-    val items = itemsAll.join(cappedOrders, Seq("order_id"), "left_anti")
+    // basket size rides ONE keyed window on the SAME order_id hash
+    // partitioning the pair self-join needs anyway — the cap costs no
+    // extra scan and no anti/semi joins (r17 bench: the join form
+    // priced +1.3 s / 13 static shuffles; this is 8)
+    val sized = itemsAll.withColumn("basket_n",
+      count(lit(1)).over(Window.partitionBy("order_id")))
+    val items = sized.where(col("basket_n") <= BasketSizeCap)
+      .select("order_id", "product_id")
+    val cappedItems = sized.where(col("basket_n") > BasketSizeCap)
     val nOrders = items.agg(countDistinct(col("order_id")).as("n_orders"))
-    val nCapped = cappedOrders.agg(count(lit(1)).as("n_capped_orders"))
-    val cappedN = itemsAll.join(cappedOrders, Seq("order_id"), "left_semi")
+    val nCapped = cappedItems
+      .agg(countDistinct(col("order_id")).as("n_capped_orders"))
+    val cappedN = cappedItems
       .groupBy("product_id").agg(count(lit(1)).as("capped_n"))
     val supports = items.groupBy("product_id").agg(count(lit(1)).as("supp"))
     val pairs = items.as("a")
