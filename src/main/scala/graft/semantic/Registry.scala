@@ -288,7 +288,12 @@ class Registry {
     // referenced only in the filter, never grouped
     SavedQuery("metric_returning_revenue_by_month", "orders",
       Seq("returning_customer_revenue", "order_total"),
-      Seq(ByTime("month"))))
+      Seq(ByTime("month"))),
+    // FOREIGN entity as the group-by KEY (Entity('location') on
+    // orders — declared at orders.yml:64-66, exercised nowhere in the
+    // reference's shipped queries)
+    SavedQuery("metric_revenue_by_location", "orders",
+      Seq("orders", "order_total"), Seq(ByEntity("location"))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))
