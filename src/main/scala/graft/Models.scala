@@ -1789,6 +1789,42 @@ object Models {
       semanticBacking(q.model)(s, d), m => semanticBacking(m)(s, d))
   }
 
+  /** Multi-model metric query: each part aggregates its own fact with
+    * the single-scan plan; the per-group frames full-outer-join on the
+    * shared key (semantic/Planner.multiQuery). */
+  def semanticMultiQuery(name: String)(s: SparkSession, d: String): DataFrame =
+    semantic.Planner.multiQuery(semantic.Registry.multiQuery(name),
+      semantic.Registry, m => semanticBacking(m)(s, d))
+
+  /** S2+F1 oracle round trip (VERDICT r17 #4): dump a customer slice
+    * to header CSV with the money column in CENTS, reload it through
+    * the explicit-schema seed loader (sources/Seeds — dbt's seed
+    * ingestion, reference dbt_project.yml:25-29), and apply the
+    * cents_to_dollars macro (reference macros/cents_to_dollars.sql:7-9).
+    * The CSV lands under target/ at a FIXED path so the DuckDB oracle
+    * can read the same bytes with read_csv — closing the last two
+    * spec-only §2 operators with a real differential gate. Cents are
+    * integers (round(acctbal*100)), so /100 is within 1e-12 of an
+    * exact 2-decimal value on both engines and the decimal(16,2) cast
+    * cannot straddle a rounding boundary. */
+  def seedCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = sources.Seeds.RoundtripDir
+    Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_nationkey").as("nation_id"),
+      // cents as a whole-number double — the seed schema's money type
+      round(col("c_acctbal") * 100, 0).as("balance"),
+      col("c_mktsegment").as("segment"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    sources.Seeds.load(s, dir, "raw_customers")
+      .select(col("id"), col("name"), col("nation_id"),
+        functions.Funcs.centsToDollars(col("balance")).as("balance_dollars"),
+        col("segment"))
+  }
+
   /** Build every Mat-materialized mart, independent subtrees in
     * parallel (dbt's thread-pool DAG execution, SURVEY §3.1 step 4):
     * the roots below cover the whole barrier DAG — shared parents

@@ -486,11 +486,19 @@ object SparkEntry {
     "unigram_vocab" -> out(Models.unigramVocab),
     "unigram_segmentation" -> out(Models.unigramSegmentation),
     "tokenizer_fertility_compare" -> out(Models.tokenizerFertilityCompare),
+    // S2+F1 differential gate: seed-CSV loader + cents_to_dollars
+    // through a real CSV round trip (shared bytes with the oracle)
+    "seed_csv_roundtrip" -> out(Models.seedCsvRoundtrip),
   ) ++
-    // semantic layer M1-M8: the reference's 8 saved queries + planner
-    // demos for ratio/median/offset/cumulative metric types.
+    // semantic layer M1-M10: the reference's 8 saved queries + planner
+    // demos for ratio/median/percentile/offset/cumulative metric types
+    // and entity joins.
     graft.semantic.Registry.savedQueries.map(q =>
-      q.name -> out(Models.semanticQuery(q.name))).toMap
+      q.name -> out(Models.semanticQuery(q.name))).toMap ++
+    // multi-model metric queries (cross-model composition on the
+    // shared group key)
+    graft.semantic.Registry.multiQueries.map(q =>
+      q.name -> out(Models.semanticMultiQuery(q.name))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -757,7 +765,15 @@ object SparkEntry {
     "unigram_vocab" -> LlmSql.unigramVocabQ,
     "unigram_segmentation" -> LlmSql.unigramSegmentationQ,
     "tokenizer_fertility_compare" -> LlmSql.tokenizerFertilityCompareQ,
+    // S2+F1: the oracle reads the SAME CSV bytes the engine wrote and
+    // re-applies the cents_to_dollars macro arithmetic
+    "seed_csv_roundtrip" ->
+      s"""select id, name, nation_id, cast(balance / 100 as decimal(16,2)) as balance_dollars, segment
+         |from read_csv('${graft.sources.Seeds.RoundtripDir}/*.csv', header=true,
+         |  columns={'id': 'BIGINT', 'name': 'VARCHAR', 'nation_id': 'INTEGER', 'balance': 'DOUBLE', 'segment': 'VARCHAR'})""".stripMargin,
   ) ++
     graft.semantic.Registry.savedQueries.map(q =>
-      q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap
+      q.name -> graft.semantic.OracleGen.savedQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap ++
+    graft.semantic.Registry.multiQueries.map(q =>
+      q.name -> graft.semantic.OracleGen.multiQuery(q, graft.semantic.Registry, Sql.allCtes)).toMap
 }

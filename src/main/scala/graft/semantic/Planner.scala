@@ -28,6 +28,14 @@ object Planner {
       case CountDistinct => countDistinct(e)
       case Avg => when(count(e) > 0, sum(e).cast("double") / count(e).cast("double"))
       case Median => median(e.cast("double"))               // doubles: same sort+interpolate both engines
+      // EXACT percentile (sort + linear interpolation — Spark
+      // `percentile`, not the approximate sketch): order-independent
+      // like Median. Engines interpolate (1-d)·a + d·b with differing
+      // association, so the output runs through the decimal(18,9)
+      // quantization (the value_percentiles recipe) to absorb the
+      // last-ulp divergence vs DuckDB's quantile_cont.
+      case Percentile(p) => percentile(e.cast("double"), lit(p))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double")
     }
   }
 
@@ -37,12 +45,12 @@ object Planner {
       date_trunc(grain, col(t)).cast(DateType).as("metric_time")
     case ByEntity(e) =>
       col(model.entities.getOrElse(e, sys.error(s"unknown entity $e"))).as(e)
-    case d @ ByDimension(n) => d.entityPath match {
-      // entity-joined dims were pre-joined onto the fact under their
-      // output name by `joinEntityDims` — group by the joined column
-      case Some(_) => col(n)
-      case None => expr(model.dimension(n)).as(n)
-    }
+    case ByDimension(n) =>
+      // a name in the model's own dimensions map is local; anything
+      // else was pre-joined onto the fact under its output name by
+      // `joinEntityDims` — group by the joined column
+      if (model.dimensions.contains(n)) expr(model.dimension(n)).as(n)
+      else col(n)
   }
 
   private def groupName(g: GroupBy): String = g match {
@@ -155,48 +163,73 @@ object Planner {
     withOffsets.select((gNames.map(col) ++ metrics.map(m => col(m.name))): _*)
   }
 
-  /** Pre-join entity-reached dimensions onto the fact (MetricFlow's
-    * entity-join, the reason fact models declare foreign entities —
-    * reference orders.yml:64-69). Each referenced foreign entity
-    * contributes ONE broadcast left join of the owning model's
-    * (primary-key, dims) projection: the dim side is entity-grain
-    * (its primary key), so the join is 1:1 and broadcast-sized — the
-    * saved query still costs one shuffle (the hash aggregation) over
-    * one fact scan at any fact size; only the dim model must stay
-    * broadcastable, which entity-grain dims are by construction. */
-  /** All `entity__dim` references a query resolves through the fact
-    * model's foreign entities: group-bys plus metric FILTERS
+  /** All `entity__…__dim` references a query resolves through the
+    * fact model's declared entities: group-bys plus metric FILTERS
     * (MetricFlow's `where: Dimension('customer__customer_type') = …`
     * on a simple metric) — a filtered metric can slice by a joined
-    * dimension without grouping by it. */
+    * dimension without grouping by it. Each ref is resolved against
+    * the entity graph (Registry.resolveDim) into a hop path, so
+    * single-hop (`customer__customer_type` on orders) and multi-hop
+    * (`order__customer__customer_type` on order_items) flow through
+    * the same machinery. Returns (hops, dim, outputName) triples. */
   private def wantedEntityDims(q: SavedQuery, registry: Registry,
-      metrics: Seq[Metric]): Seq[((String, String), String)] = {
+      metrics: Seq[Metric]): Seq[(Seq[(String, SemanticModel)], String, String)] = {
     val model = registry.model(q.model)
-    val fromGroups = q.groupBys.collect {
-      case d: ByDimension if d.entityPath.isDefined => (d.entityPath.get, d.name)
-    }
-    val fromFilters = metrics.collect { case Simple(_, _, Some(f)) => f }
+    val names = q.groupBys.collect {
+      case ByDimension(n) if !model.dimensions.contains(n) => n
+    } ++ metrics.collect { case Simple(_, _, Some(f)) => f }
       .flatMap(f => Spec.entityDimRefs(f, model.entities.keySet))
-      .map { case (e, d, tok) => ((e, d), tok) }
-    (fromGroups ++ fromFilters).distinct
+    names.distinct.map { n =>
+      val (hops, dim) = registry.resolveDim(model, n)
+      (hops, dim, n)
+    }
   }
 
+  /** Pre-join entity-reached dimensions onto the fact (MetricFlow's
+    * entity-join, the reason fact models declare foreign entities —
+    * reference orders.yml:64-69, order_items.yml:54-59). Dims sharing
+    * a hop path ride ONE chain of 1:1 left joins on entity primary
+    * keys — the saved query still scans the fact once and still costs
+    * one hash-agg shuffle.
+    *
+    * Scale: the dim side is broadcast-hinted ONLY when every model on
+    * the hop path declares `bounded` (products/locations: enumerable
+    * catalogs). A customer-grain dim grows WITH the fact — billions
+    * of rows at 100 TB — so fact-scaled owners get no hint: AQE
+    * broadcasts them while they're measurably small and falls back to
+    * a shuffled join on the entity key once they aren't, which is the
+    * correct 100 TB plan (one extra fact shuffle, no OOM path). */
   private def joinEntityDims(q: SavedQuery, registry: Registry, df: DataFrame,
       metrics: Seq[Metric], dimBacking: String => DataFrame): DataFrame = {
     val model = registry.model(q.model)
     val wanted = wantedEntityDims(q, registry, metrics)
-    wanted.groupBy(_._1._1).toSeq.sortBy(_._1).foldLeft(df) {
-      case (acc, (entity, dims)) =>
-        val factKey = model.entities.getOrElse(entity,
-          sys.error(s"model ${model.name} declares no entity $entity"))
-        val ownerName = registry.entityOwner.getOrElse(entity,
-          sys.error(s"no semantic model owns entity $entity as primary"))
-        val owner = registry.model(ownerName)
-        val k = s"__ek_$entity"
-        val dimSel = dimBacking(ownerName).select(
-          (col(owner.entities(entity)).as(k) +:
-            dims.map { case ((_, d), out) => expr(owner.dimension(d)).as(out) }): _*)
-        acc.join(broadcast(dimSel), acc(factKey) === dimSel(k), "left").drop(k)
+    val byPath = wanted.groupBy(_._1.map(_._1)).toSeq.sortBy(_._1.mkString("__"))
+    byPath.foldLeft(df) { case (acc, (pathNames, dims)) =>
+      val hops = dims.head._1
+      val outs = dims.map { case (_, d, out) => (d, out) }
+      // compose the dim side from the deepest hop outward: the final
+      // owner contributes (pk, dims); each intermediate owner joins
+      // 1:1 on its fk and re-keys by its own pk
+      def side(rest: Seq[(String, SemanticModel)]): (DataFrame, String) = {
+        val (e, owner) = rest.head
+        val k = s"__ek_$e"
+        if (rest.size == 1) {
+          (dimBacking(owner.name).select(
+            col(owner.entities(e)).as(k) +:
+              outs.map { case (d, out) => expr(owner.dimension(d)).as(out) }: _*), k)
+        } else {
+          val (inner, kIn) = side(rest.tail)
+          val fk = owner.entities(rest.tail.head._1)
+          val mid = dimBacking(owner.name).select(col(owner.entities(e)).as(k), col(fk))
+          (mid.join(inner, mid(fk) === inner(kIn), "left")
+            .select(col(k) +: outs.map { case (_, out) => col(out) }: _*), k)
+        }
+      }
+      val (dimSel, k) = side(hops)
+      val factKey = model.entities.getOrElse(pathNames.head,
+        sys.error(s"model ${model.name} declares no entity ${pathNames.head}"))
+      val sided = if (hops.forall(_._2.bounded)) broadcast(dimSel) else dimSel
+      acc.join(sided, acc(factKey) === dimSel(k), "left").drop(k)
     }
   }
 
@@ -214,6 +247,20 @@ object Planner {
     val all = metrics ++ deps
     val out = compile(model, all, joinEntityDims(q, registry, df, all, dimBacking), q.groupBys)
     out.select((q.groupBys.map(g => col(groupName(g))) ++ q.metrics.map(col)): _*)
+  }
+
+  /** Multi-model metric query (MetricFlow's cross-model composition):
+    * compile each part with its own single-scan plan, then full-outer-
+    * join the AGGREGATED frames — one row per group key, so the join
+    * is dim-sized however large the facts are; no fact joins a fact.
+    * Group columns coalesce across parts (Spark's using-column join),
+    * so a month present in either fact appears once. */
+  def multiQuery(q: MultiModelQuery, registry: Registry,
+      backing: String => DataFrame): DataFrame = {
+    val gNames = q.parts.head.groupBys.map(groupName)
+    val frames = q.parts.map(p => savedQuery(p, registry, backing(p.model), backing))
+    frames.reduce((a, b) => a.join(b, gNames, "full"))
+      .select((gNames.map(col) ++ q.parts.flatMap(_.metrics).map(col)): _*)
   }
 
   def nameOf(g: GroupBy): String = groupName(g)

@@ -32,6 +32,9 @@ class Registry {
         Measure("promo_revenue", Sum, Some("case when is_promo_item then product_price else 0 end")),
         Measure("economy_revenue", Sum, Some("case when is_economy_item then product_price else 0 end")),
         Measure("median_revenue", Median, Some("product_price")),
+        // MetricFlow `agg: percentile, agg_params: {percentile: 0.9}` —
+        // the one declared-in-spec agg type no reference measure uses
+        Measure("p90_revenue", Percentile(0.9), Some("product_price")),
         Measure("supply_cost", Sum)),
       dimensions = Map(
         "is_promo_item" -> "is_promo_item",
@@ -60,7 +63,8 @@ class Registry {
       dimensions = Map(
         "product_name" -> "product_name",
         "product_type" -> "product_type",
-        "performance_tier" -> "performance_tier")),
+        "performance_tier" -> "performance_tier"),
+      bounded = true),   // catalog grain: does not grow with fact volume
     // reference locations.yml:35-84
     "locations" -> SemanticModel("locations", None,
       Map("location" -> "location_id"),
@@ -76,7 +80,8 @@ class Registry {
       dimensions = Map(
         "location_name" -> "location_name",
         "performance_tier" -> "performance_tier",
-        "retention_tier" -> "retention_tier")),
+        "retention_tier" -> "retention_tier"),
+      bounded = true),   // store/location grain: bounded venue list
     // reference supplies.yml:41-90
     "supplies" -> SemanticModel("supplies", None,
       Map("supply" -> "supply_id"),
@@ -92,7 +97,8 @@ class Registry {
         "is_perishable_supply" -> "is_perishable_supply",
         "usage_tier" -> "usage_tier",
         "efficiency_tier" -> "efficiency_tier",
-        "risk_category" -> "risk_category")),
+        "risk_category" -> "risk_category"),
+      bounded = true),   // supplier-catalog grain: bounded
     // reference customer_segmentation.yml:35-87
     "customer_segmentation" -> SemanticModel("customer_segmentation", Some("first_ordered_at"),
       Map("customer" -> "customer_id"),
@@ -121,7 +127,8 @@ class Registry {
         Measure("daily_revenue", Sum, Some("cast(daily_revenue as decimal(18,2))")),
         Measure("daily_profit", Sum, Some("cast(daily_profit as decimal(18,2))")),
         Measure("daily_unique_customers", Sum),
-        Measure("avg_daily_order_value", Avg, Some("daily_avg_order_value")))))
+        Measure("avg_daily_order_value", Avg, Some("daily_avg_order_value"))),
+      bounded = true))   // calendar grain: grows with time, not volume
 
   /** entity name → the semantic model that declares it as PRIMARY —
     * how MetricFlow resolves `entity__dimension` group-bys: a fact
@@ -135,6 +142,35 @@ class Registry {
     "product" -> "products",
     "location" -> "locations",
     "supply" -> "supplies")
+
+  /** Resolve a Dimension name against the declared entity graph
+    * (MetricFlow's entity-path resolution): `e1__e2__…__dim` walks
+    * hop-by-hop — each segment must be an entity DECLARED on the
+    * current model, whose owner model hosts the next hop — and the
+    * remaining suffix must be a dimension of the final owner. A name
+    * declared in the model's own dimensions map is local (empty hop
+    * list); anything else that fails to walk is an error at compile
+    * time, not a silent null column. Returns (hops, dim) where each
+    * hop is (entityName, ownerModel). */
+  def resolveDim(start: SemanticModel, name: String): (Seq[(String, SemanticModel)], String) = {
+    if (start.dimensions.contains(name)) return (Nil, name)
+    val segs = name.split("__")
+    val hops = Seq.newBuilder[(String, SemanticModel)]
+    var cur = start
+    var i = 0
+    while (i < segs.length - 1 && cur.entities.contains(segs(i)) &&
+        entityOwner.contains(segs(i))) {
+      val owner = model(entityOwner(segs(i)))
+      hops += ((segs(i), owner))
+      cur = owner
+      i += 1
+    }
+    val dim = segs.drop(i).mkString("__")
+    require(i > 0, s"dimension $name: not local to ${start.name} and " +
+      s"'${segs.head}' is not a declared entity")
+    cur.dimension(dim)   // fails fast on an unknown final dimension
+    (hops.result(), dim)
+  }
 
   val metrics: Map[String, Seq[Metric]] = Map(
     // reference orders.yml:99-143 (food/drink → promo/returned; 20 → 2 000 000)
@@ -156,6 +192,7 @@ class Registry {
       Simple("revenue", "revenue"),
       Simple("order_cost", "supply_cost"),
       Simple("median_revenue", "median_revenue"),
+      Simple("p90_revenue", "p90_revenue"),
       Simple("promo_revenue", "promo_revenue"),
       Simple("economy_revenue", "economy_revenue"),
       Ratio("promo_revenue_pct", "promo_revenue", "revenue"),
@@ -293,7 +330,37 @@ class Registry {
     // orders — declared at orders.yml:64-66, exercised nowhere in the
     // reference's shipped queries)
     SavedQuery("metric_revenue_by_location", "orders",
-      Seq("orders", "order_total"), Seq(ByEntity("location"))))
+      Seq("orders", "order_total"), Seq(ByEntity("location"))),
+    // MULTI-HOP entity path (r18): order_items reaches customers
+    // THROUGH orders — `order` declared at order_items.yml:54-56,
+    // `customer` at orders.yml:64-66; MetricFlow resolves the chained
+    // path `order__customer__customer_type`. Two 1:1 key joins, still
+    // one fact scan and one hash-agg shuffle.
+    SavedQuery("metric_item_revenue_by_customer_type", "order_items",
+      Seq("revenue"),
+      Seq(ByDimension("order__customer__customer_type"))),
+    // cumulative metric KEYED by a categorical Dimension (r18): the
+    // running total partitions by the dim exactly as it does by an
+    // entity (ADVICE r17: the oracle's window must carry ByDimension
+    // keys too — this query pins that path green)
+    SavedQuery("metric_cumulative_revenue_by_promo", "order_items",
+      Seq("cumulative_revenue"),
+      Seq(ByTime("month"), ByDimension("is_promo_item"))),
+    // percentile agg type (MetricFlow `agg: percentile`) — exact
+    // interpolated p90, month grain
+    SavedQuery("metric_p90_revenue", "order_items",
+      Seq("p90_revenue"), Seq(ByTime("month"))))
+
+  /** Multi-model metric queries (r18): metrics from two semantic
+    * models composed on metric_time — MetricFlow's cross-model query
+    * shape. Each part keeps its single-scan plan; the aggregated
+    * frames (one row per month) full-outer-join on the group key. */
+  val multiQueries: Seq[MultiModelQuery] = Seq(
+    MultiModelQuery("metric_multi_model_monthly", Seq(
+      SavedQuery("mm_orders", "orders",
+        Seq("orders", "order_total"), Seq(ByTime("month"))),
+      SavedQuery("mm_items", "order_items",
+        Seq("revenue"), Seq(ByTime("month"))))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))
@@ -303,6 +370,9 @@ class Registry {
 
   def savedQuery(n: String): SavedQuery =
     savedQueries.find(_.name == n).getOrElse(sys.error(s"unknown saved query $n"))
+
+  def multiQuery(n: String): MultiModelQuery =
+    multiQueries.find(_.name == n).getOrElse(sys.error(s"unknown multi-model query $n"))
 }
 
 object Registry extends Registry

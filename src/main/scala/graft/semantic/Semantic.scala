@@ -20,6 +20,12 @@ object Spec {
   case object Avg extends Agg            // compiled as sum/count double
   case object CountDistinct extends Agg
   case object Median extends Agg         // exact median over doubles
+  /** MetricFlow `agg: percentile` + `agg_params: {percentile: p}` —
+    * EXACT sort-based percentile with linear interpolation (Spark
+    * `percentile`, DuckDB `quantile_cont`: the same interpolation
+    * recipe, so both engines agree bit-for-bit on doubles). Sorting
+    * makes it partition-order independent, like Median. */
+  case class Percentile(p: Double) extends Agg
 
   /** M1/M2: measure = agg over an expression of the model (expr
     * defaults to the measure name as a column). */
@@ -33,13 +39,22 @@ object Spec {
   /** M1: semantic model over a mart: entities (name → column), an
     * agg-time dimension, measures, and categorical dimensions (name →
     * SQL expr over the mart, reference `dimensions:` blocks in every
-    * mart yml, e.g. customers.yml:46-58). */
+    * mart yml, e.g. customers.yml:46-58).
+    *
+    * `bounded` declares whether the model's GRAIN is a bounded domain
+    * (products/locations: enumerable catalogs that do not grow with
+    * fact volume) or fact-scaled (customers/orders: row count grows
+    * with the corpus). The planner uses it to decide whether an
+    * entity-join dim side may be broadcast-hinted — a fact-scaled dim
+    * force-broadcast at 100 TB is an executor OOM, so only bounded
+    * owners get the hint and AQE decides for the rest. */
   case class SemanticModel(
       name: String,
       timeDim: Option[String],
       entities: Map[String, String],
       measures: Seq[Measure],
-      dimensions: Map[String, String] = Map.empty) {
+      dimensions: Map[String, String] = Map.empty,
+      bounded: Boolean = false) {
     def measure(n: String): Measure =
       measures.find(_.name == n).getOrElse(sys.error(s"unknown measure $n in $name"))
     def dimension(n: String): String =
@@ -63,20 +78,18 @@ object Spec {
   case class ByTime(grain: String) extends GroupBy
   /** Entity('name'). */
   case class ByEntity(entity: String) extends GroupBy
-  /** Dimension('name') or Dimension('entity__name') — a categorical
-    * dimension on this model, or on the model reached through one of
-    * this model's declared FOREIGN entities (MetricFlow's entity-join:
-    * orders declares `customer`/`location` foreign entities,
-    * reference orders.yml:64-69, precisely so `orders` measures can
-    * group by e.g. `customer__customer_type`). The output column is
-    * named exactly as written, MetricFlow's `entity__dim` convention. */
-  case class ByDimension(name: String) extends GroupBy {
-    /** Some((entity, dim)) for the entity-join form, None for local. */
-    def entityPath: Option[(String, String)] = {
-      val i = name.indexOf("__")
-      if (i > 0) Some((name.substring(0, i), name.substring(i + 2))) else None
-    }
-  }
+  /** Dimension('name'), Dimension('entity__name'), or the multi-hop
+    * Dimension('e1__e2__…__name') — a categorical dimension on this
+    * model, or on a model reached through a CHAIN of declared foreign
+    * entities (MetricFlow resolves arbitrary entity paths: orders
+    * declares `customer`/`location`, reference orders.yml:64-69, and
+    * order_items declares `order`, order_items.yml:54-56, so
+    * `order__customer__customer_type` on order_items reaches customers
+    * through orders). The output column is named exactly as written,
+    * MetricFlow's `entity__dim` convention. Resolution against the
+    * declared entity graph lives in Registry.resolveDim — a name is
+    * "local" iff it is declared in the model's own dimensions map. */
+  case class ByDimension(name: String) extends GroupBy
 
   /** M8: saved query = metrics + group_bys over one semantic model,
     * exported as a table. Multiple dimensions compose (e.g. time ×
@@ -88,16 +101,38 @@ object Spec {
       s"saved query $name: at most one time dimension")
   }
 
-  /** `entity__dim` references inside a SQL fragment (metric filters —
-    * MetricFlow's `where: Dimension('customer__customer_type') = …`),
-    * restricted to the model's DECLARED entities so ordinary
-    * double-underscore identifiers never false-positive. Returned as
-    * (entity, dim, fullToken), deduped, token order. */
+  /** MetricFlow multi-model query: metrics from DIFFERENT semantic
+    * models requested side by side, composed on a shared group key
+    * (metric_time or a shared entity). Each part aggregates its own
+    * fact with the single-scan plan, then the aggregated frames —
+    * tiny, one row per group — full-outer-join on the group columns:
+    * no fact ever joins a fact. Parts must group identically and
+    * export disjoint metric names. */
+  case class MultiModelQuery(name: String, parts: Seq[SavedQuery]) {
+    require(parts.size >= 2, s"multi-model query $name needs >= 2 parts")
+    require(parts.map(_.groupBys).distinct.size == 1,
+      s"multi-model query $name: parts must share the same group_bys")
+    private val outs = parts.flatMap(_.metrics)
+    require(outs.distinct.size == outs.size,
+      s"multi-model query $name: metric names must be disjoint across parts")
+  }
+
+  /** `entity__dim` (possibly multi-hop) references inside a SQL
+    * fragment (metric filters — MetricFlow's
+    * `where: Dimension('customer__customer_type') = …`), restricted to
+    * tokens whose FIRST segment is a declared entity so ordinary
+    * double-underscore identifiers never false-positive. Quoted string
+    * literals are blanked first: a literal like 'customer__x' inside a
+    * filter must not trigger a spurious entity-join (ADVICE r17).
+    * Returns full tokens, deduped, token order. */
   private val EntityDimToken =
     """([A-Za-z_][A-Za-z0-9_]*?)__([A-Za-z_][A-Za-z0-9_]*)""".r
-  def entityDimRefs(sql: String, declaredEntities: Set[String]): Seq[(String, String, String)] =
-    EntityDimToken.findAllMatchIn(sql)
-      .map(m => (m.group(1), m.group(2), m.matched))
-      .filter { case (e, _, _) => declaredEntities.contains(e) }
+  private val QuotedLiteral = """'(?:[^'']|'')*'""".r
+  def entityDimRefs(sql: String, declaredEntities: Set[String]): Seq[String] = {
+    val bare = QuotedLiteral.replaceAllIn(sql, "''")
+    EntityDimToken.findAllMatchIn(bare)
+      .filter(m => declaredEntities.contains(m.group(1)))
+      .map(_.matched)
       .toSeq.distinct
+  }
 }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types._
   */
 object Seeds {
 
+  /** Fixed on-disk home of the seed-CSV oracle round trip
+    * ([[graft.Models.seedCsvRoundtrip]]): the engine writes header CSV
+    * here and reloads it through [[load]]; the DuckDB oracle reads the
+    * SAME files via read_csv, so the loader itself sits inside the
+    * differential gate. Lives under the build's target/ dir
+    * (gitignored, inside the repo sandbox). */
+  val RoundtripDir = "/root/repo/target/seed_csv/raw_customers"
+
   /** Raw-table schemas, TPC-H-mapped like the staging layer. */
   val schemas: Map[String, StructType] = Map(
     "raw_customers" -> StructType(Seq(

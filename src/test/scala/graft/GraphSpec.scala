@@ -281,14 +281,24 @@ class GraphSpec extends SparkSpec {
     // per node) — linear in corpus, constant documented in COVERAGE.
     // Pin the small-scale half: at gated sizes the kept-edge side
     // MUST arrive by broadcast, not a shuffle the optimizer forgot.
-    val df = Models.copurchaseTrianglesCapped(spark, sf)
-    df.collect()
-    val joins = graft.tools.PlanMetrics.joinStrategiesOf(df)
-    assert(joins.nonEmpty)
-    assert(joins.contains("broadcast_hash"),
-      s"expected the wedge join to broadcast at sf0.001, got $joins")
-    assert(!joins.contains("sort_merge") && !joins.contains("shuffled_hash"),
-      s"kept-edge joins should be broadcast-only at this size, got $joins")
+    // The thresholds are pinned explicitly (ADVICE r17): the assertion
+    // tests OUR plan under a known gate, not the environment's
+    // default broadcast thresholds.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "10485760"))
+    try {
+      val df = Models.copurchaseTrianglesCapped(spark, sf)
+      df.collect()
+      val joins = graft.tools.PlanMetrics.joinStrategiesOf(df)
+      assert(joins.nonEmpty)
+      assert(joins.contains("broadcast_hash"),
+        s"expected the wedge join to broadcast at sf0.001, got $joins")
+      assert(!joins.contains("sort_merge") && !joins.contains("shuffled_hash"),
+        s"kept-edge joins should be broadcast-only at this size, got $joins")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("pageRank: fixed-point rounds equal a reference integer implementation") {
