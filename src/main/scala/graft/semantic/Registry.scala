@@ -193,6 +193,12 @@ class Registry {
       Simple("order_cost", "supply_cost"),
       Simple("median_revenue", "median_revenue"),
       Simple("p90_revenue", "p90_revenue"),
+      // MULTI-HOP entity path inside a metric FILTER: slice item
+      // revenue by a customers-model dimension reached through orders
+      // without grouping by it (filters and group-bys share the same
+      // resolveDim machinery)
+      Simple("returning_item_revenue", "revenue",
+        Some("order__customer__customer_type = 'returning'")),
       Simple("promo_revenue", "promo_revenue"),
       Simple("economy_revenue", "economy_revenue"),
       Ratio("promo_revenue_pct", "promo_revenue", "revenue"),
@@ -349,7 +355,10 @@ class Registry {
     // percentile agg type (MetricFlow `agg: percentile`) — exact
     // interpolated p90, month grain
     SavedQuery("metric_p90_revenue", "order_items",
-      Seq("p90_revenue"), Seq(ByTime("month"))))
+      Seq("p90_revenue"), Seq(ByTime("month"))),
+    // multi-hop entity dim referenced ONLY in a metric filter
+    SavedQuery("metric_returning_item_revenue", "order_items",
+      Seq("returning_item_revenue", "revenue"), Seq(ByTime("month"))))
 
   /** Multi-model metric queries (r18): metrics from two semantic
     * models composed on metric_time — MetricFlow's cross-model query
@@ -360,7 +369,16 @@ class Registry {
       SavedQuery("mm_orders", "orders",
         Seq("orders", "order_total"), Seq(ByTime("month"))),
       SavedQuery("mm_items", "order_items",
-        Seq("revenue"), Seq(ByTime("month"))))))
+        Seq("revenue"), Seq(ByTime("month"))))),
+    // composed on a shared ENTITY key instead of metric_time: both
+    // models declare `customer` as primary, so the group frames join
+    // 1:1 per customer
+    MultiModelQuery("metric_multi_model_customer", Seq(
+      SavedQuery("mm_cust", "customers",
+        Seq("lifetime_spend_pretax", "count_lifetime_orders"),
+        Seq(ByEntity("customer"))),
+      SavedQuery("mm_seg", "customer_segmentation",
+        Seq("avg_customer_rfm_score"), Seq(ByEntity("customer"))))))
 
   def model(n: String): SemanticModel =
     models.getOrElse(n, sys.error(s"unknown semantic model $n"))

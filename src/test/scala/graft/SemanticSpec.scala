@@ -16,6 +16,34 @@ class SemanticSpec extends SparkSpec {
         .filter(col("count") > 1).count() === 0, q.name)
       assert(df.count() > 0, q.name)
     }
+    Registry.multiQueries.foreach { q =>
+      val df = Models.semanticMultiQuery(q.name)(spark, sf)
+      val gNames = q.parts.head.groupBys.map(graft.semantic.Planner.nameOf)
+      assert(df.columns.take(gNames.size).toSeq === gNames, q.name)
+      assert(df.groupBy(gNames.map(col): _*).count()
+        .filter(col("count") > 1).count() === 0, q.name)
+      assert(df.count() > 0, q.name)
+    }
+  }
+
+  test("multi-hop entity dim in a metric FILTER slices without grouping by it") {
+    val df = Models.semanticQuery("metric_returning_item_revenue")(spark, sf)
+    assert(df.columns.toSeq ===
+      Seq("metric_time", "returning_item_revenue", "revenue"))
+    assert(df.filter(col("returning_item_revenue") > col("revenue")).count() === 0)
+    // hand replication through the two-hop join
+    val expected = Models.orderItems(spark, sf)
+      .join(Models.orders(spark, sf).select("order_id", "customer_id"),
+        Seq("order_id"), "left")
+      .join(Models.customers(spark, sf).select("customer_id", "customer_type"),
+        Seq("customer_id"), "left")
+      .filter(col("customer_type") === "returning")
+      .groupBy(date_trunc("month", col("ordered_at")).cast("date").as("metric_time"))
+      .agg(sum(col("product_price")).cast("double").as("e"))
+    val bad = df.join(expected, Seq("metric_time"), "left")
+      .filter(coalesce(col("returning_item_revenue"), lit(0.0)) =!=
+        coalesce(col("e"), lit(0.0))).count()
+    assert(bad === 0)
   }
 
   test("multi-dimension group-by: time x entity totals reconcile") {
