@@ -494,9 +494,14 @@ object Models {
     Mat.table(s, d, "ngram_jaccard_pairs")(
       llm.Dedup.ngramJaccardPairs(docShingleKeys(s, d)))
   /** Asymmetric containment pairs — the sub-document-duplication
-    * signal symmetric Jaccard hides (short doc inside a long one). */
+    * signal symmetric Jaccard hides (short doc inside a long one).
+    * Mat'd (r18, the ngram_jaccard_pairs/minhash_pairs precedent):
+    * read by its own registered query AND as winnow_recall's exact
+    * truth set — without the barrier the rare-shingle blocking +
+    * self-join re-ran once per consumer. */
   def ngramContainmentPairs(s: SparkSession, d: String): DataFrame =
-    llm.Dedup.ngramContainmentPairs(docShingleKeys(s, d))
+    Mat.table(s, d, "ngram_containment_pairs")(
+      llm.Dedup.ngramContainmentPairs(docShingleKeys(s, d)))
   /** LSH banding quality: minhash candidate recall/precision against
     * the exact-Jaccard truth set (both sides read Mat'd pair tables). */
   def dedupLshRecall(s: SparkSession, d: String): DataFrame =
@@ -991,28 +996,31 @@ object Models {
   def hybridSearch(s: SparkSession, d: String): DataFrame =
     llm.HashEmbed.hybridSearch(tfidfTopTerms(s, d), hybridImpact(s, d),
       semVectors(s, d), semBandIndex(s, d))
+  /** The bounded-sample INDEX-SERVED fused list as a STORED result
+    * table (the [[annExactTopK]] convention, r18): BOTH hybrid eval
+    * harnesses (recall + rank metrics) compare the same gated search
+    * result, so it is computed once behind a barrier instead of once
+    * per harness. The registered hybrid_search query stays LIVE. */
+  private def hybridEvalIndexed(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hybrid_eval_indexed")(
+      llm.HashEmbed.hybridSearch(tfidfTopTerms(s, d), hybridImpact(s, d),
+        semVectors(s, d), semBandIndex(s, d), llm.HashEmbed.RecallQueryBound))
+  /** The bounded-sample EXACT full-scan fused baseline, stored once
+    * for the same reason ([[annExactTopK]]: a recall evaluation reads
+    * the stored gated result, it does not re-run the corpus scan per
+    * consumer). */
+  private def hybridEvalExact(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "hybrid_eval_exact")(
+      llm.HashEmbed.hybridSearchExact(tfidfTopTerms(s, d), hybridImpact(s, d),
+        semVectors(s, d), llm.HashEmbed.RecallQueryBound))
   /** Fused-RRF recall of the index-served plan vs the exact full-scan
     * baseline, over the recall harness's bounded query sample. */
-  def hybridRecall(s: SparkSession, d: String): DataFrame = {
-    import llm.HashEmbed
-    val indexed = HashEmbed.hybridSearch(tfidfTopTerms(s, d),
-      hybridImpact(s, d), semVectors(s, d),
-      semBandIndex(s, d), HashEmbed.RecallQueryBound)
-    val exact = HashEmbed.hybridSearchExact(tfidfTopTerms(s, d),
-      hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
-    HashEmbed.hybridRecall(indexed, exact)
-  }
+  def hybridRecall(s: SparkSession, d: String): DataFrame =
+    llm.HashEmbed.hybridRecall(hybridEvalIndexed(s, d), hybridEvalExact(s, d))
   /** nDCG@5 + MRR of the index-served fused list vs the exact one —
     * order-sensitive serving quality over the recall sample. */
-  def hybridRankMetrics(s: SparkSession, d: String): DataFrame = {
-    import llm.HashEmbed
-    val indexed = HashEmbed.hybridSearch(tfidfTopTerms(s, d),
-      hybridImpact(s, d), semVectors(s, d),
-      semBandIndex(s, d), HashEmbed.RecallQueryBound)
-    val exact = HashEmbed.hybridSearchExact(tfidfTopTerms(s, d),
-      hybridImpact(s, d), semVectors(s, d), HashEmbed.RecallQueryBound)
-    HashEmbed.hybridRankMetrics(indexed, exact)
-  }
+  def hybridRankMetrics(s: SparkSession, d: String): DataFrame =
+    llm.HashEmbed.hybridRankMetrics(hybridEvalIndexed(s, d), hybridEvalExact(s, d))
   /** Pseudo-relevance-feedback expanded retrieval: round 1 over the
     * impact index, expansion terms from the feedback docs' keyword
     * Mat, weighted round 2 — per-request cost stays bounded by
@@ -1041,9 +1049,12 @@ object Models {
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     Mat.table(s, d, "winnow_fps")(
       llm.Winnow.fingerprints(Tables.documents(s, d)))
-  /** Partial-overlap candidates from shared winnowed fingerprints. */
+  /** Partial-overlap candidates from shared winnowed fingerprints.
+    * Mat'd (r18, same precedent): read by its own registered query AND
+    * winnow_recall's detected side. */
   def winnowSharedDocs(s: SparkSession, d: String): DataFrame =
-    llm.Winnow.sharedDocs(winnowFingerprints(s, d))
+    Mat.table(s, d, "winnow_shared_docs")(
+      llm.Winnow.sharedDocs(winnowFingerprints(s, d)))
   /** Winnowing detection quality vs the exact containment truth set
     * (the dedup_lsh_recall pattern: recall/precision, one row). */
   def winnowRecall(s: SparkSession, d: String): DataFrame =
@@ -1257,8 +1268,14 @@ object Models {
     * power-law crawl graph this is the knob that removes the wedge
     * tail wholesale; wedge fan-out is bounded by |kept-edges|·cap. */
   def copurchaseTrianglesCapped(s: SparkSession, d: String): DataFrame =
-    operators.Graph.triangleCountsCapped(copurchaseEdges(s, d),
-      Models.TriangleHubCap)
+    // Mat'd (r18): the capped wedge join is a graph index build of the
+    // same family as copurchase_distances / pagerank / kcore, and TWO
+    // registered raw-graph queries read its output (this one and the
+    // clustering projection) — behind the barrier it runs once per
+    // session instead of once per consumer.
+    Mat.table(s, d, "copurchase_triangles_capped")(
+      operators.Graph.triangleCountsCapped(copurchaseEdges(s, d),
+        Models.TriangleHubCap))
   /** DOULION edge-sampled triangle ESTIMATES on the RAW co-purchase
     * graph — the scale path the exact operator cannot serve there
     * (O(E^1.5) is inherent to exact counting; the r15 probe measured
@@ -1267,22 +1284,25 @@ object Models {
     * at ANY corpus scale and the per-node count/p³ estimates are
     * unbiased. Priced by [[trianglesApproxError]]. */
   def copurchaseTrianglesApprox(s: SparkSession, d: String): DataFrame =
-    operators.Graph.triangleCountsSampledBudget(copurchaseEdges(s, d),
-      Models.TriangleEdgeBudget)
+    // Mat'd (r18): same barrier rationale — the budget-sampled wedge
+    // join feeds this query AND the sampled-clustering projection.
+    Mat.table(s, d, "copurchase_triangles_approx")(
+      operators.Graph.triangleCountsSampledBudget(copurchaseEdges(s, d),
+        Models.TriangleEdgeBudget))
   /** Hub-capped LOCAL CLUSTERING on the RAW co-purchase graph —
     * coefficients exact over the kept subgraph against the KEPT
     * degree, hubs NULL-flagged (projection over the registered capped
     * triangle machinery; VERDICT r16 #5). */
   def copurchaseClusteringCapped(s: SparkSession, d: String): DataFrame =
-    operators.Graph.clusteringCoefficientsCapped(copurchaseEdges(s, d),
-      Models.TriangleHubCap)
+    operators.Graph.clusteringFromCappedCounts(
+      copurchaseTrianglesCapped(s, d))
   /** DOULION-estimated LOCAL CLUSTERING on the RAW co-purchase graph —
     * budget-bounded sampled triangle estimates over exact full-graph
     * degrees; the raw-graph scale path for the coefficient the exact
     * operator only serves on the strong graph. */
   def copurchaseClusteringApprox(s: SparkSession, d: String): DataFrame =
-    operators.Graph.clusteringCoefficientsSampledBudget(copurchaseEdges(s, d),
-      Models.TriangleEdgeBudget)
+    operators.Graph.clusteringFromSampledCounts(copurchaseEdges(s, d),
+      copurchaseTrianglesApprox(s, d))
   /** ERROR HARNESS pricing the DOULION estimator against exact
     * triangle counts on the graph where both can run (the strong
     * graph) — the closeness_approx_error convention: every
@@ -1881,6 +1901,15 @@ object Models {
       // transitively builds doc_embeddings → sem_vectors first
       "sem_band_index" -> (semBandIndex _),
       "sem_band_index_standing" -> (semBandIndexStanding _),
+      // transitively builds hybrid_impact / sem_vectors / sem_band_index
+      "hybrid_eval_indexed" -> (hybridEvalIndexed _),
+      "hybrid_eval_exact" -> (hybridEvalExact _),
+      "ngram_containment_pairs" -> (ngramContainmentPairs _),
+      // transitively builds winnow_fps first
+      "winnow_shared_docs" -> (winnowSharedDocs _),
+      // transitively build the copurchase_edges barrier first
+      "copurchase_triangles_capped" -> (copurchaseTrianglesCapped _),
+      "copurchase_triangles_approx" -> (copurchaseTrianglesApprox _),
       "copurchase_communities" -> (copurchaseCommunities _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its

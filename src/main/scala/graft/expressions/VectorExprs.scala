@@ -199,10 +199,81 @@ object VectorExprs {
       copy(vec = f, n = sec, svec = t)
   }
 
+  /** All upper-triangle self outer products of one long vector in one
+    * pass: struct(i, j, q[i]·q[j]) for 0 ≤ i ≤ j < n, in (i, j) row
+    * order. The composable form — nested `transform(sequence(...))`
+    * building ~n²/2 structs through interpreted HOF lambdas with two
+    * `element_at` tree evaluations each — cost `embedding_corr` ~2 s
+    * of expression interpretation per pass at sf0.1 (4.16 M struct
+    * allocations); this is one tight primitive loop per row. Products
+    * are exact int64 (same overflow envelope as the previous
+    * element_at multiply), emitted in the same order, so the grouped
+    * Σxy sums are bit-identical. */
+  case class SelfOuterProducts(child: Expression) extends UnaryExpression {
+    private val structType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("xy", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(structType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"self_outer_products needs an array<bigint> input, got $t")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Any](n * (n + 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val qi = x.getLong(i)
+        var j = i
+        while (j < n) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(i, j, qi * x.getLong(j))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val k = ctx.freshName("k"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val qi = ctx.freshName("qi")
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n * ($n + 1) / 2];
+           |int $k = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $qi = $a.getLong($i);
+           |  for (int $j = $i; $j < $n; $j++) {
+           |    $out[$k++] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |      new Object[]{$i, $j, $qi * $a.getLong($j)});
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def signed_projection(v: Column, k: Int): Column =
     Bridge.column(SignedProjection(Bridge.expression(v), k))
+  def self_outer_products(v: Column): Column =
+    Bridge.column(SelfOuterProducts(Bridge.expression(v)))
   def centered_sem_bands(vec: Column, n: Column, svec: Column,
                          bands: Int, bits: Int): Column =
     Bridge.column(CenteredSemBands(Bridge.expression(vec), Bridge.expression(n),

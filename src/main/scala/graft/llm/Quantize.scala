@@ -67,13 +67,14 @@ object Quantize {
       .groupBy("i")
       .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
         sum(col("qi") * col("qi")).as("ss"))
-    val pairs = qv.select(explode(flatten(
-        transform(sequence(lit(0), size(col("q")) - 1), i =>
-          transform(sequence(i, size(col("q")) - 1), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (element_at(col("q"), (i + 1).cast("int")) *
-                element_at(col("q"), (j + 1).cast("int"))).as("xy"))))))
-        .as("p"))
+    // upper-triangle products via the native SelfOuterProducts
+    // expression (r18 guide §4/“expressions and codegen”): the nested
+    // transform/sequence HOF form evaluated ~n·D²/2 interpreted
+    // lambdas per pass; the native loop emits the IDENTICAL
+    // struct(i, j, xy) rows in the same order, so the grouped sums
+    // are bit-for-bit unchanged.
+    val pairs = qv.select(explode(
+        graft.expressions.VectorExprs.self_outer_products(col("q"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
       .groupBy("i", "j").agg(sum(col("xy")).as("s_xy"))
     val sx = dimStats.select(col("i"), col("n"), col("s").as("s_x"),

@@ -151,15 +151,34 @@ object Graph {
   def triangleCountsCapped(edges: DataFrame, cap: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = undirectedDegrees(e)
-    val hubs = deg.filter(col("degree") > cap).select("node")
-    val kept = e
-      .join(hubs.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
-      .join(hubs.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
-      .select("src", "dst")
-    val tri = triangleCountsOriented(degreeOrientedEdges(kept))
-    val hubNbr = e.select(col("src").as("node"), col("dst").as("nbr"))
-      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
-      .join(hubs.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+    // ONE degree tag per endpoint — the same two joins the orientation
+    // pays anyway — classifies every edge at once: kept-kept edges feed
+    // the wedge join, hub-touching edges feed the truncation
+    // accounting. This replaces the previous hub-set aggregate + two
+    // anti joins + a SECOND degree aggregation over the kept subgraph
+    // (guide §2.4: remove shuffles outright; r18 plan diff: the static
+    // plan drops from ~45 exchanges to ~13). Orientation uses the
+    // FULL-graph (degree, id) order: any strict total order meets each
+    // triangle exactly once, so counts are identical, and restricting
+    // the full-degree orientation to kept edges can only SHRINK
+    // out-degrees, so the √(2E) wedge fan-out bound still holds.
+    val tagged = e
+      .join(deg.select(col("node").as("src"), col("degree").as("src_deg")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("dst_deg")), Seq("dst"))
+    val srcFirst = col("src_deg") < col("dst_deg") ||
+      (col("src_deg") === col("dst_deg") && col("src") < col("dst"))
+    val oriented = tagged
+      .filter(col("src_deg") <= cap && col("dst_deg") <= cap)
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("o_src"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("o_dst"))
+      .select(col("o_src").as("src"), col("o_dst").as("dst"))
+    val tri = triangleCountsOriented(oriented)
+    val hubNbr = tagged
+      .select(col("src").as("node"), (col("dst_deg") > cap).as("nbr_hub"))
+      .unionByName(tagged
+        .select(col("dst").as("node"), (col("src_deg") > cap).as("nbr_hub")))
+      .filter(col("nbr_hub"))
       .groupBy("node").agg(count(lit(1)).as("n_hub_neighbors"))
     deg.select(col("node"), col("degree"))
       .withColumn("is_hub", col("degree") > cap)
@@ -255,7 +274,15 @@ object Graph {
     * hub-adjacent coefficient low. Hubs report NULL (uncounted,
     * flagged), the [[triangleCountsCapped]] honesty contract. */
   def clusteringCoefficientsCapped(edges: DataFrame, cap: Long): DataFrame =
-    triangleCountsCapped(edges, cap)
+    clusteringFromCappedCounts(triangleCountsCapped(edges, cap))
+
+  /** The [[clusteringCoefficientsCapped]] projection over an ALREADY
+    * computed capped-counts frame — so a caller that materializes
+    * [[triangleCountsCapped]] behind a barrier (both registered
+    * raw-graph consumers read it) pays the wedge join once, not once
+    * per consumer (r18, guide §2.4). */
+  def clusteringFromCappedCounts(counts: DataFrame): DataFrame =
+    counts
       .withColumn("kept_degree", col("degree") - col("n_hub_neighbors"))
       .withColumn("clustering_coeff",
         when(col("is_hub"), lit(null).cast("double"))
@@ -274,10 +301,18 @@ object Graph {
     * nodes — it is an ESTIMATE, priced globally by the
     * triangles_approx_error gate, not a bounded exact value. */
   def clusteringCoefficientsSampledBudget(edges: DataFrame,
-                                          edgeBudget: Long): DataFrame = {
+                                          edgeBudget: Long): DataFrame =
+    clusteringFromSampledCounts(edges, triangleCountsSampledBudget(
+      edges.select(col("src"), col("dst")), edgeBudget))
+
+  /** The sampled-clustering projection over an ALREADY computed
+    * sampled-counts frame (same barrier rationale as
+    * [[clusteringFromCappedCounts]]). */
+  def clusteringFromSampledCounts(edges: DataFrame,
+                                  sampledCounts: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = undirectedDegrees(e)
-    val tri = triangleCountsSampledBudget(e, edgeBudget)
+    val tri = sampledCounts
       .select(col("node"), col("n_triangles_sampled"), col("n_triangles_est"))
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),

@@ -289,7 +289,12 @@ class GraphSpec extends SparkSpec {
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     keys.foreach(k => spark.conf.set(k, "10485760"))
     try {
-      val df = Models.copurchaseTrianglesCapped(spark, sf)
+      // r18: the registered query now READS the Mat barrier; the plan
+      // under test is the barrier BUILD itself — the same wedge-join
+      // plan prebuild executes — so run the operator over the Mat'd
+      // edge table directly.
+      val df = graft.operators.Graph.triangleCountsCapped(
+        Models.productCopurchaseEdges(spark, sf), Models.TriangleHubCap)
       df.collect()
       val joins = graft.tools.PlanMetrics.joinStrategiesOf(df)
       assert(joins.nonEmpty)
