@@ -37,6 +37,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scan-split sizing was EXAMINED and deliberately left at the
+    // defaults (r18): deriving maxPartitionBytes from input size ÷
+    // cores looked like the guide-§2.2 move, but every testdata file
+    // is ONE parquet row group, so smaller splits add only empty
+    // tasks on raw scans — while multi-file mart reads (order_items:
+    // ~80 month-partition files) fragmented into ~40 tasks and the
+    // semantic metric queries measurably regressed (−0.1..−0.45 s
+    // each). Measured, no mechanism to win at this layout, reverted;
+    // see OPTIMIZATION_r18.md.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -243,18 +243,19 @@ object Models {
     * each micro-batch costs O(|groups| + |batch|), never a re-read of
     * the base. The oracle re-aggregates the whole table, so the hash
     * gate enforces the maintained == recomputed IVM invariant. */
-  def streamIvmAgg(s: SparkSession, d: String): DataFrame = {
+  private def eventsIvmBase(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, sum}
     import org.apache.spark.sql.types.DecimalType
-    val baseAgg = Mat.table(s, d, "events_ivm_base")(
+    Mat.table(s, d, "events_ivm_base")(
       Tables.events(s, d)
         .filter(col("ts") <
           lit(streaming.Streams.IvmCutoff).cast("timestamp"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).as("total")))
-    streaming.Streams.ivmAggStreamOnce(s, d, baseAgg)
   }
+  def streamIvmAgg(s: SparkSession, d: String): DataFrame =
+    streaming.Streams.ivmAggStreamOnce(s, d, eventsIvmBase(s, d))
 
   // ---- analytics marts (dbt `table`s: materialized — each is read by
   // its own registered query AND its semantic-layer saved query) ----
@@ -1237,7 +1238,12 @@ object Models {
     * exact-rational harmonic sum — with hops ≤ 4, Σ 1/d =
     * (12·n₁ + 6·n₂ + 4·n₃ + 3·n₄)/12, an EXACT int numerator (no
     * engine-ordered double sum), divided once at the boundary. */
-  def copurchaseCloseness(s: SparkSession, d: String): DataFrame = {
+  def copurchaseCloseness(s: SparkSession, d: String): DataFrame = Mat.table(s, d, "copurchase_closeness") {
+    // Mat'd (r18): the bounded-round all-pairs BFS is an iterative
+    // index build (the pagerank/kcore barrier convention) and TWO
+    // registered queries read the closeness table — this one and the
+    // closeness_approx_error harness; un-Mat'd, each re-ran the
+    // 4-round checkpoint chain per pass.
     import org.apache.spark.sql.functions._
     val dists = operators.Graph.allPairsHopDistances(
       copurchaseStrongEdges(s, d).select("src", "dst"), Models.BfsMaxHops)
@@ -1910,7 +1916,31 @@ object Models {
       // transitively build the copurchase_edges barrier first
       "copurchase_triangles_capped" -> (copurchaseTrianglesCapped _),
       "copurchase_triangles_approx" -> (copurchaseTrianglesApprox _),
-      "copurchase_communities" -> (copurchaseCommunities _))
+      "copurchase_communities" -> (copurchaseCommunities _),
+      // r18: the remaining Mat barriers, previously built INLINE by
+      // their first consumer's cold pass (the documented 10-25× cold
+      // outliers — e.g. copurchase_closeness_approx paid its 45 s
+      // HyperBall fixpoint build inside the first timed pass). Bench's
+      // stated contract is that prebuild materializes EVERY Mat table
+      // up front; these complete it. Roots only — parents build
+      // transitively via the per-key futures.
+      "revenue_theilsen" -> (revenueTheilSen _),       // + daily_summary, theilsen_line
+      "simhash_pairs" -> (simhashPairs _),
+      "ivf_kmeans_lists" -> (ivfKmeansLists _),
+      "media_ahash" -> (mediaAHash _),
+      "opq_reconstructed" -> (opqReconstructed _),     // + embedding_pca_topk, opq_corpus, opq_codebooks
+      "embedding_pca" -> (embeddingPca _),
+      "quality_predictions" -> (qualityPredictions _),
+      "copurchase_hyperball_fix" -> (copurchaseHyperBallFix _),
+      "copurchase_hyperball_strong" -> (copurchaseHyperBallStrong _),
+      "copurchase_closeness" -> (copurchaseCloseness _),
+      "copurchase_bottleneck" -> (copurchaseBottleneck _),
+      "copurchase_ppr" -> (copurchasePpr _),
+      "unigram_segmentation" -> (unigramSegmentation _), // + unigram_vocab
+      "cdc_incremental_agg" -> (cdcIncrementalAgg _),  // + snapshots, customers_snap_agg
+      // only the BARRIER parent of the IVM stream (the stream itself
+      // is a per-pass one-shot, not prebuild's to run)
+      "events_ivm_base" -> (eventsIvmBase _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -15,6 +15,12 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-split sizing stays at Spark defaults — examined r18: every
+    * testdata file is a single parquet row group, so sub-default
+    * maxPartitionBytes adds only empty tasks on raw scans while
+    * fragmenting multi-file mart reads (measured; see
+    * OPTIMIZATION_r18.md "examined, deliberately left alone"). */
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")

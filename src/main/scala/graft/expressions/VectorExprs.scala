@@ -199,6 +199,50 @@ object VectorExprs {
       copy(vec = f, n = sec, svec = t)
   }
 
+  /** Σ a[i]·b[i] over LONG arrays in long arithmetic, index order —
+    * the integer twin of [[DotProduct]] for the hashed-embedding
+    * serving path, where the composable `aggregate(zip_with(...))`
+    * fold evaluates two interpreted lambdas per element per candidate
+    * row. Integer adds are order-free, so the value is identical to
+    * the fold (and to the DuckDB mirror) bit-for-bit. */
+  case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product_long needs two array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** All upper-triangle self outer products of one long vector in one
     * pass: struct(i, j, q[i]·q[j]) for 0 ≤ i ≤ j < n, in (i, j) row
     * order. The composable form — nested `transform(sequence(...))`
@@ -274,6 +318,8 @@ object VectorExprs {
     Bridge.column(SignedProjection(Bridge.expression(v), k))
   def self_outer_products(v: Column): Column =
     Bridge.column(SelfOuterProducts(Bridge.expression(v)))
+  def dot_product_long(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
   def centered_sem_bands(vec: Column, n: Column, svec: Column,
                          bands: Int, bits: Int): Column =
     Bridge.column(CenteredSemBands(Bridge.expression(vec), Bridge.expression(n),

@@ -58,7 +58,10 @@ object Funcs {
     * null-coalesced string casts.
     */
   def surrogateKey(cols: Column*): Column =
-    md5(concat_ws("-", cols.map(c =>
+    // native md5-hex (r18): byte-identical to built-in md5(), without
+    // the per-row MessageDigest + char[]→String allocations — measured
+    // ~half of stg_order_items' execution at sf0.1.
+    graft.expressions.TextExprs.md5_hex(concat_ws("-", cols.map(c =>
       coalesce(c.cast("string"), lit("_dbt_utils_surrogate_key_null_"))): _*))
 
   /** `datediff('month', a, b)` with month-*boundary* counting (reference

@@ -334,8 +334,10 @@ object HashEmbed {
       .join(vecs, Seq("doc_id"))
       .join(broadcast(qv), Seq("query_doc_id"))
       .withColumn("dot",
-        aggregate(zip_with(col("vec"), col("qvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+        // native long dot product (r18): the HOF fold ran two
+        // interpreted lambdas per element per candidate row; integer
+        // adds are order-free, value bit-identical.
+        graft.expressions.VectorExprs.dot_product_long(col("vec"), col("qvec")))
       .withColumn("cos",
         col("dot").cast("double") /
           (sqrt(col("norm_sq").cast("double")) * sqrt(col("qn").cast("double"))))
@@ -359,8 +361,10 @@ object HashEmbed {
     val cos = vecs.crossJoin(broadcast(qv))
       .filter(col("doc_id") =!= col("query_doc_id"))
       .withColumn("dot",
-        aggregate(zip_with(col("vec"), col("qvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+        // native long dot product (r18): the HOF fold ran two
+        // interpreted lambdas per element per candidate row; integer
+        // adds are order-free, value bit-identical.
+        graft.expressions.VectorExprs.dot_product_long(col("vec"), col("qvec")))
       .withColumn("cos",
         col("dot").cast("double") /
           (sqrt(col("norm_sq").cast("double")) * sqrt(col("qn").cast("double"))))

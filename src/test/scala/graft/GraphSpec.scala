@@ -300,8 +300,14 @@ class GraphSpec extends SparkSpec {
       assert(joins.nonEmpty)
       assert(joins.contains("broadcast_hash"),
         s"expected the wedge join to broadcast at sf0.001, got $joins")
-      assert(!joins.contains("sort_merge") && !joins.contains("shuffled_hash"),
-        s"kept-edge joins should be broadcast-only at this size, got $joins")
+      // The r18 one-pass degree tag REUSES the degree exchange across
+      // its consumers, and AQE cannot convert a join whose shuffle
+      // stage is reused elsewhere — so AT MOST ONE degree-accounting
+      // join may stay sort-merge; the wedge joins themselves (and
+      // everything else) must broadcast at this size.
+      assert(joins.count(j => j == "sort_merge" || j == "shuffled_hash") <= 1,
+        s"kept-edge joins should be broadcast at this size (one reused-" +
+          s"exchange accounting join excepted), got $joins")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }

@@ -25,6 +25,21 @@ class Md5Prefix60Spec extends SparkSpec {
       .select(TextExprs.md5_prefix60(col("s"))).head.isNullAt(0))
   }
 
+  test("md5_hex == built-in md5() byte-for-byte on arbitrary strings") {
+    import spark.implicits._
+    val samples = Seq(
+      "", "a", "1-2-3-1995-01-01", "_dbt_utils_surrogate_key_null_",
+      "unicode: München Ωméga 日本語 🦀", "\ttabs\nand\rnewlines",
+      "x" * 10000) ++ (0 until 1000).map(i => s"$i-${i * 31}-${i % 7}")
+    val df = samples.toDF("s")
+    val bad = df.select(
+        TextExprs.md5_hex(col("s")).as("fast"), md5(col("s")).as("builtin"))
+      .filter(col("fast") =!= col("builtin")).count()
+    assert(bad === 0)
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(TextExprs.md5_hex(col("s"))).head.isNullAt(0))
+  }
+
   test("md5_prefix60 rejects non-string input") {
     import spark.implicits._
     intercept[Exception] {

@@ -50,6 +50,36 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("dot_product_long == the aggregate(zip_with) fold it replaced, bit-exact") {
+    // the serving-path vectors are long arrays; build them the same way
+    val vecs = llm.HashEmbed.vectors(llm.HashEmbed.hashedEmbeddings(
+      Tables.documents(spark, sf).limit(50)))
+    val hof = aggregate(zip_with(col("vec"), col("vec"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val bad = vecs.select(
+        VectorExprs.dot_product_long(col("vec"), col("vec")).as("native"),
+        hof.as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(bad === 0)
+  }
+
+  test("self_outer_products == the nested transform form it replaced, row for row") {
+    val qv = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(llm.Quantize.CorrQuant) + lit(0.5)).cast("long")).as("q"))
+    val old = qv.select(col("vec_id"), explode(flatten(
+        transform(sequence(lit(0), size(col("q")) - 1), i =>
+          transform(sequence(i, size(col("q")) - 1), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("q"), (i + 1).cast("int")) *
+                element_at(col("q"), (j + 1).cast("int"))).as("xy"))))))
+        .as("p"))
+    val neu = qv.select(col("vec_id"),
+      explode(VectorExprs.self_outer_products(col("q"))).as("p"))
+    assert(neu.exceptAll(old).count() === 0)
+    assert(old.exceptAll(neu).count() === 0)
+  }
+
   test("null arrays propagate null") {
     val df = emb.select(
       VectorExprs.dot_product(lit(null).cast("array<float>"), col("embedding")).as("d"))
