@@ -187,8 +187,18 @@ object Models {
     operators.Stats.keySkewProfile(Tables.events(s, d), "user_id")
   /** PSI drift monitor: earliest vs latest month of events.value per
     * event_type, reference-pinned bins, decimal-exact term sums. */
-  def featureDriftPsi(s: SparkSession, d: String): DataFrame =
-    operators.Stats.featureDriftPsi(Tables.events(s, d))
+  /** The PSI reference quantizer Mat'd (r18, the kmeans/pq trained-
+    * artifact convention): read by the batch drift query AND pinned by
+    * the streaming monitor — previously the stream re-trained it once
+    * per bench pass. */
+  private def psiPinnedStats(s: SparkSession, d: String): DataFrame =
+    Mat.table(s, d, "psi_pinned_stats")(
+      operators.Stats.psiPinnedStats(Tables.events(s, d)))
+  def featureDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val pinned = psiPinnedStats(s, d)
+    operators.Stats.psiFromCounts(
+      operators.Stats.psiBinCounts(Tables.events(s, d), pinned), pinned)
+  }
 
   /** STREAMING sketch maintenance: per-day HLL registers built per
     * micro-batch, merged register-wise at read (associative — no
@@ -203,12 +213,12 @@ object Models {
     * pinned quantizer, summed at read — merged == directly-built
     * exactly, same oracle as the batch hist_quantiles. */
   def streamQuantileHist(s: SparkSession, d: String): DataFrame =
-    streaming.Streams.histSketchStreamOnce(s, d)
+    streaming.Streams.histSketchStreamOnce(s, d, histPinnedStats(s, d))
   /** STREAMING PSI drift monitor: per-batch (type, bin, side) counters
     * against the pinned reference quantizer, summed at read — merged
     * == directly-built exactly, same oracle as feature_drift_psi. */
   def streamPsiMonitor(s: SparkSession, d: String): DataFrame =
-    streaming.Streams.psiMonitorStreamOnce(s, d)
+    streaming.Streams.psiMonitorStreamOnce(s, d, psiPinnedStats(s, d))
   /** Streaming Benford monitor (per-batch mergeable digit counts). */
   def streamBenfordMonitor(s: SparkSession, d: String): DataFrame =
     streaming.Streams.benfordMonitorStreamOnce(s, d)
@@ -567,7 +577,11 @@ object Models {
   def annLshBuckets(s: SparkSession, d: String): DataFrame =
     llm.Similarity.annLshBuckets(Tables.embeddings(s, d))
   def embeddingDedupPairs(s: SparkSession, d: String): DataFrame =
-    llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d))
+    // Mat'd (r18, the minhash_pairs precedent verbatim): read by its
+    // own registered query AND the embedding_dedup_clusters barrier
+    // build — the banded self-join ran once per consumer un-Mat'd.
+    Mat.table(s, d, "embedding_dedup_pairs")(
+      llm.Similarity.embeddingDedupPairs(Tables.embeddings(s, d)))
   /** The label-quantizer centroid table Mat'd (index build runs once
     * per session; the search scans the corpus against the stored
     * 10-row quantizer). */
@@ -892,10 +906,25 @@ object Models {
     marts.EventMarts.valuePercentiles(Tables.events(s, d))
   def eventFunnel(s: SparkSession, d: String): DataFrame =
     operators.Funnel.funnel(Tables.events(s, d))
+  /** The histogram quantizer (per-type bin edges) Mat'd (r18, trained-
+    * artifact convention): read by the batch quantile query AND pinned
+    * by the streaming histogram twin — previously each bench pass of
+    * the stream re-trained and re-wrote it pass-scoped. */
+  private def histPinnedStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Mat.table(s, d, "hist_pinned_stats")(
+      operators.Sketches.histStats(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        Seq("event_type"), col("value")))
+  }
   def histQuantiles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    operators.Sketches.histogramQuantiles(
-      Tables.events(s, d), Seq("event_type"), col("value"))
+    val nonNull = Tables.events(s, d).filter(col("value").isNotNull)
+    val stats = histPinnedStats(s, d)
+    operators.Sketches.histQuantilesFromBins(
+      operators.Sketches.histBinCounts(nonNull, Seq("event_type"),
+        col("value"), stats),
+      stats, Seq("event_type"))
   }
   /** Top-3 tf-idf terms per doc — Mat'd: read by its own query AND
     * hybrid_search's lexical arm (two consumers, one tokenization). */
@@ -1150,16 +1179,21 @@ object Models {
     marts.EventMarts.zorderKeys(Tables.events(s, d))
   /** Per-file min/max stats catalog of the zkey-sorted layout. */
   def zorderZonemaps(s: SparkSession, d: String): DataFrame =
-    marts.EventMarts.zorderZonemaps(Tables.events(s, d))
+    // Mat'd (r18): the zonemap is a layout-catalog artifact read by its
+    // own registered query AND the layout_locality shoot-out.
+    Mat.table(s, d, "zorder_zonemaps")(
+      marts.EventMarts.zorderZonemaps(Tables.events(s, d)))
   /** Hilbert layout key over the same (value, day) buckets. */
   def hilbertKeys(s: SparkSession, d: String): DataFrame =
     marts.EventMarts.hilbertKeys(Tables.events(s, d))
-  /** Zone maps of the Hilbert-ordered layout. */
+  /** Zone maps of the Hilbert-ordered layout (Mat'd, same rationale). */
   def hilbertZonemaps(s: SparkSession, d: String): DataFrame =
-    marts.EventMarts.hilbertZonemaps(Tables.events(s, d))
+    Mat.table(s, d, "hilbert_zonemaps")(
+      marts.EventMarts.hilbertZonemaps(Tables.events(s, d)))
   /** Files-scanned shoot-out: Z-order vs Hilbert zonemaps. */
   def layoutLocality(s: SparkSession, d: String): DataFrame =
-    marts.EventMarts.layoutLocality(Tables.events(s, d))
+    marts.EventMarts.layoutLocality(zorderZonemaps(s, d),
+      hilbertZonemaps(s, d))
 
   /** Distinct product pairs co-purchased in some order — the edge
     * table of the co-purchase graph, Mat'd: the group self-join runs
@@ -1940,7 +1974,11 @@ object Models {
       "cdc_incremental_agg" -> (cdcIncrementalAgg _),  // + snapshots, customers_snap_agg
       // only the BARRIER parent of the IVM stream (the stream itself
       // is a per-pass one-shot, not prebuild's to run)
-      "events_ivm_base" -> (eventsIvmBase _))
+      "events_ivm_base" -> (eventsIvmBase _),
+      "zorder_zonemaps" -> (zorderZonemaps _),
+      "hilbert_zonemaps" -> (hilbertZonemaps _),
+      "psi_pinned_stats" -> (psiPinnedStats _),
+      "hist_pinned_stats" -> (histPinnedStats _))
     val futs = roots.map { case (n, f) => n -> Future(f(s, d)) }
     // failures are RETURNED, not just logged: Bench embeds them in its
     // JSON so a query timed against a missing mart barrier (and thus

@@ -355,14 +355,23 @@ object EventMarts {
     * draw identical boxes. At 100 TB this query IS the layout
     * decision: files_scanned × file size = bytes read per predicate
     * shape. */
-  def layoutLocality(events: DataFrame): DataFrame = {
-    val hk = hilbertKeys(events)
-    val bounds = hk.agg(
-      min("day_bucket").as("dmin"), max("day_bucket").as("dmax"),
-      min("value_bucket").as("vmin"), max("value_bucket").as("vmax"))
+  def layoutLocality(events: DataFrame): DataFrame =
+    layoutLocality(zorderZonemaps(events), hilbertZonemaps(events))
+
+  /** The shoot-out over ALREADY computed zonemap tables (r18: both are
+    * Mat'd at the Models layer — each is read by its own registered
+    * query AND this one). Dimension bounds come from the zonemap
+    * itself: every event lands in exactly one file, so min-over-files
+    * of per-file mins IS the global min (identical values to the
+    * previous raw-key aggregate, one 64-row scan instead of a second
+    * key build). */
+  def layoutLocality(zorderZm: DataFrame, hilbertZm: DataFrame): DataFrame = {
+    val bounds = hilbertZm.agg(
+      min("min_day_bucket").as("dmin"), max("max_day_bucket").as("dmax"),
+      min("min_value_bucket").as("vmin"), max("max_value_bucket").as("vmax"))
     val kinds = Seq("day", "value", "both").zipWithIndex
       .map { case (k, i) => (i, k) }
-    import events.sparkSession.implicits._
+    import zorderZm.sparkSession.implicits._
     val grid = (for {
       (ki, kind) <- kinds
       (p, pi) <- LayoutBoxPositions.zipWithIndex
@@ -393,8 +402,8 @@ object EventMarts {
               && col("min_value_bucket") <= col("value_hi"))))
         .groupBy("box_id").agg(count(lit(1)).as(outName))
     boxes
-      .join(hits(zorderZonemaps(events), "zorder_files"), Seq("box_id"), "left")
-      .join(hits(hilbertZonemaps(events), "hilbert_files"), Seq("box_id"), "left")
+      .join(hits(zorderZm, "zorder_files"), Seq("box_id"), "left")
+      .join(hits(hilbertZm, "hilbert_files"), Seq("box_id"), "left")
       .select(col("box_id"), col("kind"),
         col("day_lo"), col("day_hi"), col("value_lo"), col("value_hi"),
         coalesce(col("zorder_files"), lit(0L)).as("zorder_files"),

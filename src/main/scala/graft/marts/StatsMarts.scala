@@ -313,7 +313,15 @@ object StatsMarts {
     * `a_capped_n`/`b_capped_n` per product (how many excluded baskets
     * contained it — its supports can only undercount through those). */
   def basketRules(stgOrderItems: DataFrame): DataFrame = {
-    val itemsAll = stgOrderItems.select(col("order_id"), col("product_id")).distinct()
+    // ONE order_id-hash exchange serves the whole per-order pipeline
+    // (r18, guide §2.4): hash-partitioning by order_id alone satisfies
+    // the (order_id, product_id) distinct's clustering requirement
+    // (subset partitioning co-locates every duplicate), and the
+    // basket-size window + the pair self-join need exactly this
+    // partitioning anyway — previously the distinct paid its own
+    // two-key exchange first. Results are partitioning-invariant.
+    val itemsAll = stgOrderItems.select(col("order_id"), col("product_id"))
+      .repartition(col("order_id")).distinct()
     // basket size rides ONE keyed window on the SAME order_id hash
     // partitioning the pair self-join needs anyway — the cap costs no
     // extra scan and no anti/semi joins (r17 bench: the join form

@@ -1686,14 +1686,14 @@ object Streams {
     * serving never revisits raw values. A production deployment
     * re-pins edges on distribution drift (edge-bin clamping counts,
     * never drops, drifted tails — see histBinCounts). */
-  def histSketchStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def histSketchStreamOnce(spark: SparkSession, sfDir: String,
+                           pinnedStats: DataFrame): DataFrame = {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-shist",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     histSketchStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
-      graft.Tables.events(spark, sfDir),
-      scratch.toString, "stream_quantile_hist")
+      pinnedStats, scratch.toString, "stream_quantile_hist")
   }
 
   /** Core of the streaming histogram maintenance, shared by the
@@ -1702,21 +1702,17 @@ object Streams {
     * edges are pinned from (in the one-shot both cover the same rows,
     * so the result equals the batch `hist_quantiles` query exactly). */
   def histSketchStream(spark: SparkSession, events: DataFrame,
-                       statsSource: DataFrame, scratchDir: String,
+                       pinnedStats: DataFrame, scratchDir: String,
                        progressName: String): DataFrame = withStreamPartitions(spark) {
     import org.apache.hadoop.fs.Path
     import graft.operators.Sketches
-    val statsDir = s"$scratchDir/stats"
     val binsDir = s"$scratchDir/bins"
     val fs = new Path(scratchDir).getFileSystem(spark.sessionState.newHadoopConf())
-    // Pin the quantizer once — idempotent across replays (the _SUCCESS
-    // check), tiny (one row per group), and every batch bins against
-    // the SAME edges, which is what makes the counters mergeable.
-    if (!fs.exists(new Path(statsDir, "_SUCCESS")))
-      Sketches.histStats(statsSource.filter(col("value").isNotNull),
-          Seq("event_type"), col("value"))
-        .coalesce(1).write.mode("overwrite").parquet(statsDir)
-    val pinnedStats = spark.read.parquet(statsDir)
+    // `pinnedStats` is the trained quantizer — the registered query
+    // passes the hist_pinned_stats Mat barrier (r18: previously each
+    // bench pass re-trained and re-wrote a pass-scoped parquet pin;
+    // the Mat IS the pin, built once per session). Every batch bins
+    // against the SAME edges, which keeps the counters mergeable.
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.histBinCounts(batch.filter(col("value").isNotNull),
@@ -1759,30 +1755,29 @@ object Streams {
     * At 100 TB: per-batch cost is one bounded aggregation; standing
     * state is types×B×2 longs regardless of traffic; the drift read
     * never revisits raw events. */
-  def psiMonitorStreamOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def psiMonitorStreamOnce(spark: SparkSession, sfDir: String,
+                           pinnedStats: DataFrame): DataFrame = {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-spsi",
       scratchId(spark),
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     psiMonitorStream(spark, stagedTwoBatchEvents(spark, sfDir, scratch.toString),
-      graft.Tables.events(spark, sfDir),
-      scratch.toString, "stream_psi_monitor")
+      pinnedStats, scratch.toString, "stream_psi_monitor")
   }
 
   /** Core of the streaming PSI monitor, shared by the registered
-    * query and the multi-batch spec. */
+    * query and the multi-batch spec. `pinnedStats` is the trained
+    * reference quantizer — the registered query passes the
+    * psi_pinned_stats Mat barrier (r18: previously each bench pass
+    * re-trained it and re-wrote a pass-scoped parquet pin; the Mat IS
+    * the pin, built once per session like every trained artifact). */
   def psiMonitorStream(spark: SparkSession, events: DataFrame,
-                       statsSource: DataFrame, scratchDir: String,
+                       pinnedStats: DataFrame, scratchDir: String,
                        progressName: String): DataFrame = withStreamPartitions(spark) {
     import org.apache.hadoop.fs.Path
     import graft.operators.Stats
-    val statsDir = s"$scratchDir/stats"
     val cntDir = s"$scratchDir/cnts"
     val fs = new Path(scratchDir).getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(statsDir, "_SUCCESS")))
-      Stats.psiPinnedStats(statsSource)
-        .coalesce(1).write.mode("overwrite").parquet(statsDir)
-    val pinnedStats = spark.read.parquet(statsDir)
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Stats.psiBinCounts(batch, pinnedStats)

@@ -145,7 +145,9 @@ class SketchStreamSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3)))
-    val got = streaming.Streams.histSketchStream(spark, feed, all,
+    val pinned = operators.Sketches.histStats(
+      all.filter(col("value").isNotNull), Seq("event_type"), col("value"))
+    val got = streaming.Streams.histSketchStream(spark, feed, pinned,
       scratch, "spec_shist").collect().map(key).toMap
     val direct = operators.Sketches.histogramQuantiles(
       all, Seq("event_type"), col("value")).collect().map(key).toMap
@@ -156,7 +158,7 @@ class SketchStreamSpec extends SparkSpec {
     assert(p50 > 45.0 && p50 < 55.0, s"median $p50 should be near 50")
 
     // idempotence: same checkpoint → nothing reprocessed, same result
-    val again = streaming.Streams.histSketchStream(spark, feed, all,
+    val again = streaming.Streams.histSketchStream(spark, feed, pinned,
       scratch, "spec_shist2").collect().map(key).toMap
     assert(again == got)
   }
@@ -196,7 +198,8 @@ class SketchStreamSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     def row(r: org.apache.spark.sql.Row) =
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
-    val got = streaming.Streams.psiMonitorStream(spark, feed, all,
+    val got = streaming.Streams.psiMonitorStream(spark, feed,
+      operators.Stats.psiPinnedStats(all),
       scratch, "spec_spsi").collect().map(row).toMap
     val direct = operators.Stats.featureDriftPsi(all).collect().map(row).toMap
     assert(got == direct)
