@@ -119,6 +119,15 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val warmSec = (System.nanoTime() - tW0) / 1e9
+    // Per-barrier build seconds (VERDICT r18 #1a): snapshot of
+    // Mat.buildSeconds right after prebuild, so the untimed warmup is
+    // attributable per artifact instead of one opaque number. Additive
+    // JSON field; no existing entry changes meaning.
+    val prebuildSec: Seq[(String, Double)] = {
+      import scala.jdk.CollectionConverters._
+      Mat.buildSeconds.asScala.toSeq.map { case (k, v) => k -> v.doubleValue }
+        .sortBy(-_._2)
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     // Fixed-subset mode (VERDICT r12 #5): SPARK_GRAFT_BENCH_SUBSET
     // names a file with one query name per line (or a comma list);
@@ -219,7 +228,7 @@ object Bench {
     // (r7+). Historical totals must not be compared 1:1 across schemas.
     val shuffleJson = shuffleMb.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","subset":${subset.isDefined},"n_queries":${benchQueries.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"queries":${qjson(results)},"cold":${qjson(cold)},"warm":${qjson(warm)},"warm2":${qjson(warm2)},"cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"warm2_total_sec":$warm2Total,"shuffle_mb":$shuffleJson,"failed":${sjson(failed.toSeq)},"prebuild_failed":${sjson(prebuildFailed)},"warmup_sec":$warmSec,"prebuild_sec":${qjson(prebuildSec)},"gc_ms":{"warmup":$gcWarm,"cold":$gcCold,"warm":$gcWarmPass,"warm2":$gcWarm2Pass},"rdd_storage":{"post_prebuild":${stjson(stPre)},"post_cold":${stjson(stCold)},"post_warm":${stjson(stWarm)}},"stream_progress":$streamAcct,"headline":"per-query min across 3 passes","subset":${subset.isDefined},"n_queries":${benchQueries.size},"sf":"$sfDir"}"""
     println(full)
     // The driver records only a ~4 KB TAIL of stdout; r4's artifact lost
     // the warm total and warm per-query dict to that truncation (VERDICT

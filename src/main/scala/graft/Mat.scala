@@ -147,6 +147,42 @@ object Mat {
     * its files. Deeper retention = longer time travel, more storage. */
   val KeepVersions = 2
 
+  /** Wall-clock SELF seconds of each barrier's build this session,
+    * keyed by mart name: thunk evaluation (where iterative builds run
+    * their eager-checkpoint jobs) + the version write, MINUS time the
+    * build thread spent blocked awaiting parent barriers' futures
+    * (parents charge their own entry). Bench embeds a snapshot taken
+    * right after prebuild as `prebuild_sec`, so the untimed warmup is
+    * attributable per artifact (VERDICT r18 #1). Concurrent builds
+    * share executors, so entries are wall time under contention, not
+    * exclusive CPU — Σ entries > warmup_sec is expected. */
+  val buildSeconds = new ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Nanoseconds the CURRENT thread has spent blocked in [[table]]'s
+    * parent awaits — the subtraction that keeps a child build from
+    * charging its parents' time to itself. */
+  private val awaitedNanos = new ThreadLocal[java.lang.Long] {
+    override def initialValue: java.lang.Long = 0L
+  }
+
+  private def awaitTracked[T](f: Future[T]): T = {
+    val t0 = System.nanoTime()
+    try Await.result(f, Duration.Inf)
+    finally awaitedNanos.set(awaitedNanos.get + (System.nanoTime() - t0))
+  }
+
+  private def timedBuild[T](name: String)(body: => T): T = {
+    val w0 = awaitedNanos.get.longValue
+    val t0 = System.nanoTime()
+    try body
+    finally {
+      val waited = awaitedNanos.get.longValue - w0
+      buildSeconds.merge(name,
+        java.lang.Double.valueOf((System.nanoTime() - t0 - waited) / 1e9),
+        (a, b) => java.lang.Double.valueOf(a.doubleValue + b.doubleValue)): Unit
+    }
+  }
+
   /** Unbounded daemon pool: a build Future awaits its parents' futures
     * (DAG depth ~4), so the pool must never starve nested waits. */
   private val pool = Executors.newCachedThreadPool { r =>
@@ -485,9 +521,10 @@ object Mat {
     // below finds the adopted Stored.
     if (!built.containsKey(key)) adoptIfCommitted(spark, sfDir, name): Unit
     val fut = built.computeIfAbsent(key, _ =>
-      Future(writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract)))
+      Future(timedBuild(name)(
+        writeVersion(spark, sfDir, name, timeKey, build, bucketBy, contract))))
     fut.failed.foreach(_ => built.remove(key, fut))
-    resolve(spark, Await.result(fut, Duration.Inf))
+    resolve(spark, awaitTracked(fut))
   }
 
   /** Time-travel read: the mart AS OF `version` (1-based; the last

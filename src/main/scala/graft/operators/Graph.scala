@@ -411,32 +411,84 @@ object Graph {
   val PageRankScale = 1000000000L
   val PageRankDampingPct = 85L
 
+  /** Shared iteration plumbing (r19, guide §2.4): iterative operators
+    * keep their state hash-partitioned on the relaxation key across
+    * rounds, and the (static) edge table shuffled+sorted by `src`
+    * exactly ONCE — both recorded into the checkpoints via
+    * [[org.apache.spark.sql.graftbridge.Bridge.localCheckpointPartitioned]]
+    * (the stock eager checkpoint under AQE records UnknownPartitioning,
+    * so every round re-shuffled unchanged-placement data). Each round
+    * then runs ONE exchange — moving newly-produced rows to their key —
+    * instead of three (state side, edge side, aggregation). Results are
+    * unchanged: min/max/count/sum and the integer fixed-point updates
+    * are placement-free. */
+  private def ckptPart(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.localCheckpointPartitioned(df)
+
+  /** SCALE-ADAPTIVE partition count for the pinned iteration state
+    * (guide §2.2: derive from input size, never a constant tuned for
+    * one deployment): optimizer-estimated edge bytes ÷ the session's
+    * advisory partition size, clamped to [1, spark.sql.shuffle
+    * .partitions]. The explicit count is what keeps AQE from
+    * coalescing the pinned shuffle into a partitioning downstream
+    * rounds can't match ([[ckptPart]]); deriving it from stats keeps
+    * sf0.1 at 1 partition (per-hop fixed cost, measured) while a
+    * 100 TB edge table fans out to the cluster's full configured
+    * parallelism. Mat barriers carry ANALYZE stats and raw parquet
+    * scans carry file sizes, so the estimate is always real. */
+  private def adaptiveParts(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val advisory = BigInt(conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val cap = BigInt(conf.numShufflePartitions)
+    // floor 2, not 1: repartition(1, key) plans as SinglePartition, a
+    // spec the co-partitioned join machinery does not match against
+    // the checkpoints' HashPartitioning claims (measured: both join
+    // sides re-shuffled to the session default)
+    ((bytes / advisory.max(1)) + 1).min(cap).max(2).toInt
+  }
+
+  /** Symmetrized edges, partition-pinned by `src` and sorted within
+    * partitions (the sort is recorded too, so a sort-merge join never
+    * re-sorts the edge side). Callers free it when their rounds end. */
+  private def symPinned(edges: DataFrame, n: Int): DataFrame =
+    ckptPart(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(n, col("src"))
+      .sortWithinPartitions("src"))
+
   def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("degree"))
-    var rank = deg.select(col("node"), col("degree"),
-        lit(PageRankScale).as("rank_scaled"))
-      .localCheckpoint(true)
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
+    // select-then-group keeps the aggregation exchange-free: the alias
+    // rides the pinned src partitioning into the grouping key
+    val deg = ckptPart(sym.select(col("src").as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree")))
+    var rank = ckptPart(deg.select(col("node"), col("degree"),
+      lit(PageRankScale).as("rank_scaled")))
     for (_ <- 1 to rounds) {
       val prev = rank
       val contrib = rank
         .select(col("node"), expr("rank_scaled div degree").as("c"))
         .join(sym, col("node") === col("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
-      rank = deg.join(contrib, Seq("node"), "left")
+        .select(col("dst").as("node"), col("c"))
+        .repartition(n, col("node"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      rank = ckptPart(deg.join(contrib, Seq("node"), "left")
         .select(col("node"), col("degree"),
           (lit(15L * PageRankScale / 100L) +
             expr(s"$PageRankDampingPct * coalesce(in_sum, 0L) div 100"))
-            .as("rank_scaled"))
-        .localCheckpoint(true)
+            .as("rank_scaled")))
       graft.plans.Checkpoints.free(prev)
     }
-    rank.select(col("node"), col("rank_scaled"),
+    val out = rank.select(col("node"), col("rank_scaled"),
       (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
         .as("rank"))
+    graft.plans.Checkpoints.free(sym)
+    graft.plans.Checkpoints.free(deg)
+    out
   }
 
   /** DIRECTED PageRank with DANGLING-MASS redistribution — the form a
@@ -485,44 +537,53 @@ object Graph {
     * one extra seed-id column on the rank state. */
   def personalizedPageRank(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("degree"))
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
+    val deg = ckptPart(sym.select(col("src").as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree")))
     val isSeed = col("node") % PprSeedMod === 1
     val teleport = when(isSeed, lit(15L * PageRankScale / 100L))
       .otherwise(lit(0L))
-    var rank = deg.select(col("node"), col("degree"),
-        when(isSeed, lit(PageRankScale)).otherwise(lit(0L)).as("rank_scaled"))
-      .localCheckpoint(true)
+    var rank = ckptPart(deg.select(col("node"), col("degree"),
+      when(isSeed, lit(PageRankScale)).otherwise(lit(0L)).as("rank_scaled")))
     for (_ <- 1 to rounds) {
       val prev = rank
       val contrib = rank
         .select(col("node"), expr("rank_scaled div degree").as("c"))
         .join(sym, col("node") === col("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
-      rank = deg.join(contrib, Seq("node"), "left")
+        .select(col("dst").as("node"), col("c"))
+        .repartition(n, col("node"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      rank = ckptPart(deg.join(contrib, Seq("node"), "left")
         .select(col("node"), col("degree"),
           (teleport +
             expr(s"$PageRankDampingPct * coalesce(in_sum, 0L) div 100"))
-            .as("rank_scaled"))
-        .localCheckpoint(true)
+            .as("rank_scaled")))
       graft.plans.Checkpoints.free(prev)
     }
-    rank.select(col("node"), isSeed.as("is_seed"), col("rank_scaled"),
+    val out = rank.select(col("node"), isSeed.as("is_seed"), col("rank_scaled"),
       (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
         .as("rank"))
+    graft.plans.Checkpoints.free(sym)
+    graft.plans.Checkpoints.free(deg)
+    out
   }
 
   def pageRankDirected(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
+    val n = adaptiveParts(edges)
+    // directed: edges are NOT symmetrized; pin the src-keyed shuffle
+    // and sort once, reuse across rounds (same discipline as symPinned)
+    val e = ckptPart(edges.select(col("src"), col("dst"))
+      .repartition(n, col("src"))
+      .sortWithinPartitions("src"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    val base = nodes
+    val base = ckptPart(nodes
       .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+      .repartition(n, col("node")))
     val maxNodes = Long.MaxValue / (100L * PageRankScale)
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
       .select(
@@ -530,28 +591,31 @@ object Graph {
           lit(s"pageRankDirected overflow headroom: n_nodes exceeds $maxNodes " +
             s"(85*mass would overflow Long at PageRankScale=$PageRankScale)")).isNull,
           col("n_nodes")).as("n_nodes"))
-    var rank = base.withColumn("rank_scaled", lit(PageRankScale))
-      .localCheckpoint(true)
+    var rank = ckptPart(base.withColumn("rank_scaled", lit(PageRankScale)))
     for (_ <- 1 to rounds) {
       val prev = rank
       val contrib = rank.filter(col("out_degree") > 0)
         .select(col("node"), expr("rank_scaled div out_degree").as("c"))
         .join(e, col("node") === col("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("node"), col("c"))
+        .repartition(n, col("node"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
       val dangling = rank.filter(col("out_degree") === 0)
         .agg(coalesce(sum(col("rank_scaled")), lit(0L)).as("d_total"))
-      rank = base.join(contrib, Seq("node"), "left")
+      rank = ckptPart(base.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling.crossJoin(broadcast(nNodes))))
         .select(col("node"), col("out_degree"),
           (lit(15L * PageRankScale / 100L) +
             expr(s"$PageRankDampingPct * (coalesce(in_sum, 0L) + d_total div n_nodes) div 100"))
-            .as("rank_scaled"))
-        .localCheckpoint(true)
+            .as("rank_scaled")))
       graft.plans.Checkpoints.free(prev)
     }
-    rank.select(col("node"), col("out_degree"), col("rank_scaled"),
+    val out = rank.select(col("node"), col("out_degree"), col("rank_scaled"),
       (col("rank_scaled").cast("double") / lit(PageRankScale).cast("double"))
         .as("rank"))
+    graft.plans.Checkpoints.free(e)
+    graft.plans.Checkpoints.free(base)
+    out
   }
 
   /** SYNCHRONOUS label propagation (community detection) — the cheap
@@ -573,25 +637,26 @@ object Graph {
     * [[pageRank]]. Nothing is collected, nothing is all-pairs. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var lab = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
+    var lab = ckptPart(sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
       val prev = lab
       val counts = lab.join(sym, lab("node") === sym("src"))
-        .groupBy(sym("dst").as("node"), col("label"))
+        .select(sym("dst").as("node"), col("label"))
+        .repartition(n, col("node"))
+        .groupBy("node", "label")
         .agg(count(lit(1)).as("n"))
       val pick = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("n").desc, col("label").asc)
-      lab = counts
+      lab = ckptPart(counts
         .withColumn("__rn", row_number().over(pick))
         .filter(col("__rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint(true)
+        .select(col("node"), col("label")))
       graft.plans.Checkpoints.free(prev)
     }
+    graft.plans.Checkpoints.free(sym)
     lab
   }
 
@@ -611,19 +676,20 @@ object Graph {
     * undirected (symmetrized here — callers pass each edge once). */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var dist = sources.select(col("node"), lit(0).as("dist"))
-      .localCheckpoint(true)
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
+    var dist = ckptPart(sources.select(col("node"), lit(0).as("dist"))
+      .repartition(n, col("node")))
     for (h <- 1 to maxHops) {
       val prev = dist
       val reached = dist.join(sym, dist("node") === sym("src"))
         .select(sym("dst").as("node"), lit(h).as("dist"))
-      dist = dist.unionByName(reached)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      dist = ckptPart(dist.unionByName(reached)
+        .repartition(n, col("node"))
+        .groupBy("node").agg(min("dist").as("dist")))
       graft.plans.Checkpoints.free(prev)
     }
+    graft.plans.Checkpoints.free(sym)
     dist
   }
 
@@ -639,20 +705,24 @@ object Graph {
     * per hop truncates the lineage exactly like bfsDistances. */
   def allPairsHopDistances(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
     val nodes = sym.select(col("src").as("node")).distinct()
-    var dist = nodes.select(col("node").as("root"), col("node"), lit(0).as("dist"))
-      .localCheckpoint(true)
+    // state pinned on `node` (the relax key); hashpartitioning(node)
+    // also satisfies the (root, node) grouping's clustering, so each
+    // hop is one exchange
+    var dist = ckptPart(nodes
+      .select(col("node").as("root"), col("node"), lit(0).as("dist")))
     for (h <- 1 to maxHops) {
       val prev = dist
       val reached = dist.join(sym, dist("node") === sym("src"))
         .select(dist("root"), sym("dst").as("node"), lit(h).as("dist"))
-      dist = dist.unionByName(reached)
-        .groupBy("root", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      dist = ckptPart(dist.unionByName(reached)
+        .repartition(n, col("node"))
+        .groupBy("root", "node").agg(min("dist").as("dist")))
       graft.plans.Checkpoints.free(prev)
     }
+    graft.plans.Checkpoints.free(sym)
     dist
   }
 
@@ -687,12 +757,12 @@ object Graph {
     * lands (the [[bfsDistances]] checkpoint discipline). */
   def hyperBall(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val (sym, init) = hyperBallInit(edges)
+    val (sym, init, n) = hyperBallInit(edges)
     var state = init
     var out = hyperBallEstimate(state, 0)
     for (t <- 1 to maxHops) {
       val prev = state
-      state = hyperBallRelax(state, sym)
+      state = hyperBallRelax(state, sym, n)
       graft.plans.Checkpoints.free(prev)
       out = out.unionByName(hyperBallEstimate(state, t))
     }
@@ -701,30 +771,48 @@ object Graph {
   }
 
   /** Symmetrized edges + the checkpointed hop-0 register state
-    * (shared by [[hyperBall]] and [[hyperBallToFixpoint]]). */
-  private def hyperBallInit(edges: DataFrame): (DataFrame, DataFrame) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    * (shared by [[hyperBall]] and [[hyperBallToFixpoint]]).
+    *
+    * PARTITION-PINNED (r19, guide §2.4): the edge table is shuffled by
+    * `src` and sorted within partitions ONCE, with the partitioning
+    * and ordering RECORDED into the checkpoint
+    * ([[org.apache.spark.sql.graftbridge.Bridge.localCheckpointPartitioned]]
+    * — the stock eager checkpoint under AQE records
+    * UnknownPartitioning, so every hop re-shuffled and re-sorted an
+    * edge table that never changes). The register state is likewise
+    * kept hash-partitioned by `node` across hops, so each relaxation
+    * hop runs exactly ONE exchange (moving the newly-reached registers
+    * to their nodes) instead of three (state, edges, and the
+    * register-max aggregation), and the per-hop estimate aggregation
+    * is exchange-free. Register values and estimates are unchanged —
+    * max/count/sum are placement-free. */
+  private def hyperBallInit(edges: DataFrame): (DataFrame, DataFrame, Int) = {
+    val n = adaptiveParts(edges)
+    val sym = symPinned(edges, n)
     val nodes = sym.select(col("src").as("node")).distinct()
     val h = graft.llm.Dedup.hex60(concat(lit("hb|"), col("node").cast("string")))
-    val init = nodes
-      .select(col("node"), pmod(h, lit(Sketches.HllM.toLong)).as("__reg"),
-        shiftright(h, Sketches.HllP).as("__w"))
-      .withColumn("__mj",
-        when(col("__w") === 0, lit(Sketches.HllW + 1))
-          .otherwise(lit(Sketches.HllW + 1) - length(bin(col("__w")))))
-      .select(col("node"), col("__reg"), col("__mj"))
-      .localCheckpoint(true)
-    (sym, init)
+    val init = org.apache.spark.sql.graftbridge.Bridge.localCheckpointPartitioned(
+      nodes
+        .select(col("node"), pmod(h, lit(Sketches.HllM.toLong)).as("__reg"),
+          shiftright(h, Sketches.HllP).as("__w"))
+        .withColumn("__mj",
+          when(col("__w") === 0, lit(Sketches.HllW + 1))
+            .otherwise(lit(Sketches.HllW + 1) - length(bin(col("__w")))))
+        .select(col("node"), col("__reg"), col("__mj")))
+    (sym, init, n)
   }
 
-  /** One register-max relaxation hop, eagerly checkpointed. */
-  private def hyperBallRelax(state: DataFrame, sym: DataFrame): DataFrame = {
+  /** One register-max relaxation hop, eagerly checkpointed with the
+    * state's node partitioning pinned (one explicit exchange; the
+    * join and the register-max aggregation reuse recorded
+    * partitionings). */
+  private def hyperBallRelax(state: DataFrame, sym: DataFrame, n: Int): DataFrame = {
     val reached = state.join(sym, state("node") === sym("src"))
       .select(sym("dst").as("node"), state("__reg"), state("__mj"))
-    state.unionByName(reached)
-      .groupBy("node", "__reg").agg(max(col("__mj")).as("__mj"))
-      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.localCheckpointPartitioned(
+      state.unionByName(reached)
+        .repartition(n, col("node"))
+        .groupBy("node", "__reg").agg(max(col("__mj")).as("__mj")))
   }
 
   private def hyperBallEstimate(st: DataFrame, hop: Int): DataFrame =
@@ -760,7 +848,7 @@ object Graph {
     * graph diameter. */
   def hyperBallToFixpoint(edges: DataFrame, hardCap: Int): DataFrame = {
     require(hardCap >= 1, s"hardCap must be >= 1, got $hardCap")
-    val (sym, init) = hyperBallInit(edges)
+    val (sym, init, n) = hyperBallInit(edges)
     def snap(st: DataFrame): (Long, Long) = {
       val r = st.agg(count(lit(1)).as("c"),
         coalesce(sum(col("__mj")), lit(0L)).as("s")).head()
@@ -773,7 +861,7 @@ object Graph {
     var t = 1
     while (!converged && t <= hardCap) {
       val prev = state
-      state = hyperBallRelax(state, sym)
+      state = hyperBallRelax(state, sym, n)
       val s = snap(state)
       if (s == prevSnap) converged = true
       else {
