@@ -59,8 +59,39 @@ object Prf {
     val qt = topTerms
       .filter(querySel(col("doc_id"), bound))
       .select(col("doc_id").as("query_doc_id"), col("term"), col("rank"))
-    // round 1: the plain lexical serving list, feedback prefix only
-    val feedback = HashEmbed.lexTopList(qt, impact, depth = FbDocs)
+    val served = impact.filter(col("impact_rank") <= ImpactCap)
+    // ONE base scoring pass (r19, guide §2.4 — reuse the first-pass
+    // exchange): the per-(query, doc) rank pivot and fixed-order base
+    // sum feed BOTH round 1's feedback selection and round 2's
+    // expanded total. Previously round 2 re-joined the whole posting
+    // probe against qt ∪ exp and re-aggregated all six pivot columns —
+    // the identical `base` subtree below appears twice in the final
+    // plan, so its aggregation exchange executes once (ReusedExchange).
+    // base_score = ((c1+c2)+c3) is the exact left prefix of the old
+    // ((((c1+c2)+c3)+0.5c4)+0.5c5)+0.5c6 fold, so scores stay
+    // bit-identical; qt ranks (1..TfidfTopK) and expansion ranks
+    // (TfidfTopK+1..) cannot collide, so the split pivot partitions
+    // the old one exactly.
+    val perRankBase = (1 to TfidfTopK).map(r =>
+      max(when(col("rank") === r, col("s"))).as(s"s_r$r"))
+    val base = served
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_doc_id"))
+      .groupBy("query_doc_id", "doc_id")
+      .agg(perRankBase.head, perRankBase.tail: _*)
+      .withColumn("base_score",
+        (1 to TfidfTopK)
+          .map(r => coalesce(col(s"s_r$r"), lit(0.0))).reduceLeft(_ + _))
+      .select("query_doc_id", "doc_id", "base_score")
+    // round 1: feedback prefix = the top FbDocs of the base scores
+    // (exactly what HashEmbed.lexTopList(depth=FbDocs) derived from
+    // its own scan of the same probe)
+    val feedback = base
+      .groupBy("query_doc_id")
+      .agg(top_k(col("base_score"), col("doc_id"), FbDocs).as("tk"))
+      .select(col("query_doc_id"), posexplode(col("tk")))
+      .select(col("query_doc_id"), col("col.payload").as("doc_id"),
+        (col("pos") + 1).cast("int").as("lex_rank"))
     // mine expansion terms from the feedback docs' keyword Mat
     val cand = feedback
       .join(topTerms.select(col("doc_id"), col("term"),
@@ -78,20 +109,21 @@ object Prf {
         (col("e_rank") + TfidfTopK).as("rank"))
     val nExp = exp.groupBy("query_doc_id")
       .agg(count(lit(1)).as("n_exp_terms"))
-    val qt2 = qt.select("query_doc_id", "term", "rank")
-      .unionByName(exp.select("query_doc_id", "term", "rank"))
-    // round 2: weighted fixed-rank-order pivot over the capped index
+    // round 2: only the EXPANSION terms (≤ ExpTerms per query) probe
+    // the index again; their pivot merges with the stored base by a
+    // full-outer keyed join instead of a second full re-score
     val nR = TfidfTopK + ExpTerms
-    val scored = impact.filter(col("impact_rank") <= ImpactCap)
-      .join(broadcast(qt2), Seq("term"))
-      .filter(col("doc_id") =!= col("query_doc_id"))
-    val perRank = (1 to nR).map(r =>
+    val perRankExp = (TfidfTopK + 1 to nR).map(r =>
       max(when(col("rank") === r, col("s"))).as(s"s_r$r"))
-    val terms = (1 to TfidfTopK).map(r => coalesce(col(s"s_r$r"), lit(0.0))) ++
+    val expScored = served
+      .join(broadcast(exp), Seq("term"))
+      .filter(col("doc_id") =!= col("query_doc_id"))
+      .groupBy("query_doc_id", "doc_id")
+      .agg(perRankExp.head, perRankExp.tail: _*)
+    val terms = Seq(coalesce(col("base_score"), lit(0.0))) ++
       (TfidfTopK + 1 to nR).map(r =>
         lit(ExpWeight) * coalesce(col(s"s_r$r"), lit(0.0)))
-    scored.groupBy("query_doc_id", "doc_id")
-      .agg(perRank.head, perRank.tail: _*)
+    base.join(expScored, Seq("query_doc_id", "doc_id"), "full_outer")
       .withColumn("prf_score", terms.reduceLeft(_ + _))
       .groupBy("query_doc_id")
       .agg(top_k(col("prf_score"), col("doc_id"), TopK).as("tk"))

@@ -142,15 +142,41 @@ object Selection {
     * real scale compute lr as ln(a)−ln(b) in the same quantization
     * (documented, not needed at the driver's SFs). */
   def dsirWeights(documents: DataFrame): DataFrame = {
-    val fc = hashedFeatures(documents)
-    val tgtIds = documents.filter(col("source") === InDomainSource)
-      .select("doc_id")
-    val tgt = fc.join(tgtIds, Seq("doc_id"), "left_semi")
-      .groupBy("bkt").agg(sum("c").as("c_tgt"))
-    val raw = fc.groupBy("bkt").agg(sum("c").as("c_raw"))
-    val stats = tgt.agg(coalesce(sum("c_tgt"), lit(0L)).as("t_tgt"))
-      .crossJoin(broadcast(raw.agg(sum("c_raw").as("t_raw"))))
-    val model = raw.join(tgt, Seq("bkt"), "left")
+    // ONE feature-derivation pass (r19, guide §2.4): the md5-per-
+    // feature tokenize+explode used to run three times — target
+    // counts, raw counts, per-doc rescoring — because the semi-join
+    // pushdown specialized each use of [[hashedFeatures]] and defeated
+    // exchange reuse (r18 plan: 14 parquet scans, 34 exchanges). The
+    // in-domain flag rides the feature rows instead (source is
+    // constant per doc, so tagging ≡ the semi-join), ONE bucket
+    // aggregation produces c_raw AND c_tgt, and the rescoring pass
+    // shares the repartition(doc_id) exchange with it (ReuseExchange).
+    // All counts stay exact integers — results are unchanged.
+    val fc = {
+      val toks = documents
+        .select(col("doc_id"),
+          (col("source") === InDomainSource).as("is_tgt"),
+          Dedup.words(col("text")).as("w"))
+        .repartition(col("doc_id"))
+      val feats = toks.select(col("doc_id"), col("is_tgt"), explode(concat(
+        col("w"),
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("feat"))
+      feats
+        .select(col("doc_id"), col("is_tgt"),
+          pmod(Dedup.hex60(col("feat")), lit(DsirBuckets)).as("bkt"))
+        .groupBy("doc_id", "is_tgt", "bkt").agg(count(lit(1)).as("c"))
+    }
+    val byBkt = fc.groupBy("bkt").agg(
+      sum("c").as("c_raw"),
+      sum(when(col("is_tgt"), col("c"))).as("c_tgt"))
+    val stats = byBkt.agg(
+      coalesce(sum("c_tgt"), lit(0L)).as("t_tgt"),
+      sum("c_raw").as("t_raw"))
+    val model = byBkt
       .crossJoin(broadcast(stats))
       .select(col("bkt"),
         log(((coalesce(col("c_tgt"), lit(0L)) + 1)
