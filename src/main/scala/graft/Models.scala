@@ -696,9 +696,18 @@ object Models {
     * tuned from. Each method is the SAME gated query composed through
     * the SAME recall operator. */
   def annRecallByMethod(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
+    // All NINE searches still execute live (the r7 discipline — a
+    // search query's bench number measures the search); only the
+    // recall ACCOUNTING is factored (r19, guide §2.4): one tagged
+    // union joins the exact top-k ONCE and one (method, query)
+    // aggregation replaces nine separate exact-scans + joins +
+    // per-method aggregations. Hit counts are the same exact integers
+    // — per method, the inner join matches exactly the approx rows the
+    // old per-method left join counted — and queries with zero hits
+    // reappear through the method-grid left join (n_hits 0).
     val exact = annExactTopK(s, d)
-    Seq(
+    val methods = Seq(
       "ivf" -> annIvfTopK(s, d),
       "ivf_kmeans" -> annIvfKmeansTopK(s, d),
       "sq8" -> annSq8TopK(s, d),
@@ -708,10 +717,24 @@ object Models {
       "ivfpq" -> annIvfPqTopK(s, d),
       "ivfpq_residual" -> annIvfPqResidualTopK(s, d),
       "opq" -> annOpqTopK(s, d))
+    val tagged = methods
       .map { case (m, approx) =>
-        llm.Similarity.annRecall(exact, approx).withColumn("method", lit(m)) }
-      .reduce(_ union _)
-      .select(col("method"), col("query_id"), col("n_hits"), col("recall"))
+        approx.select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
+      .reduce(_ unionByName _)
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(tagged, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val perQuery = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val grid = methods.map { case (m, _) =>
+      perQuery.select(lit(m).as("method"), col("query_id"), col("n_exact")) }
+      .reduce(_ unionByName _)
+    grid.join(broadcast(hits), Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
   }
   /** Hard negatives: per query the most-confusable wrong-label
     * vectors (contrastive-training mining). */

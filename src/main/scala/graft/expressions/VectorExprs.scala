@@ -20,6 +20,27 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object VectorExprs {
 
+  /** Shared eval of [[DotProductLong]] (interpreted + codegen paths):
+    * exact long dot in index order, REJECTING unequal lengths and
+    * null elements loudly (ADVICE r18 — the fold it replaces would
+    * null-propagate; a silent 0/truncation here is a wrong answer). */
+  def dotLong(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product_long: unequal vector lengths $n vs ${y.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_product_long: null element at index $i")
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Σ a[i]·b[i] over float arrays, accumulated in double, index order. */
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -217,27 +238,21 @@ object VectorExprs {
         s"dot_product_long needs two array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
     }
 
+    // ADVICE r18: the fold this replaces null-pads unequal lengths and
+    // null-propagates null elements; silently truncating/zeroing here
+    // would diverge on irregular inputs. The declared-type lattice
+    // cannot exclude them (transform(...cast) infers containsNull=true
+    // even for never-null lambdas), so the contract is enforced at
+    // runtime: unequal lengths and null elements FAIL LOUDLY. The
+    // serving vectors are fixed-dim and non-null, so nothing real pays.
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var acc = 0L
-      var i = 0
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
-      acc
+      VectorExprs.dotLong(x, y)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-        s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |long $acc = 0L;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getLong($i) * $b.getLong($i);
-           |}
-           |${ev.value} = $acc;
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.VectorExprs.dotLong($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -270,9 +285,22 @@ object VectorExprs {
             s"self_outer_products needs an array<bigint> input, got $t")
       }
 
+    // ADVICE r18: the element_at form this replaces null-propagates a
+    // null slot; getLong would silently read 0. The declared type
+    // cannot exclude nulls (transform(...cast) infers
+    // containsNull=true even for never-null lambdas — embeddingCorr's
+    // own quantizer does), so the bit-identity contract is enforced at
+    // runtime: a null element FAILS LOUDLY instead of zeroing.
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[ArrayData]
       val n = x.numElements()
+      var c = 0
+      while (c < n) {
+        if (x.isNullAt(c))
+          throw new IllegalArgumentException(
+            s"self_outer_products: null element at index $c")
+        c += 1
+      }
       val out = new Array[Any](n * (n + 1) / 2)
       var k = 0
       var i = 0
@@ -296,6 +324,12 @@ object VectorExprs {
         val j = ctx.freshName("j"); val qi = ctx.freshName("qi")
         s"""
            |int $n = $a.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "self_outer_products: null element at index " + $i);
+           |  }
+           |}
            |Object[] $out = new Object[$n * ($n + 1) / 2];
            |int $k = 0;
            |for (int $i = 0; $i < $n; $i++) {

@@ -140,9 +140,10 @@ object Quantize {
   def annSq8TopK(embeddings: DataFrame): DataFrame =
     Similarity.annCosineTopK(dequantize(quantize(embeddings)))
 
-  /** Power-iteration rounds for [[embeddingPca]] (unrolled — each is
-    * one corpus pass; 6 squarings of the eigenvalue gap is plenty at
-    * embedding-scale spectra). */
+  /** Power-iteration rounds for [[embeddingPca]] (unrolled — each is a
+    * D-row matrix·vector product over the materialized moment matrix;
+    * 6 squarings of the eigenvalue gap is plenty at embedding-scale
+    * spectra). */
   val PcaRounds = 6
 
   /** Embedding dimensionality (the testdata's fixed width; at another
@@ -157,17 +158,20 @@ object Quantize {
     * direction hoarding variance) whitens/rotates along exactly this
     * vector before product quantization.
     *
-    * Matrix-free iteration: C·v = (1/n²)·(n·Σx(x·v) − (Σx)(Σx·v)),
-    * so each round is ONE corpus pass (per-row dot, then a per-dim
-    * keyed aggregate of 64 rows) — the covariance matrix itself is
-    * never materialized. The iterate v is carried in QUANTIZED
-    * MICRO-UNITS (int64, [[CorrQuant]]): per-row dots q·v_q are exact
-    * int64 (|q|,|v_q| ≤ ~2²⁰ ⇒ 64-term dot ≪ 2⁶³); the per-dim
-    * accumulations Σ q_i·(q·v_q) widen to decimal(38,0) BEFORE the
-    * multiply (each term can reach ~2⁶⁶) — exact, order-free sums, so
-    * the whole linear step is bit-deterministic. Headroom: terms ~1e24
-    * at 8× probe scale against decimal(38)'s 1e38 — linear in corpus
-    * rows, asserted by the spec.
+    * Moment-matrix iteration (r19 — the [[embeddingPcaTopK]] trade,
+    * guide §1.2 "the distributed algorithm first"): ONE corpus pass
+    * ([[embeddingCorr]]'s exact D² moment aggregation) materializes
+    * M_ij = Σ q_i·q_j, b_i = Σ q_i; every round is then a D-row
+    * matrix·vector product, corpus-free. The matrix-free form this
+    * replaces re-scanned the corpus once per round ([[PcaRounds]] = 6
+    * passes). Values are IDENTICAL: integers commute — per-dim
+    * A_i = Σ_rows q_i·(q·v) = Σ_j M_ij·v_j — and both forms widen the
+    * exact products to decimal(38,0) before summing (order-free), so
+    * every A_i is the same exact integer and the double widenings
+    * downstream see the same inputs. Headroom: M_ij terms are int64
+    * sums (the [[embeddingCorr]] bound, ~2e15 at 8× probe scale);
+    * M_ij·v_j products widen to decimal(38,0) (~1e23 at probe scale
+    * against 1e38).
     *
     * Doubles appear once per round: the 64 exact decimals route
     * through the string-cast contract ([[graft.functions.Funcs.stddevFromSums]]),
@@ -183,31 +187,37 @@ object Quantize {
     * units and explained_share = λ / tr(C) (exact dim-variance sums,
     * single divisions). */
   def embeddingPca(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val d19 = DecimalType(19, 0)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val qv = embeddings.select(
-      transform(col("embedding"), x =>
-        floor(x.cast("double") * lit(CorrQuant) + lit(0.5)).cast("long"))
-        .as("q"))
-    // per-dim exact sums (centering term b, trace) — ONE pass, reused
-    // by every round through the checkpoint
-    val base = qv.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i")
-      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
-        sum(col("qi").cast(d19) * col("qi").cast(d19)).as("ss"))
+    // ONE corpus pass: the exact D² raw-moment matrix + per-dim sums,
+    // reused by every round through the checkpoint. s_xy(i,i) = Σq_i²
+    // and s_x(i) = Σq_i, so the centering term and trace ride the
+    // same table.
+    val corr = embeddingCorr(embeddings)
+      .select(col("dim_i").as("i"), col("dim_j").as("j"),
+        col("n"), col("s_x"), col("s_y"), col("s_xy"))
+    val full = corr.unionByName(
+      corr.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("n"),
+          col("s_y").as("s_x"), col("s_x").as("s_y"), col("s_xy")))
+    val mat = full.groupBy("i")
+      .agg(max(col("n")).as("n"), max(col("s_x")).as("bi"),
+        array_sort(collect_list(struct(col("j"), col("s_xy")))).as("mj"))
+      .select(col("i"), col("n"), col("bi"),
+        expr("transform(mj, x -> x.s_xy)").as("marr"))
+      .localCheckpoint(true)
+    val base = mat
+      .select(col("i"), col("n"), col("bi"),
+        element_at(col("marr"), col("i") + 1).as("ssi"))
       .agg(max(col("n")).as("n"),
-        array_sort(collect_list(struct(col("i"), col("s"), col("ss"))))
+        array_sort(collect_list(struct(col("i"), col("bi"), col("ssi"))))
           .as("st"))
-      .select(col("n"), expr("transform(st, x -> x.s)").as("b"),
+      .select(col("n"), expr("transform(st, x -> x.bi)").as("b"),
         // tr(C)·Q²·n² = Σ_i (n·Σq² − (Σq)²): exact sums widened to
-        // doubles (the embeddingCorr discipline — a decimal product
-        // here would exceed DuckDB's width-38 cap), folded in dim order
+        // doubles (the embeddingCorr discipline), folded in dim order
         expr("""aggregate(st, cast(0.0 as double), (acc, x) ->
-             acc + (cast(n as double)
-                      * cast(cast(x.ss as string) as double)
-                    - cast(x.s as double) * cast(x.s as double)))""")
+             acc + (cast(n as double) * cast(x.ssi as double)
+                    - cast(x.bi as double) * cast(x.bi as double)))""")
           .as("trace_q"))
       // an EMPTY corpus must yield an empty result on both engines:
       // without this guard the ungrouped agg leaves one n=NULL row and
@@ -219,19 +229,20 @@ object Quantize {
     // v0: uniform unit vector in micro-units (Q/√D, half-up)
     val v0 = Seq.fill(PcaDim)(
       math.floor(CorrQuant / math.sqrt(PcaDim.toDouble) + 0.5).toLong)
-    var v = Seq(Tuple1(v0)).toDF("v").localCheckpoint(true)
+    var v = Seq(Tuple1(v0)).toDF("v")
     var lastW: DataFrame = null
-    for (_ <- 1 to PcaRounds) {
-      // one corpus pass: per-row exact dot, per-dim exact decimal A_i
-      val a = qv.crossJoin(broadcast(v))
-        .select(posexplode(col("q")).as(Seq("i", "qi")),
-          expr("aggregate(zip_with(q, v, (x, c) -> x * c), 0L, (acc, x) -> acc + x)")
-            .as("s"))
-        .groupBy("i")
-        .agg(sum(col("qi").cast(d19) * col("s").cast(d19)).as("a"))
+    for (r <- 1 to PcaRounds) {
+      // matrix·vector, corpus-free: A_i = Σ_j M_ij·v_j — the same
+      // exact integer the per-row Σ q_i·(q·v) fold produced, widened
+      // to decimal(38,0) before summing exactly as before
+      val a = mat.crossJoin(broadcast(v))
+        .select(col("i"), expr(
+          """aggregate(zip_with(marr, v, (m, c) ->
+               cast(m as decimal(19,0)) * cast(c as decimal(19,0))),
+             cast(0 as decimal(38,0)), (acc, x) -> acc + x)""").as("a"))
       // w_i = n·A_i − b_i·(b·v): exact parts first, then the
       // embeddingCorr double-widening (string-cast for decimals)
-      val wRow = a
+      var wRow = a
         .agg(array_sort(collect_list(struct(col("i"), col("a")))).as("aa"))
         .crossJoin(broadcast(base)).crossJoin(broadcast(v))
         .withColumn("sb", expr(
@@ -250,11 +261,12 @@ object Quantize {
         .withColumn("sgn", expr(
           """if(aggregate(w, cast(0.0 as double), (acc, x) ->
                  if(abs(x) > abs(acc), x, acc)) < 0, -1.0d, 1.0d)"""))
-        .localCheckpoint(true)
+      // only the LAST round's w materializes: intermediate rounds are
+      // D-row folds over the checkpointed matrix, so the lazy chain is
+      // cheap to carry and each dropped eager checkpoint is a whole
+      // Spark job saved (the embeddingPcaTopK shape)
+      if (r == PcaRounds) wRow = wRow.localCheckpoint(true)
       lastW = wRow
-      // v is a cheap projection of the checkpointed wRow — no second
-      // eager checkpoint per round (each localCheckpoint is a whole
-      // job; the bench showed the job count, not the math, dominating)
       v = wRow.select(expr(
         s"""transform(w, x ->
              cast(floor(sgn * x / norm_w * ${CorrQuant}d + 0.5d) as bigint))""")
@@ -371,7 +383,11 @@ object Quantize {
                cast(floor(sgn * x / norm_w * ${CorrQuant}d + 0.5d) as bigint))""")
           .as("v"))
       }
-      val vFix = vRow.localCheckpoint(true)
+      // vFix stays LAZY (r19): a D-row projection of the checkpointed
+      // wRow, consumed only inside defl's eager checkpoint — dropping
+      // its eager checkpoint saves one Spark job per component with
+      // values unchanged (deterministic fold)
+      val vFix = vRow
       // Rayleigh λ̂ = (vᵀMv)/(vᵀv) of the QUANTIZED component (exact
       // int v, double M folds) — deflation and reporting share it
       val defl = mat.crossJoin(broadcast(vFix))
@@ -386,6 +402,9 @@ object Quantize {
                cast(0.0 as double), (acc, y) -> acc + y)""").as("vmv"),
           expr("aggregate(v, 0L, (acc, q) -> acc + q * q)").as("s2"))
         .withColumn("lam", col("vmv") / col("s2").cast("double"))
+        // defl MUST stay eager: `out` references it lazily and the
+        // component's mat is freed when the next deflation lands — a
+        // lazy defl would read a freed checkpoint block at union time
         .localCheckpoint(true)
       val out = wRow.crossJoin(broadcast(defl.select("lam")))
         .crossJoin(broadcast(trace))

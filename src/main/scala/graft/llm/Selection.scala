@@ -49,14 +49,6 @@ object Selection {
   private def dec9 = DecimalType(18, 9)
   private def dec10 = DecimalType(10, 0)
 
-  /** Per-document term frequencies (doc_id, term, tf) — one tokenize
-    * pass, (doc, term)-keyed count with map-side combine. */
-  private def termFreqs(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-
   /** Moore–Lewis selection: per document, the average cross-entropy
     * DIFFERENCE under an in-domain vs a general Laplace-smoothed
     * unigram LM — ce_diff = (Σ tf·nll_in − Σ tf·nll_gen)/n_tokens,
@@ -69,19 +61,28 @@ object Selection {
     * [[Relevance.heldoutSurprisal]] convention; an unseen term costs
     * the model's smoothing floor ln(T+V+1). */
   def mooreLewis(documents: DataFrame): DataFrame = {
-    val tf = termFreqs(documents)
-    val inIds = documents.filter(col("source") === InDomainSource)
-      .select("doc_id")
-    val inCnt = tf.join(inIds, Seq("doc_id"), "left_semi")
-      .groupBy("term").agg(sum("tf").as("c_in"))
-    val genCnt = tf.groupBy("term").agg(sum("tf").as("c_gen"))
-    val stats = inCnt.agg(coalesce(sum("c_in"), lit(0L)).as("t_in"),
-        count(lit(1)).as("v_in"))
-      .crossJoin(broadcast(
-        genCnt.agg(sum("c_gen").as("t_gen"), count(lit(1)).as("v_gen"))))
+    // ONE tokenize pass (r19 — the dsirWeights treatment): the
+    // in-domain flag rides the term rows (source is constant per doc,
+    // so tagging ≡ the semi-join), one term aggregation produces
+    // c_gen AND c_in, and the rescoring join shares the
+    // repartition(doc_id) exchange with it. Counts stay exact
+    // integers — results unchanged.
+    val tf = documents
+      .select(col("doc_id"),
+        (col("source") === InDomainSource).as("is_in"),
+        explode(Dedup.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "is_in", "term").agg(count(lit(1)).as("tf"))
+    val byTerm = tf.groupBy("term").agg(
+      sum("tf").as("c_gen"),
+      sum(when(col("is_in"), col("tf"))).as("c_in"))
+    val stats = byTerm.agg(
+      coalesce(sum("c_in"), lit(0L)).as("t_in"),
+      count(col("c_in")).as("v_in"),
+      sum("c_gen").as("t_gen"),
+      count(lit(1)).as("v_gen"))
     tf
-      .join(genCnt, Seq("term"))
-      .join(inCnt, Seq("term"), "left")
+      .join(byTerm, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tf"),
         log((col("t_in") + col("v_in") + 1).cast("double")

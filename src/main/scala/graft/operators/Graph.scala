@@ -436,17 +436,23 @@ object Graph {
     * 100 TB edge table fans out to the cluster's full configured
     * parallelism. Mat barriers carry ANALYZE stats and raw parquet
     * scans carry file sizes, so the estimate is always real. */
-  private def adaptiveParts(df: DataFrame): Int = {
+  private def adaptiveParts(df: DataFrame, workingSetFactor: Int = 1): Int = {
     val conf = df.sparkSession.sessionState.conf
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val advisory = BigInt(conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
     val cap = BigInt(conf.numShufflePartitions)
+    // workingSetFactor: size by the ITERATION's per-round working set,
+    // not the raw input — HyperBall's relax join fans every edge out
+    // to up to HllM register rows, so partitioning that state by edge
+    // BYTES alone starves it of parallelism (measured: the fixpoint
+    // build at 2 partitions ran 4× slower than at the session cap).
     // floor 2, not 1: repartition(1, key) plans as SinglePartition, a
     // spec the co-partitioned join machinery does not match against
     // the checkpoints' HashPartitioning claims (measured: both join
     // sides re-shuffled to the session default)
-    ((bytes / advisory.max(1)) + 1).min(cap).max(2).toInt
+    ((bytes * BigInt(math.max(1, workingSetFactor)) / advisory.max(1)) + 1)
+      .min(cap).max(2).toInt
   }
 
   /** Symmetrized edges, partition-pinned by `src` and sorted within
@@ -705,7 +711,10 @@ object Graph {
     * per hop truncates the lineage exactly like bfsDistances. */
   def allPairsHopDistances(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val n = adaptiveParts(edges)
+    // all-pairs state multiplies edges by the average reached-ball
+    // size — size the pinned partitioning for that working set (the
+    // HyperBall HllM rationale; 64 is the same order)
+    val n = adaptiveParts(edges, workingSetFactor = 64)
     val sym = symPinned(edges, n)
     val nodes = sym.select(col("src").as("node")).distinct()
     // state pinned on `node` (the relax key); hashpartitioning(node)
@@ -787,7 +796,7 @@ object Graph {
     * is exchange-free. Register values and estimates are unchanged —
     * max/count/sum are placement-free. */
   private def hyperBallInit(edges: DataFrame): (DataFrame, DataFrame, Int) = {
-    val n = adaptiveParts(edges)
+    val n = adaptiveParts(edges, workingSetFactor = Sketches.HllM)
     val sym = symPinned(edges, n)
     val nodes = sym.select(col("src").as("node")).distinct()
     val h = graft.llm.Dedup.hex60(concat(lit("hb|"), col("node").cast("string")))

@@ -1713,6 +1713,11 @@ object Streams {
     // bench pass re-trained and re-wrote a pass-scoped parquet pin;
     // the Mat IS the pin, built once per session). Every batch bins
     // against the SAME edges, which keeps the counters mergeable.
+    // CONTRACT (ADVICE r18): pinnedStats must be a MATERIALIZED or at
+    // least deterministic frame — foreachBatch re-evaluates its plan
+    // per micro-batch, so an unmaterialized stats frame re-trains the
+    // quantizer every batch (correct only because deterministic; a
+    // nondeterministic frame would silently break mergeability).
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.histBinCounts(batch.filter(col("value").isNotNull),

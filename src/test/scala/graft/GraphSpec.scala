@@ -308,6 +308,12 @@ class GraphSpec extends SparkSpec {
       assert(joins.count(j => j == "sort_merge" || j == "shuffled_hash") <= 1,
         s"kept-edge joins should be broadcast at this size (one reused-" +
           s"exchange accounting join excepted), got $joins")
+      // ADVICE r18: the <=1 relaxation alone would also pass if a
+      // WEDGE join regressed to sort-merge while the accounting joins
+      // broadcast — additionally require at least the two wedge-path
+      // joins to be broadcast_hash so the guarded property survives
+      assert(joins.count(_ == "broadcast_hash") >= 2,
+        s"expected >=2 broadcast_hash joins (the wedge path), got $joins")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
