@@ -20,7 +20,11 @@ object Views {
     Set("stream_windowed_counts", "stream_sessions", "stream_segment_counts",
       "stream_dedup", "stream_attribution",
       // builds the Bloom filter with a driver-side aggregate job
-      "bloom_pruned_stats")
+      "bloom_pruned_stats",
+      // r19: eagerly checkpoints the round-1 base scores at
+      // construction (the feedback and merge consumers both read it;
+      // plan sharing measured 2.5× slower at the 8× probe)
+      "prf_search")
 
   /** Register every SparkEntry query as a temp view over `sfDir`.
     *

@@ -83,6 +83,18 @@ object Prf {
         (1 to TfidfTopK)
           .map(r => coalesce(col(s"s_r$r"), lit(0.0))).reduceLeft(_ + _))
       .select("query_doc_id", "doc_id", "base_score")
+      // EAGER checkpoint, not plan sharing: the feedback and merge
+      // consumers' subtrees canonicalize differently after optimization
+      // (measured: two distinct shuffle stages at sf0.1, and the
+      // un-checkpointed form ran 2.5× SLOWER than the old two-pass plan
+      // at the 8× probe because base computed twice). The checkpoint is
+      // bounded — ≤ queries × (TfidfTopK·ImpactCap) candidate rows by
+      // the posting caps — and makes the probe run once at every scale.
+      .localCheckpoint(true)
+      // fresh attribute ids: the checkpoint's output ids still alias the
+      // posting scan's, and the full-outer merge against expScored (same
+      // scan lineage) trips the analyzer's conflicting-reference check
+      .toDF("query_doc_id", "doc_id", "base_score")
     // round 1: feedback prefix = the top FbDocs of the base scores
     // (exactly what HashEmbed.lexTopList(depth=FbDocs) derived from
     // its own scan of the same probe)

@@ -49,6 +49,14 @@ object Selection {
   private def dec9 = DecimalType(18, 9)
   private def dec10 = DecimalType(10, 0)
 
+  /** Per-document term frequencies (doc_id, term, tf) — one tokenize
+    * pass, (doc, term)-keyed count with map-side combine. */
+  private def termFreqs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
   /** Moore–Lewis selection: per document, the average cross-entropy
     * DIFFERENCE under an in-domain vs a general Laplace-smoothed
     * unigram LM — ce_diff = (Σ tf·nll_in − Σ tf·nll_gen)/n_tokens,
@@ -61,28 +69,19 @@ object Selection {
     * [[Relevance.heldoutSurprisal]] convention; an unseen term costs
     * the model's smoothing floor ln(T+V+1). */
   def mooreLewis(documents: DataFrame): DataFrame = {
-    // ONE tokenize pass (r19 — the dsirWeights treatment): the
-    // in-domain flag rides the term rows (source is constant per doc,
-    // so tagging ≡ the semi-join), one term aggregation produces
-    // c_gen AND c_in, and the rescoring join shares the
-    // repartition(doc_id) exchange with it. Counts stay exact
-    // integers — results unchanged.
-    val tf = documents
-      .select(col("doc_id"),
-        (col("source") === InDomainSource).as("is_in"),
-        explode(Dedup.words(col("text"))).as("term"))
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "is_in", "term").agg(count(lit(1)).as("tf"))
-    val byTerm = tf.groupBy("term").agg(
-      sum("tf").as("c_gen"),
-      sum(when(col("is_in"), col("tf"))).as("c_in"))
-    val stats = byTerm.agg(
-      coalesce(sum("c_in"), lit(0L)).as("t_in"),
-      count(col("c_in")).as("v_in"),
-      sum("c_gen").as("t_gen"),
-      count(lit(1)).as("v_gen"))
+    val tf = termFreqs(documents)
+    val inIds = documents.filter(col("source") === InDomainSource)
+      .select("doc_id")
+    val inCnt = tf.join(inIds, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(sum("tf").as("c_in"))
+    val genCnt = tf.groupBy("term").agg(sum("tf").as("c_gen"))
+    val stats = inCnt.agg(coalesce(sum("c_in"), lit(0L)).as("t_in"),
+        count(lit(1)).as("v_in"))
+      .crossJoin(broadcast(
+        genCnt.agg(sum("c_gen").as("t_gen"), count(lit(1)).as("v_gen"))))
     tf
-      .join(byTerm, Seq("term"))
+      .join(genCnt, Seq("term"))
+      .join(inCnt, Seq("term"), "left")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tf"),
         log((col("t_in") + col("v_in") + 1).cast("double")
@@ -143,41 +142,15 @@ object Selection {
     * real scale compute lr as ln(a)−ln(b) in the same quantization
     * (documented, not needed at the driver's SFs). */
   def dsirWeights(documents: DataFrame): DataFrame = {
-    // ONE feature-derivation pass (r19, guide §2.4): the md5-per-
-    // feature tokenize+explode used to run three times — target
-    // counts, raw counts, per-doc rescoring — because the semi-join
-    // pushdown specialized each use of [[hashedFeatures]] and defeated
-    // exchange reuse (r18 plan: 14 parquet scans, 34 exchanges). The
-    // in-domain flag rides the feature rows instead (source is
-    // constant per doc, so tagging ≡ the semi-join), ONE bucket
-    // aggregation produces c_raw AND c_tgt, and the rescoring pass
-    // shares the repartition(doc_id) exchange with it (ReuseExchange).
-    // All counts stay exact integers — results are unchanged.
-    val fc = {
-      val toks = documents
-        .select(col("doc_id"),
-          (col("source") === InDomainSource).as("is_tgt"),
-          Dedup.words(col("text")).as("w"))
-        .repartition(col("doc_id"))
-      val feats = toks.select(col("doc_id"), col("is_tgt"), explode(concat(
-        col("w"),
-        when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat(element_at(col("w"), i), lit(" "),
-              element_at(col("w"), i + 1))))
-          .otherwise(array().cast("array<string>")))).as("feat"))
-      feats
-        .select(col("doc_id"), col("is_tgt"),
-          pmod(Dedup.hex60(col("feat")), lit(DsirBuckets)).as("bkt"))
-        .groupBy("doc_id", "is_tgt", "bkt").agg(count(lit(1)).as("c"))
-    }
-    val byBkt = fc.groupBy("bkt").agg(
-      sum("c").as("c_raw"),
-      sum(when(col("is_tgt"), col("c"))).as("c_tgt"))
-    val stats = byBkt.agg(
-      coalesce(sum("c_tgt"), lit(0L)).as("t_tgt"),
-      sum("c_raw").as("t_raw"))
-    val model = byBkt
+    val fc = hashedFeatures(documents)
+    val tgtIds = documents.filter(col("source") === InDomainSource)
+      .select("doc_id")
+    val tgt = fc.join(tgtIds, Seq("doc_id"), "left_semi")
+      .groupBy("bkt").agg(sum("c").as("c_tgt"))
+    val raw = fc.groupBy("bkt").agg(sum("c").as("c_raw"))
+    val stats = tgt.agg(coalesce(sum("c_tgt"), lit(0L)).as("t_tgt"))
+      .crossJoin(broadcast(raw.agg(sum("c_raw").as("t_raw"))))
+    val model = raw.join(tgt, Seq("bkt"), "left")
       .crossJoin(broadcast(stats))
       .select(col("bkt"),
         log(((coalesce(col("c_tgt"), lit(0L)) + 1)

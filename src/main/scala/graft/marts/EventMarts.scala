@@ -484,22 +484,11 @@ object EventMarts {
     * length-2 rows; support = n_users / total users with ≥1 event
     * (one division of exact counts). */
   def eventSeqSupport(events: DataFrame): DataFrame = {
-    // ONE events scan + ONE user_id exchange (r19, guide §2.4): the
-    // f1/f2/f3 greedy-extension chain and the user total all hang off
-    // the same repartition(user_id) subtree, so ReuseExchange executes
-    // it once, and every join/groupBy keyed on user_id (plus pattern
-    // columns — hash(user_id) satisfies each subset clustering) is
-    // exchange-free. The r18 plan re-scanned events three times and
-    // shuffled every step (20 exchanges, 3 scans). The single exchange
-    // is AQE-coalescible — scale-adaptive, not tuned to local cores.
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
-      .repartition(col("user_id"))
-    val f1 = e.groupBy(col("user_id"), col("event_type"))
-      .agg(min(col("ts")).as("ts1"))
-      .withColumnRenamed("event_type", "t1")
-    // users with ≥1 event == the user set of f1 (no second events scan)
-    val total = f1.select(col("user_id")).distinct()
+    val total = e.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_total"))
+    val f1 = e.groupBy(col("user_id"), col("event_type").as("t1"))
+      .agg(min(col("ts")).as("ts1"))
     val f2 = f1
       .join(e.select(col("user_id"), col("event_type").as("t2"),
         col("ts").as("ts_b")), Seq("user_id"))
